@@ -1,0 +1,270 @@
+"""Linear quadtree / Morton tile-key algebra (pure numpy, no Ray).
+
+This is the engine's replacement for the reference's pointer-based trees:
+the path root->leaf through the quadtree/octree becomes a depth-tagged
+Morton key stored in a uint64 column.  The reference itself gestures at
+this encoding (Morton encoder ``.Test/QuadTree.cpp:310-318``; rationale
+``REPORT.md:35-38``); the hierarchical-prefix algebra (parent = shift,
+children = suffixes, neighbors = de-interleave / +-1 / re-interleave) is
+the same as H3/S2 cell ids, implemented in pure numpy because no native
+geo wheel exists in this environment (SURVEY.md §7.0).
+
+Key layout (2D): ``key = (1 << 2*depth) | morton2(ix, iy)`` — the high
+sentinel bit makes keys unique across depths and keeps the algebra pure
+shifts: ``parent(key) = key >> 2``, ``children(key) = key*4 + {0,1,2,3}``.
+Root = 1.  Depth <= 29 fits uint64.  (3D: ``(1 << 3*depth) | morton3``.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from optimizing_ray.config import World
+
+__all__ = [
+    "spread2", "compact2", "morton2", "demorton2", "morton3", "demorton3",
+    "encode2", "decode2", "parent", "children2", "depth_of2",
+    "point_cell2", "cell_box2", "neighbors2", "disk2",
+    "cover2", "adaptive_cover2", "grid_cell",
+]
+
+_M2 = (
+    0x5555555555555555, 0x3333333333333333, 0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF, 0x0000FFFF0000FFFF,
+)
+
+
+def _u64(v) -> np.ndarray:
+    return np.asarray(v, dtype=np.uint64)
+
+
+def spread2(v) -> np.ndarray:
+    """Spread the low 32 bits of v so bit i lands at bit 2i (even lanes)."""
+    x = _u64(v) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(_M2[4])
+    x = (x | (x << np.uint64(8))) & np.uint64(_M2[3])
+    x = (x | (x << np.uint64(4))) & np.uint64(_M2[2])
+    x = (x | (x << np.uint64(2))) & np.uint64(_M2[1])
+    x = (x | (x << np.uint64(1))) & np.uint64(_M2[0])
+    return x
+
+
+def compact2(v) -> np.ndarray:
+    """Inverse of spread2: gather even-lane bits back to a dense integer."""
+    x = _u64(v) & np.uint64(_M2[0])
+    x = (x | (x >> np.uint64(1))) & np.uint64(_M2[1])
+    x = (x | (x >> np.uint64(2))) & np.uint64(_M2[2])
+    x = (x | (x >> np.uint64(4))) & np.uint64(_M2[3])
+    x = (x | (x >> np.uint64(8))) & np.uint64(_M2[4])
+    x = (x | (x >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return x
+
+
+def morton2(ix, iy) -> np.ndarray:
+    """Bit-interleave (ix, iy) -> Morton code; x occupies the even bits.
+
+    Bit-for-bit identical to the reference ``mortonEncode2D``
+    (``.Test/QuadTree.cpp:310-318``) for 16-bit inputs (unit-tested).
+    """
+    return spread2(ix) | (spread2(iy) << np.uint64(1))
+
+
+def demorton2(code):
+    c = _u64(code)
+    return compact2(c), compact2(c >> np.uint64(1))
+
+
+_M3 = (0x1249249249249249, 0x10C30C30C30C30C3, 0x100F00F00F00F00F,
+       0x001F0000FF0000FF, 0x001F00000000FFFF)
+
+
+def _spread3(v) -> np.ndarray:
+    x = _u64(v) & np.uint64(0x1FFFFF)  # 21 bits
+    x = (x | (x << np.uint64(32))) & np.uint64(_M3[4])
+    x = (x | (x << np.uint64(16))) & np.uint64(_M3[3])
+    x = (x | (x << np.uint64(8))) & np.uint64(_M3[2])
+    x = (x | (x << np.uint64(4))) & np.uint64(_M3[1])
+    x = (x | (x << np.uint64(2))) & np.uint64(_M3[0])
+    return x
+
+
+def _compact3(v) -> np.ndarray:
+    x = _u64(v) & np.uint64(_M3[0])
+    x = (x | (x >> np.uint64(2))) & np.uint64(_M3[1])
+    x = (x | (x >> np.uint64(4))) & np.uint64(_M3[2])
+    x = (x | (x >> np.uint64(8))) & np.uint64(_M3[3])
+    x = (x | (x >> np.uint64(16))) & np.uint64(_M3[4])
+    x = (x | (x >> np.uint64(32))) & np.uint64(0x1FFFFF)
+    return x
+
+
+def morton3(ix, iy, iz) -> np.ndarray:
+    """3D Morton; child index (z<<2 | y<<1 | x) matches the reference octant
+    order SWD..NEU (``DynamicOctree.hpp:56-65,86-94``)."""
+    return _spread3(ix) | (_spread3(iy) << np.uint64(1)) | (_spread3(iz) << np.uint64(2))
+
+
+def demorton3(code):
+    c = _u64(code)
+    return _compact3(c), _compact3(c >> np.uint64(1)), _compact3(c >> np.uint64(2))
+
+
+# --- depth-tagged keys ----------------------------------------------------
+
+def encode2(ix, iy, depth: int) -> np.ndarray:
+    """(ix, iy, depth) -> sentinel-tagged linear-quadtree key."""
+    return morton2(ix, iy) | (np.uint64(1) << np.uint64(2 * depth))
+
+
+def decode2(key):
+    """key -> (depth, ix, iy)."""
+    k = _u64(key)
+    depth = depth_of2(k)
+    sent = np.uint64(1) << (np.uint64(2) * depth.astype(np.uint64))
+    ix, iy = demorton2(k ^ sent)
+    return depth, ix, iy
+
+
+def depth_of2(key) -> np.ndarray:
+    """Depth of a sentinel-tagged 2D key = floor(bit_length(key)-1, / 2)."""
+    k = _u64(key)
+    # bit_length via log2 is unsafe for uint64; use a loop-free trick on int64
+    nb = np.zeros(k.shape if k.shape else (), dtype=np.uint64)
+    t = k.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = t >= (np.uint64(1) << np.uint64(s))
+        nb = nb + np.where(m, np.uint64(s), np.uint64(0))
+        t = np.where(m, t >> np.uint64(s), t)
+    return (nb // np.uint64(2)).astype(np.int64)
+
+
+def parent(key, levels: int = 1) -> np.ndarray:
+    return _u64(key) >> np.uint64(2 * levels)
+
+
+def children2(key) -> np.ndarray:
+    """The 4 children in reference child order [SW, SE, NW, NE]
+    (``.Test/QuadTree.cpp:96-103``) = Morton suffix order {0,1,2,3}."""
+    k = _u64(key)
+    return (k[..., None] << np.uint64(2)) | np.arange(4, dtype=np.uint64)
+
+
+# --- world quantization ---------------------------------------------------
+
+def _grid_n(depth: int) -> int:
+    return 1 << depth
+
+
+def point_cell2(x, y, world: World, depth: int) -> np.ndarray:
+    """Quantize points to the tile grid at `depth` -> sentinel-tagged keys.
+
+    Points outside the world clamp to the border cell (the reference's
+    uniform grid creates cells lazily for any coordinate,
+    ``WorldPartition.hpp:169-181``; for the bounded quadtree world we clamp).
+    """
+    n = _grid_n(depth)
+    wx, wy, _ = world.size
+    fx = (np.asarray(x, dtype=np.float64) - world.min_x) / wx
+    fy = (np.asarray(y, dtype=np.float64) - world.min_y) / wy
+    ix = np.clip((fx * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    iy = np.clip((fy * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    return encode2(ix, iy, depth)
+
+
+def cell_box2(key, world: World):
+    """Tile key -> (min_x, min_y, max_x, max_y) of the cell in world coords."""
+    depth, ix, iy = decode2(key)
+    wx, wy, _ = world.size
+    n = (np.uint64(1) << depth.astype(np.uint64)).astype(np.float64)
+    cw, ch = wx / n, wy / n
+    mnx = world.min_x + ix.astype(np.float64) * cw
+    mny = world.min_y + iy.astype(np.float64) * ch
+    return mnx, mny, mnx + cw, mny + ch
+
+
+def neighbors2(key, world: World | None = None) -> np.ndarray:
+    """Ring-1 (3x3 incl. self) neighbor keys of each input key, clamped to
+    the grid — the reference's neighborhood load (``WorldPartition.hpp:196-204``).
+
+    Returns shape (..., 9); out-of-grid neighbors are repeated border cells
+    (callers dedupe)."""
+    return disk2(key, 1)
+
+
+def disk2(key, k: int) -> np.ndarray:
+    """All cells with Chebyshev distance <= k from each key (the reference's
+    view-distance rule, ``WorldPartition.hpp:208-212``). Shape (..., (2k+1)^2)."""
+    kk = _u64(key)
+    depth, ix, iy = decode2(kk)
+    n = np.uint64(1) << depth.astype(np.uint64)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="xy")
+    nx = np.clip(ix.astype(np.int64)[..., None] + dx.ravel(), 0, (n - np.uint64(1)).astype(np.int64)[..., None])
+    ny = np.clip(iy.astype(np.int64)[..., None] + dy.ravel(), 0, (n - np.uint64(1)).astype(np.int64)[..., None])
+    d = int(np.asarray(depth).reshape(-1)[0]) if np.asarray(depth).size else 0
+    return encode2(nx.astype(np.uint64), ny.astype(np.uint64), d)
+
+
+def cover2(min_x, min_y, max_x, max_y, world: World, depth: int) -> np.ndarray:
+    """All tile keys at `depth` whose cell overlaps the (closed) query box.
+
+    This is the flat-grid equivalent of the octree descent
+    (``DynamicOctree.hpp:146-171``); scalar box in, 1-D key array out.
+    """
+    n = _grid_n(depth)
+    wx, wy, _ = world.size
+    cw, ch = wx / n, wy / n
+    ix0 = max(0, min(n - 1, int(np.floor((min_x - world.min_x) / cw))))
+    ix1 = max(0, min(n - 1, int(np.floor((max_x - world.min_x) / cw))))
+    iy0 = max(0, min(n - 1, int(np.floor((min_y - world.min_y) / ch))))
+    iy1 = max(0, min(n - 1, int(np.floor((max_y - world.min_y) / ch))))
+    gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.uint64),
+                         np.arange(iy0, iy1 + 1, dtype=np.uint64), indexing="xy")
+    return encode2(gx.ravel(), gy.ravel(), depth)
+
+
+def adaptive_cover2(min_x: float, min_y: float, max_x: float, max_y: float,
+                    world: World, max_depth: int):
+    """Hierarchical cell cover of a query box — the engine twin of the
+    recursive search (``DynamicOctree.hpp:146-171``): descend from the root;
+    a cell fully CONTAINED in the query (boundary-inclusive 3D semantics,
+    ``BoundaryBox.hpp:52-56``) is emitted with full_cover=True (the
+    ``contains -> items()`` fast path); a cell merely overlapping is split
+    until max_depth, where it is emitted with full_cover=False (residual
+    predicate required).
+
+    Returns (keys: uint64[m], full: bool[m]).
+    """
+    keys: list[int] = []
+    full: list[bool] = []
+    wx, wy, _ = world.size
+
+    def visit(key: int, d: int, cminx: float, cminy: float, cmaxx: float, cmaxy: float):
+        # query contains cell?
+        if min_x <= cminx and min_y <= cminy and max_x >= cmaxx and max_y >= cmaxy:
+            keys.append(key); full.append(True)
+            return
+        # overlap test (closed intervals)
+        if not (min_x <= cmaxx and max_x >= cminx and min_y <= cmaxy and max_y >= cminy):
+            return
+        if d == max_depth:
+            keys.append(key); full.append(False)
+            return
+        mx, my = (cminx + cmaxx) / 2.0, (cminy + cmaxy) / 2.0
+        base = key << 2
+        visit(base | 0, d + 1, cminx, cminy, mx, my)
+        visit(base | 1, d + 1, mx, cminy, cmaxx, my)
+        visit(base | 2, d + 1, cminx, my, mx, cmaxy)
+        visit(base | 3, d + 1, mx, my, cmaxx, cmaxy)
+
+    visit(1, 0, world.min_x, world.min_y, world.min_x + wx, world.min_y + wy)
+    return np.asarray(keys, dtype=np.uint64), np.asarray(full, dtype=bool)
+
+
+def grid_cell(x, z, cell_x: float = 255.0, cell_z: float = 255.0):
+    """The reference's uniform world-partition grid key:
+    ``(int(pos.x / size.x), int(pos.z / size.z))`` with C-style truncation
+    toward zero (``WorldPartition.hpp:174,240``)."""
+    cx = np.trunc(np.asarray(x, dtype=np.float64) / cell_x).astype(np.int64)
+    cz = np.trunc(np.asarray(z, dtype=np.float64) / cell_z).astype(np.int64)
+    return cx, cz

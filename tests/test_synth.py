@@ -1,0 +1,73 @@
+"""Determinism and schema of the synthetic fixtures."""
+
+import numpy as np
+import pyarrow as pa
+
+from optimizing_ray import synth
+
+
+def test_batch_boundary_invariance():
+    """Values derive from global row index only — splitting into batches
+    must not change anything (retry/parallelism invariance)."""
+    whole = synth.documents_batch(np.arange(100), variant="flat2d")
+    parts = pa.concat_tables([
+        synth.documents_batch(np.arange(0, 37), variant="flat2d"),
+        synth.documents_batch(np.arange(37, 71), variant="flat2d"),
+        synth.documents_batch(np.arange(71, 100), variant="flat2d"),
+    ])
+    assert whole.equals(parts)
+
+
+def test_spans_schema_and_invariants():
+    t = synth.documents_batch(np.arange(200), variant="uniform")
+    assert t.schema.field("spans").type == synth.SPAN_TYPE
+    for row in t.to_pylist():
+        spans = row["spans"]
+        assert 1 <= len(spans) <= 8
+        offs = [s["offset"] for s in spans]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)  # strictly increasing
+        for j, s in enumerate(spans):
+            if s["kind"] == "text":
+                assert s["text"] and s["media_ref"] == ""
+            else:
+                assert s["media_ref"].startswith(f"media://{row['doc_id']}/")
+                assert s["text"] == ""
+
+
+def test_positions_inside_world():
+    t = synth.documents_batch(np.arange(500), variant="flat2d")
+    x = t["x"].to_numpy()
+    assert (x >= 0).all() and (x < 100_000).all()
+    assert (t["y"].to_numpy() >= 0).all()
+    np.testing.assert_array_equal(t["z"].to_numpy(), 0.0)
+
+
+def test_skewed_variant_has_hot_cell():
+    t = synth.documents_batch(np.arange(4000), variant="skewed", with_spans=False)
+    from optimizing_ray import cells
+    from optimizing_ray.config import WORLD_3D
+    keys = cells.point_cell2(t["x"].to_numpy(), t["y"].to_numpy(), WORLD_3D, 3)
+    _, counts = np.unique(keys, return_counts=True)
+    # sigma = 1 cell width: hottest cell must be far above the uniform
+    # expectation (4000 / 64 cells = 62.5) — exercises subdivision + salting
+    assert counts.max() > 4 * (len(t) / 64)
+
+
+def test_polygons_are_valid_closed_convex_rings():
+    t = synth.polygons_table(10)
+    for row in t.to_pylist():
+        ring = row["ring"]
+        assert 4 <= len(ring) <= 12
+        xs = np.asarray([v["x"] for v in ring])
+        ys = np.asarray([v["y"] for v in ring])
+        # convexity: all cross products of consecutive edges share a sign
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        x3, y3 = np.roll(xs, -2), np.roll(ys, -2)
+        cross = (x2 - xs) * (y3 - y2) - (y2 - ys) * (x3 - x2)
+        assert (cross >= -1e-9).all() or (cross <= 1e-9).all()
+
+
+def test_raster_table_shape():
+    t = synth.raster_table(32, 16)
+    assert t.num_rows == 512
+    assert t["pixel_id"].to_numpy().max() == 511
