@@ -216,11 +216,13 @@ def polygons_table(np_polys: int, world: World | None = None, seed: int = 3000) 
         cy = world.min_y + float(u01(np.asarray([p]), seed + 3)[0]) * wy
         r = (0.02 + float(u01(np.asarray([p]), seed + 4)[0]) * 0.08) * min(wx, wy)
         js = np.arange(nv, dtype=np.int64)
-        jitter = 0.6 + 0.4 * u01(js + p * 1013, seed + 5)
         ang = 2 * np.pi * js / nv
-        # convex: monotone angles, jittered radius
-        rings_x.append(cx + r * jitter * np.cos(ang))
-        rings_y.append(cy + r * jitter * np.sin(ang))
+        # convex by construction: vertices on a rotated ellipse
+        ecc = 0.5 + 0.5 * float(u01(np.asarray([p]), seed + 5)[0])
+        rot = 2 * np.pi * float(u01(np.asarray([p]), seed + 6)[0])
+        ex, ey = r * np.cos(ang), r * ecc * np.sin(ang)
+        rings_x.append(cx + ex * np.cos(rot) - ey * np.sin(rot))
+        rings_y.append(cy + ex * np.sin(rot) + ey * np.cos(rot))
         offsets.append(offsets[-1] + nv)
     flat_x = np.concatenate(rings_x) if rings_x else np.empty(0)
     flat_y = np.concatenate(rings_y) if rings_y else np.empty(0)
