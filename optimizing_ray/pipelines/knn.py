@@ -1,0 +1,184 @@
+"""kNN lookups (J2) — neighbor-ring expansion plus an exact merge.
+
+The reference seeds a 3x3 neighbor load around the query point
+(``WorldPartition.hpp:196-204``) and the engine keeps that idea as the
+pruning path; exactness comes from the two-phase top-k:
+
+1. per-batch partial top-k (vectorized argpartition over the batch x
+   query distance matrix) — each batch emits at most Q x k rows, so the
+   shuffle input is tiny regardless of corpus size;
+2. ``groupby(query_id).map_groups`` final top-k merge.
+
+``knn_brute`` runs phase 1 over every batch (the linear-scan oracle the
+reference toggles with Tab, ``.Test/cacheQuadTree.cpp:425-441``, kept as
+a first-class operator because for small Q it IS the right distributed
+plan).  ``knn_ring`` first prunes batches to the ring-r cells of each
+query and expands r until the k-th distance is provably inside the ring
+(exactness bound: ring r guarantees all points within r * cell_width of
+the query cell border).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from optimizing_ray import cells
+from optimizing_ray.config import World
+
+__all__ = ["knn_brute", "knn_ring"]
+
+
+class _PartialTopK:
+    """Phase-1 actor: broadcast query points, per-batch partial top-k."""
+
+    def __init__(self, queries_ref, restrict_cells_ref=None):
+        q = ray.get(queries_ref)
+        self.qid = np.asarray(q["query_id"])
+        self.qx = np.asarray(q["x"])
+        self.qy = np.asarray(q["y"])
+        self.k = np.asarray(q["k"])
+        self.maxk = int(self.k.max()) if len(self.k) else 0
+        self.cell_sets = ray.get(restrict_cells_ref) if restrict_cells_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        doc_id = batch["doc_id"]
+        if len(x) == 0 or self.maxk == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "doc_id": doc_id.slice(0, 0),
+                             "dist2": pa.array([], pa.float64())})
+        out_q, out_rows, out_d = [], [], []
+        key = batch["cell_key"].to_numpy() if "cell_key" in batch.column_names else None
+        for qi in range(len(self.qid)):
+            rows = np.arange(len(x))
+            if self.cell_sets is not None and key is not None:
+                mask = np.isin(key, self.cell_sets[qi])
+                rows = rows[mask]
+                if len(rows) == 0:
+                    continue
+            dx = x[rows] - self.qx[qi]
+            dy = y[rows] - self.qy[qi]
+            d2 = dx * dx + dy * dy
+            kk = min(int(self.k[qi]), len(rows))
+            part = np.argpartition(d2, kk - 1)[:kk] if kk < len(rows) else np.arange(len(rows))
+            out_q.append(np.full(len(part), qi))
+            out_rows.append(rows[part])
+            out_d.append(d2[part])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "doc_id": doc_id.slice(0, 0),
+                             "dist2": pa.array([], pa.float64())})
+        qidx = np.concatenate(out_q)
+        rowsel = np.concatenate(out_rows)
+        return pa.table({
+            "query_id": pa.array(self.qid[qidx], pa.string()),
+            "doc_id": doc_id.take(pa.array(rowsel)),
+            "dist2": pa.array(np.concatenate(out_d)),
+        })
+
+
+def _final_topk(queries: pa.Table):
+    kmap = dict(zip(queries["query_id"].to_pylist(),
+                    queries["k"].to_numpy(zero_copy_only=False).tolist()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(kmap[g["query_id"].iloc[0]])
+        g = g.sort_values(["dist2", "doc_id"]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["dist"] = np.sqrt(g["dist2"].to_numpy())
+        return g[["query_id", "doc_id", "dist", "rank"]]
+
+    return merge
+
+
+def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
+              concurrency: int | tuple[int, int] = (1, 8),
+              batch_size: int | None = 65_536) -> rd.Dataset:
+    """Exact kNN: per-batch partial top-k + per-query merge.
+
+    Output: (query_id, doc_id, dist, rank) with rank 1..k ordered by
+    (dist, doc_id) — the tiebreak the SQL oracle uses too.
+    """
+    qref = ray.put({c: queries[c].to_numpy(zero_copy_only=False)
+                    for c in ("query_id", "x", "y", "k")})
+    partial = docs.map_batches(_PartialTopK, fn_constructor_args=(qref,),
+                               batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=batch_size, concurrency=concurrency)
+    return partial.groupby("query_id").map_groups(_final_topk(queries),
+                                                  batch_format="pandas")
+
+
+def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
+             concurrency: int | tuple[int, int] = (1, 8),
+             batch_size: int | None = 65_536,
+             max_rounds: int = 8) -> pa.Table:
+    """Ring-expansion kNN (the reference's neighborhood-load pattern).
+
+    Iterative driver loop: round r restricts phase 1 to each query's
+    Chebyshev disk of radius ring_r cells; a query is DONE when its k-th
+    neighbor distance <= ring_r * cell_width (nothing outside the disk can
+    be closer).  Unsatisfied queries re-run with a doubled ring.  Each
+    round streams the (cell-pruned) corpus once; the result is exact.
+
+    Returns a pyarrow Table (driver-side merge is tiny: Q x k rows).
+    """
+    wx, wy, _ = world.size
+    n = 1 << depth
+    cell_w = min(wx, wy) / n
+    qx = queries["x"].to_numpy()
+    qy = queries["y"].to_numpy()
+    qk = queries["k"].to_numpy(zero_copy_only=False)
+    qid = np.asarray(queries["query_id"].to_pylist())
+    qcell = cells.point_cell2(qx, qy, world, depth)
+
+    docs_keyed = docs  # caller must provide cell_key column (assign_tiles)
+    pending = np.arange(len(qid))
+    results: dict[str, pd.DataFrame] = {}
+    ring = 1
+    for _ in range(max_rounds):
+        if len(pending) == 0:
+            break
+        sub = pa.table({
+            "query_id": pa.array(qid[pending], pa.string()),
+            "x": pa.array(qx[pending]), "y": pa.array(qy[pending]),
+            "k": pa.array(qk[pending]),
+        })
+        cell_sets = [np.unique(cells.disk2(qcell[p], ring)).astype(np.int64)
+                     for p in pending]
+        qref = ray.put({c: sub[c].to_numpy(zero_copy_only=False)
+                        for c in ("query_id", "x", "y", "k")})
+        cref = ray.put(cell_sets)
+        partial = docs_keyed.map_batches(
+            _PartialTopK, fn_constructor_args=(qref, cref),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size, concurrency=concurrency)
+        merged = partial.groupby("query_id").map_groups(_final_topk(sub),
+                                                        batch_format="pandas").to_pandas()
+        still = []
+        guarantee = ring * cell_w  # conservative: distance covered from the cell border
+        for j, p in enumerate(pending):
+            g = merged[merged["query_id"] == qid[p]]
+            kth = g["dist"].max() if len(g) == int(qk[p]) else np.inf
+            if kth <= guarantee or ring >= n:
+                results[qid[p]] = g
+            else:
+                still.append(p)
+        pending = np.asarray(still, dtype=np.int64)
+        ring *= 2
+    if len(pending):  # fall back to exact brute merge for stragglers
+        sub = pa.table({
+            "query_id": pa.array(qid[pending], pa.string()),
+            "x": pa.array(qx[pending]), "y": pa.array(qy[pending]),
+            "k": pa.array(qk[pending]),
+        })
+        merged = knn_brute(docs_keyed, sub).to_pandas()
+        for p in pending:
+            results[qid[p]] = merged[merged["query_id"] == qid[p]]
+    out = pd.concat(results.values(), ignore_index=True) if results else \
+        pd.DataFrame(columns=["query_id", "doc_id", "dist", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,90 @@
+"""Tile-key assignment — the engine's ingest stage.
+
+The Ray-Data twin of ``WorldPartition::insert`` (``WorldPartition.hpp:169-181``):
+instead of routing rows into per-cell vectors under a mutex, a stateless
+zero-copy ``map_batches`` appends a depth-tagged Morton ``cell_key``
+column; the shuffle that co-locates a cell's rows happens later (groupby)
+and only when an operator needs it.
+
+Two assignment strategies for box-shaped rows:
+
+* point assignment (default): a row belongs to the cell of its position
+  (min corner, like the reference's ``int(pos/cell)`` grid key,
+  ``WorldPartition.hpp:174``).  Joins that must see boundary-spanning rows
+  expand the QUERY side by the max row extent instead of duplicating rows.
+* cover explosion (``explode_cover_batch``): a row is emitted once per
+  overlapped cell — the old-quadtree multi-child duplicating insert
+  (``.Test/oldQuadTree.cpp:237-253``), deduped after the join
+  (``REPORT.md:4-8``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from optimizing_ray import cells
+from optimizing_ray.config import World
+
+__all__ = ["assign_point_cells_batch", "assign_tiles", "explode_cover_batch"]
+
+
+def assign_point_cells_batch(t: pa.Table, depth: int, world: World,
+                             x_col: str = "x", y_col: str = "y",
+                             out_col: str = "cell_key") -> pa.Table:
+    """Append the depth-tagged Morton key of each row's position.
+
+    Key is stored as int64 (values < 2^(2*depth+1), far below 2^62) so it
+    round-trips Parquet/DuckDB without unsigned-type edge cases.
+    """
+    key = cells.point_cell2(t[x_col].to_numpy(zero_copy_only=False),
+                            t[y_col].to_numpy(zero_copy_only=False), world, depth)
+    return t.append_column(out_col, pa.array(key.astype(np.int64)))
+
+
+def assign_tiles(ds: rd.Dataset, depth: int, world: World,
+                 x_col: str = "x", y_col: str = "y",
+                 out_col: str = "cell_key") -> rd.Dataset:
+    """Dataset wrapper: stateless zero-copy Arrow map_batches."""
+    return ds.map_batches(
+        lambda t: assign_point_cells_batch(t, depth, world, x_col, y_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_cover_batch(t: pa.Table, depth: int, world: World,
+                        min_x: str = "min_x", min_y: str = "min_y",
+                        max_x: str = "max_x", max_y: str = "max_y",
+                        out_col: str = "cell_key") -> pa.Table:
+    """Emit each row once per cell its box overlaps at `depth` (vectorized).
+
+    Mirrors the multi-child duplicating insert of the old quadtree
+    (``.Test/oldQuadTree.cpp:237-253``); consumers MUST dedup join output
+    on (query_id, doc_id) — the REPORT.md:4-8 failure mode.
+    """
+    n = 1 << depth
+    wx, wy, _ = world.size
+    cw, ch = wx / n, wy / n
+    bx0 = t[min_x].to_numpy(zero_copy_only=False)
+    by0 = t[min_y].to_numpy(zero_copy_only=False)
+    bx1 = t[max_x].to_numpy(zero_copy_only=False)
+    by1 = t[max_y].to_numpy(zero_copy_only=False)
+    ix0 = np.clip(np.floor((bx0 - world.min_x) / cw).astype(np.int64), 0, n - 1)
+    ix1 = np.clip(np.floor((bx1 - world.min_x) / cw).astype(np.int64), 0, n - 1)
+    iy0 = np.clip(np.floor((by0 - world.min_y) / ch).astype(np.int64), 0, n - 1)
+    iy1 = np.clip(np.floor((by1 - world.min_y) / ch).astype(np.int64), 0, n - 1)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    reps = nx * ny
+    row_idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+    # per-duplicate local ordinal -> (dx, dy) within the row's cell rectangle
+    starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    local = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+    nx_r = np.repeat(nx, reps)
+    dx = local % nx_r
+    dy = local // nx_r
+    gx = (np.repeat(ix0, reps) + dx).astype(np.uint64)
+    gy = (np.repeat(iy0, reps) + dy).astype(np.uint64)
+    keys = cells.encode2(gx, gy, depth).astype(np.int64)
+    out = t.take(pa.array(row_idx))
+    return out.append_column(out_col, pa.array(keys))

@@ -1,0 +1,65 @@
+"""kNN pipelines vs. exact brute-force numpy oracle."""
+
+import numpy as np
+import pytest
+
+from optimizing_ray import synth
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.pipelines import knn
+from optimizing_ray.stages.assign import assign_tiles
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.documents_batch(np.arange(3000), variant="flat2d", with_spans=False)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return synth.knn_queries_table(12)
+
+
+def oracle_knn(corpus, queries):
+    x, y = corpus["x"].to_numpy(), corpus["y"].to_numpy()
+    ids = np.asarray(corpus["doc_id"].to_pylist())
+    out = {}
+    for row in queries.to_pylist():
+        d2 = (x - row["x"]) ** 2 + (y - row["y"]) ** 2
+        order = np.lexsort((ids, d2))[: row["k"]]
+        out[row["query_id"]] = list(zip(ids[order], np.sqrt(d2[order])))
+    return out
+
+
+def check(df, want):
+    got = {}
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        got[qid] = list(zip(g["doc_id"], g["dist"]))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]], qid
+        np.testing.assert_allclose([v for _, v in got[qid]],
+                                   [v for _, v in want[qid]], rtol=1e-12)
+
+
+def test_knn_brute_matches_oracle(ray_session, corpus, queries):
+    import ray.data as rd
+    docs = rd.from_arrow(corpus)
+    res = knn.knn_brute(docs, queries).to_pandas()
+    check(res, oracle_knn(corpus, queries))
+
+
+def test_knn_ring_matches_oracle(ray_session, corpus, queries):
+    import ray.data as rd
+    docs = assign_tiles(rd.from_arrow(corpus), 3, WORLD_2D)
+    res = knn.knn_ring(docs, queries, world=WORLD_2D, depth=3).to_pandas()
+    check(res, oracle_knn(corpus, queries))
+
+
+def test_knn_k_larger_than_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    tiny = synth.documents_batch(np.arange(3), variant="flat2d", with_spans=False)
+    q = pa.table({"query_id": ["q0"], "x": [50.0], "y": [50.0], "k": pa.array([16], pa.int32())})
+    res = knn.knn_brute(rd.from_arrow(tiny), q).to_pandas()
+    assert len(res) == 3  # returns what exists
