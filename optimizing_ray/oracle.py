@@ -13,7 +13,10 @@ twin of ``cells.spread2``).
 from __future__ import annotations
 
 from optimizing_ray.config import World
-from optimizing_ray.sources.driver_tables import DRIVER_WORLD, geometry_sql
+from optimizing_ray.sources.driver_tables import (
+    BOX_MIN, BOX_SPAN, DRIVER_WORLD, QUERY_MULTS, QUERY_SALT,
+    frac_sql, geometry_sql,
+)
 
 _SPREAD_STEPS = [
     (16, 0x0000FFFF0000FFFF),
@@ -95,4 +98,64 @@ cellidx AS (
 SELECT mkey AS cell_key, COUNT(*) AS n_docs
 FROM mz
 GROUP BY mkey
+"""
+
+
+def driver_queries_cte(nq: int, world: World = DRIVER_WORLD) -> str:
+    """SQL twin of ``driver_tables.driver_queries``."""
+    wx, wy, _ = world.size
+    h = f"(qid + {QUERY_SALT})"
+    cx = f"({world.min_x!r} + {frac_sql(h, QUERY_MULTS['cx'])} * {wx!r})"
+    cy = f"({world.min_y!r} + {frac_sql(h, QUERY_MULTS['cy'])} * {wy!r})"
+    qw = f"({BOX_MIN!r} + {frac_sql(h, QUERY_MULTS['qw'])} * {BOX_SPAN!r})"
+    qh = f"({BOX_MIN!r} + {frac_sql(h, QUERY_MULTS['qh'])} * {BOX_SPAN!r})"
+    return (f"q AS (SELECT qid AS query_id, "
+            f"{cx} - {qw} / 2 AS min_x, {cy} - {qh} / 2 AS min_y, "
+            f"{cx} + {qw} / 2 AS max_x, {cy} + {qh} / 2 AS max_y "
+            f"FROM generate_series(0, {nq - 1}) t(qid))")
+
+
+def driver_knn_queries_cte(nq: int, world: World = DRIVER_WORLD) -> str:
+    """SQL twin of ``driver_tables.driver_knn_queries``."""
+    wx, wy, _ = world.size
+    h = f"(qid + {QUERY_SALT})"
+    x = f"({world.min_x!r} + {frac_sql(h, QUERY_MULTS['cx'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql(h, QUERY_MULTS['cy'])} * {wy!r})"
+    k = "CASE qid % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END"
+    return (f"q AS (SELECT qid AS query_id, {x} AS x, {y} AS y, {k} AS k "
+            f"FROM generate_series(0, {nq - 1}) t(qid))")
+
+
+def box_join_sql(nq: int, world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """Oracle for the box spatial join over driver documents: boundary-
+    inclusive AABB overlap (``BoundaryBox.hpp:47-51`` family)."""
+    return f"""
+WITH {geo_cte(table, world)},
+{driver_queries_cte(nq, world)}
+SELECT q.query_id AS query_id, g.doc_id AS doc_id
+FROM geo g
+JOIN q ON g.x <= q.max_x AND g.x + g.w >= q.min_x
+      AND g.y <= q.max_y AND g.y + g.h >= q.min_y
+"""
+
+
+def knn_sql(nq: int, world: World = DRIVER_WORLD, table: str = "documents") -> str:
+    """Oracle for exact kNN: per-query top-k by (dist2, doc_id) tiebreak —
+    the same ordering the engine's merge stage uses."""
+    return f"""
+WITH {geo_cte(table, world)},
+{driver_knn_queries_cte(nq, world)}
+SELECT query_id, doc_id, dist, knn_rank
+FROM (
+  SELECT q.query_id AS query_id, g.doc_id AS doc_id,
+         sqrt((g.x - q.x) * (g.x - q.x) + (g.y - q.y) * (g.y - q.y)) AS dist,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ((g.x - q.x) * (g.x - q.x) + (g.y - q.y) * (g.y - q.y)), g.doc_id
+         ) AS knn_rank,
+         q.k AS k
+  FROM geo g CROSS JOIN q
+) s
+WHERE knn_rank <= k
 """

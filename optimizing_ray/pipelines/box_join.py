@@ -118,13 +118,13 @@ class _BroadcastJoiner:
                 out_q.append(qidx[qi])
         if not out_doc:
             return pa.table({
-                "query_id": pa.array([], pa.string()),
+                "query_id": pa.array(self.query_id[:0]),
                 **{c: batch[c].slice(0, 0) for c in self.payload_cols},
             })
         doc_rows = np.concatenate(out_doc)
         q_rows = np.concatenate(out_q)
         taken = batch.select(list(self.payload_cols)).take(pa.array(doc_rows))
-        return taken.add_column(0, "query_id", pa.array(self.query_id[q_rows], pa.string()))
+        return taken.add_column(0, "query_id", pa.array(self.query_id[q_rows]))
 
 
 def box_join_broadcast(docs: rd.Dataset, queries: pa.Table, *, world: World,

@@ -49,7 +49,7 @@ class _PartialTopK:
         y = batch["y"].to_numpy(zero_copy_only=False)
         doc_id = batch["doc_id"]
         if len(x) == 0 or self.maxk == 0:
-            return pa.table({"query_id": pa.array([], pa.string()),
+            return pa.table({"query_id": pa.array(self.qid[:0]),
                              "doc_id": doc_id.slice(0, 0),
                              "dist2": pa.array([], pa.float64())})
         out_q, out_rows, out_d = [], [], []
@@ -70,13 +70,13 @@ class _PartialTopK:
             out_rows.append(rows[part])
             out_d.append(d2[part])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.string()),
+            return pa.table({"query_id": pa.array(self.qid[:0]),
                              "doc_id": doc_id.slice(0, 0),
                              "dist2": pa.array([], pa.float64())})
         qidx = np.concatenate(out_q)
         rowsel = np.concatenate(out_rows)
         return pa.table({
-            "query_id": pa.array(self.qid[qidx], pa.string()),
+            "query_id": pa.array(self.qid[qidx]),
             "doc_id": doc_id.take(pa.array(rowsel)),
             "dist2": pa.array(np.concatenate(out_d)),
         })
@@ -89,9 +89,9 @@ def _final_topk(queries: pa.Table):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         k = int(kmap[g["query_id"].iloc[0]])
         g = g.sort_values(["dist2", "doc_id"]).head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["knn_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         g["dist"] = np.sqrt(g["dist2"].to_numpy())
-        return g[["query_id", "doc_id", "dist", "rank"]]
+        return g[["query_id", "doc_id", "dist", "knn_rank"]]
 
     return merge
 
@@ -144,7 +144,7 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         if len(pending) == 0:
             break
         sub = pa.table({
-            "query_id": pa.array(qid[pending], pa.string()),
+            "query_id": pa.array(qid[pending]),
             "x": pa.array(qx[pending]), "y": pa.array(qy[pending]),
             "k": pa.array(qk[pending]),
         })
@@ -172,7 +172,7 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         ring *= 2
     if len(pending):  # fall back to exact brute merge for stragglers
         sub = pa.table({
-            "query_id": pa.array(qid[pending], pa.string()),
+            "query_id": pa.array(qid[pending]),
             "x": pa.array(qx[pending]), "y": pa.array(qy[pending]),
             "k": pa.array(qk[pending]),
         })
@@ -180,5 +180,5 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         for p in pending:
             results[qid[p]] = merged[merged["query_id"] == qid[p]]
     out = pd.concat(results.values(), ignore_index=True) if results else \
-        pd.DataFrame(columns=["query_id", "doc_id", "dist", "rank"])
+        pd.DataFrame(columns=["query_id", "doc_id", "dist", "knn_rank"])
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -77,3 +77,42 @@ def documents_with_geometry(sf_dir: str, *, columns: list[str] | None = None,
 
 def read(sf_dir: str, table: str, *, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- driver-side query workloads (SQL-twinned, FIXTURES.md F2/F3) ---------
+
+QUERY_MULTS = {"cx": 2_654_435_761, "cy": 2_246_822_519,
+               "qw": 3_266_489_917, "qh": 668_265_263}
+QUERY_SALT = 1_000_003  # offset so query geometry decorrelates from docs
+BOX_MIN, BOX_SPAN = 2_000.0, 10_000.0
+
+
+def driver_queries(nq: int = 48, world: World = DRIVER_WORLD) -> pa.Table:
+    """Deterministic box queries over the driver world; int64 query_id so the
+    SQL twin (oracle.driver_queries_cte) is plain generate_series arithmetic."""
+    qid = np.arange(nq, dtype=np.int64)
+    h = qid + np.int64(QUERY_SALT)
+    wx, wy, _ = world.size
+    cx = world.min_x + _frac(h, QUERY_MULTS["cx"]) * wx
+    cy = world.min_y + _frac(h, QUERY_MULTS["cy"]) * wy
+    qw = BOX_MIN + _frac(h, QUERY_MULTS["qw"]) * BOX_SPAN
+    qh = BOX_MIN + _frac(h, QUERY_MULTS["qh"]) * BOX_SPAN
+    return pa.table({
+        "query_id": pa.array(qid),
+        "min_x": pa.array(cx - qw / 2), "min_y": pa.array(cy - qh / 2),
+        "max_x": pa.array(cx + qw / 2), "max_y": pa.array(cy + qh / 2),
+    })
+
+
+def driver_knn_queries(nq: int = 24, world: World = DRIVER_WORLD) -> pa.Table:
+    """Deterministic kNN query points; k cycles {1,4,16} by qid % 3."""
+    qid = np.arange(nq, dtype=np.int64)
+    h = qid + np.int64(QUERY_SALT)
+    wx, wy, _ = world.size
+    ks = np.asarray([1, 4, 16], dtype=np.int64)[qid % 3]
+    return pa.table({
+        "query_id": pa.array(qid),
+        "x": pa.array(world.min_x + _frac(h, QUERY_MULTS["cx"]) * wx),
+        "y": pa.array(world.min_y + _frac(h, QUERY_MULTS["cy"]) * wy),
+        "k": pa.array(ks),
+    })

@@ -1,0 +1,76 @@
+"""Simulates the driver's correctness gate: every queries() entry vs. its
+DuckDB oracle on /root/testdata/sf0.01 — row count, schema, sorted values."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def to_df(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df
+
+
+def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), \
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    assert len(ray_df) == len(sql_df), \
+        f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    a, b = normalize(ray_df), normalize(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating):
+            np.testing.assert_allclose(av, bv.astype(av.dtype), rtol=0, atol=0,
+                                       err_msg=f"{name}.{c}")
+        else:
+            assert (av == bv).all(), f"{name}.{c} mismatch"
+
+
+@pytest.mark.parametrize("name", ["tile_assign", "tile_counts", "box_join", "knn"])
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    ray_df = to_df(q(SF_DIR))
+    sql_df = con.execute(sql).df()
+    compare(ray_df, sql_df, name)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = to_df(res)
+    assert len(df) >= 0
+    assert "query_id" in df.columns and "doc_id" in df.columns

@@ -33,7 +33,7 @@ def oracle_knn(corpus, queries):
 def check(df, want):
     got = {}
     for qid, g in df.groupby("query_id"):
-        g = g.sort_values("rank")
+        g = g.sort_values("knn_rank")
         got[qid] = list(zip(g["doc_id"], g["dist"]))
     assert set(got) == set(want)
     for qid in want:
