@@ -43,30 +43,39 @@ from optimizing_ray.stages.assign import assign_point_cells_batch
 __all__ = ["box_join_broadcast", "box_join_shuffle", "explode_query_cover"]
 
 
-def _query_index(queries: pa.Table, world: World, depth: int,
-                 max_w: float, max_h: float):
-    """cell_key -> np.array of query row indices, over covers expanded by
-    the max doc extent (so min-corner point assignment finds spanning docs)."""
+def _query_covers(queries: pa.Table, world: World, depth: int,
+                  max_w: float, max_h: float) -> list[np.ndarray]:
+    """Per-query sorted cover-cell keys, expanded by the max doc extent (so
+    min-corner point assignment finds boundary-spanning docs)."""
     qmin_x = queries["min_x"].to_numpy()
     qmin_y = queries["min_y"].to_numpy()
     qmax_x = queries["max_x"].to_numpy()
     qmax_y = queries["max_y"].to_numpy()
-    index: dict[int, list[int]] = {}
-    for qi in range(len(qmin_x)):
-        keys = cells.cover2(qmin_x[qi] - max_w, qmin_y[qi] - max_h,
-                            qmax_x[qi], qmax_y[qi], world, depth)
-        for k in keys.tolist():
-            index.setdefault(k, []).append(qi)
-    return {k: np.asarray(v, dtype=np.int64) for k, v in index.items()}
+    return [np.sort(cells.cover2(qmin_x[qi] - max_w, qmin_y[qi] - max_h,
+                                 qmax_x[qi], qmax_y[qi], world, depth)).astype(np.int64)
+            for qi in range(len(qmin_x))]
+
+
+def _ranges_to_rows(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Expand [lo_i, hi_i) index ranges into one flat index array, fully
+    vectorized (no per-range Python loop)."""
+    m = hi > lo
+    lo, hi = lo[m], hi[m]
+    if len(lo) == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = hi - lo
+    total = int(lens.sum())
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.repeat(lo, lens) + (np.arange(total, dtype=np.int64) - np.repeat(starts, lens))
 
 
 class _BroadcastJoiner:
     """Actor-pool stage holding the broadcast query index (T3 pattern:
     small side loaded once per actor, ``Raytracing.hpp:438-443``)."""
 
-    def __init__(self, index_ref, queries_ref, world: World, depth: int,
+    def __init__(self, covers_ref, queries_ref, world: World, depth: int,
                  predicate: str, payload_cols: tuple[str, ...]):
-        self.index = ray.get(index_ref)
+        self.covers = ray.get(covers_ref)  # per-query sorted cover cells
         q = ray.get(queries_ref)
         self.query_id = np.asarray(q["query_id"])
         self.qmin_x = np.asarray(q["min_x"])
@@ -90,32 +99,32 @@ class _BroadcastJoiner:
         doc_max_x, doc_max_y = x + w, y + h
         out_doc: list[np.ndarray] = []
         out_q: list[np.ndarray] = []
+        # sort the batch by cell key ONCE; each query then locates its
+        # candidate rows with two vectorized searchsorted calls over its
+        # cover cells (the per-batch equivalent of the octree descent)
         order = np.argsort(key, kind="stable")
         skey = key[order]
-        bounds = np.flatnonzero(np.diff(skey)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(skey)]])
-        for s, e in zip(starts, ends):
-            qidx = self.index.get(int(skey[s]))
-            if qidx is None:
+        for qi, qcells in enumerate(self.covers):
+            lo = np.searchsorted(skey, qcells, side="left")
+            hi = np.searchsorted(skey, qcells, side="right")
+            rows = order[_ranges_to_rows(lo, hi)]
+            if len(rows) == 0:
                 continue
-            rows = order[s:e]
-            # (docs_in_cell, 1) vs (1, n_q) broadcasted residual predicate
             if self.predicate == "ref2d":
                 m = geom.overlaps2_ref(
-                    self.qmin_x[qidx][None, :], self.qmin_y[qidx][None, :],
-                    self.qmax_x[qidx][None, :], self.qmax_y[qidx][None, :],
-                    doc_min_x[rows][:, None], doc_min_y[rows][:, None],
-                    doc_max_x[rows][:, None], doc_max_y[rows][:, None])
+                    self.qmin_x[qi], self.qmin_y[qi],
+                    self.qmax_x[qi], self.qmax_y[qi],
+                    doc_min_x[rows], doc_min_y[rows],
+                    doc_max_x[rows], doc_max_y[rows])
             else:  # inclusive (3D family collapsed to 2D)
-                m = ((doc_min_x[rows][:, None] <= self.qmax_x[qidx][None, :])
-                     & (doc_max_x[rows][:, None] >= self.qmin_x[qidx][None, :])
-                     & (doc_min_y[rows][:, None] <= self.qmax_y[qidx][None, :])
-                     & (doc_max_y[rows][:, None] >= self.qmin_y[qidx][None, :]))
-            di, qi = np.nonzero(m)
-            if len(di):
-                out_doc.append(rows[di])
-                out_q.append(qidx[qi])
+                m = ((doc_min_x[rows] <= self.qmax_x[qi])
+                     & (doc_max_x[rows] >= self.qmin_x[qi])
+                     & (doc_min_y[rows] <= self.qmax_y[qi])
+                     & (doc_max_y[rows] >= self.qmin_y[qi]))
+            hits = rows[m]
+            if len(hits):
+                out_doc.append(hits)
+                out_q.append(np.full(len(hits), qi, dtype=np.int64))
         if not out_doc:
             return pa.table({
                 "query_id": pa.array(self.query_id[:0]),
@@ -137,14 +146,14 @@ def box_join_broadcast(docs: rd.Dataset, queries: pa.Table, *, world: World,
 
     Returns rows (query_id, *payload_cols), one per overlapping pair.
     """
-    index = _query_index(queries, world, depth, max_extent[0], max_extent[1])
-    index_ref = ray.put(index)
+    covers = _query_covers(queries, world, depth, max_extent[0], max_extent[1])
+    covers_ref = ray.put(covers)
     qcols = {c: queries[c].to_numpy(zero_copy_only=False)
              for c in ("query_id", "min_x", "min_y", "max_x", "max_y")}
     queries_ref = ray.put(qcols)
     return docs.map_batches(
         _BroadcastJoiner,
-        fn_constructor_args=(index_ref, queries_ref, world, depth, predicate, payload_cols),
+        fn_constructor_args=(covers_ref, queries_ref, world, depth, predicate, payload_cols),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
 
