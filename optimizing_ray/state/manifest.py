@@ -1,0 +1,144 @@
+"""Checkpoint manifest + resumable per-tile-group writes.
+
+The reference has no persistence; its closest analogue is the idempotent
+``Partition::load_data`` (skips work already done,
+``WorldPartition.hpp:78-88``).  The engine turns that idea into the batch
+contract required by the north rule: output is laid out as one directory
+per tile group (coarse cell), each written ATOMICALLY — the group task
+writes ``data.parquet`` + a ``_done.json`` lineage record into a temp dir
+and renames it into place.  Completion is therefore recorded by the
+WORKER at the moment the group finishes, so a crash mid-run loses only
+in-flight groups and resume restarts from the last completed tile group
+(not from zero).  ``manifest.jsonl`` is the driver-side compaction of the
+per-part lineage records ``{cell_key, rows_out, wall_s, part_path}``.
+
+Scale notes: the group writer runs distributed (``groupby(key).map_groups``
+over Arrow tables — one task per tile group); only tiny lineage rows come
+back to the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+__all__ = ["resumable_write", "read_manifest", "completed_keys", "read_output"]
+
+MANIFEST = "manifest.jsonl"
+DONE = "_done.json"
+
+
+def _scan_parts(out_dir: str) -> list[dict]:
+    """Lineage records of every atomically-completed tile group on disk."""
+    rows = []
+    for done in glob.glob(os.path.join(out_dir, "part=*", DONE)):
+        with open(done) as f:
+            rows.append(json.load(f))
+    return rows
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    """Manifest = compacted jsonl if present, unioned with any completed
+    part dirs not yet compacted (crash between part rename and compaction)."""
+    rows: dict[int, dict] = {}
+    path = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    r = json.loads(line)
+                    rows[r["cell_key"]] = r
+    for r in _scan_parts(out_dir):
+        rows.setdefault(r["cell_key"], r)
+    return sorted(rows.values(), key=lambda r: r["cell_key"])
+
+
+def completed_keys(out_dir: str) -> set[int]:
+    return {r["cell_key"] for r in read_manifest(out_dir) if r.get("status") == "done"}
+
+
+def _write_compacted(out_dir: str) -> list[dict]:
+    rows = read_manifest(out_dir)
+    tmp = os.path.join(out_dir, f".{MANIFEST}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(out_dir, MANIFEST))
+    return rows
+
+
+def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
+                    fault_hook=None) -> list[dict]:
+    """Write `ds` partitioned by `key_col`, skipping already-completed tile
+    groups.  Returns the lineage rows newly written by THIS run.
+
+    ``fault_hook(key)`` is a test seam: called before each group write;
+    raising aborts that group (simulating a mid-run crash) without marking
+    it done.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_keys(out_dir)
+
+    if done:
+        done_list = sorted(done)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            import numpy as np
+            keys = t[key_col].to_numpy()
+            return t.filter(pa.array(~np.isin(keys, done_list)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
+
+    def write_group(t: pa.Table) -> pa.Table:
+        key = int(t[key_col][0].as_py())
+        if fault_hook is not None:
+            fault_hook(key)
+        t0 = time.perf_counter()
+        part_dir = os.path.join(out_dir, f"part={key}")
+        tmp_dir = os.path.join(out_dir, f".tmp-{key}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(t, os.path.join(tmp_dir, "data.parquet"))
+        record = {"cell_key": key, "rows_out": t.num_rows,
+                  "wall_s": round(time.perf_counter() - t0, 4),
+                  "part_path": part_dir, "status": "done"}
+        with open(os.path.join(tmp_dir, DONE), "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(part_dir):  # idempotent re-run: replace atomically
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)  # the commit point
+        return pa.table({"cell_key": pa.array([key], pa.int64()),
+                         "rows_out": pa.array([t.num_rows], pa.int64())})
+
+    new_rows: list[dict] = []
+    try:
+        result = ds.groupby(key_col).map_groups(write_group, batch_format="pyarrow")
+        for row in result.iter_rows():
+            new_rows.append(row)
+    finally:
+        # compact whatever actually committed (even on crash) + clean temps
+        for tmp in glob.glob(os.path.join(out_dir, ".tmp-*")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        _write_compacted(out_dir)
+    newly = {r["cell_key"] for r in new_rows}
+    return [r for r in read_manifest(out_dir) if r["cell_key"] in newly]
+
+
+def read_output(out_dir: str) -> rd.Dataset:
+    """Read back every COMPLETED tile group (manifest-driven, so partially
+    written / orphaned temp dirs are never picked up)."""
+    parts = [os.path.join(r["part_path"], "data.parquet")
+             for r in read_manifest(out_dir) if r.get("status") == "done"]
+    return rd.read_parquet(parts)

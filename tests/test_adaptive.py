@@ -1,0 +1,74 @@
+"""Adaptive subdivision-on-capacity + salting."""
+
+import numpy as np
+import pytest
+
+from optimizing_ray import cells, synth
+from optimizing_ray.config import WORLD_2D, WORLD_3D
+from optimizing_ray.stages import adaptive
+
+
+def test_split_tree_capacity_rule():
+    # two fine cells under one coarse parent: 10 rows -> parent must split
+    k_a = int(cells.encode2(np.uint64(0), np.uint64(0), 3))
+    k_b = int(cells.encode2(np.uint64(1), np.uint64(0), 3))
+    fine = {k_a: 7, k_b: 3}
+    plan = adaptive.split_tree(fine, capacity=4, coarse_depth=1, max_depth=3)
+    # leaves are prefix-free and cover all rows
+    assert sum(plan.leaf_counts.values()) == 10
+    leaves = set(plan.leaves.tolist())
+    for k in leaves:
+        anc = k >> 2
+        while anc > 0:
+            assert anc not in leaves
+            anc >>= 2
+    # the 7-row fine cell is a max-depth leaf (cannot split further)
+    assert k_a in leaves
+    # every leaf above coarse depth respects capacity unless at max depth
+    for k, n in plan.leaf_counts.items():
+        d = int(cells.depth_of2(np.uint64(k)))
+        assert n <= 4 or d == 3
+
+
+def test_adaptive_assign_skewed(ray_session):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(6000), variant="skewed", with_spans=False)
+    ds = rd.from_arrow(t)
+    out, plan = adaptive.adaptive_assign(
+        ds, WORLD_3D, capacity=50, coarse_depth=2, max_depth=5,
+        salt_threshold=400, n_salts=4)
+    df = out.to_pandas()
+    assert len(df) == 6000
+    key_depths = cells.depth_of2(df["cell_key"].to_numpy().astype(np.uint64))
+    # hot region subdivided deeper than the uniform background
+    assert key_depths.max() == 5
+    assert key_depths.min() >= 2
+    # every row's key is an ancestor-or-self of its fine key (consistency)
+    fine = cells.point_cell2(df["x"].to_numpy(), df["y"].to_numpy(), WORLD_3D, 5).astype(np.int64)
+    shift = (2 * (5 - key_depths)).astype(np.int64)
+    np.testing.assert_array_equal(df["cell_key"].to_numpy(), fine >> shift)
+    # counts per leaf match the plan
+    got = df.groupby("cell_key").size().to_dict()
+    assert got == plan.leaf_counts
+    # leaves respect capacity unless at max depth
+    for k, n in plan.leaf_counts.items():
+        assert n <= 50 or int(cells.depth_of2(np.uint64(k))) == 5
+    # salted hot cells: every cell over threshold at max depth fans out
+    if len(plan.hot_cells):
+        hot_rows = df[df["cell_key"].isin(plan.hot_cells)]
+        assert hot_rows["salt"].nunique() > 1
+        assert (df.loc[~df["cell_key"].isin(plan.hot_cells), "salt"] == 0).all()
+
+
+def test_adaptive_matches_uniform_at_high_capacity(ray_session):
+    """With capacity above the corpus size nothing splits: adaptive ==
+    flat assignment at coarse depth."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(1000), variant="flat2d", with_spans=False)
+    ds = rd.from_arrow(t)
+    out, plan = adaptive.adaptive_assign(
+        ds, WORLD_2D, capacity=10_000, coarse_depth=3, max_depth=5)
+    df = out.to_pandas()
+    flat = cells.point_cell2(df["x"].to_numpy(), df["y"].to_numpy(), WORLD_2D, 3).astype(np.int64)
+    np.testing.assert_array_equal(df["cell_key"].to_numpy(), flat)
+    assert (df["salt"] == 0).all()

@@ -1,0 +1,72 @@
+"""Checkpoint/resume: kill after K tile groups, resume, verify identical
+final output (SURVEY.md §5 resume test)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from optimizing_ray import synth
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.stages.assign import assign_tiles
+from optimizing_ray.state import manifest
+
+
+def make_ds(ray_session):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(2000), variant="flat2d", with_spans=False)
+    return assign_tiles(rd.from_arrow(t), 2, WORLD_2D)
+
+
+def collect(out_dir):
+    df = manifest.read_output(out_dir).to_pandas()
+    return df.sort_values(["doc_id"]).reset_index(drop=True)
+
+
+def test_full_write_and_readback(ray_session, tmp_path):
+    ds = make_ds(ray_session)
+    rows = manifest.resumable_write(ds, str(tmp_path / "out"))
+    assert sum(r["rows_out"] for r in rows) == 2000
+    df = collect(str(tmp_path / "out"))
+    assert len(df) == 2000
+    assert set(rows[0]) >= {"cell_key", "rows_out", "wall_s", "part_path", "status"}
+
+
+def test_crash_then_resume_identical(ray_session, tmp_path):
+    out_run = str(tmp_path / "resumed")
+    out_ref = str(tmp_path / "clean")
+
+    ds = make_ds(ray_session)
+    manifest.resumable_write(ds, out_ref)
+    all_keys = sorted(manifest.completed_keys(out_ref))
+    assert len(all_keys) >= 8
+    kill_keys = set(all_keys[len(all_keys) // 2:])
+
+    def fault(key):
+        if key in kill_keys:
+            raise RuntimeError(f"injected crash at {key}")
+
+    with pytest.raises(Exception):
+        manifest.resumable_write(make_ds(ray_session), out_run, fault_hook=fault)
+    # groups that committed before the crash are durable; none of the
+    # killed groups can be marked done
+    done_before = manifest.completed_keys(out_run)
+    assert done_before.isdisjoint(kill_keys)
+    assert done_before <= set(all_keys)
+
+    rows2 = manifest.resumable_write(make_ds(ray_session), out_run)
+    # the resume run wrote exactly the pending groups
+    assert {r["cell_key"] for r in rows2} == set(all_keys) - done_before
+    assert manifest.completed_keys(out_run) == set(all_keys)
+    pd.testing.assert_frame_equal(collect(out_run), collect(out_ref))
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    out = str(tmp_path / "out")
+    ds = make_ds(ray_session)
+    rows1 = manifest.resumable_write(ds, out)
+    # second run: nothing pending -> zero new groups, output unchanged
+    rows2 = manifest.resumable_write(make_ds(ray_session), out)
+    assert rows2 == []
+    df = collect(out)
+    assert len(df) == 2000
+    assert len(manifest.read_manifest(out)) == len(rows1)
