@@ -1,0 +1,124 @@
+"""Text-analysis kernels for the training-data pipeline operators.
+
+These are engine additions beyond the reference (which has no string
+functions at all — SURVEY.md §2.8): language-ID by stopword/char n-gram
+heuristics, quality scoring, token counting, and rolling-hash document
+fingerprints.  All operate on a list/array of strings and return numpy
+arrays, so the surrounding ``map_batches`` stays vectorized per batch and
+compiled state (regexes, stopword sets) lives in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = ["TextAnalyzer", "token_count", "fingerprint64", "shingles"]
+
+_WS = re.compile(r"\s+")
+_TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")  # BPE-ish wordpiece seed
+_PUNCT = re.compile(r"[^\w\s]")
+
+# tiny per-language stopword profiles (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "es", "un", "una"},
+}
+
+
+def token_count(texts) -> np.ndarray:
+    """Whitespace token counts (vectorized-ish; regex precompiled)."""
+    return np.asarray([len(_WS.split(t.strip())) if t and t.strip() else 0
+                       for t in texts], dtype=np.int64)
+
+
+def fingerprint64(texts, *, window: int = 8) -> np.ndarray:
+    """Rolling polynomial hash fingerprint of each document: XOR of all
+    `window`-gram Rabin-Karp hashes — order-sensitive, locality-free."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    B = np.uint64(1000003)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8", "ignore")
+            if len(b) < window:
+                arr = np.frombuffer(b.ljust(window, b"\0"), dtype=np.uint8)
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8)
+            n = len(arr) - window + 1
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(window):  # window is small; the array op is the vector axis
+                h = h * B + arr[j:j + n].astype(np.uint64)
+            acc = np.uint64(0)
+            for v in h:  # XOR-reduce
+                acc ^= v
+            out[i] = acc
+    return out
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Character k-shingle hash set of one document (for MinHash/Jaccard)."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < k:
+        return {hash(b)}
+    arr = np.frombuffer(b, dtype=np.uint8)
+    n = len(arr) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * np.uint64(1000003) + arr[j:j + n].astype(np.uint64)
+    return set(h.tolist())
+
+
+class TextAnalyzer:
+    """Stateful per-actor text scorer (compiled once per actor — T1/T3
+    pattern).  Produces lang-ID, quality score, token counts."""
+
+    def __init__(self):
+        self.token = _TOKEN
+        self.punct = _PUNCT
+        self.ws = _WS
+        self.stops = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def lang_id(self, text: str) -> tuple[str, float]:
+        toks = [t.lower() for t in self.ws.split(text.strip()) if t]
+        if not toks:
+            return "und", 0.0
+        best, best_hits = "und", 0
+        for lang, stops in self.stops.items():
+            hits = sum(1 for t in toks if t in stops)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best, best_hits / len(toks)
+
+    def quality(self, text: str) -> float:
+        """Length / punctuation / stopword-ratio composite in [0, 1]."""
+        if not text:
+            return 0.0
+        n = len(text)
+        toks = self.ws.split(text.strip())
+        n_tok = max(1, len(toks))
+        mean_tok = n / n_tok
+        punct_ratio = len(self.punct.findall(text)) / n
+        _, stop_ratio = self.lang_id(text)
+        len_score = min(1.0, n / 500.0)
+        tok_score = max(0.0, 1.0 - abs(mean_tok - 6.0) / 10.0)
+        punct_score = max(0.0, 1.0 - 4.0 * punct_ratio)
+        stop_score = min(1.0, 4.0 * stop_ratio)
+        return round(0.25 * (len_score + tok_score + punct_score + stop_score), 6)
+
+    def analyze_batch(self, texts) -> dict[str, np.ndarray]:
+        langs, confs, quals = [], [], []
+        for t in texts:
+            lang, conf = self.lang_id(t or "")
+            langs.append(lang)
+            confs.append(conf)
+            quals.append(self.quality(t or ""))
+        return {
+            "lang_pred": np.asarray(langs),
+            "lang_conf": np.asarray(confs),
+            "quality": np.asarray(quals),
+            "n_tokens": token_count(texts),
+        }

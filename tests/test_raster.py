@@ -1,0 +1,108 @@
+"""Raster<->vector pipelines and the ray kernels (scalar oracles)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from optimizing_ray import synth
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.functions import rays
+from optimizing_ray.pipelines import raster
+
+
+def test_ray_aabb_scalar_cases():
+    # straight-on hit from outside: entry at t=1
+    t = rays.ray_aabb(0, 0, 0, 1, 0, 0, 1, -1, -1, 2, 1, 1)
+    assert t == pytest.approx(1.0)
+    # starting inside: exit distance
+    t = rays.ray_aabb(1.5, 0, 0, 1, 0, 0, 1, -1, -1, 2, 1, 1)
+    assert t == pytest.approx(0.5)
+    # miss
+    assert rays.ray_aabb(0, 5, 0, 1, 0, 0, 1, -1, -1, 2, 1, 1) == 0.0
+
+
+def test_ray_sphere_scalar_cases():
+    assert rays.ray_sphere(0, 0, 0, 1, 0, 0, 5, 0, 0, 1) == pytest.approx(4.0)
+    # inside the sphere -> far root
+    assert rays.ray_sphere(5, 0, 0, 1, 0, 0, 5, 0, 0, 1) == pytest.approx(1.0)
+    assert rays.ray_sphere(0, 5, 0, 1, 0, 0, 5, 0, 0, 1) == 0.0
+
+
+def test_gamma_u8_matches_reference_formula():
+    v = np.asarray([0.0, 0.5, 1.0, 2.0, -1.0])
+    got = rays.gamma_u8(v)
+    want = np.asarray([int(pow(min(max(x, 0.0), 1.0), 1 / 2.2) * 255 + 0.5)
+                       for x in v], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nearest_doc_per_pixel_matches_brute(ray_session):
+    corpus = synth.documents_batch(np.arange(800), variant="flat2d", with_spans=False)
+    pixels = synth.raster_table(16, 16)
+    res = raster.nearest_doc_per_pixel(pixels, corpus).to_pandas()
+    assert len(res) == 256
+    x, y = corpus["x"].to_numpy(), corpus["y"].to_numpy()
+    ids = np.asarray(corpus["doc_id"].to_pylist())
+    cx, cy = pixels["cx"].to_numpy(), pixels["cy"].to_numpy()
+    for i in [0, 17, 100, 255]:
+        d2 = (x - cx[i]) ** 2 + (y - cy[i]) ** 2
+        want = ids[np.argmin(d2)]
+        got = res.loc[res.pixel_id == pixels["pixel_id"][i].as_py(), "doc_id"].iloc[0]
+        assert got == want
+
+
+def test_covering_pixels_matches_brute(ray_session):
+    import ray.data as rd
+    corpus = synth.documents_batch(np.arange(300), variant="flat2d", with_spans=False)
+    res = raster.covering_pixels(rd.from_arrow(corpus), world=WORLD_2D,
+                                 width=32, height=32).to_pandas()
+    got = set(zip(res["doc_id"], res["px"], res["py"]))
+    pw = 100_000 / 32
+    want = set()
+    for row in corpus.to_pylist():
+        x0 = max(0, min(31, int(row["x"] // pw)))
+        x1 = max(0, min(31, int((row["x"] + row["w"]) // pw)))
+        y0 = max(0, min(31, int(row["y"] // pw)))
+        y1 = max(0, min(31, int((row["y"] + row["h"]) // pw)))
+        for px in range(x0, x1 + 1):
+            for py in range(y0, y1 + 1):
+                want.add((row["doc_id"], px, py))
+    assert got == want
+
+
+def test_raycast_scene_matches_scalar_oracle(ray_session):
+    rng = np.random.default_rng(7)
+    scene = {
+        "obj_id": [f"obj-{i}" for i in range(20)],
+        "kind": ["sphere" if i % 2 == 0 else "box" for i in range(20)],
+        "a": [],
+    }
+    for i in range(20):
+        if i % 2 == 0:
+            scene["a"].append(tuple(rng.uniform(0, 100, 3)) + (rng.uniform(1, 10),))
+        else:
+            mn = rng.uniform(0, 90, 3)
+            scene["a"].append(tuple(mn) + tuple(mn + rng.uniform(1, 10, 3)))
+    n_rays = 200
+    origins = rng.uniform(-50, 150, (n_rays, 3))
+    dirs = rng.normal(size=(n_rays, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    prays = pa.table({
+        "pixel_id": pa.array(np.arange(n_rays)),
+        "ox": origins[:, 0], "oy": origins[:, 1], "oz": origins[:, 2],
+        "dx": dirs[:, 0], "dy": dirs[:, 1], "dz": dirs[:, 2],
+    })
+    res = raster.raycast_scene(prays, scene).to_pandas().set_index("pixel_id")
+    for r in range(0, n_rays, 17):
+        best_t, best = np.inf, "<miss>"
+        for i in range(20):
+            a = scene["a"][i]
+            if scene["kind"][i] == "sphere":
+                t = float(rays.ray_sphere(*origins[r], *dirs[r], *a))
+            else:
+                t = float(rays.ray_aabb(*origins[r], *dirs[r], *a))
+            if t > 0 and t < best_t:
+                best_t, best = t, scene["obj_id"][i]
+        assert res.loc[r, "obj_id"] == best
+        if best != "<miss>":
+            assert res.loc[r, "t_hit"] == pytest.approx(best_t)
