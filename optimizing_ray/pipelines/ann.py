@@ -1,0 +1,146 @@
+"""Approximate / exact nearest-neighbor search over an embedding column.
+
+Same two-phase shape as the spatial kNN (pipelines/knn.py): broadcast the
+query matrix, per-batch vectorized partial top-k (numpy matmul), then a
+tiny ``groupby(query_id)`` merge.  This brute-force plan is exact and
+linear in corpus size — the right plan for small Q at any scale.  The
+scale path for large Q or latency-bound serving is the IVF variant:
+``ivf_topk`` buckets vectors by nearest centroid (k-means on a sample)
+and probes only ``n_probe`` buckets per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = ["brute_topk", "ivf_topk"]
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+class _PartialCosine:
+    def __init__(self, q_ref, k: int):
+        q = ray.get(q_ref)
+        self.qid = np.asarray(q["query_id"])
+        Q = np.asarray(q["mat"])
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch["embedding"])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        scores = Mn @ self.Qn.T  # (n, Q)
+        n, nq = scores.shape
+        kk = min(self.k, n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):  # contiguous per-query partition (see knn.py note)
+            s = scores[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < n else np.arange(n)
+            out_q.append(np.full(len(part), qi))
+            out_v.append(ids[part])
+            out_s.append(s[part])
+        return pa.table({
+            "query_id": pa.array(self.qid[np.concatenate(out_q)]),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+
+def _merge_topk(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["ann_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "ann_rank"]]
+    return merge
+
+
+def brute_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
+               k: int = 10, concurrency: int | tuple[int, int] = (1, 8),
+               batch_size: int | None = 16_384) -> rd.Dataset:
+    """Exact cosine top-k. Output (query_id, vec_id, ann_rank) ordered by
+    (score desc, vec_id asc)."""
+    q_ref = ray.put({"query_id": np.asarray(query_ids), "mat": query_matrix})
+    partial = embeddings.map_batches(
+        _PartialCosine, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+
+
+def kmeans_sample(embeddings: rd.Dataset, *, n_centroids: int, sample_frac: float = 0.1,
+                  iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Tiny k-means on a driver-side sample -> centroid matrix (the IVF
+    coarse quantizer; the sample is small by construction)."""
+    sample = embeddings.random_sample(sample_frac, seed=seed).take_all()
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
+    for _ in range(iters):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = M[m].mean(axis=0)
+    return C
+
+
+def ivf_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             concurrency: int | tuple[int, int] = (1, 8)) -> rd.Dataset:
+    """IVF-style ANN: rows whose centroid is not among a query's n_probe
+    nearest centroids are skipped in the partial pass (approximate; recall
+    grows with n_probe -> exact at n_probe == n_centroids)."""
+    C = kmeans_sample(embeddings, n_centroids=n_centroids)
+    C_ref = ray.put(C)
+    q_ref = ray.put({"query_id": np.asarray(query_ids), "mat": query_matrix})
+
+    class PartialIVF:
+        def __init__(self):
+            q = ray.get(q_ref)
+            self.qid = np.asarray(q["query_id"])
+            Q = np.asarray(q["mat"])
+            self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Cl = ray.get(C_ref)
+            qd = ((Q[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+            self.probe = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
+            self.C = Cl
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            M = _to_matrix(batch["embedding"])
+            d = ((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qid)):
+                m = np.isin(assign, self.probe[qi])
+                if not m.any():
+                    continue
+                s = Mn[m] @ self.Qn[qi]
+                sel_ids = ids[m]
+                kk = min(k, len(s))
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                out_q.append(np.full(len(part), qi))
+                out_v.append(sel_ids[part])
+                out_s.append(s[part])
+            if not out_q:
+                return pa.table({"query_id": pa.array(self.qid[:0]),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(self.qid[np.concatenate(out_q)]),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            })
+
+    partial = embeddings.map_batches(PartialIVF, batch_format="pyarrow",
+                                     zero_copy_batch=True, concurrency=concurrency)
+    return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")

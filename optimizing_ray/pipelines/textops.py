@@ -1,0 +1,64 @@
+"""Text-analysis pipeline stages over the documents table.
+
+Actor-pool stages (compiled state per actor, T1/T3 pattern): language-ID,
+quality scoring, token counting, document fingerprinting.  SQL-twinnable
+outputs (token counts, char stats) carry exact integer semantics; the
+heuristic scores are pytest-verified (non-SQL ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
+
+__all__ = ["analyze_text", "doc_stats", "fingerprints"]
+
+
+class _Analyzer:
+    def __init__(self, text_col: str):
+        self.an = TextAnalyzer()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        res = self.an.analyze_batch(texts)
+        for name, arr in res.items():
+            batch = batch.append_column(name, pa.array(arr))
+        return batch
+
+
+def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
+                 concurrency: int | tuple[int, int] = (1, 8),
+                 batch_size: int | None = 4096) -> rd.Dataset:
+    """lang_pred / lang_conf / quality / n_tokens columns appended."""
+    return docs.map_batches(_Analyzer, fn_constructor_args=(text_col,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=batch_size, concurrency=concurrency)
+
+
+def doc_stats(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
+    """SQL-twinnable per-doc stats: n_chars_calc (UTF-8 aware length),
+    n_ws_tokens (whitespace token count)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.append_column("n_chars_calc", pc.cast(pc.utf8_length(t[text_col]), pa.int64()))
+        t = t.append_column("n_ws_tokens", pa.array(token_count(t[text_col].to_pylist())))
+        return t
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprints(docs: rd.Dataset, *, text_col: str = "text",
+                 window: int = 8) -> rd.Dataset:
+    """Append a rolling-hash document fingerprint column (int64 view of
+    the uint64 hash, parquet/SQL-friendly)."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        f = fingerprint64(t[text_col].to_pylist(), window=window)
+        return t.append_column("fingerprint", pa.array(f.astype(np.int64)))
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,102 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from optimizing_ray.functions.text import shingles
+from optimizing_ray.pipelines import dedup
+
+
+def corpus_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the party starts",
+        "how vexingly quick daft zebras jump over fences in the garden",
+        "sphinx of black quartz judge my vow said the old teacher slowly",
+        "a completely different document about ray data pipelines and arrow",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b)); i += 1                      # exact dup
+        rows.append((i, b.replace("the", "THE", 1))); i += 1  # near dup
+        rows.append((i, f"unique filler text number {i} with its own words {i*7}")); i += 1
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows], pa.string())})
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    t = corpus_with_dups()
+    out = dedup.exact_dedup(rd.from_arrow(t)).to_pandas()
+    # oracle: min doc_id per distinct text
+    df = t.to_pandas()
+    want = df.groupby("text")["doc_id"].min().reset_index()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert len(got) == df["text"].nunique()
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+    t = corpus_with_dups()
+    pairs = dedup.minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.6).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    # every exact pair (j=1.0) must be found; near pairs (1-char edit) too
+    for b in range(5):
+        i = b * 4
+        assert (i, i + 1) in got, f"exact dup pair {(i, i+1)} missed"
+        assert (i, i + 2) in got or (i + 1, i + 2) in got
+    # verified jaccard must be exact
+    df = t.to_pandas().set_index("doc_id")["text"]
+    for _, r in pairs.iterrows():
+        sa, sb = shingles(df[r.doc_a]), shingles(df[r.doc_b])
+        assert r.jaccard == pytest.approx(len(sa & sb) / len(sa | sb))
+        assert r.jaccard >= 0.6
+
+
+def test_minhash_pairs_unique(ray_session):
+    import ray.data as rd
+    t = corpus_with_dups()
+    pairs = dedup.minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.5).to_pandas()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def test_simhash_finds_exact_dups(ray_session):
+    import ray.data as rd
+    t = corpus_with_dups()
+    pairs = dedup.simhash_pairs(rd.from_arrow(t), max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    for b in range(5):
+        i = b * 4
+        assert (i, i + 1) in got  # identical text -> hamming 0
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base + rng.normal(scale=0.01, size=base.shape).astype(np.float32)])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.99).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    found = sum((i, i + 20) in got for i in range(20))
+    assert found >= 18  # LSH recall on near-identical vectors
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_connected_components():
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    cc = dedup.connected_components(pairs)
+    assert cc[1] == cc[2] == cc[3]
+    assert cc[10] == cc[11]
+    assert cc[1] != cc[10]
