@@ -2,9 +2,11 @@
 
 ``entry()`` runs the flagship pipeline (geometry derivation -> tile-key
 assignment -> box spatial join) on sf0.001.  ``queries()`` exposes one
-callable per implemented operator from SURVEY.md §2; ``oracle_sql()``
-returns the DuckDB twin for every SQL-expressible one.  Column names match
-between the two on purpose (the driver hash-compares values per column).
+callable per implemented operator from SURVEY.md §2 (plus the
+training-data operators); ``oracle_sql()`` returns the DuckDB twin for
+every SQL-expressible one — the rest get the driver's rows-only check.
+Column names match between the two on purpose (the driver hash-compares
+values per column).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in optimizing_ray) calls ray.init()/ray.shutdown().
@@ -17,12 +19,21 @@ from typing import Any
 
 N_BOX_QUERIES = 48
 N_KNN_QUERIES = 24
-DEPTH = 4  # driver-table tile depth (16x16 grid over the 100k^2 world)
+DEPTH = 4           # driver-table tile depth (16x16 grid over the 100k^2 world)
+RASTER_W = 32       # driver-scale raster (the reference's 256x256 at bench scale)
+DELETE_MOD = 97
+RELOC_MOD = 101
+ANN_Q, ANN_K = 8, 10
 
 
 def _docs(sf_dir: str):
     from optimizing_ray.sources import driver_tables
     return driver_tables.documents_with_geometry(sf_dir)
+
+
+def _doc_ids(sf_dir: str):
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
 
 
 def entry() -> Any:
@@ -40,6 +51,8 @@ def entry() -> Any:
         docs, queries, world=WORLD_2D, depth=DEPTH, max_extent=(10.0, 10.0),
         payload_cols=("doc_id", "cell_key"))
 
+
+# --- SQL-oracled queries ---------------------------------------------------
 
 def _q_tile_assign(sf_dir: str):
     import pyarrow as pa
@@ -78,6 +91,17 @@ def _q_box_join(sf_dir: str):
         max_extent=(10.0, 10.0), payload_cols=("doc_id",))
 
 
+def _q_box_join_shuffle(sf_dir: str):
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import box_join
+    from optimizing_ray.sources import driver_tables
+
+    queries = driver_tables.driver_queries(N_BOX_QUERIES)
+    return box_join.box_join_shuffle(
+        _docs(sf_dir), queries, world=WORLD_2D, depth=DEPTH,
+        max_extent=(10.0, 10.0), num_partitions=8)
+
+
 def _q_knn(sf_dir: str):
     from optimizing_ray.pipelines import knn
     from optimizing_ray.sources import driver_tables
@@ -86,21 +110,290 @@ def _q_knn(sf_dir: str):
     return knn.knn_brute(_docs(sf_dir), queries)
 
 
+def _q_knn_ring(sf_dir: str):
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import knn
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages.assign import assign_tiles
+
+    queries = driver_tables.driver_knn_queries(N_KNN_QUERIES)
+    docs = assign_tiles(_docs(sf_dir), DEPTH, WORLD_2D)
+    return knn.knn_ring(docs, queries, world=WORLD_2D, depth=DEPTH)
+
+
+def _q_pip_join(sf_dir: str):
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pip
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    return pip.pip_join_broadcast(_docs(sf_dir), polys, world=WORLD_2D,
+                                  depth=DEPTH, kernel="convex")
+
+
+def _q_raster_near(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    pixels = synth.raster_table(RASTER_W, RASTER_W, world=WORLD_2D)
+    docs_small = (_docs(sf_dir).select_columns(["doc_id", "x", "y"])
+                  .sort("doc_id").to_pandas())
+    docs_tbl = pa.Table.from_pandas(docs_small, preserve_index=False)
+    res = raster.nearest_doc_per_pixel(pixels, docs_tbl)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pixel_id": t["pixel_id"],
+            "px": pc.cast(t["px"], pa.int64()),
+            "py": pc.cast(t["py"], pa.int64()),
+            "doc_id": t["doc_id"],
+        })
+
+    return res.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_vector_raster(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    res = raster.covering_pixels(_docs(sf_dir), world=WORLD_2D,
+                                 width=RASTER_W, height=RASTER_W)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "px": pc.cast(t["px"], pa.int64()),
+            "py": pc.cast(t["py"], pa.int64()),
+            "pixel_id": t["pixel_id"],
+        })
+
+    return res.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_delete_assign(sf_dir: str):
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import mutate
+    from optimizing_ray.stages.assign import assign_tiles
+
+    ids = _doc_ids(sf_dir)
+    tomb = ids[ids % DELETE_MOD == 0]
+    alive = mutate.delete_docs(_docs(sf_dir), tomb)
+    return assign_tiles(alive, DEPTH, WORLD_2D).select_columns(["doc_id", "cell_key"])
+
+
+def _q_relocate_assign(sf_dir: str):
+    import pyarrow as pa
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.oracle import RELOC_MULTS
+    from optimizing_ray.pipelines import mutate
+    from optimizing_ray.sources.driver_tables import _frac
+
+    ids = _doc_ids(sf_dir)
+    mv = ids[ids % RELOC_MOD == 0]
+    wx, wy, _ = WORLD_2D.size
+    moves = pa.table({
+        "doc_id": pa.array(mv),
+        "new_x": pa.array(WORLD_2D.min_x + _frac(mv, RELOC_MULTS["x"]) * wx),
+        "new_y": pa.array(WORLD_2D.min_y + _frac(mv, RELOC_MULTS["y"]) * wy),
+    })
+    out = mutate.relocate_docs(_docs(sf_dir), moves, world=WORLD_2D, depth=DEPTH)
+    return out.select_columns(["doc_id", "x", "y", "cell_key"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(docs)
+
+
+def _q_doc_stats(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.doc_stats(docs).select_columns(
+        ["doc_id", "n_chars_calc", "n_ws_tokens"])
+
+
+def _q_events_window(sf_dir: str):
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return windows.tumbling_window(ev, window_s=3600)
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", ANN_Q)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    qmat = np.stack([np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64)
+                     for i in order])
+    qids = qt["vec_id"].to_numpy()[order]
+    emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.brute_topk(emb, qids, qmat, k=ANN_K)
+
+
+# --- rows-only queries (non-SQL-expressible; driver records weaker check) --
+
+def _q_adaptive_assign(sf_dir: str):
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.stages import adaptive
+
+    out, _plan = adaptive.adaptive_assign(
+        _docs(sf_dir), WORLD_2D, capacity=64, coarse_depth=2, max_depth=6,
+        salt_threshold=2000, n_salts=8)
+    return out.select_columns(["doc_id", "cell_key", "salt"])
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def _q_text_analysis(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return textops.analyze_text(docs).select_columns(
+        ["doc_id", "lang", "lang_pred", "lang_conf", "quality", "n_tokens"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.fingerprints(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", ANN_Q)])
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qt["embedding"].to_pylist()])
+    emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(emb, qt["vec_id"].to_numpy(), qmat, k=ANN_K,
+                        n_centroids=16, n_probe=8)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+def _q_media_features(sf_dir: str):
+    """Interleaved-corpus media plumbing (driver tables carry no spans, so
+    the deterministic synthetic interleaved corpus stands in; rows-only)."""
+    from optimizing_ray.sources.corpus import synthetic_documents
+    from optimizing_ray.stages import media
+
+    docs = synthetic_documents(500, variant="uniform", with_spans=True,
+                               override_num_blocks=4)
+    out = media.extract_media_features(docs)
+    return out.select_columns(["doc_id", "n_media_spans", "media_features"])
+
+
+def _q_span_passthrough(sf_dir: str):
+    """Span-sequence invariant as a query: flagship join over the
+    interleaved corpus, spans carried through; rows-only (the pytest suite
+    checks byte-equality)."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import box_join
+    from optimizing_ray.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(2000, variant="flat2d", with_spans=True,
+                               override_num_blocks=4)
+    queries = synth.queries_table(8, variant="flat2d")
+    return box_join.box_join_broadcast(
+        docs, queries, world=WORLD_2D, depth=3, max_extent=(100.0, 100.0),
+        payload_cols=("doc_id", "spans"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # SQL-oracled
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
         "box_join": _q_box_join,
+        "box_join_shuffle": _q_box_join_shuffle,
         "knn": _q_knn,
+        "knn_ring": _q_knn_ring,
+        "pip_join": _q_pip_join,
+        "raster_near": _q_raster_near,
+        "vector_raster": _q_vector_raster,
+        "delete_assign": _q_delete_assign,
+        "relocate_assign": _q_relocate_assign,
+        "dedup_exact": _q_dedup_exact,
+        "doc_stats": _q_doc_stats,
+        "events_window": _q_events_window,
+        "ann_topk": _q_ann_topk,
+        # rows-only
+        "adaptive_assign": _q_adaptive_assign,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_analysis": _q_text_analysis,
+        "fingerprints": _q_fingerprints,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
+        "span_passthrough": _q_span_passthrough,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from optimizing_ray import oracle
+    from optimizing_ray import oracle, synth
+    from optimizing_ray.config import WORLD_2D
 
     return {
         "tile_assign": oracle.tile_assign_sql(DEPTH),
         "tile_counts": oracle.tile_counts_sql(DEPTH),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
+        "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "knn": oracle.knn_sql(N_KNN_QUERIES),
+        "knn_ring": oracle.knn_sql(N_KNN_QUERIES),
+        "pip_join": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
+        "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
+        "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),
+        "delete_assign": oracle.delete_assign_sql(DEPTH, DELETE_MOD),
+        "relocate_assign": oracle.relocate_assign_sql(DEPTH, RELOC_MOD),
+        "dedup_exact": oracle.dedup_exact_sql(),
+        "doc_stats": oracle.doc_stats_sql(),
+        "events_window": oracle.events_window_sql(3600),
+        "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
     }

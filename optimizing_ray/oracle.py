@@ -140,6 +140,178 @@ JOIN q ON g.x <= q.max_x AND g.x + g.w >= q.min_x
 """
 
 
+def pip_join_sql(polygons, world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """Oracle for the convex point-in-polygon join: HAVING min(edge cross)
+    >= 0 over inlined polygon edges (CCW rings -> boundary-inclusive
+    half-plane test, the exact twin of ``pip.pip_convex``)."""
+    values = []
+    for row in polygons.to_pylist():
+        ring = row["ring"]
+        for i in range(len(ring)):
+            v1, v2 = ring[i], ring[(i + 1) % len(ring)]
+            values.append(f"('{row['poly_id']}', {v1['x']!r}, {v1['y']!r}, "
+                          f"{v2['x']!r}, {v2['y']!r})")
+    edges = ",\n  ".join(values)
+    return f"""
+WITH {geo_cte(table, world)},
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {edges})
+SELECT e.poly_id AS poly_id, g.doc_id AS doc_id
+FROM geo g CROSS JOIN edges e
+GROUP BY e.poly_id, g.doc_id
+HAVING min((e.x2 - e.x1) * (g.y - e.y1) - (e.y2 - e.y1) * (g.x - e.x1)) >= 0
+"""
+
+
+def raster_near_sql(width: int, height: int, world: World = DRIVER_WORLD,
+                    table: str = "documents") -> str:
+    """Oracle for raster->vector nearest-doc per pixel."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world)},
+pixels AS (
+  SELECT b.py * {width} + a.px AS pixel_id, a.px AS px, b.py AS py,
+         ({world.min_x!r} + (a.px + 0.5) / {width} * {wx!r}) AS cx,
+         ({world.min_y!r} + (b.py + 0.5) / {height} * {wy!r}) AS cy
+  FROM generate_series(0, {width - 1}) a(px)
+  CROSS JOIN generate_series(0, {height - 1}) b(py)
+)
+SELECT pixel_id, px, py, doc_id
+FROM (
+  SELECT p.pixel_id, p.px, p.py, g.doc_id,
+         row_number() OVER (
+           PARTITION BY p.pixel_id
+           ORDER BY (g.x - p.cx) * (g.x - p.cx) + (g.y - p.cy) * (g.y - p.cy), g.doc_id
+         ) AS rn
+  FROM pixels p CROSS JOIN geo g
+) s WHERE rn = 1
+"""
+
+
+def vector_raster_sql(width: int, height: int, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """Oracle for vector->raster cover explosion (doc box -> pixels)."""
+    wx, wy, _ = world.size
+    pw, ph = wx / width, wy / height
+    # bounds precomputed in a CTE: DuckDB 1.0's range join on inline
+    # computed expressions hits an internal "flat vector" assertion
+    return f"""
+WITH {geo_cte(table, world)},
+bounds AS (
+  SELECT doc_id,
+    LEAST({width - 1}, GREATEST(0, CAST(floor((x - {world.min_x!r}) / {pw!r}) AS BIGINT))) AS px0,
+    LEAST({width - 1}, GREATEST(0, CAST(floor((x + w - {world.min_x!r}) / {pw!r}) AS BIGINT))) AS px1,
+    LEAST({height - 1}, GREATEST(0, CAST(floor((y - {world.min_y!r}) / {ph!r}) AS BIGINT))) AS py0,
+    LEAST({height - 1}, GREATEST(0, CAST(floor((y + h - {world.min_y!r}) / {ph!r}) AS BIGINT))) AS py1
+  FROM geo
+),
+pixels AS (
+  SELECT a.px AS px, b.py AS py
+  FROM generate_series(0, {width - 1}) a(px)
+  CROSS JOIN generate_series(0, {height - 1}) b(py)
+)
+SELECT g.doc_id AS doc_id, p.px AS px, p.py AS py,
+       p.py * {width} + p.px AS pixel_id
+FROM bounds g JOIN pixels p
+  ON p.px BETWEEN g.px0 AND g.px1
+ AND p.py BETWEEN g.py0 AND g.py1
+"""
+
+
+def delete_assign_sql(depth: int, modulus: int, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """Tile assignment after tombstone delete (doc_id % modulus == 0)."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world)},
+alive AS (SELECT * FROM geo WHERE doc_id % {modulus} <> 0),
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM alive
+),
+{morton_ctes('cellidx', depth, carry='doc_id')}
+SELECT doc_id, mkey AS cell_key FROM mz
+"""
+
+
+RELOC_MULTS = {"x": 2_885_564_586, "y": 2_654_435_789}
+
+
+def relocate_assign_sql(depth: int, modulus: int, world: World = DRIVER_WORLD,
+                        table: str = "documents") -> str:
+    """Tile assignment after relocating doc_id % modulus == 0 rows to a
+    rehashed position (the D3 changed-key re-shuffle, full table view)."""
+    wx, wy, _ = world.size
+    nx = f"({world.min_x!r} + {frac_sql('doc_id', RELOC_MULTS['x'])} * {wx!r})"
+    ny = f"({world.min_y!r} + {frac_sql('doc_id', RELOC_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH {geo_cte(table, world)},
+moved AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = 0 THEN {nx} ELSE x END AS x,
+         CASE WHEN doc_id % {modulus} = 0 THEN {ny} ELSE y END AS y
+  FROM geo
+),
+cellidx AS (
+  SELECT doc_id, x, y,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM moved
+),
+{morton_ctes('cellidx', depth)}
+SELECT doc_id, x, y, mkey AS cell_key FROM mz
+"""
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return f"SELECT MIN(doc_id) AS doc_id, text FROM {table} GROUP BY text"
+
+
+def doc_stats_sql(table: str = "documents") -> str:
+    """n_chars_calc / n_ws_tokens with the same empty/whitespace-only
+    semantics as functions.text.token_count."""
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS n_ws_tokens
+FROM {table}
+"""
+
+
+def events_window_sql(window_s: int = 3600, table: str = "events") -> str:
+    return f"""
+SELECT user_id,
+       epoch_us(ts) // {window_s * 1_000_000} AS window_id,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM {table}
+GROUP BY user_id, epoch_us(ts) // {window_s * 1_000_000}
+"""
+
+
+def ann_topk_sql(n_queries: int, k: int, table: str = "embeddings") -> str:
+    """Cosine top-k; queries = the first n_queries vectors of the table.
+    Tiebreak (score desc, vec_id asc) matches ``ann._merge_topk``."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM {table}
+           WHERE vec_id < {n_queries})
+SELECT query_id, vec_id, ann_rank
+FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS ann_rank
+  FROM {table} e CROSS JOIN q
+) s WHERE ann_rank <= {k}
+"""
+
+
 def knn_sql(nq: int, world: World = DRIVER_WORLD, table: str = "documents") -> str:
     """Oracle for exact kNN: per-query top-k by (dist2, doc_id) tiebreak —
     the same ordering the engine's merge stage uses."""

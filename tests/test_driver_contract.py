@@ -56,7 +56,16 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
             assert (av == bv).all(), f"{name}.{c} mismatch"
 
 
-@pytest.mark.parametrize("name", ["tile_assign", "tile_counts", "box_join", "knn"])
+def _oracled_names():
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "tile_assign", "tile_counts", "box_join", "box_join_shuffle", "knn",
+    "knn_ring", "pip_join", "raster_near", "vector_raster", "delete_assign",
+    "relocate_assign", "dedup_exact", "doc_stats", "events_window", "ann_topk",
+])
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
 
@@ -65,6 +74,27 @@ def test_query_matches_oracle(ray_session, con, name):
     ray_df = to_df(q(SF_DIR))
     sql_df = con.execute(sql).df()
     compare(ray_df, sql_df, name)
+
+
+def test_every_oracle_key_has_query():
+    import __ray_entry__ as e
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", [
+    "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
+    "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
+    "span_passthrough",
+])
+def test_rows_only_queries_run(ray_session, name):
+    import __ray_entry__ as e
+
+    df = to_df(e.queries()[name](SF_DIR))
+    assert len(df) >= 0
+    # an all-pruned pair pipeline can legitimately return an empty,
+    # schema-less frame (e.g. no near-dup embeddings at this sf)
+    if len(df):
+        assert len(df.columns) >= 2
 
 
 def test_entry_smoke(ray_session):
