@@ -138,10 +138,15 @@ def _q_raster_near(sf_dir: str):
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import raster
 
+    import pyarrow.parquet as pq
+    from optimizing_ray.sources.driver_tables import derive_geometry_batch
+
     pixels = synth.raster_table(RASTER_W, RASTER_W, world=WORLD_2D)
-    docs_small = (_docs(sf_dir).select_columns(["doc_id", "x", "y"])
-                  .sort("doc_id").to_pandas())
-    docs_tbl = pa.Table.from_pandas(docs_small, preserve_index=False)
+    # small side built driver-side with plain pyarrow (no Ray sort pipeline
+    # for a broadcast table); sorted by doc_id = the oracle's tiebreak order
+    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs_tbl = derive_geometry_batch(raw).select(["doc_id", "x", "y"]) \
+        .sort_by("doc_id")
     res = raster.nearest_doc_per_pixel(pixels, docs_tbl)
 
     def cast(t: pa.Table) -> pa.Table:

@@ -53,17 +53,22 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     stay out of the exchange; the group step verifies equality on the
     grouped rows."""
 
+    n_shards = 64  # shuffle key = hash shard, NOT the raw hash: grouping by
+    # the full hash makes one Ray group per distinct doc (per-group overhead
+    # dwarfs the work); a shard groups ~1/64 of the corpus and dedups
+    # vectorized inside
+
     def add_hash(t: pa.Table) -> pa.Table:
-        return t.append_column("_h", pa.array(_content_hash(
-            t[text_col].to_pylist())))
+        h = _content_hash(t[text_col].to_pylist())
+        t = t.append_column("_h", pa.array(h))
+        return t.append_column("_shard", pa.array((h % n_shards).astype(np.int64)))
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, dedup on the actual text (collision-safe)
         keep = g.sort_values(id_col).drop_duplicates(subset=[text_col], keep="first")
-        return keep.drop(columns=["_h"])
+        return keep.drop(columns=["_h", "_shard"])
 
     return (docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_h").map_groups(first_per_text, batch_format="pandas"))
+            .groupby("_shard").map_groups(first_per_text, batch_format="pandas"))
 
 
 def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
@@ -109,23 +114,53 @@ def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
     })
 
 
-def _pairs_from_buckets(bucketed: rd.Dataset) -> rd.Dataset:
-    """groupby (band, bucket) -> all candidate pairs (a < b), deduped."""
+def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 64) -> rd.Dataset:
+    """(band, bucket, doc_id) rows -> candidate pairs (a < b), deduped.
+
+    Shuffle key = ``hash(band, bucket) % n_shards`` so Ray materializes 64
+    groups, not one per bucket (per-group dispatch would dominate); inside
+    a shard the pair generation runs as one vectorized pandas groupby."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["bucket"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + t["band"].to_numpy().astype(np.uint64))
+        return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby(["band", "bucket"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "doc_b": pd.Series([], dtype=g["doc_id"].dtype)})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+        return df.drop_duplicates()  # within-shard dedup
 
-    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(pairs, batch_format="pandas"))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pair_shard(t: pa.Table) -> pa.Table:
+        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
+        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(31) + b
+        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
+
+    # cross-shard duplicates (same pair found via different bands) removed
+    # by a second sharded pass
+    return (cand.map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
@@ -209,29 +244,47 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
                          "doc_id": pa.array(np.concatenate(dids)),
                          "sim": pa.array(np.concatenate(hashes))})
 
+    n_shards = 64
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
+    def add_shard(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t["bucket"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + t["band"].to_numpy().astype(np.uint64))
+        return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["sim"].to_numpy().astype(np.uint64)
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = sims[i] ^ sims[i + 1:]
-            ham = np.asarray([bin(int(v)).count("1") for v in x])
-            ok = ham <= max_hamming
-            for j in np.nonzero(ok)[0]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_h.append(int(ham[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        for _, grp in g.groupby(["band", "bucket"], sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sims = grp["sim"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = sims[i] ^ sims[i + 1:]
+                ham = np.asarray([bin(int(v)).count("1") for v in x])
+                ok = ham <= max_hamming
+                for j in np.nonzero(ok)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_h.append(int(ham[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": out_h}).drop_duplicates(["doc_a", "doc_b"])
 
-    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(pairs, batch_format="pandas"))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pair_shard(t: pa.Table) -> pa.Table:
+        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
+        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(31) + b
+        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
+
+    return (cand.map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embedding",
