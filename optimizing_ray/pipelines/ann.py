@@ -53,6 +53,20 @@ class _PartialCosine:
         })
 
 
+def _driver_merge(partial: rd.Dataset, k: int) -> pa.Table:
+    """Final top-k merge driver-side: partial output is <= Q x k rows per
+    block, so the merge input is tiny by construction."""
+    tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "ann_rank": pa.array([], pa.int64())})
+    allp = pa.concat_tables(tables).to_pandas()
+    out = allp.groupby("query_id", group_keys=False, sort=False) \
+        .apply(_merge_topk(k)).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _merge_topk(k: int):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
@@ -67,11 +81,16 @@ def brute_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
     """Exact cosine top-k. Output (query_id, vec_id, ann_rank) ordered by
     (score desc, vec_id asc)."""
     q_ref = ray.put({"query_id": np.asarray(query_ids), "mat": query_matrix})
+    from optimizing_ray.broadcast import cached
+
+    def partial_batch(batch):
+        st = cached(("ann", q_ref.hex(), k), lambda: _PartialCosine(q_ref, k))
+        return st(batch)
+
     partial = embeddings.map_batches(
-        _PartialCosine, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
-    return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+        partial_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+    return _driver_merge(partial, k)
 
 
 def kmeans_sample(embeddings: rd.Dataset, *, n_centroids: int, sample_frac: float = 0.1,
@@ -141,6 +160,13 @@ def ivf_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
                 "score": pa.array(np.concatenate(out_s)),
             })
 
-    partial = embeddings.map_batches(PartialIVF, batch_format="pyarrow",
-                                     zero_copy_batch=True, concurrency=concurrency)
-    return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    from optimizing_ray.broadcast import cached
+
+    def partial_batch(batch):
+        st = cached(("ivf", q_ref.hex(), C_ref.hex(), k, n_probe),
+                    lambda: PartialIVF())
+        return st(batch)
+
+    partial = embeddings.map_batches(partial_batch, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return _driver_merge(partial, k)

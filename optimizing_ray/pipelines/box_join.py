@@ -140,8 +140,8 @@ def box_join_broadcast(docs: rd.Dataset, queries: pa.Table, *, world: World,
                        depth: int, max_extent: tuple[float, float],
                        predicate: str = "inclusive",
                        payload_cols: tuple[str, ...] = ("doc_id",),
-                       concurrency: int | tuple[int, int] = (1, 8),
-                       batch_size: int | None = 65_536) -> rd.Dataset:
+                       concurrency=None,  # kept for API compat; stage is stateless
+                       batch_size: int | None = None) -> rd.Dataset:
     """Join docs (large, streaming) against a broadcast query table.
 
     Returns rows (query_id, *payload_cols), one per overlapping pair.
@@ -151,11 +151,20 @@ def box_join_broadcast(docs: rd.Dataset, queries: pa.Table, *, world: World,
     qcols = {c: queries[c].to_numpy(zero_copy_only=False)
              for c in ("query_id", "min_x", "min_y", "max_x", "max_y")}
     queries_ref = ray.put(qcols)
-    return docs.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(covers_ref, queries_ref, world, depth, predicate, payload_cols),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+
+    # STATELESS tasks (not an actor pool): parallelism tracks available
+    # CPUs instantly; the compiled joiner is cached per worker process
+    # (see broadcast.cached) so state still builds at most once per worker.
+    from optimizing_ray.broadcast import cached
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        joiner = cached(("box_join", covers_ref.hex(), queries_ref.hex(), predicate),
+                        lambda: _BroadcastJoiner(covers_ref, queries_ref, world,
+                                                 depth, predicate, payload_cols))
+        return joiner(batch)
+
+    return docs.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
 
 
 def explode_query_cover(queries: rd.Dataset | pa.Table, *, world: World, depth: int,

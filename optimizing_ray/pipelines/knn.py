@@ -57,17 +57,33 @@ class _PartialTopK:
         n = len(x)
         nq = len(self.qid)
         if self.cell_sets is None:
-            # per-query 1-D kernels: the batch's x/y stay cache-resident
-            # across queries, which beats a (n, Q) matrix + axis-argpartition
-            # by ~4x (measured) — no giant temporaries, contiguous partition
+            # row-chunked per-query kernels: a 16k-row chunk of x/y (256 KB)
+            # stays L2-resident across ALL queries, so DRAM traffic is one
+            # pass over the batch instead of one per query (measured: the
+            # unchunked loop saturated memory bandwidth at ~8 cores)
+            CH = 16_384
+            cand_rows: list[list] = [[] for _ in range(nq)]
+            cand_d: list[list] = [[] for _ in range(nq)]
+            for s in range(0, n, CH):
+                e = min(n, s + CH)
+                xs, ys = x[s:e], y[s:e]
+                m = e - s
+                for qi in range(nq):
+                    dx = xs - self.qx[qi]
+                    dy = ys - self.qy[qi]
+                    d2 = dx * dx + dy * dy
+                    kk = min(int(self.k[qi]), m)
+                    part = np.argpartition(d2, kk - 1)[:kk] if kk < m else np.arange(m)
+                    cand_rows[qi].append(part + s)
+                    cand_d[qi].append(d2[part])
             for qi in range(nq):
-                dx = x - self.qx[qi]
-                dy = y - self.qy[qi]
-                d2 = dx * dx + dy * dy
-                kk = min(int(self.k[qi]), n)
-                part = np.argpartition(d2, kk - 1)[:kk] if kk < n else np.arange(n)
+                rows = np.concatenate(cand_rows[qi])
+                d2 = np.concatenate(cand_d[qi])
+                kk = min(int(self.k[qi]), len(rows))
+                part = (np.argpartition(d2, kk - 1)[:kk]
+                        if kk < len(rows) else np.arange(len(rows)))
                 out_q.append(np.full(len(part), qi))
-                out_rows.append(part)
+                out_rows.append(rows[part])
                 out_d.append(d2[part])
         else:
             for qi in range(nq):
@@ -113,25 +129,47 @@ def _final_topk(queries: pa.Table):
 
 
 def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
-              concurrency: int | tuple[int, int] = (1, 8),
-              batch_size: int | None = 65_536) -> rd.Dataset:
+              batch_size: int | None = None,
+              merge: str = "driver") -> rd.Dataset | pa.Table:
     """Exact kNN: per-batch partial top-k + per-query merge.
 
-    Output: (query_id, doc_id, dist, rank) with rank 1..k ordered by
+    Output: (query_id, doc_id, dist, knn_rank) with rank 1..k ordered by
     (dist, doc_id) — the tiebreak the SQL oracle uses too.
+
+    merge="driver" (default): partials are at most Q x k rows PER BLOCK,
+    so the final merge input is tiny by construction and runs driver-side
+    (a groupby all-to-all over many small blocks costs more than it
+    parallelizes).  merge="shuffle" keeps the distributed groupby for
+    huge query sets.
     """
     qref = ray.put({c: queries[c].to_numpy(zero_copy_only=False)
                     for c in ("query_id", "x", "y", "k")})
-    partial = docs.map_batches(_PartialTopK, fn_constructor_args=(qref,),
-                               batch_format="pyarrow", zero_copy_batch=True,
-                               batch_size=batch_size, concurrency=concurrency)
-    return partial.groupby("query_id").map_groups(_final_topk(queries),
-                                                  batch_format="pandas")
+    from optimizing_ray.broadcast import cached
+
+    def partial_batch(batch):
+        st = cached(("knn", qref.hex()), lambda: _PartialTopK(qref))
+        return st(batch)
+
+    partial = docs.map_batches(partial_batch, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=batch_size)
+    if merge == "shuffle":
+        return partial.groupby("query_id").map_groups(_final_topk(queries),
+                                                      batch_format="pandas")
+    tables = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"query_id": queries["query_id"].slice(0, 0),
+                         "doc_id": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.float64()),
+                         "knn_rank": pa.array([], pa.int64())})
+    allp = pa.concat_tables(tables).to_pandas()
+    fin = _final_topk(queries)
+    out = allp.groupby("query_id", group_keys=False, sort=False).apply(fin)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
-             concurrency: int | tuple[int, int] = (1, 8),
-             batch_size: int | None = 65_536,
+             concurrency=None,  # unused; stage is stateless
+             batch_size: int | None = None,
              max_rounds: int = 8) -> pa.Table:
     """Ring-expansion kNN (the reference's neighborhood-load pattern).
 
@@ -169,12 +207,23 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         qref = ray.put({c: sub[c].to_numpy(zero_copy_only=False)
                         for c in ("query_id", "x", "y", "k")})
         cref = ray.put(cell_sets)
+        from optimizing_ray.broadcast import cached
+
+        def partial_batch(batch, qref=qref, cref=cref):
+            st = cached(("knn_ring", qref.hex(), cref.hex()),
+                        lambda: _PartialTopK(qref, cref))
+            return st(batch)
+
         partial = docs_keyed.map_batches(
-            _PartialTopK, fn_constructor_args=(qref, cref),
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size, concurrency=concurrency)
-        merged = partial.groupby("query_id").map_groups(_final_topk(sub),
-                                                        batch_format="pandas").to_pandas()
+            partial_batch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+        ptabs = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
+        if ptabs:
+            allp = pa.concat_tables(ptabs).to_pandas()
+            merged = allp.groupby("query_id", group_keys=False, sort=False) \
+                .apply(_final_topk(sub)).reset_index(drop=True)
+        else:
+            merged = pd.DataFrame(columns=["query_id", "doc_id", "dist", "knn_rank"])
         still = []
         guarantee = ring * cell_w  # conservative: distance covered from the cell border
         for j, p in enumerate(pending):

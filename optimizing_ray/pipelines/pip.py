@@ -129,13 +129,18 @@ def compile_polygons(polygons: pa.Table) -> list[tuple]:
 def pip_join_broadcast(docs: rd.Dataset, polygons: pa.Table, *, world: World,
                        depth: int, kernel: str = "ray_cast",
                        payload_cols: tuple[str, ...] = ("doc_id",),
-                       concurrency: int | tuple[int, int] = (1, 8),
-                       batch_size: int | None = 65_536) -> rd.Dataset:
+                       concurrency=None,  # unused; stage is stateless
+                       batch_size: int | None = None) -> rd.Dataset:
     """Join docs' positions against a broadcast polygon table.
 
     Returns (poly_id, *payload_cols) rows."""
     polys_ref = ray.put(compile_polygons(polygons))
-    return docs.map_batches(
-        _PipJoiner, fn_constructor_args=(polys_ref, world, depth, kernel, payload_cols),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+    from optimizing_ray.broadcast import cached
+
+    def join_batch(batch):
+        st = cached(("pip", polys_ref.hex(), kernel),
+                    lambda: _PipJoiner(polys_ref, world, depth, kernel, payload_cols))
+        return st(batch)
+
+    return docs.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)

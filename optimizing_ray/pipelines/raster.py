@@ -82,9 +82,14 @@ def nearest_doc_per_pixel(pixels: rd.Dataset | pa.Table, docs_small: pa.Table,
     })
     if isinstance(pixels, pa.Table):
         pixels = rd.from_arrow(pixels)
-    return pixels.map_batches(_NearestDoc, fn_constructor_args=(docs_ref,),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              batch_size=batch_size, concurrency=concurrency)
+    from optimizing_ray.broadcast import cached
+
+    def near_batch(batch):
+        st = cached(("nearest_doc", docs_ref.hex()), lambda: _NearestDoc(docs_ref))
+        return st(batch)
+
+    return pixels.map_batches(near_batch, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
 
 
 def covering_pixels(docs: rd.Dataset, *, world: World, width: int, height: int,
@@ -167,6 +172,11 @@ def raycast_scene(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
     scene_ref = ray.put(scene)
     if isinstance(pixel_rays, pa.Table):
         pixel_rays = rd.from_arrow(pixel_rays)
-    return pixel_rays.map_batches(_Raycaster, fn_constructor_args=(scene_ref,),
-                                  batch_format="pyarrow", zero_copy_batch=True,
-                                  concurrency=concurrency)
+    from optimizing_ray.broadcast import cached
+
+    def cast_batch(batch):
+        st = cached(("raycast", scene_ref.hex()), lambda: _Raycaster(scene_ref))
+        return st(batch)
+
+    return pixel_rays.map_batches(cast_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
