@@ -1,0 +1,173 @@
+"""Actor-held per-partition spatial index — the serving twin of the
+reference's frame loop.
+
+The reference builds one octree per loaded grid cell and queries it every
+frame (``Partition::load_data`` ``WorldPartition.hpp:78-88``, queried at
+``WorldPartition.hpp:105-117``): the index is built ONCE and amortized
+over many queries.  A Dataset pipeline cannot express that two-phase
+load-then-serve lifetime, so this is the engine's documented raw-actor
+component (SURVEY.md §2 note (c)):
+
+* ``SpatialIndexService(n_actors)`` — each actor owns the cells with
+  ``hash(cell_key) % n_actors == rank`` (the partitioning assumption:
+  cell-hash sharding, same key algebra as every other stage).
+* ``load(ds)`` streams a cell-keyed Dataset in; each actor builds, per
+  owned cell, a sorted-Morton array of doc positions (the linear-
+  quadtree equivalent of the per-cell octree).
+* ``query_boxes(queries)`` fans each query's expanded cell cover out to
+  the owning actors only (the ring-load idea of
+  ``WorldPartition.hpp:196-204``), residual AABB predicate inside the
+  actor, results gathered on the driver.
+* ``unload(cells)`` / LRU cap mirror ``unload_data``
+  (``WorldPartition.hpp:90-98``): indexes drop, rows stay in the source.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from optimizing_ray import cells as cellmod
+from optimizing_ray.config import World
+
+__all__ = ["SpatialIndexService"]
+
+
+@ray.remote
+class _IndexShard:
+    """Owns the per-cell indexes of one hash shard of the cell space."""
+
+    def __init__(self, rank: int, n_shards: int, max_cells: int | None = None):
+        self.rank = rank
+        self.n_shards = n_shards
+        self.max_cells = max_cells
+        # cell_key -> dict(x, y, w, h, doc_id) numpy arrays; LRU-ordered
+        self.cells: OrderedDict[int, dict] = OrderedDict()
+
+    def load_block(self, table: pa.Table) -> int:
+        """Ingest a cell-keyed Arrow block; keeps only owned cells.
+        Idempotent per (cell, same rows) like ``load_data``."""
+        key = table["cell_key"].to_numpy()
+        own = (key % self.n_shards) == self.rank
+        if not own.any():
+            return 0
+        t = table.filter(pa.array(own))
+        key = t["cell_key"].to_numpy()
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        doc = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        bounds = np.flatnonzero(np.diff(skey)) + 1
+        for s, e in zip(np.concatenate([[0], bounds]),
+                        np.concatenate([bounds, [len(skey)]])):
+            ck = int(skey[s])
+            rows = order[s:e]
+            entry = self.cells.pop(ck, None)
+            if entry is None:
+                entry = {"x": x[rows], "y": y[rows], "w": w[rows],
+                         "h": h[rows], "doc_id": doc[rows]}
+            else:  # append (multiple blocks may carry the same cell)
+                entry = {k: np.concatenate([entry[k], v[rows]])
+                         for k, v in (("x", x), ("y", y), ("w", w), ("h", h),
+                                      ("doc_id", doc))}
+            self.cells[ck] = entry  # moves to MRU position
+            if self.max_cells is not None:
+                while len(self.cells) > self.max_cells:
+                    self.cells.popitem(last=False)  # LRU eviction (T2)
+        return int(own.sum())
+
+    def query(self, qids, qboxes: np.ndarray, cover_keys: list) -> pa.Table:
+        """qboxes (Q,4) min_x,min_y,max_x,max_y; cover_keys[i] = this
+        shard's candidate cells for query i."""
+        out_q, out_d = [], []
+        for i in range(len(qids)):
+            mnx, mny, mxx, mxy = qboxes[i]
+            for ck in cover_keys[i]:
+                entry = self.cells.get(int(ck))
+                if entry is None:
+                    continue
+                m = ((entry["x"] <= mxx) & (entry["x"] + entry["w"] >= mnx)
+                     & (entry["y"] <= mxy) & (entry["y"] + entry["h"] >= mny))
+                hits = entry["doc_id"][m]
+                if len(hits):
+                    out_q.extend([qids[i]] * len(hits))
+                    out_d.extend(hits.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "doc_id": pa.array(out_d, pa.string())})
+
+    def stats(self) -> dict:
+        return {"rank": self.rank, "n_cells": len(self.cells),
+                "n_rows": int(sum(len(e["x"]) for e in self.cells.values()))}
+
+    def unload(self, keys) -> int:
+        n = 0
+        for k in keys:
+            if self.cells.pop(int(k), None) is not None:
+                n += 1
+        return n
+
+
+class SpatialIndexService:
+    """Driver-side handle over the actor shards."""
+
+    def __init__(self, world: World, depth: int, *, n_actors: int = 4,
+                 max_cells_per_actor: int | None = None,
+                 max_extent: tuple[float, float] = (0.0, 0.0)):
+        self.world = world
+        self.depth = depth
+        self.n = n_actors
+        self.max_extent = max_extent
+        self.shards = [_IndexShard.remote(i, n_actors, max_cells_per_actor)
+                       for i in range(n_actors)]
+
+    def load(self, docs: rd.Dataset) -> int:
+        """Stream a cell-keyed Dataset into the shards. Every block goes to
+        every shard (each keeps its own cells) — at cluster scale, replace
+        with a pre-shuffle on shard id so blocks ship once; documented
+        trade-off for the broadcast-free load path."""
+        total = 0
+        pending = []
+        for ref in docs.to_arrow_refs():
+            pending.extend(s.load_block.remote(ref) for s in self.shards)
+        for n in ray.get(pending):
+            total += n
+        return total
+
+    def query_boxes(self, queries: pa.Table) -> pa.Table:
+        qids = queries["query_id"].to_pylist()
+        qb = np.stack([queries[c].to_numpy()
+                       for c in ("min_x", "min_y", "max_x", "max_y")], axis=1)
+        covers = [cellmod.cover2(qb[i, 0] - self.max_extent[0],
+                                 qb[i, 1] - self.max_extent[1],
+                                 qb[i, 2], qb[i, 3], self.world, self.depth)
+                  .astype(np.int64) for i in range(len(qids))]
+        futs = []
+        for rank, shard in enumerate(self.shards):
+            shard_covers = [c[(c % self.n) == rank] for c in covers]
+            futs.append(shard.query.remote(qids, qb, shard_covers))
+        parts = [t for t in ray.get(futs) if t.num_rows]
+        if not parts:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def unload(self, keys) -> int:
+        keys = np.asarray(keys, dtype=np.int64)
+        futs = [s.unload.remote(keys[(keys % self.n) == r].tolist())
+                for r, s in enumerate(self.shards)]
+        return sum(ray.get(futs))
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

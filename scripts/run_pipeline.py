@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""CLI / `ray job submit` entry point: the flagship tiling pipeline with
+resumable, manifest-tracked output.
+
+    python scripts/run_pipeline.py --input /root/testdata/sf0.01 \
+        --output /tmp/out/tiles --depth 6 [--adaptive] [--resume]
+
+On a cluster:  ray job submit -- python scripts/run_pipeline.py ...
+(then `address="auto"` picks up the cluster; here it stays local).
+
+Rerunning with the same --output resumes: completed tile groups are
+skipped via the checkpoint manifest (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf dir or parquet path")
+    ap.add_argument("--output", required=True, help="output dir (tile groups + manifest)")
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="capacity-based adaptive depth + hot-cell salting")
+    ap.add_argument("--capacity", type=int, default=10_000)
+    ap.add_argument("--coarse-depth", type=int, default=3)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import adaptive
+    from optimizing_ray.stages.assign import assign_tiles
+    from optimizing_ray.state import manifest
+
+    t0 = time.perf_counter()
+    docs = driver_tables.documents_with_geometry(args.input)
+    if args.adaptive:
+        keyed, plan = adaptive.adaptive_assign(
+            docs, WORLD_2D, capacity=args.capacity,
+            coarse_depth=args.coarse_depth, max_depth=args.depth)
+        n_leaves = len(plan.leaves)
+    else:
+        keyed = assign_tiles(docs, args.depth, WORLD_2D)
+        n_leaves = None
+    rows = manifest.resumable_write(keyed, args.output)
+    out = {
+        "status": "ok",
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "tile_groups_written": len(rows),
+        "rows_written": int(sum(r["rows_out"] for r in rows)),
+        "tile_groups_total": len(manifest.read_manifest(args.output)),
+        "adaptive_leaves": n_leaves,
+        "output": args.output,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+"""Actor-held per-cell index service: load once, query many (frame-loop
+semantics), LRU unload."""
+
+import numpy as np
+import pytest
+
+from optimizing_ray import synth
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.stages.assign import assign_tiles
+from optimizing_ray.state.serving import SpatialIndexService
+
+DEPTH = 4
+
+
+@pytest.fixture(scope="module")
+def service(ray_session):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(5000), variant="flat2d", with_spans=False)
+    docs = assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D)
+    svc = SpatialIndexService(WORLD_2D, DEPTH, n_actors=3,
+                              max_extent=(100.0, 100.0))
+    n = svc.load(docs)
+    assert n == 5000
+    yield svc, t
+    svc.shutdown()
+
+
+def brute(t, queries):
+    x, y = t["x"].to_numpy(), t["y"].to_numpy()
+    w, h = t["w"].to_numpy(), t["h"].to_numpy()
+    ids = np.asarray(t["doc_id"].to_pylist())
+    pairs = set()
+    for row in queries.to_pylist():
+        m = ((x <= row["max_x"]) & (x + w >= row["min_x"])
+             & (y <= row["max_y"]) & (y + h >= row["min_y"]))
+        pairs.update((row["query_id"], d) for d in ids[m])
+    return pairs
+
+
+def test_query_matches_brute_repeatedly(service):
+    svc, t = service
+    for seed in (1000, 2000):  # many "frames" against the same loaded index
+        queries = synth.queries_table(15, variant="flat2d", seed=seed)
+        res = svc.query_boxes(queries).to_pandas()
+        assert set(zip(res["query_id"], res["doc_id"])) == brute(t, queries)
+
+
+def test_stats_and_sharding(service):
+    svc, t = service
+    st = svc.stats()
+    assert len(st) == 3
+    assert sum(s["n_rows"] for s in st) == 5000
+    assert all(s["n_cells"] > 0 for s in st)
+
+
+def test_unload_drops_cells(ray_session):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(1000), variant="flat2d", with_spans=False)
+    docs = assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D)
+    svc = SpatialIndexService(WORLD_2D, DEPTH, n_actors=2)
+    svc.load(docs)
+    keys = np.unique(docs.to_pandas()["cell_key"].to_numpy())
+    dropped = svc.unload(keys[: len(keys) // 2])
+    assert dropped == len(keys) // 2
+    st = svc.stats()
+    assert sum(s["n_cells"] for s in st) == len(keys) - dropped
+    svc.shutdown()
+
+
+def test_lru_cap(ray_session):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(2000), variant="flat2d", with_spans=False)
+    docs = assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D)
+    svc = SpatialIndexService(WORLD_2D, DEPTH, n_actors=2, max_cells_per_actor=5)
+    svc.load(docs)
+    st = svc.stats()
+    assert all(s["n_cells"] <= 5 for s in st)
+    svc.shutdown()
