@@ -235,6 +235,25 @@ def _q_events_window(sf_dir: str):
     return windows.tumbling_window(ev, window_s=3600)
 
 
+def _q_session_window(sf_dir: str):
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "event_id", "ts", "value"])
+    return windows.session_window(ev, gap_s=1800)
+
+
+def _q_raster_density(sf_dir: str):
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    res = raster.covering_pixels(_docs(sf_dir), world=WORLD_2D,
+                                 width=RASTER_W, height=RASTER_W)
+    return (res.groupby("pixel_id").count()
+            .rename_columns({"count()": "n_docs"}))
+
+
 def _q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -367,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "events_window": _q_events_window,
+        "session_window": _q_session_window,
+        "raster_density": _q_raster_density,
         "ann_topk": _q_ann_topk,
         # rows-only
         "adaptive_assign": _q_adaptive_assign,
@@ -400,5 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "doc_stats": oracle.doc_stats_sql(),
         "events_window": oracle.events_window_sql(3600),
+        "session_window": oracle.session_window_sql(1800),
+        "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
     }

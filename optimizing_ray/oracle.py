@@ -331,3 +331,36 @@ FROM (
 ) s
 WHERE knn_rank <= k
 """
+
+
+def raster_density_sql(width: int, height: int, world: World = DRIVER_WORLD,
+                       table: str = "documents") -> str:
+    """Per-pixel doc-coverage counts (A4-style aggregate over the
+    vector->raster explosion)."""
+    inner = vector_raster_sql(width, height, world, table)
+    return f"SELECT pixel_id, COUNT(*) AS n_docs FROM ({inner}) t GROUP BY pixel_id"
+
+
+def session_window_sql(gap_s: int = 1800, table: str = "events") -> str:
+    """Session windows via lag + cumulative-sum window functions; ties on
+    ts break by event_id (the engine sorts identically)."""
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM {table}
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value,
+       MIN(epoch_us(ts)) AS t_start_us, MAX(epoch_us(ts)) AS t_end_us
+FROM s GROUP BY user_id, sess
+"""

@@ -40,7 +40,8 @@ from optimizing_ray import cells, geom
 from optimizing_ray.config import World
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
-__all__ = ["box_join_broadcast", "box_join_shuffle", "explode_query_cover"]
+__all__ = ["box_join_broadcast", "box_join_shuffle", "box_join_adaptive",
+           "explode_query_cover", "gather_payload"]
 
 
 def _query_covers(queries: pa.Table, world: World, depth: int,
@@ -54,6 +55,139 @@ def _query_covers(queries: pa.Table, world: World, depth: int,
     return [np.sort(cells.cover2(qmin_x[qi] - max_w, qmin_y[qi] - max_h,
                                  qmax_x[qi], qmax_y[qi], world, depth)).astype(np.int64)
             for qi in range(len(qmin_x))]
+
+
+def _query_covers_adaptive(queries: pa.Table, world: World, plan,
+                           max_w: float, max_h: float) -> list[np.ndarray]:
+    """Per-query candidate cells against an ADAPTIVE (mixed-depth,
+    prefix-free) leaf set from ``stages.adaptive.AdaptivePlan``: the
+    query's flat cover at each depth intersected with that depth's leaves.
+    Sorted per query so the searchsorted joiner works unchanged."""
+    leaves = np.sort(np.asarray(plan.leaves, dtype=np.int64))
+    depths = cells.depth_of2(leaves.astype(np.uint64))
+    by_depth = {int(d): np.sort(leaves[depths == d])
+                for d in np.unique(depths)}
+    qmin_x = queries["min_x"].to_numpy()
+    qmin_y = queries["min_y"].to_numpy()
+    qmax_x = queries["max_x"].to_numpy()
+    qmax_y = queries["max_y"].to_numpy()
+    out = []
+    for qi in range(len(qmin_x)):
+        cand = []
+        for d, dl in by_depth.items():
+            cov = cells.cover2(qmin_x[qi] - max_w, qmin_y[qi] - max_h,
+                               qmax_x[qi], qmax_y[qi], world, d).astype(np.int64)
+            pos = np.searchsorted(dl, cov)
+            pos = np.clip(pos, 0, len(dl) - 1)
+            cand.append(cov[dl[pos] == cov])
+        out.append(np.sort(np.concatenate(cand)) if cand else
+                   np.empty(0, dtype=np.int64))
+    return out
+
+
+def box_join_adaptive(docs_keyed: rd.Dataset, queries: pa.Table, *, world: World,
+                      plan, max_extent: tuple[float, float],
+                      payload_cols: tuple[str, ...] = ("doc_id",),
+                      batch_size: int | None = None) -> rd.Dataset:
+    """Box join over an ADAPTIVELY keyed corpus (output of
+    ``adaptive_assign``): hot regions carry fine keys, sparse regions
+    coarse ones, and each query's candidate set follows the actual leaf
+    partition — the full A3 -> J1 path of the reference's
+    capacity-subdivided tree."""
+    covers = _query_covers_adaptive(queries, world, plan,
+                                    max_extent[0], max_extent[1])
+    covers_ref = ray.put(covers)
+    qcols = {c: queries[c].to_numpy(zero_copy_only=False)
+             for c in ("query_id", "min_x", "min_y", "max_x", "max_y")}
+    queries_ref = ray.put(qcols)
+    from optimizing_ray.broadcast import cached
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        joiner = cached(("box_join_adaptive", covers_ref.hex(), queries_ref.hex()),
+                        lambda: _BroadcastJoiner(covers_ref, queries_ref, world,
+                                                 0, "inclusive", payload_cols))
+        return joiner(batch)
+
+    return docs_keyed.map_batches(join_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=batch_size)
+
+
+def gather_payload(slim_result: rd.Dataset, docs: rd.Dataset, *,
+                   payload_cols: tuple[str, ...], on: str = "doc_id",
+                   num_buckets: int = 32) -> rd.Dataset:
+    """Semi-join-then-gather (SURVEY.md §7.4 wide-row rule): joins ship
+    only slim (key, id) rows; wide payloads (spans, media bytes) re-attach
+    AFTERWARDS by id, touching each payload row once instead of once per
+    shuffle hop.
+
+    Implemented as an explicit co-partitioned merge (side-tagged union +
+    bucket groupby + vectorized Arrow stitch) because ``Dataset.join``
+    (Acero) rejects nested non-key columns like ``spans: list<struct>``.
+    """
+    import pandas as pd
+
+    pay_schema = docs.schema().base_schema
+    pay_types = {c: pay_schema.field(c).type for c in payload_cols}
+    slim_schema = slim_result.schema().base_schema
+    slim_cols = [c for c in slim_schema.names if c != on]
+    slim_types = {c: slim_schema.field(c).type for c in slim_cols}
+
+    def bucket_of(ids) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(ids, dtype=object))
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    def tag_slim(t: pa.Table) -> pa.Table:
+        ids = t[on].to_numpy(zero_copy_only=False)
+        cols = {on: t[on], "_bucket": pa.array(bucket_of(ids)),
+                "_side": pa.array(np.zeros(len(t), dtype=np.int8))}
+        for c in slim_cols:
+            cols[c] = t[c]
+        for c, typ in pay_types.items():
+            cols[c] = pa.nulls(len(t), typ)
+        return pa.table(cols)
+
+    def tag_pay(t: pa.Table) -> pa.Table:
+        ids = t[on].to_numpy(zero_copy_only=False)
+        cols = {on: t[on], "_bucket": pa.array(bucket_of(ids)),
+                "_side": pa.array(np.ones(len(t), dtype=np.int8))}
+        for c in slim_cols:
+            cols[c] = pa.nulls(len(t), slim_types[c])
+        for c in pay_types:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    tagged = slim_result.map_batches(tag_slim, batch_format="pyarrow",
+                                     zero_copy_batch=True).union(
+        docs.select_columns([on, *payload_cols]).map_batches(
+            tag_pay, batch_format="pyarrow", zero_copy_batch=True))
+
+    def stitch(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy()
+        ids = np.asarray(t[on].to_pylist(), dtype=object)
+        res_rows = np.nonzero(side == 0)[0]
+        pay_rows = np.nonzero(side == 1)[0]
+        if len(res_rows) == 0 or len(pay_rows) == 0:
+            empty = {on: t[on].take(pa.array([], pa.int64()))}
+            for c in slim_cols:
+                empty[c] = t[c].take(pa.array([], pa.int64()))
+            for c in pay_types:
+                empty[c] = t[c].take(pa.array([], pa.int64()))
+            return pa.table(empty)
+        order = np.argsort(ids[pay_rows])
+        sorted_pay_ids = ids[pay_rows][order]
+        pos = np.searchsorted(sorted_pay_ids, ids[res_rows])
+        pos = np.clip(pos, 0, len(sorted_pay_ids) - 1)
+        hit = sorted_pay_ids[pos] == ids[res_rows]
+        res_sel = res_rows[hit]
+        pay_sel = pay_rows[order][pos[hit]]
+        cols = {on: t[on].take(pa.array(res_sel))}
+        for c in slim_cols:
+            cols[c] = t[c].take(pa.array(res_sel))
+        for c in pay_types:
+            cols[c] = t[c].take(pa.array(pay_sel))
+        return pa.table(cols)
+
+    return tagged.groupby("_bucket").map_groups(stitch, batch_format="pyarrow")
 
 
 def _ranges_to_rows(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

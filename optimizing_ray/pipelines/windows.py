@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["tumbling_window"]
+__all__ = ["tumbling_window", "sliding_window", "session_window"]
 
 
 def tumbling_window(events: rd.Dataset, *, window_s: int = 3600,
@@ -53,3 +53,81 @@ def tumbling_window(events: rd.Dataset, *, window_s: int = 3600,
         })
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sliding_window(events: rd.Dataset, *, window_s: int = 3600,
+                   slide_s: int = 900, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value") -> rd.Dataset:
+    """Sliding windows: each event lands in window ids
+    ``floor((ts - window)/slide)+1 .. floor(ts/slide)`` (windows identified
+    by their start = id * slide).  The event explosion is a vectorized
+    in-batch repeat; partial/final aggregation as in tumbling_window."""
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+    slide_us = np.int64(slide_s) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False)
+        last = ts // slide_us
+        first = (ts - win_us) // slide_us + 1
+        reps = (last - first + 1).astype(np.int64)
+        total = int(reps.sum())
+        rows = np.repeat(np.arange(len(ts)), reps)
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        wid = np.repeat(first, reps) + (np.arange(total) - np.repeat(starts, reps))
+        df = pd.DataFrame({"k": key[rows], "w": wid, "v": val[rows]})
+        agg = df.groupby(["k", "w"], sort=True).agg(n=("v", "size"), s=("v", "sum")).reset_index()
+        return pa.table({key_col: pa.array(agg["k"].to_numpy()),
+                         "window_id": pa.array(agg["w"].to_numpy()),
+                         "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+                         "s": pa.array(agg["s"].to_numpy())})
+
+    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby([key_col, "window_id"]).sum(["n", "s"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col], "window_id": t["window_id"],
+            "n_events": t["sum(n)"],
+            "sum_value": pa.array(np.round(t["sum(s)"].to_numpy(), 6)),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def session_window(events: rd.Dataset, *, gap_s: int = 1800,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", id_col: str = "event_id",
+                   n_shards: int = 64) -> rd.Dataset:
+    """Session windows: per key, a new session starts when the gap to the
+    previous event exceeds ``gap_s``.  Requires per-key ordered
+    processing: shuffle key = ``key % n_shards`` (per-group dispatch
+    amortized, same sharding rationale as dedup), per-key ordering done
+    with a vectorized pandas sort inside the shard.  Ties on ts break by
+    ``id_col`` — the same ORDER BY the SQL oracle uses."""
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("_shard", pa.array((key % n_shards).astype(np.int64)))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        tsus = g[ts_col].astype("int64")
+        new_key = g[key_col] != g[key_col].shift()
+        brk = new_key | (tsus.diff() > gap_us)
+        g = g.assign(_sess=brk.cumsum())
+        agg = g.groupby([key_col, "_sess"], sort=True).agg(
+            n_events=(value_col, "size"), sv=(value_col, "sum"),
+            t_start_us=(ts_col, "min"), t_end_us=(ts_col, "max")).reset_index()
+        # session_id = per-key ordinal starting at 0
+        agg["session_id"] = agg.groupby(key_col).cumcount()
+        agg["sum_value"] = np.round(agg["sv"].to_numpy(), 6)
+        agg["t_start_us"] = agg["t_start_us"].astype("int64")
+        agg["t_end_us"] = agg["t_end_us"].astype("int64")
+        return agg[[key_col, "session_id", "n_events", "sum_value",
+                    "t_start_us", "t_end_us"]]
+
+    return (events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(sessions, batch_format="pandas"))

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the core algebra and join
+semantics — the SURVEY §5 property plan."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from optimizing_ray import cells, geom, refsim
+from optimizing_ray.config import WORLD_2D
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_morton2_roundtrip_prop(x, y):
+    rx, ry = cells.demorton2(cells.morton2(np.uint64(x), np.uint64(y)))
+    assert int(rx) == x and int(ry) == y
+
+
+@given(st.integers(0, 2**20 - 1), st.integers(0, 2**20 - 1),
+       st.integers(0, 2**20 - 1))
+@settings(max_examples=100, deadline=None)
+def test_morton3_roundtrip_prop(x, y, z):
+    rx, ry, rz = cells.demorton3(cells.morton3(np.uint64(x), np.uint64(y), np.uint64(z)))
+    assert (int(rx), int(ry), int(rz)) == (x, y, z)
+
+
+@given(st.integers(1, 8),
+       st.floats(0, 99_000), st.floats(0, 99_000),
+       st.floats(1, 30_000), st.floats(1, 30_000))
+@settings(max_examples=100, deadline=None)
+def test_cover2_contains_point_cells_prop(depth, mnx, mny, w, h):
+    """Any point inside the box quantizes to a cell inside the box cover."""
+    mxx, mxy = min(100_000.0, mnx + w), min(100_000.0, mny + h)
+    cover = set(cells.cover2(mnx, mny, mxx, mxy, WORLD_2D, depth).tolist())
+    for fx, fy in ((0.0, 0.0), (0.5, 0.5), (1.0, 1.0), (0.25, 0.9)):
+        px, py = mnx + fx * (mxx - mnx), mny + fy * (mxy - mny)
+        k = int(cells.point_cell2(np.asarray([px]), np.asarray([py]), WORLD_2D, depth)[0])
+        assert k in cover
+
+
+@given(st.lists(st.tuples(st.floats(0, 99_000), st.floats(0, 99_000),
+                          st.floats(0.1, 900), st.floats(0.1, 900)),
+                min_size=1, max_size=60),
+       st.tuples(st.floats(0, 90_000), st.floats(0, 90_000),
+                 st.floats(10, 40_000), st.floats(10, 40_000)))
+@settings(max_examples=40, deadline=None)
+def test_quadtree_search_equals_brute_prop(items, qdef):
+    """index search == linear scan for arbitrary corpora and queries
+    (the reference's Tab-toggle oracle as a property)."""
+    qt = refsim.StaticQuadTree2D(0, 0, 100_000, 100_000, max_depth=5)
+    rects = np.asarray([(x, y, x + w, y + h) for x, y, w, h in items])
+    for i, r in enumerate(rects):
+        qt.insert(i, tuple(r))
+    q = (qdef[0], qdef[1], qdef[0] + qdef[2], qdef[1] + qdef[3])
+    got = sorted(qt.search(q))
+    want = sorted(refsim.brute_search2(q, rects).tolist())
+    assert got == want
+
+
+@given(st.floats(-100, 100), st.floats(-100, 100), st.floats(0, 50),
+       st.floats(0, 50), st.floats(-100, 100), st.floats(-100, 100),
+       st.floats(0, 50), st.floats(0, 50))
+@settings(max_examples=200, deadline=None)
+def test_overlaps3_symmetric_prop(ax, ay, aw, ah, bx, by, bw, bh):
+    """The 3D inclusive overlap is symmetric (the 2D reference one is NOT,
+    by design — .Test/QuadTree.cpp:56-68)."""
+    a = geom.overlaps3(ax, ay, 0, ax + aw, ay + ah, 1,
+                       bx, by, 0, bx + bw, by + bh, 1)
+    b = geom.overlaps3(bx, by, 0, bx + bw, by + bh, 1,
+                       ax, ay, 0, ax + aw, ay + ah, 1)
+    assert bool(a) == bool(b)

@@ -1,0 +1,68 @@
+"""Sliding and session windows vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from optimizing_ray.pipelines import windows
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts = np.datetime64("2025-03-01", "us") + \
+        rng.integers(0, 6 * 3600 * 1_000_000, n).astype("timedelta64[us]")
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array(rng.uniform(0, 10, n)),
+    })
+
+
+def test_sliding_window_matches_pandas(ray_session, events):
+    import ray.data as rd
+    out = windows.sliding_window(rd.from_arrow(events), window_s=3600,
+                                 slide_s=900).to_pandas()
+    df = events.to_pandas()
+    tsus = df["ts"].astype("int64")
+    rows = []
+    for _, r in df.assign(us=tsus).iterrows():
+        last = r.us // (900 * 1_000_000)
+        first = (r.us - 3600 * 1_000_000) // (900 * 1_000_000) + 1
+        for w in range(first, last + 1):
+            rows.append((r.user_id, w, r.value))
+    want = pd.DataFrame(rows, columns=["user_id", "window_id", "value"]) \
+        .groupby(["user_id", "window_id"]).agg(n_events=("value", "size"),
+                                               sum_value=("value", "sum")).reset_index()
+    m = out.merge(want, on=["user_id", "window_id"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(out)
+    assert (m["n_events"] == m["n_events_w"]).all()
+    np.testing.assert_allclose(m["sum_value"], np.round(m["sum_value_w"], 6), atol=1e-6)
+
+
+def test_session_window_matches_pandas(ray_session, events):
+    import ray.data as rd
+    gap_us = 120 * 1_000_000
+    out = windows.session_window(rd.from_arrow(events), gap_s=120).to_pandas()
+    df = events.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["us"] = df["ts"].astype("int64")
+    recs = []
+    for uid, g in df.groupby("user_id"):
+        brk = (g["us"].diff() > gap_us).fillna(False)
+        sess = brk.cumsum()
+        for sid, sg in g.assign(s=sess).groupby("s"):
+            recs.append((uid, int(sid), len(sg), round(sg["value"].sum(), 6),
+                         int(sg["us"].min()), int(sg["us"].max())))
+    want = pd.DataFrame(recs, columns=["user_id", "session_id", "n_events",
+                                       "sum_value", "t_start_us", "t_end_us"])
+    a = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    b = want.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["user_id"].to_numpy() == b["user_id"].to_numpy()).all()
+    assert (a["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+    assert (a["t_start_us"].to_numpy() == b["t_start_us"].to_numpy()).all()
+    assert (a["t_end_us"].to_numpy() == b["t_end_us"].to_numpy()).all()
+    np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-6)
