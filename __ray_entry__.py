@@ -73,11 +73,40 @@ def _q_tile_assign(sf_dir: str):
 
 
 def _q_tile_counts(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.stages.assign import assign_tiles
 
     ds = assign_tiles(_docs(sf_dir), DEPTH, WORLD_2D)
-    return ds.groupby("cell_key").count().rename_columns({"count()": "n_docs"})
+
+    # pre-aggregate per batch (one row per (batch, cell)) so the groupby
+    # shuffles partials, not rows (the A3 counts pattern)
+    def partial(t: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(t["cell_key"].to_numpy(), return_counts=True)
+        return pa.table({"cell_key": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("cell_key").sum("n").rename_columns({"sum(n)": "n_docs"})
+
+
+def _q_grid_cells(sf_dir: str):
+    """The reference's exact uniform world-partition key (M1):
+    (int(x / 255), int(y / 255)) with C trunc-toward-zero
+    (WorldPartition.hpp:174,240)."""
+    import numpy as np
+    import pyarrow as pa
+    from optimizing_ray import cells
+
+    def assign(t: pa.Table) -> pa.Table:
+        cx, cz = cells.grid_cell(t["x"].to_numpy(), t["y"].to_numpy())
+        t = t.append_column("grid_x", pa.array(cx))
+        t = t.append_column("grid_z", pa.array(cz))
+        return t.select(["doc_id", "grid_x", "grid_z"])
+
+    return _docs(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
 
 def _q_box_join(sf_dir: str):
@@ -374,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
+        "grid_cells": _q_grid_cells,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
         "knn": _q_knn,
@@ -409,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": oracle.tile_assign_sql(DEPTH),
         "tile_counts": oracle.tile_counts_sql(DEPTH),
+        "grid_cells": oracle.grid_cells_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "knn": oracle.knn_sql(N_KNN_QUERIES),

@@ -364,3 +364,16 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(epoch_us(ts)) AS t_start_us, MAX(epoch_us(ts)) AS t_end_us
 FROM s GROUP BY user_id, sess
 """
+
+
+def grid_cells_sql(cell: float = 255.0, world: World = DRIVER_WORLD,
+                   table: str = "documents") -> str:
+    """The reference uniform-grid key (``WorldPartition.hpp:174``):
+    C-style int truncation toward zero = SQL trunc()."""
+    return f"""
+WITH {geo_cte(table, world)}
+SELECT doc_id,
+       CAST(trunc(x / {cell!r}) AS BIGINT) AS grid_x,
+       CAST(trunc(y / {cell!r}) AS BIGINT) AS grid_z
+FROM geo
+"""

@@ -62,7 +62,7 @@ def _oracled_names():
 
 
 @pytest.mark.parametrize("name", [
-    "tile_assign", "tile_counts", "box_join", "box_join_shuffle", "knn",
+    "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle", "knn",
     "knn_ring", "pip_join", "raster_near", "vector_raster", "delete_assign",
     "relocate_assign", "dedup_exact", "doc_stats", "events_window",
     "session_window", "raster_density", "ann_topk",
