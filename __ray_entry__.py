@@ -38,18 +38,30 @@ def _doc_ids(sf_dir: str):
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: read documents, derive
-    geometry, assign Morton tile keys, box-join against the query workload."""
+    geometry, attach the interleaved spans payload (deterministic from
+    doc_id — the input_hint schema), assign Morton tile keys, box-join
+    against the query workload with spans carried through untouched (the
+    span-sequence invariant on the smoke path)."""
+    import pyarrow as pa
+    from optimizing_ray import synth
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import box_join
     from optimizing_ray.sources import driver_tables
     from optimizing_ray.stages.assign import assign_tiles
 
     sf_dir = "/root/testdata/sf0.001"
-    docs = assign_tiles(_docs(sf_dir), DEPTH, WORLD_2D)
+
+    def add_spans(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("spans", synth.spans_array(ids))
+
+    docs = _docs(sf_dir).map_batches(add_spans, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    docs = assign_tiles(docs, DEPTH, WORLD_2D)
     queries = driver_tables.driver_queries(N_BOX_QUERIES)
     return box_join.box_join_broadcast(
         docs, queries, world=WORLD_2D, depth=DEPTH, max_extent=(10.0, 10.0),
-        payload_cols=("doc_id", "cell_key"))
+        payload_cols=("doc_id", "cell_key", "spans"))
 
 
 # --- SQL-oracled queries ---------------------------------------------------

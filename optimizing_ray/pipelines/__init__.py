@@ -1,3 +1,14 @@
-from optimizing_ray.pipelines import box_join, knn
+from optimizing_ray.pipelines import (
+    ann,
+    box_join,
+    dedup,
+    knn,
+    mutate,
+    pip,
+    raster,
+    textops,
+    windows,
+)
 
-__all__ = ["box_join", "knn"]
+__all__ = ["ann", "box_join", "dedup", "knn", "mutate", "pip", "raster",
+           "textops", "windows"]
