@@ -163,13 +163,45 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 64) -> rd.Dataset:
             .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
+def _attach_payload(pairs: rd.Dataset, docs: rd.Dataset, *, id_col: str,
+                    pair_col: str, src_col: str, out_col: str,
+                    num_buckets: int = 32) -> rd.Dataset:
+    """Attach docs[src_col] to pair rows by pairs[pair_col] == docs[id_col]
+    using the streaming bucket-merge (box_join.gather_payload) — no
+    driver-side materialization of the corpus, works for nested types."""
+    from optimizing_ray.pipelines.box_join import gather_payload
+
+    def to_key(t: pa.Table) -> pa.Table:
+        names = [("_gk" if c == pair_col else c) for c in t.column_names]
+        return t.rename_columns(names)
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, src_col])
+        return t.rename_columns(["_gk", out_col])
+
+    keyed = pairs.map_batches(to_key, batch_format="pyarrow", zero_copy_batch=True)
+    payload = docs.map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True)
+    merged = gather_payload(keyed, payload, payload_cols=(out_col,), on="_gk",
+                            num_buckets=num_buckets)
+
+    def back(t: pa.Table) -> pa.Table:
+        names = [(pair_col if c == "_gk" else c) for c in t.column_names]
+        return t.rename_columns(names)
+
+    return merged.map_batches(back, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, k_shingle: int = 5,
                       jaccard_threshold: float = 0.5) -> rd.Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
-    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.  The verify
+    stage re-joins the candidate pairs with the texts via two streaming
+    bucket merges (semi-join-then-gather) — candidate pairs are orders of
+    magnitude fewer than corpus rows, and the corpus itself is never
+    collected."""
 
     def sigs(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -179,25 +211,20 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
 
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed)
-
-    # verify: exact shingle Jaccard (texts broadcast; at scale re-join by id)
-    texts_tbl = docs.select_columns([id_col, text_col]).to_arrow_refs()
-    texts_map: dict = {}
-    for ref in texts_tbl:
-        t = ray.get(ref)
-        for i, d in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            texts_map[i] = d
-    tm_ref = ray.put(texts_map)
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
+                           src_col=text_col, out_col="_text_a")
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_b",
+                           src_col=text_col, out_col="_text_b")
 
     def verify(t: pa.Table) -> pa.Table:
-        tm = ray.get(tm_ref)
         ja = []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = shingles(tm.get(a, "") or "", k_shingle), shingles(tm.get(b, "") or "", k_shingle)
+        for a, b in zip(t["_text_a"].to_pylist(), t["_text_b"].to_pylist()):
+            sa, sb = shingles(a or "", k_shingle), shingles(b or "", k_shingle)
             u = len(sa | sb)
             ja.append(len(sa & sb) / u if u else 0.0)
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
-        return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+        t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+        return t.select(["doc_a", "doc_b", "jaccard"])
 
     return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -298,19 +325,10 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     overwhelming probability; exact pairs always (identical vectors give
     identical signatures)."""
     rng = np.random.default_rng(seed)
-    planes: np.ndarray | None = None  # lazily sized from first batch
-
-    vecs_map: dict = {}
-    for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():
-        t = ray.get(ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
-        for i, vid in enumerate(ids):
-            vecs_map[int(vid)] = mat[i]
-    dim = len(next(iter(vecs_map.values())))
+    # dimensionality from a single row — never collect the corpus
+    dim = len(embeddings.take(1)[0][vec_col])
     planes = rng.normal(size=(dim, n_planes))
     planes_ref = ray.put(planes)
-    vm_ref = ray.put(vecs_map)
 
     def sigs(t: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
@@ -333,16 +351,23 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
 
     bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed)
+    # re-join the vectors per side (streaming bucket merge — handles the
+    # nested list<float> payload, no driver materialization)
+    cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_a",
+                           src_col=vec_col, out_col="_vec_a")
+    cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_b",
+                           src_col=vec_col, out_col="_vec_b")
 
     def verify(t: pa.Table) -> pa.Table:
-        vm = ray.get(vm_ref)
         cos = []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            va, vb = vm[int(a)], vm[int(b)]
+        for va, vb in zip(t["_vec_a"].to_pylist(), t["_vec_b"].to_pylist()):
+            va = np.asarray(va, dtype=np.float64)
+            vb = np.asarray(vb, dtype=np.float64)
             denom = np.linalg.norm(va) * np.linalg.norm(vb)
             cos.append(float(va @ vb / denom) if denom else 0.0)
         t = t.append_column("cosine", pa.array(cos, pa.float64()))
-        return t.filter(pa.array(np.asarray(cos) >= threshold))
+        t = t.filter(pa.array(np.asarray(cos) >= threshold))
+        return t.select(["doc_a", "doc_b", "cosine"])
 
     return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
