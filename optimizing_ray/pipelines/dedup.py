@@ -15,10 +15,10 @@ built from the engine's shuffle primitives:
 * embedding near-dup — random-hyperplane signatures over the embedding
                    column -> band buckets -> exact cosine verify
 
-Verification fetches payloads by broadcast at test scale; the
-at-scale path re-joins payloads by doc_id (semi-join-then-gather,
-SURVEY.md §7.4 wide-row rule) — the bucketing shuffles only (key, id)
-pairs either way.
+Scale discipline (SURVEY.md §7.4 wide-row rule): every shuffle in this
+module carries only (hash/bucket, id) rows; payloads (texts, vectors)
+re-attach by id through the streaming bucket merge
+(box_join.gather_payload) — the corpus is never collected driver-side.
 """
 
 from __future__ import annotations
@@ -37,38 +37,46 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components"]
 
 
-def _content_hash(texts) -> np.ndarray:
-    out = np.empty(len(texts), dtype=np.int64)
+def _content_hash128(texts):
+    h1 = np.empty(len(texts), dtype=np.int64)
+    h2 = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        h = hashlib.md5((t or "").encode("utf-8", "ignore")).digest()
-        out[i] = np.frombuffer(h[:8], dtype="<i8")[0]
-    return out
+        d = hashlib.md5((t or "").encode("utf-8", "ignore")).digest()
+        h1[i] = np.frombuffer(d[:8], dtype="<i8")[0]
+        h2[i] = np.frombuffer(d[8:], dtype="<i8")[0]
+    return h1, h2
 
 
 def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
     """Keep one representative (min id) per distinct text.
 
-    Shuffle key = content hash (not the text itself), so wide text bytes
-    stay out of the exchange; the group step verifies equality on the
-    grouped rows."""
+    Scale shape: the exchange carries ONLY (hash128, id) rows — wide text
+    bytes never shuffle.  Winners (min id per 128-bit content hash; md5
+    collision probability is negligible at any corpus size) are then
+    re-joined with their payload via the streaming bucket merge.
+    Shuffle key = ``hash % 64`` shards, not the raw hash (one Ray group
+    per distinct doc would be dispatch-bound)."""
+    n_shards = 64
 
-    n_shards = 64  # shuffle key = hash shard, NOT the raw hash: grouping by
-    # the full hash makes one Ray group per distinct doc (per-group overhead
-    # dwarfs the work); a shard groups ~1/64 of the corpus and dedups
-    # vectorized inside
+    def slim_hash(t: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash128(t[text_col].to_pylist())
+        return pa.table({
+            id_col: t[id_col],
+            "_h1": pa.array(h1), "_h2": pa.array(h2),
+            "_shard": pa.array((h1 % n_shards).astype(np.int64)),
+        })
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = _content_hash(t[text_col].to_pylist())
-        t = t.append_column("_h", pa.array(h))
-        return t.append_column("_shard", pa.array((h % n_shards).astype(np.int64)))
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(id_col).drop_duplicates(subset=["_h1", "_h2"],
+                                                     keep="first")
+        return keep[[id_col]]
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values(id_col).drop_duplicates(subset=[text_col], keep="first")
-        return keep.drop(columns=["_h", "_shard"])
-
-    return (docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_shard").map_groups(first_per_text, batch_format="pandas"))
+    slim = (docs.map_batches(slim_hash, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(winners, batch_format="pandas"))
+    payload_cols = tuple(c for c in docs.schema().base_schema.names if c != id_col)
+    from optimizing_ray.pipelines.box_join import gather_payload
+    return gather_payload(slim, docs, payload_cols=payload_cols, on=id_col)
 
 
 def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
