@@ -31,7 +31,7 @@ import ray.data as rd
 from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
-__all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene"]
+__all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene", "shade"]
 
 
 class _NearestDoc:
@@ -179,4 +179,52 @@ def raycast_scene(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
         return st(batch)
 
     return pixel_rays.map_batches(cast_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def shade(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
+          samples_per_pixel: int = 4, jitter: float = 0.5,
+          seed: int = 17) -> rd.Dataset:
+    """Per-pixel mean hit distance over jittered samples — the tracer's
+    subpixel sampling + radiance accumulation (``Raytracing.hpp:461-492``):
+    each ray is replicated ``samples_per_pixel`` times with a deterministic
+    tent-filter-style direction jitter (per-sample RNG seeded by
+    (pixel_id, sample) like the reference's per-pixel seeds), raycast
+    against the broadcast scene, then averaged per pixel IN-BATCH (samples
+    of one pixel stay in one batch, so no shuffle — the A4 in-batch
+    reduction path)."""
+    from optimizing_ray.synth import u01
+
+    if isinstance(pixel_rays, pa.Table):
+        pixel_rays = rd.from_arrow(pixel_rays)
+    scene_ref = ray.put(scene)
+
+    def shade_batch(t: pa.Table) -> pa.Table:
+        from optimizing_ray.broadcast import cached
+        caster = cached(("raycast", scene_ref.hex()), lambda: _Raycaster(scene_ref))
+        n = len(t)
+        s = samples_per_pixel
+        pid = t["pixel_id"].to_numpy()
+        rep = np.repeat(np.arange(n), s)
+        sample_key = pid[rep] * np.int64(1024) + np.tile(np.arange(s), n)
+        cols = {c: t[c].to_numpy()[rep] for c in ("ox", "oy", "oz", "dx", "dy", "dz")}
+        # tent-ish jitter of the direction (2*u - 1 in [-1, 1])
+        for axis, salt in (("dx", 3001), ("dy", 3002)):
+            cols[axis] = cols[axis] + jitter * (2.0 * u01(sample_key, seed + salt) - 1.0) * 0.01
+        norm = np.sqrt(cols["dx"] ** 2 + cols["dy"] ** 2 + cols["dz"] ** 2)
+        for axis in ("dx", "dy", "dz"):
+            cols[axis] = cols[axis] / norm
+        exp = pa.table({"pixel_id": pa.array(pid[rep]), **{k: pa.array(v) for k, v in cols.items()}})
+        hit = caster(exp)
+        t_hit = hit["t_hit"].to_numpy().reshape(n, s)
+        hit_mask = (t_hit > 0).astype(np.float64)
+        n_hits = hit_mask.sum(axis=1)
+        mean_t = np.where(n_hits > 0, (t_hit * hit_mask).sum(axis=1) / np.maximum(n_hits, 1), 0.0)
+        return pa.table({
+            "pixel_id": t["pixel_id"],
+            "mean_t_hit": pa.array(mean_t),
+            "hit_frac": pa.array(n_hits / s),
+        })
+
+    return pixel_rays.map_batches(shade_batch, batch_format="pyarrow",
                                   zero_copy_batch=True)

@@ -162,9 +162,13 @@ def adaptive_assign(ds: rd.Dataset, world: World, *, capacity: int,
         idx = np.clip(idx, 0, max(0, len(hot) - 1))
         is_hot = (len(hot) > 0) & (hot[idx] == out if len(hot) else False)
         from optimizing_ray.synth import _mix
+        # salt hashes PER-ROW content (position bit patterns), not the cell
+        # key — every row of a hot cell shares the cell key, so hashing it
+        # would put the whole cell in one salt bucket
+        row_h = (x.view(np.uint64)
+                 ^ (y.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
         salt = np.where(is_hot,
-                        (_mix(fine_key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                         % np.uint64(n_salts)).astype(np.int64),
+                        (_mix(row_h) % np.uint64(n_salts)).astype(np.int64),
                         0)
         t = t.append_column("cell_key", pa.array(out))
         return t.append_column("salt", pa.array(salt))

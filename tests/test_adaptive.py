@@ -72,3 +72,28 @@ def test_adaptive_matches_uniform_at_high_capacity(ray_session):
     flat = cells.point_cell2(df["x"].to_numpy(), df["y"].to_numpy(), WORLD_2D, 3).astype(np.int64)
     np.testing.assert_array_equal(df["cell_key"].to_numpy(), flat)
     assert (df["salt"] == 0).all()
+
+
+def test_salted_resumable_write_splits_hot_cell(ray_session, tmp_path):
+    """End-to-end skew story: adaptive keys + salt -> composite partition
+    key -> resumable write produces multiple tile groups for the hot cell."""
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.state import manifest
+
+    t = synth.documents_batch(np.arange(5000), variant="skewed", with_spans=False)
+    out, plan = adaptive.adaptive_assign(
+        rd.from_arrow(t), WORLD_3D, capacity=100, coarse_depth=2, max_depth=3,
+        salt_threshold=300, n_salts=4)
+    assert len(plan.hot_cells) > 0
+
+    def composite(tt: pa.Table) -> pa.Table:
+        pk = tt["cell_key"].to_numpy() * 4 + tt["salt"].to_numpy()
+        return tt.append_column("part_key", pa.array(pk))
+
+    keyed = out.map_batches(composite, batch_format="pyarrow", zero_copy_batch=True)
+    rows = manifest.resumable_write(keyed, str(tmp_path / "salted"), key_col="part_key")
+    assert sum(r["rows_out"] for r in rows) == 5000
+    hot = int(plan.hot_cells[0])
+    hot_parts = [r for r in rows if r["cell_key"] // 4 == hot]
+    assert len(hot_parts) > 1  # the hot cell fans out over salts

@@ -106,3 +106,35 @@ def test_raycast_scene_matches_scalar_oracle(ray_session):
         assert res.loc[r, "obj_id"] == best
         if best != "<miss>":
             assert res.loc[r, "t_hit"] == pytest.approx(best_t)
+
+
+def test_shade_mean_over_samples(ray_session):
+    scene = {"obj_id": ["s0"], "kind": ["sphere"], "a": [(50.0, 0.0, 0.0, 10.0)]}
+    n = 64
+    prays = pa.table({
+        "pixel_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ox": np.zeros(n), "oy": np.zeros(n), "oz": np.zeros(n),
+        "dx": np.ones(n), "dy": np.zeros(n), "dz": np.zeros(n),
+    })
+    out = raster.shade(prays, scene, samples_per_pixel=8).to_pandas()
+    assert len(out) == n
+    # rays point straight at the sphere: every jittered sample still hits,
+    # mean distance near 40
+    assert (out["hit_frac"] == 1.0).all()
+    assert np.allclose(out["mean_t_hit"], 40.0, atol=1.0)
+    # determinism
+    out2 = raster.shade(prays, scene, samples_per_pixel=8).to_pandas()
+    np.testing.assert_array_equal(out.sort_values("pixel_id")["mean_t_hit"].to_numpy(),
+                                  out2.sort_values("pixel_id")["mean_t_hit"].to_numpy())
+
+
+def test_shade_miss_gives_zero(ray_session):
+    scene = {"obj_id": ["s0"], "kind": ["sphere"], "a": [(50.0, 0.0, 0.0, 1.0)]}
+    prays = pa.table({
+        "pixel_id": pa.array([0]),
+        "ox": [0.0], "oy": [0.0], "oz": [0.0],
+        "dx": [-1.0], "dy": [0.0], "dz": [0.0],
+    })
+    out = raster.shade(prays, scene, samples_per_pixel=4).to_pandas()
+    assert out["hit_frac"].iloc[0] == 0.0
+    assert out["mean_t_hit"].iloc[0] == 0.0
