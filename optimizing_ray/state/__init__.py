@@ -4,5 +4,7 @@ from optimizing_ray.state.manifest import (
     read_output,
     resumable_write,
 )
+from optimizing_ray.state.serving import SpatialIndexService
 
-__all__ = ["resumable_write", "read_manifest", "completed_keys", "read_output"]
+__all__ = ["resumable_write", "read_manifest", "completed_keys", "read_output",
+           "SpatialIndexService"]
