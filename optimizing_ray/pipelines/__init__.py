@@ -7,8 +7,9 @@ from optimizing_ray.pipelines import (
     pip,
     raster,
     textops,
+    tile_store,
     windows,
 )
 
 __all__ = ["ann", "box_join", "dedup", "knn", "mutate", "pip", "raster",
-           "textops", "windows"]
+           "textops", "tile_store", "windows"]

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_topk", "ivf_topk"]
+__all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index"]
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -170,3 +170,98 @@ def ivf_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
     partial = embeddings.map_batches(partial_batch, batch_format="pyarrow",
                                      zero_copy_batch=True)
     return _driver_merge(partial, k)
+
+
+# --- partitioned IVF index on disk (build once, probe-pruned queries) ----
+
+def build_ivf_index(embeddings: rd.Dataset, out_dir: str, *,
+                    n_centroids: int = 16, seed: int = 5) -> np.ndarray:
+    """Build a disk IVF index: rows partitioned by nearest centroid into
+    resumable tile groups (state/manifest layout), centroids stored
+    alongside.  Queries then READ ONLY their probed partitions — the
+    embedding-space twin of the spatial tile store."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.state import manifest as mf
+
+    C = kmeans_sample(embeddings, n_centroids=n_centroids, seed=seed)
+    C_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cl = ray.get(C_ref)
+        M = _to_matrix(t["embedding"])
+        d = ((M[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("centroid_id", pa.array(d.argmin(axis=1).astype(np.int64)))
+
+    keyed = embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    os.makedirs(out_dir, exist_ok=True)
+    mf.resumable_write(keyed, out_dir, key_col="centroid_id")
+    pq.write_table(pa.table({"centroid_id": pa.array(np.arange(len(C), dtype=np.int64)),
+                             "centroid": pa.array([c.tolist() for c in C],
+                                                  pa.list_(pa.float64()))}),
+                   os.path.join(out_dir, "centroids.parquet"))
+    return C
+
+
+def query_ivf_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
+                    k: int = 10, n_probe: int = 4) -> tuple[pa.Table, dict]:
+    """Probe-pruned ANN over a built IVF index: reads only the partitions
+    among each query's n_probe nearest centroids; per-query restriction to
+    its own probe set keeps results identical to in-memory ivf_topk."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from optimizing_ray.state import manifest as mf
+
+    ct = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    C = np.stack([np.asarray(c) for c in ct["centroid"].to_pylist()])
+    Q = np.asarray(query_matrix)
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
+    needed = np.unique(probe)
+    rows = [r for r in mf.read_manifest(out_dir) if r.get("status") == "done"]
+    paths = [os.path.join(r["part_path"], "data.parquet")
+             for r in rows if r["cell_key"] in set(needed.tolist())]
+    metrics = {"parts_read": len(paths), "parts_total": len(rows)}
+    if not paths:
+        return pa.table({"query_id": pa.array(np.asarray(query_ids)[:0]),
+                         "vec_id": pa.array([], pa.int64()),
+                         "ann_rank": pa.array([], pa.int64())}), metrics
+    ds = rd.read_parquet(paths)
+    q_ref = ray.put({"query_id": np.asarray(query_ids), "mat": Q,
+                     "probe": probe})
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qid = np.asarray(q["query_id"])
+        Qn = q["mat"] / np.linalg.norm(q["mat"], axis=1, keepdims=True)
+        pr = q["probe"]
+        cid = t["centroid_id"].to_numpy()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        M = _to_matrix(t["embedding"])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qid)):
+            m = np.isin(cid, pr[qi])
+            if not m.any():
+                continue
+            s = Mn[m] @ Qn[qi]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(part), qi))
+            out_v.append(ids[m][part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table({"query_id": pa.array(qid[:0]),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(qid[np.concatenate(out_q)]),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _driver_merge(partials, k), metrics

@@ -1,0 +1,92 @@
+"""Disk-pruned queries: tile store (spatial) and IVF index (embedding)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from optimizing_ray import synth
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.pipelines import ann, tile_store
+from optimizing_ray.stages.assign import assign_tiles
+from optimizing_ray.state import manifest
+
+DEPTH = 4
+
+
+def test_query_tiles_pruned_and_correct(ray_session, tmp_path):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(4000), variant="flat2d", with_spans=False)
+    keyed = assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D)
+    store = str(tmp_path / "store")
+    manifest.resumable_write(keyed, store)
+
+    queries = synth.queries_table(8, variant="flat2d")
+    res, metrics = tile_store.query_tiles(
+        store, queries, world=WORLD_2D, depth=DEPTH, max_extent=(100.0, 100.0))
+    df = res.to_pandas()
+    # correctness vs brute
+    x, y = t["x"].to_numpy(), t["y"].to_numpy()
+    w, h = t["w"].to_numpy(), t["h"].to_numpy()
+    ids = np.asarray(t["doc_id"].to_pylist())
+    want = set()
+    for row in queries.to_pylist():
+        m = ((x <= row["max_x"]) & (x + w >= row["min_x"])
+             & (y <= row["max_y"]) & (y + h >= row["min_y"]))
+        want.update((row["query_id"], d) for d in ids[m])
+    assert set(zip(df["query_id"], df["doc_id"])) == want
+    # pruning actually happened: small queries touch few of the 256 cells
+    assert metrics["parts_read"] < metrics["parts_total"]
+    assert metrics["prune_ratio"] > 0.5
+
+
+def test_query_tiles_empty_cover(ray_session, tmp_path):
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(100), variant="flat2d", with_spans=False)
+    store = str(tmp_path / "store2")
+    manifest.resumable_write(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D), store)
+    _res, n_read, n_total = tile_store.pruned_read(store, np.asarray([], dtype=np.int64))
+    assert n_read == 0 and n_total > 0
+
+
+def test_ivf_index_build_query(ray_session, tmp_path):
+    import ray.data as rd
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(600, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(600), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    idx_dir = str(tmp_path / "ivf")
+    ann.build_ivf_index(rd.from_arrow(t), idx_dir, n_centroids=8)
+
+    Q = vecs[:4].astype(np.float64)
+    got, metrics = ann.query_ivf_index(idx_dir, np.arange(4), Q, k=5, n_probe=3)
+    df = got.to_pandas()
+    assert metrics["parts_read"] <= metrics["parts_total"]
+    assert metrics["parts_read"] >= 1
+    # identical to the in-memory IVF with the same centroids? centroids are
+    # sampled the same seed way, so compare vs in-memory run
+    mem = ann.ivf_topk(rd.from_arrow(t), np.arange(4), Q, k=5,
+                       n_centroids=8, n_probe=3).to_pandas()
+    a = df.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    b = mem.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    # self-vector is always rank 1
+    for qi in range(4):
+        assert df[(df.query_id == qi) & (df.ann_rank == 1)]["vec_id"].iloc[0] == qi
+
+
+def test_ivf_index_query_full_probe_is_exact(ray_session, tmp_path):
+    import ray.data as rd
+    rng = np.random.default_rng(22)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    idx_dir = str(tmp_path / "ivf_full")
+    ann.build_ivf_index(rd.from_arrow(t), idx_dir, n_centroids=4)
+    Q = vecs[:3].astype(np.float64)
+    got, _ = ann.query_ivf_index(idx_dir, np.arange(3), Q, k=7, n_probe=4)
+    exact = ann.brute_topk(rd.from_arrow(t), np.arange(3), Q, k=7).to_pandas()
+    a = got.to_pandas().sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    b = exact.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
