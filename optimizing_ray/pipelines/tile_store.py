@@ -21,7 +21,7 @@ from optimizing_ray.config import World
 from optimizing_ray.pipelines.box_join import box_join_broadcast
 from optimizing_ray.state import manifest
 
-__all__ = ["query_tiles", "pruned_read"]
+__all__ = ["query_tiles", "pruned_read", "apply_moves"]
 
 
 def pruned_read(store_dir: str, cell_keys: np.ndarray) -> tuple[rd.Dataset, int, int]:
@@ -60,3 +60,96 @@ def query_tiles(store_dir: str, queries: pa.Table, *, world: World, depth: int,
     res = box_join_broadcast(ds, queries, world=world, depth=depth,
                              max_extent=max_extent, payload_cols=payload_cols)
     return res, metrics
+
+
+def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
+                id_col: str = "doc_id") -> dict:
+    """Incremental relocate against the tile store (D3,
+    ``DynamicOctree.hpp:299-303``): only the tile groups that contain a
+    moved row (source) or receive one (destination) are rewritten; every
+    other part file stays byte-identical on disk.  Row count is conserved
+    and per-part lineage records are refreshed.
+
+    Returns metrics {parts_rewritten, parts_total, rows_moved}."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    mv_ids = np.asarray(moves[id_col].to_pylist(), dtype=object)
+    order = np.argsort(mv_ids)
+    s_ids = mv_ids[order]
+    new_x = moves["new_x"].to_numpy()[order]
+    new_y = moves["new_y"].to_numpy()[order]
+    new_key = cells.point_cell2(new_x, new_y, world, depth).astype(np.int64)
+
+    records = {r["cell_key"]: r for r in manifest.read_manifest(store_dir)
+               if r.get("status") == "done"}
+
+    def _apply_coords(mt: pa.Table, mpos: np.ndarray) -> pa.Table:
+        mt = mt.set_column(mt.schema.get_field_index("x"), "x", pa.array(new_x[mpos]))
+        mt = mt.set_column(mt.schema.get_field_index("y"), "y", pa.array(new_y[mpos]))
+        return mt.set_column(mt.schema.get_field_index("cell_key"), "cell_key",
+                             pa.array(new_key[mpos]))
+
+    def _refresh_record(key: int, part_dir: str, n_rows: int):
+        rec = {"cell_key": key, "rows_out": n_rows, "wall_s": 0.0,
+               "part_path": part_dir, "status": "done"}
+        with open(os.path.join(part_dir, manifest.DONE), "w") as f:
+            _json.dump(rec, f)
+
+    leavers: list[pa.Table] = []
+    rewritten: set[int] = set()
+    n_moved = 0
+    # pass 1: per source part — update stayers in place, extract leavers
+    for key, rec in records.items():
+        path = os.path.join(rec["part_path"], "data.parquet")
+        t = pq.read_table(path)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+        if len(s_ids) == 0:
+            break
+        pos = np.clip(np.searchsorted(s_ids, ids), 0, len(s_ids) - 1)
+        hit = s_ids[pos] == ids
+        if not hit.any():
+            continue
+        sel = np.nonzero(hit)[0]
+        mpos = pos[sel]
+        leaves = new_key[mpos] != key
+        n_moved += int(hit.sum())
+        keep_mask = np.ones(len(t), dtype=bool)
+        keep_mask[sel[leaves]] = False
+        kept = t.filter(pa.array(keep_mask))
+        stay_sel = sel[~leaves]
+        if len(stay_sel):
+            # rebuild: non-hit rows + stayers with refreshed coordinates
+            non_hit = np.ones(len(t), dtype=bool)
+            non_hit[sel] = False
+            stayed = _apply_coords(t.take(pa.array(stay_sel)), mpos[~leaves])
+            kept = pa.concat_tables([t.filter(pa.array(non_hit)), stayed])
+        if leaves.any():
+            leavers.append(_apply_coords(t.take(pa.array(sel[leaves])), mpos[leaves]))
+        pq.write_table(kept, path)
+        _refresh_record(key, rec["part_path"], kept.num_rows)
+        rewritten.add(key)
+
+    # pass 2: append leavers to their destination parts
+    if leavers:
+        allm = pa.concat_tables(leavers)
+        dkeys = allm["cell_key"].to_numpy()
+        for key in np.unique(dkeys).tolist():
+            key = int(key)
+            sub = allm.filter(pa.array(dkeys == key))
+            rec = records.get(key)
+            if rec is None:
+                part_dir = os.path.join(store_dir, f"part={key}")
+                os.makedirs(part_dir, exist_ok=True)
+                pq.write_table(sub, os.path.join(part_dir, "data.parquet"))
+                _refresh_record(key, part_dir, sub.num_rows)
+            else:
+                path = os.path.join(rec["part_path"], "data.parquet")
+                merged = pa.concat_tables([pq.read_table(path), sub])
+                pq.write_table(merged, path)
+                _refresh_record(key, rec["part_path"], merged.num_rows)
+            rewritten.add(key)
+    manifest._write_compacted(store_dir)
+    return {"parts_rewritten": len(rewritten), "parts_total": len(records),
+            "rows_moved": n_moved}

@@ -90,3 +90,56 @@ def test_ivf_index_query_full_probe_is_exact(ray_session, tmp_path):
     a = got.to_pandas().sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
     b = exact.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
     assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+
+
+def test_apply_moves_incremental(ray_session, tmp_path):
+    """D3 end-to-end: relocations rewrite only affected tile groups; the
+    rest stay byte-identical; counts conserved; queries see new positions."""
+    import os
+
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(3000), variant="flat2d", with_spans=False)
+    store = str(tmp_path / "mv_store")
+    manifest.resumable_write(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D), store)
+
+    ids = np.asarray(t["doc_id"].to_pylist())
+    move_ids = ids[:40]
+    moves = pa.table({
+        "doc_id": pa.array(move_ids),
+        "new_x": pa.array(np.full(40, 99_990.0)),
+        "new_y": pa.array(np.full(40, 99_990.0)),
+    })
+    sizes_before = {r["cell_key"]: os.path.getsize(
+        os.path.join(r["part_path"], "data.parquet"))
+        for r in manifest.read_manifest(store)}
+    from optimizing_ray.pipelines import tile_store as ts
+    metrics = ts.apply_moves(store, moves, world=WORLD_2D, depth=DEPTH)
+    assert metrics["rows_moved"] == 40
+    assert 0 < metrics["parts_rewritten"] < metrics["parts_total"]
+
+    after = manifest.read_manifest(store)
+    assert sum(r["rows_out"] for r in after) == 3000  # conserved
+    # untouched parts byte-identical
+    rewritten = metrics["parts_rewritten"]
+    untouched_same = 0
+    for r in after:
+        if r["cell_key"] in sizes_before:
+            size_now = os.path.getsize(os.path.join(r["part_path"], "data.parquet"))
+            if size_now == sizes_before[r["cell_key"]]:
+                untouched_same += 1
+    assert untouched_same >= len(after) - metrics["parts_rewritten"] - 1
+
+    # query at the new location finds all moved docs
+    q = pa.table({"query_id": ["mv"], "min_x": [99_000.0], "min_y": [99_000.0],
+                  "max_x": [100_000.0], "max_y": [100_000.0]})
+    res, _m = ts.query_tiles(store, q, world=WORLD_2D, depth=DEPTH,
+                             max_extent=(100.0, 100.0))
+    got = set(res.to_pandas()["doc_id"])
+    assert set(move_ids) <= got
+    # and the old locations no longer hold them
+    full, _, _ = ts.pruned_read(store, np.asarray(
+        [r["cell_key"] for r in after], dtype=np.int64))
+    df = full.to_pandas()
+    moved = df[df.doc_id.isin(move_ids)]
+    assert (moved["x"] == 99_990.0).all()
+    assert len(df) == 3000
