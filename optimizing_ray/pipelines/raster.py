@@ -81,7 +81,8 @@ def nearest_doc_per_pixel(pixels: rd.Dataset | pa.Table, docs_small: pa.Table,
         "y": docs_small["y"].to_numpy(),
     })
     if isinstance(pixels, pa.Table):
-        pixels = rd.from_arrow(pixels)
+        n_blocks = max(1, pixels.num_rows // 16_384)
+        pixels = rd.from_arrow(pixels).repartition(n_blocks)
     from optimizing_ray.broadcast import cached
 
     def near_batch(batch):
@@ -171,7 +172,8 @@ def raycast_scene(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
     """
     scene_ref = ray.put(scene)
     if isinstance(pixel_rays, pa.Table):
-        pixel_rays = rd.from_arrow(pixel_rays)
+        n_blocks = max(1, pixel_rays.num_rows // 16_384)
+        pixel_rays = rd.from_arrow(pixel_rays).repartition(n_blocks)
     from optimizing_ray.broadcast import cached
 
     def cast_batch(batch):
@@ -196,7 +198,8 @@ def shade(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
     from optimizing_ray.synth import u01
 
     if isinstance(pixel_rays, pa.Table):
-        pixel_rays = rd.from_arrow(pixel_rays)
+        pixel_rays = rd.from_arrow(pixel_rays).repartition(
+            max(1, pixel_rays.num_rows // 16_384))
     scene_ref = ray.put(scene)
 
     def shade_batch(t: pa.Table) -> pa.Table:
