@@ -74,6 +74,21 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
     slim = (docs.map_batches(slim_hash, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(winners, batch_format="pandas"))
+    if docs.count() <= 200_000:
+        # small corpus: broadcast the winner-id set, semi-join filter —
+        # one shuffle fewer than the gather merge
+        keep = np.sort(np.asarray(
+            [r[id_col] for r in slim.take_all()], dtype=object))
+        keep_ref = ray.put(keep)
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = ray.get(keep_ref)
+            ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+            pos = np.clip(np.searchsorted(ks, ids), 0, max(0, len(ks) - 1))
+            return t.filter(pa.array(ks[pos] == ids if len(ks) else
+                                     np.zeros(len(ids), bool)))
+
+        return docs.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
     payload_cols = tuple(c for c in docs.schema().base_schema.names if c != id_col)
     from optimizing_ray.pipelines.box_join import gather_payload
     return gather_payload(slim, docs, payload_cols=payload_cols, on=id_col)
@@ -202,14 +217,18 @@ def _attach_payload(pairs: rd.Dataset, docs: rd.Dataset, *, id_col: str,
 def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, k_shingle: int = 5,
-                      jaccard_threshold: float = 0.5) -> rd.Dataset:
+                      jaccard_threshold: float = 0.5,
+                      verify: str = "auto",
+                      broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
-    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.  The verify
-    stage re-joins the candidate pairs with the texts via two streaming
-    bucket merges (semi-join-then-gather) — candidate pairs are orders of
-    magnitude fewer than corpus rows, and the corpus itself is never
-    collected."""
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    verify plans: "join" re-attaches each pair side's text via streaming
+    bucket merges (the at-scale path — the corpus is never collected);
+    "broadcast" ships the (id, text) table once via ray.put (right when
+    the corpus fits comfortably in memory — two fewer shuffles);
+    "auto" picks broadcast below `broadcast_threshold` rows."""
 
     def sigs(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -219,22 +238,48 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
 
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed)
-    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
-                           src_col=text_col, out_col="_text_a")
-    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_b",
-                           src_col=text_col, out_col="_text_b")
 
-    def verify(t: pa.Table) -> pa.Table:
+    if verify == "auto":
+        verify = "broadcast" if docs.count() <= broadcast_threshold else "join"
+
+    if verify == "join":
+        cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
+                               src_col=text_col, out_col="_text_a")
+        cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_b",
+                               src_col=text_col, out_col="_text_b")
+
+        def check_joined(t: pa.Table) -> pa.Table:
+            ja = []
+            for a, b in zip(t["_text_a"].to_pylist(), t["_text_b"].to_pylist()):
+                sa, sb = shingles(a or "", k_shingle), shingles(b or "", k_shingle)
+                u = len(sa | sb)
+                ja.append(len(sa & sb) / u if u else 0.0)
+            t = t.append_column("jaccard", pa.array(ja, pa.float64()))
+            t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+            return t.select(["doc_a", "doc_b", "jaccard"])
+
+        return cand.map_batches(check_joined, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    texts_map: dict = {}
+    for ref in docs.select_columns([id_col, text_col]).to_arrow_refs():
+        t = ray.get(ref)
+        texts_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    tm_ref = ray.put(texts_map)
+
+    def check_broadcast(t: pa.Table) -> pa.Table:
+        tm = ray.get(tm_ref)
         ja = []
-        for a, b in zip(t["_text_a"].to_pylist(), t["_text_b"].to_pylist()):
-            sa, sb = shingles(a or "", k_shingle), shingles(b or "", k_shingle)
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa = shingles(tm.get(a, "") or "", k_shingle)
+            sb = shingles(tm.get(b, "") or "", k_shingle)
             u = len(sa | sb)
             ja.append(len(sa & sb) / u if u else 0.0)
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
-        t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
-        return t.select(["doc_a", "doc_b", "jaccard"])
+        return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
 
-    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.map_batches(check_broadcast, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def simhash64(texts) -> np.ndarray:
@@ -325,7 +370,8 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
 def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embedding",
                              id_col: str = "vec_id", threshold: float = 0.95,
                              n_planes: int = 16, bands: int = 4,
-                             seed: int = 11) -> rd.Dataset:
+                             seed: int = 11, verify: str = "auto",
+                             broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Cosine near-dup pairs: random-hyperplane LSH buckets + exact verify.
 
     RECALL NOTE: banding 16 sign bits into 4 bands finds pairs whose
@@ -359,16 +405,13 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
 
     bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed)
-    # re-join the vectors per side (streaming bucket merge — handles the
-    # nested list<float> payload, no driver materialization)
-    cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_a",
-                           src_col=vec_col, out_col="_vec_a")
-    cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_b",
-                           src_col=vec_col, out_col="_vec_b")
 
-    def verify(t: pa.Table) -> pa.Table:
+    if verify == "auto":
+        verify = "broadcast" if embeddings.count() <= broadcast_threshold else "join"
+
+    def _cos_table(t: pa.Table, col_a, col_b) -> pa.Table:
         cos = []
-        for va, vb in zip(t["_vec_a"].to_pylist(), t["_vec_b"].to_pylist()):
+        for va, vb in zip(col_a, col_b):
             va = np.asarray(va, dtype=np.float64)
             vb = np.asarray(vb, dtype=np.float64)
             denom = np.linalg.norm(va) * np.linalg.norm(vb)
@@ -377,7 +420,31 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
         t = t.filter(pa.array(np.asarray(cos) >= threshold))
         return t.select(["doc_a", "doc_b", "cosine"])
 
-    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    if verify == "join":
+        # streaming bucket merges — handles the nested list<float> payload,
+        # no driver materialization (the at-scale path)
+        cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_a",
+                               src_col=vec_col, out_col="_vec_a")
+        cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_b",
+                               src_col=vec_col, out_col="_vec_b")
+        return cand.map_batches(
+            lambda t: _cos_table(t, t["_vec_a"].to_pylist(), t["_vec_b"].to_pylist()),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    vm: dict = {}
+    for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():
+        t = ray.get(ref)
+        vm.update(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))
+    vm_ref = ray.put(vm)
+
+    def check_broadcast(t: pa.Table) -> pa.Table:
+        m = ray.get(vm_ref)
+        a = [m.get(i) for i in t["doc_a"].to_pylist()]
+        b = [m.get(i) for i in t["doc_b"].to_pylist()]
+        return _cos_table(t, a, b)
+
+    return cand.map_batches(check_broadcast, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
