@@ -48,7 +48,8 @@ def _content_hash128(texts):
 
 
 def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
-                id_col: str = "doc_id") -> rd.Dataset:
+                id_col: str = "doc_id",
+                broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Keep one representative (min id) per distinct text.
 
     Scale shape: the exchange carries ONLY (hash128, id) rows — wide text
@@ -74,7 +75,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
     slim = (docs.map_batches(slim_hash, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(winners, batch_format="pandas"))
-    if docs.count() <= 200_000:
+    if docs.count() <= broadcast_threshold:
         # small corpus: broadcast the winner-id set, semi-join filter —
         # one shuffle fewer than the gather merge
         keep = np.sort(np.asarray(

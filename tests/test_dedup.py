@@ -100,3 +100,47 @@ def test_connected_components():
     assert cc[1] == cc[2] == cc[3]
     assert cc[10] == cc[11]
     assert cc[1] != cc[10]
+
+
+def test_minhash_join_verify_path_matches_broadcast(ray_session):
+    """Force the at-scale streaming-join verification and check it equals
+    the broadcast path."""
+    import ray.data as rd
+    t = corpus_with_dups()
+    a = dedup.minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.6,
+                                verify="join").to_pandas()
+    b = dedup.minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.6,
+                                verify="broadcast").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].values))
+    assert key(a) == key(b)
+    ja = a.sort_values(["doc_a", "doc_b"])["jaccard"].to_numpy()
+    jb = b.sort_values(["doc_a", "doc_b"])["jaccard"].to_numpy()
+    np.testing.assert_allclose(ja, jb)
+
+
+def test_embedding_join_verify_path(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(15, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base])
+    t = pa.table({"vec_id": pa.array(np.arange(30), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    pairs = dedup.embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.999,
+                                           verify="join").to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert all((i, i + 15) in got for i in range(15))
+    np.testing.assert_allclose(pairs["cosine"], 1.0, atol=1e-6)
+
+
+def test_exact_dedup_gather_path(ray_session):
+    """Force the at-scale winner-gather path (broadcast_threshold=0) and
+    check it matches the broadcast semi-join path."""
+    import ray.data as rd
+    t = corpus_with_dups()
+    out_gather = dedup.exact_dedup(rd.from_arrow(t),
+                                   broadcast_threshold=0).to_pandas()
+    df = t.to_pandas()
+    want = df.groupby("text")["doc_id"].min()
+    assert set(out_gather["doc_id"]) == set(want)
+    assert sorted(out_gather.columns) == ["doc_id", "text"]
