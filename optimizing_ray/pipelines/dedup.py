@@ -62,11 +62,17 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
     def slim_hash(t: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(t[text_col].to_pylist())
-        return pa.table({
+        out = pa.table({
             id_col: t[id_col],
             "_h1": pa.array(h1), "_h2": pa.array(h2),
             "_shard": pa.array((h1 % n_shards).astype(np.int64)),
         })
+        # in-batch pre-dedup (keep min id per hash): the shuffle then moves
+        # at most one row per (batch, distinct text) — the partial/final
+        # combiner split applied to dedup
+        df = out.to_pandas().sort_values(id_col)
+        df = df.drop_duplicates(subset=["_h1", "_h2"], keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def winners(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.sort_values(id_col).drop_duplicates(subset=["_h1", "_h2"],
