@@ -4,10 +4,12 @@ The reference seeds a 3x3 neighbor load around the query point
 (``WorldPartition.hpp:196-204``) and the engine keeps that idea as the
 pruning path; exactness comes from the two-phase top-k:
 
-1. per-batch partial top-k (vectorized argpartition over the batch x
-   query distance matrix) — each batch emits at most Q x k rows, so the
-   shuffle input is tiny regardless of corpus size;
-2. ``groupby(query_id).map_groups`` final top-k merge.
+1. per-batch partial top-k (vectorized, row-chunked argpartition) — each
+   batch emits at most Q x k rows, so the merge input is tiny regardless
+   of corpus size;
+2. final per-query top-k merge — driver-side by default (the partials
+   are bounded by blocks x Q x k rows), ``merge="shuffle"`` for the
+   distributed groupby when Q itself is huge.
 
 ``knn_brute`` runs phase 1 over every batch (the linear-scan oracle the
 reference toggles with Tab, ``.Test/cacheQuadTree.cpp:425-441``, kept as
