@@ -276,6 +276,14 @@ def _q_events_window(sf_dir: str):
     return windows.tumbling_window(ev, window_s=3600)
 
 
+def _q_sliding_window(sf_dir: str):
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return windows.sliding_window(ev, window_s=3600, slide_s=900)
+
+
 def _q_session_window(sf_dir: str):
     from optimizing_ray.pipelines import windows
     from optimizing_ray.sources import driver_tables
@@ -428,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "events_window": _q_events_window,
+        "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "raster_density": _q_raster_density,
         "ann_topk": _q_ann_topk,
@@ -464,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "doc_stats": oracle.doc_stats_sql(),
         "events_window": oracle.events_window_sql(3600),
+        "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),
         "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),

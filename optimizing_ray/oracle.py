@@ -377,3 +377,20 @@ SELECT doc_id,
        CAST(trunc(y / {cell!r}) AS BIGINT) AS grid_z
 FROM geo
 """
+
+
+def sliding_window_sql(window_s: int = 3600, slide_s: int = 900,
+                       table: str = "events") -> str:
+    """Sliding windows via a lateral generate_series over each event's
+    window-id range — the exact twin of ``windows.sliding_window``."""
+    win_us = window_s * 1_000_000
+    slide_us = slide_s * 1_000_000
+    return f"""
+SELECT user_id, gs.w AS window_id, COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM {table} e,
+LATERAL (SELECT unnest(generate_series(
+    (epoch_us(e.ts) - {win_us}) // {slide_us} + 1,
+    epoch_us(e.ts) // {slide_us})) AS w) gs
+GROUP BY user_id, gs.w
+"""
