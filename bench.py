@@ -26,7 +26,7 @@ import sys
 import time
 
 N_CORPUS = int(os.environ.get("GRAFT_BENCH_N", "1000000"))
-N_BLOCKS = max(16, N_CORPUS // 500_000)
+N_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0")) or max(16, N_CORPUS // 500_000)
 
 
 def run_bench() -> dict:
@@ -162,7 +162,7 @@ def run_scaling() -> dict:
     # best-of-2 per level: this sandbox VM has noisy neighbors and the
     # criterion is about the ENGINE's scaling, not the noise floor
     def best(ncpu):
-        runs = [one(ncpu) for _ in range(2)]
+        runs = [one(ncpu) for _ in range(3)]
         return {k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]} | \
                {"corpus_rows": runs[0]["corpus_rows"]}
     rq_lo, rq_hi = best(lo), best(hi)
