@@ -303,6 +303,30 @@ def _q_raster_density(sf_dir: str):
             .rename_columns({"count()": "n_docs"}))
 
 
+def _q_distinct_sources(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["source"])
+    return textops.distinct_values(docs, "source")
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "lang", "n_chars"])
+    return textops.top_k_per_group(docs, group_col="lang", order_col="n_chars",
+                                   id_col="doc_id", k=3, rank_name="lang_rank")
+
+
+def _q_sales_by_nation(sf_dir: str):
+    from optimizing_ray.pipelines import relational
+
+    return relational.sales_by_nation(sf_dir)
+
+
 def _q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -439,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "raster_density": _q_raster_density,
+        "distinct_sources": _q_distinct_sources,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "sales_by_nation": _q_sales_by_nation,
         "ann_topk": _q_ann_topk,
         # rows-only
         "adaptive_assign": _q_adaptive_assign,
@@ -476,5 +503,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),
         "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
+        "distinct_sources": oracle.distinct_sources_sql(),
+        "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
+        "sales_by_nation": oracle.sales_by_nation_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
     }

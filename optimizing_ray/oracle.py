@@ -394,3 +394,32 @@ LATERAL (SELECT unnest(generate_series(
     epoch_us(e.ts) // {slide_us})) AS w) gs
 GROUP BY user_id, gs.w
 """
+
+
+def distinct_sources_sql(table: str = "documents") -> str:
+    return f"SELECT DISTINCT source FROM {table}"
+
+
+def top_docs_per_lang_sql(k: int = 3, table: str = "documents") -> str:
+    """Top-k docs per language by (n_chars desc, doc_id asc)."""
+    return f"""
+SELECT lang, doc_id, n_chars, lang_rank
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS lang_rank
+  FROM {table}
+) s WHERE lang_rank <= {k}
+"""
+
+
+def sales_by_nation_sql() -> str:
+    """Broadcast dimension join: order revenue per customer nation."""
+    return """
+SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+       round(SUM(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""

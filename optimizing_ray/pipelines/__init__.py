@@ -6,10 +6,11 @@ from optimizing_ray.pipelines import (
     mutate,
     pip,
     raster,
+    relational,
     textops,
     tile_store,
     windows,
 )
 
 __all__ = ["ann", "box_join", "dedup", "knn", "mutate", "pip", "raster",
-           "textops", "tile_store", "windows"]
+           "relational", "textops", "tile_store", "windows"]

@@ -62,3 +62,59 @@ def fingerprints(docs: rd.Dataset, *, text_col: str = "text",
         return t.append_column("fingerprint", pa.array(f.astype(np.int64)))
 
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_values(docs: rd.Dataset, col: str) -> rd.Dataset:
+    """Distinct values of one column with in-batch pre-dedup (the shuffle
+    moves at most one row per (batch, value))."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = pc.unique(t[col])
+        return pa.table({col: u})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _distinct_final(parts, col)
+
+
+def _distinct_final(parts: rd.Dataset, col: str) -> rd.Dataset:
+    import pandas as pd
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(pd.Series(t[col].to_pylist()), index=False).to_numpy()
+        return t.append_column("_shard", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([col])[[col]]
+
+    return (parts.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(dedup, batch_format="pandas"))
+
+
+def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
+                    id_col: str, k: int = 3, rank_name: str = "rank",
+                    n_shards: int = 16) -> rd.Dataset:
+    """Top-k rows per group by (order_col desc, id_col asc) with in-batch
+    partial top-k (each batch forwards at most k rows per group)."""
+    import pandas as pd
+
+    def partial(g_t: pa.Table) -> pa.Table:
+        df = g_t.select([group_col, order_col, id_col]).to_pandas()
+        out = (df.sort_values([order_col, id_col], ascending=[False, True])
+               .groupby(group_col, sort=False).head(k))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(pd.Series(t[group_col].to_pylist()),
+                                       index=False).to_numpy()
+        return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values([order_col, id_col], ascending=[False, True])
+               .groupby(group_col, sort=False).head(k).copy())
+        out[rank_name] = out.groupby(group_col, sort=False).cumcount() + 1
+        return out.drop(columns=["_shard"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(final, batch_format="pandas"))

@@ -66,6 +66,7 @@ def _oracled_names():
     "knn_ring", "pip_join", "raster_near", "vector_raster", "delete_assign",
     "relocate_assign", "dedup_exact", "doc_stats", "events_window",
     "sliding_window", "session_window", "raster_density", "ann_topk",
+    "distinct_sources", "top_docs_per_lang", "sales_by_nation",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
