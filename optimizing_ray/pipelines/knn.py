@@ -88,13 +88,24 @@ class _PartialTopK:
                 out_rows.append(rows[part])
                 out_d.append(d2[part])
         else:
+            # ring-pruned path: sort the batch by cell key ONCE, then each
+            # query gathers its candidate rows with two searchsorted calls
+            # over its (sorted) ring cells — O(n log n + Q * ring * log n)
+            # instead of the O(Q * n) per-query isin scan
+            from optimizing_ray.pipelines.box_join import _ranges_to_rows
+            if key is not None:
+                order = np.argsort(key, kind="stable")
+                skey = key[order]
             for qi in range(nq):
-                rows = np.arange(n)
                 if key is not None:
-                    mask = np.isin(key, self.cell_sets[qi])
-                    rows = rows[mask]
+                    qcells = self.cell_sets[qi]
+                    lo = np.searchsorted(skey, qcells, side="left")
+                    hi = np.searchsorted(skey, qcells, side="right")
+                    rows = order[_ranges_to_rows(lo, hi)]
                     if len(rows) == 0:
                         continue
+                else:
+                    rows = np.arange(n)
                 dx = x[rows] - self.qx[qi]
                 dy = y[rows] - self.qy[qi]
                 d2 = dx * dx + dy * dy

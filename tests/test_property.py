@@ -68,3 +68,34 @@ def test_overlaps3_symmetric_prop(ax, ay, aw, ah, bx, by, bw, bh):
     b = geom.overlaps3(bx, by, 0, bx + bw, by + bh, 1,
                        ax, ay, 0, ax + aw, ay + ah, 1)
     assert bool(a) == bool(b)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("slim_ids,doc_ids", [
+    ([1, 2, 2, 3, 7, 7, 7], [1, 2, 3, 4]),     # dups on the slim side
+    ([], [1, 2, 3]),                            # empty slim
+    ([5, 6, 7], [1, 2, 3]),                     # no overlap
+])
+def test_gather_payload_matches_pandas_merge(ray_session, slim_ids, doc_ids):
+    """The custom bucket-merge gather == an inner pandas merge."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.box_join import gather_payload
+
+    slim = pa.table({"doc_id": pa.array([f"d{i}" for i in slim_ids], pa.string()),
+                     "tag": pa.array(list(range(len(slim_ids))), pa.int64())})
+    docs = pa.table({"doc_id": pa.array([f"d{i}" for i in doc_ids], pa.string()),
+                     "payload": pa.array([i * 7 for i in doc_ids], pa.int64())})
+    out = gather_payload(rd.from_arrow(slim), rd.from_arrow(docs),
+                         payload_cols=("payload",), num_buckets=4).to_pandas()
+    want = (slim.to_pandas().merge(docs.to_pandas(), on="doc_id", how="inner")
+            .sort_values(["doc_id", "tag"]).reset_index(drop=True))
+    assert len(out) == len(want)
+    if len(want):
+        got = out.sort_values(["doc_id", "tag"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "tag", "payload"]],
+                                      want[["doc_id", "tag", "payload"]])
