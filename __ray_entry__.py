@@ -272,7 +272,8 @@ def _q_events_window(sf_dir: str):
     from optimizing_ray.pipelines import windows
     from optimizing_ray.sources import driver_tables
 
-    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"],
+                            num_blocks=8)
     return windows.tumbling_window(ev, window_s=3600)
 
 
@@ -280,7 +281,8 @@ def _q_sliding_window(sf_dir: str):
     from optimizing_ray.pipelines import windows
     from optimizing_ray.sources import driver_tables
 
-    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts", "value"],
+                            num_blocks=8)
     return windows.sliding_window(ev, window_s=3600, slide_s=900)
 
 
@@ -289,7 +291,8 @@ def _q_session_window(sf_dir: str):
     from optimizing_ray.sources import driver_tables
 
     ev = driver_tables.read(sf_dir, "events",
-                            columns=["user_id", "event_id", "ts", "value"])
+                            columns=["user_id", "event_id", "ts", "value"],
+                            num_blocks=8)
     return windows.session_window(ev, gap_s=1800)
 
 

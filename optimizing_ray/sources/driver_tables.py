@@ -75,8 +75,12 @@ def documents_with_geometry(sf_dir: str, *, columns: list[str] | None = None,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
-def read(sf_dir: str, table: str, *, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def read(sf_dir: str, table: str, *, columns: list[str] | None = None,
+         num_blocks: int | None = None) -> rd.Dataset:
+    """Single-file driver tables read as ONE block by default, which
+    serializes every downstream map; pass num_blocks to split."""
+    kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
 # --- driver-side query workloads (SQL-twinned, FIXTURES.md F2/F3) ---------
