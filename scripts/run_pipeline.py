@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--adaptive", action="store_true",
                     help="capacity-based adaptive depth + hot-cell salting")
     ap.add_argument("--capacity", type=int, default=10_000)
+    ap.add_argument("--salt-threshold", type=int, default=1_000_000)
+    ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--coarse-depth", type=int, default=3)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -51,15 +53,29 @@ def main() -> int:
 
     t0 = time.perf_counter()
     docs = driver_tables.documents_with_geometry(args.input)
+    part_col = "cell_key"
     if args.adaptive:
         keyed, plan = adaptive.adaptive_assign(
             docs, WORLD_2D, capacity=args.capacity,
-            coarse_depth=args.coarse_depth, max_depth=args.depth)
+            coarse_depth=args.coarse_depth, max_depth=args.depth,
+            salt_threshold=args.salt_threshold, n_salts=args.n_salts)
         n_leaves = len(plan.leaves)
+        if len(plan.hot_cells):
+            # salted hot cells fan out over composite part keys
+            import pyarrow as pa
+
+            def composite(t):
+                pk = (t["cell_key"].to_numpy() * args.n_salts
+                      + t["salt"].to_numpy())
+                return t.append_column("part_key", pa.array(pk))
+
+            keyed = keyed.map_batches(composite, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            part_col = "part_key"
     else:
         keyed = assign_tiles(docs, args.depth, WORLD_2D)
         n_leaves = None
-    rows = manifest.resumable_write(keyed, args.output)
+    rows = manifest.resumable_write(keyed, args.output, key_col=part_col)
     out = {
         "status": "ok",
         "wall_s": round(time.perf_counter() - t0, 3),
