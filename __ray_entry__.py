@@ -296,6 +296,16 @@ def _q_session_window(sf_dir: str):
     return windows.session_window(ev, gap_s=1800)
 
 
+def _q_prev_value(sf_dir: str):
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts", "value"],
+                            num_blocks=8)
+    return windows.with_prev_value(ev)
+
+
 def _q_raster_density(sf_dir: str):
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import raster
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
+        "prev_value": _q_prev_value,
         "raster_density": _q_raster_density,
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -505,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),
+        "prev_value": oracle.prev_value_sql(),
         "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),

@@ -423,3 +423,12 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+
+def prev_value_sql(table: str = "events") -> str:
+    """As-of self-join oracle: lag(value) per key ordered by (ts, event_id)."""
+    return f"""
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM {table}
+"""

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["tumbling_window", "sliding_window", "session_window"]
+__all__ = ["tumbling_window", "sliding_window", "session_window", "with_prev_value"]
 
 
 def tumbling_window(events: rd.Dataset, *, window_s: int = 3600,
@@ -131,3 +131,26 @@ def session_window(events: rd.Dataset, *, gap_s: int = 1800,
 
     return (events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(sessions, batch_format="pandas"))
+
+
+def with_prev_value(events: rd.Dataset, *, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    id_col: str = "event_id", n_shards: int = 64) -> rd.Dataset:
+    """As-of self-join: attach each event's most recent PRIOR value for the
+    same key (the ordered-log pattern for as-of/range joins: shard by key
+    hash, sort within shard, vectorized shift).  Ties on ts break by
+    id_col, matching the SQL lag() oracle."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("_shard", pa.array((key % n_shards).astype(np.int64)))
+
+    def prev(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        shifted = g[value_col].shift()
+        same_key = g[key_col] == g[key_col].shift()
+        g = g.assign(prev_value=shifted.where(same_key))
+        return g.drop(columns=["_shard"])
+
+    return (events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(prev, batch_format="pandas"))
