@@ -340,6 +340,29 @@ def _q_sales_by_nation(sf_dir: str):
     return relational.sales_by_nation(sf_dir)
 
 
+def _q_median_qty(sf_dir: str):
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    li = driver_tables.read(sf_dir, "lineitem",
+                            columns=["l_returnflag", "l_quantity"], num_blocks=8)
+    return sketches.percentile_disc(li, key_col="l_returnflag",
+                                    value_col="l_quantity", q=0.5)
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    """HLL distinct-count sketch (rows-only: approximate by design; pytest
+    asserts <5% error vs exact)."""
+    import pyarrow as pa
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id"], num_blocks=8)
+    est = sketches.hll_distinct(ev, "user_id")
+    return pa.table({"metric": pa.array(["distinct_users_hll"], pa.string()),
+                     "estimate": pa.array([est], pa.float64())})
+
+
 def _q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -480,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sales_by_nation": _q_sales_by_nation,
+        "median_qty": _q_median_qty,
         "ann_topk": _q_ann_topk,
         # rows-only
         "adaptive_assign": _q_adaptive_assign,
@@ -489,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "hll_distinct_users": _q_hll_distinct_users,
         "media_features": _q_media_features,
         "span_passthrough": _q_span_passthrough,
     }
@@ -521,5 +546,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
+        "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
     }

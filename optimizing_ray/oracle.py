@@ -432,3 +432,13 @@ SELECT event_id, user_id, ts, value,
        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
 FROM {table}
 """
+
+
+def median_qty_sql(table: str = "lineitem") -> str:
+    """Exact discrete median per return flag (quantile_disc returns an
+    actual element — bit-for-bit matchable, verified convention-equal to
+    sketches.percentile_disc)."""
+    return f"""
+SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50
+FROM {table} GROUP BY l_returnflag
+"""

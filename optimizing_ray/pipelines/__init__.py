@@ -7,10 +7,11 @@ from optimizing_ray.pipelines import (
     pip,
     raster,
     relational,
+    sketches,
     textops,
     tile_store,
     windows,
 )
 
 __all__ = ["ann", "box_join", "dedup", "knn", "mutate", "pip", "raster",
-           "relational", "textops", "tile_store", "windows"]
+           "relational", "sketches", "textops", "tile_store", "windows"]

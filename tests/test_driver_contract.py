@@ -66,7 +66,7 @@ def _oracled_names():
     "knn_ring", "pip_join", "raster_near", "vector_raster", "delete_assign",
     "relocate_assign", "dedup_exact", "doc_stats", "events_window",
     "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
-    "distinct_sources", "top_docs_per_lang", "sales_by_nation",
+    "distinct_sources", "top_docs_per_lang", "sales_by_nation", "median_qty",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
@@ -86,6 +86,7 @@ def test_every_oracle_key_has_query():
 @pytest.mark.parametrize("name", [
     "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
     "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
+    "hll_distinct_users",
     "span_passthrough",
 ])
 def test_rows_only_queries_run(ray_session, name):
