@@ -3,8 +3,9 @@
 * ``percentile_disc`` — exact discrete quantile per group (returns an
   actual element, so the DuckDB ``quantile_disc`` oracle matches
   bit-for-bit).  Per-group exact medians need the group's values in one
-  task — right for low-cardinality keys; the sketch below is the
-  unbounded-cardinality path.
+  task — right for low-cardinality keys (an approximate mergeable quantile
+  sketch is the unbounded-cardinality path; the HLL below demonstrates
+  the engine's mergeable-sketch plumbing).
 * ``hll_distinct`` — HyperLogLog distinct-count: each batch emits ONE
   4096-register sketch row, merged by elementwise max (the mergeable-
   sketch partial/final pattern from the Ray guide); estimate within a

@@ -17,6 +17,29 @@ import ray.data as rd
 
 __all__ = ["tumbling_window", "sliding_window", "session_window", "with_prev_value"]
 
+def _sharded_sum(partials: rd.Dataset, key_col: str, n_shards: int = 64) -> rd.Dataset:
+    """Merge (key, window_id, n, s) partials by (key, window): shard on
+    hash(key, window) % n_shards and sum vectorized inside each shard —
+    Ray's native multi-key aggregate degrades when group count approaches
+    row count (measured 2x slower than a single-block pandas groupby at
+    380 k groups); 64 shards keep the merge distributed AND vectorized."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (t[key_col].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + t["window_id"].to_numpy().astype(np.uint64))
+        return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([key_col, "window_id"], sort=False).agg(
+            n_events=("n", "sum"), sv=("s", "sum")).reset_index()
+        agg["sum_value"] = np.round(agg["sv"].to_numpy(), 6)
+        return agg[[key_col, "window_id", "n_events", "sum_value"]]
+
+    return (partials.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(merge, batch_format="pandas"))
+
+
 
 def tumbling_window(events: rd.Dataset, *, window_s: int = 3600,
                     key_col: str = "user_id", ts_col: str = "ts",
@@ -42,17 +65,7 @@ def tumbling_window(events: rd.Dataset, *, window_s: int = 3600,
                          "s": pa.array(agg["s"].to_numpy())})
 
     partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby([key_col, "window_id"]).sum(["n", "s"])
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            key_col: t[key_col],
-            "window_id": t["window_id"],
-            "n_events": t["sum(n)"],
-            "sum_value": pa.array(np.round(t["sum(s)"].to_numpy(), 6)),
-        })
-
-    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return _sharded_sum(partials, key_col)
 
 
 def sliding_window(events: rd.Dataset, *, window_s: int = 3600,
@@ -84,16 +97,7 @@ def sliding_window(events: rd.Dataset, *, window_s: int = 3600,
                          "s": pa.array(agg["s"].to_numpy())})
 
     partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby([key_col, "window_id"]).sum(["n", "s"])
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            key_col: t[key_col], "window_id": t["window_id"],
-            "n_events": t["sum(n)"],
-            "sum_value": pa.array(np.round(t["sum(s)"].to_numpy(), 6)),
-        })
-
-    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return _sharded_sum(partials, key_col)
 
 
 def session_window(events: rd.Dataset, *, gap_s: int = 1800,
