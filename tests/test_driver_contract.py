@@ -107,3 +107,19 @@ def test_entry_smoke(ray_session):
     df = to_df(res)
     assert len(df) >= 0
     assert "query_id" in df.columns and "doc_id" in df.columns
+
+
+@pytest.mark.parametrize("name", ["tile_assign", "box_join", "knn", "dedup_exact"])
+def test_queries_also_match_at_sf0001(ray_session, name):
+    """Cross-sf check: the oracle equivalence is not tuned to one scale."""
+    sf = "/root/testdata/sf0.001"
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    import __ray_entry__ as e
+
+    ray_df = to_df(e.queries()[name](sf))
+    sql_df = c.execute(e.oracle_sql()[name]).df()
+    compare(ray_df, sql_df, f"{name}@sf0.001")
