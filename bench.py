@@ -107,6 +107,22 @@ def run_bench() -> dict:
     extras["join_rows"] = int(n_pairs)
     extras["join_rows_per_sec"] = round(n_pairs / times["box_join_1m"], 1)
 
+    # -- headline 2b: adaptive subdivision + salting over a SKEWED corpus --
+    def adaptive_1m():
+        from optimizing_ray.stages import adaptive as ad
+        ds = synthetic_documents(N_CORPUS, variant="skewed", with_spans=False,
+                                 override_num_blocks=N_BLOCKS)
+        keyed, plan = ad.adaptive_assign(
+            ds, __import__("optimizing_ray.config", fromlist=["WORLD_3D"]).WORLD_3D,
+            capacity=max(1000, N_CORPUS // 100), coarse_depth=3, max_depth=7,
+            salt_threshold=max(2000, N_CORPUS // 50), n_salts=8)
+        n = keyed.count()
+        extras["adaptive_leaves"] = len(plan.leaves)
+        extras["adaptive_hot_cells"] = int(len(plan.hot_cells))
+        return n
+
+    timed("adaptive_1m", adaptive_1m)
+
     # -- headline 3: kNN ----------------------------------------------------
     kq = synth.knn_queries_table(32)
 

@@ -56,12 +56,25 @@ def cell_counts(ds: rd.Dataset, world: World, depth: int,
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({"cell_key": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
 
+    # merge partials driver-side: the result is bounded by 4^depth cells
+    # (not corpus size), and a native groupby over ~10k keys costs more
+    # than shipping the tiny partial tables to the driver
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = parts.groupby("cell_key").sum("n")
-    out: dict[int, int] = {}
-    for row in agg.iter_rows():
-        out[int(row["cell_key"])] = int(row["sum(n)"])
-    return out
+    keys_acc: list[np.ndarray] = []
+    ns_acc: list[np.ndarray] = []
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            keys_acc.append(t["cell_key"].to_numpy())
+            ns_acc.append(t["n"].to_numpy())
+    if not keys_acc:
+        return {}
+    keys = np.concatenate(keys_acc)
+    ns = np.concatenate(ns_acc)
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(agg, inv, ns)
+    return dict(zip(uk.tolist(), agg.tolist()))
 
 
 @dataclass
