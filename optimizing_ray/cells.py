@@ -193,7 +193,10 @@ def neighbors2(key, world: World | None = None) -> np.ndarray:
 
 def disk2(key, k: int) -> np.ndarray:
     """All cells with Chebyshev distance <= k from each key (the reference's
-    view-distance rule, ``WorldPartition.hpp:208-212``). Shape (..., (2k+1)^2)."""
+    view-distance rule, ``WorldPartition.hpp:208-212``). Shape (..., (2k+1)^2).
+
+    PRECONDITION: all input keys share one depth (the scalar depth of the
+    first key is used for re-encoding)."""
     kk = _u64(key)
     depth, ix, iy = decode2(kk)
     n = np.uint64(1) << depth.astype(np.uint64)

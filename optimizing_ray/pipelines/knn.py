@@ -242,7 +242,10 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         for j, p in enumerate(pending):
             g = merged[merged["query_id"] == qid[p]]
             kth = g["dist"].max() if len(g) == int(qk[p]) else np.inf
-            if kth <= guarantee or ring >= n:
+            # STRICT inequality: an outside point at exactly guarantee
+            # distance could displace an equal-distance neighbor under the
+            # (dist, doc_id) tiebreak
+            if kth < guarantee or ring >= n:
                 results[qid[p]] = g
             else:
                 still.append(p)
