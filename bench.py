@@ -115,7 +115,7 @@ def run_bench() -> dict:
         keyed, plan = ad.adaptive_assign(
             ds, __import__("optimizing_ray.config", fromlist=["WORLD_3D"]).WORLD_3D,
             capacity=max(1000, N_CORPUS // 100), coarse_depth=3, max_depth=7,
-            salt_threshold=max(2000, N_CORPUS // 50), n_salts=8)
+            salt_threshold=max(1000, N_CORPUS // 100), n_salts=8)
         n = keyed.count()
         extras["adaptive_leaves"] = len(plan.leaves)
         extras["adaptive_hot_cells"] = int(len(plan.hot_cells))
