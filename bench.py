@@ -121,7 +121,11 @@ def run_bench() -> dict:
         extras["adaptive_hot_cells"] = int(len(plan.hot_cells))
         return n
 
-    timed("adaptive_1m", adaptive_1m)
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        # excluded from --scaling subprocesses: not part of the efficiency
+        # metric, and its driver-coordinated counts pass would share the
+        # measurement window with the metric stages
+        timed("adaptive_1m", adaptive_1m)
 
     # -- headline 3: kNN ----------------------------------------------------
     kq = synth.knn_queries_table(32)
