@@ -172,6 +172,16 @@ def _q_pip_join(sf_dir: str):
                                   depth=DEPTH, kernel="convex")
 
 
+def _q_pip_join_shuffle(sf_dir: str):
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pip
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    return pip.pip_join_shuffle(_docs(sf_dir), polys, world=WORLD_2D,
+                                depth=DEPTH, kernel="convex")
+
+
 def _q_raster_near(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
+        "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
         "delete_assign": _q_delete_assign,
@@ -532,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracle.knn_sql(N_KNN_QUERIES),
         "knn_ring": oracle.knn_sql(N_KNN_QUERIES),
         "pip_join": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
+        "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),
         "delete_assign": oracle.delete_assign_sql(DEPTH, DELETE_MOD),

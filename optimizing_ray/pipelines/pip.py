@@ -32,7 +32,7 @@ from optimizing_ray import cells
 from optimizing_ray.config import World
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
-__all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast"]
+__all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast", "pip_join_shuffle"]
 
 
 def pip_ray_cast(px: np.ndarray, py: np.ndarray,
@@ -144,3 +144,123 @@ def pip_join_broadcast(docs: rd.Dataset, polygons: pa.Table, *, world: World,
 
     return docs.map_batches(join_batch, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
+
+
+def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
+                     world: World, depth: int, kernel: str = "ray_cast",
+                     payload_cols: tuple[str, ...] = ("doc_id",),
+                     n_shards: int = 32) -> rd.Dataset:
+    """Both-sides-large PIP plan: polygons explode to their cover cells,
+    docs carry their point cell; the two sides co-group on a cell-hash
+    shard (side-tagged union — Acero joins reject the nested ring column)
+    and the PIP kernel runs per cell inside the shard.
+
+    Pairs are unique by construction (each doc has ONE cell; each
+    (polygon, cell) is distinct and a doc is tested only against the
+    polygons covering its own cell)."""
+    if isinstance(polygons, pa.Table):
+        polygons = rd.from_arrow(polygons)
+
+    doc_schema = docs.schema().base_schema
+    payload_types = {c: doc_schema.field(c).type for c in payload_cols}
+
+    def explode_polys(t: pa.Table) -> pa.Table:
+        pids, keys, rings_x, rings_y = [], [], [], []
+        ring_col = t["ring"]
+        id_col = t["poly_id"].to_pylist()
+        for i, pid in enumerate(id_col):
+            ring = ring_col[i].as_py()
+            vx = np.asarray([v["x"] for v in ring])
+            vy = np.asarray([v["y"] for v in ring])
+            cover = cells.cover2(vx.min(), vy.min(), vx.max(), vy.max(),
+                                 world, depth).astype(np.int64)
+            for k in cover.tolist():
+                pids.append(pid)
+                keys.append(k)
+                rings_x.append(vx.tolist())
+                rings_y.append(vy.tolist())
+        return pa.table({
+            "poly_id": pa.array(pids, pa.string()),
+            "cell_key": pa.array(keys, pa.int64()),
+            "_side": pa.array(np.ones(len(pids), dtype=np.int8)),
+            "_rx": pa.array(rings_x, pa.list_(pa.float64())),
+            "_ry": pa.array(rings_y, pa.list_(pa.float64())),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        if "cell_key" not in t.column_names:
+            t = assign_point_cells_batch(t, depth, world)
+        out = {
+            "poly_id": pa.nulls(len(t), pa.string()),
+            "cell_key": t["cell_key"],
+            "_side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "_rx": pa.nulls(len(t), pa.list_(pa.float64())),
+            "_ry": pa.nulls(len(t), pa.list_(pa.float64())),
+            "_x": t["x"], "_y": t["y"],
+        }
+        for c in payload_cols:
+            out[f"_p_{c}"] = t[c]
+        return pa.table(out)
+
+    def pad_polys(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in t.column_names}
+        out["_x"] = pa.nulls(len(t), pa.float64())
+        out["_y"] = pa.nulls(len(t), pa.float64())
+        for c in payload_cols:
+            out[f"_p_{c}"] = pa.nulls(len(t), payload_types[c])
+        return pa.table(out)
+
+    kern = pip_convex if kernel == "convex" else pip_ray_cast
+    poly_side = polygons.map_batches(explode_polys, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .map_batches(pad_polys, batch_format="pyarrow", zero_copy_batch=True)
+    doc_side = docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = doc_side.union(poly_side)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = t["cell_key"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def within_shard(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy()
+        key = t["cell_key"].to_numpy()
+        doc_rows = np.nonzero(side == 0)[0]
+        poly_rows = np.nonzero(side == 1)[0]
+        empty = pa.table({"poly_id": pa.array([], pa.string()),
+                          **{c: pa.array([], payload_types[c]) for c in payload_cols}})
+        if len(doc_rows) == 0 or len(poly_rows) == 0:
+            return empty
+        x = t["_x"].to_numpy(zero_copy_only=False)
+        y = t["_y"].to_numpy(zero_copy_only=False)
+        order = doc_rows[np.argsort(key[doc_rows], kind="stable")]
+        skey = key[order]
+        out_sel, out_pid = [], []
+        from optimizing_ray.pipelines.box_join import _ranges_to_rows
+        pids = t["poly_id"]
+        rxs = t["_rx"]
+        rys = t["_ry"]
+        for pr in poly_rows:
+            lo = np.searchsorted(skey, key[pr], side="left")
+            hi = np.searchsorted(skey, key[pr], side="right")
+            rows = order[lo:hi]
+            if len(rows) == 0:
+                continue
+            vx = np.asarray(rxs[pr].as_py())
+            vy = np.asarray(rys[pr].as_py())
+            m = kern(x[rows], y[rows], vx, vy)
+            hits = rows[m]
+            if len(hits):
+                out_sel.append(hits)
+                out_pid.extend([pids[pr].as_py()] * len(hits))
+        if not out_sel:
+            return empty
+        sel = np.concatenate(out_sel)
+        res = {"poly_id": pa.array(out_pid, pa.string())}
+        for c in payload_cols:
+            res[c] = t[f"_p_{c}"].take(pa.array(sel))
+        return pa.table(res)
+
+    return (tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(within_shard, batch_format="pyarrow"))

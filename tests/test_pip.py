@@ -62,3 +62,15 @@ def test_pip_join_convex_kernel(ray_session):
     b = pip.pip_join_broadcast(docs, polys, world=WORLD_2D, depth=4,
                                kernel="ray_cast").to_pandas()
     assert set(zip(a["poly_id"], a["doc_id"])) == set(zip(b["poly_id"], b["doc_id"]))
+
+
+def test_pip_shuffle_matches_broadcast(ray_session):
+    import ray.data as rd
+    corpus = synth.documents_batch(np.arange(3000), variant="flat2d", with_spans=False)
+    polys = synth.polygons_table(8)
+    docs = rd.from_arrow(corpus)
+    a = pip.pip_join_broadcast(docs, polys, world=WORLD_2D, depth=4).to_pandas()
+    b = pip.pip_join_shuffle(rd.from_arrow(corpus), polys, world=WORLD_2D,
+                             depth=4, n_shards=8).to_pandas()
+    assert set(zip(a["poly_id"], a["doc_id"])) == set(zip(b["poly_id"], b["doc_id"]))
+    assert len(b) == len(b.drop_duplicates())
