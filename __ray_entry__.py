@@ -261,6 +261,14 @@ def _q_relocate_assign(sf_dir: str):
     return out.select_columns(["doc_id", "x", "y", "cell_key"])
 
 
+def _q_train_split(sf_dir: str):
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+    return textops.train_split(docs)
+
+
 def _q_dedup_exact(sf_dir: str):
     from optimizing_ray.pipelines import dedup
     from optimizing_ray.sources import driver_tables
@@ -504,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_raster": _q_vector_raster,
         "delete_assign": _q_delete_assign,
         "relocate_assign": _q_relocate_assign,
+        "train_split": _q_train_split,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "events_window": _q_events_window,
@@ -548,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),
         "delete_assign": oracle.delete_assign_sql(DEPTH, DELETE_MOD),
         "relocate_assign": oracle.relocate_assign_sql(DEPTH, RELOC_MOD),
+        "train_split": oracle.train_split_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "doc_stats": oracle.doc_stats_sql(),
         "events_window": oracle.events_window_sql(3600),

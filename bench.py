@@ -103,6 +103,13 @@ def run_bench() -> dict:
             max_extent=(100.0, 100.0))
         return res.count()
 
+    if "--stats" in sys.argv:
+        res = box_join.box_join_broadcast(
+            corpus(), queries, world=WORLD_2D, depth=depth,
+            max_extent=(100.0, 100.0))
+        res.count()
+        print(res.stats(), file=sys.stderr)
+
     n_pairs = timed("box_join_1m", join_1m)
     extras["join_rows"] = int(n_pairs)
     extras["join_rows_per_sec"] = round(n_pairs / times["box_join_1m"], 1)

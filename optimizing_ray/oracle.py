@@ -442,3 +442,13 @@ def median_qty_sql(table: str = "lineitem") -> str:
 SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50
 FROM {table} GROUP BY l_returnflag
 """
+
+
+def train_split_sql(train_frac: float = 0.9, mult: int = 2_885_564_557,
+                    table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN {frac_sql('doc_id', mult)} < {train_frac!r}
+            THEN 'train' ELSE 'val' END AS split
+FROM {table}
+"""

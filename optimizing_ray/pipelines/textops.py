@@ -118,3 +118,18 @@ def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
     return (docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(final, batch_format="pandas"))
+
+
+def train_split(docs: rd.Dataset, *, id_col: str = "doc_id",
+                train_frac: float = 0.9, mult: int = 2_885_564_557) -> rd.Dataset:
+    """Deterministic train/val assignment by id hash — stable across runs,
+    resumable, and exactly reproducible in SQL (the driver-oracle frac
+    arithmetic): split = 'train' iff ((id * mult) % 2^32) / 2^32 < frac."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = ((ids * np.int64(mult)) % np.int64(1 << 32)).astype(np.float64) / float(1 << 32)
+        split = np.where(frac < train_frac, "train", "val")
+        return t.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

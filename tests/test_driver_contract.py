@@ -64,7 +64,7 @@ def _oracled_names():
 @pytest.mark.parametrize("name", [
     "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle", "knn",
     "knn_ring", "pip_join", "pip_join_shuffle", "raster_near", "vector_raster", "delete_assign",
-    "relocate_assign", "dedup_exact", "doc_stats", "events_window",
+    "relocate_assign", "train_split", "dedup_exact", "doc_stats", "events_window",
     "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
     "distinct_sources", "top_docs_per_lang", "sales_by_nation", "median_qty",
 ])
