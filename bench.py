@@ -134,6 +134,25 @@ def run_bench() -> dict:
         # measurement window with the metric stages
         timed("adaptive_1m", adaptive_1m)
 
+    # -- headline 2c: ingest to the partitioned tile store (disk path) ------
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        import shutil
+        store_dir = "/tmp/graft_bench_store"
+
+        def store_write_1m():
+            from optimizing_ray.state import manifest as mf
+            shutil.rmtree(store_dir, ignore_errors=True)
+            ds = synthetic_documents(N_CORPUS, variant="flat2d", with_spans=False,
+                                     override_num_blocks=N_BLOCKS)
+            keyed = assign_tiles(ds, 4, WORLD_2D)  # 256 tile groups
+            rows = mf.resumable_write(keyed, store_dir)
+            return sum(r["rows_out"] for r in rows)
+
+        n_written = timed("store_write_1m", store_write_1m)
+        extras["store_rows_written"] = int(n_written)
+        extras["store_write_rows_per_sec"] = round(n_written / times["store_write_1m"], 1)
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     # -- headline 3: kNN ----------------------------------------------------
     kq = synth.knn_queries_table(32)
 
