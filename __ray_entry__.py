@@ -467,6 +467,18 @@ def _q_embedding_near_dup(sf_dir: str):
     return dedup.embedding_near_dup_pairs(emb, threshold=0.9)
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation funnel (dedup -> analyze -> gate -> split); rows-
+    only (the heuristic scores have no SQL twin; each stage is separately
+    oracle- or pytest-verified)."""
+    from optimizing_ray.pipelines import curate as cur
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = cur.curate(docs, min_quality=0.2)
+    return out.select_columns(["doc_id", "lang_pred", "quality", "split"])
+
+
 def _q_media_features(sf_dir: str):
     """Interleaved-corpus media plumbing (driver tables carry no spans, so
     the deterministic synthetic interleaved corpus stands in; rows-only)."""
@@ -534,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "hll_distinct_users": _q_hll_distinct_users,
+        "curate": _q_curate,
         "media_features": _q_media_features,
         "span_passthrough": _q_span_passthrough,
     }

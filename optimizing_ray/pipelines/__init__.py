@@ -1,6 +1,7 @@
 from optimizing_ray.pipelines import (
     ann,
     box_join,
+    curate,
     dedup,
     knn,
     mutate,
@@ -13,5 +14,5 @@ from optimizing_ray.pipelines import (
     windows,
 )
 
-__all__ = ["ann", "box_join", "dedup", "knn", "mutate", "pip", "raster",
+__all__ = ["ann", "box_join", "curate", "dedup", "knn", "mutate", "pip", "raster",
            "relational", "sketches", "textops", "tile_store", "windows"]

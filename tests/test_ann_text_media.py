@@ -131,3 +131,24 @@ def test_sample_frames(ray_session):
     out = media.sample_frames(rd.from_arrow(t), every_n=10).to_pandas()
     assert (out["frame_idx"] % 10 == 0).all()
     assert out["media_ref"].str.startswith("media://").all()
+
+
+def test_curate_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines import curate as cur
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then the cat runs home to the house " * 3),
+        (2, "the quick brown fox jumps over the lazy dog and then the cat runs home to the house " * 3),  # dup of 1
+        (3, "le chat et le chien sont dans le jardin de la maison et il y a un arbre " * 3),
+        (4, "!!!! ???? $$$$ %%%% ^^^^"),   # junk -> low quality
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = cur.curate(rd.from_arrow(t), min_quality=0.3).to_pandas()
+    assert 2 not in set(out["doc_id"])          # dedup kept min id
+    assert 4 not in set(out["doc_id"])          # junk gated out
+    assert set(out["doc_id"]) == {1, 3}
+    assert set(out.loc[out.doc_id == 1, "lang_pred"]) == {"en"}
+    assert set(out.loc[out.doc_id == 3, "lang_pred"]) == {"fr"}
+    assert set(out["split"]) <= {"train", "val"}

@@ -86,7 +86,7 @@ def test_every_oracle_key_has_query():
 @pytest.mark.parametrize("name", [
     "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
     "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
-    "hll_distinct_users",
+    "hll_distinct_users", "curate",
     "span_passthrough",
 ])
 def test_rows_only_queries_run(ray_session, name):
