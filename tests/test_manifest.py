@@ -70,3 +70,22 @@ def test_resume_skips_completed(ray_session, tmp_path):
     df = collect(out)
     assert len(df) == 2000
     assert len(manifest.read_manifest(out)) == len(rows1)
+
+
+def test_spans_survive_store_roundtrip(ray_session, tmp_path):
+    """Span-sequence invariant across the persistence boundary: write the
+    interleaved corpus to tile groups, read it back, every spans list is
+    identical and in order."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(800), variant="flat2d", with_spans=True)
+    keyed = assign_tiles(rd.from_arrow(t), 3, WORLD_2D)
+    store = str(tmp_path / "spans_store")
+    manifest.resumable_write(keyed, store)
+    back = manifest.read_output(store).to_pandas().set_index("doc_id")
+    want = {d: s for d, s in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist())}
+    assert len(back) == 800
+    for doc_id, row in back.iterrows():
+        spans = row["spans"]
+        spans = spans.tolist() if hasattr(spans, "tolist") else spans
+        got = [tuple(sorted(s.items())) for s in spans]
+        assert got == [tuple(sorted(s.items())) for s in want[doc_id]], doc_id
