@@ -92,15 +92,23 @@ def _q_tile_counts(sf_dir: str):
 
     ds = assign_tiles(_docs(sf_dir), DEPTH, WORLD_2D)
 
-    # pre-aggregate per batch (one row per (batch, cell)) so the groupby
-    # shuffles partials, not rows (the A3 counts pattern)
+    # pre-aggregate per batch, then merge DRIVER-SIDE: the result is
+    # bounded by 4^DEPTH cells regardless of corpus size, and a native
+    # groupby's fixed shuffle startup dwarfs the tiny merge
     def partial(t: pa.Table) -> pa.Table:
         uk, cnt = np.unique(t["cell_key"].to_numpy(), return_counts=True)
         return pa.table({"cell_key": pa.array(uk),
                          "n": pa.array(cnt.astype(np.int64))})
 
+    import ray
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parts.groupby("cell_key").sum("n").rename_columns({"sum(n)": "n_docs"})
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    keys = np.concatenate([t["cell_key"].to_numpy() for t in tabs])
+    ns = np.concatenate([t["n"].to_numpy() for t in tabs])
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(agg, inv, ns)
+    return pa.table({"cell_key": pa.array(uk), "n_docs": pa.array(agg)})
 
 
 def _q_grid_cells(sf_dir: str):
