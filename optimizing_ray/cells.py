@@ -182,7 +182,7 @@ def cell_box2(key, world: World):
     return mnx, mny, mnx + cw, mny + ch
 
 
-def neighbors2(key, world: World | None = None) -> np.ndarray:
+def neighbors2(key) -> np.ndarray:
     """Ring-1 (3x3 incl. self) neighbor keys of each input key, clamped to
     the grid — the reference's neighborhood load (``WorldPartition.hpp:196-204``).
 
