@@ -336,10 +336,27 @@ def _q_raster_density(sf_dir: str):
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import raster
 
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
     res = raster.covering_pixels(_docs(sf_dir), world=WORLD_2D,
                                  width=RASTER_W, height=RASTER_W)
-    return (res.groupby("pixel_id").count()
-            .rename_columns({"count()": "n_docs"}))
+
+    # per-batch partial counts merged driver-side: bounded by W*H pixels
+    def partial(t: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(t["pixel_id"].to_numpy(), return_counts=True)
+        return pa.table({"pixel_id": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = res.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    keys = np.concatenate([t["pixel_id"].to_numpy() for t in tabs])
+    ns = np.concatenate([t["n"].to_numpy() for t in tabs])
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(agg, inv, ns)
+    return pa.table({"pixel_id": pa.array(uk), "n_docs": pa.array(agg)})
 
 
 def _q_distinct_sources(sf_dir: str):
