@@ -15,6 +15,19 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+SQL_NAMES = [
+    "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle", "knn",
+    "knn_ring", "pip_join", "pip_join_shuffle", "raster_near", "vector_raster", "delete_assign",
+    "relocate_assign", "train_split", "dedup_exact", "doc_stats", "events_window",
+    "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
+    "distinct_sources", "top_docs_per_lang", "sales_by_nation", "median_qty",
+]
+ROWS_ONLY_NAMES = [
+    "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
+    "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
+    "hll_distinct_users", "curate", "span_passthrough",
+]
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -61,13 +74,7 @@ def _oracled_names():
     return sorted(e.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle", "knn",
-    "knn_ring", "pip_join", "pip_join_shuffle", "raster_near", "vector_raster", "delete_assign",
-    "relocate_assign", "train_split", "dedup_exact", "doc_stats", "events_window",
-    "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
-    "distinct_sources", "top_docs_per_lang", "sales_by_nation", "median_qty",
-])
+@pytest.mark.parametrize("name", SQL_NAMES)
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
 
@@ -83,12 +90,18 @@ def test_every_oracle_key_has_query():
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-@pytest.mark.parametrize("name", [
-    "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
-    "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
-    "hll_distinct_users", "curate",
-    "span_passthrough",
-])
+
+
+def test_parametrization_covers_every_query():
+    """Every queries() entry is exercised by exactly one of the two
+    parametrized gate tests (a new query cannot silently skip the gate)."""
+    import __ray_entry__ as e
+
+    assert sorted(SQL_NAMES) == sorted(e.oracle_sql().keys())
+    assert sorted(SQL_NAMES + ROWS_ONLY_NAMES) == sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(ray_session, name):
     import __ray_entry__ as e
 
