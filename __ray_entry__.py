@@ -140,6 +140,47 @@ def _q_box_join(sf_dir: str):
         max_extent=(10.0, 10.0), payload_cols=("doc_id",))
 
 
+def _q_box_join_3d(sf_dir: str):
+    """3D octree-keyed box join over driver docs: z/extent derived from
+    doc_id like x/y; 50x10x50 query boxes (WorldPartition.hpp:105)."""
+    import numpy as np
+    import pyarrow as pa
+    from optimizing_ray.config import World
+    from optimizing_ray.pipelines import box_join
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.sources.driver_tables import (
+        GEO_MULTS, QUERY_MULTS, QUERY_SALT, _frac)
+
+    world3 = World(0.0, 0.0, 0.0, 800.0, 600.0, 50.0, dims=3)
+    wx, wy, wz = 800.0, 600.0, 50.0
+
+    def derive3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        t = t.append_column("x", pa.array(0.0 + _frac(ids, GEO_MULTS["x"]) * wx))
+        t = t.append_column("y", pa.array(0.0 + _frac(ids, GEO_MULTS["y"]) * wy))
+        t = t.append_column("z", pa.array(0.0 + _frac(ids, 3266489917) * wz))
+        t = t.append_column("w", pa.array(0.1 + _frac(ids, GEO_MULTS["w"]) * 9.9))
+        t = t.append_column("h", pa.array(0.1 + _frac(ids, GEO_MULTS["h"]) * 9.9))
+        t = t.append_column("d", pa.array(0.1 + _frac(ids, 198491317) * 4.9))
+        return t
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id"])         .map_batches(derive3, batch_format="pyarrow", zero_copy_batch=True)
+    qid = np.arange(N_BOX_QUERIES, dtype=np.int64)
+    hq = qid + np.int64(QUERY_SALT)
+    cx = 0.0 + _frac(hq, QUERY_MULTS["cx"]) * wx
+    cy = 0.0 + _frac(hq, QUERY_MULTS["cy"]) * wy
+    cz = 0.0 + _frac(hq, QUERY_MULTS["qw"]) * wz
+    queries = pa.table({
+        "query_id": pa.array(qid),
+        "min_x": pa.array(cx - 25.0), "min_y": pa.array(cy - 5.0),
+        "min_z": pa.array(cz - 25.0),
+        "max_x": pa.array(cx + 25.0), "max_y": pa.array(cy + 5.0),
+        "max_z": pa.array(cz + 25.0),
+    })
+    return box_join.box_join_broadcast_3d(
+        docs, queries, world=world3, depth=3, max_extent=(10.0, 10.0, 5.0))
+
+
 def _q_box_join_shuffle(sf_dir: str):
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import box_join
@@ -541,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_cells": _q_grid_cells,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
+        "box_join_3d": _q_box_join_3d,
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
@@ -587,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cells": oracle.grid_cells_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
+        "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),
         "knn": oracle.knn_sql(N_KNN_QUERIES),
         "knn_ring": oracle.knn_sql(N_KNN_QUERIES),
         "pip_join": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),

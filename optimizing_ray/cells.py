@@ -26,6 +26,7 @@ __all__ = [
     "encode2", "decode2", "parent", "children2", "depth_of2",
     "point_cell2", "cell_box2", "neighbors2", "disk2",
     "cover2", "adaptive_cover2", "grid_cell",
+    "encode3", "decode3", "depth_of3", "point_cell3", "cover3",
 ]
 
 _M2 = (
@@ -271,3 +272,73 @@ def grid_cell(x, z, cell_x: float = 255.0, cell_z: float = 255.0):
     cx = np.trunc(np.asarray(x, dtype=np.float64) / cell_x).astype(np.int64)
     cz = np.trunc(np.asarray(z, dtype=np.float64) / cell_z).astype(np.int64)
     return cx, cz
+
+
+# --- 3D (octree) keys: sentinel (1 << 3*depth) | morton3 ------------------
+
+def encode3(ix, iy, iz, depth: int) -> np.ndarray:
+    """(ix, iy, iz, depth) -> sentinel-tagged linear-OCTREE key (the 3D
+    twin of encode2; parent = key >> 3, children = key*8 + {0..7} in the
+    reference octant order SWD..NEU)."""
+    return morton3(ix, iy, iz) | (np.uint64(1) << np.uint64(3 * depth))
+
+
+def decode3(key):
+    k = _u64(key)
+    depth = depth_of3(k)
+    sent = np.uint64(1) << (np.uint64(3) * depth.astype(np.uint64))
+    ix, iy, iz = demorton3(k ^ sent)
+    return depth, ix, iy, iz
+
+
+def depth_of3(key) -> np.ndarray:
+    """Depth of a sentinel-tagged 3D key = floor((bit_length - 1) / 3)."""
+    k = _u64(key)
+    nb = np.zeros(k.shape if k.shape else (), dtype=np.uint64)
+    t = k.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = t >= (np.uint64(1) << np.uint64(s))
+        nb = nb + np.where(m, np.uint64(s), np.uint64(0))
+        t = np.where(m, t >> np.uint64(s), t)
+    return (nb // np.uint64(3)).astype(np.int64)
+
+
+def point_cell3(x, y, z, world: World, depth: int) -> np.ndarray:
+    """Quantize 3D points to the octree grid at `depth` (z spans the
+    world's min_z..max_z; degenerate z-extent collapses to plane 0)."""
+    n = _grid_n(depth)
+    wx, wy, wz = world.size
+    fx = (np.asarray(x, dtype=np.float64) - world.min_x) / wx
+    fy = (np.asarray(y, dtype=np.float64) - world.min_y) / wy
+    ix = np.clip((fx * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    iy = np.clip((fy * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    if wz > 0:
+        fz = (np.asarray(z, dtype=np.float64) - world.min_z) / wz
+        iz = np.clip((fz * n).astype(np.int64), 0, n - 1).astype(np.uint64)
+    else:
+        iz = np.zeros_like(ix)
+    return encode3(ix, iy, iz, depth)
+
+
+def cover3(min_x, min_y, min_z, max_x, max_y, max_z,
+           world: World, depth: int) -> np.ndarray:
+    """All octree keys at `depth` whose cell overlaps the closed 3D box —
+    the flat-grid equivalent of the octree descent (DynamicOctree.hpp:146-171)."""
+    n = _grid_n(depth)
+    wx, wy, wz = world.size
+    cw, ch = wx / n, wy / n
+    ix0 = max(0, min(n - 1, int(np.floor((min_x - world.min_x) / cw))))
+    ix1 = max(0, min(n - 1, int(np.floor((max_x - world.min_x) / cw))))
+    iy0 = max(0, min(n - 1, int(np.floor((min_y - world.min_y) / ch))))
+    iy1 = max(0, min(n - 1, int(np.floor((max_y - world.min_y) / ch))))
+    if wz > 0:
+        cd = wz / n
+        iz0 = max(0, min(n - 1, int(np.floor((min_z - world.min_z) / cd))))
+        iz1 = max(0, min(n - 1, int(np.floor((max_z - world.min_z) / cd))))
+    else:
+        iz0 = iz1 = 0
+    gx, gy, gz = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.uint64),
+                             np.arange(iy0, iy1 + 1, dtype=np.uint64),
+                             np.arange(iz0, iz1 + 1, dtype=np.uint64),
+                             indexing="ij")
+    return encode3(gx.ravel(), gy.ravel(), gz.ravel(), depth)

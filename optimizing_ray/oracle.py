@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from optimizing_ray.config import World
 from optimizing_ray.sources.driver_tables import (
-    BOX_MIN, BOX_SPAN, DRIVER_WORLD, QUERY_MULTS, QUERY_SALT,
+    BOX_MIN, BOX_SPAN, DRIVER_WORLD, GEO_MULTS, QUERY_MULTS, QUERY_SALT,
     frac_sql, geometry_sql,
 )
 
@@ -451,4 +451,45 @@ SELECT doc_id,
        CASE WHEN {frac_sql('doc_id', mult)} < {train_frac!r}
             THEN 'train' ELSE 'val' END AS split
 FROM {table}
+"""
+
+
+def box_join_3d_sql(nq: int, world3_min=(0.0, 0.0, 0.0),
+                    world3_size=(800.0, 600.0, 50.0),
+                    table: str = "documents") -> str:
+    """Oracle for the 3D octree-keyed box join over driver documents: z and
+    extents derived from doc_id like x/y (same frac arithmetic), queries as
+    50x10x50 boxes around hashed centers (the reference per-frame search,
+    ``WorldPartition.hpp:105``)."""
+    wx, wy, wz = world3_size
+    mx, my, mz = world3_min
+    gz = f"({mz!r} + {frac_sql('doc_id', 3266489917)} * {wz!r})"
+    gd = f"(0.1 + {frac_sql('doc_id', 198491317)} * 4.9)"
+    h = f"(qid + {QUERY_SALT})"
+    cx = f"({mx!r} + {frac_sql(h, QUERY_MULTS['cx'])} * {wx!r})"
+    cy = f"({my!r} + {frac_sql(h, QUERY_MULTS['cy'])} * {wy!r})"
+    cz = f"({mz!r} + {frac_sql(h, QUERY_MULTS['qw'])} * {wz!r})"
+    g = geometry_sql()  # reuse w/h derivations; x/y rescaled to the 3D world
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         ({mx!r} + {frac_sql('doc_id', GEO_MULTS['x'])} * {wx!r}) AS x,
+         ({my!r} + {frac_sql('doc_id', GEO_MULTS['y'])} * {wy!r}) AS y,
+         {gz} AS z,
+         (0.1 + {frac_sql('doc_id', GEO_MULTS['w'])} * 9.9) AS w,
+         (0.1 + {frac_sql('doc_id', GEO_MULTS['h'])} * 9.9) AS h,
+         {gd} AS d
+  FROM {table}
+),
+q AS (
+  SELECT qid AS query_id,
+         {cx} - 25.0 AS min_x, {cy} - 5.0 AS min_y, {cz} - 25.0 AS min_z,
+         {cx} + 25.0 AS max_x, {cy} + 5.0 AS max_y, {cz} + 25.0 AS max_z
+  FROM generate_series(0, {nq - 1}) t(qid)
+)
+SELECT q.query_id AS query_id, g.doc_id AS doc_id
+FROM geo g JOIN q
+  ON g.x <= q.max_x AND g.x + g.w >= q.min_x
+ AND g.y <= q.max_y AND g.y + g.h >= q.min_y
+ AND g.z <= q.max_z AND g.z + g.d >= q.min_z
 """

@@ -40,8 +40,8 @@ from optimizing_ray import cells, geom
 from optimizing_ray.config import World
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
-__all__ = ["box_join_broadcast", "box_join_shuffle", "box_join_adaptive",
-           "explode_query_cover", "gather_payload"]
+__all__ = ["box_join_broadcast", "box_join_broadcast_3d", "box_join_shuffle",
+           "box_join_adaptive", "explode_query_cover", "gather_payload"]
 
 
 def _query_covers(queries: pa.Table, world: World, depth: int,
@@ -356,3 +356,71 @@ def box_join_shuffle(docs: rd.Dataset, queries: rd.Dataset | pa.Table, *,
         return t.filter(pa.array(keep)).select(["query_id", *payload_cols])
 
     return joined.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def box_join_broadcast_3d(docs: rd.Dataset, queries: pa.Table, *, world: World,
+                          depth: int, max_extent: tuple[float, float, float],
+                          payload_cols: tuple[str, ...] = ("doc_id",),
+                          batch_size: int | None = None) -> rd.Dataset:
+    """3D box join — the octree search proper (boundary-inclusive 3D
+    predicate, ``BoundaryBox.hpp:47-51``): docs carry (x,y,z,w,h,d), the
+    query side carries 6-sided boxes.  Same plan as the 2D broadcast join
+    (point assignment + expanded covers + sorted-key candidate gather),
+    over linear-OCTREE keys."""
+    qmin = {c: queries[c].to_numpy() for c in ("min_x", "min_y", "min_z")}
+    qmax = {c: queries[c].to_numpy() for c in ("max_x", "max_y", "max_z")}
+    covers = [np.sort(cells.cover3(
+        qmin["min_x"][i] - max_extent[0], qmin["min_y"][i] - max_extent[1],
+        qmin["min_z"][i] - max_extent[2],
+        qmax["max_x"][i], qmax["max_y"][i], qmax["max_z"][i],
+        world, depth)).astype(np.int64) for i in range(len(queries))]
+    covers_ref = ray.put(covers)
+    qcols_ref = ray.put({
+        "query_id": queries["query_id"].to_numpy(zero_copy_only=False),
+        **qmin, **qmax})
+
+    from optimizing_ray.broadcast import cached
+
+    def build():
+        covers_l = ray.get(covers_ref)
+        q = ray.get(qcols_ref)
+        return covers_l, q
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        covers_l, q = cached(("box_join3", covers_ref.hex(), qcols_ref.hex()), build)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        key = cells.point_cell3(x, y, z, world, depth).astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        out_doc, out_q = [], []
+        for qi, qcells in enumerate(covers_l):
+            lo = np.searchsorted(skey, qcells, side="left")
+            hi = np.searchsorted(skey, qcells, side="right")
+            rows = order[_ranges_to_rows(lo, hi)]
+            if len(rows) == 0:
+                continue
+            m = geom.overlaps3(
+                q["min_x"][qi], q["min_y"][qi], q["min_z"][qi],
+                q["max_x"][qi], q["max_y"][qi], q["max_z"][qi],
+                x[rows], y[rows], z[rows],
+                x[rows] + w[rows], y[rows] + h[rows], z[rows] + d[rows])
+            hits = rows[m]
+            if len(hits):
+                out_doc.append(hits)
+                out_q.append(np.full(len(hits), qi, dtype=np.int64))
+        qid = np.asarray(q["query_id"])
+        if not out_doc:
+            return pa.table({"query_id": pa.array(qid[:0]),
+                             **{c: batch[c].slice(0, 0) for c in payload_cols}})
+        sel = np.concatenate(out_doc)
+        taken = batch.select(list(payload_cols)).take(pa.array(sel))
+        return taken.add_column(0, "query_id",
+                                pa.array(qid[np.concatenate(out_q)]))
+
+    return docs.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)

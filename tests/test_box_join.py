@@ -141,3 +141,57 @@ def test_explode_cover_then_distinct_strategy(ray_session, corpus, queries):
             & (df.y <= df.max_y) & (df.y + df.h >= df.min_y))
     pairs = set(map(tuple, df.loc[keep, ["query_id", "doc_id"]].drop_duplicates().values))
     assert pairs == brute_pairs(corpus, queries)
+
+
+def test_box_join_3d_matches_brute_and_octree_sim(ray_session):
+    """3D octree-keyed join == brute force == the DynamicOctree simulator
+    on the reference 3D workload (world 800x600x50, query boxes 50x10x50)."""
+    import ray.data as rd
+    from optimizing_ray import refsim
+    from optimizing_ray.config import World
+
+    world3 = World(0.0, 0.0, 0.0, 800.0, 600.0, 50.0, dims=3)
+    t = synth.documents_batch(np.arange(4000), variant="uniform", with_spans=False)
+    q = synth.queries_table(15, variant="uniform")
+    res = box_join.box_join_broadcast_3d(
+        rd.from_arrow(t), q, world=world3, depth=3,
+        max_extent=(10.0, 10.0, 10.0)).to_pandas()
+    got = set(zip(res["query_id"], res["doc_id"]))
+
+    x, y, z = t["x"].to_numpy(), t["y"].to_numpy(), t["z"].to_numpy()
+    w, h, d = t["w"].to_numpy(), t["h"].to_numpy(), t["d"].to_numpy()
+    ids = np.asarray(t["doc_id"].to_pylist())
+    want = set()
+    for row in q.to_pylist():
+        m = ((x <= row["max_x"]) & (x + w >= row["min_x"])
+             & (y <= row["max_y"]) & (y + h >= row["min_y"])
+             & (z <= row["max_z"]) & (z + d >= row["min_z"]))
+        want.update((row["query_id"], doc) for doc in ids[m])
+    assert got == want
+
+    # octree-simulator parity on a subset of queries
+    boxes = np.stack([x, y, z, x + w, y + h, z + d], axis=1)
+    oc = refsim.DynamicOctree3D((0, 0, 0, 800, 600, 50), capacity=4, max_depth=5)
+    for i in range(len(boxes)):
+        oc.insert(i, tuple(boxes[i]))
+    for row in q.to_pylist()[:5]:
+        sim = {ids[i] for i in oc.search((row["min_x"], row["min_y"], row["min_z"],
+                                          row["max_x"], row["max_y"], row["max_z"]))}
+        eng = {doc for (qq, doc) in got if qq == row["query_id"]}
+        assert eng == sim
+
+
+def test_cells3_roundtrip():
+    from optimizing_ray import cells
+    rng = np.random.default_rng(31)
+    for depth in (0, 2, 5, 10):
+        n = 1 << depth
+        ix = rng.integers(0, n, 40).astype(np.uint64)
+        iy = rng.integers(0, n, 40).astype(np.uint64)
+        iz = rng.integers(0, n, 40).astype(np.uint64)
+        keys = cells.encode3(ix, iy, iz, depth)
+        dd, rx, ry, rz = cells.decode3(keys)
+        np.testing.assert_array_equal(dd, depth)
+        np.testing.assert_array_equal(rx, ix)
+        np.testing.assert_array_equal(ry, iy)
+        np.testing.assert_array_equal(rz, iz)

@@ -16,7 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 SQL_NAMES = [
-    "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle", "knn",
+    "tile_assign", "tile_counts", "grid_cells", "box_join", "box_join_shuffle",
+    "box_join_3d", "knn",
     "knn_ring", "pip_join", "pip_join_shuffle", "raster_near", "vector_raster", "delete_assign",
     "relocate_assign", "train_split", "dedup_exact", "doc_stats", "events_window",
     "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
