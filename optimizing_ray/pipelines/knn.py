@@ -42,6 +42,7 @@ class _PartialTopK:
         self.qid = np.asarray(q["query_id"])
         self.qx = np.asarray(q["x"])
         self.qy = np.asarray(q["y"])
+        self.qz = np.asarray(q["z"]) if "z" in q else None  # 3D distances
         self.k = np.asarray(q["k"])
         self.maxk = int(self.k.max()) if len(self.k) else 0
         self.cell_sets = ray.get(restrict_cells_ref) if restrict_cells_ref is not None else None
@@ -49,6 +50,8 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
+        z = (batch["z"].to_numpy(zero_copy_only=False)
+             if self.qz is not None and "z" in batch.column_names else None)
         doc_id = batch["doc_id"]
         if len(x) == 0 or self.maxk == 0:
             return pa.table({"query_id": pa.array(self.qid[:0]),
@@ -69,11 +72,15 @@ class _PartialTopK:
             for s in range(0, n, CH):
                 e = min(n, s + CH)
                 xs, ys = x[s:e], y[s:e]
+                zs = z[s:e] if z is not None else None
                 m = e - s
                 for qi in range(nq):
                     dx = xs - self.qx[qi]
                     dy = ys - self.qy[qi]
                     d2 = dx * dx + dy * dy
+                    if zs is not None:
+                        dz = zs - self.qz[qi]
+                        d2 = d2 + dz * dz
                     kk = min(int(self.k[qi]), m)
                     part = np.argpartition(d2, kk - 1)[:kk] if kk < m else np.arange(m)
                     cand_rows[qi].append(part + s)
@@ -109,6 +116,9 @@ class _PartialTopK:
                 dx = x[rows] - self.qx[qi]
                 dy = y[rows] - self.qy[qi]
                 d2 = dx * dx + dy * dy
+                if z is not None:
+                    dz = z[rows] - self.qz[qi]
+                    d2 = d2 + dz * dz
                 kk = min(int(self.k[qi]), len(rows))
                 part = np.argpartition(d2, kk - 1)[:kk] if kk < len(rows) else np.arange(len(rows))
                 out_q.append(np.full(len(part), qi))
@@ -142,7 +152,7 @@ def _final_topk(queries: pa.Table):
 
 
 def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
-              batch_size: int | None = None,
+              batch_size: int | None = None, dims: int = 2,
               merge: str = "driver") -> rd.Dataset | pa.Table:
     """Exact kNN: per-batch partial top-k + per-query merge.
 
@@ -155,8 +165,9 @@ def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
     parallelizes).  merge="shuffle" keeps the distributed groupby for
     huge query sets.
     """
-    qref = ray.put({c: queries[c].to_numpy(zero_copy_only=False)
-                    for c in ("query_id", "x", "y", "k")})
+    qcols = ["query_id", "x", "y", "k"] + (["z"] if "z" in queries.column_names
+                                            and dims == 3 else [])
+    qref = ray.put({c: queries[c].to_numpy(zero_copy_only=False) for c in qcols})
     from optimizing_ray.broadcast import cached
 
     def partial_batch(batch):

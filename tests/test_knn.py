@@ -63,3 +63,25 @@ def test_knn_k_larger_than_corpus(ray_session):
     q = pa.table({"query_id": ["q0"], "x": [50.0], "y": [50.0], "k": pa.array([16], pa.int32())})
     res = knn.knn_brute(rd.from_arrow(tiny), q).to_pandas()
     assert len(res) == 3  # returns what exists
+
+
+def test_knn_3d_matches_oracle(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    corpus = synth.documents_batch(np.arange(2500), variant="uniform", with_spans=False)
+    qi = np.arange(8, dtype=np.int64)
+    q = pa.table({
+        "query_id": pa.array([f"q3-{i}" for i in qi]),
+        "x": pa.array(synth.u01(qi, 61) * 800.0),
+        "y": pa.array(synth.u01(qi, 62) * 600.0),
+        "z": pa.array(synth.u01(qi, 63) * 50.0),
+        "k": pa.array(np.full(8, 5), pa.int32()),
+    })
+    res = knn.knn_brute(rd.from_arrow(corpus), q, dims=3).to_pandas()
+    x, y, z = (corpus[c].to_numpy() for c in ("x", "y", "z"))
+    ids = np.asarray(corpus["doc_id"].to_pylist())
+    for row in q.to_pylist():
+        d2 = (x - row["x"]) ** 2 + (y - row["y"]) ** 2 + (z - row["z"]) ** 2
+        want = ids[np.lexsort((ids, d2))[:5]]
+        g = res[res.query_id == row["query_id"]].sort_values("knn_rank")
+        np.testing.assert_array_equal(g["doc_id"].to_numpy(), want)
