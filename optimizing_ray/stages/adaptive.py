@@ -43,16 +43,23 @@ __all__ = ["cell_counts", "split_tree", "adaptive_assign", "AdaptivePlan"]
 
 
 def cell_counts(ds: rd.Dataset, world: World, depth: int,
-                x_col: str = "x", y_col: str = "y") -> dict[int, int]:
+                x_col: str = "x", y_col: str = "y",
+                dims: int = 2, z_col: str = "z") -> dict[int, int]:
     """Per-cell row counts at `depth`, pre-aggregated inside each batch
     (one output row per (batch, cell)) then merged driver-side.
 
     The result is tiny (<= 4^depth entries) by construction."""
 
     def partial(t: pa.Table) -> pa.Table:
-        key = cells.point_cell2(t[x_col].to_numpy(zero_copy_only=False),
-                                t[y_col].to_numpy(zero_copy_only=False),
-                                world, depth).astype(np.int64)
+        if dims == 3:
+            key = cells.point_cell3(t[x_col].to_numpy(zero_copy_only=False),
+                                    t[y_col].to_numpy(zero_copy_only=False),
+                                    t[z_col].to_numpy(zero_copy_only=False),
+                                    world, depth).astype(np.int64)
+        else:
+            key = cells.point_cell2(t[x_col].to_numpy(zero_copy_only=False),
+                                    t[y_col].to_numpy(zero_copy_only=False),
+                                    world, depth).astype(np.int64)
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({"cell_key": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
 
@@ -90,12 +97,17 @@ class AdaptivePlan:
 
 def split_tree(fine_counts: dict[int, int], *, capacity: int,
                coarse_depth: int, max_depth: int,
-               salt_threshold: int | None = None) -> AdaptivePlan:
+               salt_threshold: int | None = None,
+               dims: int = 2) -> AdaptivePlan:
     """Derive the adaptive leaf set from finest-level counts.
 
     A cell at depth d < max_depth stays a leaf iff its subtree count <=
     capacity; otherwise it splits (the capacity rule as an order-free
-    closure)."""
+    closure).  dims=2 -> quadtree keys (4 children, shift 2); dims=3 ->
+    octree keys (8 children, shift 3) — the DynamicOctree rule proper."""
+    bits = dims
+    nchild = 1 << dims
+    depth_of = cells.depth_of2 if dims == 2 else cells.depth_of3
     fine_keys = np.fromiter(fine_counts.keys(), dtype=np.int64,
                             count=len(fine_counts))
     fine_n = np.fromiter(fine_counts.values(), dtype=np.int64,
@@ -104,7 +116,7 @@ def split_tree(fine_counts: dict[int, int], *, capacity: int,
     level_counts: dict[int, dict[int, int]] = {max_depth: dict(fine_counts)}
     keys, ns = fine_keys, fine_n
     for d in range(max_depth - 1, coarse_depth - 1, -1):
-        pk = keys >> 2
+        pk = keys >> bits
         uk, inv = np.unique(pk, return_inverse=True)
         agg = np.zeros(len(uk), dtype=np.int64)
         np.add.at(agg, inv, ns)
@@ -122,32 +134,36 @@ def split_tree(fine_counts: dict[int, int], *, capacity: int,
             leaf_counts[k] = n
             continue
         child_level = level_counts[d + 1]
-        for c in range(4):
-            ck = (k << 2) | c
+        for c in range(nchild):
+            ck = (k << bits) | c
             if child_level.get(ck, 0) > 0:
                 stack.append((ck, d + 1))
     leaves_arr = np.asarray(sorted(leaves), dtype=np.int64)
     thr = salt_threshold if salt_threshold is not None else np.iinfo(np.int64).max
     hot = np.asarray(
         [k for k in leaves if leaf_counts[k] > thr
-         and int(cells.depth_of2(np.uint64(k))) == max_depth], dtype=np.int64)
+         and int(depth_of(np.uint64(k))) == max_depth], dtype=np.int64)
     return AdaptivePlan(leaves_arr, leaf_counts, hot, coarse_depth, max_depth)
 
 
 def adaptive_assign(ds: rd.Dataset, world: World, *, capacity: int,
                     coarse_depth: int, max_depth: int,
                     salt_threshold: int | None = None, n_salts: int = 8,
-                    x_col: str = "x", y_col: str = "y") -> tuple[rd.Dataset, AdaptivePlan]:
+                    x_col: str = "x", y_col: str = "y",
+                    dims: int = 2, z_col: str = "z") -> tuple[rd.Dataset, AdaptivePlan]:
     """Two-pass adaptive assignment: counts pass + assignment pass.
 
     Returns (dataset with ``cell_key`` (leaf, mixed depth) and ``salt``
     columns, plan)."""
-    fine = cell_counts(ds, world, max_depth, x_col, y_col)
+    fine = cell_counts(ds, world, max_depth, x_col, y_col, dims=dims, z_col=z_col)
     plan = split_tree(fine, capacity=capacity, coarse_depth=coarse_depth,
-                      max_depth=max_depth, salt_threshold=salt_threshold)
+                      max_depth=max_depth, salt_threshold=salt_threshold,
+                      dims=dims)
+    depth_of = cells.depth_of2 if dims == 2 else cells.depth_of3
+    bits = dims
     leaves_by_depth = {
         d: np.asarray([k for k in plan.leaves
-                       if int(cells.depth_of2(np.uint64(k))) == d], dtype=np.int64)
+                       if int(depth_of(np.uint64(k))) == d], dtype=np.int64)
         for d in range(coarse_depth, max_depth + 1)}
     leaves_ref = ray.put(leaves_by_depth)
     hot_ref = ray.put(np.sort(plan.hot_cells))
@@ -157,11 +173,15 @@ def adaptive_assign(ds: rd.Dataset, world: World, *, capacity: int,
         hot = ray.get(hot_ref)
         x = t[x_col].to_numpy(zero_copy_only=False)
         y = t[y_col].to_numpy(zero_copy_only=False)
-        fine_key = cells.point_cell2(x, y, world, max_depth).astype(np.int64)
+        if dims == 3:
+            zv = t[z_col].to_numpy(zero_copy_only=False)
+            fine_key = cells.point_cell3(x, y, zv, world, max_depth).astype(np.int64)
+        else:
+            fine_key = cells.point_cell2(x, y, world, max_depth).astype(np.int64)
         out = np.zeros(len(x), dtype=np.int64)
         unassigned = np.ones(len(x), dtype=bool)
         for d in range(max_depth, coarse_depth - 1, -1):
-            kd = fine_key >> (2 * (max_depth - d))
+            kd = fine_key >> (bits * (max_depth - d))
             cand = lbd.get(d)
             if cand is None or len(cand) == 0:
                 continue
@@ -170,7 +190,7 @@ def adaptive_assign(ds: rd.Dataset, world: World, *, capacity: int,
             unassigned &= ~m
         # rows in cells unseen during the counts pass (e.g. new data at
         # resume) fall back to the coarse key
-        out[unassigned] = fine_key[unassigned] >> (2 * (max_depth - coarse_depth))
+        out[unassigned] = fine_key[unassigned] >> (bits * (max_depth - coarse_depth))
         idx = np.searchsorted(hot, out)
         idx = np.clip(idx, 0, max(0, len(hot) - 1))
         is_hot = (len(hot) > 0) & (hot[idx] == out if len(hot) else False)

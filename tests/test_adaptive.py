@@ -97,3 +97,28 @@ def test_salted_resumable_write_splits_hot_cell(ray_session, tmp_path):
     hot = int(plan.hot_cells[0])
     hot_parts = [r for r in rows if r["cell_key"] // 4 == hot]
     assert len(hot_parts) > 1  # the hot cell fans out over salts
+
+
+def test_adaptive_assign_3d_octree(ray_session):
+    """The octree capacity rule (dims=3): leaves respect capacity unless at
+    max depth, keys are ancestor-consistent, all rows covered."""
+    import ray.data as rd
+    from optimizing_ray.config import World
+
+    world3 = World(0.0, 0.0, 0.0, 800.0, 600.0, 50.0, dims=3)
+    t = synth.documents_batch(np.arange(5000), variant="uniform", with_spans=False)
+    out, plan = adaptive.adaptive_assign(
+        rd.from_arrow(t), world3, capacity=100, coarse_depth=1, max_depth=4,
+        dims=3)
+    df = out.to_pandas()
+    assert len(df) == 5000
+    depths = cells.depth_of3(df["cell_key"].to_numpy().astype(np.uint64))
+    assert depths.min() >= 1 and depths.max() <= 4
+    fine = cells.point_cell3(df["x"].to_numpy(), df["y"].to_numpy(),
+                             df["z"].to_numpy(), world3, 4).astype(np.int64)
+    shift = (3 * (4 - depths)).astype(np.int64)
+    np.testing.assert_array_equal(df["cell_key"].to_numpy(), fine >> shift)
+    got = df.groupby("cell_key").size().to_dict()
+    assert got == plan.leaf_counts
+    for k, n in plan.leaf_counts.items():
+        assert n <= 100 or int(cells.depth_of3(np.uint64(k))) == 4
