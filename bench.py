@@ -167,6 +167,34 @@ def run_bench() -> dict:
         extras["store_write_rows_per_sec"] = round(n_written / times["store_write_1m"], 1)
         shutil.rmtree(store_dir, ignore_errors=True)
 
+    # -- headline 2d: actor-held serving index (the frame loop) ------------
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        from optimizing_ray.state.serving import SpatialIndexService
+
+        def serving_load():
+            svc = SpatialIndexService(WORLD_2D, depth, n_actors=8,
+                                      max_extent=(100.0, 100.0))
+            n = svc.load(corpus())
+            return svc, n
+
+        t0s = time.perf_counter()
+        svc, n_loaded = serving_load()
+        times["serving_load_1m"] = round(time.perf_counter() - t0s, 3)
+
+        qframes = synth.queries_table(16, variant="flat2d")
+        svc.query_boxes(qframes)  # warm
+        n_frames = 50
+        t0s = time.perf_counter()
+        hits = 0
+        for f in range(n_frames):
+            qf = synth.queries_table(16, variant="flat2d", seed=5000 + f)
+            hits += svc.query_boxes(qf).num_rows
+        dt = time.perf_counter() - t0s
+        times["serving_frames"] = round(dt, 3)
+        extras["serving_fps"] = round(n_frames / dt, 1)
+        extras["serving_hit_rows_per_sec"] = round(hits / dt, 1)
+        svc.shutdown()
+
     # -- headline 3: kNN ----------------------------------------------------
     kq = synth.knn_queries_table(32)
 
