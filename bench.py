@@ -247,13 +247,20 @@ def run_scaling() -> dict:
     # being memory-bound, so the honest same-machine scaling window is
     # below saturation; on a real multi-node cluster each node brings its
     # own memory bus and the N->4N criterion applies per-node.
-    # best-of-2 per level: this sandbox VM has noisy neighbors and the
-    # criterion is about the ENGINE's scaling, not the noise floor
-    def best(ncpu):
-        runs = [one(ncpu) for _ in range(4)]
+    # best-of-N per level with INTERLEAVED reps (lo,hi,lo,hi,...): the VM's
+    # noise arrives in multi-minute episodes, and interleaving exposes both
+    # levels to the same episodes instead of biasing whichever phase ran
+    # during one
+    reps = 3
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+
+    def best(runs):
         return {k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]} | \
                {"corpus_rows": runs[0]["corpus_rows"]}
-    rq_lo, rq_hi = best(lo), best(hi)
+    rq_lo, rq_hi = best(runs_lo), best(runs_hi)
     r_lo = {"queries": rq_lo, "corpus_rows": rq_lo.pop("corpus_rows")}
     r_hi = {"queries": rq_hi, "corpus_rows": rq_hi.pop("corpus_rows")}
     # headline throughput = corpus rows / (assign + join seconds)
