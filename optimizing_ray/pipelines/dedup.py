@@ -290,15 +290,24 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
 
 
 def simhash64(texts) -> np.ndarray:
-    """64-bit simhash over whitespace tokens (weight 1 each)."""
+    """64-bit simhash over whitespace tokens (weight 1 each).
+
+    Token hash = blake2b-64 — deterministic across processes/runs (Python's
+    built-in ``hash`` is salted per process, which made results
+    run-dependent)."""
     out = np.empty(len(texts), dtype=np.uint64)
+
+    def h64(w: str) -> int:
+        return int.from_bytes(hashlib.blake2b(w.encode("utf-8", "ignore"),
+                                              digest_size=8).digest(), "little")
+
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
             toks = (t or "").split()
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.fromiter((hash(w) & 0xFFFFFFFFFFFFFFFF for w in toks),
+            hs = np.fromiter((h64(w) for w in toks),
                              dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int32)
@@ -312,9 +321,8 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
     """Near-dup pairs by simhash: 4x16-bit chunk banding (pigeonhole
     complete for hamming <= 3), verified by true hamming distance.
 
-    NOTE: ``simhash64`` uses Python's ``hash`` for tokens — stable within
-    one session (PYTHONHASHSEED unset varies across processes; Ray workers
-    inherit the driver's seed) — pytest-only operator, no SQL oracle."""
+    Deterministic across runs (blake2b token hashes); no SQL oracle (the
+    bit-voting aggregate has no SQL twin) — rows-only + pytest."""
 
     def sigs(t: pa.Table) -> pa.Table:
         sh = simhash64(t[text_col].to_pylist())
