@@ -36,6 +36,13 @@ def _doc_ids(sf_dir: str):
     return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
 
 
+def _tbl_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — the free corpus-size hint
+    the dedup plan-pickers take instead of a counting pass."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: read documents, derive
     geometry, attach the interleaved spans payload (deterministic from
@@ -323,7 +330,7 @@ def _q_dedup_exact(sf_dir: str):
     from optimizing_ray.sources import driver_tables
 
     docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.exact_dedup(docs)
+    return dedup.exact_dedup(docs, nrows=_tbl_rows(sf_dir, "documents"))
 
 
 def _q_doc_stats(sf_dir: str):
@@ -481,7 +488,8 @@ def _q_minhash_pairs(sf_dir: str):
     from optimizing_ray.sources import driver_tables
 
     docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                   nrows=_tbl_rows(sf_dir, "documents"))
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -541,7 +549,7 @@ def _q_curate(sf_dir: str):
     from optimizing_ray.sources import driver_tables
 
     docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = cur.curate(docs, min_quality=0.2)
+    out = cur.curate(docs, min_quality=0.2, nrows=_tbl_rows(sf_dir, "documents"))
     return out.select_columns(["doc_id", "lang_pred", "quality", "split"])
 
 

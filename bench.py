@@ -11,10 +11,13 @@ Headline pipelines (BASELINE.md target metrics):
   * driver-table queries (tile_assign/tile_counts/box_join/knn) at
     $GRAFT_SF_DIR (default /root/testdata/sf0.1)
 
-`--scaling`: runs the headline job in two fresh processes at
-RAY_GRAFT_CPUS=8 and 32 on identical input and reports throughput at both
-plus scaling efficiency (the sandbox stand-in for the N vs 4N cluster
-criterion).
+`--scaling`: runs the headline job in fresh processes at
+RAY_GRAFT_CPUS=2 and 8 (GRAFT_SCALE_LO/HI) on identical input and reports
+throughput at both plus scaling efficiency (the sandbox stand-in for the
+N vs 4N cluster criterion).  Why 2 vs 8 and not 8 vs 32: this VM's DRAM
+bandwidth saturates at ~8-16 concurrent numpy streams (see the measured
+rationale in run_scaling) — the honest same-machine window is below
+saturation.
 """
 
 from __future__ import annotations
@@ -257,14 +260,15 @@ def run_scaling() -> dict:
         runs_lo.append(one(lo))
         runs_hi.append(one(hi))
 
-    def best(runs):
-        return {k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]} | \
-               {"corpus_rows": runs[0]["corpus_rows"]}
-    rq_lo, rq_hi = best(runs_lo), best(runs_hi)
-    r_lo = {"queries": rq_lo, "corpus_rows": rq_lo.pop("corpus_rows")}
-    r_hi = {"queries": rq_hi, "corpus_rows": rq_hi.pop("corpus_rows")}
-    # headline throughput = corpus rows / (assign + join seconds)
+    # headline throughput = corpus rows / (assign + join + knn seconds).
+    # best run = min of PER-RUN core totals (not per-query minima across
+    # runs, which would compose a best-case time no single run achieved)
     core = ["tile_assign_1m", "box_join_1m", "knn_1m"]
+
+    def best(runs):
+        return min(runs, key=lambda r: sum(r["queries"][k] for k in core))
+
+    r_lo, r_hi = best(runs_lo), best(runs_hi)
     t_lo = sum(r_lo["queries"][k] for k in core)
     t_hi = sum(r_hi["queries"][k] for k in core)
     eff = (t_lo / t_hi) / (hi / lo)

@@ -21,7 +21,27 @@ __all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index"]
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    """(n, dim) float64 matrix from a list<float> column — zero-copy flatten
+    of the Arrow child buffer (no per-row to_pylist), valid because every
+    embedding has the same length and no nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // n
+    if dim * n != len(flat):  # ragged fallback (never in the driver tables)
+        return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
+def _nearest_centroid(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||m - c||^2 via the ||a||^2 - 2ab + ||b||^2 identity —
+    one (n, C) matmul instead of the O(n*C*d) broadcast-subtract
+    temporaries (||m||^2 is constant per row and dropped)."""
+    d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+    return d.argmin(axis=1)
 
 
 class _PartialCosine:
@@ -94,16 +114,18 @@ def brute_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
 
 
 def kmeans_sample(embeddings: rd.Dataset, *, n_centroids: int, sample_frac: float = 0.1,
-                  iters: int = 10, seed: int = 5) -> np.ndarray:
+                  iters: int = 10, seed: int = 5,
+                  max_rows: int = 50_000) -> np.ndarray:
     """Tiny k-means on a driver-side sample -> centroid matrix (the IVF
-    coarse quantizer; the sample is small by construction)."""
-    sample = embeddings.random_sample(sample_frac, seed=seed).take_all()
+    coarse quantizer).  The sample is HARD-CAPPED at ``max_rows`` via
+    ``limit()`` — a fraction of a 100 TB corpus must never land on the
+    driver; 50k vectors train a coarse quantizer fine."""
+    sample = embeddings.random_sample(sample_frac, seed=seed).limit(max_rows).take_all()
     M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
     for _ in range(iters):
-        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
+        a = _nearest_centroid(M, C)
         for c in range(len(C)):
             m = a == c
             if m.any():
@@ -128,15 +150,16 @@ def ivf_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
             Q = np.asarray(q["mat"])
             self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             Cl = ray.get(C_ref)
-            qd = ((Q[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
+            # ranking by -2qc + ||c||^2 == ranking by true distance (||q||^2
+            # is constant per row) — no (Q, C, d) temporaries
+            qd = -2.0 * (Q @ Cl.T) + (Cl * Cl).sum(axis=1)[None, :]
             self.probe = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
             self.C = Cl
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
             M = _to_matrix(batch["embedding"])
-            d = ((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            assign = _nearest_centroid(M, self.C)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
             out_q, out_v, out_s = [], [], []
             for qi in range(len(self.qid)):
@@ -192,8 +215,8 @@ def build_ivf_index(embeddings: rd.Dataset, out_dir: str, *,
     def assign(t: pa.Table) -> pa.Table:
         Cl = ray.get(C_ref)
         M = _to_matrix(t["embedding"])
-        d = ((M[:, None, :] - Cl[None, :, :]) ** 2).sum(axis=2)
-        return t.append_column("centroid_id", pa.array(d.argmin(axis=1).astype(np.int64)))
+        return t.append_column("centroid_id",
+                               pa.array(_nearest_centroid(M, Cl).astype(np.int64)))
 
     keyed = embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -220,7 +243,7 @@ def query_ivf_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     ct = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
     C = np.stack([np.asarray(c) for c in ct["centroid"].to_pylist()])
     Q = np.asarray(query_matrix)
-    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    qd = -2.0 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]  # rank-equivalent
     probe = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
     needed = np.unique(probe)
     rows = [r for r in mf.read_manifest(out_dir) if r.get("status") == "done"]

@@ -24,11 +24,13 @@ __all__ = ["curate"]
 
 def curate(docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
            min_quality: float = 0.3, keep_langs: tuple[str, ...] | None = None,
-           train_frac: float = 0.9) -> rd.Dataset:
+           train_frac: float = 0.9, nrows: int | None = None) -> rd.Dataset:
     """Returns the curated corpus with ``lang_pred``, ``quality`` and
     ``split`` columns; rows failing the quality (or language) gate are
-    dropped."""
-    ds = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    dropped.  ``nrows`` (optional corpus-size hint, e.g. from parquet
+    metadata) lets the dedup stage pick its broadcast plan without an
+    extra counting pass."""
+    ds = exact_dedup(docs, text_col=text_col, id_col=id_col, nrows=nrows)
     ds = analyze_text(ds, text_col=text_col)
 
     def gate(t: pa.Table) -> pa.Table:

@@ -37,6 +37,19 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components"]
 
 
+def _plan_rows(ds: rd.Dataset, nrows: int | None) -> int:
+    """Row count used ONLY to pick the broadcast-vs-join verify plan.
+
+    Callers that know the corpus size (parquet metadata, prior count)
+    pass ``nrows`` so plan selection costs nothing; with no hint the
+    conservative answer is "large" — the streaming join path is correct
+    at every scale, the broadcast path is just fewer shuffles when the
+    (id, payload) table comfortably fits in memory.  Never runs
+    ``ds.count()`` (on a transformed dataset that is a full extra pass
+    over the input)."""
+    return nrows if nrows is not None else (1 << 62)
+
+
 def _content_hash128(texts):
     h1 = np.empty(len(texts), dtype=np.int64)
     h2 = np.empty(len(texts), dtype=np.int64)
@@ -49,7 +62,8 @@ def _content_hash128(texts):
 
 def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id",
-                broadcast_threshold: int = 200_000) -> rd.Dataset:
+                broadcast_threshold: int = 200_000,
+                nrows: int | None = None) -> rd.Dataset:
     """Keep one representative (min id) per distinct text.
 
     Scale shape: the exchange carries ONLY (hash128, id) rows — wide text
@@ -81,7 +95,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
     slim = (docs.map_batches(slim_hash, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(winners, batch_format="pandas"))
-    if docs.count() <= broadcast_threshold:
+    if _plan_rows(docs, nrows) <= broadcast_threshold:
         # small corpus: broadcast the winner-id set, semi-join filter —
         # one shuffle fewer than the gather merge
         keep = np.sort(np.asarray(
@@ -226,7 +240,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                       bands: int = 16, k_shingle: int = 5,
                       jaccard_threshold: float = 0.5,
                       verify: str = "auto",
-                      broadcast_threshold: int = 200_000) -> rd.Dataset:
+                      broadcast_threshold: int = 200_000,
+                      nrows: int | None = None) -> rd.Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
@@ -247,7 +262,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     cand = _pairs_from_buckets(bucketed)
 
     if verify == "auto":
-        verify = "broadcast" if docs.count() <= broadcast_threshold else "join"
+        verify = "broadcast" if _plan_rows(docs, nrows) <= broadcast_threshold else "join"
 
     if verify == "join":
         cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
@@ -386,7 +401,8 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
                              id_col: str = "vec_id", threshold: float = 0.95,
                              n_planes: int = 16, bands: int = 4,
                              seed: int = 11, verify: str = "auto",
-                             broadcast_threshold: int = 200_000) -> rd.Dataset:
+                             broadcast_threshold: int = 200_000,
+                             nrows: int | None = None) -> rd.Dataset:
     """Cosine near-dup pairs: random-hyperplane LSH buckets + exact verify.
 
     RECALL NOTE: banding 16 sign bits into 4 bands finds pairs whose
@@ -422,7 +438,7 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     cand = _pairs_from_buckets(bucketed)
 
     if verify == "auto":
-        verify = "broadcast" if embeddings.count() <= broadcast_threshold else "join"
+        verify = "broadcast" if _plan_rows(embeddings, nrows) <= broadcast_threshold else "join"
 
     def _cos_table(t: pa.Table, col_a, col_b) -> pa.Table:
         cos = []
@@ -465,10 +481,11 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
 def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
                          b: str = "doc_b") -> dict:
     """Union-find over the (small, verified) candidate-pair set: id ->
-    cluster representative (min member).  Driver-side ON PURPOSE — the
-    verified pair set is orders of magnitude smaller than the corpus; the
-    at-scale alternative (iterated min-label propagation via groupby) is
-    documented in the module docstring."""
+    cluster representative (min member under the ids' NATIVE ordering —
+    int ids compare numerically, so {2, 10} -> 2).  Driver-side ON
+    PURPOSE — the verified pair set is orders of magnitude smaller than
+    the corpus; the at-scale alternative (iterated min-label propagation
+    via groupby) is documented in the module docstring."""
     parent: dict = {}
 
     def find(x):
@@ -482,6 +499,9 @@ def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
         parent.setdefault(y, y)
         rx, ry = find(x), find(y)
         if rx != ry:
-            lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
+            try:
+                lo, hi = (rx, ry) if rx <= ry else (ry, rx)
+            except TypeError:  # mixed-type ids: fall back to string order
+                lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
             parent[hi] = lo
     return {x: find(x) for x in parent}

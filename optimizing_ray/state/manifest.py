@@ -89,6 +89,10 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
     """
     os.makedirs(out_dir, exist_ok=True)
     done = completed_keys(out_dir)
+    # temp dirs carry THIS run's id so the finally-cleanup below cannot
+    # clobber the in-flight temps of a concurrent writer targeting the
+    # same directory (their renames still decide atomically)
+    run_id = uuid.uuid4().hex[:8]
 
     if done:
         done_list = sorted(done)
@@ -106,7 +110,7 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
             fault_hook(key)
         t0 = time.perf_counter()
         part_dir = os.path.join(out_dir, f"part={key}")
-        tmp_dir = os.path.join(out_dir, f".tmp-{key}-{uuid.uuid4().hex[:8]}")
+        tmp_dir = os.path.join(out_dir, f".tmp-{run_id}-{key}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_dir, exist_ok=True)
         pq.write_table(t, os.path.join(tmp_dir, "data.parquet"))
         record = {"cell_key": key, "rows_out": t.num_rows,
@@ -129,7 +133,8 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
             new_rows.append(row)
     finally:
         # compact whatever actually committed (even on crash) + clean temps
-        for tmp in glob.glob(os.path.join(out_dir, ".tmp-*")):
+        # (only THIS run's — scoped by run_id)
+        for tmp in glob.glob(os.path.join(out_dir, f".tmp-{run_id}-*")):
             shutil.rmtree(tmp, ignore_errors=True)
         _write_compacted(out_dir)
     newly = {r["cell_key"] for r in new_rows}

@@ -11,7 +11,8 @@ component (SURVEY.md §2 note (c)):
 * ``SpatialIndexService(n_actors)`` — each actor owns the cells with
   ``hash(cell_key) % n_actors == rank`` (the partitioning assumption:
   cell-hash sharding, same key algebra as every other stage).
-* ``load(ds)`` streams a cell-keyed Dataset in; each actor builds, per
+* ``load(ds)`` streams a cell-keyed Dataset in via a routing stage that
+  ships every row to exactly one owning actor; each actor builds, per
   owned cell, a sorted-Morton array of doc positions (the linear-
   quadtree equivalent of the per-cell octree).
 * ``query_boxes(queries)`` fans each query's expanded cell cover out to
@@ -49,14 +50,20 @@ class _IndexShard:
         self.cells: OrderedDict[int, dict] = OrderedDict()
 
     def load_block(self, table: pa.Table) -> int:
-        """Ingest a cell-keyed Arrow block; keeps only owned cells.
-        Idempotent per (cell, same rows) like ``load_data``."""
+        """Ingest a cell-keyed Arrow block; keeps only owned cells (a
+        no-op filter for pre-routed slices from ``load``, a safety net for
+        direct callers).  Idempotent per (cell, same rows): re-ingesting
+        rows whose ``doc_id`` a cell already holds is a no-op, so a caller
+        that replays blocks after a partial failure does not duplicate
+        query hits."""
         key = table["cell_key"].to_numpy()
         own = (key % self.n_shards) == self.rank
         if not own.any():
             return 0
-        t = table.filter(pa.array(own))
-        key = t["cell_key"].to_numpy()
+        if not own.all():
+            table = table.filter(pa.array(own))
+            key = table["cell_key"].to_numpy()
+        t = table
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         w = t["w"].to_numpy(zero_copy_only=False)
@@ -65,6 +72,7 @@ class _IndexShard:
         order = np.argsort(key, kind="stable")
         skey = key[order]
         bounds = np.flatnonzero(np.diff(skey)) + 1
+        n_new = 0
         for s, e in zip(np.concatenate([[0], bounds]),
                         np.concatenate([bounds, [len(skey)]])):
             ck = int(skey[s])
@@ -73,15 +81,20 @@ class _IndexShard:
             if entry is None:
                 entry = {"x": x[rows], "y": y[rows], "w": w[rows],
                          "h": h[rows], "doc_id": doc[rows]}
-            else:  # append (multiple blocks may carry the same cell)
-                entry = {k: np.concatenate([entry[k], v[rows]])
-                         for k, v in (("x", x), ("y", y), ("w", w), ("h", h),
-                                      ("doc_id", doc))}
+                n_new += len(rows)
+            else:  # append only ids the cell does not hold yet (idempotent)
+                fresh = ~np.isin(doc[rows], entry["doc_id"])
+                rows = rows[fresh]
+                if len(rows):
+                    entry = {k: np.concatenate([entry[k], v[rows]])
+                             for k, v in (("x", x), ("y", y), ("w", w),
+                                          ("h", h), ("doc_id", doc))}
+                    n_new += len(rows)
             self.cells[ck] = entry  # moves to MRU position
             if self.max_cells is not None:
                 while len(self.cells) > self.max_cells:
                     self.cells.popitem(last=False)  # LRU eviction (T2)
-        return int(own.sum())
+        return n_new
 
     def query(self, qids, qboxes: np.ndarray, cover_keys: list) -> pa.Table:
         """qboxes (Q,4) min_x,min_y,max_x,max_y; cover_keys[i] = this
@@ -124,21 +137,39 @@ class SpatialIndexService:
         self.depth = depth
         self.n = n_actors
         self.max_extent = max_extent
+        self.load_metrics: dict = {}
         self.shards = [_IndexShard.remote(i, n_actors, max_cells_per_actor)
                        for i in range(n_actors)]
 
     def load(self, docs: rd.Dataset) -> int:
-        """Stream a cell-keyed Dataset into the shards. Every block goes to
-        every shard (each keeps its own cells) — at cluster scale, replace
-        with a pre-shuffle on shard id so blocks ship once; documented
-        trade-off for the broadcast-free load path."""
-        total = 0
-        pending = []
-        for ref in docs.to_arrow_refs():
-            pending.extend(s.load_block.remote(ref) for s in self.shards)
-        for n in ray.get(pending):
-            total += n
-        return total
+        """Stream a cell-keyed Dataset into the shards, shipping every row
+        to EXACTLY ONE actor: a routing ``map_batches`` stage splits each
+        block by owning shard (``cell_key % n``) and pushes each slice to
+        its actor.  Object-store traffic is one hop per row — not
+        O(n_actors x corpus) as a broadcast load would be.  Per-load
+        shipping totals land in ``self.load_metrics`` so callers/tests can
+        assert traffic is proportional to the corpus."""
+        shards, n = self.shards, self.n
+
+        def route(t: pa.Table) -> pa.Table:
+            owner = (t["cell_key"].to_numpy() % n).astype(np.int64)
+            futs, shipped = [], 0
+            for r in np.unique(owner):
+                sub = t.filter(pa.array(owner == r))
+                shipped += sub.num_rows
+                futs.append(shards[int(r)].load_block.remote(sub))
+            loaded = int(sum(ray.get(futs)))
+            return pa.table({"rows_shipped": pa.array([shipped], pa.int64()),
+                             "rows_loaded": pa.array([loaded], pa.int64())})
+
+        stats = docs.map_batches(route, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+        shipped = loaded = 0
+        for row in stats.iter_rows():
+            shipped += row["rows_shipped"]
+            loaded += row["rows_loaded"]
+        self.load_metrics = {"rows_shipped": shipped, "rows_loaded": loaded}
+        return loaded
 
     def query_boxes(self, queries: pa.Table) -> pa.Table:
         qids = queries["query_id"].to_pylist()

@@ -53,6 +53,28 @@ def test_stats_and_sharding(service):
     assert all(s["n_cells"] > 0 for s in st)
 
 
+def test_load_ships_each_row_once(service):
+    """The routed load's object-store traffic is proportional to the
+    corpus (one hop per row), NOT n_actors x corpus."""
+    svc, t = service
+    assert svc.load_metrics["rows_shipped"] == 5000
+    assert svc.load_metrics["rows_loaded"] == 5000
+
+
+def test_reload_is_idempotent(ray_session):
+    """Replaying the same blocks after a partial failure must not
+    duplicate rows (load_data idempotency, WorldPartition.hpp:80-82)."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(800), variant="flat2d", with_spans=False)
+    docs = assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D)
+    svc = SpatialIndexService(WORLD_2D, DEPTH, n_actors=2)
+    assert svc.load(docs) == 800
+    assert svc.load(docs) == 0  # full replay: nothing new
+    st = svc.stats()
+    assert sum(s["n_rows"] for s in st) == 800
+    svc.shutdown()
+
+
 def test_unload_drops_cells(ray_session):
     import ray.data as rd
     t = synth.documents_batch(np.arange(1000), variant="flat2d", with_spans=False)
