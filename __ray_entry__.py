@@ -442,14 +442,16 @@ def _q_median_qty(sf_dir: str):
 
 
 def _q_hll_distinct_users(sf_dir: str):
-    """HLL distinct-count sketch (rows-only: approximate by design; pytest
-    asserts <5% error vs exact)."""
+    """HLL distinct-count sketch.  Approximate by design but DETERMINISTIC
+    (splitmix64 hash + exact-integer harmonic sum), so the DuckDB oracle
+    recomputes the registers and matches the estimate bit-for-bit."""
+    import math
     import pyarrow as pa
     from optimizing_ray.pipelines import sketches
     from optimizing_ray.sources import driver_tables
 
     ev = driver_tables.read(sf_dir, "events", columns=["user_id"], num_blocks=8)
-    est = sketches.hll_distinct(ev, "user_id")
+    est = math.floor(sketches.hll_distinct(ev, "user_id") * 1e6 + 0.5) / 1e6
     return pa.table({"metric": pa.array(["distinct_users_hll"], pa.string()),
                      "estimate": pa.array([est], pa.float64())})
 
@@ -473,13 +475,19 @@ def _q_ann_topk(sf_dir: str):
 
 # --- rows-only queries (non-SQL-expressible; driver records weaker check) --
 
+ADAPT_CAP, ADAPT_COARSE, ADAPT_MAX = 8, 2, 6
+
+
 def _q_adaptive_assign(sf_dir: str):
+    """Adaptive capacity-split assignment; capacity=8 over ~31 docs/cell
+    at depth 2 so the split rule actually exercises mixed depths 3..5.
+    SQL-oracled via per-depth subtree-count CTEs."""
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.stages import adaptive
 
     out, _plan = adaptive.adaptive_assign(
-        _docs(sf_dir), WORLD_2D, capacity=64, coarse_depth=2, max_depth=6,
-        salt_threshold=2000, n_salts=8)
+        _docs(sf_dir), WORLD_2D, capacity=ADAPT_CAP, coarse_depth=ADAPT_COARSE,
+        max_depth=ADAPT_MAX, salt_threshold=2000, n_salts=8)
     return out.select_columns(["doc_id", "cell_key", "salt"])
 
 
@@ -529,16 +537,41 @@ def _q_ann_ivf(sf_dir: str):
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qt["embedding"].to_pylist()])
     emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # n_probe == n_centroids exercises the full IVF machinery (centroid
+    # assignment + probe routing) while provably returning the EXACT
+    # result — which is what the ann_topk SQL oracle checks; partial-probe
+    # recall is pytest-verified (test_ann_text_media)
     return ann.ivf_topk(emb, qt["vec_id"].to_numpy(), qmat, k=ANN_K,
-                        n_centroids=16, n_probe=8)
+                        n_centroids=16, n_probe=16)
+
+
+PLANT_MOD, PLANT_OFFSET = 25, 10_000_000
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """Near-dup pairs over the embeddings table with PLANTED duplicates
+    (an exact copy of every vec_id % 25 == 0 row under vec_id + 10M), so
+    the driver gate exercises real pairs (round 1 found 0 rows) and the
+    exact cross-join SQL oracle pins them."""
+    import pyarrow as pa
     from optimizing_ray.pipelines import dedup
     from optimizing_ray.sources import driver_tables
 
     emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+
+    def plant(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        sel = t.filter(pa.array(t["vec_id"].to_numpy() % PLANT_MOD == 0))
+        copies = sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sel["vec_id"], PLANT_OFFSET))
+        return pa.concat_tables([t, copies])
+
+    aug = emb.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    nrows = _tbl_rows(sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(aug, threshold=0.9,
+                                          nrows=nrows + nrows // PLANT_MOD + 1)
 
 
 def _q_curate(sf_dir: str):
@@ -659,4 +692,17 @@ def oracle_sql() -> dict[str, str]:
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
+        # round-2: brute-force twins for the previously rows-only ops
+        "minhash_pairs": oracle.minhash_pairs_sql(5, 0.5),
+        "simhash_pairs": oracle.simhash_pairs_sql(3),
+        "text_analysis": oracle.text_analysis_sql(),
+        "fingerprints": oracle.fingerprints_sql(8),
+        "curate": oracle.curate_sql(0.2),
+        "embedding_near_dup": oracle.embedding_near_dup_sql(
+            0.9, PLANT_MOD, PLANT_OFFSET),
+        "adaptive_assign": oracle.adaptive_assign_sql(
+            ADAPT_CAP, ADAPT_COARSE, ADAPT_MAX),
+        # full-probe IVF provably equals exact top-k -> same oracle
+        "ann_ivf": oracle.ann_topk_sql(ANN_Q, ANN_K),
+        "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
     }

@@ -107,7 +107,13 @@ class TextAnalyzer:
         tok_score = max(0.0, 1.0 - abs(mean_tok - 6.0) / 10.0)
         punct_score = max(0.0, 1.0 - 4.0 * punct_ratio)
         stop_score = min(1.0, 4.0 * stop_ratio)
-        return round(0.25 * (len_score + tok_score + punct_score + stop_score), 6)
+        q = 0.25 * (len_score + tok_score + punct_score + stop_score)
+        # explicit floor(x*1e6 + 0.5) rounding: Python round() is
+        # half-even, DuckDB round() is half-away — components are nice
+        # decimals so exact halfway values DO occur; one shared machine
+        # formula keeps the SQL oracle bit-identical
+        import math
+        return math.floor(q * 1e6 + 0.5) / 1e6
 
     def analyze_batch(self, texts) -> dict[str, np.ndarray]:
         langs, confs, quals = [], [], []

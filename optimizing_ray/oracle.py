@@ -493,3 +493,370 @@ FROM geo g JOIN q
  AND g.y <= q.max_y AND g.y + g.h >= q.min_y
  AND g.z <= q.max_z AND g.z + g.d >= q.min_z
 """
+
+
+# ===========================================================================
+# Round-2 oracles: the previously rows-only training-data operators.
+#
+# Shared trick: all engine-side hashes in these operators are plain
+# mod-2^64 integer arithmetic (polynomial byte folds + murmur3 fmix64),
+# which DuckDB reproduces bit-for-bit with HUGEINT intermediates — a
+# 64x64-bit multiply mod 2^64 is expressed by splitting one operand into
+# 32-bit halves so no intermediate exceeds 2^97 (HUGEINT holds 2^127-1),
+# and xor/bit_count run on the signed BIGINT bit pattern.  IMPORTANT:
+# every value returned to the driver is cast to BIGINT — a HUGEINT result
+# column goes through float64 in `.df()` and silently loses low bits.
+# ===========================================================================
+
+_M64 = "CAST('18446744073709551616' AS HUGEINT)"
+_FMIX_C1 = 0xFF51AFD7ED558CCD
+_FMIX_C2 = 0xC4CEB9FE1A85EC53
+
+
+def _mulmod64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for uint64-valued HUGEINT `a` without overflow."""
+    return (f"((({a}) % 4294967296) * {c} + "
+            f"(((({a}) // 4294967296) * {c}) % 4294967296) * 4294967296) % {_M64}")
+
+
+def _xorshift33(u: str) -> str:
+    """u ^ (u >> 33) for uint64-valued HUGEINT `u` (xor on the BIGINT bit
+    pattern; the shifted value is < 2^31 so it is its own bit pattern)."""
+    to_s = (f"CAST(CASE WHEN ({u}) >= 9223372036854775808 THEN ({u}) - {_M64} "
+            f"ELSE ({u}) END AS BIGINT)")
+    shift = f"CAST(({u}) // 8589934592 AS BIGINT)"
+    x = f"xor({to_s}, {shift})"
+    return (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_M64} "
+            f"ELSE CAST({x} AS HUGEINT) END)")
+
+
+def _u64_to_i64(u: str) -> str:
+    """uint64-valued HUGEINT -> signed BIGINT bit pattern."""
+    return (f"CAST(CASE WHEN ({u}) >= 9223372036854775808 THEN ({u}) - {_M64} "
+            f"ELSE ({u}) END AS BIGINT)")
+
+
+def simhash_ctes(table: str = "documents") -> str:
+    """CTE chain computing each doc's 64-bit simhash — the exact twin of
+    ``dedup.simhash64``/``token_hash64`` (polynomial byte fold base
+    1000003 + fmix64 finalizer + strict-majority bit vote).  Byte values
+    come from ``unicode()`` code points == UTF-8 bytes for the ASCII
+    driver corpus.  Final CTE ``sim(doc_id, sim)`` with BIGINT sim."""
+    bit_sums = ",\n    ".join(
+        f"SUM(CAST((h // {1 << b}) % 2 AS BIGINT)) AS b{b}" for b in range(64))
+    sim_expr = " + ".join(
+        f"CAST(CASE WHEN 2 * b{b} > n_tok THEN {1 << b} ELSE 0 END AS HUGEINT)"
+        for b in range(64))
+    return f"""toks AS (
+  SELECT doc_id, tok, length(tok) AS L, row_number() OVER () AS tid
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM {table}) u
+  WHERE tok <> ''
+),
+poly AS (
+  SELECT tid, doc_id, L, 1 AS i, CAST(0 AS HUGEINT) AS h, tok FROM toks
+  UNION ALL
+  SELECT tid, doc_id, L, i + 1,
+         (h * 1000003 + unicode(substr(tok, i, 1))) % {_M64}, tok
+  FROM poly WHERE i <= L
+),
+ph AS (SELECT tid, doc_id, h FROM poly WHERE i = L + 1),
+fm1 AS (SELECT tid, doc_id, {_xorshift33('h')} AS h FROM ph),
+fm2 AS (SELECT tid, doc_id, {_mulmod64('h', _FMIX_C1)} AS h FROM fm1),
+fm3 AS (SELECT tid, doc_id, {_xorshift33('h')} AS h FROM fm2),
+fm4 AS (SELECT tid, doc_id, {_mulmod64('h', _FMIX_C2)} AS h FROM fm3),
+fm5 AS (SELECT tid, doc_id, {_xorshift33('h')} AS h FROM fm4),
+votes AS (SELECT doc_id, COUNT(*) AS n_tok,
+    {bit_sums}
+  FROM fm5 GROUP BY doc_id),
+simu AS (SELECT doc_id, ({sim_expr}) AS su FROM votes),
+sim AS (SELECT doc_id, {_u64_to_i64('su')} AS sim FROM simu)"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3, table: str = "documents") -> str:
+    """Oracle for simhash near-dup pairs: the banding in
+    ``dedup.simhash_pairs`` is pigeonhole-COMPLETE for hamming <=
+    max_hamming <= 3, so the engine output is exactly the cross-join
+    hamming filter over the recomputed simhashes."""
+    return f"""
+WITH RECURSIVE {simhash_ctes(table)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+def minhash_pairs_sql(k_shingle: int = 5, jaccard_threshold: float = 0.5,
+                      table: str = "documents") -> str:
+    """Oracle for MinHash+LSH near-dup pairs: EXACT character-k-shingle
+    Jaccard over a cross join.  The engine's LSH stage is probabilistic
+    recall but its verify stage computes exact Jaccard, and on the driver
+    corpus every true pair has jaccard >= 0.92, where the 16x4 banding
+    miss probability is < 1e-8 per pair — verified equal on the fixed
+    test data (the oracle is the ground-truth exhaustive plan,
+    ``.Test/cacheQuadTree.cpp:425-441`` pattern)."""
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, {k_shingle}) AS s
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, length(text) - {k_shingle - 1}))) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ninter / CAST(sa.n + sb.n - ninter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ninter / CAST(sa.n + sb.n - ninter AS DOUBLE) >= {jaccard_threshold!r}
+"""
+
+
+def fingerprints_sql(window: int = 8, table: str = "documents") -> str:
+    """Oracle for the rolling-hash fingerprint (``text.fingerprint64``):
+    XOR over all window-gram Rabin-Karp hashes, base 1000003 mod 2^64.
+    Valid for texts of length >= window (the driver corpus minimum is 44;
+    shorter texts take the engine's zero-pad branch which this SQL does
+    not reproduce)."""
+    B = 1000003
+    pows = [pow(B, window - 1 - i, 1 << 64) for i in range(window)]
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, i + {i}, 1)) AS HUGEINT) * "
+        f"CAST('{pows[i]}' AS HUGEINT)" for i in range(window))
+    return f"""
+WITH wins AS (
+  SELECT doc_id, (({terms}) % {_M64}) AS h
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {window - 1})) AS i) g
+)
+SELECT doc_id, bit_xor({_u64_to_i64('h')}) AS fingerprint
+FROM wins GROUP BY doc_id
+"""
+
+
+_STOPWORD_SQL = {
+    "en": "'the','and','of','to','a','in','is','it','that','was'",
+    "fr": "'le','la','les','et','de','des','un','une','est','que'",
+    "de": "'der','die','das','und','ist','nicht','ein','eine','zu','mit'",
+    "es": "'el','la','los','las','y','de','que','es','un','una'",
+}
+
+
+def text_analysis_ctes(table: str = "documents") -> str:
+    """CTE chain producing per-doc lang_pred / lang_conf / quality /
+    n_tokens — the exact twin of ``functions.text.TextAnalyzer``
+    (stopword-hit argmax with first-wins ties in dict order en,fr,de,es;
+    the 4-component quality composite; whitespace token counts).  Float
+    expressions mirror the Python operation ORDER so doubles are
+    bit-identical; round(x, 6) differs from Python only at exact decimal
+    halfway points, which the rational component values cannot hit.
+    Final CTE ``ta(doc_id, lang_pred, lang_conf, quality, n_tokens)``."""
+    hits = ",\n    ".join(
+        f"COUNT(*) FILTER (WHERE tok IN ({words})) AS {lang}_hits"
+        for lang, words in _STOPWORD_SQL.items())
+    return f"""tatoks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM {table}) u
+  WHERE tok <> ''
+),
+tastats AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+    {hits}
+  FROM tatoks GROUP BY doc_id
+),
+tafeat AS (
+  SELECT d.doc_id, length(d.text) AS n, s.n_toks,
+         s.en_hits, s.fr_hits, s.de_hits, s.es_hits,
+         greatest(s.en_hits, s.fr_hits, s.de_hits, s.es_hits) AS mh,
+         (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g'))) AS n_punct
+  FROM {table} d JOIN tastats s USING (doc_id)
+),
+tascore AS (
+  SELECT doc_id, n, n_toks, mh,
+    CASE WHEN mh = 0 THEN 'und'
+         WHEN en_hits = mh THEN 'en' WHEN fr_hits = mh THEN 'fr'
+         WHEN de_hits = mh THEN 'de' ELSE 'es' END AS lang_pred,
+    CASE WHEN mh = 0 THEN 0.0 ELSE mh / CAST(n_toks AS DOUBLE) END AS stop_ratio,
+    LEAST(1.0, n / 500.0) AS len_score,
+    GREATEST(0.0, 1.0 - abs(n / CAST(n_toks AS DOUBLE) - 6.0) / 10.0) AS tok_score,
+    GREATEST(0.0, 1.0 - 4.0 * (n_punct / CAST(n AS DOUBLE))) AS punct_score
+  FROM tafeat
+),
+ta AS (
+  SELECT doc_id, lang_pred, stop_ratio AS lang_conf,
+         floor(0.25 * (len_score + tok_score + punct_score
+                       + LEAST(1.0, 4.0 * stop_ratio)) * 1e6 + 0.5) / 1e6 AS quality,
+         CAST(n_toks AS BIGINT) AS n_tokens
+  FROM tascore
+)"""
+
+
+def text_analysis_sql(table: str = "documents") -> str:
+    return f"""
+WITH {text_analysis_ctes(table)}
+SELECT d.doc_id, d.lang, t.lang_pred, t.lang_conf, t.quality, t.n_tokens
+FROM {table} d JOIN ta t USING (doc_id)
+"""
+
+
+def curate_sql(min_quality: float = 0.2, train_frac: float = 0.9,
+               mult: int = 2_885_564_557, table: str = "documents") -> str:
+    """Oracle for the composed curation funnel: exact dedup winners (min
+    doc_id per text) -> text analysis -> quality gate -> id-hash split."""
+    return f"""
+WITH winners AS (SELECT MIN(doc_id) AS doc_id FROM {table} GROUP BY text),
+{text_analysis_ctes(table)}
+SELECT w.doc_id, t.lang_pred, t.quality,
+       CASE WHEN {frac_sql('w.doc_id', mult)} < {train_frac!r}
+            THEN 'train' ELSE 'val' END AS split
+FROM winners w JOIN ta t ON t.doc_id = w.doc_id
+WHERE t.quality >= {min_quality!r}
+"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.9, plant_mod: int = 25,
+                           plant_offset: int = 10_000_000,
+                           table: str = "embeddings") -> str:
+    """Oracle for embedding near-dup pairs over the PLANTED corpus (the
+    base table + an exact copy of every ``vec_id % plant_mod == 0`` row
+    under ``vec_id + plant_offset`` — identical vectors give identical
+    LSH signatures, so the engine's recall on the planted pairs is
+    certain).  Exact cross-join cosine filter; embeddings cast to DOUBLE
+    so both engines do float64 math; cosine floor-rounded to 6 decimals
+    (summation order differs between numpy and DuckDB)."""
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM {table}
+  UNION ALL
+  SELECT vec_id + {plant_offset}, embedding FROM {table}
+  WHERE vec_id % {plant_mod} = 0
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM aug)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}
+"""
+
+
+def adaptive_assign_sql(capacity: int, coarse_depth: int, max_depth: int,
+                        world: World = DRIVER_WORLD,
+                        table: str = "documents") -> str:
+    """Oracle for the adaptive capacity-split assignment
+    (``stages.adaptive.adaptive_assign``): a doc's leaf is its shallowest
+    ancestor cell (depth coarse..max) whose subtree count <= capacity,
+    else the max-depth cell — the order-free closure of the reference
+    subdivision rule (``DynamicOctree.hpp:130-143``).  Keys are
+    sentinel-tagged Morton keys; ancestor keys derive from the max-depth
+    key by right-shifting bit pairs.  Salt is 0 (the driver query's
+    salt_threshold exceeds every cell count)."""
+    wx, wy, _ = world.size
+    sentinel = 1 << (2 * max_depth)
+    key_defs = []
+    for d in range(coarse_depth, max_depth):
+        key_defs.append(f"raw // {1 << (2 * (max_depth - d))} + {1 << (2 * d)} AS k{d}")
+    key_defs.append(f"raw + {sentinel} AS k{max_depth}")
+    counts = ",\n".join(
+        f"c{d} AS (SELECT k{d}, count(*) AS n FROM keys GROUP BY k{d})"
+        for d in range(coarse_depth, max_depth))
+    joins = "\n".join(f"JOIN c{d} USING (k{d})"
+                      for d in range(coarse_depth, max_depth))
+    case = "\n       ".join(
+        f"WHEN c{d}.n <= {capacity} THEN k{d}"
+        for d in range(coarse_depth, max_depth))
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id, x, y,
+         {cell_idx_expr('x', world.min_x, wx, max_depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, max_depth)} AS iy
+  FROM geo
+),
+{morton_ctes('cellidx', max_depth, carry='doc_id')},
+keys AS (
+  SELECT doc_id, {", ".join(key_defs)}
+  FROM (SELECT doc_id, mkey - {sentinel} AS raw FROM mz) t
+),
+{counts}
+SELECT doc_id,
+       CASE {case}
+            ELSE k{max_depth} END AS cell_key,
+       CAST(0 AS BIGINT) AS salt
+FROM keys
+{joins}
+"""
+
+
+def _xorshift(u: str, s: int) -> str:
+    """u ^ (u >> s) for uint64-valued HUGEINT `u` (s >= 1 so the shifted
+    value is nonnegative in BIGINT)."""
+    to_s = (f"CAST(CASE WHEN ({u}) >= 9223372036854775808 THEN ({u}) - {_M64} "
+            f"ELSE ({u}) END AS BIGINT)")
+    shift = f"CAST(({u}) // {1 << s} AS BIGINT)"
+    x = f"xor({to_s}, {shift})"
+    return (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_M64} "
+            f"ELSE CAST({x} AS HUGEINT) END)")
+
+
+def hll_distinct_sql(col: str = "user_id", table: str = "events",
+                     p: int = 12) -> str:
+    """Oracle for the HLL distinct-count sketch: recomputes the EXACT
+    same registers (splitmix64 hash, top-p bucket, leading-zero rank) and
+    the exact-integer harmonic sum, so the approximate estimate is
+    bit-reproducible (``sketches._hll_registers``/``_hll_estimate``).
+    Works for integer id columns (the splitmix path)."""
+    m = 1 << p
+    gamma, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    # leading-zero binary scan, exact twin of the numpy loop
+    lz_steps = []
+    prev = "r0"
+    for i, s in enumerate((32, 16, 8, 4, 2, 1), start=1):
+        lz_steps.append(
+            f"r{i} AS (SELECT bucket, rest, "
+            f"lz + CASE WHEN r < CAST('{1 << (64 - s)}' AS HUGEINT) THEN {s} ELSE 0 END AS lz, "
+            f"CASE WHEN r < CAST('{1 << (64 - s)}' AS HUGEINT) "
+            f"THEN (r * {1 << s}) % {_M64} ELSE r END AS r "
+            f"FROM r{i - 1})")
+        prev = f"r{i}"
+    lz_sql = ",\n".join(lz_steps)
+    alpha = "(0.7213 / (1 + 1.079 / 4096.0))"
+    return f"""
+WITH u0 AS (SELECT DISTINCT CAST(CASE WHEN {col} < 0
+                 THEN CAST({col} AS HUGEINT) + {_M64}
+                 ELSE CAST({col} AS HUGEINT) END AS HUGEINT) AS u FROM {table}),
+z1 AS (SELECT ((u + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h FROM u0),
+z2 AS (SELECT {_xorshift('h', 30)} AS h FROM z1),
+z3 AS (SELECT {_mulmod64('h', c1)} AS h FROM z2),
+z4 AS (SELECT {_xorshift('h', 27)} AS h FROM z3),
+z5 AS (SELECT {_mulmod64('h', c2)} AS h FROM z4),
+hf AS (SELECT {_xorshift('h', 31)} AS h FROM z5),
+br AS (SELECT h // {1 << (64 - p)} AS bucket, (h * {1 << p}) % {_M64} AS rest FROM hf),
+r0 AS (SELECT bucket, rest, 0 AS lz, rest AS r FROM br),
+{lz_sql},
+ranked AS (SELECT bucket,
+             CASE WHEN rest = 0 THEN {64 - p + 1} ELSE lz + 1 END AS rank
+           FROM r6),
+regs AS (SELECT bucket, MAX(rank) AS reg FROM ranked GROUP BY bucket),
+agg AS (SELECT COUNT(*) AS present,
+               SUM(CAST(pow(2.0, 64 - reg) AS HUGEINT)) AS s_present
+        FROM regs),
+est AS (
+  SELECT {m} - present AS zeros,
+         {alpha} * 4096.0 * 4096.0 /
+           (CAST(s_present + ({m} - present) * {_M64} AS DOUBLE)
+            / 18446744073709551616.0) AS raw
+  FROM agg
+)
+SELECT 'distinct_users_hll' AS metric,
+       floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END * 1e6 + 0.5)
+         / 1e6 AS estimate
+FROM est
+"""

@@ -304,30 +304,82 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                             zero_copy_batch=True)
 
 
-def simhash64(texts) -> np.ndarray:
-    """64-bit simhash over whitespace tokens (weight 1 each).
+SIMHASH_POLY_B = 1000003          # polynomial base over UTF-8 bytes
+FMIX_C1 = 0xFF51AFD7ED558CCD      # murmur3 fmix64 finalizer constants
+FMIX_C2 = 0xC4CEB9FE1A85EC53
 
-    Token hash = blake2b-64 — deterministic across processes/runs (Python's
-    built-in ``hash`` is salted per process, which made results
-    run-dependent)."""
-    out = np.empty(len(texts), dtype=np.uint64)
 
-    def h64(w: str) -> int:
-        return int.from_bytes(hashlib.blake2b(w.encode("utf-8", "ignore"),
-                                              digest_size=8).digest(), "little")
+def token_hash64(tokens: list[str]) -> np.ndarray:
+    """Vectorized 64-bit token hashes: polynomial fold over UTF-8 bytes
+    (base ``SIMHASH_POLY_B``, mod 2^64) + murmur3 fmix64 finalizer.
 
+    Deterministic across processes AND SQL-expressible (the DuckDB oracle
+    reproduces it bit-for-bit over ASCII text via a recursive CTE +
+    split-multiply mod-2^64 arithmetic — ``oracle.simhash_ctes``).  The
+    Python loop is only over DISTINCT TOKEN LENGTHS: tokens of equal
+    length hash as one (n, L) uint8 matrix column fold."""
+    n = len(tokens)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    blob = np.frombuffer("".join(tokens).encode("utf-8"), dtype=np.uint8)
+    lens = np.fromiter((len(t.encode("utf-8")) if not t.isascii() else len(t)
+                        for t in tokens), dtype=np.int64, count=n)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    B = np.uint64(SIMHASH_POLY_B)
     with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
+        for L in np.unique(lens):
+            sel = np.nonzero(lens == L)[0]
+            if L == 0:
+                out[sel] = 0
                 continue
-            hs = np.fromiter((h64(w) for w in toks),
-                             dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int32)
-            v = (bits.sum(axis=0) * 2 - len(toks)) > 0
-            out[i] = np.uint64(sum(int(b) << j for j, b in enumerate(v)))
+            idx = starts[sel][:, None] + np.arange(L)[None, :]
+            mat = blob[idx].astype(np.uint64)      # (nL, L)
+            h = np.zeros(len(sel), dtype=np.uint64)
+            for c in range(int(L)):
+                h = h * B + mat[:, c]
+            # fmix64
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(FMIX_C1)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(FMIX_C2)
+            h ^= h >> np.uint64(33)
+            out[sel] = h
+    return out
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit simhash over whitespace tokens (weight 1 each), fully
+    vectorized: one token-hash pass over the batch (``token_hash64``),
+    bit matrix + per-doc segment sums (``np.add.reduceat``), majority
+    vote per bit.  Bit b set iff 2 * (#tokens with bit b) > #tokens —
+    the same strict-majority rule the SQL oracle evaluates."""
+    n_docs = len(texts)
+    tok_lists = [(t or "").split() for t in texts]
+    n_tok = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64,
+                        count=n_docs)
+    flat = [w for ts in tok_lists for w in ts]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not flat:
+        return out
+    hs = token_hash64(flat)
+    # (n_tokens, 64) bit matrix via C-speed byte unpack (little-endian
+    # uint64 view -> unpackbits), not a 64-lane broadcast shift
+    # int16 keeps the (n_tokens, 64) matrix small (this VM is page-
+    # allocation-bound on big fresh arrays); sums are safe below 32k
+    # tokens/doc, with an int64 fallback above (16k: 2*votes must fit too)
+    vote_t = np.int16 if int(n_tok.max()) < 16_000 else np.int64
+    bits = np.unpackbits(hs.view(np.uint8).reshape(len(hs), 8), axis=1,
+                         bitorder="little").astype(vote_t)
+    # (upcast BEFORE reduceat: its dtype= upcast path is ~10x slower)
+    nonempty = np.nonzero(n_tok > 0)[0]
+    bounds = np.concatenate([[0], np.cumsum(n_tok[nonempty])[:-1]])
+    votes = np.add.reduceat(bits, bounds, axis=0)  # (n_nonempty, 64)
+    maj = (2 * votes) > n_tok[nonempty][:, None]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    with np.errstate(over="ignore"):
+        out[nonempty] = (maj.astype(np.uint64) * weights).sum(axis=1,
+                                                              dtype=np.uint64)
     return out
 
 
@@ -336,8 +388,11 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
     """Near-dup pairs by simhash: 4x16-bit chunk banding (pigeonhole
     complete for hamming <= 3), verified by true hamming distance.
 
-    Deterministic across runs (blake2b token hashes); no SQL oracle (the
-    bit-voting aggregate has no SQL twin) — rows-only + pytest."""
+    Deterministic across runs AND SQL-oracled: the banding is COMPLETE
+    (not probabilistic) for hamming <= 3, so the output is exactly the
+    set of pairs with hamming(simhash_a, simhash_b) <= max_hamming, and
+    the DuckDB twin (``oracle.simhash_pairs_sql``) recomputes the token
+    hashes + bit votes + cross-join hamming from the raw text."""
 
     def sigs(t: pa.Table) -> pa.Table:
         sh = simhash64(t[text_col].to_pylist())
@@ -447,7 +502,11 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
             vb = np.asarray(vb, dtype=np.float64)
             denom = np.linalg.norm(va) * np.linalg.norm(vb)
             cos.append(float(va @ vb / denom) if denom else 0.0)
-        t = t.append_column("cosine", pa.array(cos, pa.float64()))
+        # filter on the raw value, emit floor-rounded to 6 decimals (the
+        # shared engine<->SQL rounding formula; summation-order float dust
+        # must not leak into the driver's value hash)
+        rounded = np.floor(np.asarray(cos) * 1e6 + 0.5) / 1e6
+        t = t.append_column("cosine", pa.array(rounded, pa.float64()))
         t = t.filter(pa.array(np.asarray(cos) >= threshold))
         return t.select(["doc_a", "doc_b", "cosine"])
 

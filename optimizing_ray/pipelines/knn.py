@@ -31,7 +31,7 @@ import ray.data as rd
 from optimizing_ray import cells
 from optimizing_ray.config import World
 
-__all__ = ["knn_brute", "knn_ring"]
+__all__ = ["knn_brute", "knn_ring", "knn_ring_store"]
 
 
 class _PartialTopK:
@@ -191,20 +191,13 @@ def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
-             concurrency=None,  # unused; stage is stateless
-             batch_size: int | None = None,
-             max_rounds: int = 8) -> pa.Table:
-    """Ring-expansion kNN (the reference's neighborhood-load pattern).
-
-    Iterative driver loop: round r restricts phase 1 to each query's
-    Chebyshev disk of radius ring_r cells; a query is DONE when its k-th
-    neighbor distance <= ring_r * cell_width (nothing outside the disk can
-    be closer).  Unsatisfied queries re-run with a doubled ring.  Each
-    round streams the (cell-pruned) corpus once; the result is exact.
-
-    Returns a pyarrow Table (driver-side merge is tiny: Q x k rows).
-    """
+def _knn_ring_impl(source_fn, brute_ds_fn, queries: pa.Table, *,
+                   world: World, depth: int, batch_size: int | None,
+                   max_rounds: int) -> pa.Table:
+    """Shared ring-expansion loop.  ``source_fn(ring_cells_union)`` yields
+    the round's candidate Dataset (the whole keyed corpus for the
+    in-memory plan, a pruned tile-store read for the disk plan);
+    ``brute_ds_fn()`` yields the straggler-fallback corpus."""
     wx, wy, _ = world.size
     n = 1 << depth
     cell_w = min(wx, wy) / n
@@ -214,7 +207,6 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
     qid = np.asarray(queries["query_id"].to_pylist())
     qcell = cells.point_cell2(qx, qy, world, depth)
 
-    docs_keyed = docs  # caller must provide cell_key column (assign_tiles)
     pending = np.arange(len(qid))
     results: dict[str, pd.DataFrame] = {}
     ring = 1
@@ -228,6 +220,7 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
         })
         cell_sets = [np.unique(cells.disk2(qcell[p], ring)).astype(np.int64)
                      for p in pending]
+        docs_round = source_fn(np.unique(np.concatenate(cell_sets)))
         qref = ray.put({c: sub[c].to_numpy(zero_copy_only=False)
                         for c in ("query_id", "x", "y", "k")})
         cref = ray.put(cell_sets)
@@ -238,7 +231,7 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
                         lambda: _PartialTopK(qref, cref))
             return st(batch)
 
-        partial = docs_keyed.map_batches(
+        partial = docs_round.map_batches(
             partial_batch, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=batch_size)
         ptabs = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
@@ -268,9 +261,58 @@ def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
             "x": pa.array(qx[pending]), "y": pa.array(qy[pending]),
             "k": pa.array(qk[pending]),
         })
-        merged = knn_brute(docs_keyed, sub).to_pandas()
+        merged = knn_brute(brute_ds_fn(), sub).to_pandas()
         for p in pending:
             results[qid[p]] = merged[merged["query_id"] == qid[p]]
     out = pd.concat(results.values(), ignore_index=True) if results else \
         pd.DataFrame(columns=["query_id", "doc_id", "dist", "knn_rank"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def knn_ring(docs: rd.Dataset, queries: pa.Table, *, world: World, depth: int,
+             concurrency=None,  # unused; stage is stateless
+             batch_size: int | None = None,
+             max_rounds: int = 8) -> pa.Table:
+    """Ring-expansion kNN (the reference's neighborhood-load pattern).
+
+    Iterative driver loop: round r restricts phase 1 to each query's
+    Chebyshev disk of radius ring_r cells; a query is DONE when its k-th
+    neighbor distance <= ring_r * cell_width (nothing outside the disk can
+    be closer).  Unsatisfied queries re-run with a doubled ring.  Each
+    round streams the (cell-pruned) corpus once; the result is exact.
+    `docs` must carry a ``cell_key`` column (assign_tiles).
+
+    Returns a pyarrow Table (driver-side merge is tiny: Q x k rows).
+    """
+    return _knn_ring_impl(lambda _cells: docs, lambda: docs, queries,
+                          world=world, depth=depth, batch_size=batch_size,
+                          max_rounds=max_rounds)
+
+
+def knn_ring_store(store_dir: str, queries: pa.Table, *, world: World,
+                   depth: int, batch_size: int | None = None,
+                   max_rounds: int = 8) -> tuple[pa.Table, dict]:
+    """Ring-expansion kNN against the ON-DISK tile store: round r READS
+    only the tile groups inside the pending queries' ring-r disks
+    (``tile_store.pruned_read``) — the disk twin of the reference's
+    load-only-the-ring working set (``WorldPartition.hpp:196-204``).  At
+    100 TB this is what makes ring rounds cheap: the corpus is never
+    re-streamed, only the covered cells leave storage.
+
+    Returns (result table, metrics) where metrics records per-round
+    parts_read and the store's parts_total."""
+    from optimizing_ray.pipelines import tile_store
+    from optimizing_ray.state import manifest
+
+    metrics = {"rounds": [], "parts_total": None}
+
+    def source(ring_cells: np.ndarray) -> rd.Dataset:
+        ds, n_read, n_total = tile_store.pruned_read(store_dir, ring_cells)
+        metrics["rounds"].append({"parts_read": n_read})
+        metrics["parts_total"] = n_total
+        return ds
+
+    out = _knn_ring_impl(source, lambda: manifest.read_output(store_dir),
+                         queries, world=world, depth=depth,
+                         batch_size=batch_size, max_rounds=max_rounds)
+    return out, metrics

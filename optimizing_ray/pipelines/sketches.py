@@ -40,10 +40,34 @@ def percentile_disc(ds: rd.Dataset, *, key_col: str, value_col: str,
 _HLL_P = 12  # 4096 registers; standard error ~1.04/sqrt(4096) = 1.6%
 _HLL_M = 1 << _HLL_P
 
+# splitmix64 mixing constants (public domain, Steele et al.)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array — the HLL value hash.
+    Plain mod-2^64 arithmetic, so the DuckDB oracle reproduces it
+    bit-for-bit (``oracle.hll_distinct_sql``)."""
+    with np.errstate(over="ignore"):
+        z = x + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        return z ^ (z >> np.uint64(31))
+
 
 def _hll_registers(values) -> np.ndarray:
-    """One HLL register array from a value array (hash -> bucket/rank)."""
-    h = pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+    """One HLL register array from a value array (hash -> bucket/rank).
+
+    Integer values hash with splitmix64 (deterministic + SQL-twinnable);
+    anything else falls back to the pandas object hash (deterministic
+    within a run, no SQL twin)."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        h = splitmix64(arr.astype(np.int64).view(np.uint64))
+    else:
+        h = pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
     bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = h << np.uint64(_HLL_P)
     # rank = leading zeros of the remaining bits + 1 (cap 64-P+1)
@@ -63,9 +87,14 @@ def _hll_registers(values) -> np.ndarray:
 
 
 def _hll_estimate(regs: np.ndarray) -> float:
+    """Estimate from registers.  The harmonic sum is computed EXACTLY as
+    the integer S = sum(2^(64-reg)) (sum(2^-reg) == S / 2^64): float
+    summation order would otherwise make the estimate depend on register
+    iteration order, and the SQL oracle could never match bit-for-bit."""
     m = float(_HLL_M)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    S = sum(1 << (64 - int(r)) for r in regs)  # exact Python int
+    est = alpha * m * m / (S / 2.0 ** 64)
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting for small cardinalities

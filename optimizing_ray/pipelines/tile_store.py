@@ -62,18 +62,85 @@ def query_tiles(store_dir: str, queries: pa.Table, *, world: World, depth: int,
     return res, metrics
 
 
+def _refresh_record(key: int, part_dir: str, n_rows: int):
+    import json as _json
+    rec = {"cell_key": key, "rows_out": n_rows, "wall_s": 0.0,
+           "part_path": part_dir, "status": "done"}
+    with open(os.path.join(part_dir, manifest.DONE), "w") as f:
+        _json.dump(rec, f)
+
+
+def _rewrite_source_part(key: int, part_path: str, id_col: str,
+                         s_ids, new_x, new_y, new_key):
+    """Rewrite one source part: refresh stayers' coordinates in place,
+    return (leavers_table, n_hit).  Runs as a parallel Ray task."""
+    import pyarrow.parquet as pq
+
+    def apply_coords(mt: pa.Table, mpos: np.ndarray) -> pa.Table:
+        mt = mt.set_column(mt.schema.get_field_index("x"), "x", pa.array(new_x[mpos]))
+        mt = mt.set_column(mt.schema.get_field_index("y"), "y", pa.array(new_y[mpos]))
+        return mt.set_column(mt.schema.get_field_index("cell_key"), "cell_key",
+                             pa.array(new_key[mpos]))
+
+    path = os.path.join(part_path, "data.parquet")
+    t = pq.read_table(path)
+    ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+    pos = np.clip(np.searchsorted(s_ids, ids), 0, len(s_ids) - 1)
+    hit = s_ids[pos] == ids
+    if not hit.any():
+        return None, 0, False
+    sel = np.nonzero(hit)[0]
+    mpos = pos[sel]
+    leaves = new_key[mpos] != key
+    keep_mask = np.ones(len(t), dtype=bool)
+    keep_mask[sel[leaves]] = False
+    kept = t.filter(pa.array(keep_mask))
+    stay_sel = sel[~leaves]
+    if len(stay_sel):
+        # rebuild: non-hit rows + stayers with refreshed coordinates
+        non_hit = np.ones(len(t), dtype=bool)
+        non_hit[sel] = False
+        stayed = apply_coords(t.take(pa.array(stay_sel)), mpos[~leaves])
+        kept = pa.concat_tables([t.filter(pa.array(non_hit)), stayed])
+    leavers = (apply_coords(t.take(pa.array(sel[leaves])), mpos[leaves])
+               if leaves.any() else None)
+    pq.write_table(kept, path)
+    _refresh_record(key, part_path, kept.num_rows)
+    return leavers, int(hit.sum()), True
+
+
+def _append_dest_part(key: int, part_dir: str, sub: pa.Table, exists: bool):
+    """Append leavers to (or create) one destination part — parallel task."""
+    import pyarrow.parquet as pq
+    path = os.path.join(part_dir, "data.parquet")
+    if not exists:
+        os.makedirs(part_dir, exist_ok=True)
+        pq.write_table(sub, path)
+        _refresh_record(key, part_dir, sub.num_rows)
+    else:
+        merged = pa.concat_tables([pq.read_table(path), sub])
+        pq.write_table(merged, path)
+        _refresh_record(key, part_dir, merged.num_rows)
+
+
 def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
                 id_col: str = "doc_id") -> dict:
     """Incremental relocate against the tile store (D3,
     ``DynamicOctree.hpp:299-303``): only the tile groups that contain a
     moved row (source) or receive one (destination) are rewritten; every
-    other part file stays byte-identical on disk.  Row count is conserved
-    and per-part lineage records are refreshed.
+    other part file stays byte-identical on disk AND UNREAD.
 
-    Returns metrics {parts_rewritten, parts_total, rows_moved}."""
-    import json as _json
+    SOURCE PRUNING: when `moves` carries ``old_x``/``old_y`` columns (the
+    engine's analogue of the reference's location back-pointer,
+    ``OctreeItemLocation`` ``DynamicOctree.hpp:46-49``), only the parts
+    whose key appears among the old positions are opened — at 100 TB the
+    difference between touching k parts and scanning the store.  Without
+    old coordinates every part must be probed (documented fallback).
+    Part rewrites run as parallel Ray tasks.
 
-    import pyarrow.parquet as pq
+    Returns metrics {parts_rewritten, parts_read, parts_total, rows_moved}.
+    """
+    import ray
 
     mv_ids = np.asarray(moves[id_col].to_pylist(), dtype=object)
     order = np.argsort(mv_ids)
@@ -85,71 +152,45 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
     records = {r["cell_key"]: r for r in manifest.read_manifest(store_dir)
                if r.get("status") == "done"}
 
-    def _apply_coords(mt: pa.Table, mpos: np.ndarray) -> pa.Table:
-        mt = mt.set_column(mt.schema.get_field_index("x"), "x", pa.array(new_x[mpos]))
-        mt = mt.set_column(mt.schema.get_field_index("y"), "y", pa.array(new_y[mpos]))
-        return mt.set_column(mt.schema.get_field_index("cell_key"), "cell_key",
-                             pa.array(new_key[mpos]))
+    if len(s_ids) and "old_x" in moves.column_names and "old_y" in moves.column_names:
+        old_key = cells.point_cell2(moves["old_x"].to_numpy()[order],
+                                    moves["old_y"].to_numpy()[order],
+                                    world, depth).astype(np.int64)
+        src_keys = [k for k in np.unique(old_key).tolist() if k in records]
+    else:
+        src_keys = list(records) if len(s_ids) else []
 
-    def _refresh_record(key: int, part_dir: str, n_rows: int):
-        rec = {"cell_key": key, "rows_out": n_rows, "wall_s": 0.0,
-               "part_path": part_dir, "status": "done"}
-        with open(os.path.join(part_dir, manifest.DONE), "w") as f:
-            _json.dump(rec, f)
+    rewrite = ray.remote(_rewrite_source_part)
+    append = ray.remote(_append_dest_part)
+    s_ref = ray.put(s_ids)
+    x_ref, y_ref, k_ref = ray.put(new_x), ray.put(new_y), ray.put(new_key)
 
+    futs = [rewrite.remote(key, records[key]["part_path"], id_col,
+                           s_ref, x_ref, y_ref, k_ref) for key in src_keys]
     leavers: list[pa.Table] = []
     rewritten: set[int] = set()
     n_moved = 0
-    # pass 1: per source part — update stayers in place, extract leavers
-    for key, rec in records.items():
-        path = os.path.join(rec["part_path"], "data.parquet")
-        t = pq.read_table(path)
-        ids = np.asarray(t[id_col].to_pylist(), dtype=object)
-        if len(s_ids) == 0:
-            break
-        pos = np.clip(np.searchsorted(s_ids, ids), 0, len(s_ids) - 1)
-        hit = s_ids[pos] == ids
-        if not hit.any():
-            continue
-        sel = np.nonzero(hit)[0]
-        mpos = pos[sel]
-        leaves = new_key[mpos] != key
-        n_moved += int(hit.sum())
-        keep_mask = np.ones(len(t), dtype=bool)
-        keep_mask[sel[leaves]] = False
-        kept = t.filter(pa.array(keep_mask))
-        stay_sel = sel[~leaves]
-        if len(stay_sel):
-            # rebuild: non-hit rows + stayers with refreshed coordinates
-            non_hit = np.ones(len(t), dtype=bool)
-            non_hit[sel] = False
-            stayed = _apply_coords(t.take(pa.array(stay_sel)), mpos[~leaves])
-            kept = pa.concat_tables([t.filter(pa.array(non_hit)), stayed])
-        if leaves.any():
-            leavers.append(_apply_coords(t.take(pa.array(sel[leaves])), mpos[leaves]))
-        pq.write_table(kept, path)
-        _refresh_record(key, rec["part_path"], kept.num_rows)
-        rewritten.add(key)
+    for key, (leave, n_hit, touched) in zip(src_keys, ray.get(futs)):
+        n_moved += n_hit
+        if touched:
+            rewritten.add(key)
+        if leave is not None:
+            leavers.append(leave)
 
-    # pass 2: append leavers to their destination parts
+    # pass 2: append leavers to their destination parts (parallel per part)
     if leavers:
         allm = pa.concat_tables(leavers)
         dkeys = allm["cell_key"].to_numpy()
+        dfuts = []
         for key in np.unique(dkeys).tolist():
             key = int(key)
             sub = allm.filter(pa.array(dkeys == key))
             rec = records.get(key)
-            if rec is None:
-                part_dir = os.path.join(store_dir, f"part={key}")
-                os.makedirs(part_dir, exist_ok=True)
-                pq.write_table(sub, os.path.join(part_dir, "data.parquet"))
-                _refresh_record(key, part_dir, sub.num_rows)
-            else:
-                path = os.path.join(rec["part_path"], "data.parquet")
-                merged = pa.concat_tables([pq.read_table(path), sub])
-                pq.write_table(merged, path)
-                _refresh_record(key, rec["part_path"], merged.num_rows)
+            part_dir = (rec["part_path"] if rec is not None
+                        else os.path.join(store_dir, f"part={key}"))
+            dfuts.append(append.remote(key, part_dir, sub, rec is not None))
             rewritten.add(key)
+        ray.get(dfuts)
     manifest._write_compacted(store_dir)
-    return {"parts_rewritten": len(rewritten), "parts_total": len(records),
-            "rows_moved": n_moved}
+    return {"parts_rewritten": len(rewritten), "parts_read": len(src_keys),
+            "parts_total": len(records), "rows_moved": n_moved}

@@ -22,11 +22,16 @@ SQL_NAMES = [
     "relocate_assign", "train_split", "dedup_exact", "doc_stats", "events_window",
     "sliding_window", "session_window", "prev_value", "raster_density", "ann_topk",
     "distinct_sources", "top_docs_per_lang", "sales_by_nation", "median_qty",
+    # round 2: brute-force twins for the formerly rows-only ops
+    "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
+    "fingerprints", "ann_ivf", "embedding_near_dup", "hll_distinct_users",
+    "curate",
 ]
 ROWS_ONLY_NAMES = [
-    "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
-    "fingerprints", "ann_ivf", "embedding_near_dup", "media_features",
-    "hll_distinct_users", "curate", "span_passthrough",
+    # media: honest codec stub (no imaging wheel in the sandbox);
+    # span_passthrough: nested list<struct> payload — byte-equality is
+    # pytest-checked instead (test_box_join)
+    "media_features", "span_passthrough",
 ]
 
 

@@ -104,18 +104,29 @@ def test_apply_moves_incremental(ray_session, tmp_path):
 
     ids = np.asarray(t["doc_id"].to_pylist())
     move_ids = ids[:40]
+    old_x = t["x"].to_numpy()[:40]
+    old_y = t["y"].to_numpy()[:40]
     moves = pa.table({
         "doc_id": pa.array(move_ids),
         "new_x": pa.array(np.full(40, 99_990.0)),
         "new_y": pa.array(np.full(40, 99_990.0)),
+        # old coords = the location back-pointer: apply_moves reads ONLY
+        # these source parts (OctreeItemLocation, DynamicOctree.hpp:46-49)
+        "old_x": pa.array(old_x),
+        "old_y": pa.array(old_y),
     })
     sizes_before = {r["cell_key"]: os.path.getsize(
         os.path.join(r["part_path"], "data.parquet"))
         for r in manifest.read_manifest(store)}
+    from optimizing_ray import cells as cellmod
     from optimizing_ray.pipelines import tile_store as ts
     metrics = ts.apply_moves(store, moves, world=WORLD_2D, depth=DEPTH)
     assert metrics["rows_moved"] == 40
     assert 0 < metrics["parts_rewritten"] < metrics["parts_total"]
+    # source pruning: exactly the parts holding movers were read
+    n_src = len(np.unique(cellmod.point_cell2(old_x, old_y, WORLD_2D, DEPTH)))
+    assert metrics["parts_read"] == n_src
+    assert metrics["parts_read"] < metrics["parts_total"]
 
     after = manifest.read_manifest(store)
     assert sum(r["rows_out"] for r in after) == 3000  # conserved
@@ -143,3 +154,43 @@ def test_apply_moves_incremental(ray_session, tmp_path):
     moved = df[df.doc_id.isin(move_ids)]
     assert (moved["x"] == 99_990.0).all()
     assert len(df) == 3000
+
+
+def test_apply_moves_without_backpointer_probes_all(ray_session, tmp_path):
+    """Fallback: no old coords -> every part probed (documented cost)."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(500), variant="flat2d", with_spans=False)
+    store = str(tmp_path / "mv_fb")
+    manifest.resumable_write(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D), store)
+    moves = pa.table({
+        "doc_id": pa.array(np.asarray(t["doc_id"].to_pylist())[:5]),
+        "new_x": pa.array(np.full(5, 10.0)),
+        "new_y": pa.array(np.full(5, 10.0)),
+    })
+    from optimizing_ray.pipelines import tile_store as ts
+    metrics = ts.apply_moves(store, moves, world=WORLD_2D, depth=DEPTH)
+    assert metrics["rows_moved"] == 5
+    assert metrics["parts_read"] == metrics["parts_total"]
+
+
+def test_knn_ring_store_pruned_rounds(ray_session, tmp_path):
+    """Ring-r kNN rounds read only ring tile groups from the store and
+    still return the exact brute-force result."""
+    import ray.data as rd
+    from optimizing_ray import synth as sy
+    from optimizing_ray.pipelines import knn
+    t = sy.documents_batch(np.arange(5000), variant="flat2d", with_spans=False)
+    store = str(tmp_path / "knn_store")
+    manifest.resumable_write(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D), store)
+
+    queries = sy.knn_queries_table(6)
+    got, metrics = knn.knn_ring_store(store, queries, world=WORLD_2D, depth=DEPTH)
+    brute = knn.knn_brute(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D),
+                          queries)
+    a = got.to_pandas().sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    b = brute.to_pandas().sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(a["dist"].to_numpy(), b["dist"].to_numpy())
+    # round 1 read only the ring-1 disks (6 queries x <=9 cells of 256)
+    assert metrics["rounds"][0]["parts_read"] < metrics["parts_total"]
+    assert metrics["parts_total"] > 0
