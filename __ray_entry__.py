@@ -456,6 +456,21 @@ def _q_hll_distinct_users(sf_dir: str):
                      "estimate": pa.array([est], pa.float64())})
 
 
+def _q_user_median_sketch(sf_dir: str):
+    """Per-user median via the mergeable quantile sketch — the
+    high-cardinality path (one row per user_id; the shuffle key is
+    hash(user) % 32 shards, never one group per user).  On driver-scale
+    groups the summaries stay unit-weight, so the result is provably the
+    exact discrete quantile and the quantile_disc oracle pins it."""
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "value"],
+                            num_blocks=8)
+    return sketches.grouped_quantile_sketch(ev, key_col="user_id",
+                                            value_col="value", q=0.5)
+
+
 def _q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -598,6 +613,18 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["doc_id", "n_media_spans", "media_features"])
 
 
+def _q_trace_bounces(sf_dir: str):
+    """Multi-bounce path tracer (Raytracing.hpp:501-638 as an iterative
+    Dataset bounce loop): 16x16 x 2 samples over the deterministic
+    Cornell scene.  Rows-only — the stochastic recursion has no SQL twin;
+    conformance vs a scalar depth-first oracle is pytest-pinned
+    (tests/test_tracer.py)."""
+    from optimizing_ray.pipelines import tracer
+
+    return tracer.trace(tracer.cornell_scene(), width=16, height=16, spp=2,
+                        max_depth=5, num_blocks=4)
+
+
 def _q_span_passthrough(sf_dir: str):
     """Span-sequence invariant as a query: flagship join over the
     interleaved corpus, spans carried through; rows-only (the pytest suite
@@ -645,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_by_nation": _q_sales_by_nation,
         "median_qty": _q_median_qty,
         "ann_topk": _q_ann_topk,
+        "user_median_sketch": _q_user_median_sketch,
         # rows-only
         "adaptive_assign": _q_adaptive_assign,
         "minhash_pairs": _q_minhash_pairs,
@@ -656,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "curate": _q_curate,
         "media_features": _q_media_features,
+        "trace_bounces": _q_trace_bounces,
         "span_passthrough": _q_span_passthrough,
     }
 
@@ -705,4 +734,5 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF provably equals exact top-k -> same oracle
         "ann_ivf": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
+        "user_median_sketch": oracle.user_median_sql(),
     }

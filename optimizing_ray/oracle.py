@@ -860,3 +860,13 @@ SELECT 'distinct_users_hll' AS metric,
          / 1e6 AS estimate
 FROM est
 """
+
+
+def user_median_sql(table: str = "events") -> str:
+    """Oracle for the grouped quantile sketch at driver scale: every
+    per-(batch, user) group is far below the summary size k, so the
+    sketch provably equals the exact discrete median (quantile_disc)."""
+    return f"""
+SELECT user_id, quantile_disc(value, 0.5) AS p50
+FROM {table} GROUP BY user_id
+"""

@@ -10,6 +10,10 @@
   4096-register sketch row, merged by elementwise max (the mergeable-
   sketch partial/final pattern from the Ray guide); estimate within a
   few % of exact at any scale with constant memory.
+* ``quantile_sketch`` / ``grouped_quantile_sketch`` — THE
+  unbounded-cardinality quantile path: mergeable equal-weight summaries
+  (<= k weighted data elements per batch/key), sharded merge, rank
+  select; exact in the unit-weight regime, bounded rank error beyond.
 """
 
 from __future__ import annotations
@@ -19,7 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["percentile_disc", "hll_distinct"]
+__all__ = ["percentile_disc", "hll_distinct", "splitmix64",
+           "quantile_sketch", "grouped_quantile_sketch"]
 
 
 def percentile_disc(ds: rd.Dataset, *, key_col: str, value_col: str,
@@ -118,3 +123,121 @@ def hll_distinct(ds: rd.Dataset, col: str) -> float:
         for b in t["regs"].to_pylist():
             merged = np.maximum(merged, np.frombuffer(b, dtype=np.int8))
     return _hll_estimate(merged)
+
+
+# --- mergeable quantile sketch (the unbounded-cardinality path) -----------
+
+def _summary_points(values: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-weight quantile summary of one value array: at most k actual
+    ELEMENTS (never interpolated means, so unit-weight summaries stay
+    bit-exact), each carrying weight n/k.  Rank error of the summary is
+    <= n/(2k)."""
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    if n <= k:
+        return v, np.ones(n, dtype=np.float64)
+    idx = np.minimum(((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1)
+    return v[idx], np.full(k, n / k, dtype=np.float64)
+
+
+def _rank_select(values: np.ndarray, weights: np.ndarray, q: float):
+    """First element whose cumulative weight reaches ceil(q * W) — the
+    ``quantile_disc`` convention, exact when all weights are 1."""
+    order = np.argsort(values, kind="stable")
+    cw = np.cumsum(weights[order])
+    target = np.ceil(q * cw[-1])
+    i = int(np.searchsorted(cw, target - 1e-9))
+    return values[order[min(i, len(order) - 1)]]
+
+
+def quantile_sketch(ds: rd.Dataset, value_col: str, qs=(0.5,), *,
+                    k: int = 512, merge_cap: int = 8192) -> pa.Table:
+    """Approximate quantiles of one column via mergeable equal-weight
+    summaries: each batch emits <= k weighted points (4 KB-ish), the
+    driver merges and rank-selects.  Rank error <= 1/(2k) per batch
+    summary + 1/(2*merge_cap) for the merge compression — constant
+    memory at any corpus size (the percentile_disc docstring's promised
+    unbounded-cardinality path).
+
+    Returns a table (q, value)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, w = _summary_points(t[value_col].to_numpy(zero_copy_only=False), k)
+        return pa.table({"v": pa.array(v.astype(np.float64)), "w": pa.array(w)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    vs, ws = [], []
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            vs.append(t["v"].to_numpy())
+            ws.append(t["w"].to_numpy())
+    if not vs:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    v = np.concatenate(vs)
+    w = np.concatenate(ws)
+    if len(v) > merge_cap:  # re-compress the merged summary
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        targets = (np.arange(merge_cap) + 0.5) * cw[-1] / merge_cap
+        sel = np.minimum(np.searchsorted(cw, targets), len(v) - 1)
+        grp_w = np.diff(np.concatenate([[0.0], cw[sel]]))
+        v, w = v[sel], grp_w
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": pa.array([_rank_select(v, w, q) for q in qs], pa.float64()),
+    })
+
+
+def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
+                            q: float = 0.5, k: int = 512,
+                            n_shards: int = 32,
+                            out_col: str | None = None) -> rd.Dataset:
+    """Per-key quantiles at UNBOUNDED key cardinality: per-batch per-key
+    summaries (<= k weighted points each) shuffle on ``hash(key) %
+    n_shards`` — never one Ray group per key — and each shard rank-selects
+    all its keys in one vectorized pandas pass.
+
+    EXACT (quantile_disc convention, SQL-oracle-able) whenever no single
+    (batch, key) group exceeds k values — weights stay 1 and rank-select
+    degenerates to the discrete quantile; beyond that it degrades
+    gracefully to the summary's bounded rank error."""
+    out_col = out_col or f"p{int(q * 100)}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, value_col]).to_pandas()
+        keys_out, v_out, w_out = [], [], []
+        for key, g in df.groupby(key_col, sort=False):
+            v, w = _summary_points(g[value_col].to_numpy(), k)
+            keys_out.append(np.full(len(v), key))
+            v_out.append(v)
+            w_out.append(w)
+        return pa.table({
+            key_col: pa.array(np.concatenate(keys_out)),
+            "v": pa.array(np.concatenate(v_out).astype(np.float64)),
+            "w": pa.array(np.concatenate(w_out)),
+        })
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(pd.Series(t[key_col].to_pylist()),
+                                       index=False).to_numpy()
+        return t.append_column("_shard", pa.array(
+            (h % np.uint64(n_shards)).astype(np.int64)))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-key rank select: sort by (key, v), cumulative
+        # weights per key, first row reaching ceil(q * W)
+        g = g.sort_values([key_col, "v"], kind="stable")
+        cw = g.groupby(key_col, sort=False)["w"].cumsum()
+        W = g.groupby(key_col, sort=False)["w"].transform("sum")
+        reach = cw.to_numpy() >= np.ceil(q * W.to_numpy()) - 1e-9
+        first = pd.DataFrame({key_col: g[key_col].to_numpy()[reach],
+                              out_col: g["v"].to_numpy()[reach]})
+        return first.drop_duplicates(key_col, keep="first")
+
+    return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(finalize, batch_format="pandas"))

@@ -40,3 +40,51 @@ def test_hll_small_cardinality_linear_counting(ray_session):
     t = pa.table({"v": pa.array(list(range(100)) * 50, pa.int64())})
     est = sketches.hll_distinct(rd.from_arrow(t), "v")
     assert abs(est - 100) / 100 < 0.05
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Rank error of the mergeable summary stays within the documented
+    bound on a skewed (lognormal) distribution."""
+    import ray.data as rd
+    rng = np.random.default_rng(31)
+    vals = rng.lognormal(mean=0.0, sigma=2.0, size=60_000)
+    t = pa.table({"v": pa.array(vals)})
+    out = sketches.quantile_sketch(rd.from_arrow(t).repartition(16), "v",
+                                   qs=(0.1, 0.5, 0.9, 0.99), k=512)
+    sv = np.sort(vals)
+    for q, est in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        true_rank = np.searchsorted(sv, est, side="right") / len(sv)
+        assert abs(true_rank - q) < 0.01, (q, est, true_rank)
+
+
+def test_quantile_sketch_exact_in_unit_weight_regime(ray_session):
+    """With every batch below k values the sketch IS the exact discrete
+    quantile (quantile_disc convention) — the regime the SQL oracle pins."""
+    import ray.data as rd
+    rng = np.random.default_rng(32)
+    vals = rng.uniform(0, 1, 400)
+    t = pa.table({"v": pa.array(vals)})
+    out = sketches.quantile_sketch(rd.from_arrow(t).repartition(4), "v",
+                                   qs=(0.5,), k=512)
+    sv = np.sort(vals)
+    want = sv[int(np.ceil(0.5 * len(sv))) - 1]
+    assert out["value"][0].as_py() == want
+
+
+def test_grouped_quantile_sketch_exact_small_groups(ray_session):
+    """High-cardinality per-key quantiles: exact (== percentile_disc)
+    when per-(batch, key) groups stay under k."""
+    import ray.data as rd
+    rng = np.random.default_rng(33)
+    n = 30_000
+    t = pa.table({"k": pa.array(rng.integers(0, 2000, n), pa.int64()),
+                  "v": pa.array(rng.uniform(0, 100, n))})
+    out = sketches.grouped_quantile_sketch(
+        rd.from_arrow(t).repartition(8), key_col="k", value_col="v",
+        q=0.5).to_pandas().sort_values("k").reset_index(drop=True)
+    df = t.to_pandas()
+    assert len(out) == df["k"].nunique()
+    for key, g in list(df.groupby("k"))[:50]:
+        v = np.sort(g["v"].to_numpy())
+        want = v[int(np.ceil(0.5 * len(v))) - 1]
+        assert out.loc[out.k == key, "p50"].iloc[0] == want
