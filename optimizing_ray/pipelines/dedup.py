@@ -34,7 +34,8 @@ import ray.data as rd
 from optimizing_ray.functions.text import shingles
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-           "simhash_pairs", "embedding_near_dup_pairs", "connected_components"]
+           "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
+           "connected_components_distributed"]
 
 
 def _plan_rows(ds: rd.Dataset, nrows: int | None) -> int:
@@ -70,9 +71,11 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     bytes never shuffle.  Winners (min id per 128-bit content hash; md5
     collision probability is negligible at any corpus size) are then
     re-joined with their payload via the streaming bucket merge.
-    Shuffle key = ``hash % 64`` shards, not the raw hash (one Ray group
-    per distinct doc would be dispatch-bound)."""
-    n_shards = 64
+    Shuffle key = ``hash % 32`` shards, not the raw hash (one Ray group
+    per distinct doc would be dispatch-bound; 32 keeps Ray's per-group
+    task count under the measured fixed-cost knee while still exceeding
+    a node's cores)."""
+    n_shards = 32
 
     def slim_hash(t: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(t[text_col].to_pylist())
@@ -93,13 +96,17 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
                                                      keep="first")
         return keep[[id_col]]
 
-    slim = (docs.map_batches(slim_hash, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_shard").map_groups(winners, batch_format="pandas"))
+    slim_parts = docs.map_batches(slim_hash, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     if _plan_rows(docs, nrows) <= broadcast_threshold:
-        # small corpus: broadcast the winner-id set, semi-join filter —
-        # one shuffle fewer than the gather merge
-        keep = np.sort(np.asarray(
-            [r[id_col] for r in slim.take_all()], dtype=object))
+        # small corpus: the winner set is driver-materialized for the
+        # broadcast anyway, so skip the shard shuffle entirely — merge the
+        # per-batch pre-deduped partials driver-side (bounded by
+        # broadcast_threshold rows BY PLAN CHOICE), then semi-join filter
+        parts = [ray.get(r) for r in slim_parts.to_arrow_refs()]
+        allp = pa.concat_tables([p for p in parts if p.num_rows]).to_pandas()
+        keep_ids = winners(allp)[id_col].to_numpy()
+        keep = np.sort(np.asarray(keep_ids, dtype=object))
         keep_ref = ray.put(keep)
 
         def semi(t: pa.Table) -> pa.Table:
@@ -110,6 +117,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
                                      np.zeros(len(ids), bool)))
 
         return docs.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    slim = slim_parts.groupby("_shard").map_groups(winners, batch_format="pandas")
     payload_cols = tuple(c for c in docs.schema().base_schema.names if c != id_col)
     from optimizing_ray.pipelines.box_join import gather_payload
     return gather_payload(slim, docs, payload_cols=payload_cols, on=id_col)
@@ -158,10 +166,10 @@ def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
     })
 
 
-def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 64) -> rd.Dataset:
+def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32) -> rd.Dataset:
     """(band, bucket, doc_id) rows -> candidate pairs (a < b), deduped.
 
-    Shuffle key = ``hash(band, bucket) % n_shards`` so Ray materializes 64
+    Shuffle key = ``hash(band, bucket) % n_shards`` so Ray materializes 32
     groups, not one per bucket (per-group dispatch would dominate); inside
     a shard the pair generation runs as one vectorized pandas groupby."""
 
@@ -409,7 +417,7 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
                          "doc_id": pa.array(np.concatenate(dids)),
                          "sim": pa.array(np.concatenate(hashes))})
 
-    n_shards = 64
+    n_shards = 32
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -543,8 +551,9 @@ def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
     cluster representative (min member under the ids' NATIVE ordering —
     int ids compare numerically, so {2, 10} -> 2).  Driver-side ON
     PURPOSE — the verified pair set is orders of magnitude smaller than
-    the corpus; the at-scale alternative (iterated min-label propagation
-    via groupby) is documented in the module docstring."""
+    the corpus; when even the pair set outgrows one machine, use
+    ``connected_components_distributed`` (the sharded min-label
+    propagation below, same representative convention for int ids)."""
     parent: dict = {}
 
     def find(x):
@@ -564,3 +573,96 @@ def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
                 lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
+                                     b: str = "doc_b", n_shards: int = 32,
+                                     max_iters: int = 64) -> rd.Dataset:
+    """Distributed min-label propagation over the verified-pair graph —
+    the at-scale path the driver-side ``connected_components`` union-find
+    names as its fallback (for when even the verified pair set outgrows
+    one machine).  Returns a Dataset (id, rep) with rep = the component's
+    minimum member.
+
+    Per iteration (2 sharded exchanges, never one Ray group per node):
+    candidate labels flow across edges (side-tagged union of edge rows and
+    label rows sharded by hash(src); the side tag keeps both payloads the
+    id type — no null columns, which pandas would upcast to float), then
+    each node takes the min of its candidates (shard by hash(node)).
+    Converges in O(component diameter) iterations; near-dup graphs are
+    unions of small cliques, so a few rounds in practice.  Fixpoint
+    detected by a per-iteration changed count (labels materialize each
+    round — bounded: one row per node)."""
+
+    def shard_of(vals) -> np.ndarray:
+        h = pd.util.hash_pandas_object(pd.Series(list(vals)), index=False).to_numpy()
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    def sym(t: pa.Table) -> pa.Table:
+        src = np.concatenate([np.asarray(t[a].to_pylist(), dtype=object),
+                              np.asarray(t[b].to_pylist(), dtype=object)])
+        dst = np.concatenate([np.asarray(t[b].to_pylist(), dtype=object),
+                              np.asarray(t[a].to_pylist(), dtype=object)])
+        return pa.table({"key": pa.array(src), "val": pa.array(dst),
+                         "is_edge": pa.array(np.ones(len(src), bool)),
+                         "_shard": pa.array(shard_of(src))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(g["key"])
+        return pd.DataFrame({"node": nodes, "label": nodes,
+                             "changed": np.zeros(len(nodes), dtype=np.int64)})
+
+    labels = (edges.groupby("_shard")
+              .map_groups(init_labels, batch_format="pandas").materialize())
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"], "val": t["label"],
+                         "is_edge": pa.array(np.zeros(t.num_rows, bool)),
+                         "_shard": pa.array(shard_of(t["node"].to_pylist()))})
+
+    def flow(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[~g["is_edge"]][["key", "val"]]
+        edg = g[g["is_edge"]][["key", "val"]]
+        m = edg.merge(lab, on="key", how="inner", suffixes=("", "_lab"))
+        # candidates: labels crossing edges (to the edge dst) + self labels
+        # (self rows marked so take_min can emit the changed flag without a
+        # separate old-vs-new exchange)
+        cand = pd.concat([
+            pd.DataFrame({"dst": m["val"].to_numpy(),
+                          "label": m["val_lab"].to_numpy(),
+                          "is_self": np.zeros(len(m), bool)}),
+            pd.DataFrame({"dst": lab["key"].to_numpy(),
+                          "label": lab["val"].to_numpy(),
+                          "is_self": np.ones(len(lab), bool)}),
+        ])
+        cand["_shard2"] = shard_of(cand["dst"])
+        return cand
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(["dst", "label"], kind="stable")
+        first = srt.drop_duplicates("dst", keep="first")
+        olds = g[g["is_self"]][["dst", "label"]].rename(columns={"label": "_old"})
+        out = first.merge(olds, on="dst", how="left")
+        return pd.DataFrame({
+            "node": out["dst"].to_numpy(),
+            "label": out["label"].to_numpy(),
+            "changed": (out["label"].to_numpy() != out["_old"].to_numpy())
+            .astype(np.int64),
+        })
+
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_label, batch_format="pyarrow",
+                                    zero_copy_batch=True).union(edges)
+        cand = tagged.groupby("_shard").map_groups(flow, batch_format="pandas")
+        labels = cand.groupby("_shard2").map_groups(
+            take_min, batch_format="pandas").materialize()
+        if labels.sum("changed") == 0:
+            break
+
+    def out_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["node"], "rep": df["label"]})
+
+    return labels.map_batches(out_cols, batch_format="pandas")

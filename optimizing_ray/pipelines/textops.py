@@ -17,26 +17,26 @@ from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_cou
 __all__ = ["analyze_text", "doc_stats", "fingerprints"]
 
 
-class _Analyzer:
-    def __init__(self, text_col: str):
-        self.an = TextAnalyzer()
-        self.text_col = text_col
+def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
+                 batch_size: int | None = 4096) -> rd.Dataset:
+    """lang_pred / lang_conf / quality / n_tokens columns appended.
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        res = self.an.analyze_batch(texts)
+    Stateless tasks + per-worker-process compiled-state cache
+    (broadcast.cached) instead of an actor pool: the TextAnalyzer state
+    is just compiled regexes/stopword sets, and autoscaling pools start
+    at 1 actor and never ramp inside short stages (measured round 1 —
+    the same fix as the join/raster stages)."""
+    from optimizing_ray.broadcast import cached
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        an = cached(("text_analyzer",), TextAnalyzer)
+        res = an.analyze_batch(batch[text_col].to_pylist())
         for name, arr in res.items():
             batch = batch.append_column(name, pa.array(arr))
         return batch
 
-
-def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
-                 concurrency: int | tuple[int, int] = (1, 8),
-                 batch_size: int | None = 4096) -> rd.Dataset:
-    """lang_pred / lang_conf / quality / n_tokens columns appended."""
-    return docs.map_batches(_Analyzer, fn_constructor_args=(text_col,),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            batch_size=batch_size, concurrency=concurrency)
+    return docs.map_batches(analyze, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
 
 
 def doc_stats(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:

@@ -363,7 +363,7 @@ class _Bounce:
 
 def trace(scene: dict[str, np.ndarray], *, width: int, height: int,
           spp: int = 4, max_depth: int = 5, max_bounces: int = 64,
-          num_blocks: int | None = None) -> pa.Table:
+          num_blocks: int | None = None, tail_rows: int = 65_536) -> pa.Table:
     """Render the scene: returns (pixel_id, px, py, r, g, b) with radiance
     mean-over-samples, clamped to [0,1] (A4, ``Raytracing.hpp:485-492``).
 
@@ -418,10 +418,31 @@ def trace(scene: dict[str, np.ndarray], *, width: int, height: int,
             acc[pix, 0] += tbl["tr"].to_numpy()
             acc[pix, 1] += tbl["tg"].to_numpy()
             acc[pix, 2] += tbl["tb"].to_numpy()
-        if out.count() - n_dead == 0:  # count() is metadata on materialized
+        n_live = out.count() - n_dead  # count() is metadata on materialized
+        if n_live == 0:
             break
         alive = out.map_batches(alive_only, batch_format="pyarrow",
                                 zero_copy_batch=True)
+        if n_live <= tail_rows:
+            # roulette shrinks the live set geometrically; once it fits a
+            # single batch the per-bounce Ray dispatch dominates — finish
+            # the (bounded) tail locally with the SAME kernel
+            kern = _Bounce(scene_ref, max_depth)
+            tbl = pa.concat_tables(
+                [t for t in ray.get(alive.to_arrow_refs()) if t.num_rows])
+            for _ in range(max_bounces):
+                if tbl.num_rows == 0:
+                    break
+                tbl = kern(tbl.drop_columns(["alive"])
+                           if "alive" in tbl.column_names else tbl)
+                am = tbl["alive"].to_numpy(zero_copy_only=False)
+                dead_t = tbl.filter(pa.array(~am))
+                pix = dead_t["pixel_id"].to_numpy()
+                acc[pix, 0] += dead_t["tr"].to_numpy()
+                acc[pix, 1] += dead_t["tg"].to_numpy()
+                acc[pix, 2] += dead_t["tb"].to_numpy()
+                tbl = tbl.filter(pa.array(am))
+            break
     rad = clamp01(acc / spp)
     pix = np.arange(width * height, dtype=np.int64)
     return pa.table({

@@ -68,7 +68,9 @@ class _IndexShard:
         y = t["y"].to_numpy(zero_copy_only=False)
         w = t["w"].to_numpy(zero_copy_only=False)
         h = t["h"].to_numpy(zero_copy_only=False)
-        doc = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        # to_numpy, not to_pylist: ~15x cheaper for string ids (object
+        # array out either way)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         skey = key[order]
         bounds = np.flatnonzero(np.diff(skey)) + 1
@@ -80,15 +82,23 @@ class _IndexShard:
             entry = self.cells.pop(ck, None)
             if entry is None:
                 entry = {"x": x[rows], "y": y[rows], "w": w[rows],
-                         "h": h[rows], "doc_id": doc[rows]}
+                         "h": h[rows], "doc_id": doc[rows],
+                         "_ids": set(doc[rows])}
                 n_new += len(rows)
-            else:  # append only ids the cell does not hold yet (idempotent)
-                fresh = ~np.isin(doc[rows], entry["doc_id"])
+            else:  # append only ids the cell does not hold yet (idempotent);
+                # the per-cell id SET keeps this O(new rows) — an array
+                # membership scan per append was quadratic across pushes
+                ids = entry["_ids"]
+                fresh = np.fromiter((i not in ids for i in doc[rows]),
+                                    dtype=bool, count=len(rows))
                 rows = rows[fresh]
                 if len(rows):
-                    entry = {k: np.concatenate([entry[k], v[rows]])
-                             for k, v in (("x", x), ("y", y), ("w", w),
-                                          ("h", h), ("doc_id", doc))}
+                    new = {k: np.concatenate([entry[k], v[rows]])
+                           for k, v in (("x", x), ("y", y), ("w", w),
+                                        ("h", h), ("doc_id", doc))}
+                    ids.update(new["doc_id"][-len(rows):])
+                    new["_ids"] = ids
+                    entry = new
                     n_new += len(rows)
             self.cells[ck] = entry  # moves to MRU position
             if self.max_cells is not None:

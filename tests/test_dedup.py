@@ -144,3 +144,32 @@ def test_exact_dedup_gather_path(ray_session):
     want = df.groupby("text")["doc_id"].min()
     assert set(out_gather["doc_id"]) == set(want)
     assert sorted(out_gather.columns) == ["doc_id", "text"]
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Min-label propagation == driver union-find on a graph with small
+    cliques AND a long path (the diameter-bound case)."""
+    import pandas as pd
+    import ray.data as rd
+    from optimizing_ray.pipelines import dedup
+
+    rng = np.random.default_rng(41)
+    pairs = []
+    # 30 random cliques over ids 0..149
+    for c in range(30):
+        members = rng.choice(np.arange(c * 5, c * 5 + 5), size=3, replace=False)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.append((int(members[i]), int(members[j])))
+    # a 6-node path: propagation needs several rounds (diameter bound)
+    for i in range(1000, 1005):
+        pairs.append((i, i + 1))
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    want = dedup.connected_components(df)
+
+    got = dedup.connected_components_distributed(
+        rd.from_pandas(df).repartition(4), n_shards=8).to_pandas()
+    got_map = dict(zip(got["id"], got["rep"]))
+    assert len(got_map) == len(want)
+    for k, v in want.items():
+        assert got_map[k] == v, (k, got_map[k], v)
