@@ -627,8 +627,13 @@ def _q_trace_bounces(sf_dir: str):
 
 def _q_span_passthrough(sf_dir: str):
     """Span-sequence invariant as a query: flagship join over the
-    interleaved corpus, spans carried through; rows-only (the pytest suite
-    checks byte-equality)."""
+    interleaved corpus with the nested spans payload carried through
+    untouched; rows-only (the driver's hash compare does not cover nested
+    list<struct> columns — byte-equality is pytest-pinned in
+    test_box_join).  Query boxes cover ~1% of the world each so hundreds
+    of span payloads actually flow through the join."""
+    import numpy as np
+    import pyarrow as pa
     from optimizing_ray import synth
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import box_join
@@ -636,7 +641,14 @@ def _q_span_passthrough(sf_dir: str):
 
     docs = synthetic_documents(2000, variant="flat2d", with_spans=True,
                                override_num_blocks=4)
-    queries = synth.queries_table(8, variant="flat2d")
+    qi = np.arange(16, dtype=np.int64)
+    cx = synth.u01(qi, 7001) * 100_000.0
+    cy = synth.u01(qi, 7002) * 100_000.0
+    queries = pa.table({
+        "query_id": pa.array(np.char.mod("sp-%03d", qi)),
+        "min_x": pa.array(cx - 5_000.0), "min_y": pa.array(cy - 5_000.0),
+        "max_x": pa.array(cx + 5_000.0), "max_y": pa.array(cy + 5_000.0),
+    })
     return box_join.box_join_broadcast(
         docs, queries, world=WORLD_2D, depth=3, max_extent=(100.0, 100.0),
         payload_cols=("doc_id", "spans"))

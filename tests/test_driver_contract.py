@@ -129,7 +129,12 @@ def test_entry_smoke(ray_session):
     assert "query_id" in df.columns and "doc_id" in df.columns
 
 
-@pytest.mark.parametrize("name", ["tile_assign", "box_join", "knn", "dedup_exact"])
+@pytest.mark.parametrize("name", [
+    "tile_assign", "box_join", "knn", "dedup_exact",
+    # round-2 oracles: determinism must hold across scales too
+    "simhash_pairs", "text_analysis", "fingerprints", "adaptive_assign",
+    "hll_distinct_users", "user_median_sketch", "embedding_near_dup",
+])
 def test_queries_also_match_at_sf0001(ray_session, name):
     """Cross-sf check: the oracle equivalence is not tuned to one scale."""
     sf = "/root/testdata/sf0.001"
