@@ -103,8 +103,11 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
         # broadcast anyway, so skip the shard shuffle entirely — merge the
         # per-batch pre-deduped partials driver-side (bounded by
         # broadcast_threshold rows BY PLAN CHOICE), then semi-join filter
-        parts = [ray.get(r) for r in slim_parts.to_arrow_refs()]
-        allp = pa.concat_tables([p for p in parts if p.num_rows]).to_pandas()
+        parts = [p for p in (ray.get(r) for r in slim_parts.to_arrow_refs())
+                 if p.num_rows]
+        if not parts:
+            return docs  # empty corpus: nothing to dedup
+        allp = pa.concat_tables(parts).to_pandas()
         keep_ids = winners(allp)[id_col].to_numpy()
         keep = np.sort(np.asarray(keep_ids, dtype=object))
         keep_ref = ray.put(keep)

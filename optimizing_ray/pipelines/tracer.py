@@ -363,7 +363,7 @@ class _Bounce:
 
 def trace(scene: dict[str, np.ndarray], *, width: int, height: int,
           spp: int = 4, max_depth: int = 5, max_bounces: int = 64,
-          num_blocks: int | None = None, tail_rows: int = 65_536) -> pa.Table:
+          num_blocks: int | None = None, tail_rows: int = 16_384) -> pa.Table:
     """Render the scene: returns (pixel_id, px, py, r, g, b) with radiance
     mean-over-samples, clamped to [0,1] (A4, ``Raytracing.hpp:485-492``).
 
