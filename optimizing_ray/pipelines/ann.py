@@ -29,11 +29,15 @@ def _to_matrix(col) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    dim = len(flat) // n
-    if dim * n != len(flat):  # ragged fallback (never in the driver tables)
+    # fixed-length check via the offsets buffer: a divisibility test alone
+    # would silently scramble ragged rows whose lengths happen to sum to
+    # a multiple of n (np.stack raises loudly on truly ragged input)
+    offs = np.asarray(col.offsets)
+    lens = np.diff(offs)
+    if len(np.unique(lens)) != 1:
         return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
-    return flat.reshape(n, dim).astype(np.float64, copy=False)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, int(lens[0])).astype(np.float64, copy=False)
 
 
 def _nearest_centroid(M: np.ndarray, C: np.ndarray) -> np.ndarray:

@@ -662,7 +662,9 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         cand = tagged.groupby("_shard").map_groups(flow, batch_format="pandas")
         labels = cand.groupby("_shard2").map_groups(
             take_min, batch_format="pandas").materialize()
-        if labels.sum("changed") == 0:
+        # Dataset.sum on an EMPTY dataset returns None, not 0 — an empty
+        # pair set must terminate after one round, not spin max_iters
+        if not labels.sum("changed"):
             break
 
     def out_cols(df: pd.DataFrame) -> pd.DataFrame:

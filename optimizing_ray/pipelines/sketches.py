@@ -208,6 +208,11 @@ def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
     out_col = out_col or f"p{int(q * 100)}"
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            # empty blocks can arrive with an EMPTY schema (CLAUDE.md)
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
         df = t.select([key_col, value_col]).to_pandas()
         keys_out, v_out, w_out = [], [], []
         for key, g in df.groupby(key_col, sort=False):

@@ -88,7 +88,7 @@ def _rewrite_source_part(key: int, part_path: str, id_col: str,
     pos = np.clip(np.searchsorted(s_ids, ids), 0, len(s_ids) - 1)
     hit = s_ids[pos] == ids
     if not hit.any():
-        return None, 0, False
+        return None, [], False
     sel = np.nonzero(hit)[0]
     mpos = pos[sel]
     leaves = new_key[mpos] != key
@@ -106,7 +106,7 @@ def _rewrite_source_part(key: int, part_path: str, id_col: str,
                if leaves.any() else None)
     pq.write_table(kept, path)
     _refresh_record(key, part_path, kept.num_rows)
-    return leavers, int(hit.sum()), True
+    return leavers, s_ids[np.unique(mpos)].tolist(), True
 
 
 def _append_dest_part(key: int, part_dir: str, sub: pa.Table, exists: bool):
@@ -134,11 +134,15 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
     engine's analogue of the reference's location back-pointer,
     ``OctreeItemLocation`` ``DynamicOctree.hpp:46-49``), only the parts
     whose key appears among the old positions are opened — at 100 TB the
-    difference between touching k parts and scanning the store.  Without
-    old coordinates every part must be probed (documented fallback).
-    Part rewrites run as parallel Ray tasks.
+    difference between touching k parts and scanning the store.  STALE
+    HINTS ARE SAFE, not silent no-ops: any move id the pruned pass did
+    not find triggers a fallback probe of the remaining parts (reported
+    as ``fallback_parts_read``), so correctness never depends on the
+    hint.  Without old coordinates every part is probed.  Part rewrites
+    run as parallel Ray tasks.
 
-    Returns metrics {parts_rewritten, parts_read, parts_total, rows_moved}.
+    Returns metrics {parts_rewritten, parts_read, fallback_parts_read,
+    parts_total, rows_moved}.
     """
     import ray
 
@@ -165,17 +169,36 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
     s_ref = ray.put(s_ids)
     x_ref, y_ref, k_ref = ray.put(new_x), ray.put(new_y), ray.put(new_key)
 
-    futs = [rewrite.remote(key, records[key]["part_path"], id_col,
-                           s_ref, x_ref, y_ref, k_ref) for key in src_keys]
+    def run_pass(keys, ids_ref, xr, yr, kr):
+        futs = [rewrite.remote(key, records[key]["part_path"], id_col,
+                               ids_ref, xr, yr, kr) for key in keys]
+        out_leavers, matched, n = [], set(), 0
+        for key, (leave, hit_ids, touched) in zip(keys, ray.get(futs)):
+            n += len(hit_ids)
+            matched.update(hit_ids)
+            if touched:
+                rewritten.add(key)
+            if leave is not None:
+                out_leavers.append(leave)
+        return out_leavers, matched, n
+
     leavers: list[pa.Table] = []
     rewritten: set[int] = set()
-    n_moved = 0
-    for key, (leave, n_hit, touched) in zip(src_keys, ray.get(futs)):
-        n_moved += n_hit
-        if touched:
-            rewritten.add(key)
-        if leave is not None:
-            leavers.append(leave)
+    part1, matched, n_moved = run_pass(src_keys, s_ref, x_ref, y_ref, k_ref)
+    leavers.extend(part1)
+
+    fallback_keys: list[int] = []
+    if len(matched) < len(s_ids) and len(src_keys) < len(records):
+        # stale/incomplete back-pointer: probe the remaining parts with
+        # ONLY the unmatched moves
+        miss = np.asarray([i not in matched for i in s_ids], dtype=bool)
+        if miss.any():
+            fallback_keys = [k for k in records if k not in set(src_keys)]
+            fb_refs = (ray.put(s_ids[miss]), ray.put(new_x[miss]),
+                       ray.put(new_y[miss]), ray.put(new_key[miss]))
+            part2, matched2, n2 = run_pass(fallback_keys, *fb_refs)
+            leavers.extend(part2)
+            n_moved += n2
 
     # pass 2: append leavers to their destination parts (parallel per part)
     if leavers:
@@ -193,4 +216,5 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
         ray.get(dfuts)
     manifest._write_compacted(store_dir)
     return {"parts_rewritten": len(rewritten), "parts_read": len(src_keys),
+            "fallback_parts_read": len(fallback_keys),
             "parts_total": len(records), "rows_moved": n_moved}

@@ -149,10 +149,19 @@ def make_camera_rays(width: int, height: int, spp: int) -> pa.Table:
     })
 
 
+_RAY_EPS = 1e-4  # the reference's self-hit guard (Raytracing.hpp:288)
+
+
 def _raycast_scene(o: np.ndarray, d: np.ndarray, sc: dict) -> tuple[np.ndarray, np.ndarray]:
     """Nearest-hit over the broadcast scene (the J3 brute oracle join,
     ``Raytracing.hpp:640-669``): vector over rays, loop over the (small)
-    scene.  Returns (distance, object index; -1 = miss)."""
+    scene.  Returns (distance, object index; -1 = miss).
+
+    Hits closer than ``_RAY_EPS`` are rejected for BOTH shapes —
+    ``ray_sphere`` applies the epsilon internally but ``ray_aabb`` does
+    not, and without it a bounce origin sitting a float-hair inside a
+    cube face re-hits the face it just left (t ~ 1e-12) or exits through
+    the far face, silently darkening radiance near cubes."""
     n = len(o)
     best = np.full(n, np.inf)
     bid = np.full(n, -1, dtype=np.int64)
@@ -165,7 +174,7 @@ def _raycast_scene(o: np.ndarray, d: np.ndarray, sc: dict) -> tuple[np.ndarray, 
                          sc["px"][i], sc["py"][i], sc["pz"][i],
                          sc["px"][i] + sc["sx"][i], sc["py"][i] + sc["sy"][i],
                          sc["pz"][i] + sc["sz"][i])
-        m = (t > 0) & (t < best)
+        m = (t > _RAY_EPS) & (t < best)
         best[m] = t[m]
         bid[m] = i
     return best, bid

@@ -79,6 +79,11 @@ class _IndexShard:
                         np.concatenate([bounds, [len(skey)]])):
             ck = int(skey[s])
             rows = order[s:e]
+            # within-block dedupe too (keep first occurrence per id): a
+            # block formed by unioning sources may repeat a (cell, id)
+            _, first = np.unique(doc[rows], return_index=True)
+            if len(first) != len(rows):
+                rows = rows[np.sort(first)]
             entry = self.cells.pop(ck, None)
             if entry is None:
                 entry = {"x": x[rows], "y": y[rows], "w": w[rows],

@@ -194,3 +194,32 @@ def test_knn_ring_store_pruned_rounds(ray_session, tmp_path):
     # round 1 read only the ring-1 disks (6 queries x <=9 cells of 256)
     assert metrics["rounds"][0]["parts_read"] < metrics["parts_total"]
     assert metrics["parts_total"] > 0
+
+
+def test_apply_moves_stale_backpointer_falls_back(ray_session, tmp_path):
+    """A WRONG old_x/old_y hint must not silently drop the move: the
+    pruned pass misses, the fallback probes the remaining parts, and the
+    row still relocates."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(400), variant="flat2d", with_spans=False)
+    store = str(tmp_path / "mv_stale")
+    manifest.resumable_write(assign_tiles(rd.from_arrow(t), DEPTH, WORLD_2D), store)
+    mid = np.asarray(t["doc_id"].to_pylist())[:3]
+    real_x = t["x"].to_numpy()[:3]
+    moves = pa.table({
+        "doc_id": pa.array(mid),
+        "new_x": pa.array(np.full(3, 99_990.0)),
+        "new_y": pa.array(np.full(3, 99_990.0)),
+        # deliberately wrong back-pointers (opposite corner of the world)
+        "old_x": pa.array(99_999.0 - real_x),
+        "old_y": pa.array(np.full(3, 1.0)),
+    })
+    from optimizing_ray.pipelines import tile_store as ts
+    metrics = ts.apply_moves(store, moves, world=WORLD_2D, depth=DEPTH)
+    assert metrics["rows_moved"] == 3          # nothing silently dropped
+    assert metrics["fallback_parts_read"] > 0  # fallback engaged
+    full, _, _ = ts.pruned_read(store, np.asarray(
+        [r["cell_key"] for r in manifest.read_manifest(store)], dtype=np.int64))
+    df = full.to_pandas()
+    assert (df[df.doc_id.isin(mid)]["x"] == 99_990.0).all()
+    assert len(df) == 400
