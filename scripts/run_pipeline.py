@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--adaptive", action="store_true",
                     help="capacity-based adaptive depth + hot-cell salting")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the curation funnel (dedup -> analyze -> "
+                         "quality gate -> split) and write the curated "
+                         "corpus partitioned by split+shard instead of "
+                         "the tiling pipeline")
+    ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--capacity", type=int, default=10_000)
     ap.add_argument("--salt-threshold", type=int, default=1_000_000)
     ap.add_argument("--n-salts", type=int, default=8)
@@ -52,6 +58,45 @@ def main() -> int:
     from optimizing_ray.state import manifest
 
     t0 = time.perf_counter()
+
+    if args.curate:
+        # the training-data flagship as a resumable CLI: curated corpus
+        # lands as one tile group per (split, id-hash shard) so a failed
+        # run resumes per partition
+        import numpy as np
+        import pyarrow as pa
+
+        from optimizing_ray.pipelines import curate as cur
+
+        docs = driver_tables.read(args.input, "documents",
+                                  columns=["doc_id", "text"], num_blocks=8)
+        try:
+            import pyarrow.parquet as _pq
+            nrows = _pq.ParquetFile(f"{args.input}/documents.parquet").metadata.num_rows
+        except Exception:
+            nrows = None
+        out_ds = cur.curate(docs, min_quality=args.min_quality, nrows=nrows)
+
+        def part(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pk = np.where(np.asarray(t["split"].to_pylist()) == "train", 0, 1_000)                 + (ids % 16)
+            return t.append_column("part_key", pa.array(pk.astype(np.int64)))
+
+        keyed = out_ds.map_batches(part, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        rows = manifest.resumable_write(keyed, args.output, key_col="part_key")
+        out = {
+            "status": "ok", "mode": "curate",
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "tile_groups_written": len(rows),
+            "rows_written": int(sum(r["rows_out"] for r in rows)),
+            "tile_groups_total": len(manifest.read_manifest(args.output)),
+            "output": args.output,
+        }
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
     docs = driver_tables.documents_with_geometry(args.input)
     part_col = "cell_key"
     if args.adaptive:

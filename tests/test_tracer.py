@@ -135,3 +135,17 @@ def test_scene_has_all_materials_and_a_cube():
     sc = tracer.cornell_scene()
     assert set(np.unique(sc["material"])) == {DIFFUSE, SPECULAR, REFRACTION}
     assert (sc["type"] == CUBE).sum() == 1
+
+
+def test_trace_is_partition_invariant(ray_session):
+    """The distributed bounce loop must give IDENTICAL radiance regardless
+    of how the ray table is partitioned (counter RNG + per-pixel sums are
+    block-order-free) — the distributed-correctness property that lets a
+    256-node run reproduce a 1-node run."""
+    sc = tracer.cornell_scene()
+    a = tracer.trace(sc, width=8, height=8, spp=2, num_blocks=1) \
+        .to_pandas().sort_values("pixel_id").reset_index(drop=True)
+    b = tracer.trace(sc, width=8, height=8, spp=2, num_blocks=7) \
+        .to_pandas().sort_values("pixel_id").reset_index(drop=True)
+    np.testing.assert_allclose(a[["r", "g", "b"]].to_numpy(),
+                               b[["r", "g", "b"]].to_numpy(), rtol=0, atol=1e-12)
