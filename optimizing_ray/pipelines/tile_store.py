@@ -196,7 +196,7 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
             fallback_keys = [k for k in records if k not in set(src_keys)]
             fb_refs = (ray.put(s_ids[miss]), ray.put(new_x[miss]),
                        ray.put(new_y[miss]), ray.put(new_key[miss]))
-            part2, matched2, n2 = run_pass(fallback_keys, *fb_refs)
+            part2, _matched2, n2 = run_pass(fallback_keys, *fb_refs)
             leavers.extend(part2)
             n_moved += n2
 
