@@ -209,7 +209,7 @@ def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
-            # empty blocks can arrive with an EMPTY schema (CLAUDE.md)
+            # empty blocks can arrive with an EMPTY schema (repo working notes)
             return pa.table({key_col: pa.array([], pa.int64()),
                              "v": pa.array([], pa.float64()),
                              "w": pa.array([], pa.float64())})
