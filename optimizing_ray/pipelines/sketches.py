@@ -112,6 +112,8 @@ def hll_distinct(ds: rd.Dataset, col: str) -> float:
     4 KB each regardless of corpus size)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:  # empty-schema blocks
+            return pa.table({"regs": pa.array([], pa.binary())})
         regs = _hll_registers(t[col].to_pylist())
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
@@ -163,6 +165,9 @@ def quantile_sketch(ds: rd.Dataset, value_col: str, qs=(0.5,), *,
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
         v, w = _summary_points(t[value_col].to_numpy(zero_copy_only=False), k)
         return pa.table({"v": pa.array(v.astype(np.float64)), "w": pa.array(w)})
 
