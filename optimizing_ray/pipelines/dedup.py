@@ -146,35 +146,50 @@ def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
     return sig
 
 
-def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
-    n, num_perm = sig.shape
-    rows_per_band = num_perm // bands
-    band_ids = []
-    band_hashes = []
-    doc_ids = []
-    for b in range(bands):
-        chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-        # stable per-band bucket hash
-        h = np.zeros(n, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in range(rows_per_band):
-                h = h * np.uint64(1099511628211) ^ chunk[:, c]
-        band_ids.append(np.full(n, b, dtype=np.int32))
-        band_hashes.append(h.astype(np.int64))
-        doc_ids.append(np.asarray(ids))
+def _banded_table(ids, hs_i64: np.ndarray) -> pa.Table:
+    """Explode a (n, bands) int64 bucket-hash matrix into LSH band rows:
+    one row per (doc, band) carrying the band's bucket hash AND the doc's
+    full bucket-hash vector (``bh``, bands x int64) — the vector is what
+    lets the pair stage emit each candidate pair EXACTLY ONCE without a
+    second dedup shuffle (see ``_pairs_from_buckets``)."""
+    n, bands = hs_i64.shape
+    bh = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.tile(hs_i64, (bands, 1)).ravel()), bands)
     return pa.table({
-        "band": pa.array(np.concatenate(band_ids)),
-        "bucket": pa.array(np.concatenate(band_hashes)),
-        "doc_id": pa.array(np.concatenate(doc_ids)),
+        "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+        "bucket": pa.array(hs_i64.T.ravel()),
+        "doc_id": pa.array(np.tile(np.asarray(ids), bands)),
+        "bh": bh,
     })
 
 
+def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
+    """Minhash signatures -> LSH band rows (see ``_banded_table``)."""
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    hs = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)  # stable per-band bucket hash
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) ^ chunk[:, c]
+            hs[:, b] = h
+    return _banded_table(ids, hs.astype(np.int64))
+
+
 def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32) -> rd.Dataset:
-    """(band, bucket, doc_id) rows -> candidate pairs (a < b), deduped.
+    """(band, bucket, doc_id, bh) rows -> candidate pairs (a < b), each
+    emitted EXACTLY ONCE, in ONE shuffle.
 
     Shuffle key = ``hash(band, bucket) % n_shards`` so Ray materializes 32
-    groups, not one per bucket (per-group dispatch would dominate); inside
-    a shard the pair generation runs as one vectorized pandas groupby."""
+    groups, not one per bucket (per-group dispatch would dominate).  A
+    pair sharing buckets in several bands would classically need a second
+    pair-keyed dedup shuffle; instead each row carries the doc's full
+    bucket-hash vector (``bh``) and a group emits the pair only when ITS
+    band is the FIRST band where the two vectors agree — a deterministic
+    owner, so the pair appears exactly once globally (first-agreeing-band
+    ownership, the standard one-pass LSH dedup)."""
 
     def add_shard(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -185,37 +200,27 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32) -> rd.Dataset:
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
         out_b: list = []
-        for _, grp in g.groupby(["band", "bucket"], sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
+        for (band, _), grp in g.groupby(["band", "bucket"], sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
             if len(ids) < 2:
                 continue
+            bh = np.stack(grp["bh"].to_numpy())        # (m, bands) int64
             iu, ju = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[iu])
-            out_b.append(ids[ju])
+            agree = bh[iu] == bh[ju]                   # (pairs, bands)
+            first = agree.argmax(axis=1)               # first agreeing band
+            own = first == band                        # this group owns it
+            if own.any():
+                out_a.append(ids[iu[own]])
+                out_b.append(ids[ju[own]])
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
                                  "doc_b": pd.Series([], dtype=g["doc_id"].dtype)})
-        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
-                           "doc_b": np.concatenate(out_b)})
-        return df.drop_duplicates()  # within-shard dedup
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    cand = (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(pairs, batch_format="pandas"))
-
-    def add_pair_shard(t: pa.Table) -> pa.Table:
-        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
-        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
-        with np.errstate(over="ignore"):
-            h = a * np.uint64(31) + b
-        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
-
-    # cross-shard duplicates (same pair found via different bands) removed
-    # by a second sharded pass
-    return (cand.map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def _attach_payload(pairs: rd.Dataset, docs: rd.Dataset, *, id_col: str,
@@ -430,37 +435,41 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
         return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # One-pass dedup, same ownership rule as _pairs_from_buckets: the
+        # 16-bit band chunks ARE slices of `sim`, so the first-agreeing
+        # band is recomputed from the pair's xor — a (band, bucket) group
+        # emits a pair only when its band is that first band.  Hamming is
+        # vectorized (unpackbits popcount), never a per-pair Python loop.
         out_a, out_b, out_h = [], [], []
-        for _, grp in g.groupby(["band", "bucket"], sort=False):
+        for (band, _), grp in g.groupby(["band", "bucket"], sort=False):
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
             sims = grp["sim"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                x = sims[i] ^ sims[i + 1:]
-                ham = np.asarray([bin(int(v)).count("1") for v in x])
-                ok = ham <= max_hamming
-                for j in np.nonzero(ok)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
-                    out_h.append(int(ham[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                             "hamming": out_h}).drop_duplicates(["doc_a", "doc_b"])
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = sims[iu] ^ sims[ju]
+            agree = np.stack(
+                [(x >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
+                 for b in range(4)], axis=1)
+            first = agree.argmax(axis=1)
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            own = (first == band) & (ham <= max_hamming)
+            if own.any():
+                out_a.append(ids[iu[own]])
+                out_b.append(ids[ju[own]])
+                out_h.append(ham[own])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    cand = (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(pairs, batch_format="pandas"))
-
-    def add_pair_shard(t: pa.Table) -> pa.Table:
-        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
-        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
-        with np.errstate(over="ignore"):
-            h = a * np.uint64(31) + b
-        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
-
-    return (cand.map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embedding",
@@ -483,22 +492,18 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
 
     def sigs(t: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
         bits = (mat @ P) > 0  # (n, n_planes)
         per_band = n_planes // bands
-        out_band, out_bucket, out_id = [], [], []
+        hs = np.empty((len(ids), bands), dtype=np.int64)
         for b in range(bands):
             chunk = bits[:, b * per_band:(b + 1) * per_band]
             h = np.zeros(len(ids), dtype=np.int64)
             for c in range(per_band):
                 h = h * 2 + chunk[:, c].astype(np.int64)
-            out_band.append(np.full(len(ids), b, dtype=np.int32))
-            out_bucket.append(h)
-            out_id.append(ids.astype(np.int64))
-        return pa.table({"band": pa.array(np.concatenate(out_band)),
-                         "bucket": pa.array(np.concatenate(out_bucket)),
-                         "doc_id": pa.array(np.concatenate(out_id))})
+            hs[:, b] = h
+        return _banded_table(ids, hs)
 
     bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed)
