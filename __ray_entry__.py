@@ -590,9 +590,10 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_curate(sf_dir: str):
-    """Composed curation funnel (dedup -> analyze -> gate -> split); rows-
-    only (the heuristic scores have no SQL twin; each stage is separately
-    oracle- or pytest-verified)."""
+    """Composed curation funnel (dedup -> analyze -> gate -> split),
+    SQL-oracled end-to-end: the DuckDB twin recomputes exact dedup winners,
+    token stats, the quality score (shared floor-rounding formula) and the
+    split hash over the same documents view."""
     from optimizing_ray.pipelines import curate as cur
     from optimizing_ray.sources import driver_tables
 

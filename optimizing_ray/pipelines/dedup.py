@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from optimizing_ray.functions.text import shingles
+from optimizing_ray.functions.text import jaccard_sorted, shingle_hashes
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
@@ -133,38 +133,53 @@ def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
     rng = np.random.default_rng(seed)
     salts = rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
     sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # Per-doc matrices stay L2-resident (~1.5k shingles x 64 = 768 KB);
+    # measured FASTER than a batch-level segmented reduceat, whose big
+    # fresh matrices hit this VM's page-allocation wall.  shingle_hashes
+    # returns a sorted-unique numpy array directly — no Python set, no
+    # fromiter re-collection; the mix runs in place (3 allocations saved).
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
-            sh = np.fromiter(shingles(t or "", k_shingle), dtype=np.uint64)
+            sh = shingle_hashes(t or "", k_shingle)
             if len(sh) == 0:
                 continue
             # permuted hash = splitmix-style mix of (shingle ^ salt)
             v = sh[:, None] ^ salts[None, :]
-            v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-            v = v ^ (v >> np.uint64(33))
+            v ^= v >> np.uint64(33)
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            v ^= v >> np.uint64(33)
             sig[i] = v.min(axis=0)
     return sig
 
 
-def _banded_table(ids, hs_i64: np.ndarray) -> pa.Table:
-    """Explode a (n, bands) int64 bucket-hash matrix into LSH band rows:
-    one row per (doc, band) carrying the band's bucket hash AND the doc's
-    full bucket-hash vector (``bh``, bands x int64) — the vector is what
-    lets the pair stage emit each candidate pair EXACTLY ONCE without a
-    second dedup shuffle (see ``_pairs_from_buckets``)."""
+def _banded_table(ids, hs_i64: np.ndarray, *, with_bh: bool) -> pa.Table:
+    """Explode a (n, bands) int64 bucket-hash matrix into LSH band rows.
+
+    ``with_bh=True`` additionally carries the doc's full bucket-hash
+    vector (``bh``, bands x int64) on every row, which lets the pair
+    stage emit each candidate pair EXACTLY ONCE in one shuffle
+    (first-agreeing-band ownership, see ``_pairs_from_buckets``).  The
+    vector costs O(bands^2) bytes per doc through the bucket shuffle —
+    measured cheaper than the pairs-only dedup shuffle at small band
+    counts (embedding: bands=4) and ~1.5 s/1M-docs MORE expensive at
+    bands=16 (minhash), where the classic two-shuffle plan wins because
+    the second shuffle moves only candidate PAIRS (<< corpus rows)."""
     n, bands = hs_i64.shape
-    bh = pa.FixedSizeListArray.from_arrays(
-        pa.array(np.tile(hs_i64, (bands, 1)).ravel()), bands)
-    return pa.table({
+    cols = {
         "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
         "bucket": pa.array(hs_i64.T.ravel()),
         "doc_id": pa.array(np.tile(np.asarray(ids), bands)),
-        "bh": bh,
-    })
+    }
+    if with_bh:
+        cols["bh"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(hs_i64, (bands, 1)).ravel()), bands)
+    return pa.table(cols)
 
 
 def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
-    """Minhash signatures -> LSH band rows (see ``_banded_table``)."""
+    """Minhash signatures -> LSH band rows (no bh: at bands=16 the
+    ownership vector would cost 2 KB/doc of shuffle payload — the
+    pairs-only second shuffle is cheaper, see ``_banded_table``)."""
     n, num_perm = sig.shape
     rows_per_band = num_perm // bands
     hs = np.empty((n, bands), dtype=np.uint64)
@@ -175,21 +190,32 @@ def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
             for c in range(rows_per_band):
                 h = h * np.uint64(1099511628211) ^ chunk[:, c]
             hs[:, b] = h
-    return _banded_table(ids, hs.astype(np.int64))
+    return _banded_table(ids, hs.astype(np.int64), with_bh=False)
 
 
-def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32) -> rd.Dataset:
-    """(band, bucket, doc_id, bh) rows -> candidate pairs (a < b), each
-    emitted EXACTLY ONCE, in ONE shuffle.
+def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
+                        with_bh: bool) -> rd.Dataset:
+    """(band, bucket, doc_id[, bh]) rows -> candidate pairs (a < b), deduped.
 
     Shuffle key = ``hash(band, bucket) % n_shards`` so Ray materializes 32
-    groups, not one per bucket (per-group dispatch would dominate).  A
-    pair sharing buckets in several bands would classically need a second
-    pair-keyed dedup shuffle; instead each row carries the doc's full
-    bucket-hash vector (``bh``) and a group emits the pair only when ITS
-    band is the FIRST band where the two vectors agree — a deterministic
-    owner, so the pair appears exactly once globally (first-agreeing-band
-    ownership, the standard one-pass LSH dedup)."""
+    groups, not one per bucket (per-group dispatch would dominate).
+    Inside a shard, pair generation is ONE pandas self-merge on
+    (band, bucket) — a hash join in C — never a Python loop over the
+    (many, tiny) bucket groups, which measures ~30x slower.
+
+    Two dedup plans (a pair sharing buckets in several bands would
+    otherwise be emitted once per agreeing band); ``with_bh`` is an
+    explicit flag — sniffing the schema here would trigger a partial
+    execution of the upstream pipeline just to read column names:
+
+    * with_bh: rows carry the doc's full bucket-hash vector and a group
+      emits a pair only when ITS band is the FIRST band where the two
+      vectors agree — a deterministic owner, so the pair appears exactly
+      once globally in ONE shuffle (right when bands is small, see
+      ``_banded_table``).
+    * without: within-shard drop_duplicates, then a second exchange keyed
+      on hash(pair) — it moves only candidate pairs (<< corpus rows), the
+      right trade at large band counts."""
 
     def add_shard(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -198,29 +224,52 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32) -> rd.Dataset:
         return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a: list = []
-        out_b: list = []
-        for (band, _), grp in g.groupby(["band", "bucket"], sort=False):
-            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            if len(ids) < 2:
-                continue
-            bh = np.stack(grp["bh"].to_numpy())        # (m, bands) int64
-            iu, ju = np.triu_indices(len(ids), k=1)
-            agree = bh[iu] == bh[ju]                   # (pairs, bands)
-            first = agree.argmax(axis=1)               # first agreeing band
-            own = first == band                        # this group owns it
-            if own.any():
-                out_a.append(ids[iu[own]])
-                out_b.append(ids[ju[own]])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
-                                 "doc_b": pd.Series([], dtype=g["doc_id"].dtype)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                              "doc_b": pd.Series([], dtype=g["doc_id"].dtype)})
+        cols = ["band", "bucket", "doc_id"] + (["bh"] if with_bh else [])
+        left = g.drop_duplicates(["band", "bucket", "doc_id"])[cols]
+        right = left if not with_bh else left[["band", "bucket", "doc_id"]]
+        m = left.merge(right, on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty
+        if with_bh:
+            # vectorized first-agreeing-band ownership over ALL pairs: the
+            # pair's bh vectors agree at a band iff doc_a's band-hash equals
+            # doc_b's; doc_b's vector need not ship through the merge — it
+            # agrees with doc_a's wherever it matters, so compare a-to-a
+            # after aligning b's vector via a doc-level lookup
+            uniq = left.drop_duplicates("doc_id")
+            lut = pd.Series(uniq["bh"].to_numpy(), index=uniq["doc_id"])
+            bha = np.stack(m["bh"].to_numpy())                    # (p, bands)
+            bhb = np.stack(lut.loc[m["doc_id_b"]].to_numpy())     # (p, bands)
+            own = (bha == bhb).argmax(axis=1) == m["band"].to_numpy()
+            m = m[own]
+            if not len(m):
+                return empty
+        out = pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(),
+                            "doc_b": m["doc_id_b"].to_numpy()})
+        return out if with_bh else out.drop_duplicates()  # within-shard dedup
 
-    return (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    cand = (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(pairs, batch_format="pandas"))
+    if with_bh:
+        return cand
+
+    def add_pair_shard(t: pa.Table) -> pa.Table:
+        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
+        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(31) + b
+        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
+
+    # cross-shard duplicates (same pair found via different bands) removed
+    # by a second pairs-only sharded pass
+    return (cand.map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_pshard").map_groups(dedup_pairs, batch_format="pandas"))
 
 
 def _attach_payload(pairs: rd.Dataset, docs: rd.Dataset, *, id_col: str,
@@ -275,7 +324,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                                              k_shingle=k_shingle), bands)
 
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _pairs_from_buckets(bucketed)
+    cand = _pairs_from_buckets(bucketed, with_bh=False)
 
     if verify == "auto":
         verify = "broadcast" if _plan_rows(docs, nrows) <= broadcast_threshold else "join"
@@ -289,9 +338,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
         def check_joined(t: pa.Table) -> pa.Table:
             ja = []
             for a, b in zip(t["_text_a"].to_pylist(), t["_text_b"].to_pylist()):
-                sa, sb = shingles(a or "", k_shingle), shingles(b or "", k_shingle)
-                u = len(sa | sb)
-                ja.append(len(sa & sb) / u if u else 0.0)
+                ja.append(jaccard_sorted(shingle_hashes(a or "", k_shingle),
+                                         shingle_hashes(b or "", k_shingle)))
             t = t.append_column("jaccard", pa.array(ja, pa.float64()))
             t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
             return t.select(["doc_a", "doc_b", "jaccard"])
@@ -309,10 +357,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
         tm = ray.get(tm_ref)
         ja = []
         for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa = shingles(tm.get(a, "") or "", k_shingle)
-            sb = shingles(tm.get(b, "") or "", k_shingle)
-            u = len(sa | sb)
-            ja.append(len(sa & sb) / u if u else 0.0)
+            ja.append(jaccard_sorted(shingle_hashes(tm.get(a, "") or "", k_shingle),
+                                     shingle_hashes(tm.get(b, "") or "", k_shingle)))
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
         return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
 
@@ -438,35 +484,30 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
         # One-pass dedup, same ownership rule as _pairs_from_buckets: the
         # 16-bit band chunks ARE slices of `sim`, so the first-agreeing
         # band is recomputed from the pair's xor — a (band, bucket) group
-        # emits a pair only when its band is that first band.  Hamming is
-        # vectorized (unpackbits popcount), never a per-pair Python loop.
-        out_a, out_b, out_h = [], [], []
-        for (band, _), grp in g.groupby(["band", "bucket"], sort=False):
-            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            if len(ids) < 2:
-                continue
-            sims = grp["sim"].to_numpy().astype(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            x = sims[iu] ^ sims[ju]
-            agree = np.stack(
-                [(x >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
-                 for b in range(4)], axis=1)
-            first = agree.argmax(axis=1)
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                                axis=1).sum(axis=1).astype(np.int64)
-            own = (first == band) & (ham <= max_hamming)
-            if own.any():
-                out_a.append(ids[iu[own]])
-                out_b.append(ids[ju[own]])
-                out_h.append(ham[own])
-        if not out_a:
+        # emits a pair only when its band is that first band.  Pair
+        # generation is ONE pandas self-merge on (band, bucket) and the
+        # xor/popcount/ownership math runs vectorized over ALL pairs —
+        # never a Python loop over the (many, tiny) bucket groups.
+        uniq = g.drop_duplicates(["band", "bucket", "doc_id"])
+        left = uniq[["band", "bucket", "doc_id", "sim"]]
+        m = left.merge(uniq[["band", "bucket", "doc_id", "sim"]],
+                       on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
             return pd.DataFrame({"doc_a": pd.Series([], dtype=g["doc_id"].dtype),
                                  "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b),
-                             "hamming": np.concatenate(out_h)})
+        x = (m["sim_a"].to_numpy().astype(np.uint64)
+             ^ m["sim_b"].to_numpy().astype(np.uint64))
+        agree = np.stack([(x >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
+                          for b in range(4)], axis=1)
+        first = agree.argmax(axis=1)
+        ham = np.unpackbits(np.ascontiguousarray(x).view(np.uint8)
+                            .reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        own = (first == m["band"].to_numpy()) & (ham <= max_hamming)
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy()[own],
+                             "doc_b": m["doc_id_b"].to_numpy()[own],
+                             "hamming": ham[own]})
 
     return (bucketed.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(pairs, batch_format="pandas"))
@@ -503,10 +544,11 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
             for c in range(per_band):
                 h = h * 2 + chunk[:, c].astype(np.int64)
             hs[:, b] = h
-        return _banded_table(ids, hs)
+        # bands=4: the ownership vector is 32 B/row — one-shuffle plan wins
+        return _banded_table(ids, hs, with_bh=True)
 
     bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _pairs_from_buckets(bucketed)
+    cand = _pairs_from_buckets(bucketed, with_bh=True)
 
     if verify == "auto":
         verify = "broadcast" if _plan_rows(embeddings, nrows) <= broadcast_threshold else "join"
