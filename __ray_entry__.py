@@ -627,32 +627,29 @@ def _q_trace_bounces(sf_dir: str):
 
 
 def _q_span_passthrough(sf_dir: str):
-    """Span-sequence invariant as a query: flagship join over the
-    interleaved corpus with the nested spans payload carried through
-    untouched; rows-only (the driver's hash compare does not cover nested
-    list<struct> columns — byte-equality is pytest-pinned in
-    test_box_join).  Query boxes cover ~1% of the world each so hundreds
-    of span payloads actually flow through the join."""
-    import numpy as np
-    import pyarrow as pa
-    from optimizing_ray import synth
+    """Span-sequence invariant as a SQL-oracled query: the flagship box
+    join over driver docs carrying the nested interleaved spans payload
+    (list<struct<kind,text,media_ref,offset>>, derived deterministically
+    from doc_id) THROUGH the join untouched, then fingerprinting the
+    ordered sequence the engine actually moved.  The DuckDB twin
+    (oracle.span_passthrough_sql) recomputes the fingerprint from first
+    principles — hash equality proves byte- and order-exact span
+    preservation (input_hint invariant).  Byte-equality of raw nested
+    payloads through the same join is additionally pytest-pinned in
+    test_box_join."""
     from optimizing_ray.config import WORLD_2D
     from optimizing_ray.pipelines import box_join
-    from optimizing_ray.sources.corpus import synthetic_documents
+    from optimizing_ray.sources import driver_tables
 
-    docs = synthetic_documents(2000, variant="flat2d", with_spans=True,
-                               override_num_blocks=4)
-    qi = np.arange(16, dtype=np.int64)
-    cx = synth.u01(qi, 7001) * 100_000.0
-    cy = synth.u01(qi, 7002) * 100_000.0
-    queries = pa.table({
-        "query_id": pa.array(np.char.mod("sp-%03d", qi)),
-        "min_x": pa.array(cx - 5_000.0), "min_y": pa.array(cy - 5_000.0),
-        "max_x": pa.array(cx + 5_000.0), "max_y": pa.array(cy + 5_000.0),
-    })
-    return box_join.box_join_broadcast(
-        docs, queries, world=WORLD_2D, depth=3, max_extent=(100.0, 100.0),
-        payload_cols=("doc_id", "spans"))
+    docs = driver_tables.documents_with_geometry(sf_dir).map_batches(
+        driver_tables.derive_spans_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+    queries = driver_tables.driver_queries(N_BOX_QUERIES)
+    joined = box_join.box_join_broadcast(
+        docs, queries, world=WORLD_2D, depth=DEPTH,
+        max_extent=(10.0, 10.0), payload_cols=("doc_id", "spans"))
+    return joined.map_batches(driver_tables.span_fingerprint_batch,
+                              batch_format="pyarrow", zero_copy_batch=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -748,4 +745,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
         "user_median_sketch": oracle.user_median_sql(),
+        "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),
     }

@@ -15,7 +15,7 @@ from __future__ import annotations
 from optimizing_ray.config import World
 from optimizing_ray.sources.driver_tables import (
     BOX_MIN, BOX_SPAN, DRIVER_WORLD, GEO_MULTS, QUERY_MULTS, QUERY_SALT,
-    frac_sql, geometry_sql,
+    SPAN_MULTS, SPAN_SALT, SPAN_TOKENS, frac_sql, geometry_sql,
 )
 
 _SPREAD_STEPS = [
@@ -869,4 +869,72 @@ def user_median_sql(table: str = "events") -> str:
     return f"""
 SELECT user_id, quantile_disc(value, 0.5) AS p50
 FROM {table} GROUP BY user_id
+"""
+
+
+def span_passthrough_sql(nq: int, world: World = DRIVER_WORLD,
+                         table: str = "documents") -> str:
+    """Oracle for the span-sequence invariant: the box join of
+    ``box_join_sql`` plus a per-doc 64-bit fingerprint over the ORDERED
+    derived spans (driver_tables.derive_spans_batch /
+    span_fingerprint_batch twins).  Per span h = polynomial byte fold
+    (base 1000003 mod 2^64) of kind||US||text||US||media_ref then
+    h*B+offset; per doc fp = sum of h * FNV^(n_spans-1-ordinal) mod 2^64
+    (== the engine's left fold).  Fingerprint equality proves the engine
+    carried every span byte- and order-exact through the join."""
+    B, FNV = 1_000_003, 1_099_511_628_211
+    toks = "[" + ", ".join(f"'{t}'" for t in SPAN_TOKENS) + "]"
+    ntok = len(SPAN_TOKENS)
+    skey = "(doc_id * 16 + ord)"
+    fnv_pow = {k: pow(FNV, k, 1 << 64) for k in range(1, 8)}
+    hw_cases = " ".join(
+        f"WHEN {k} THEN {_mulmod64('h', fnv_pow[k])}" for k in range(1, 8))
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+{driver_queries_cte(nq, world)},
+joined AS (
+  SELECT q.query_id AS query_id, g.doc_id AS doc_id
+  FROM geo g
+  JOIN q ON g.x <= q.max_x AND g.x + g.w >= q.min_x
+        AND g.y <= q.max_y AND g.y + g.h >= q.min_y),
+din AS (SELECT DISTINCT doc_id FROM joined),
+ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM din),
+sp AS (SELECT doc_id, n_spans,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, n_spans, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t1'])} * {ntok}) AS BIGINT) AS t1,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t2'])} * {ntok}) AS BIGINT) AS t2,
+         1 + CAST(floor({frac_sql(skey, SPAN_MULTS['len'])} * 64) AS BIGINT) AS span_len
+        FROM sp),
+fld2 AS (SELECT doc_id, n_spans, ord,
+          CASE kind_i WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+          CASE WHEN kind_i = 0 THEN {toks}[t1 + 1] || ' ' || {toks}[t2 + 1] ELSE '' END AS txt,
+          CASE WHEN kind_i <> 0 THEN 'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                                     || '/' || CAST(ord AS VARCHAR) ELSE '' END AS media,
+          COALESCE(SUM(span_len) OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM fld),
+comb AS (SELECT doc_id, n_spans, ord, off,
+          kind || chr(31) || txt || chr(31) || media AS c,
+          length(kind || chr(31) || txt || chr(31) || media) AS L
+         FROM fld2),
+poly AS (
+  SELECT doc_id, n_spans, ord, off, c, L, 1 AS i, CAST(0 AS HUGEINT) AS h FROM comb
+  UNION ALL
+  SELECT doc_id, n_spans, ord, off, c, L, i + 1,
+         (h * {B} + unicode(substr(c, i, 1))) % {_M64}
+  FROM poly WHERE i <= L),
+ph AS (SELECT doc_id, n_spans, ord,
+         ((h * {B} + off) % {_M64}) AS h
+       FROM poly WHERE i = L + 1),
+wt AS (SELECT doc_id,
+         CASE (n_spans - 1 - ord) WHEN 0 THEN h {hw_cases} END AS hw
+       FROM ph),
+fpd AS (SELECT doc_id, SUM(hw) % {_M64} AS fp FROM wt GROUP BY doc_id)
+SELECT j.query_id AS query_id, j.doc_id AS doc_id,
+       {_u64_to_i64('fp')} AS span_fp
+FROM joined j JOIN fpd USING (doc_id)
 """

@@ -120,3 +120,125 @@ def driver_knn_queries(nq: int = 24, world: World = DRIVER_WORLD) -> pa.Table:
         "y": pa.array(world.min_y + _frac(h, QUERY_MULTS["cy"]) * wy),
         "k": pa.array(ks),
     })
+
+
+# --- deterministic interleaved spans for driver docs (SQL-twinned) --------
+#
+# The driver's documents.parquet has no spans column, so the span-sequence
+# invariant (input_hint: list<struct<kind,text,media_ref,offset>>, order
+# preserved) is exercised by DERIVING the spans from doc_id with the same
+# _frac multiplicative-hash style as the geometry above — plain int64
+# arithmetic DuckDB reproduces bit-for-bit (oracle.span_passthrough_sql).
+# Constraint: doc_id < 2^28 so the per-span key doc_id*16+ordinal stays
+# below 2^32 and key*mult fits int64 (every test sf is far below).
+
+SPAN_MULTS = {"n": 3_432_918_353, "kind": 461_845_907,
+              "t1": 2_654_435_761, "t2": 3_266_489_917, "len": 668_265_263}
+SPAN_SALT = 7_919
+SPAN_TOKENS = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+               "adipiscing", "elit", "sed", "tempor", "labore", "magna",
+               "aliqua", "veniam", "nostrud"]
+_FP_B = 1_000_003            # byte-fold base (shared with text oracles)
+_FP_FNV = 1_099_511_628_211  # span-sequence fold base (FNV-64 prime)
+_FP_SEP = 0x1F               # unit separator between struct fields
+_SPAN_LIST_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+
+def derive_spans_batch(batch: pa.Table) -> pa.Table:
+    """Append a deterministic ``spans`` list<struct<kind,text,media_ref,
+    offset>> column derived from doc_id (1-8 spans/doc, interleaved
+    text/image/audio, strictly increasing offsets)."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        # empty blocks can carry an EMPTY schema (repo working notes)
+        return batch.append_column("spans", pa.array([], _SPAN_LIST_TYPE))
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    n_spans = 1 + (_frac(doc_id + SPAN_SALT, SPAN_MULTS["n"]) * 8).astype(np.int64)
+    offsets = np.zeros(len(doc_id) + 1, dtype=np.int32)
+    np.cumsum(n_spans, out=offsets[1:])
+    total = int(offsets[-1])
+    doc_rep = np.repeat(doc_id, n_spans)
+    ordinal = (np.arange(total, dtype=np.int64)
+               - np.repeat(offsets[:-1].astype(np.int64), n_spans))
+    s = doc_rep * 16 + ordinal
+    kind_i = (_frac(s, SPAN_MULTS["kind"]) * 3).astype(np.int64)
+    toks = np.asarray(SPAN_TOKENS)
+    t1 = (_frac(s, SPAN_MULTS["t1"]) * len(toks)).astype(np.int64)
+    t2 = (_frac(s, SPAN_MULTS["t2"]) * len(toks)).astype(np.int64)
+    kinds = np.asarray(["text", "image", "audio"])[kind_i]
+    texts = np.where(kind_i == 0,
+                     np.char.add(np.char.add(toks[t1], " "), toks[t2]), "")
+    media = np.where(kind_i != 0,
+                     np.char.add(np.char.add("media://doc-",
+                                             np.char.mod("%012d", doc_rep)),
+                                 np.char.mod("/%d", ordinal)), "")
+    span_len = 1 + (_frac(s, SPAN_MULTS["len"]) * 64).astype(np.int64)
+    csum = np.cumsum(span_len)
+    doc_start = np.repeat(csum[offsets[:-1]] - span_len[offsets[:-1]], n_spans)
+    off = (csum - span_len - doc_start).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+         pa.array(media, pa.string()), pa.array(off, pa.int32())],
+        ["kind", "text", "media_ref", "offset"])
+    return batch.append_column(
+        "spans", pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct))
+
+
+def _fold_utf8(arr: pa.Array) -> np.ndarray:
+    """Vectorized polynomial byte fold (base ``_FP_B`` mod 2^64) over a
+    string array: one pass per CHAR POSITION, never per row."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1, offset=arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+    starts, lens = offs[:-1].astype(np.int64), np.diff(offs).astype(np.int64)
+    h = np.zeros(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max()) if len(lens) else 0):
+            active = lens > j
+            h[active] = (h[active] * np.uint64(_FP_B)
+                         + data[starts[active] + j].astype(np.uint64))
+    return h
+
+
+def span_fingerprint_batch(batch: pa.Table, *, spans_col: str = "spans",
+                           out_col: str = "span_fp") -> pa.Table:
+    """Replace the nested spans column with its order-sensitive 64-bit
+    fingerprint: per span h = bytefold(kind \\x1f text \\x1f media_ref) *
+    B + offset; per doc fp = left-fold fp*FNV + h over the span ORDER.
+    Hashes the spans the pipeline ACTUALLY carried (never re-derived), so
+    fingerprint equality with the SQL twin proves byte- and order-exact
+    span preservation through the engine."""
+    import pyarrow.compute as pc
+    if batch.num_rows == 0 or spans_col not in batch.column_names:
+        out = (batch.drop_columns([spans_col])
+               if spans_col in batch.column_names else batch)
+        return out.append_column(out_col, pa.array([], pa.int64()))
+    spans = batch[spans_col]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    flat = spans.flatten()
+    sep = pa.scalar("\x1f")
+    comb = pc.binary_join_element_wise(
+        pc.struct_field(flat, "kind"), pc.struct_field(flat, "text"),
+        pc.struct_field(flat, "media_ref"), sep)
+    h = _fold_utf8(comb)
+    off = pc.struct_field(flat, "offset").to_numpy().astype(np.uint64)
+    list_offs = np.asarray(spans.offsets)
+    n_spans = np.diff(list_offs).astype(np.int64)
+    ordinal = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(list_offs[:-1].astype(np.int64), n_spans))
+    with np.errstate(over="ignore"):
+        h = h * np.uint64(_FP_B) + off
+        # left fold == sum of h * FNV^(n_spans-1-ordinal) mod 2^64
+        fnv_pow = np.empty(int(n_spans.max()) + 1 if len(n_spans) else 1,
+                           dtype=np.uint64)
+        fnv_pow[0] = 1
+        for k in range(1, len(fnv_pow)):
+            fnv_pow[k] = fnv_pow[k - 1] * np.uint64(_FP_FNV)
+        rev = np.repeat(n_spans - 1, n_spans) - ordinal
+        fp = np.add.reduceat(h * fnv_pow[rev], list_offs[:-1].astype(np.int64)) \
+            if len(flat) else np.zeros(0, dtype=np.uint64)
+    fp = np.where(n_spans > 0, fp, np.uint64(0)) if len(n_spans) else fp
+    out = batch.drop_columns([spans_col])
+    return out.append_column(out_col, pa.array(fp.astype(np.int64)))

@@ -26,13 +26,14 @@ SQL_NAMES = [
     "adaptive_assign", "minhash_pairs", "simhash_pairs", "text_analysis",
     "fingerprints", "ann_ivf", "embedding_near_dup", "hll_distinct_users",
     "curate", "user_median_sketch",
+    # round 2: span invariant fingerprint-oracled (order+byte-exact twin)
+    "span_passthrough",
 ]
 ROWS_ONLY_NAMES = [
     # media: honest codec stub (no imaging wheel in the sandbox);
-    # span_passthrough: nested list<struct> payload — byte-equality is
-    # pytest-checked instead (test_box_join); trace_bounces: stochastic
-    # recursion, scalar-oracle-pinned in test_tracer
-    "media_features", "span_passthrough", "trace_bounces",
+    # trace_bounces: stochastic recursion, scalar-oracle-pinned in
+    # test_tracer
+    "media_features", "trace_bounces",
 ]
 
 

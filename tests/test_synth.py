@@ -71,3 +71,66 @@ def test_raster_table_shape():
     t = synth.raster_table(32, 16)
     assert t.num_rows == 512
     assert t["pixel_id"].to_numpy().max() == 511
+
+
+# --- driver-table span derivation + fingerprint (SQL-twinned) -------------
+
+def test_driver_spans_fingerprint_matches_slow_reference():
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    batch = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64))})
+    t = dt.derive_spans_batch(batch)
+    rows = t["spans"].to_pylist()
+    M64 = 1 << 64
+
+    def ref_fp(span_list):
+        fp = 0
+        for sp in span_list:
+            s = (sp["kind"] + "\x1f" + sp["text"] + "\x1f"
+                 + sp["media_ref"]).encode()
+            h = 0
+            for b in s:
+                h = (h * 1000003 + b) % M64
+            h = (h * 1000003 + sp["offset"]) % M64
+            fp = (fp * 1099511628211 + h) % M64
+        return fp - M64 if fp >= 1 << 63 else fp
+
+    expect = np.array([ref_fp(r) for r in rows], dtype=np.int64)
+    got = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
+    assert np.array_equal(got, expect)
+    # invariants: 1-8 spans, strictly increasing offsets, interleaved kinds
+    for r in rows:
+        assert 1 <= len(r) <= 8
+        offs = [s["offset"] for s in r]
+        assert offs == sorted(set(offs))
+    kinds = {s["kind"] for r in rows for s in r}
+    assert kinds == {"text", "image", "audio"}
+
+
+def test_driver_spans_fingerprint_order_sensitive():
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    t = dt.derive_spans_batch(
+        pa.table({"doc_id": pa.array(np.arange(64, dtype=np.int64))}))
+    base = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
+    # reverse each doc's span order -> fingerprint must change for any
+    # doc with >= 2 distinct spans
+    rows = t["spans"].to_pylist()
+    rev = pa.array([list(reversed(r)) for r in rows],
+                   t.schema.field("spans").type)
+    t2 = t.drop_columns(["spans"]).append_column("spans", rev)
+    flipped = dt.span_fingerprint_batch(t2)["span_fp"].to_numpy()
+    multi = np.array([len(r) >= 2 and r[0] != r[-1] for r in rows])
+    assert (base[multi] != flipped[multi]).all()
+    assert (base[~multi] == flipped[~multi]).all()
+
+
+def test_driver_spans_empty_block_guards():
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    empty = pa.table({})
+    assert dt.derive_spans_batch(empty).num_rows == 0
+    assert dt.span_fingerprint_batch(empty).column_names == ["span_fp"]
