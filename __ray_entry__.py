@@ -585,7 +585,13 @@ def _q_embedding_near_dup(sf_dir: str):
 
     aug = emb.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     nrows = _tbl_rows(sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(aug, threshold=0.9,
+    import pyarrow.parquet as pq
+    dim = getattr(pq.read_schema(f"{sf_dir}/embeddings.parquet")
+                  .field("embedding").type, "list_size", None)
+    if dim is None or dim < 0:  # plain list<float>: peek one row-group cheaply
+        dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                  .read_row_group(0, columns=["embedding"])["embedding"][0])
+    return dedup.embedding_near_dup_pairs(aug, threshold=0.9, dim=dim,
                                           nrows=nrows + nrows // PLANT_MOD + 1)
 
 

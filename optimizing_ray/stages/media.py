@@ -62,20 +62,37 @@ class MediaFeaturizer:
         self.fake = not HAVE_PIL
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0 or "spans" not in batch.column_names:
+            out = batch
+            out = out.append_column("media_features", pa.array(
+                [], pa.list_(pa.float32(), N_FEATURES)))
+            return out.append_column("n_media_spans", pa.array([], pa.int32()))
         spans = batch["spans"]
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        # vectorized span scan: flatten once, never per-row as_py() —
+        # only the per-REF codec call (the real decode seam) stays a loop
+        flat = spans.flatten()
+        kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+        ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+        is_media = (kind != "text") & (ref != "")
+        offs = np.asarray(spans.offsets, dtype=np.int64)
+        n_spans = np.diff(offs)
+        counts = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(counts, np.repeat(np.arange(len(batch)), n_spans), is_media)
+        refs = ref[is_media]
         feats = np.zeros((len(batch), N_FEATURES), dtype=np.float32)
-        counts = np.zeros(len(batch), dtype=np.int32)
-        for i in range(len(batch)):
-            row = spans[i].as_py() or []
-            refs = [s["media_ref"] for s in row if s["kind"] != "text" and s["media_ref"]]
-            counts[i] = len(refs)
-            if refs:
-                f = _fake_features(refs) if self.fake else self._decode(refs)
-                feats[i] = f.mean(axis=0)
+        if len(refs):
+            f = _fake_features(list(refs)) if self.fake else self._decode(list(refs))
+            row_of = np.repeat(np.arange(len(batch)), n_spans)[is_media]
+            np.add.at(feats, row_of, f)
+            nz = counts > 0
+            feats[nz] /= counts[nz, None].astype(np.float32)
         batch = batch.append_column(
             "media_features",
             pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), N_FEATURES))
-        return batch.append_column("n_media_spans", pa.array(counts))
+        return batch.append_column("n_media_spans",
+                                   pa.array(counts.astype(np.int32)))
 
     def _decode(self, refs):  # pragma: no cover — real codec path
         raise NotImplementedError("real media decode not available here")
