@@ -160,10 +160,13 @@ def _banded_table(ids, hs_i64: np.ndarray, *, with_bh: bool) -> pa.Table:
     stage emit each candidate pair EXACTLY ONCE in one shuffle
     (first-agreeing-band ownership, see ``_pairs_from_buckets``).  The
     vector costs O(bands^2) bytes per doc through the bucket shuffle —
-    measured cheaper than the pairs-only dedup shuffle at small band
-    counts (embedding: bands=4) and ~1.5 s/1M-docs MORE expensive at
-    bands=16 (minhash), where the classic two-shuffle plan wins because
-    the second shuffle moves only candidate PAIRS (<< corpus rows)."""
+    the right trade only at SMALL band counts: at bands=16 (minhash) it
+    measured ~1.5 s/1M-docs MORE expensive than the classic two-shuffle
+    plan, whose second exchange moves only candidate PAIRS (<< corpus
+    rows), and at bands=32 (embedding) the vector would be 256 B/row.
+    Both production callers currently ship with_bh=False; the
+    one-shuffle plan stays available (and equivalence-tested in
+    test_dedup) for small-band configurations."""
     n, bands = hs_i64.shape
     cols = {
         "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
@@ -174,6 +177,15 @@ def _banded_table(ids, hs_i64: np.ndarray, *, with_bh: bool) -> pa.Table:
         cols["bh"] = pa.FixedSizeListArray.from_arrays(
             pa.array(np.tile(hs_i64, (bands, 1)).ravel()), bands)
     return pa.table(cols)
+
+
+def _empty_band_table() -> pa.Table:
+    """Schema-stable empty band-row table for EMPTY-SCHEMA input blocks
+    (Ray Data passes those through; the id type defaults to int64 — every
+    engine corpus uses int64 ids)."""
+    return pa.table({"band": pa.array([], pa.int32()),
+                     "bucket": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64())})
 
 
 def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
@@ -318,6 +330,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     "auto" picks broadcast below `broadcast_threshold` rows."""
 
     def sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and text_col not in t.column_names:
+            return _empty_band_table()  # empty-schema block (working notes)
         texts = t[text_col].to_pylist()
         return _band_rows(t[id_col].to_numpy(zero_copy_only=False),
                           minhash_signatures(texts, num_perm=num_perm,
@@ -336,6 +350,10 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                                src_col=text_col, out_col="_text_b")
 
         def check_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and "doc_a" not in t.column_names:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
             # memoize per-doc shingle sets within the batch: on high-
             # cross-similarity corpora a doc appears in MANY candidate
             # pairs (measured ~75x at sf0.1) — shingle once per doc per
@@ -476,6 +494,9 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
     hashes + bit votes + cross-join hamming from the raw text."""
 
     def sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and text_col not in t.column_names:
+            return _empty_band_table().append_column(
+                "sim", pa.array([], pa.int64()))  # empty-schema block
         sh = simhash64(t[text_col].to_pylist())
         ids = t[id_col].to_numpy(zero_copy_only=False)
         bands, buckets, dids, hashes = [], [], [], []
@@ -562,6 +583,8 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     from optimizing_ray.pipelines.ann import _to_matrix
 
     def sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # incl. empty-schema blocks (working notes);
+            return _empty_band_table()  # (0,0) @ planes would also raise
         P = ray.get(planes_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bits = (_to_matrix(t[vec_col]) @ P) > 0  # (n, n_planes), zero-copy in
@@ -602,9 +625,15 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
                                src_col=vec_col, out_col="_vec_a")
         cand = _attach_payload(cand, embeddings, id_col=id_col, pair_col="doc_b",
                                src_col=vec_col, out_col="_vec_b")
-        return cand.map_batches(
-            lambda t: _cos_table(t, _to_matrix(t["_vec_a"]), _to_matrix(t["_vec_b"])),
-            batch_format="pyarrow", zero_copy_batch=True)
+        def check_join(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and "doc_a" not in t.column_names:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return _cos_table(t, _to_matrix(t["_vec_a"]), _to_matrix(t["_vec_b"]))
+
+        return cand.map_batches(check_join, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     vm: dict = {}
     for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():

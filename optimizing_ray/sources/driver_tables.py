@@ -237,8 +237,11 @@ def span_fingerprint_batch(batch: pa.Table, *, spans_col: str = "spans",
         for k in range(1, len(fnv_pow)):
             fnv_pow[k] = fnv_pow[k - 1] * np.uint64(_FP_FNV)
         rev = np.repeat(n_spans - 1, n_spans) - ordinal
-        fp = np.add.reduceat(h * fnv_pow[rev], list_offs[:-1].astype(np.int64)) \
-            if len(flat) else np.zeros(0, dtype=np.uint64)
-    fp = np.where(n_spans > 0, fp, np.uint64(0)) if len(n_spans) else fp
+        # unbuffered scatter-add (wraps mod 2^64); unlike reduceat it is
+        # well-defined for EMPTY span lists in any position (their slot
+        # simply stays 0)
+        fp = np.zeros(len(n_spans), dtype=np.uint64)
+        np.add.at(fp, np.repeat(np.arange(len(n_spans)), n_spans),
+                  h * fnv_pow[rev])
     out = batch.drop_columns([spans_col])
     return out.append_column(out_col, pa.array(fp.astype(np.int64)))

@@ -173,3 +173,36 @@ def test_connected_components_distributed_matches_union_find(ray_session):
     assert len(got_map) == len(want)
     for k, v in want.items():
         assert got_map[k] == v, (k, got_map[k], v)
+
+
+def test_pairs_from_buckets_plans_equivalent(ray_session):
+    """The one-shuffle first-agreeing-band ownership plan (with_bh=True)
+    and the two-shuffle pairs-dedup plan (with_bh=False) must emit the
+    SAME candidate pair set, each pair exactly once."""
+    import ray.data as rd
+    from optimizing_ray.pipelines.dedup import (_banded_table,
+                                                _pairs_from_buckets)
+
+    rng = np.random.default_rng(7)
+    n, bands = 400, 6
+    # low-entropy bucket hashes so buckets collide a lot (incl. multi-band
+    # agreement, the case the dedup plans exist for)
+    hs = rng.integers(0, 13, size=(n, bands)).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+
+    def run(with_bh):
+        t = _banded_table(ids, hs, with_bh=with_bh)
+        ds = rd.from_arrow(t).repartition(5)
+        out = _pairs_from_buckets(ds, with_bh=with_bh).to_pandas()
+        return sorted(zip(out["doc_a"], out["doc_b"]))
+
+    one_shuffle, two_shuffle = run(True), run(False)
+    assert len(one_shuffle) == len(set(one_shuffle))  # exactly-once
+    assert len(two_shuffle) == len(set(two_shuffle))
+    assert one_shuffle == two_shuffle
+    # sanity: ground truth = any band agrees
+    agree = (hs[:, None, :] == hs[None, :, :]).any(axis=2)
+    iu, ju = np.triu_indices(n, k=1)
+    want = {(int(a), int(b)) for a, b in zip(ids[iu[agree[iu, ju]]],
+                                             ids[ju[agree[iu, ju]]])}
+    assert set(one_shuffle) == want

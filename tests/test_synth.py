@@ -134,3 +134,31 @@ def test_driver_spans_empty_block_guards():
     empty = pa.table({})
     assert dt.derive_spans_batch(empty).num_rows == 0
     assert dt.span_fingerprint_batch(empty).column_names == ["span_fp"]
+
+
+def test_span_fingerprint_handles_empty_span_lists():
+    """Empty span lists (any position, incl. TRAILING) fingerprint to 0 —
+    the scatter-add path must not crash or corrupt neighbors."""
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    span_t = dt._SPAN_LIST_TYPE
+    spans = pa.array([
+        [],  # leading empty
+        [{"kind": "text", "text": "a b", "media_ref": "", "offset": 0}],
+        [],  # middle empty
+        [{"kind": "image", "text": "", "media_ref": "media://x/0",
+          "offset": 3}],
+        [],  # trailing empty
+    ], span_t)
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "spans": spans})
+    fp = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
+    assert fp[0] == fp[2] == fp[4] == 0
+    assert fp[1] != 0 and fp[3] != 0 and fp[1] != fp[3]
+    # neighbor integrity: same non-empty rows alone give the same hashes
+    t2 = pa.table({"doc_id": pa.array([1, 3], pa.int64()),
+                   "spans": pa.array([spans[1].as_py(), spans[3].as_py()],
+                                     span_t)})
+    fp2 = dt.span_fingerprint_batch(t2)["span_fp"].to_numpy()
+    assert fp2[0] == fp[1] and fp2[1] == fp[3]
