@@ -48,6 +48,15 @@ class _IndexShard:
         self.max_cells = max_cells
         # cell_key -> dict(x, y, w, h, doc_id) numpy arrays; LRU-ordered
         self.cells: OrderedDict[int, dict] = OrderedDict()
+        # T4 search cache (the ``SearchCache`` of
+        # .Test/cacheQuadTree.cpp:78-81,392-406): last query set + its
+        # results, reused while the boxes move within a tolerance and the
+        # data has not changed.  _data_version invalidates on any
+        # load/unload/eviction.
+        self._data_version = 0
+        self._qcache: tuple | None = None
+        self._cache_hits = 0
+        self._cache_misses = 0
 
     def load_block(self, table: pa.Table) -> int:
         """Ingest a cell-keyed Arrow block; keeps only owned cells (a
@@ -109,11 +118,30 @@ class _IndexShard:
             if self.max_cells is not None:
                 while len(self.cells) > self.max_cells:
                     self.cells.popitem(last=False)  # LRU eviction (T2)
+        if n_new:
+            self._data_version += 1  # search cache no longer valid
         return n_new
 
-    def query(self, qids, qboxes: np.ndarray, cover_keys: list) -> pa.Table:
+    def query(self, qids, qboxes: np.ndarray, cover_keys: list,
+              cache_tolerance: float | None = None) -> pa.Table:
         """qboxes (Q,4) min_x,min_y,max_x,max_y; cover_keys[i] = this
-        shard's candidate cells for query i."""
+        shard's candidate cells for query i.
+
+        ``cache_tolerance`` enables the T4 search cache: when the SAME
+        query ids come back with every box coordinate moved by at most
+        the tolerance (and the shard's data unchanged), the PREVIOUS
+        results are returned without re-searching — exactly the
+        reference's frame-to-frame reuse rule (re-search only when the
+        view moved > 1.0, ``cacheQuadTree.cpp:392-406``).  Stale-within-
+        tolerance by design; pass None (default) for always-exact."""
+        if cache_tolerance is not None and self._qcache is not None:
+            ver, cids, cboxes, cres = self._qcache
+            if (ver == self._data_version and list(cids) == list(qids)
+                    and cboxes.shape == qboxes.shape
+                    and (np.abs(cboxes - qboxes).max(initial=0.0)
+                         <= cache_tolerance)):
+                self._cache_hits += 1
+                return cres
         out_q, out_d = [], []
         for i in range(len(qids)):
             mnx, mny, mxx, mxy = qboxes[i]
@@ -127,18 +155,27 @@ class _IndexShard:
                 if len(hits):
                     out_q.extend([qids[i]] * len(hits))
                     out_d.extend(hits.tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.string()),
-                         "doc_id": pa.array(out_d, pa.string())})
+        res = pa.table({"query_id": pa.array(out_q, pa.string()),
+                        "doc_id": pa.array(out_d, pa.string())})
+        if cache_tolerance is not None:
+            self._cache_misses += 1
+            self._qcache = (self._data_version, list(qids),
+                            np.array(qboxes, copy=True), res)
+        return res
 
     def stats(self) -> dict:
         return {"rank": self.rank, "n_cells": len(self.cells),
-                "n_rows": int(sum(len(e["x"]) for e in self.cells.values()))}
+                "n_rows": int(sum(len(e["x"]) for e in self.cells.values())),
+                "cache_hits": self._cache_hits,
+                "cache_misses": self._cache_misses}
 
     def unload(self, keys) -> int:
         n = 0
         for k in keys:
             if self.cells.pop(int(k), None) is not None:
                 n += 1
+        if n:
+            self._data_version += 1  # search cache no longer valid
         return n
 
 
@@ -186,7 +223,11 @@ class SpatialIndexService:
         self.load_metrics = {"rows_shipped": shipped, "rows_loaded": loaded}
         return loaded
 
-    def query_boxes(self, queries: pa.Table) -> pa.Table:
+    def query_boxes(self, queries: pa.Table, *,
+                    cache_tolerance: float | None = None) -> pa.Table:
+        """``cache_tolerance`` turns on the per-shard T4 search cache
+        (frame-to-frame result reuse while every box moves <= tolerance;
+        the reference uses 1.0).  Default None = always exact."""
         qids = queries["query_id"].to_pylist()
         qb = np.stack([queries[c].to_numpy()
                        for c in ("min_x", "min_y", "max_x", "max_y")], axis=1)
@@ -197,7 +238,8 @@ class SpatialIndexService:
         futs = []
         for rank, shard in enumerate(self.shards):
             shard_covers = [c[(c % self.n) == rank] for c in covers]
-            futs.append(shard.query.remote(qids, qb, shard_covers))
+            futs.append(shard.query.remote(qids, qb, shard_covers,
+                                           cache_tolerance))
         parts = [t for t in ray.get(futs) if t.num_rows]
         if not parts:
             return pa.table({"query_id": pa.array([], pa.string()),

@@ -98,3 +98,48 @@ def test_lru_cap(ray_session):
     st = svc.stats()
     assert all(s["n_cells"] <= 5 for s in st)
     svc.shutdown()
+
+
+def test_search_cache_frame_reuse(service):
+    """T4 search cache (cacheQuadTree.cpp:78-81,392-406): identical or
+    sub-tolerance-moved frames reuse the previous results without
+    re-searching; a bigger move or a data change re-searches.
+
+    NOTE: mutates the shared module fixture (loads 50 extra docs) — keep
+    this the LAST test in the module."""
+    import pyarrow.compute as pc
+
+    svc, t = service
+    queries = synth.queries_table(10, variant="flat2d", seed=77)
+    exact = svc.query_boxes(queries).to_pandas()
+    r1 = svc.query_boxes(queries, cache_tolerance=1.0).to_pandas()
+    r2 = svc.query_boxes(queries, cache_tolerance=1.0).to_pandas()  # hit
+    # sub-tolerance nudge: STALE reuse by design (reference semantics)
+    nudged = queries.set_column(
+        queries.schema.get_field_index("min_x"), "min_x",
+        pc.add(queries["min_x"], 0.5))
+    r3 = svc.query_boxes(nudged, cache_tolerance=1.0).to_pandas()
+    key = lambda d: sorted(zip(d["query_id"], d["doc_id"]))
+    assert key(r1) == key(exact) == key(r2) == key(r3)
+    hits = sum(s["cache_hits"] for s in svc.stats())
+    assert hits >= 2 * len(svc.shards)  # r2 and r3 were served from cache
+
+    # over-tolerance move -> fresh search, results match brute force
+    moved = queries.set_column(
+        queries.schema.get_field_index("min_x"), "min_x",
+        pc.add(queries["min_x"], 500.0))
+    moved = moved.set_column(
+        moved.schema.get_field_index("max_x"), "max_x",
+        pc.add(moved["max_x"], 500.0))
+    r4 = svc.query_boxes(moved, cache_tolerance=1.0).to_pandas()
+    assert set(zip(r4["query_id"], r4["doc_id"])) == brute(t, moved)
+
+    # data change invalidates even an identical repeat
+    import ray.data as rd
+    extra = synth.documents_batch(np.arange(5000, 5050), variant="flat2d",
+                                  with_spans=False)
+    svc.load(assign_tiles(rd.from_arrow(extra), DEPTH, WORLD_2D))
+    r5 = svc.query_boxes(moved, cache_tolerance=1.0).to_pandas()
+    import pyarrow as pa
+    both = pa.concat_tables([t, extra])
+    assert set(zip(r5["query_id"], r5["doc_id"])) == brute(both, moved)
