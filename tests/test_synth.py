@@ -162,3 +162,18 @@ def test_span_fingerprint_handles_empty_span_lists():
                                      span_t)})
     fp2 = dt.span_fingerprint_batch(t2)["span_fp"].to_numpy()
     assert fp2[0] == fp[1] and fp2[1] == fp[3]
+
+
+def test_span_fingerprint_slice_invariant():
+    """Zero-copy buffer math in the fold must respect Arrow slice offsets:
+    fingerprints of a sliced batch equal the corresponding rows of the
+    full batch (sliced ListArrays carry non-zero offsets)."""
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    t = dt.derive_spans_batch(
+        pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64))}))
+    full = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
+    for lo, hi in ((0, 100), (37, 251), (200, 300)):
+        sl = dt.span_fingerprint_batch(t.slice(lo, hi - lo))
+        assert np.array_equal(sl["span_fp"].to_numpy(), full[lo:hi])
