@@ -196,6 +196,20 @@ def run_bench() -> dict:
         times["serving_frames"] = round(dt, 3)
         extras["serving_fps"] = round(n_frames / dt, 1)
         extras["serving_hit_rows_per_sec"] = round(hits / dt, 1)
+
+        # T4 search cache: a slowly-panning view (0.5/frame < tolerance
+        # 1.0) reuses the previous frame's results without re-searching
+        import pyarrow.compute as pc
+        qc = synth.queries_table(16, variant="flat2d", seed=9000)
+        t0s = time.perf_counter()
+        for f in range(n_frames):
+            qf = qc
+            for c in ("min_x", "max_x"):
+                qf = qf.set_column(qf.schema.get_field_index(c), c,
+                                   pc.add(qf[c], 0.5 * (f % 2)))
+            svc.query_boxes(qf, cache_tolerance=1.0)
+        dtc = time.perf_counter() - t0s
+        extras["serving_fps_cached"] = round(n_frames / dtc, 1)
         svc.shutdown()
 
     # -- headline 3: kNN ----------------------------------------------------

@@ -192,6 +192,14 @@ class SpatialIndexService:
         self.load_metrics: dict = {}
         self.shards = [_IndexShard.remote(i, n_actors, max_cells_per_actor)
                        for i in range(n_actors)]
+        # driver-level T4 search cache — where the reference keeps its
+        # SearchCache (the render loop, cacheQuadTree.cpp:292): a hit
+        # skips cover computation AND the shard RPCs entirely.  The
+        # shard-level cache below it covers direct _IndexShard callers.
+        self._data_version = 0
+        self._qcache: tuple | None = None
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def load(self, docs: rd.Dataset) -> int:
         """Stream a cell-keyed Dataset into the shards, shipping every row
@@ -221,6 +229,8 @@ class SpatialIndexService:
             shipped += row["rows_shipped"]
             loaded += row["rows_loaded"]
         self.load_metrics = {"rows_shipped": shipped, "rows_loaded": loaded}
+        if loaded:
+            self._data_version += 1  # driver-level search cache invalid
         return loaded
 
     def query_boxes(self, queries: pa.Table, *,
@@ -231,6 +241,13 @@ class SpatialIndexService:
         qids = queries["query_id"].to_pylist()
         qb = np.stack([queries[c].to_numpy()
                        for c in ("min_x", "min_y", "max_x", "max_y")], axis=1)
+        if cache_tolerance is not None and self._qcache is not None:
+            ver, cids, cboxes, cres = self._qcache
+            if (ver == self._data_version and cids == qids
+                    and cboxes.shape == qb.shape
+                    and np.abs(cboxes - qb).max(initial=0.0) <= cache_tolerance):
+                self.cache_hits += 1
+                return cres
         covers = [cellmod.cover2(qb[i, 0] - self.max_extent[0],
                                  qb[i, 1] - self.max_extent[1],
                                  qb[i, 2], qb[i, 3], self.world, self.depth)
@@ -241,16 +258,21 @@ class SpatialIndexService:
             futs.append(shard.query.remote(qids, qb, shard_covers,
                                            cache_tolerance))
         parts = [t for t in ray.get(futs) if t.num_rows]
-        if not parts:
-            return pa.table({"query_id": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.string())})
-        return pa.concat_tables(parts)
+        res = (pa.concat_tables(parts) if parts else
+               pa.table({"query_id": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.string())}))
+        if cache_tolerance is not None:
+            self.cache_misses += 1
+            self._qcache = (self._data_version, list(qids),
+                            np.array(qb, copy=True), res)
+        return res
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
     def unload(self, keys) -> int:
         keys = np.asarray(keys, dtype=np.int64)
+        self._data_version += 1  # driver-level search cache invalid
         futs = [s.unload.remote(keys[(keys % self.n) == r].tolist())
                 for r, s in enumerate(self.shards)]
         return sum(ray.get(futs))

@@ -121,8 +121,8 @@ def test_search_cache_frame_reuse(service):
     r3 = svc.query_boxes(nudged, cache_tolerance=1.0).to_pandas()
     key = lambda d: sorted(zip(d["query_id"], d["doc_id"]))
     assert key(r1) == key(exact) == key(r2) == key(r3)
-    hits = sum(s["cache_hits"] for s in svc.stats())
-    assert hits >= 2 * len(svc.shards)  # r2 and r3 were served from cache
+    # r2 and r3 were served from the DRIVER-level cache (zero RPC)
+    assert svc.cache_hits >= 2 and svc.cache_misses >= 1
 
     # over-tolerance move -> fresh search, results match brute force
     moved = queries.set_column(
