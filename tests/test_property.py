@@ -99,3 +99,44 @@ def test_gather_payload_matches_pandas_merge(ray_session, slim_ids, doc_ids):
         got = out.sort_values(["doc_id", "tag"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["doc_id", "tag", "payload"]],
                                       want[["doc_id", "tag", "payload"]])
+
+
+@given(st.lists(st.integers(0, 2**28 - 1), min_size=1, max_size=40,
+                unique=True))
+@settings(max_examples=60, deadline=None)
+def test_driver_span_derivation_prop(doc_ids):
+    """Span derivation + fingerprint hold over the whole documented
+    doc_id domain (< 2^28, the s = doc_id*16 + ordinal int64-overflow
+    bound): structural invariants plus fingerprint == slow reference."""
+    import pyarrow as pa
+    from optimizing_ray.sources import driver_tables as dt
+
+    t = dt.derive_spans_batch(
+        pa.table({"doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64))}))
+    rows = t["spans"].to_pylist()
+    M64 = 1 << 64
+    for did, r in zip(doc_ids, rows):
+        assert 1 <= len(r) <= 8
+        offs = [s["offset"] for s in r]
+        assert offs[0] == 0 and offs == sorted(set(offs))
+        for j, s in enumerate(r):
+            if s["kind"] == "text":
+                assert s["media_ref"] == "" and " " in s["text"]
+            else:
+                assert s["text"] == ""
+                assert s["media_ref"] == f"media://doc-{did:012d}/{j}"
+
+    def ref_fp(span_list):
+        fp = 0
+        for sp in span_list:
+            h = 0
+            for b in (sp["kind"] + "\x1f" + sp["text"] + "\x1f"
+                      + sp["media_ref"]).encode():
+                h = (h * 1000003 + b) % M64
+            h = (h * 1000003 + sp["offset"]) % M64
+            fp = (fp * 1099511628211 + h) % M64
+        return fp - M64 if fp >= 1 << 63 else fp
+
+    got = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
+    assert np.array_equal(got, np.array([ref_fp(r) for r in rows],
+                                        dtype=np.int64))
