@@ -10,6 +10,7 @@ compiled state (regexes, stopword sets) lives in actor ``__init__``.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -130,7 +131,6 @@ class TextAnalyzer:
         # half-even, DuckDB round() is half-away — components are nice
         # decimals so exact halfway values DO occur; one shared machine
         # formula keeps the SQL oracle bit-identical
-        import math
         return math.floor(q * 1e6 + 0.5) / 1e6
 
     def analyze_batch(self, texts) -> dict[str, np.ndarray]:

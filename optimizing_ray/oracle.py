@@ -742,7 +742,7 @@ v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}
+WHERE floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 >= {threshold!r}
 """
 
 

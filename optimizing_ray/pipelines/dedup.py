@@ -38,7 +38,7 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "connected_components_distributed"]
 
 
-def _plan_rows(ds: rd.Dataset, nrows: int | None) -> int:
+def _plan_rows(nrows: int | None) -> int:
     """Row count used ONLY to pick the broadcast-vs-join verify plan.
 
     Callers that know the corpus size (parquet metadata, prior count)
@@ -98,7 +98,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
     slim_parts = docs.map_batches(slim_hash, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    if _plan_rows(docs, nrows) <= broadcast_threshold:
+    if _plan_rows(nrows) <= broadcast_threshold:
         # small corpus: the winner set is driver-materialized for the
         # broadcast anyway, so skip the shard shuffle entirely — merge the
         # per-batch pre-deduped partials driver-side (bounded by
@@ -341,7 +341,7 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     cand = _pairs_from_buckets(bucketed, with_bh=False)
 
     if verify == "auto":
-        verify = "broadcast" if _plan_rows(docs, nrows) <= broadcast_threshold else "join"
+        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
 
     if verify == "join":
         cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
@@ -600,7 +600,7 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     cand = _pairs_from_buckets(bucketed, with_bh=False)
 
     if verify == "auto":
-        verify = "broadcast" if _plan_rows(embeddings, nrows) <= broadcast_threshold else "join"
+        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
 
     def _cos_table(t: pa.Table, A: np.ndarray, B: np.ndarray) -> pa.Table:
         # vectorized exact cosine over all pairs in the batch
@@ -610,12 +610,13 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
             cos = np.where(den > 0, num / np.maximum(den, 1e-300), 0.0)
         else:
             cos = np.zeros(0, dtype=np.float64)
-        # filter on the raw value, emit floor-rounded to 6 decimals (the
-        # shared engine<->SQL rounding formula; summation-order float dust
-        # must not leak into the driver's value hash)
+        # emit AND threshold the floor-rounded value (the shared
+        # engine<->SQL rounding formula): filtering the raw double would
+        # make the row SET order-dependent for cosines within float dust
+        # of the threshold (numpy BLAS vs DuckDB summation order)
         rounded = np.floor(cos * 1e6 + 0.5) / 1e6
         t = t.append_column("cosine", pa.array(rounded, pa.float64()))
-        t = t.filter(pa.array(cos >= threshold))
+        t = t.filter(pa.array(rounded >= threshold))
         return t.select(["doc_a", "doc_b", "cosine"])
 
     if verify == "join":
@@ -711,6 +712,14 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         return (h % np.uint64(n_shards)).astype(np.int64)
 
     def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty (possibly empty-schema) block: typed empty output —
+            # an empty object array would become a NULL-typed column,
+            # which pandas upcasts to float downstream (working notes)
+            kt = t[a].type if a in t.column_names else pa.int64()
+            return pa.table({"key": pa.array([], kt), "val": pa.array([], kt),
+                             "is_edge": pa.array([], pa.bool_()),
+                             "_shard": pa.array([], pa.int64())})
         src = np.concatenate([np.asarray(t[a].to_pylist(), dtype=object),
                               np.asarray(t[b].to_pylist(), dtype=object)])
         dst = np.concatenate([np.asarray(t[b].to_pylist(), dtype=object),
@@ -765,6 +774,7 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
             .astype(np.int64),
         })
 
+    converged = False
     for _ in range(max_iters):
         tagged = labels.map_batches(tag_label, batch_format="pyarrow",
                                     zero_copy_batch=True).union(edges)
@@ -774,7 +784,16 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         # Dataset.sum on an EMPTY dataset returns None, not 0 — an empty
         # pair set must terminate after one round, not spin max_iters
         if not labels.sum("changed"):
+            converged = True
             break
+    if not converged:
+        # exhaustion would silently return NON-minimal representatives
+        # (min-label moves one hop per round; a path component of
+        # diameter > max_iters is still propagating) — fail loudly
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_iters} iterations (component diameter exceeds it); "
+            f"raise max_iters")
 
     def out_cols(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id": df["node"], "rep": df["label"]})

@@ -18,7 +18,9 @@ __all__ = ["analyze_text", "doc_stats", "fingerprints"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
-                 batch_size: int | None = 4096) -> rd.Dataset:
+                 batch_size: int | None = 4096,
+                 concurrency=None) -> rd.Dataset:  # kept for API compat;
+    # stage is stateless tasks (parallelism tracks CPUs automatically)
     """lang_pred / lang_conf / quality / n_tokens columns appended.
 
     Stateless tasks + per-worker-process compiled-state cache

@@ -133,9 +133,20 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
             new_rows.append(row)
     finally:
         # compact whatever actually committed (even on crash) + clean temps
-        # (only THIS run's — scoped by run_id)
+        # (only THIS run's — scoped by run_id).  Foreign .tmp-* dirs are
+        # swept only once STALE (mtime > 1 h): a SIGKILLed run never
+        # reaches this finally, so without the aged sweep its orphans
+        # would leak forever — while a CONCURRENT writer's in-flight
+        # temps (minutes old at most) stay untouched.
         for tmp in glob.glob(os.path.join(out_dir, f".tmp-{run_id}-*")):
             shutil.rmtree(tmp, ignore_errors=True)
+        cutoff = time.time() - 3600.0
+        for tmp in glob.glob(os.path.join(out_dir, ".tmp-*")):
+            try:
+                if os.path.getmtime(tmp) < cutoff:
+                    shutil.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                pass  # raced with another cleaner
         _write_compacted(out_dir)
     newly = {r["cell_key"] for r in new_rows}
     return [r for r in read_manifest(out_dir) if r["cell_key"] in newly]

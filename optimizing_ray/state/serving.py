@@ -212,6 +212,10 @@ class SpatialIndexService:
         shards, n = self.shards, self.n
 
         def route(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cell_key" not in t.column_names:
+                # empty blocks can carry an EMPTY schema (working notes)
+                return pa.table({"rows_shipped": pa.array([0], pa.int64()),
+                                 "rows_loaded": pa.array([0], pa.int64())})
             owner = (t["cell_key"].to_numpy() % n).astype(np.int64)
             futs, shipped = [], 0
             for r in np.unique(owner):

@@ -78,6 +78,9 @@ def main() -> int:
         out_ds = cur.curate(docs, min_quality=args.min_quality, nrows=nrows)
 
         def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                # empty blocks can carry an EMPTY schema (working notes)
+                return t.append_column("part_key", pa.array([], pa.int64()))
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             pk = np.where(np.asarray(t["split"].to_pylist()) == "train", 0, 1_000)                 + (ids % 16)
             return t.append_column("part_key", pa.array(pk.astype(np.int64)))
