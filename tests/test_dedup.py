@@ -206,3 +206,15 @@ def test_pairs_from_buckets_plans_equivalent(ray_session):
     want = {(int(a), int(b)) for a, b in zip(ids[iu[agree[iu, ju]]],
                                              ids[ju[agree[iu, ju]]])}
     assert set(one_shuffle) == want
+
+
+def test_connected_components_distributed_raises_on_exhaustion(ray_session):
+    """A path component of diameter > max_iters must raise, never return
+    silently-unconverged (non-minimal) representatives."""
+    import ray.data as rd
+
+    pairs = pd.DataFrame({"doc_a": list(range(0, 30)),
+                          "doc_b": list(range(1, 31))})  # path, diameter 30
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_distributed(
+            rd.from_pandas(pairs), n_shards=4, max_iters=3).to_pandas()

@@ -89,3 +89,25 @@ def test_spans_survive_store_roundtrip(ray_session, tmp_path):
         spans = spans.tolist() if hasattr(spans, "tolist") else spans
         got = [tuple(sorted(s.items())) for s in spans]
         assert got == [tuple(sorted(s.items())) for s in want[doc_id]], doc_id
+
+
+def test_stale_foreign_tmp_swept_fresh_kept(ray_session, tmp_path):
+    """Orphaned .tmp-* dirs from a SIGKILLed run (old mtime) are swept by
+    the next run; a CONCURRENT writer's fresh temps are untouched."""
+    import os
+    import time
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    stale = os.path.join(out, ".tmp-deadbeef-5-aaaaaaaa")
+    fresh = os.path.join(out, ".tmp-cafecafe-7-bbbbbbbb")
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "data.parquet"), "w") as f:
+            f.write("x")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    manifest.resumable_write(make_ds(ray_session), out)
+    assert not os.path.exists(stale), "stale orphan should be swept"
+    assert os.path.exists(fresh), "fresh foreign temp must survive"
