@@ -560,6 +560,29 @@ def _q_ann_ivf(sf_dir: str):
                         n_centroids=16, n_probe=16)
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (train -> encode to m-byte codes -> ADC
+    LUT scan over the CODES -> exact re-rank of the candidate pool).
+    rerank covers the corpus here, so the exact re-rank provably returns
+    brute-force top-k — the same ann_topk SQL oracle (the full-probe
+    ann_ivf pattern); the compressed-pool mode's recall is
+    pytest-verified (test_ann_text_media)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", ANN_Q)])
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qt["embedding"].to_pylist()])
+    emb = driver_tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nrows = _tbl_rows(sf_dir, "embeddings")
+    return ann.pq_topk(emb, qt["vec_id"].to_numpy(), qmat, k=ANN_K,
+                       m=4, ksub=64, rerank=nrows)
+
+
 PLANT_MOD, PLANT_OFFSET = 25, 10_000_000
 
 
@@ -696,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "fingerprints": _q_fingerprints,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "hll_distinct_users": _q_hll_distinct_users,
         "curate": _q_curate,
@@ -747,8 +771,10 @@ def oracle_sql() -> dict[str, str]:
             0.9, PLANT_MOD, PLANT_OFFSET),
         "adaptive_assign": oracle.adaptive_assign_sql(
             ADAPT_CAP, ADAPT_COARSE, ADAPT_MAX),
-        # full-probe IVF provably equals exact top-k -> same oracle
+        # full-probe IVF / corpus-pool PQ provably equal exact top-k ->
+        # same oracle
         "ann_ivf": oracle.ann_topk_sql(ANN_Q, ANN_K),
+        "ann_pq": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
         "user_median_sketch": oracle.user_median_sql(),
         "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),

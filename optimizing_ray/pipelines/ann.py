@@ -17,7 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index"]
+__all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
+           "train_pq", "pq_encode", "pq_topk"]
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -292,3 +293,184 @@ def query_ivf_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return _driver_merge(partials, k), metrics
+
+
+# --- product quantization (PQ): the compressed-scan scale path ------------
+#
+# At 100 TB the raw float32 vectors do not fit the object store budget of
+# a scan: PQ stores each vector as m uint8 codes (16x smaller at m=8 over
+# dim 32) and ranks candidates with an ADC lookup-table scan over the
+# CODES, then re-ranks a small candidate pool with exact cosine over the
+# original vectors gathered only for that pool.  Recall is a function of
+# the rerank pool (exact when the pool covers the corpus) — pinned by
+# tests/test_ann_text_media.py.
+
+
+def train_pq(embeddings: rd.Dataset, *, m: int = 4, ksub: int = 256,
+             iters: int = 10, seed: int = 7, sample_frac: float = 0.5,
+             max_rows: int = 50_000, vec_col: str = "embedding") -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ksub, d/m) on a HARD-CAPPED
+    driver sample (same discipline as ``kmeans_sample``).  Vectors are
+    L2-normalized before splitting so ADC L2 ranking == cosine ranking."""
+    sample = embeddings.random_sample(sample_frac, seed=seed).limit(max_rows).take_all()
+    M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    n, d = M.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = M[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(n, size=ksub, replace=False)]
+        for _ in range(iters):
+            a = _nearest_centroid(S, C)
+            for c in range(ksub):
+                sel = a == c
+                if sel.any():
+                    C[c] = S[sel].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(embeddings: rd.Dataset, codebooks: np.ndarray, *,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """(id, code: fixed_size_list<uint8>[m]) — the compressed corpus (the
+    only thing a PQ scan ever streams)."""
+    m, ksub, dsub = codebooks.shape
+    books_ref = ray.put(codebooks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.list_(pa.uint8(), m))})
+        B = ray.get(books_ref)
+        M = _to_matrix(t[vec_col])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(M), m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = _nearest_centroid(M[:, j * dsub:(j + 1) * dsub], B[j])
+        return pa.table({
+            id_col: t[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(pa.array(codes.ravel()), m),
+        })
+
+    return embeddings.map_batches(encode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
+            k: int = 10, m: int = 4, ksub: int = 256, rerank: int = 64,
+            codebooks: np.ndarray | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            batch_size: int | None = 16_384) -> rd.Dataset:
+    """ADC scan over PQ codes + exact re-rank of the top-``rerank`` pool.
+
+    Plan: train (capped sample) -> encode (streaming) -> per-batch ADC
+    partial top-rerank over the CODES ONLY -> bounded driver merge
+    (blocks x Q x rerank rows) -> exact-cosine re-rank over the pool's
+    original vectors (broadcast id->vec map built ONLY for pool ids via a
+    pushdown filter — never the corpus).  Output schema matches
+    ``brute_topk``: (query_id, vec_id, ann_rank), score desc / id asc;
+    EXACT top-k whenever ``rerank`` >= corpus size (the provable mode),
+    high-recall approximate otherwise (pytest recall bound)."""
+    if codebooks is None:
+        codebooks = train_pq(embeddings, m=m, ksub=ksub, vec_col=vec_col)
+    m, ksub, dsub = codebooks.shape
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    # LUT[q, j, c] = ||q_j - B[j, c]||^2 contribution; ADC dist ranks cosine
+    # because all vectors are unit-normalized
+    lut = np.empty((len(Q), m, ksub), dtype=np.float64)
+    for j in range(m):
+        qj = Qn[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (-2.0 * (qj @ codebooks[j].T)
+                        + (codebooks[j] ** 2).sum(axis=1)[None, :])
+    st_ref = ray.put({"qid": np.asarray(query_ids), "lut": lut})
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = ray.get(st_ref)
+        qid, L = st["qid"], st["lut"]
+        if t.num_rows == 0 or "code" not in t.column_names:
+            return pa.table({"query_id": pa.array(qid[:0]),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        code_col = t["code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        # FixedSizeList has no offsets buffer — flatten + reshape directly
+        codes_m = (code_col.flatten().to_numpy(zero_copy_only=False)
+                   .reshape(t.num_rows, m).astype(np.int64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # ADC: one fancy-index pass per subspace, vectorized over (Q, n)
+        dist = np.zeros((len(qid), len(ids)))
+        for j in range(m):
+            dist += L[:, j, :][:, codes_m[:, j]]
+        r = min(rerank, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qid)):
+            part = (np.argpartition(dist[qi], r - 1)[:r]
+                    if r < len(ids) else np.arange(len(ids)))
+            out_q.append(np.full(len(part), qi))
+            out_v.append(ids[part])
+            out_s.append(dist[qi][part])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "adc": pa.array(np.concatenate(out_s))})
+
+    parts = [ray.get(r) for r in
+             codes.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=batch_size).to_arrow_refs()]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    df = allp.to_pandas()
+    # global pool per query: best `rerank` ADC candidates (bounded:
+    # Q x rerank rows on the driver — never corpus-sized)
+    pool = (df.sort_values(["query_id", "adc"], kind="stable")
+            .groupby("query_id", sort=False).head(rerank))
+    pool_ids = np.unique(pool["vec_id"].to_numpy())
+
+    # exact re-rank: gather ONLY the pool vectors (pushdown filter)
+    ids_ref = ray.put(np.sort(pool_ids))
+
+    def gather(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_v": pa.array([], pa.list_(pa.float64()))})
+        want = ray.get(ids_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(want, ids), 0, max(0, len(want) - 1))
+        sel = want[pos] == ids if len(want) else np.zeros(len(ids), bool)
+        sub = t.filter(pa.array(sel))
+        M = _to_matrix(sub[vec_col]) if sub.num_rows else np.empty((0, 0))
+        return pa.table({id_col: sub[id_col],
+                         "_v": pa.array([list(map(float, row)) for row in M],
+                                        pa.list_(pa.float64()))})
+
+    vec_map: dict = {}
+    for ref in embeddings.map_batches(gather, batch_format="pyarrow",
+                                      zero_copy_batch=True).to_arrow_refs():
+        t = ray.get(ref)
+        vec_map.update(zip(t[id_col].to_pylist(), t["_v"].to_pylist()))
+
+    qid_arr = np.asarray(query_ids)
+    rows_q, rows_v, rows_r = [], [], []
+    for qi in range(len(qid_arr)):
+        cand = pool[pool["query_id"] == qi]["vec_id"].to_numpy()
+        if not len(cand):
+            continue
+        V = np.stack([np.asarray(vec_map[v], dtype=np.float64) for v in cand])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        s = Vn @ Qn[qi]
+        order = np.lexsort((cand, -s))[:k]
+        rows_q.extend([qid_arr[qi]] * len(order))
+        rows_v.extend(cand[order].tolist())
+        rows_r.extend(range(1, len(order) + 1))
+    out = pa.table({"query_id": pa.array(rows_q),
+                    "vec_id": pa.array(rows_v, pa.int64()),
+                    "ann_rank": pa.array(rows_r, pa.int64())})
+    return rd.from_arrow(out)

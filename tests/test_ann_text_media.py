@@ -152,3 +152,59 @@ def test_curate_pipeline(ray_session):
     assert set(out.loc[out.doc_id == 1, "lang_pred"]) == {"en"}
     assert set(out.loc[out.doc_id == 3, "lang_pred"]) == {"fr"}
     assert set(out["split"]) <= {"train", "val"}
+
+
+def test_pq_topk_exact_when_pool_covers(ray_session, embeddings):
+    """rerank >= corpus: the PQ scan's candidate pool covers everything,
+    so the exact re-rank provably returns brute-force top-k."""
+    import ray.data as rd
+    t, vecs = embeddings
+    Q = vecs[:5].astype(np.float64)
+    got = ann.pq_topk(rd.from_arrow(t), np.arange(5), Q, k=10, m=4,
+                      ksub=64, rerank=500).to_pandas()
+    want = ann.brute_topk(rd.from_arrow(t), np.arange(5), Q, k=10).to_pandas()
+    key = lambda d: d.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got)[["query_id", "vec_id", "ann_rank"]],
+                                  key(want)[["query_id", "vec_id", "ann_rank"]],
+                                  check_dtype=False)
+
+
+def test_pq_topk_recall_compressed(ray_session, embeddings):
+    """Small rerank pool (the compressed-scan mode): recall@10 vs brute
+    must stay high on clustered data, and runs must be deterministic."""
+    import ray.data as rd
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(10, 16))
+    vecs = np.concatenate([c + 0.05 * rng.normal(size=(50, 16))
+                           for c in centers]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(500), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    Q = vecs[::100][:5].astype(np.float64)
+    want = ann.brute_topk(rd.from_arrow(t), np.arange(5), Q, k=10).to_pandas()
+    got1 = ann.pq_topk(rd.from_arrow(t), np.arange(5), Q, k=10, m=4,
+                       ksub=64, rerank=50).to_pandas()
+    got2 = ann.pq_topk(rd.from_arrow(t), np.arange(5), Q, k=10, m=4,
+                       ksub=64, rerank=50).to_pandas()
+    pd.testing.assert_frame_equal(got1, got2)  # deterministic
+    recalls = []
+    for qi in range(5):
+        w = set(want[want.query_id == qi]["vec_id"])
+        g = set(got1[got1.query_id == qi]["vec_id"])
+        recalls.append(len(w & g) / len(w))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_encode_is_compact(ray_session, embeddings):
+    """The encoded corpus carries only (id, m-byte code) — the 16x
+    compression that makes a 100 TB scan feasible."""
+    import ray.data as rd
+    t, _ = embeddings
+    books = ann.train_pq(rd.from_arrow(t), m=4, ksub=64)
+    assert books.shape == (4, 64, 4)
+    enc = ann.pq_encode(rd.from_arrow(t), books).to_arrow_refs()
+    import ray as _ray
+    tt = pa.concat_tables([_ray.get(r) for r in enc])
+    assert tt.column_names == ["vec_id", "code"]
+    assert tt.num_rows == 500
+    assert tt.schema.field("code").type == pa.list_(pa.uint8(), 4)

@@ -28,6 +28,9 @@ SQL_NAMES = [
     "curate", "user_median_sketch",
     # round 2: span invariant fingerprint-oracled (order+byte-exact twin)
     "span_passthrough",
+    # round 2: PQ with corpus-covering rerank pool provably equals exact
+    # top-k (the full-probe ann_ivf pattern)
+    "ann_pq",
 ]
 ROWS_ONLY_NAMES = [
     # media: honest codec stub (no imaging wheel in the sandbox);
