@@ -18,7 +18,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
-           "train_pq", "pq_encode", "pq_topk"]
+           "train_pq", "pq_encode", "pq_topk",
+           "build_ivfpq_index", "query_ivfpq_index"]
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -474,3 +475,189 @@ def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
                     "vec_id": pa.array(rows_v, pa.int64()),
                     "ann_rank": pa.array(rows_r, pa.int64())})
     return rd.from_arrow(out)
+
+
+def build_ivfpq_index(embeddings: rd.Dataset, out_dir: str, *,
+                      n_centroids: int = 16, m: int = 4, ksub: int = 256,
+                      seed: int = 5) -> None:
+    """FAISS-style IVF-PQ index on disk: rows partitioned by nearest
+    coarse centroid into resumable tile groups, each row carrying its
+    m-byte PQ code NEXT TO the raw vector.  A query then prunes twice:
+    probe-pruning reads only its n_probe partitions, and COLUMN pruning
+    reads only (vec_id, code) for the ADC scan — the raw ``embedding``
+    column's bytes never leave storage until the final re-rank touches
+    the candidate pool's rows.  Centroids + codebooks stored alongside."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.state import manifest as mf
+
+    C = kmeans_sample(embeddings, n_centroids=n_centroids, seed=seed)
+    books = train_pq(embeddings, m=m, ksub=ksub, seed=seed)
+    C_ref, books_ref = ray.put(C), ray.put(books)
+    mm, kk, dsub = books.shape
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32())),
+                             "code": pa.array([], pa.list_(pa.uint8(), mm)),
+                             "centroid_id": pa.array([], pa.int64())})
+        Cl, B = ray.get(C_ref), ray.get(books_ref)
+        M = _to_matrix(t["embedding"])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(M), mm), dtype=np.uint8)
+        for j in range(mm):
+            codes[:, j] = _nearest_centroid(Mn[:, j * dsub:(j + 1) * dsub], B[j])
+        t = t.append_column(
+            "code", pa.FixedSizeListArray.from_arrays(pa.array(codes.ravel()), mm))
+        return t.append_column(
+            "centroid_id", pa.array(_nearest_centroid(M, Cl).astype(np.int64)))
+
+    keyed = embeddings.map_batches(assign, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    os.makedirs(out_dir, exist_ok=True)
+    mf.resumable_write(keyed, out_dir, key_col="centroid_id")
+    pq.write_table(pa.table({"centroid_id": pa.array(np.arange(len(C), dtype=np.int64)),
+                             "centroid": pa.array([c.tolist() for c in C],
+                                                  pa.list_(pa.float64()))}),
+                   os.path.join(out_dir, "centroids.parquet"))
+    pq.write_table(pa.table({
+        "subspace": pa.array(np.repeat(np.arange(mm, dtype=np.int64), kk)),
+        "entry": pa.array(np.tile(np.arange(kk, dtype=np.int64), mm)),
+        "centroid": pa.array([books[j, c].tolist() for j in range(mm)
+                              for c in range(kk)], pa.list_(pa.float64())),
+    }), os.path.join(out_dir, "codebooks.parquet"))
+
+
+def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
+                      k: int = 10, n_probe: int = 4,
+                      rerank: int = 64) -> tuple[pa.Table, dict]:
+    """Doubly-pruned ANN over a built IVF-PQ index: reads only the probed
+    partitions, and only (vec_id, code, centroid_id) for the ADC scan;
+    the raw vectors are read a SECOND time restricted to the candidate
+    pool's rows (parquet id filter) for the exact-cosine re-rank.
+    Returns (results, metrics) with parts/columns read counts — exact vs
+    ``brute_topk`` when n_probe covers all centroids and ``rerank``
+    covers the probed rows."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    from optimizing_ray.state import manifest as mf
+
+    ct = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    C = np.stack([np.asarray(c) for c in ct["centroid"].to_pylist()])
+    bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
+    mm = int(bt["subspace"].to_numpy().max()) + 1
+    kk = int(bt["entry"].to_numpy().max()) + 1
+    flat = np.stack([np.asarray(c) for c in bt["centroid"].to_pylist()])
+    books = flat.reshape(mm, kk, -1)
+    dsub = books.shape[2]
+
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    qd = -2.0 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]
+    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    needed = set(np.unique(probe).tolist())
+    rows = [r for r in mf.read_manifest(out_dir) if r.get("status") == "done"]
+    paths = [os.path.join(r["part_path"], "data.parquet")
+             for r in rows if r["cell_key"] in needed]
+    metrics = {"parts_read": len(paths), "parts_total": len(rows),
+               "scan_columns": ["vec_id", "code", "centroid_id"]}
+    empty = pa.table({"query_id": pa.array(np.asarray(query_ids)[:0]),
+                      "vec_id": pa.array([], pa.int64()),
+                      "ann_rank": pa.array([], pa.int64())})
+    if not paths:
+        return empty, metrics
+
+    # --- ADC scan: DISTRIBUTED over the probed parts, codes only
+    # (column-pruned read); per-block partial top-rerank keeps the driver
+    # merge bounded at blocks x Q x rerank rows, never probed-rows-sized
+    lut = np.empty((len(Q), mm, kk), dtype=np.float64)
+    for j in range(mm):
+        qj = Qn[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (-2.0 * (qj @ books[j].T)
+                        + (books[j] ** 2).sum(axis=1)[None, :])
+    st_ref = ray.put({"lut": lut, "probe": probe})
+    scan_ds = rd.read_parquet(paths, columns=["vec_id", "code", "centroid_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = ray.get(st_ref)
+        L, pr = st["lut"], st["probe"]
+        if t.num_rows == 0 or "code" not in t.column_names:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        ids_b = t["vec_id"].to_numpy()
+        cid_b = t["centroid_id"].to_numpy()
+        code_col = t["code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes = (code_col.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(len(ids_b), mm).astype(np.int64))
+        dist = np.zeros((L.shape[0], len(ids_b)))
+        for j in range(mm):
+            dist += L[:, j, :][:, codes[:, j]]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(L.shape[0]):
+            cand = np.flatnonzero(np.isin(cid_b, pr[qi]))
+            if not len(cand):
+                continue
+            r = min(rerank, len(cand))
+            best = cand[np.argpartition(dist[qi][cand], r - 1)[:r]] \
+                if r < len(cand) else cand
+            out_q.append(np.full(len(best), qi))
+            out_v.append(ids_b[best])
+            out_s.append(dist[qi][best])
+        if not out_q:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        return pa.table({"qi": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "adc": pa.array(np.concatenate(out_s))})
+
+    parts_out = [ray.get(r) for r in
+                 scan_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True).to_arrow_refs()]
+    nonempty = [p for p in parts_out if p.num_rows]
+    if not nonempty:
+        return empty, metrics
+    df = pa.concat_tables(nonempty).to_pandas()
+    pool = (df.sort_values(["qi", "adc"], kind="stable")
+            .groupby("qi", sort=False).head(rerank))
+    pool_ids = {int(qi): g["vec_id"].to_numpy()
+                for qi, g in pool.groupby("qi", sort=False)}
+    all_pool = [v for v in pool_ids.values() if len(v)]
+    if not all_pool:
+        return empty, metrics
+
+    # --- re-rank: raw vectors ONLY for the pool's rows (id filter) ---
+    want = np.unique(np.concatenate(all_pool))
+    dset = pads.dataset(paths)
+    vt = dset.to_table(columns=["vec_id", "embedding"],
+                       filter=pads.field("vec_id").isin(want.tolist()))
+    metrics["rerank_rows_read"] = vt.num_rows
+    vmap_ids = vt["vec_id"].to_numpy()
+    V = _to_matrix(vt["embedding"])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    order_map = {int(v): i for i, v in enumerate(vmap_ids)}
+
+    qid_arr = np.asarray(query_ids)
+    rows_q, rows_v, rows_r = [], [], []
+    for qi in range(len(qid_arr)):
+        cand = pool_ids.get(qi, np.empty(0, dtype=np.int64))
+        if not len(cand):
+            continue
+        idx = np.asarray([order_map[int(v)] for v in cand])
+        s = Vn[idx] @ Qn[qi]
+        order = np.lexsort((cand, -s))[:k]
+        rows_q.extend([qid_arr[qi]] * len(order))
+        rows_v.extend(cand[order].tolist())
+        rows_r.extend(range(1, len(order) + 1))
+    return pa.table({"query_id": pa.array(rows_q),
+                     "vec_id": pa.array(rows_v, pa.int64()),
+                     "ann_rank": pa.array(rows_r, pa.int64())}), metrics

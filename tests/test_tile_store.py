@@ -223,3 +223,56 @@ def test_apply_moves_stale_backpointer_falls_back(ray_session, tmp_path):
     df = full.to_pandas()
     assert (df[df.doc_id.isin(mid)]["x"] == 99_990.0).all()
     assert len(df) == 400
+
+
+def test_ivfpq_index_full_probe_full_pool_is_exact(ray_session, tmp_path):
+    """n_probe covers all centroids AND rerank covers the corpus: the
+    doubly-pruned IVF-PQ query provably equals brute force."""
+    import ray.data as rd
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(400), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    idx_dir = str(tmp_path / "ivfpq_full")
+    ann.build_ivfpq_index(rd.from_arrow(t), idx_dir, n_centroids=4, m=4,
+                          ksub=64)
+    Q = vecs[:3].astype(np.float64)
+    got, metrics = ann.query_ivfpq_index(idx_dir, np.arange(3), Q, k=7,
+                                         n_probe=4, rerank=400)
+    want = ann.brute_topk(rd.from_arrow(t), np.arange(3), Q, k=7).to_pandas()
+    gd = got.to_pandas().sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    wd = want.sort_values(["query_id", "ann_rank"]).reset_index(drop=True)
+    assert (gd[["query_id", "vec_id", "ann_rank"]].values
+            == wd[["query_id", "vec_id", "ann_rank"]].values).all()
+    assert metrics["parts_read"] == metrics["parts_total"]
+
+
+def test_ivfpq_index_prunes_parts_and_rerank_rows(ray_session, tmp_path):
+    """Partial probe reads fewer parts; re-rank touches only the pool's
+    raw vectors (the double pruning that makes 100 TB feasible)."""
+    import ray.data as rd
+    rng = np.random.default_rng(33)
+    centers = rng.normal(scale=5.0, size=(8, 16))
+    vecs = np.concatenate([c + 0.1 * rng.normal(size=(75, 16))
+                           for c in centers]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(600), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    idx_dir = str(tmp_path / "ivfpq_pruned")
+    ann.build_ivfpq_index(rd.from_arrow(t), idx_dir, n_centroids=8, m=4,
+                          ksub=64)
+    Q = vecs[::75][:4].astype(np.float64)
+    got, metrics = ann.query_ivfpq_index(idx_dir, np.arange(4), Q, k=5,
+                                         n_probe=2, rerank=40)
+    assert metrics["parts_read"] < metrics["parts_total"]
+    assert metrics["rerank_rows_read"] <= 4 * 40
+    # recall vs brute on clustered data: probing the query's own cluster
+    want = ann.brute_topk(rd.from_arrow(t), np.arange(4), Q, k=5).to_pandas()
+    gd = got.to_pandas()
+    recalls = []
+    for qi in range(4):
+        w = set(want[want.query_id == qi]["vec_id"])
+        g = set(gd[gd.query_id == qi]["vec_id"])
+        recalls.append(len(w & g) / len(w))
+    assert np.mean(recalls) >= 0.9, recalls
