@@ -307,13 +307,73 @@ def query_ivf_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
 # tests/test_ann_text_media.py.
 
 
+def _adc_lut(Qn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(Q, m, ksub) ADC table: LUT[q, j, c] = ||q_j - B[j, c]||^2
+    contribution (ranks cosine because vectors are unit-normalized).
+    Shared by pq_topk and query_ivfpq_index — one copy of the math."""
+    m, ksub, dsub = books.shape
+    lut = np.empty((len(Qn), m, ksub), dtype=np.float64)
+    for j in range(m):
+        qj = Qn[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (-2.0 * (qj @ books[j].T)
+                        + (books[j] ** 2).sum(axis=1)[None, :])
+    return lut
+
+
+def _codes_matrix(code_col, m: int) -> np.ndarray:
+    """(n, m) int64 codes from a fixed_size_list<uint8> column
+    (FixedSizeList has no offsets buffer — flatten + reshape directly)."""
+    if isinstance(code_col, pa.ChunkedArray):
+        code_col = code_col.combine_chunks()
+    return (code_col.flatten().to_numpy(zero_copy_only=False)
+            .reshape(len(code_col), m).astype(np.int64))
+
+
+def _adc_dists(L: np.ndarray, codes_m: np.ndarray) -> np.ndarray:
+    """(Q, n) ADC distances: one fancy-index pass per subspace."""
+    dist = np.zeros((L.shape[0], len(codes_m)))
+    for j in range(L.shape[1]):
+        dist += L[:, j, :][:, codes_m[:, j]]
+    return dist
+
+
+def _rerank_exact(qid_arr: np.ndarray, Qn: np.ndarray, pool_by_qi: dict,
+                  id_index: dict, Vn: np.ndarray, k: int) -> pa.Table:
+    """Exact-cosine re-rank of each query's candidate pool; (query_id,
+    vec_id, ann_rank) with brute_topk's (score desc, id asc) order."""
+    rows_q, rows_v, rows_r = [], [], []
+    for qi in range(len(qid_arr)):
+        cand = pool_by_qi.get(qi)
+        if cand is None or not len(cand):
+            continue
+        idx = np.asarray([id_index[int(v)] for v in cand])
+        s = Vn[idx] @ Qn[qi]
+        order = np.lexsort((cand, -s))[:k]
+        rows_q.extend([qid_arr[qi]] * len(order))
+        rows_v.extend(cand[order].tolist())
+        rows_r.extend(range(1, len(order) + 1))
+    if not rows_q:  # typed empty (bare pa.array([]) would be null-typed)
+        return pa.table({"query_id": pa.array(qid_arr[:0]),
+                         "vec_id": pa.array([], pa.int64()),
+                         "ann_rank": pa.array([], pa.int64())})
+    return pa.table({"query_id": pa.array(rows_q),
+                     "vec_id": pa.array(rows_v, pa.int64()),
+                     "ann_rank": pa.array(rows_r, pa.int64())})
+
+
 def train_pq(embeddings: rd.Dataset, *, m: int = 4, ksub: int = 256,
              iters: int = 10, seed: int = 7, sample_frac: float = 0.5,
              max_rows: int = 50_000, vec_col: str = "embedding") -> np.ndarray:
     """Per-subspace k-means codebooks (m, ksub, d/m) on a HARD-CAPPED
     driver sample (same discipline as ``kmeans_sample``).  Vectors are
     L2-normalized before splitting so ADC L2 ranking == cosine ranking."""
+    if ksub > 256:
+        # codes are stored uint8 BY DESIGN (the compression); a larger
+        # codebook would silently wrap indices mod 256 into garbage
+        raise ValueError(f"ksub={ksub} > 256 cannot be coded in uint8")
     sample = embeddings.random_sample(sample_frac, seed=seed).limit(max_rows).take_all()
+    if not sample:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
     n, d = M.shape
@@ -382,44 +442,30 @@ def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
     m, ksub, dsub = codebooks.shape
     codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
 
+    qid_arr = np.asarray(query_ids)
     Q = np.asarray(query_matrix, dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-    # LUT[q, j, c] = ||q_j - B[j, c]||^2 contribution; ADC dist ranks cosine
-    # because all vectors are unit-normalized
-    lut = np.empty((len(Q), m, ksub), dtype=np.float64)
-    for j in range(m):
-        qj = Qn[:, j * dsub:(j + 1) * dsub]
-        lut[:, j, :] = (-2.0 * (qj @ codebooks[j].T)
-                        + (codebooks[j] ** 2).sum(axis=1)[None, :])
-    st_ref = ray.put({"qid": np.asarray(query_ids), "lut": lut})
+    lut = _adc_lut(Qn, codebooks)
+    st_ref = ray.put(lut)
 
     def partial(t: pa.Table) -> pa.Table:
-        st = ray.get(st_ref)
-        qid, L = st["qid"], st["lut"]
+        L = ray.get(st_ref)
         if t.num_rows == 0 or "code" not in t.column_names:
-            return pa.table({"query_id": pa.array(qid[:0]),
+            return pa.table({"qi": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "adc": pa.array([], pa.float64())})
-        code_col = t["code"]
-        if isinstance(code_col, pa.ChunkedArray):
-            code_col = code_col.combine_chunks()
-        # FixedSizeList has no offsets buffer — flatten + reshape directly
-        codes_m = (code_col.flatten().to_numpy(zero_copy_only=False)
-                   .reshape(t.num_rows, m).astype(np.int64))
+        codes_m = _codes_matrix(t["code"], m)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        # ADC: one fancy-index pass per subspace, vectorized over (Q, n)
-        dist = np.zeros((len(qid), len(ids)))
-        for j in range(m):
-            dist += L[:, j, :][:, codes_m[:, j]]
+        dist = _adc_dists(L, codes_m)
         r = min(rerank, len(ids))
         out_q, out_v, out_s = [], [], []
-        for qi in range(len(qid)):
+        for qi in range(L.shape[0]):
             part = (np.argpartition(dist[qi], r - 1)[:r]
                     if r < len(ids) else np.arange(len(ids)))
             out_q.append(np.full(len(part), qi))
             out_v.append(ids[part])
             out_s.append(dist[qi][part])
-        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+        return pa.table({"qi": pa.array(np.concatenate(out_q)),
                          "vec_id": pa.array(np.concatenate(out_v)),
                          "adc": pa.array(np.concatenate(out_s))})
 
@@ -427,54 +473,46 @@ def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
              codes.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True,
                                batch_size=batch_size).to_arrow_refs()]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
-    df = allp.to_pandas()
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:  # empty corpus -> typed empty result, no crash
+        return rd.from_arrow(_rerank_exact(qid_arr, Qn, {}, {},
+                                           np.empty((0, 0)), k))
+    df = pa.concat_tables(nonempty).to_pandas()
     # global pool per query: best `rerank` ADC candidates (bounded:
     # Q x rerank rows on the driver — never corpus-sized)
-    pool = (df.sort_values(["query_id", "adc"], kind="stable")
-            .groupby("query_id", sort=False).head(rerank))
-    pool_ids = np.unique(pool["vec_id"].to_numpy())
+    pool = (df.sort_values(["qi", "adc"], kind="stable")
+            .groupby("qi", sort=False).head(rerank))
+    pool_by_qi = {int(qi): g["vec_id"].to_numpy()
+                  for qi, g in pool.groupby("qi", sort=False)}
 
-    # exact re-rank: gather ONLY the pool vectors (pushdown filter)
-    ids_ref = ray.put(np.sort(pool_ids))
+    # exact re-rank: gather ONLY the pool vectors (pushdown filter); the
+    # Arrow column ships as-is — no per-row Python float round-trip
+    ids_ref = ray.put(np.unique(pool["vec_id"].to_numpy()))
 
     def gather(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "_v": pa.array([], pa.list_(pa.float64()))})
+                             vec_col: pa.array([], pa.list_(pa.float32()))})
         want = ray.get(ids_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(want, ids), 0, max(0, len(want) - 1))
         sel = want[pos] == ids if len(want) else np.zeros(len(ids), bool)
-        sub = t.filter(pa.array(sel))
-        M = _to_matrix(sub[vec_col]) if sub.num_rows else np.empty((0, 0))
-        return pa.table({id_col: sub[id_col],
-                         "_v": pa.array([list(map(float, row)) for row in M],
-                                        pa.list_(pa.float64()))})
+        return t.filter(pa.array(sel)).select([id_col, vec_col])
 
-    vec_map: dict = {}
+    got_ids, got_mats = [], []
     for ref in embeddings.map_batches(gather, batch_format="pyarrow",
                                       zero_copy_batch=True).to_arrow_refs():
         t = ray.get(ref)
-        vec_map.update(zip(t[id_col].to_pylist(), t["_v"].to_pylist()))
-
-    qid_arr = np.asarray(query_ids)
-    rows_q, rows_v, rows_r = [], [], []
-    for qi in range(len(qid_arr)):
-        cand = pool[pool["query_id"] == qi]["vec_id"].to_numpy()
-        if not len(cand):
-            continue
-        V = np.stack([np.asarray(vec_map[v], dtype=np.float64) for v in cand])
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-        s = Vn @ Qn[qi]
-        order = np.lexsort((cand, -s))[:k]
-        rows_q.extend([qid_arr[qi]] * len(order))
-        rows_v.extend(cand[order].tolist())
-        rows_r.extend(range(1, len(order) + 1))
-    out = pa.table({"query_id": pa.array(rows_q),
-                    "vec_id": pa.array(rows_v, pa.int64()),
-                    "ann_rank": pa.array(rows_r, pa.int64())})
-    return rd.from_arrow(out)
+        if t.num_rows:
+            got_ids.append(t[id_col].to_numpy(zero_copy_only=False))
+            got_mats.append(_to_matrix(t[vec_col]))
+    all_ids = np.concatenate(got_ids) if got_ids else np.empty(0, np.int64)
+    V = np.concatenate(got_mats) if got_mats else np.empty((0, 0))
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30) \
+        if len(V) else V
+    id_index = {int(v): i for i, v in enumerate(all_ids)}
+    return rd.from_arrow(_rerank_exact(qid_arr, Qn, pool_by_qi, id_index,
+                                       Vn, k))
 
 
 def build_ivfpq_index(embeddings: rd.Dataset, out_dir: str, *,
@@ -566,7 +604,8 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     paths = [os.path.join(r["part_path"], "data.parquet")
              for r in rows if r["cell_key"] in needed]
     metrics = {"parts_read": len(paths), "parts_total": len(rows),
-               "scan_columns": ["vec_id", "code", "centroid_id"]}
+               "scan_columns": ["vec_id", "code", "centroid_id"],
+               "rerank_rows_read": 0}
     empty = pa.table({"query_id": pa.array(np.asarray(query_ids)[:0]),
                       "vec_id": pa.array([], pa.int64()),
                       "ann_rank": pa.array([], pa.int64())})
@@ -576,11 +615,7 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     # --- ADC scan: DISTRIBUTED over the probed parts, codes only
     # (column-pruned read); per-block partial top-rerank keeps the driver
     # merge bounded at blocks x Q x rerank rows, never probed-rows-sized
-    lut = np.empty((len(Q), mm, kk), dtype=np.float64)
-    for j in range(mm):
-        qj = Qn[:, j * dsub:(j + 1) * dsub]
-        lut[:, j, :] = (-2.0 * (qj @ books[j].T)
-                        + (books[j] ** 2).sum(axis=1)[None, :])
+    lut = _adc_lut(Qn, books)
     st_ref = ray.put({"lut": lut, "probe": probe})
     scan_ds = rd.read_parquet(paths, columns=["vec_id", "code", "centroid_id"])
 
@@ -593,14 +628,7 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
                              "adc": pa.array([], pa.float64())})
         ids_b = t["vec_id"].to_numpy()
         cid_b = t["centroid_id"].to_numpy()
-        code_col = t["code"]
-        if isinstance(code_col, pa.ChunkedArray):
-            code_col = code_col.combine_chunks()
-        codes = (code_col.flatten().to_numpy(zero_copy_only=False)
-                 .reshape(len(ids_b), mm).astype(np.int64))
-        dist = np.zeros((L.shape[0], len(ids_b)))
-        for j in range(mm):
-            dist += L[:, j, :][:, codes[:, j]]
+        dist = _adc_dists(L, _codes_matrix(t["code"], mm))
         out_q, out_v, out_s = [], [], []
         for qi in range(L.shape[0]):
             cand = np.flatnonzero(np.isin(cid_b, pr[qi]))
@@ -641,23 +669,8 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     vt = dset.to_table(columns=["vec_id", "embedding"],
                        filter=pads.field("vec_id").isin(want.tolist()))
     metrics["rerank_rows_read"] = vt.num_rows
-    vmap_ids = vt["vec_id"].to_numpy()
     V = _to_matrix(vt["embedding"])
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-    order_map = {int(v): i for i, v in enumerate(vmap_ids)}
-
-    qid_arr = np.asarray(query_ids)
-    rows_q, rows_v, rows_r = [], [], []
-    for qi in range(len(qid_arr)):
-        cand = pool_ids.get(qi, np.empty(0, dtype=np.int64))
-        if not len(cand):
-            continue
-        idx = np.asarray([order_map[int(v)] for v in cand])
-        s = Vn[idx] @ Qn[qi]
-        order = np.lexsort((cand, -s))[:k]
-        rows_q.extend([qid_arr[qi]] * len(order))
-        rows_v.extend(cand[order].tolist())
-        rows_r.extend(range(1, len(order) + 1))
-    return pa.table({"query_id": pa.array(rows_q),
-                     "vec_id": pa.array(rows_v, pa.int64()),
-                     "ann_rank": pa.array(rows_r, pa.int64())}), metrics
+    id_index = {int(v): i for i, v in enumerate(vt["vec_id"].to_numpy())}
+    return _rerank_exact(np.asarray(query_ids), Qn, pool_ids, id_index,
+                         Vn, k), metrics

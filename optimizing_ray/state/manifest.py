@@ -143,7 +143,12 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
         cutoff = time.time() - 3600.0
         for tmp in glob.glob(os.path.join(out_dir, ".tmp-*")):
             try:
-                if os.path.getmtime(tmp) < cutoff:
+                # staleness = newest mtime of the dir OR anything inside
+                # it: a live writer streaming into data.parquet for >1 h
+                # keeps the FILE mtime fresh even though the dir's is old
+                newest = max([os.path.getmtime(tmp)]
+                             + [e.stat().st_mtime for e in os.scandir(tmp)])
+                if newest < cutoff:
                     shutil.rmtree(tmp, ignore_errors=True)
             except OSError:
                 pass  # raced with another cleaner

@@ -101,13 +101,19 @@ def test_stale_foreign_tmp_swept_fresh_kept(ray_session, tmp_path):
     os.makedirs(out)
     stale = os.path.join(out, ".tmp-deadbeef-5-aaaaaaaa")
     fresh = os.path.join(out, ".tmp-cafecafe-7-bbbbbbbb")
-    for d in (stale, fresh):
+    live = os.path.join(out, ".tmp-beefbeef-9-cccccccc")
+    for d in (stale, fresh, live):
         os.makedirs(d)
         with open(os.path.join(d, "data.parquet"), "w") as f:
             f.write("x")
     old = time.time() - 7200
     os.utime(stale, (old, old))
+    os.utime(os.path.join(stale, "data.parquet"), (old, old))
+    # `live` simulates a >1h write still streaming: dir mtime old, FILE
+    # mtime fresh — must NOT be swept
+    os.utime(live, (old, old))
 
     manifest.resumable_write(make_ds(ray_session), out)
     assert not os.path.exists(stale), "stale orphan should be swept"
     assert os.path.exists(fresh), "fresh foreign temp must survive"
+    assert os.path.exists(live), "in-flight long write must survive"
