@@ -441,6 +441,33 @@ def _q_median_qty(sf_dir: str):
                                     value_col="l_quantity", q=0.5)
 
 
+def _q_asof_join(sf_dir: str):
+    """Temporal AS-OF join (the operator Ray Data lacks natively): each
+    event takes the latest rate row (derived from events where
+    event_id %% 37 == 0) with ts <= its own per user; NULL before the
+    first.  DuckDB twin uses its native ASOF LEFT JOIN."""
+    import pyarrow as pa
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    events = driver_tables.read(sf_dir, "events",
+                                columns=["event_id", "ts", "user_id", "value"],
+                                num_blocks=8)
+
+    def to_dim(t: pa.Table) -> pa.Table:
+        import numpy as np
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "rate": pa.array([], pa.float64())})
+        sel = t.filter(pa.array(t["event_id"].to_numpy() % 37 == 0))
+        return pa.table({"user_id": sel["user_id"], "ts": sel["ts"],
+                         "rate": sel["value"]})
+
+    dim = events.map_batches(to_dim, batch_format="pyarrow", zero_copy_batch=True)
+    return windows.asof_join(events, dim)
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """HLL distinct-count sketch.  Approximate by design but DETERMINISTIC
     (splitmix64 hash + exact-integer harmonic sum), so the DuckDB oracle
@@ -705,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "prev_value": _q_prev_value,
+        "asof_join": _q_asof_join,
         "raster_density": _q_raster_density,
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -755,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),
         "prev_value": oracle.prev_value_sql(),
+        "asof_join": oracle.asof_join_sql(37),
         "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),

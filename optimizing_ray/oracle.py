@@ -938,3 +938,21 @@ SELECT j.query_id AS query_id, j.doc_id AS doc_id,
        {_u64_to_i64('fp')} AS span_fp
 FROM joined j JOIN fpd USING (doc_id)
 """
+
+
+def asof_join_sql(dim_mod: int = 37, table: str = "events") -> str:
+    """Oracle for the temporal as-of join (DuckDB native ASOF JOIN): each
+    event takes the dimension row with the latest ts <= its ts per user
+    (inclusive), NULL before the first dimension row.  The dimension is
+    derived deterministically from the events view (event_id % dim_mod)
+    and deduped per (user, ts) by max(rate) — the exact twin of the
+    engine-side derivation in ``_q_asof_join``."""
+    return f"""
+WITH rates AS (
+  SELECT user_id, ts, MAX(value) AS rate FROM {table}
+  WHERE event_id % {dim_mod} = 0 GROUP BY user_id, ts
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts, r.rate AS rate
+FROM {table} e ASOF LEFT JOIN rates r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""

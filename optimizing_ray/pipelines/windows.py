@@ -15,7 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["tumbling_window", "sliding_window", "session_window", "with_prev_value"]
+__all__ = ["tumbling_window", "sliding_window", "session_window",
+           "with_prev_value", "asof_join"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str, n_shards: int = 64) -> rd.Dataset:
     """Merge (key, window_id, n, s) partials by (key, window): shard on
@@ -158,3 +159,78 @@ def with_prev_value(events: rd.Dataset, *, key_col: str = "user_id",
 
     return (events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(prev, batch_format="pandas"))
+
+
+def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
+              key_col: str = "user_id", ts_col: str = "ts",
+              rate_col: str = "rate", id_col: str = "event_id",
+              n_shards: int = 32) -> rd.Dataset:
+    """Temporal AS-OF join: each event row gets the dimension row with
+    the LATEST ts <= event ts for the same key (inclusive on equal ts),
+    NULL when no dimension row precedes it — the operator Ray Data lacks
+    natively, built from the engine's shuffle primitives.
+
+    Plan (partitioning assumption: co-locate by key): side-tag both
+    inputs with SAME-TYPED payload columns (a null-typed column would be
+    upcast to float by pandas, working notes), shard by hash(key) %
+    n_shards, and inside each shard run ONE vectorized
+    ``pd.merge_asof`` (sorted-merge in C) over the shard's events x
+    dimension rows.  Events for a key land in exactly one shard with all
+    of that key's dimension rows, so the shard-local join is globally
+    correct.  Dimension rows are pre-deduped per (key, ts) by max(rate)
+    so tie order is deterministic (the SQL twin aggregates the same
+    way)."""
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             ts_col: pa.array([], pa.timestamp("us")),
+                             rate_col: pa.array([], pa.float64()),
+                             "_is_event": pa.array([], pa.bool_()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
+            rate_col: pa.array(np.full(t.num_rows, np.nan), pa.float64()),
+            "_is_event": pa.array(np.ones(t.num_rows, bool)),
+            "_shard": pa.array((key % n_shards).astype(np.int64)),
+        })
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return tag_events(t)  # same typed-empty shape
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            key_col: t[key_col], ts_col: t[ts_col],
+            rate_col: t[rate_col].cast(pa.float64()),
+            "_is_event": pa.array(np.zeros(t.num_rows, bool)),
+            "_shard": pa.array((key % n_shards).astype(np.int64)),
+        })
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        dim.map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_is_event"]].sort_values(ts_col, kind="stable")
+        dm = (g[~g["_is_event"]]
+              .groupby([key_col, ts_col], as_index=False)[rate_col].max()
+              .sort_values(ts_col, kind="stable"))
+        if not len(ev):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 key_col: pd.Series([], dtype=np.int64),
+                                 ts_col: pd.Series([], dtype=ev[ts_col].dtype
+                                                   if ts_col in ev else "datetime64[us]"),
+                                 rate_col: pd.Series([], dtype=np.float64)})
+        if not len(dm):
+            out = ev[[id_col, key_col, ts_col]].copy()
+            out[rate_col] = np.nan
+            return out
+        m = pd.merge_asof(ev[[id_col, key_col, ts_col]], dm,
+                          on=ts_col, by=key_col, direction="backward",
+                          allow_exact_matches=True)
+        return m[[id_col, key_col, ts_col, rate_col]]
+
+    return tagged.groupby("_shard").map_groups(join, batch_format="pandas")

@@ -31,6 +31,8 @@ SQL_NAMES = [
     # round 2: PQ with corpus-covering rerank pool provably equals exact
     # top-k (the full-probe ann_ivf pattern)
     "ann_pq",
+    # round 2: temporal as-of join vs DuckDB's native ASOF LEFT JOIN
+    "asof_join",
 ]
 ROWS_ONLY_NAMES = [
     # media: honest codec stub (no imaging wheel in the sandbox);

@@ -66,3 +66,38 @@ def test_session_window_matches_pandas(ray_session, events):
     assert (a["t_start_us"].to_numpy() == b["t_start_us"].to_numpy()).all()
     assert (a["t_end_us"].to_numpy() == b["t_end_us"].to_numpy()).all()
     np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-6)
+
+
+def test_asof_join_semantics(ray_session):
+    """Inclusive as-of on equal ts; NULL before the first dim row; keys
+    with no dim rows stay NULL; latest-of-several wins."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows
+
+    def ts(s):
+        return np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    events = pa.table({
+        "event_id": pa.array(np.arange(6), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([ts(5), ts(10), ts(20), ts(5), ts(30), ts(9)],
+                       pa.timestamp("us")),
+    })
+    dim = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([ts(10), ts(15), ts(10)], pa.timestamp("us")),
+        "rate": pa.array([1.5, 2.5, 9.0], pa.float64()),
+    })
+    out = windows.asof_join(rd.from_arrow(events), rd.from_arrow(dim),
+                            n_shards=4).to_pandas()
+    got = out.set_index("event_id")["rate"]
+    assert np.isnan(got[0])          # before first dim row
+    assert got[1] == 1.5             # equal ts -> inclusive
+    assert got[2] == 2.5             # latest of two priors
+    assert np.isnan(got[3])          # user 2 before its dim row
+    assert got[4] == 9.0
+    assert np.isnan(got[5])          # user 3 has no dim rows
+    assert len(out) == 6
