@@ -468,6 +468,24 @@ def _q_asof_join(sf_dir: str):
     return windows.asof_join(events, dim)
 
 
+def _q_range_join(sf_dir: str):
+    """1-D interval join of events against 12 OVERLAPPING value bands
+    (width 40, step 25 — each value can hit 2 bands): broadcast band
+    table, vectorized containment, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    events = driver_tables.read(sf_dir, "events",
+                                columns=["event_id", "value"], num_blocks=8)
+    i = np.arange(12, dtype=np.int64)
+    bands = pa.table({"band_id": pa.array(i),
+                      "lo": pa.array(i * 25.0),
+                      "hi": pa.array(i * 25.0 + 40.0)})
+    return windows.range_join(events, bands)
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """HLL distinct-count sketch.  Approximate by design but DETERMINISTIC
     (splitmix64 hash + exact-integer harmonic sum), so the DuckDB oracle
@@ -733,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": _q_session_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "raster_density": _q_raster_density,
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -784,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window": oracle.session_window_sql(1800),
         "prev_value": oracle.prev_value_sql(),
         "asof_join": oracle.asof_join_sql(37),
+        "range_join": oracle.range_join_sql(12, 40.0, 25.0),
         "raster_density": oracle.raster_density_sql(RASTER_W, RASTER_W),
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),

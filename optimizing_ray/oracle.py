@@ -956,3 +956,19 @@ SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts, r.rate AS rate
 FROM {table} e ASOF LEFT JOIN rates r
   ON e.user_id = r.user_id AND e.ts >= r.ts
 """
+
+
+def range_join_sql(n_bands: int = 12, width: float = 40.0,
+                   step: float = 25.0, table: str = "events") -> str:
+    """Oracle for the 1-D interval join: OVERLAPPING bands
+    [i*step, i*step + width) from generate_series (bounds precomputed in
+    a CTE — DuckDB 1.0's range join on inline computed expressions hits
+    an internal assertion, working notes)."""
+    return f"""
+WITH bands AS (
+  SELECT i AS band_id, i * {step!r} AS lo, i * {step!r} + {width!r} AS hi
+  FROM generate_series(0, {n_bands - 1}) t(i)
+)
+SELECT e.event_id AS event_id, b.band_id AS band_id, e.value AS value
+FROM {table} e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""

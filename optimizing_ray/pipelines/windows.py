@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "with_prev_value", "asof_join"]
+           "with_prev_value", "asof_join", "range_join"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str, n_shards: int = 64) -> rd.Dataset:
     """Merge (key, window_id, n, s) partials by (key, window): shard on
@@ -234,3 +234,37 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
         return m[[id_col, key_col, ts_col, rate_col]]
 
     return tagged.groupby("_shard").map_groups(join, batch_format="pandas")
+
+
+def range_join(events: rd.Dataset, bands: "pa.Table", *,
+               value_col: str = "value", id_col: str = "event_id",
+               lo_col: str = "lo", hi_col: str = "hi",
+               band_col: str = "band_id") -> rd.Dataset:
+    """1-D interval (range) join: each event row pairs with EVERY band
+    whose [lo, hi) contains its value — bands may overlap (a genuine
+    range join, not bucketing).  The band table is small by assumption:
+    broadcast once via ray.put, vectorized (n_rows x n_bands) containment
+    mask per batch — the 1-D sibling of the broadcast box join, no
+    shuffle at all."""
+    import ray as _ray
+
+    bref = _ray.put({
+        "lo": bands[lo_col].to_numpy(), "hi": bands[hi_col].to_numpy(),
+        "id": bands[band_col].to_numpy(),
+    })
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             band_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.float64())})
+        b = _ray.get(bref)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hit = (v[:, None] >= b["lo"][None, :]) & (v[:, None] < b["hi"][None, :])
+        ri, bi = np.nonzero(hit)
+        return pa.table({id_col: pa.array(ids[ri]),
+                         band_col: pa.array(b["id"][bi]),
+                         value_col: pa.array(v[ri])})
+
+    return events.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)

@@ -31,8 +31,9 @@ SQL_NAMES = [
     # round 2: PQ with corpus-covering rerank pool provably equals exact
     # top-k (the full-probe ann_ivf pattern)
     "ann_pq",
-    # round 2: temporal as-of join vs DuckDB's native ASOF LEFT JOIN
-    "asof_join",
+    # round 2: temporal as-of join vs DuckDB's native ASOF LEFT JOIN;
+    # 1-D interval join vs a plain range-predicate join
+    "asof_join", "range_join",
 ]
 ROWS_ONLY_NAMES = [
     # media: honest codec stub (no imaging wheel in the sandbox);
