@@ -337,6 +337,18 @@ def _adc_dists(L: np.ndarray, codes_m: np.ndarray) -> np.ndarray:
     return dist
 
 
+def _pool_merge(nonempty_tables: list, rerank: int) -> dict:
+    """Global per-query candidate pool from partial ADC tables: best
+    ``rerank`` candidates per query (bounded: Q x rerank rows on the
+    driver, never corpus-sized).  Shared by pq_topk and
+    query_ivfpq_index so pool semantics cannot diverge."""
+    df = pa.concat_tables(nonempty_tables).to_pandas()
+    pool = (df.sort_values(["qi", "adc"], kind="stable")
+            .groupby("qi", sort=False).head(rerank))
+    return {int(qi): g["vec_id"].to_numpy()
+            for qi, g in pool.groupby("qi", sort=False)}
+
+
 def _rerank_exact(qid_arr: np.ndarray, Qn: np.ndarray, pool_by_qi: dict,
                   id_index: dict, Vn: np.ndarray, k: int) -> pa.Table:
     """Exact-cosine re-rank of each query's candidate pool; (query_id,
@@ -465,29 +477,27 @@ def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
             out_q.append(np.full(len(part), qi))
             out_v.append(ids[part])
             out_s.append(dist[qi][part])
+        if not out_q:  # zero queries
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
         return pa.table({"qi": pa.array(np.concatenate(out_q)),
                          "vec_id": pa.array(np.concatenate(out_v)),
                          "adc": pa.array(np.concatenate(out_s))})
 
-    parts = [ray.get(r) for r in
-             codes.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               batch_size=batch_size).to_arrow_refs()]
+    parts = ray.get(codes.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      batch_size=batch_size).to_arrow_refs())
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:  # empty corpus -> typed empty result, no crash
         return rd.from_arrow(_rerank_exact(qid_arr, Qn, {}, {},
                                            np.empty((0, 0)), k))
-    df = pa.concat_tables(nonempty).to_pandas()
-    # global pool per query: best `rerank` ADC candidates (bounded:
-    # Q x rerank rows on the driver — never corpus-sized)
-    pool = (df.sort_values(["qi", "adc"], kind="stable")
-            .groupby("qi", sort=False).head(rerank))
-    pool_by_qi = {int(qi): g["vec_id"].to_numpy()
-                  for qi, g in pool.groupby("qi", sort=False)}
+    pool_by_qi = _pool_merge(nonempty, rerank)
 
     # exact re-rank: gather ONLY the pool vectors (pushdown filter); the
     # Arrow column ships as-is — no per-row Python float round-trip
-    ids_ref = ray.put(np.unique(pool["vec_id"].to_numpy()))
+    ids_ref = ray.put(np.unique(np.concatenate(
+        [v for v in pool_by_qi.values() if len(v)])))
 
     def gather(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
@@ -500,9 +510,9 @@ def pq_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,
         return t.filter(pa.array(sel)).select([id_col, vec_col])
 
     got_ids, got_mats = [], []
-    for ref in embeddings.map_batches(gather, batch_format="pyarrow",
-                                      zero_copy_batch=True).to_arrow_refs():
-        t = ray.get(ref)
+    for t in ray.get(embeddings.map_batches(gather, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+                     .to_arrow_refs()):
         if t.num_rows:
             got_ids.append(t[id_col].to_numpy(zero_copy_only=False))
             got_mats.append(_to_matrix(t[vec_col]))
@@ -648,17 +658,13 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
                          "vec_id": pa.array(np.concatenate(out_v)),
                          "adc": pa.array(np.concatenate(out_s))})
 
-    parts_out = [ray.get(r) for r in
-                 scan_ds.map_batches(partial, batch_format="pyarrow",
-                                     zero_copy_batch=True).to_arrow_refs()]
+    parts_out = ray.get(scan_ds.map_batches(partial, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+                        .to_arrow_refs())
     nonempty = [p for p in parts_out if p.num_rows]
     if not nonempty:
         return empty, metrics
-    df = pa.concat_tables(nonempty).to_pandas()
-    pool = (df.sort_values(["qi", "adc"], kind="stable")
-            .groupby("qi", sort=False).head(rerank))
-    pool_ids = {int(qi): g["vec_id"].to_numpy()
-                for qi, g in pool.groupby("qi", sort=False)}
+    pool_ids = _pool_merge(nonempty, rerank)
     all_pool = [v for v in pool_ids.values() if len(v)]
     if not all_pool:
         return empty, metrics

@@ -179,16 +179,29 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
     of that key's dimension rows, so the shard-local join is globally
     correct.  Dimension rows are pre-deduped per (key, ts) by max(rate)
     so tie order is deterministic (the SQL twin aggregates the same
-    way)."""
+    way).
+
+    OUTPUT IS A PROJECTION: (id, key, ts, rate) only — other event
+    payload columns are dropped (re-attach by id downstream if needed).
+    Keys must be integers (the shard hash is `key % n_shards`)."""
+
+    def _empty_tagged(t: pa.Table) -> pa.Table:
+        # derive types from the block when present; hard-coded defaults
+        # only for truly EMPTY-SCHEMA blocks (working notes) — otherwise
+        # a typed-empty block could mismatch the union's real schema
+        def typ(col, fallback):
+            return t[col].type if col in t.column_names else fallback
+        return pa.table({
+            id_col: pa.array([], typ(id_col, pa.int64())),
+            key_col: pa.array([], typ(key_col, pa.int64())),
+            ts_col: pa.array([], typ(ts_col, pa.timestamp("us"))),
+            rate_col: pa.array([], pa.float64()),
+            "_is_event": pa.array([], pa.bool_()),
+            "_shard": pa.array([], pa.int64())})
 
     def tag_events(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             key_col: pa.array([], pa.int64()),
-                             ts_col: pa.array([], pa.timestamp("us")),
-                             rate_col: pa.array([], pa.float64()),
-                             "_is_event": pa.array([], pa.bool_()),
-                             "_shard": pa.array([], pa.int64())})
+            return _empty_tagged(t)
         key = t[key_col].to_numpy(zero_copy_only=False)
         return pa.table({
             id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
@@ -199,7 +212,7 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
 
     def tag_dim(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
-            return tag_events(t)  # same typed-empty shape
+            return _empty_tagged(t)
         key = t[key_col].to_numpy(zero_copy_only=False)
         return pa.table({
             id_col: pa.array(np.full(t.num_rows, -1, dtype=np.int64)),

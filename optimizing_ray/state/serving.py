@@ -210,6 +210,11 @@ class SpatialIndexService:
         shipping totals land in ``self.load_metrics`` so callers/tests can
         assert traffic is proportional to the corpus."""
         shards, n = self.shards, self.n
+        # invalidate the driver-level T4 cache BEFORE streaming: a load
+        # that fails mid-stream has already changed shard contents, and a
+        # post-stream bump would leave the cache serving stale pre-load
+        # results after such a failure
+        self._data_version += 1
 
         def route(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "cell_key" not in t.column_names:
@@ -233,8 +238,6 @@ class SpatialIndexService:
             shipped += row["rows_shipped"]
             loaded += row["rows_loaded"]
         self.load_metrics = {"rows_shipped": shipped, "rows_loaded": loaded}
-        if loaded:
-            self._data_version += 1  # driver-level search cache invalid
         return loaded
 
     def query_boxes(self, queries: pa.Table, *,
@@ -276,10 +279,12 @@ class SpatialIndexService:
 
     def unload(self, keys) -> int:
         keys = np.asarray(keys, dtype=np.int64)
-        self._data_version += 1  # driver-level search cache invalid
         futs = [s.unload.remote(keys[(keys % self.n) == r].tolist())
                 for r, s in enumerate(self.shards)]
-        return sum(ray.get(futs))
+        n = sum(ray.get(futs))
+        if n:  # a no-op unload keeps a still-valid T4 cache
+            self._data_version += 1
+        return n
 
     def shutdown(self):
         for s in self.shards:
