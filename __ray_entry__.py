@@ -635,7 +635,14 @@ def _q_embedding_near_dup(sf_dir: str):
     """Near-dup pairs over the embeddings table with PLANTED duplicates
     (an exact copy of every vec_id % 25 == 0 row under vec_id + 10M), so
     the driver gate exercises real pairs (round 1 found 0 rows) and the
-    exact cross-join SQL oracle pins them."""
+    exact cross-join SQL oracle pins them.
+
+    The driver gate compares ONLY the planted (orig, orig+offset) pairs:
+    identical vectors give identical LSH signatures, so their recall is
+    CERTAIN on any corpus — an organic non-identical pair with cosine
+    just above the threshold has ~0.996 recall and would make the gate
+    data-dependent (round-2 ADVICE).  General (unplanted) recall is
+    pytest-verified in tests/test_dedup.py."""
     import pyarrow as pa
     from optimizing_ray.pipelines import dedup
     from optimizing_ray.sources import driver_tables
@@ -645,6 +652,10 @@ def _q_embedding_near_dup(sf_dir: str):
     def plant(t: pa.Table) -> pa.Table:
         import numpy as np
         import pyarrow.compute as pc
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            # empty blocks can carry an EMPTY schema (working notes)
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
         sel = t.filter(pa.array(t["vec_id"].to_numpy() % PLANT_MOD == 0))
         copies = sel.set_column(
             sel.schema.get_field_index("vec_id"), "vec_id",
@@ -659,8 +670,21 @@ def _q_embedding_near_dup(sf_dir: str):
     if dim is None or dim < 0:  # plain list<float>: peek one row-group cheaply
         dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
                   .read_row_group(0, columns=["embedding"])["embedding"][0])
-    return dedup.embedding_near_dup_pairs(aug, threshold=0.9, dim=dim,
-                                          nrows=nrows + nrows // PLANT_MOD + 1)
+    pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.9, dim=dim,
+                                           nrows=nrows + nrows // PLANT_MOD + 1)
+
+    def planted_only(t: pa.Table) -> pa.Table:
+        import numpy as np
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        return t.filter(pa.array(b == a + PLANT_OFFSET))
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _q_curate(sf_dir: str):

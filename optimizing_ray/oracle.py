@@ -729,7 +729,14 @@ def embedding_near_dup_sql(threshold: float = 0.9, plant_mod: int = 25,
     LSH signatures, so the engine's recall on the planted pairs is
     certain).  Exact cross-join cosine filter; embeddings cast to DOUBLE
     so both engines do float64 math; cosine floor-rounded to 6 decimals
-    (summation order differs between numpy and DuckDB)."""
+    (summation order differs between numpy and DuckDB).
+
+    GATED ON THE PLANTED PAIRS ONLY (``b = a + plant_offset``): an
+    organic non-identical pair with cosine just above the threshold has
+    ~0.996 LSH recall at 12-bit/32-band settings, so including organic
+    pairs would make the gate data-dependent — it could fail on a future
+    corpus through no engine bug (round-2 ADVICE).  The engine query
+    applies the same filter; general recall is pytest-verified."""
     return f"""
 WITH aug AS (
   SELECT vec_id, embedding FROM {table}
@@ -741,7 +748,7 @@ v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM aug)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM v a JOIN v b ON b.vec_id = a.vec_id + {plant_offset}
 WHERE floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 >= {threshold!r}
 """
 

@@ -31,6 +31,12 @@ def _to_matrix(col) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        # fixed_size_list<float, d> has no offsets buffer: flatten+reshape
+        # directly (the _codes_matrix pattern) — the length is the type's
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, int(col.type.list_size)).astype(np.float64,
+                                                               copy=False)
     # fixed-length check via the offsets buffer: a divisibility test alone
     # would silently scramble ragged rows whose lengths happen to sum to
     # a multiple of n (np.stack raises loudly on truly ragged input)

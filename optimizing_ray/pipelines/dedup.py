@@ -47,7 +47,15 @@ def _plan_rows(nrows: int | None) -> int:
     at every scale, the broadcast path is just fewer shuffles when the
     (id, payload) table comfortably fits in memory.  Never runs
     ``ds.count()`` (on a transformed dataset that is a full extra pass
-    over the input)."""
+    over the input).
+
+    BEHAVIOR NOTE (round 2+): library callers of exact_dedup /
+    minhash_lsh_pairs / embedding_near_dup_pairs who previously got
+    auto-broadcast via an implicit docs.count() now take the multi-
+    shuffle join plan by default when they pass no ``nrows`` — correct
+    at every scale, just more exchanges on a tiny corpus.  Small known
+    corpora: pass ``nrows=`` (free from parquet metadata) or
+    ``verify="broadcast"`` explicitly."""
     return nrows if nrows is not None else (1 << 62)
 
 
@@ -74,7 +82,11 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     Shuffle key = ``hash % 32`` shards, not the raw hash (one Ray group
     per distinct doc would be dispatch-bound; 32 keeps Ray's per-group
     task count under the measured fixed-cost knee while still exceeding
-    a node's cores)."""
+    a node's cores).
+
+    Without ``nrows`` the shuffle plan is taken even on tiny corpora
+    (correct, just more exchanges) — pass the free parquet-metadata row
+    count to enable the broadcast fast path (see ``_plan_rows``)."""
     n_shards = 32
 
     def slim_hash(t: pa.Table) -> pa.Table:
@@ -327,7 +339,9 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     bucket merges (the at-scale path — the corpus is never collected);
     "broadcast" ships the (id, text) table once via ray.put (right when
     the corpus fits comfortably in memory — two fewer shuffles);
-    "auto" picks broadcast below `broadcast_threshold` rows."""
+    "auto" picks broadcast below `broadcast_threshold` rows — but only
+    when ``nrows`` is given (no hint = assume large, see ``_plan_rows``);
+    small known corpora should pass nrows or verify="broadcast"."""
 
     def sigs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and text_col not in t.column_names:
@@ -572,7 +586,11 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     (identical vectors give identical signatures).  32 bands means the
     bh ownership vector would cost 256 B x 32 rows/doc through the
     bucket shuffle — the pairs-only second exchange is far cheaper
-    (candidates << corpus at this collision floor)."""
+    (candidates << corpus at this collision floor).
+
+    verify="auto" without ``nrows`` assumes large (join plan; see
+    ``_plan_rows``) — pass nrows or verify="broadcast" on small known
+    corpora."""
     rng = np.random.default_rng(seed)
     # dimensionality from a single row — never collect the corpus
     # dim hint avoids a whole upstream execution just to peek one row

@@ -66,8 +66,21 @@ def _refresh_record(key: int, part_dir: str, n_rows: int):
     import json as _json
     rec = {"cell_key": key, "rows_out": n_rows, "wall_s": 0.0,
            "part_path": part_dir, "status": "done"}
-    with open(os.path.join(part_dir, manifest.DONE), "w") as f:
+    tmp = os.path.join(part_dir, manifest.DONE + ".tmp")
+    with open(tmp, "w") as f:
         _json.dump(rec, f)
+    os.replace(tmp, os.path.join(part_dir, manifest.DONE))
+
+
+def _atomic_write_table(t: pa.Table, path: str):
+    """tmp + os.replace, the resumable_write atomic-rename discipline: a
+    crash mid-write must never leave a truncated data.parquet whose DONE
+    record still claims the old row count (round-2 ADVICE) — doubly so
+    now that part rewrites run as parallel Ray tasks."""
+    import pyarrow.parquet as pq
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
 
 
 def _rewrite_source_part(key: int, part_path: str, id_col: str,
@@ -104,7 +117,7 @@ def _rewrite_source_part(key: int, part_path: str, id_col: str,
         kept = pa.concat_tables([t.filter(pa.array(non_hit)), stayed])
     leavers = (apply_coords(t.take(pa.array(sel[leaves])), mpos[leaves])
                if leaves.any() else None)
-    pq.write_table(kept, path)
+    _atomic_write_table(kept, path)
     _refresh_record(key, part_path, kept.num_rows)
     return leavers, s_ids[np.unique(mpos)].tolist(), True
 
@@ -115,11 +128,11 @@ def _append_dest_part(key: int, part_dir: str, sub: pa.Table, exists: bool):
     path = os.path.join(part_dir, "data.parquet")
     if not exists:
         os.makedirs(part_dir, exist_ok=True)
-        pq.write_table(sub, path)
+        _atomic_write_table(sub, path)
         _refresh_record(key, part_dir, sub.num_rows)
     else:
         merged = pa.concat_tables([pq.read_table(path), sub])
-        pq.write_table(merged, path)
+        _atomic_write_table(merged, path)
         _refresh_record(key, part_dir, merged.num_rows)
 
 
