@@ -23,8 +23,6 @@ re-attach by id through the streaming bucket merge
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -59,14 +57,30 @@ def _plan_rows(nrows: int | None) -> int:
     return nrows if nrows is not None else (1 << 62)
 
 
-def _content_hash128(texts):
-    h1 = np.empty(len(texts), dtype=np.int64)
-    h2 = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        d = hashlib.md5((t or "").encode("utf-8", "ignore")).digest()
-        h1[i] = np.frombuffer(d[:8], dtype="<i8")[0]
-        h2[i] = np.frombuffer(d[8:], dtype="<i8")[0]
-    return h1, h2
+def _content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit content-hash lanes (128 bits joint) over a
+    string column — vectorized polars xxh3 (one Rust pass per lane, two
+    seeds) instead of the old per-row ``hashlib.md5`` loop (round-2
+    VERDICT hot-path item; measured 21x / 3.8 M rows/s on 100-500 B
+    docs, BASELINE.md micro-bench).  Deterministic across processes
+    (fixed seeds); joint-128-bit collision probability is negligible at
+    any corpus size.  The winner SET is hash-independent anyway (min id
+    per distinct text, modulo collisions), and the SQL oracle groups by
+    the raw text (``oracle.dedup_exact_sql``) — content-exact, not
+    hash-exact.  Nulls hash to one fixed value (their own group), which
+    matches DuckDB's GROUP BY null semantics; the old None -> "" fold
+    merged null and empty texts.
+
+    Accepts a pyarrow Array/ChunkedArray (zero-copy into polars) or any
+    sequence of strings."""
+    import polars as pl
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(texts)
+    else:
+        s = pl.Series(list(texts), dtype=pl.Utf8)
+    h1 = s.hash(seed=1).to_numpy()
+    h2 = s.hash(seed=2).to_numpy()
+    return h1.view(np.int64), h2.view(np.int64)
 
 
 def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
@@ -90,7 +104,8 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     n_shards = 32
 
     def slim_hash(t: pa.Table) -> pa.Table:
-        h1, h2 = _content_hash128(t[text_col].to_pylist())
+        # the arrow column goes zero-copy into the polars hash kernel
+        h1, h2 = _content_hash128(t[text_col])
         out = pa.table({
             id_col: t[id_col],
             "_h1": pa.array(h1), "_h2": pa.array(h2),
