@@ -253,7 +253,7 @@ def query_ivf_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     from optimizing_ray.state import manifest as mf
 
     ct = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
-    C = np.stack([np.asarray(c) for c in ct["centroid"].to_pylist()])
+    C = _to_matrix(ct["centroid"])
     Q = np.asarray(query_matrix)
     qd = -2.0 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]  # rank-equivalent
     probe = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
@@ -603,11 +603,11 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     from optimizing_ray.state import manifest as mf
 
     ct = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
-    C = np.stack([np.asarray(c) for c in ct["centroid"].to_pylist()])
+    C = _to_matrix(ct["centroid"])
     bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
     mm = int(bt["subspace"].to_numpy().max()) + 1
     kk = int(bt["entry"].to_numpy().max()) + 1
-    flat = np.stack([np.asarray(c) for c in bt["centroid"].to_pylist()])
+    flat = _to_matrix(bt["centroid"])
     books = flat.reshape(mm, kk, -1)
     dsub = books.shape[2]
 

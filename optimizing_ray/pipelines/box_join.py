@@ -163,7 +163,9 @@ def gather_payload(slim_result: rd.Dataset, docs: rd.Dataset, *,
 
     def stitch(t: pa.Table) -> pa.Table:
         side = t["_side"].to_numpy()
-        ids = np.asarray(t[on].to_pylist(), dtype=object)
+        # to_numpy, not to_pylist: ~15x cheaper for string ids, and int64
+        # ids stay a native array (faster argsort/searchsorted)
+        ids = t[on].to_numpy(zero_copy_only=False)
         res_rows = np.nonzero(side == 0)[0]
         pay_rows = np.nonzero(side == 1)[0]
         if len(res_rows) == 0 or len(pay_rows) == 0:

@@ -37,7 +37,7 @@ def curate(docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
         import numpy as np
         keep = t["quality"].to_numpy() >= min_quality
         if keep_langs is not None:
-            langs = np.asarray(t["lang_pred"].to_pylist())
+            langs = t["lang_pred"].to_numpy(zero_copy_only=False)
             keep = keep & np.isin(langs, list(keep_langs))
         return t.filter(pa.array(keep))
 

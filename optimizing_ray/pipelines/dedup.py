@@ -141,7 +141,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
 
         def semi(t: pa.Table) -> pa.Table:
             ks = ray.get(keep_ref)
-            ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
             pos = np.clip(np.searchsorted(ks, ids), 0, max(0, len(ks) - 1))
             return t.filter(pa.array(ks[pos] == ids if len(ks) else
                                      np.zeros(len(ids), bool)))
@@ -296,8 +296,10 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
         return cand
 
     def add_pair_shard(t: pa.Table) -> pa.Table:
-        a = pd.util.hash_pandas_object(pd.Series(t["doc_a"].to_pylist()), index=False).to_numpy()
-        b = pd.util.hash_pandas_object(pd.Series(t["doc_b"].to_pylist()), index=False).to_numpy()
+        a = pd.util.hash_pandas_object(
+            pd.Series(t["doc_a"].to_numpy(zero_copy_only=False)), index=False).to_numpy()
+        b = pd.util.hash_pandas_object(
+            pd.Series(t["doc_b"].to_numpy(zero_copy_only=False)), index=False).to_numpy()
         with np.errstate(over="ignore"):
             h = a * np.uint64(31) + b
         return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
@@ -395,11 +397,12 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                     v = memo[key] = shingle_hashes(text or "", k_shingle)
                 return v
 
-            ids_a, ids_b = t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
+            ids_a = t["doc_a"].to_numpy(zero_copy_only=False)
+            ids_b = t["doc_b"].to_numpy(zero_copy_only=False)
             ja = [jaccard_sorted(sh(i, a), sh(j, b))
                   for i, j, a, b in zip(ids_a, ids_b,
-                                        t["_text_a"].to_pylist(),
-                                        t["_text_b"].to_pylist())]
+                                        t["_text_a"].to_numpy(zero_copy_only=False),
+                                        t["_text_b"].to_numpy(zero_copy_only=False))]
             t = t.append_column("jaccard", pa.array(ja, pa.float64()))
             t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
             return t.select(["doc_a", "doc_b", "jaccard"])
@@ -410,7 +413,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     texts_map: dict = {}
     for ref in docs.select_columns([id_col, text_col]).to_arrow_refs():
         t = ray.get(ref)
-        texts_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+        texts_map.update(zip(t[id_col].to_numpy(zero_copy_only=False),
+                             t[text_col].to_numpy(zero_copy_only=False)))
     tm_ref = ray.put(texts_map)
 
     def check_broadcast(t: pa.Table) -> pa.Table:
@@ -424,7 +428,8 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
             return v
 
         ja = [jaccard_sorted(sh(a), sh(b))
-              for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())]
+              for a, b in zip(t["doc_a"].to_numpy(zero_copy_only=False),
+                              t["doc_b"].to_numpy(zero_copy_only=False))]
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
         return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
 
@@ -526,7 +531,7 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
         if t.num_rows == 0 and text_col not in t.column_names:
             return _empty_band_table().append_column(
                 "sim", pa.array([], pa.int64()))  # empty-schema block
-        sh = simhash64(t[text_col].to_pylist())
+        sh = simhash64(t[text_col].to_numpy(zero_copy_only=False))
         ids = t[id_col].to_numpy(zero_copy_only=False)
         bands, buckets, dids, hashes = [], [], [], []
         for b in range(4):
@@ -672,7 +677,8 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     vm: dict = {}
     for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():
         t = ray.get(ref)
-        vm.update(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))
+        vm.update(zip(t[id_col].to_numpy(zero_copy_only=False),
+                      t[vec_col].to_pylist()))  # nested vec stays a list
     vm_ref = ray.put(vm)
 
     def check_broadcast(t: pa.Table) -> pa.Table:
@@ -683,8 +689,10 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
                                  "cosine": pa.array([], pa.float64())})
             return _cos_table(t, np.empty((0, 0)), np.empty((0, 0)))
         m = ray.get(vm_ref)
-        a = np.asarray([m[i] for i in t["doc_a"].to_pylist()], dtype=np.float64)
-        b = np.asarray([m[i] for i in t["doc_b"].to_pylist()], dtype=np.float64)
+        a = np.asarray([m[i] for i in t["doc_a"].to_numpy(zero_copy_only=False)],
+                       dtype=np.float64)
+        b = np.asarray([m[i] for i in t["doc_b"].to_numpy(zero_copy_only=False)],
+                       dtype=np.float64)
         return _cos_table(t, a, b)
 
     return cand.map_batches(check_broadcast, batch_format="pyarrow",
@@ -753,10 +761,10 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
             return pa.table({"key": pa.array([], kt), "val": pa.array([], kt),
                              "is_edge": pa.array([], pa.bool_()),
                              "_shard": pa.array([], pa.int64())})
-        src = np.concatenate([np.asarray(t[a].to_pylist(), dtype=object),
-                              np.asarray(t[b].to_pylist(), dtype=object)])
-        dst = np.concatenate([np.asarray(t[b].to_pylist(), dtype=object),
-                              np.asarray(t[a].to_pylist(), dtype=object)])
+        ca = t[a].to_numpy(zero_copy_only=False)
+        cb = t[b].to_numpy(zero_copy_only=False)
+        src = np.concatenate([ca, cb])
+        dst = np.concatenate([cb, ca])
         return pa.table({"key": pa.array(src), "val": pa.array(dst),
                          "is_edge": pa.array(np.ones(len(src), bool)),
                          "_shard": pa.array(shard_of(src))})
@@ -775,7 +783,8 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
     def tag_label(t: pa.Table) -> pa.Table:
         return pa.table({"key": t["node"], "val": t["label"],
                          "is_edge": pa.array(np.zeros(t.num_rows, bool)),
-                         "_shard": pa.array(shard_of(t["node"].to_pylist()))})
+                         "_shard": pa.array(shard_of(
+                             t["node"].to_numpy(zero_copy_only=False)))})
 
     def flow(g: pd.DataFrame) -> pd.DataFrame:
         lab = g[~g["is_edge"]][["key", "val"]]

@@ -114,7 +114,7 @@ def hll_distinct(ds: rd.Dataset, col: str) -> float:
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or col not in t.column_names:  # empty-schema blocks
             return pa.table({"regs": pa.array([], pa.binary())})
-        regs = _hll_registers(t[col].to_pylist())
+        regs = _hll_registers(t[col].to_numpy(zero_copy_only=False))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     import ray
@@ -232,8 +232,9 @@ def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
         })
 
     def add_shard(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(pd.Series(t[key_col].to_pylist()),
-                                       index=False).to_numpy()
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[key_col].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
         return t.append_column("_shard", pa.array(
             (h % np.uint64(n_shards)).astype(np.int64)))
 

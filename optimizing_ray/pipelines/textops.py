@@ -83,7 +83,8 @@ def _distinct_final(parts: rd.Dataset, col: str) -> rd.Dataset:
     import pandas as pd
 
     def add_shard(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(pd.Series(t[col].to_pylist()), index=False).to_numpy()
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[col].to_numpy(zero_copy_only=False)), index=False).to_numpy()
         return t.append_column("_shard", pa.array((h % np.uint64(16)).astype(np.int64)))
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -107,8 +108,9 @@ def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def add_shard(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(pd.Series(t[group_col].to_pylist()),
-                                       index=False).to_numpy()
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[group_col].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
         return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

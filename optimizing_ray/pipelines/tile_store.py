@@ -97,7 +97,7 @@ def _rewrite_source_part(key: int, part_path: str, id_col: str,
 
     path = os.path.join(part_path, "data.parquet")
     t = pq.read_table(path)
-    ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
     pos = np.clip(np.searchsorted(s_ids, ids), 0, len(s_ids) - 1)
     hit = s_ids[pos] == ids
     if not hit.any():
@@ -159,7 +159,7 @@ def apply_moves(store_dir: str, moves: pa.Table, *, world: World, depth: int,
     """
     import ray
 
-    mv_ids = np.asarray(moves[id_col].to_pylist(), dtype=object)
+    mv_ids = moves[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(mv_ids)
     s_ids = mv_ids[order]
     new_x = moves["new_x"].to_numpy()[order]
