@@ -114,16 +114,19 @@ class _PipJoiner:
 
 def compile_polygons(polygons: pa.Table) -> list[tuple]:
     """polygons table (poly_id, ring list<struct<x,y>>) -> broadcastable
-    [(poly_id, vx, vy)] with numpy vertex arrays."""
-    out = []
-    rings = polygons["ring"]
-    pids = polygons["poly_id"].to_pylist()
-    for i, pid in enumerate(pids):
-        ring = rings[i].as_py()
-        vx = np.asarray([v["x"] for v in ring])
-        vy = np.asarray([v["y"] for v in ring])
-        out.append((pid, vx, vy))
-    return out
+    [(poly_id, vx, vy)] with numpy vertex arrays (one flatten, slices
+    per polygon — no per-vertex Python)."""
+    import pyarrow.compute as pc
+    ring = polygons["ring"]
+    ring = ring.combine_chunks() if isinstance(ring, pa.ChunkedArray) else ring
+    flat = ring.flatten()
+    vx = pc.struct_field(flat, "x").to_numpy(zero_copy_only=False)
+    vy = pc.struct_field(flat, "y").to_numpy(zero_copy_only=False)
+    offs = np.asarray(ring.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    pids = polygons["poly_id"].to_numpy(zero_copy_only=False)
+    return [(pid, vx[offs[i]:offs[i + 1]].copy(), vy[offs[i]:offs[i + 1]].copy())
+            for i, pid in enumerate(pids)]
 
 
 def pip_join_broadcast(docs: rd.Dataset, polygons: pa.Table, *, world: World,
@@ -165,26 +168,54 @@ def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
     payload_types = {c: doc_schema.field(c).type for c in payload_cols}
 
     def explode_polys(t: pa.Table) -> pa.Table:
-        pids, keys, rings_x, rings_y = [], [], [], []
-        ring_col = t["ring"]
-        id_col = t["poly_id"].to_pylist()
-        for i, pid in enumerate(id_col):
-            ring = ring_col[i].as_py()
-            vx = np.asarray([v["x"] for v in ring])
-            vy = np.asarray([v["y"] for v in ring])
-            cover = cells.cover2(vx.min(), vy.min(), vx.max(), vy.max(),
-                                 world, depth).astype(np.int64)
-            for k in cover.tolist():
-                pids.append(pid)
-                keys.append(k)
-                rings_x.append(vx.tolist())
-                rings_y.append(vy.tolist())
+        """Polygon -> one row per cover cell, fully vectorized: the ring
+        list column is flattened ONCE via its offsets (the media.py span
+        pattern), bboxes come from reduceat over the flat vertex arrays,
+        and the per-cell ring copies are one gather + ListArray rebuild —
+        no per-polygon as_py()/tolist() loops (round-2 VERDICT item)."""
+        import pyarrow.compute as pc
+        from optimizing_ray.pipelines.box_join import _ranges_to_rows
+        if t.num_rows == 0 or "ring" not in t.column_names:
+            # empty blocks can carry an EMPTY schema (working notes)
+            return pa.table({
+                "poly_id": pa.array([], pa.string()),
+                "cell_key": pa.array([], pa.int64()),
+                "_side": pa.array([], pa.int8()),
+                "_rx": pa.array([], pa.list_(pa.float64())),
+                "_ry": pa.array([], pa.list_(pa.float64()))})
+        ring = t["ring"]
+        ring = ring.combine_chunks() if isinstance(ring, pa.ChunkedArray) else ring
+        flat = ring.flatten()
+        vx = pc.struct_field(flat, "x").to_numpy(zero_copy_only=False)
+        vy = pc.struct_field(flat, "y").to_numpy(zero_copy_only=False)
+        offs = np.asarray(ring.offsets, dtype=np.int64)
+        offs = offs - offs[0]  # rebase: flatten() already applied the slice
+        starts, ends = offs[:-1], offs[1:]
+        # per-polygon bbox (rings are non-empty by construction; reduceat
+        # segments [starts[i], starts[i+1]) match the contiguous layout)
+        mnx = np.minimum.reduceat(vx, starts)
+        mxx = np.maximum.reduceat(vx, starts)
+        mny = np.minimum.reduceat(vy, starts)
+        mxy = np.maximum.reduceat(vy, starts)
+        pids = t["poly_id"].to_numpy(zero_copy_only=False)
+        P = len(pids)
+        covers = [cells.cover2(mnx[p], mny[p], mxx[p], mxy[p], world, depth)
+                  .astype(np.int64) for p in range(P)]
+        n_cov = np.fromiter((len(c) for c in covers), dtype=np.int64, count=P)
+        keys = (np.concatenate(covers) if P else np.empty(0, np.int64))
+        row_poly = np.repeat(np.arange(P), n_cov)
+        ring_len = ends - starts
+        out_lens = ring_len[row_poly]
+        val_idx = _ranges_to_rows(starts[row_poly], ends[row_poly])
+        out_offs = np.zeros(len(row_poly) + 1, dtype=np.int32)
+        np.cumsum(out_lens, out=out_offs[1:])
+        oo = pa.array(out_offs, pa.int32())
         return pa.table({
-            "poly_id": pa.array(pids, pa.string()),
+            "poly_id": pa.array(pids[row_poly], pa.string()),
             "cell_key": pa.array(keys, pa.int64()),
-            "_side": pa.array(np.ones(len(pids), dtype=np.int8)),
-            "_rx": pa.array(rings_x, pa.list_(pa.float64())),
-            "_ry": pa.array(rings_y, pa.list_(pa.float64())),
+            "_side": pa.array(np.ones(len(row_poly), dtype=np.int8)),
+            "_rx": pa.ListArray.from_arrays(oo, pa.array(vx[val_idx])),
+            "_ry": pa.ListArray.from_arrays(oo, pa.array(vy[val_idx])),
         })
 
     def tag_docs(t: pa.Table) -> pa.Table:
@@ -236,28 +267,34 @@ def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
         y = t["_y"].to_numpy(zero_copy_only=False)
         order = doc_rows[np.argsort(key[doc_rows], kind="stable")]
         skey = key[order]
-        out_sel, out_pid = [], []
-        from optimizing_ray.pipelines.box_join import _ranges_to_rows
-        pids = t["poly_id"]
-        rxs = t["_rx"]
-        rys = t["_ry"]
-        for pr in poly_rows:
-            lo = np.searchsorted(skey, key[pr], side="left")
-            hi = np.searchsorted(skey, key[pr], side="right")
-            rows = order[lo:hi]
-            if len(rows) == 0:
-                continue
-            vx = np.asarray(rxs[pr].as_py())
-            vy = np.asarray(rys[pr].as_py())
-            m = kern(x[rows], y[rows], vx, vy)
+        # parse the shard's polygon side ONCE: take the poly rows and
+        # flatten the ring columns to flat vertex arrays + offsets — each
+        # polygon's vertices are then numpy SLICES, never a per-polygon
+        # as_py() re-parse inside the loop (round-2 VERDICT item)
+        pt = t.select(["poly_id", "_rx", "_ry"]).take(pa.array(poly_rows))
+        rxc = pt["_rx"].combine_chunks()
+        ryc = pt["_ry"].combine_chunks()
+        fx = rxc.flatten().to_numpy(zero_copy_only=False)
+        fy = ryc.flatten().to_numpy(zero_copy_only=False)
+        poffs = np.asarray(rxc.offsets, dtype=np.int64)
+        poffs = poffs - poffs[0]
+        pids_np = pt["poly_id"].to_numpy(zero_copy_only=False)
+        pkeys = key[poly_rows]
+        lo = np.searchsorted(skey, pkeys, side="left")
+        hi = np.searchsorted(skey, pkeys, side="right")
+        out_sel, out_pj = [], []
+        for j in np.nonzero(hi > lo)[0]:
+            rows = order[lo[j]:hi[j]]
+            m = kern(x[rows], y[rows],
+                     fx[poffs[j]:poffs[j + 1]], fy[poffs[j]:poffs[j + 1]])
             hits = rows[m]
             if len(hits):
                 out_sel.append(hits)
-                out_pid.extend([pids[pr].as_py()] * len(hits))
+                out_pj.append(np.full(len(hits), j, dtype=np.int64))
         if not out_sel:
             return empty
         sel = np.concatenate(out_sel)
-        res = {"poly_id": pa.array(out_pid, pa.string())}
+        res = {"poly_id": pa.array(pids_np[np.concatenate(out_pj)], pa.string())}
         for c in payload_cols:
             res[c] = t[f"_p_{c}"].take(pa.array(sel))
         return pa.table(res)
