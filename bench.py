@@ -197,6 +197,19 @@ def run_bench() -> dict:
         extras["serving_fps"] = round(n_frames / dt, 1)
         extras["serving_hit_rows_per_sec"] = round(hits / dt, 1)
 
+        # compute-dominated serving burst (1024 boxes/frame): the 16-box
+        # frame loop above is RPC-floor-bound (~8 ms/frame), so kernel
+        # throughput only shows at larger Q (round-3 batched query path)
+        qburst = synth.queries_table(1024, variant="flat2d", seed=8000)
+        svc.query_boxes(qburst)  # warm
+        t0s = time.perf_counter()
+        bh = 0
+        for _ in range(5):
+            bh += svc.query_boxes(qburst).num_rows
+        dtb = time.perf_counter() - t0s
+        times["serving_burst"] = round(dtb, 3)
+        extras["serving_burst_hit_rows_per_sec"] = round(bh / dtb, 1)
+
         # T4 search cache: a slowly-panning view (0.5/frame < tolerance
         # 1.0) reuses the previous frame's results without re-searching
         import pyarrow.compute as pc

@@ -227,6 +227,37 @@ def cover2(min_x, min_y, max_x, max_y, world: World, depth: int) -> np.ndarray:
     return encode2(gx.ravel(), gy.ravel(), depth)
 
 
+def cover2_many(min_x, min_y, max_x, max_y, world: World,
+                depth: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``cover2`` over Q boxes at once: returns
+    ``(keys: uint64[m], box_idx: int64[m])`` — the concatenation of every
+    box's cover with its owning box index.  Same clipping/key semantics
+    as ``cover2`` (set-equal per box; within-box order differs).  One
+    numpy pass for all boxes instead of Q python-level cover calls — the
+    serving driver's frame loop was dominated by per-query cover+routing
+    overhead at large Q."""
+    n = _grid_n(depth)
+    wx, wy, _ = world.size
+    cw, ch = wx / n, wy / n
+    ix0 = np.clip(np.floor((np.asarray(min_x, dtype=np.float64) - world.min_x)
+                           / cw).astype(np.int64), 0, n - 1)
+    ix1 = np.clip(np.floor((np.asarray(max_x, dtype=np.float64) - world.min_x)
+                           / cw).astype(np.int64), 0, n - 1)
+    iy0 = np.clip(np.floor((np.asarray(min_y, dtype=np.float64) - world.min_y)
+                           / ch).astype(np.int64), 0, n - 1)
+    iy1 = np.clip(np.floor((np.asarray(max_y, dtype=np.float64) - world.min_y)
+                           / ch).astype(np.int64), 0, n - 1)
+    nx = ix1 - ix0 + 1
+    cnt = nx * (iy1 - iy0 + 1)
+    total = int(cnt.sum())
+    q = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    o = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    gx = ix0[q] + (o % nx[q])
+    gy = iy0[q] + (o // nx[q])
+    return encode2(gx.astype(np.uint64), gy.astype(np.uint64), depth), q
+
+
 def adaptive_cover2(min_x: float, min_y: float, max_x: float, max_y: float,
                     world: World, max_depth: int):
     """Hierarchical cell cover of a query box — the engine twin of the
