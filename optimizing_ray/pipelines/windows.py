@@ -161,9 +161,21 @@ def with_prev_value(events: rd.Dataset, *, key_col: str = "user_id",
             .groupby("_shard").map_groups(prev, batch_format="pandas"))
 
 
+def _shard_of_keys(key: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard index per key: cheap modulo for integer keys, pandas hash
+    (siphash, deterministic within a run) for everything else.  Only the
+    DISTRIBUTION depends on the hash — correctness needs each key's rows
+    co-located, which any pure function of the key gives."""
+    if np.issubdtype(np.asarray(key).dtype, np.integer):
+        return (key % n_shards).astype(np.int64)
+    h = pd.util.hash_array(np.asarray(key, dtype=object))
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
 def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
               key_col: str = "user_id", ts_col: str = "ts",
               rate_col: str = "rate", id_col: str = "event_id",
+              payload_cols: tuple[str, ...] = (),
               n_shards: int = 32) -> rd.Dataset:
     """Temporal AS-OF join: each event row gets the dimension row with
     the LATEST ts <= event ts for the same key (inclusive on equal ts),
@@ -181,9 +193,30 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
     so tie order is deterministic (the SQL twin aggregates the same
     way).
 
-    OUTPUT IS A PROJECTION: (id, key, ts, rate) only — other event
-    payload columns are dropped (re-attach by id downstream if needed).
-    Keys must be integers (the shard hash is `key % n_shards`)."""
+    Output: (id, key, ts, rate, *payload_cols) — ``payload_cols`` names
+    extra EVENT columns carried through the shuffle (side-tagged with
+    typed nulls on the dimension side, the pip_join_shuffle pattern).
+    Keys may be integers (sharded by cheap modulo) or any hashable type
+    (sharded by pandas hash, round-2 VERDICT generalization)."""
+    ev_schema = events.schema().base_schema
+    pay_types = {c: ev_schema.field(c).type for c in payload_cols}
+
+    def _filler(n: int, ty: pa.DataType) -> pa.Array:
+        """Same-typed dim-side filler for event-only columns.  Numeric /
+        bool / timestamp columns get VALUES, not nulls: a pa.nulls int64
+        column flowing into the pandas map_groups would upcast the whole
+        column (event rows included) to float64 (working notes).  The
+        filler rows never reach the output — merge_asof only emits event
+        rows."""
+        if pa.types.is_integer(ty):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(ty)
+        if pa.types.is_floating(ty):
+            return pa.array(np.full(n, np.nan), ty)
+        if pa.types.is_boolean(ty):
+            return pa.array(np.zeros(n, dtype=bool))
+        if pa.types.is_timestamp(ty):
+            return pa.array(np.zeros(n, dtype="datetime64[us]")).cast(ty)
+        return pa.nulls(n, ty)  # strings/nested: object dtype, no upcast
 
     def _empty_tagged(t: pa.Table) -> pa.Table:
         # derive types from the block when present; hard-coded defaults
@@ -191,40 +224,50 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
         # a typed-empty block could mismatch the union's real schema
         def typ(col, fallback):
             return t[col].type if col in t.column_names else fallback
-        return pa.table({
+        cols = {
             id_col: pa.array([], typ(id_col, pa.int64())),
             key_col: pa.array([], typ(key_col, pa.int64())),
             ts_col: pa.array([], typ(ts_col, pa.timestamp("us"))),
-            rate_col: pa.array([], pa.float64()),
-            "_is_event": pa.array([], pa.bool_()),
-            "_shard": pa.array([], pa.int64())})
+            rate_col: pa.array([], pa.float64())}
+        for c, ty in pay_types.items():
+            cols[c] = pa.array([], ty)
+        cols["_is_event"] = pa.array([], pa.bool_())
+        cols["_shard"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     def tag_events(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
             return _empty_tagged(t)
         key = t[key_col].to_numpy(zero_copy_only=False)
-        return pa.table({
+        cols = {
             id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
-            rate_col: pa.array(np.full(t.num_rows, np.nan), pa.float64()),
-            "_is_event": pa.array(np.ones(t.num_rows, bool)),
-            "_shard": pa.array((key % n_shards).astype(np.int64)),
-        })
+            rate_col: pa.array(np.full(t.num_rows, np.nan), pa.float64())}
+        for c in pay_types:
+            cols[c] = t[c]
+        cols["_is_event"] = pa.array(np.ones(t.num_rows, bool))
+        cols["_shard"] = pa.array(_shard_of_keys(key, n_shards))
+        return pa.table(cols)
 
     def tag_dim(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
             return _empty_tagged(t)
         key = t[key_col].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        cols = {
+            id_col: _filler(t.num_rows, ev_schema.field(id_col).type),
             key_col: t[key_col], ts_col: t[ts_col],
-            rate_col: t[rate_col].cast(pa.float64()),
-            "_is_event": pa.array(np.zeros(t.num_rows, bool)),
-            "_shard": pa.array((key % n_shards).astype(np.int64)),
-        })
+            rate_col: t[rate_col].cast(pa.float64())}
+        for c, ty in pay_types.items():
+            cols[c] = _filler(t.num_rows, ty)
+        cols["_is_event"] = pa.array(np.zeros(t.num_rows, bool))
+        cols["_shard"] = pa.array(_shard_of_keys(key, n_shards))
+        return pa.table(cols)
 
     tagged = events.map_batches(tag_events, batch_format="pyarrow",
                                 zero_copy_batch=True).union(
         dim.map_batches(tag_dim, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_cols = [id_col, key_col, ts_col, rate_col, *payload_cols]
+    ev_cols = [id_col, key_col, ts_col, *payload_cols]
 
     def join(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["_is_event"]].sort_values(ts_col, kind="stable")
@@ -232,19 +275,21 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
               .groupby([key_col, ts_col], as_index=False)[rate_col].max()
               .sort_values(ts_col, kind="stable"))
         if not len(ev):
-            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
-                                 key_col: pd.Series([], dtype=np.int64),
-                                 ts_col: pd.Series([], dtype=ev[ts_col].dtype
-                                                   if ts_col in ev else "datetime64[us]"),
-                                 rate_col: pd.Series([], dtype=np.float64)})
+            cols = {id_col: ev[id_col], key_col: ev[key_col],
+                    ts_col: pd.Series([], dtype=ev[ts_col].dtype
+                                      if ts_col in ev else "datetime64[us]"),
+                    rate_col: pd.Series([], dtype=np.float64)}
+            for c in payload_cols:
+                cols[c] = ev[c]
+            return pd.DataFrame(cols)
         if not len(dm):
-            out = ev[[id_col, key_col, ts_col]].copy()
+            out = ev[ev_cols].copy()
             out[rate_col] = np.nan
-            return out
-        m = pd.merge_asof(ev[[id_col, key_col, ts_col]], dm,
+            return out[out_cols]
+        m = pd.merge_asof(ev[ev_cols], dm,
                           on=ts_col, by=key_col, direction="backward",
                           allow_exact_matches=True)
-        return m[[id_col, key_col, ts_col, rate_col]]
+        return m[out_cols]
 
     return tagged.groupby("_shard").map_groups(join, batch_format="pandas")
 

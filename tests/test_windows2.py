@@ -101,3 +101,46 @@ def test_asof_join_semantics(ray_session):
     assert got[4] == 9.0
     assert np.isnan(got[5])          # user 3 has no dim rows
     assert len(out) == 6
+
+
+def test_asof_join_string_keys_and_payload(ray_session):
+    """Round-3 generalization: non-integer keys (sharded by pandas hash)
+    and arbitrary event payload columns (int + string) carried through
+    the side-tagged shuffle with their dtypes intact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows
+
+    def ts(s):
+        return np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    events = pa.table({
+        "event_id": pa.array(np.arange(5), pa.int64()),
+        "user_id": pa.array(["alice", "alice", "bob", "bob", "carol"]),
+        "ts": pa.array([ts(5), ts(20), ts(5), ts(30), ts(9)],
+                       pa.timestamp("us")),
+        "amount": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    dim = pa.table({
+        "user_id": pa.array(["alice", "alice", "bob"]),
+        "ts": pa.array([ts(10), ts(15), ts(10)], pa.timestamp("us")),
+        "rate": pa.array([1.5, 2.5, 9.0], pa.float64()),
+    })
+    out = windows.asof_join(rd.from_arrow(events), rd.from_arrow(dim),
+                            payload_cols=("amount", "tag"),
+                            n_shards=4).to_pandas()
+    assert len(out) == 5
+    got = out.set_index("event_id")
+    assert np.isnan(got.loc[0, "rate"])
+    assert got.loc[1, "rate"] == 2.5
+    assert np.isnan(got.loc[2, "rate"])
+    assert got.loc[3, "rate"] == 9.0
+    assert np.isnan(got.loc[4, "rate"])  # carol: no dim rows
+    # payload survives with dtype intact (int64 NOT upcast to float by
+    # the dim-side padding; strings unchanged)
+    assert got["amount"].dtype == np.int64
+    assert got.loc[3, "amount"] == 40 and got.loc[3, "tag"] == "d"
+    assert list(got.sort_index()["tag"]) == ["a", "b", "c", "d", "e"]
