@@ -724,6 +724,22 @@ def _q_trace_bounces(sf_dir: str):
                         max_depth=5, num_blocks=4)
 
 
+TRACE_FH_W = 32
+
+
+def _q_trace_first_hit(sf_dir: str):
+    """Deterministic first-bounce raycast over the Cornell scene
+    (pixel-center rays, no RNG): per-ray nearest sphere/slab hit id +
+    floor-rounded distance — puts the tracer's geometry kernels under
+    the driver's SQL gate (Raytracing.hpp:640-669; the full stochastic
+    recursion stays pytest-oracled as trace_bounces)."""
+    from optimizing_ray.pipelines import tracer
+
+    return tracer.first_hits(tracer.cornell_scene(),
+                             width=TRACE_FH_W, height=TRACE_FH_W,
+                             num_blocks=4)
+
+
 def _q_span_passthrough(sf_dir: str):
     """Span-sequence invariant as a SQL-oracled query: the flagship box
     join over driver docs carrying the nested interleaved spans payload
@@ -796,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "media_features": _q_media_features,
         "trace_bounces": _q_trace_bounces,
+        "trace_first_hit": _q_trace_first_hit,
         "span_passthrough": _q_span_passthrough,
     }
 
@@ -851,4 +868,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
         "user_median_sketch": oracle.user_median_sql(),
         "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),
+        # round-3: the tracer's geometry kernels under the SQL gate
+        "trace_first_hit": oracle.trace_first_hit_sql(TRACE_FH_W, TRACE_FH_W),
     }

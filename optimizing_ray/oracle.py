@@ -947,6 +947,121 @@ FROM joined j JOIN fpd USING (doc_id)
 """
 
 
+def trace_first_hit_sql(width: int, height: int) -> str:
+    """DuckDB twin of ``tracer.first_hits`` (the reference's nearest-hit
+    raycast scan, ``Raytracing.hpp:640-669``) over pixel-CENTER camera
+    rays: recomputes the per-pixel ray (fx/fy -> d -> origin ->
+    normalize), the sphere quadratic (``rays.ray_sphere``) and the AABB
+    slab test (``rays.ray_aabb``, reciprocal-multiply like numpy — NOT
+    division, which differs in the last ulp), then picks the nearest
+    t > 1e-4 with first-object tie-break.  All expressions preserve the
+    numpy evaluation order so doubles match bit-for-bit; t_hit is
+    floor-rounded at 1e-6 on both sides (shared rounding discipline).
+    Camera BASIS constants (normalized direction, ax/ay) are embedded as
+    shortest-roundtrip literals computed by the same numpy code — they
+    are scene configuration, like the sphere coordinates."""
+    import numpy as np
+    from optimizing_ray.pipelines.tracer import (CAM_DIR, CAM_POS,
+                                                 cornell_scene)
+    sc = cornell_scene()
+    rows = []
+    for i in range(len(sc["type"])):
+        rows.append(
+            f"({i}, {int(sc['type'][i])}, {sc['px'][i]!r}, {sc['py'][i]!r},"
+            f" {sc['pz'][i]!r}, {sc['sx'][i]!r}, {sc['sy'][i]!r},"
+            f" {sc['sz'][i]!r}, {sc['radius'][i]!r})")
+    scene_values = ",\n    ".join(rows)
+    # camera basis exactly as make_camera_rays computes it
+    ax = np.asarray([width * 0.5135 / height, 0.0, 0.0])
+    ay = np.cross(ax, CAM_DIR)
+    ay = ay / np.linalg.norm(ay) * 0.5135
+    axx, ayy, ayz = ax[0], ay[1], ay[2]
+    cdx, cdy, cdz = CAM_DIR
+    cpx, cpy, cpz = CAM_POS
+    return f"""
+WITH scene(idx, typ, spx, spy, spz, ssx, ssy, ssz, sr) AS (VALUES
+    {scene_values}
+),
+pix AS (
+  SELECT (py * {width} + px) AS pixel_id, px, py
+  FROM range({width}) t1(px) CROSS JOIN range({height}) t2(py)
+),
+d0 AS (
+  SELECT pixel_id, px, py,
+         ({axx!r} * ((px + 0.5) / {width} - 0.5) + {cdx!r}) AS dx0,
+         ({ayy!r} * ((py + 0.5) / {height} - 0.5) + {cdy!r}) AS dy0,
+         ({ayz!r} * ((py + 0.5) / {height} - 0.5) + {cdz!r}) AS dz0
+  FROM pix
+),
+ray AS (
+  SELECT pixel_id, px, py,
+         ({cpx!r} + dx0 * 140.0) AS ox,
+         ({cpy!r} + dy0 * 140.0) AS oy,
+         ({cpz!r} + dz0 * 140.0) AS oz,
+         dx0 / sqrt((dx0*dx0 + dy0*dy0) + dz0*dz0) AS dx,
+         dy0 / sqrt((dx0*dx0 + dy0*dy0) + dz0*dz0) AS dy,
+         dz0 / sqrt((dx0*dx0 + dy0*dy0) + dz0*dz0) AS dz
+  FROM d0
+),
+geo AS (
+  SELECT r.pixel_id, r.px, r.py, s.idx, s.typ, s.sr,
+         r.dx, r.dy, r.dz, r.ox, r.oy, r.oz,
+         (s.spx - r.ox) AS lx, (s.spy - r.oy) AS ly, (s.spz - r.oz) AS lz,
+         s.spx AS bx0, (s.spx + s.ssx) AS bx1,
+         s.spy AS by0, (s.spy + s.ssy) AS by1,
+         s.spz AS bz0, (s.spz + s.ssz) AS bz1,
+         (1.0 / r.dx) AS ivx, (1.0 / r.dy) AS ivy, (1.0 / r.dz) AS ivz
+  FROM ray r CROSS JOIN scene s
+),
+sph AS (
+  SELECT *, ((lx*dx + ly*dy) + lz*dz) AS b FROM geo
+),
+sph2 AS (
+  SELECT *, ((b*b - ((lx*lx + ly*ly) + lz*lz)) + sr*sr) AS det FROM sph
+),
+sph3 AS (
+  SELECT *, sqrt(greatest(det, 0.0)) AS sq,
+         least((bx0-ox)*ivx, (bx1-ox)*ivx) AS txl,
+         greatest((bx0-ox)*ivx, (bx1-ox)*ivx) AS txh,
+         least((by0-oy)*ivy, (by1-oy)*ivy) AS tyl,
+         greatest((by0-oy)*ivy, (by1-oy)*ivy) AS tyh,
+         least((bz0-oz)*ivz, (bz1-oz)*ivz) AS tzl,
+         greatest((bz0-oz)*ivz, (bz1-oz)*ivz) AS tzh
+  FROM sph2
+),
+slab AS (
+  SELECT *, greatest(greatest(txl, tyl), tzl) AS tmn,
+            least(least(txh, tyh), tzh) AS tmx
+  FROM sph3
+),
+tt AS (
+  SELECT pixel_id, px, py, idx,
+    CASE WHEN typ = 0 THEN
+      CASE WHEN det >= 0.0 THEN
+        CASE WHEN (b - sq) > 1e-4 THEN (b - sq)
+             WHEN (b + sq) > 1e-4 THEN (b + sq)
+             ELSE 0.0 END
+      ELSE 0.0 END
+    ELSE
+      CASE WHEN tmx >= greatest(tmn, 0.0) THEN
+        CASE WHEN tmn < 0.0 THEN tmx ELSE tmn END
+      ELSE 0.0 END
+    END AS t
+  FROM slab
+),
+best AS (
+  SELECT pixel_id, idx, t,
+         row_number() OVER (PARTITION BY pixel_id
+                            ORDER BY t ASC, idx ASC) AS rn
+  FROM tt WHERE t > 1e-4
+)
+SELECT p.pixel_id, CAST(p.px AS BIGINT) AS px, CAST(p.py AS BIGINT) AS py,
+       CAST(COALESCE(b.idx, -1) AS BIGINT) AS hit_id,
+       COALESCE(floor(b.t * 1e6 + 0.5) / 1e6, 0.0) AS t_hit
+FROM pix p LEFT JOIN best b ON b.pixel_id = p.pixel_id AND b.rn = 1
+"""
+
+
 def asof_join_sql(dim_mod: int = 37, table: str = "events") -> str:
     """Oracle for the temporal as-of join (DuckDB native ASOF JOIN): each
     event takes the dimension row with the latest ts <= its ts per user

@@ -39,7 +39,8 @@ import ray.data as rd
 from optimizing_ray.functions.rays import clamp01, ray_aabb, ray_sphere
 from optimizing_ray.pipelines.sketches import splitmix64
 
-__all__ = ["cornell_scene", "make_camera_rays", "trace", "u01", "u01_scalar"]
+__all__ = ["cornell_scene", "make_camera_rays", "trace", "first_hits",
+           "u01", "u01_scalar"]
 
 DIFFUSE, SPECULAR, REFRACTION = 0, 1, 2
 SPHERE, CUBE = 0, 1
@@ -112,20 +113,27 @@ CAM_DIR = np.asarray([0.0, -0.042612, -1.0])
 CAM_DIR = CAM_DIR / np.linalg.norm(CAM_DIR)
 
 
-def make_camera_rays(width: int, height: int, spp: int) -> pa.Table:
+def make_camera_rays(width: int, height: int, spp: int,
+                     jitter: bool = True) -> pa.Table:
     """Primary rays with the reference's tent-filter jitter
     (``Raytracing.hpp:472-488``; one jittered sample per (pixel, s), the
-    2x2 subpixel grid being the separately-covered M10/A4 path)."""
+    2x2 subpixel grid being the separately-covered M10/A4 path).
+    ``jitter=False`` shoots through pixel CENTERS — the deterministic ray
+    set the SQL-oracled ``first_hits`` query uses (no RNG in SQL)."""
     px, py = np.meshgrid(np.arange(width), np.arange(height))
     px = np.repeat(px.ravel(), spp)
     py = np.repeat(py.ravel(), spp)
     pixel = (py * width + px).astype(np.int64)
     sample = np.tile(np.arange(spp, dtype=np.int64), width * height)
 
-    r1 = 2.0 * u01(pixel, sample, 0, 0, 0)
-    r2 = 2.0 * u01(pixel, sample, 0, 0, 1)
-    dx = np.where(r1 < 1.0, np.sqrt(r1) - 1.0, 1.0 - np.sqrt(2.0 - r1))
-    dy = np.where(r2 < 1.0, np.sqrt(r2) - 1.0, 1.0 - np.sqrt(2.0 - r2))
+    if jitter:
+        r1 = 2.0 * u01(pixel, sample, 0, 0, 0)
+        r2 = 2.0 * u01(pixel, sample, 0, 0, 1)
+        dx = np.where(r1 < 1.0, np.sqrt(r1) - 1.0, 1.0 - np.sqrt(2.0 - r1))
+        dy = np.where(r2 < 1.0, np.sqrt(r2) - 1.0, 1.0 - np.sqrt(2.0 - r2))
+    else:
+        dx = np.zeros(len(pixel))
+        dy = np.zeros(len(pixel))
 
     ax = np.asarray([width * 0.5135 / height, 0.0, 0.0])
     ay = np.cross(ax, CAM_DIR)
@@ -368,6 +376,50 @@ class _Bounce:
             "depth": pa.array(np.concatenate([cont["depth"],
                                               np.zeros(len(uk), np.int64)])),
         })
+
+
+def first_hits(scene: dict[str, np.ndarray], *, width: int, height: int,
+               num_blocks: int | None = None) -> rd.Dataset:
+    """Deterministic first-bounce query: per pixel-CENTER camera ray, the
+    nearest scene hit (the reference's ``raycast`` scan,
+    ``Raytracing.hpp:640-669``) — pure arithmetic, no RNG, so the whole
+    thing is DuckDB-expressible and puts the tracer's ray/sphere/slab
+    geometry kernels under the driver's SQL gate
+    (``oracle.trace_first_hit_sql``).  Output:
+    (pixel_id, px, py, hit_id, t_hit) with t_hit floor-rounded to 1e-6
+    (the shared engine<->SQL rounding) and hit_id = -1 / t_hit = 0 on a
+    miss (never happens in the enclosed Cornell scene, kept for safety).
+    """
+    scene_ref = ray.put(scene)
+    rays = make_camera_rays(width, height, 1, jitter=False)
+    ds = rd.from_arrow(rays)
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    from optimizing_ray.broadcast import cached
+
+    def fh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ox" not in t.column_names:
+            return pa.table({"pixel_id": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.int64()),
+                             "py": pa.array([], pa.int64()),
+                             "hit_id": pa.array([], pa.int64()),
+                             "t_hit": pa.array([], pa.float64())})
+        sc = cached(("tracer_scene", scene_ref.hex()),
+                    lambda: ray.get(scene_ref))
+        o = np.stack([t[c].to_numpy() for c in ("ox", "oy", "oz")], axis=1)
+        d = np.stack([t[c].to_numpy() for c in ("dx", "dy", "dz")], axis=1)
+        dist, oid = _raycast_scene(o, d, sc)
+        hit = oid >= 0
+        pix = t["pixel_id"].to_numpy()
+        return pa.table({
+            "pixel_id": pa.array(pix),
+            "px": pa.array(pix % width), "py": pa.array(pix // width),
+            "hit_id": pa.array(oid),
+            "t_hit": pa.array(np.where(
+                hit, np.floor(dist * 1e6 + 0.5) / 1e6, 0.0)),
+        })
+
+    return ds.map_batches(fh, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def trace(scene: dict[str, np.ndarray], *, width: int, height: int,

@@ -34,6 +34,9 @@ SQL_NAMES = [
     # round 2: temporal as-of join vs DuckDB's native ASOF LEFT JOIN;
     # 1-D interval join vs a plain range-predicate join
     "asof_join", "range_join",
+    # round 3: deterministic first-bounce raycast (pixel-center rays, no
+    # RNG) puts the tracer's geometry kernels under the SQL gate
+    "trace_first_hit",
 ]
 ROWS_ONLY_NAMES = [
     # media: honest codec stub (no imaging wheel in the sandbox);
