@@ -701,15 +701,24 @@ def _q_curate(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Interleaved-corpus media plumbing (driver tables carry no spans, so
-    the deterministic synthetic interleaved corpus stands in; rows-only)."""
-    from optimizing_ray.sources.corpus import synthetic_documents
+    """Real-codec media pipeline, SQL-oracled: driver docs -> derived
+    interleaved spans -> fixture PNG/WAV bytes -> stdlib decode
+    (zlib filter reconstruction / wave) -> integer pixel+sample stats per
+    doc.  The oracle recomputes the stats from the raw fixture values
+    WITHOUT the codec, so hash equality proves the encode->decode
+    roundtrip reconstructs every pixel and sample exactly."""
+    from optimizing_ray.sources import driver_tables
     from optimizing_ray.stages import media
 
-    docs = synthetic_documents(500, variant="uniform", with_spans=True,
-                               override_num_blocks=4)
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id"],
+                              num_blocks=4)
+    docs = docs.map_batches(driver_tables.derive_spans_batch,
+                            batch_format="pyarrow", zero_copy_batch=True)
     out = media.extract_media_features(docs)
-    return out.select_columns(["doc_id", "n_media_spans", "media_features"])
+    return out.select_columns(
+        ["doc_id", "n_media_spans", "n_img", "n_aud",
+         "img_mean_r", "img_mean_g", "img_mean_b", "img_min", "img_max",
+         "aud_mean", "aud_rms", "aud_crossings"])
 
 
 def _q_trace_bounces(sf_dir: str):
@@ -870,4 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),
         # round-3: the tracer's geometry kernels under the SQL gate
         "trace_first_hit": oracle.trace_first_hit_sql(TRACE_FH_W, TRACE_FH_W),
+        # round-3: real-codec media features (codec roundtrip proven by
+        # recomputing the stats from raw fixture values, no codec)
+        "media_features": oracle.media_features_sql(),
     }

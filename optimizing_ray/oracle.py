@@ -1062,6 +1062,75 @@ FROM pix p LEFT JOIN best b ON b.pixel_id = p.pixel_id AND b.rn = 1
 """
 
 
+def media_features_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``media.extract_media_features`` over driver docs
+    with derived spans: re-derives the media spans (same CTE arithmetic
+    as ``span_passthrough_sql``), recomputes the fixture pixel / sample
+    values (``codecs.image_pixels`` / ``codecs.audio_samples`` — plain
+    BIGINT arithmetic), and aggregates the SAME integer stats per doc.
+    The engine path goes ref -> real PNG/WAV bytes -> real stdlib decode
+    -> stats; the oracle skips the codec roundtrip — equality therefore
+    PROVES the encoder+decoder reconstruct every pixel/sample exactly
+    (a wrong scanline filter or sample width breaks the hash gate).
+    All divisions are one exact-integer-over-integer double op, finished
+    by the shared floor-round(1e-6); min/max/crossings are integers."""
+    from optimizing_ray.stages.codecs import IMG_H, IMG_W, N_SAMPLES, PIX_MOD
+    npx, ns_ = IMG_W * IMG_H, N_SAMPLES
+    skey = "(doc_id * 16 + ord)"
+    r6 = "floor({} * 1e6 + 0.5) / 1e6"
+    return f"""
+WITH ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i
+        FROM sp),
+med AS (SELECT doc_id, ord, kind_i,
+         (doc_id * 16 + ord) % {PIX_MOD} AS base
+        FROM fld WHERE kind_i <> 0),
+cnt AS (SELECT doc_id, COUNT(*) AS n_media,
+         SUM(CASE WHEN kind_i = 1 THEN 1 ELSE 0 END) AS n_img,
+         SUM(CASE WHEN kind_i = 2 THEN 1 ELSE 0 END) AS n_aud
+        FROM med GROUP BY doc_id),
+imgpix AS (SELECT doc_id, p.p AS p,
+            (base * (p.p + 1) + ((p.p * p.p) % 257) * 31) % 256 AS v
+           FROM med, range({npx * 3}) p(p) WHERE kind_i = 1),
+imga AS (SELECT doc_id,
+          SUM(CASE WHEN p % 3 = 0 THEN v ELSE 0 END) AS sum_r,
+          SUM(CASE WHEN p % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+          SUM(CASE WHEN p % 3 = 2 THEN v ELSE 0 END) AS sum_b,
+          MIN(v) AS vmin, MAX(v) AS vmax
+         FROM imgpix GROUP BY doc_id),
+audx AS (SELECT doc_id, ord, i.i AS i,
+          ((base * (i.i + 1) + i.i * i.i * 7) % 4096) - 2048 AS x
+         FROM med, range({ns_}) i(i) WHERE kind_i = 2),
+audl AS (SELECT doc_id, x,
+          lag(x) OVER (PARTITION BY doc_id, ord ORDER BY i) AS xp
+         FROM audx),
+auda AS (SELECT doc_id, SUM(x) AS sum_x, SUM(x * x) AS sum_x2,
+          SUM(CASE WHEN xp IS NOT NULL AND xp * x < 0 THEN 1 ELSE 0 END) AS crossings
+         FROM audl GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(c.n_media, 0) AS BIGINT) AS n_media_spans,
+  CAST(COALESCE(c.n_img, 0) AS BIGINT) AS n_img,
+  CAST(COALESCE(c.n_aud, 0) AS BIGINT) AS n_aud,
+  COALESCE({r6.format(f'(CAST(ia.sum_r AS DOUBLE) / (c.n_img * {float(npx)!r}))')}, 0.0) AS img_mean_r,
+  COALESCE({r6.format(f'(CAST(ia.sum_g AS DOUBLE) / (c.n_img * {float(npx)!r}))')}, 0.0) AS img_mean_g,
+  COALESCE({r6.format(f'(CAST(ia.sum_b AS DOUBLE) / (c.n_img * {float(npx)!r}))')}, 0.0) AS img_mean_b,
+  CAST(COALESCE(ia.vmin, 0) AS BIGINT) AS img_min,
+  CAST(COALESCE(ia.vmax, 0) AS BIGINT) AS img_max,
+  COALESCE({r6.format(f'(CAST(aa.sum_x AS DOUBLE) / (c.n_aud * {float(ns_)!r}))')}, 0.0) AS aud_mean,
+  COALESCE({r6.format(f'sqrt(CAST(aa.sum_x2 AS DOUBLE) / (c.n_aud * {float(ns_)!r}))')}, 0.0) AS aud_rms,
+  CAST(COALESCE(aa.crossings, 0) AS BIGINT) AS aud_crossings
+FROM {table} d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN imga ia USING (doc_id)
+LEFT JOIN auda aa USING (doc_id)
+"""
+
+
 def asof_join_sql(dim_mod: int = 37, table: str = "events") -> str:
     """Oracle for the temporal as-of join (DuckDB native ASOF JOIN): each
     event takes the dimension row with the latest ts <= its ts per user

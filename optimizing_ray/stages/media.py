@@ -1,132 +1,212 @@
-"""Multimodal (image/audio/video) stages — actor-pool plumbing with
-stubbed codecs.
+"""Multimodal (image/audio) stages — real stdlib codecs over an
+actor-pool ``map_batches`` seam.
 
-Media lives in the corpus as opaque references/bytes inside ``spans``
-(kind in {image, audio}) or as a dedicated ``binary`` column.  The
-Ray-side plumbing — schema, batch sizing, actor lifecycle, output layout
-— is real and tested; the codec itself is a seam:
+Media lives in the corpus as opaque references inside ``spans`` (kind in
+{image, audio}).  The stage architecture for 100 TB:
 
-* if PIL / soundfile are importable, real decode runs (not in this
-  container);
-* otherwise ``allow_fake=True`` selects a DETERMINISTIC fake decoder
-  (content-hash-derived features) so downstream stages and tests run;
-* ``allow_fake=False`` raises NotImplementedError at actor init — the
-  clearly-marked stub the task contract asks for.
+* the storage GET is a pluggable ``fetch(ref, kind) -> bytes`` callable
+  (default: the deterministic fixture store in ``codecs.py`` — the
+  sandbox has no object store; a real deployment swaps exactly this one
+  function for its store client);
+* decode is REAL: PNG via stdlib ``zlib`` + full filter reconstruction,
+  WAV via stdlib ``wave`` — dispatched on magic bytes, not metadata;
+* exotic formats (non-PNG/WAV bytes, non-RGB PNG) raise
+  ``NotImplementedError`` from the codec — the only remaining seam;
+* features are INTEGER accumulations per doc (pixel channel sums,
+  min/max, sample energy, zero crossings) finished by one deterministic
+  division + floor-round(1e-6), so the whole stage is SQL-oracled
+  (``oracle.media_features_sql``) despite the bytes roundtrip.
 
 Batch sizes default small (256) because decoded media rows are wide —
 the memory rule of thumb is batch_size x concurrency x decoded_size per
-node (SURVEY.md §4 memory row).
+node (SURVEY.md §4 memory row).  Reference analogue: the image/texture
+path ``Raytracing.hpp:671-689``.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["MediaFeaturizer", "extract_media_features", "sample_frames"]
+from optimizing_ray.stages import codecs
+from optimizing_ray.stages.codecs import (IMG_H, IMG_W, N_SAMPLES, _PNG_MAGIC,
+                                          decode_png, decode_wav,
+                                          fetch_fixture)
 
-try:  # pragma: no cover — PIL absent in this container
-    from PIL import Image  # type: ignore # noqa: F401
-    HAVE_PIL = True
-except Exception:  # pragma: no cover
-    HAVE_PIL = False
+__all__ = ["MediaFeaturizer", "extract_media_features", "sample_frames",
+           "N_FEATURES"]
 
 N_FEATURES = 8
 
+_SCALAR_COLS: list[tuple[str, pa.DataType]] = [
+    ("n_media_spans", pa.int64()), ("n_img", pa.int64()),
+    ("n_aud", pa.int64()),
+    ("img_mean_r", pa.float64()), ("img_mean_g", pa.float64()),
+    ("img_mean_b", pa.float64()),
+    ("img_min", pa.int64()), ("img_max", pa.int64()),
+    ("aud_mean", pa.float64()), ("aud_rms", pa.float64()),
+    ("aud_crossings", pa.int64()),
+]
 
-def _fake_features(refs: list[str]) -> np.ndarray:
-    """Deterministic stand-in: 8 floats in [0,1) from the md5 of the ref."""
-    out = np.empty((len(refs), N_FEATURES), dtype=np.float32)
-    for i, r in enumerate(refs):
-        dig = hashlib.md5((r or "").encode()).digest()
-        out[i] = np.frombuffer(dig[:N_FEATURES * 2], dtype=np.uint16).astype(np.float32) / 65536.0
-    return out
+
+def _round6(a: np.ndarray) -> np.ndarray:
+    """Shared engine<->SQL rounding (floor half-up at 1e-6)."""
+    return np.floor(a * 1e6 + 0.5) / 1e6
 
 
 class MediaFeaturizer:
-    """Actor: decode + featurize the media spans of each document.
+    """Actor: fetch + decode + featurize the media spans of each document.
 
-    Input rows carry ``spans``; output appends
-    ``media_features: list<float32>`` (mean feature over the doc's media
-    spans; zeros when none) and ``n_media_spans: int32``.
+    Input rows carry ``spans``; output appends the scalar stat columns in
+    ``_SCALAR_COLS`` plus ``media_features: fixed_size_list<float32>[8]``
+    (a compact summary vector; zeros when the doc has no media spans).
+    Construction cost (none today, a store client + codec tables in a
+    real deployment) is per-actor — this class is passed to
+    ``map_batches`` as a callable CLASS.
     """
 
-    def __init__(self, allow_fake: bool = True):
-        if not HAVE_PIL and not allow_fake:
-            raise NotImplementedError(
-                "media decode requires PIL/soundfile (not in this container); "
-                "pass allow_fake=True for the deterministic stub")
-        self.fake = not HAVE_PIL
+    def __init__(self, fetch=None):
+        self.fetch = fetch or fetch_fixture
+
+    def _empty_append(self, batch: pa.Table) -> pa.Table:
+        for name, typ in _SCALAR_COLS:
+            batch = batch.append_column(name, pa.array([], typ))
+        return batch.append_column(
+            "media_features", pa.array([], pa.list_(pa.float32(), N_FEATURES)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         if batch.num_rows == 0 or "spans" not in batch.column_names:
-            out = batch
-            out = out.append_column("media_features", pa.array(
-                [], pa.list_(pa.float32(), N_FEATURES)))
-            return out.append_column("n_media_spans", pa.array([], pa.int32()))
+            return self._empty_append(batch)
         spans = batch["spans"]
         spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
         # vectorized span scan: flatten once, never per-row as_py() —
-        # only the per-REF codec call (the real decode seam) stays a loop
+        # only the per-REF fetch+decode (inherently per-object) loops
         flat = spans.flatten()
         kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
         ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
         is_media = (kind != "text") & (ref != "")
         offs = np.asarray(spans.offsets, dtype=np.int64)
         n_spans = np.diff(offs)
-        counts = np.zeros(len(batch), dtype=np.int64)
-        np.add.at(counts, np.repeat(np.arange(len(batch)), n_spans), is_media)
-        refs = ref[is_media]
-        feats = np.zeros((len(batch), N_FEATURES), dtype=np.float32)
-        if len(refs):
-            f = _fake_features(list(refs)) if self.fake else self._decode(list(refs))
-            row_of = np.repeat(np.arange(len(batch)), n_spans)[is_media]
-            np.add.at(feats, row_of, f)
-            nz = counts > 0
-            feats[nz] /= counts[nz, None].astype(np.float32)
-        batch = batch.append_column(
+        n = len(batch)
+        row_of_span = np.repeat(np.arange(n), n_spans)
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, row_of_span, is_media)
+
+        n_img = np.zeros(n, dtype=np.int64)
+        n_aud = np.zeros(n, dtype=np.int64)
+        sum_rgb = np.zeros((n, 3), dtype=np.int64)
+        img_min = np.full(n, 255, dtype=np.int64)
+        img_max = np.zeros(n, dtype=np.int64)
+        sum_x = np.zeros(n, dtype=np.int64)
+        sum_x2 = np.zeros(n, dtype=np.int64)
+        crossings = np.zeros(n, dtype=np.int64)
+
+        m_rows = row_of_span[is_media]
+        m_refs = ref[is_media]
+        m_kinds = kind[is_media]
+        for j in range(len(m_refs)):
+            row = int(m_rows[j])
+            data = self.fetch(m_refs[j], m_kinds[j])
+            if data[:8] == _PNG_MAGIC:
+                px = decode_png(data).astype(np.int64)
+                n_img[row] += 1
+                sum_rgb[row] += px.reshape(-1, 3).sum(axis=0)
+                img_min[row] = min(img_min[row], int(px.min()))
+                img_max[row] = max(img_max[row], int(px.max()))
+            elif data[:4] == b"RIFF":
+                x = decode_wav(data).astype(np.int64)
+                n_aud[row] += 1
+                sum_x[row] += int(x.sum())
+                sum_x2[row] += int((x * x).sum())
+                crossings[row] += int((x[:-1] * x[1:] < 0).sum())
+            else:
+                raise NotImplementedError(
+                    f"unrecognized media container for {m_refs[j]!r} "
+                    "(PNG and WAV supported)")
+
+        img_px = np.maximum(n_img, 1) * float(IMG_W * IMG_H)
+        aud_n = np.maximum(n_aud, 1) * float(N_SAMPLES)
+        has_i, has_a = n_img > 0, n_aud > 0
+        mean_rgb = _round6(sum_rgb / img_px[:, None]) * has_i[:, None]
+        aud_mean = _round6(sum_x / aud_n) * has_a
+        aud_rms = _round6(np.sqrt(sum_x2 / aud_n)) * has_a
+        img_min = np.where(has_i, img_min, 0)
+
+        vals = {
+            "n_media_spans": counts, "n_img": n_img, "n_aud": n_aud,
+            "img_mean_r": mean_rgb[:, 0], "img_mean_g": mean_rgb[:, 1],
+            "img_mean_b": mean_rgb[:, 2],
+            "img_min": img_min, "img_max": img_max,
+            "aud_mean": aud_mean, "aud_rms": aud_rms,
+            "aud_crossings": crossings,
+        }
+        for name, typ in _SCALAR_COLS:
+            batch = batch.append_column(name, pa.array(vals[name], typ))
+        feats = np.stack([
+            n_img.astype(np.float64), n_aud.astype(np.float64),
+            mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2],
+            aud_mean, aud_rms, crossings.astype(np.float64),
+        ], axis=1).astype(np.float32)
+        return batch.append_column(
             "media_features",
-            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), N_FEATURES))
-        return batch.append_column("n_media_spans",
-                                   pa.array(counts.astype(np.int32)))
-
-    def _decode(self, refs):  # pragma: no cover — real codec path
-        raise NotImplementedError("real media decode not available here")
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()),
+                                              N_FEATURES))
 
 
-def extract_media_features(docs: rd.Dataset, *, allow_fake: bool = True,
+def extract_media_features(docs: rd.Dataset, *, fetch=None,
                            concurrency: int | tuple[int, int] = (1, 4),
                            batch_size: int = 256) -> rd.Dataset:
-    return docs.map_batches(MediaFeaturizer, fn_constructor_args=(allow_fake,),
+    return docs.map_batches(MediaFeaturizer, fn_constructor_args=(fetch,),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=batch_size, concurrency=concurrency)
 
 
 def sample_frames(docs: rd.Dataset, *, every_n: int = 10) -> rd.Dataset:
-    """Frame-sampling stub for video refs: emits one row per sampled frame
-    index per media span (the plumbing of a real frame sampler; frame
-    count is a deterministic function of the ref hash)."""
+    """Frame sampling for video-style refs: one row per sampled frame
+    index per media span.  Frame count is a deterministic function of the
+    ref's (doc_id, ordinal) key; the expansion is fully vectorized
+    (offset arithmetic — no per-row loop)."""
+    import pyarrow.compute as pc
 
     def frames(t: pa.Table) -> pa.Table:
-        doc_ids, refs_out, frame_idx = [], [], []
+        empty = pa.table({"doc_id": pa.array([], pa.string()),
+                          "media_ref": pa.array([], pa.string()),
+                          "frame_idx": pa.array([], pa.int32())})
+        if t.num_rows == 0 or "spans" not in t.column_names:
+            return empty
         spans = t["spans"]
-        dids = t["doc_id"].to_pylist()
-        for i in range(len(t)):
-            for s in (spans[i].as_py() or []):
-                if s["kind"] == "text" or not s["media_ref"]:
-                    continue
-                n_frames = (int(hashlib.md5(s["media_ref"].encode()).hexdigest()[:4], 16) % 100) + 1
-                for f in range(0, n_frames, every_n):
-                    doc_ids.append(dids[i])
-                    refs_out.append(s["media_ref"])
-                    frame_idx.append(f)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
-                         "media_ref": pa.array(refs_out, pa.string()),
-                         "frame_idx": pa.array(frame_idx, pa.int32())})
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        flat = spans.flatten()
+        kind = pc.struct_field(flat, "kind")
+        ref = pc.struct_field(flat, "media_ref")
+        is_media = pc.and_(pc.not_equal(kind, "text"),
+                           pc.not_equal(ref, "")).to_numpy(zero_copy_only=False)
+        if not is_media.any():
+            return empty
+        offs = np.asarray(spans.offsets, dtype=np.int64)
+        n_spans = np.diff(offs)
+        doc_rep = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), n_spans)[is_media]
+        refs = ref.to_numpy(zero_copy_only=False)[is_media]
+        mref = pc.cast(ref.filter(pa.array(is_media)), pa.string())
+        did = pc.cast(pc.utf8_slice_codeunits(mref, 12, 24), pa.int64()).to_numpy()
+        order = pc.cast(pc.utf8_slice_codeunits(mref, 25, 1 << 30),
+                        pa.int64()).to_numpy()
+        key = did * 16 + order
+        n_frames = (key * 2_654_435_761) % (1 << 32) % 100 + 1
+        n_out = (n_frames + every_n - 1) // every_n
+        starts = np.zeros(len(n_out) + 1, dtype=np.int64)
+        np.cumsum(n_out, out=starts[1:])
+        total = int(starts[-1])
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(starts[:-1], n_out))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_rep, n_out), pa.string()),
+            "media_ref": pa.array(np.repeat(refs, n_out), pa.string()),
+            "frame_idx": pa.array((within * every_n).astype(np.int32)),
+        })
 
     return docs.map_batches(frames, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=256)

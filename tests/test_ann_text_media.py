@@ -118,11 +118,36 @@ def test_media_featurizer_deterministic(ray_session):
     z = out1[out1.n_media_spans == 0]
     if len(z):
         assert np.allclose(np.stack(z["media_features"].to_numpy()), 0.0)
+    # real decode happened: image means live in (0, 255) and rms > 0
+    m = out1[out1.n_img > 0]
+    assert ((m.img_mean_r > 0) & (m.img_mean_r < 255)).all()
+    assert (out1[out1.n_aud > 0].aud_rms > 0).all()
 
 
-def test_media_featurizer_strict_raises(ray_session):
+def test_png_codec_roundtrip_all_filters():
+    from optimizing_ray.stages import codecs
+    rng = np.random.default_rng(3)
+    # >5 rows so the cycling encoder exercises every filter type; odd
+    # width so stride arithmetic is non-trivial
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+    for key in (0, 42 * 16 + 3, 10**7):
+        px = codecs.image_pixels(key)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+        au = codecs.audio_samples(key)
+        assert np.array_equal(codecs.decode_wav(codecs.encode_wav(au)), au)
+
+
+def test_media_exotic_format_seam():
+    from optimizing_ray.stages import codecs
     with pytest.raises(NotImplementedError):
-        media.MediaFeaturizer(allow_fake=False)
+        codecs.decode_png(b"GIF89a not a png")
+    with pytest.raises(NotImplementedError):
+        codecs.fetch_fixture("media://doc-000000000001/0", "video")
+    feat = media.MediaFeaturizer(fetch=lambda ref, kind: b"\x00exotic")
+    t = synth.documents_batch(np.arange(20), variant="uniform", with_spans=True)
+    with pytest.raises(NotImplementedError):
+        feat(t)
 
 
 def test_sample_frames(ray_session):

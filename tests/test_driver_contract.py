@@ -37,12 +37,14 @@ SQL_NAMES = [
     # round 3: deterministic first-bounce raycast (pixel-center rays, no
     # RNG) puts the tracer's geometry kernels under the SQL gate
     "trace_first_hit",
+    # round 3: real stdlib PNG/WAV codecs — the oracle recomputes stats
+    # from raw fixture values, so equality proves the bytes roundtrip
+    "media_features",
 ]
 ROWS_ONLY_NAMES = [
-    # media: honest codec stub (no imaging wheel in the sandbox);
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
     # test_tracer
-    "media_features", "trace_bounces",
+    "trace_bounces",
 ]
 
 
