@@ -131,10 +131,13 @@ def run_bench() -> dict:
     extras["join_rows"] = int(n_pairs)
     extras["join_rows_per_sec"] = round(n_pairs / times["box_join_1m"], 1)
 
-    # -- headline 2b: adaptive subdivision + salting over a SKEWED corpus --
+    # -- headline 2b: adaptive subdivision + salting over a SKEWED corpus
+    # with a point-mass landmark (3% of rows on ONE coordinate) so the
+    # hot-cell salt path — the case subdivision cannot split — runs
+    # end-to-end at bench scale, not just in test_adaptive
     def adaptive_1m():
         from optimizing_ray.stages import adaptive as ad
-        ds = synthetic_documents(N_CORPUS, variant="skewed", with_spans=False,
+        ds = synthetic_documents(N_CORPUS, variant="hotspot", with_spans=False,
                                  override_num_blocks=N_BLOCKS)
         keyed, plan = ad.adaptive_assign(
             ds, __import__("optimizing_ray.config", fromlist=["WORLD_3D"]).WORLD_3D,
@@ -143,6 +146,8 @@ def run_bench() -> dict:
         n = keyed.count()
         extras["adaptive_leaves"] = len(plan.leaves)
         extras["adaptive_hot_cells"] = int(len(plan.hot_cells))
+        assert extras["adaptive_hot_cells"] > 0, \
+            "hotspot corpus must exercise the salt path"
         return n
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":

@@ -193,16 +193,30 @@ def adaptive_assign(ds: rd.Dataset, world: World, *, capacity: int,
         out[unassigned] = fine_key[unassigned] >> (bits * (max_depth - coarse_depth))
         idx = np.searchsorted(hot, out)
         idx = np.clip(idx, 0, max(0, len(hot) - 1))
-        is_hot = (len(hot) > 0) & (hot[idx] == out if len(hot) else False)
+        if len(hot):
+            is_hot = hot[idx] == out
+        else:
+            is_hot = np.zeros(len(x), dtype=bool)
         from optimizing_ray.synth import _mix
-        # salt hashes PER-ROW content (position bit patterns), not the cell
-        # key — every row of a hot cell shares the cell key, so hashing it
-        # would put the whole cell in one salt bucket
-        row_h = (x.view(np.uint64)
-                 ^ (y.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-        salt = np.where(is_hot,
-                        (_mix(row_h) % np.uint64(n_salts)).astype(np.int64),
-                        0)
+        # salt hashes PER-ROW identity, not the cell key — every row of a
+        # hot cell shares the cell key, so hashing it would put the whole
+        # cell in one salt bucket.  Position bits alone are NOT enough
+        # either: the canonical hot cell is a point-mass landmark where
+        # every row has IDENTICAL coordinates, so fold in doc_id (polars
+        # xxh3, hot rows only) whenever the column exists.
+        salt = np.zeros(len(x), dtype=np.int64)
+        if is_hot.any():
+            row_h = (x.view(np.uint64)
+                     ^ (y.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            row_h_hot = row_h[is_hot]
+            if "doc_id" in t.column_names:
+                import polars as pl
+                ids = t["doc_id"].filter(pa.array(is_hot))
+                ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+                with np.errstate(over="ignore"):
+                    row_h_hot = row_h_hot ^ pl.from_arrow(
+                        pa.chunked_array([ids])).hash(seed=7).to_numpy()
+            salt[is_hot] = (_mix(row_h_hot) % np.uint64(n_salts)).astype(np.int64)
         t = t.append_column("cell_key", pa.array(out))
         return t.append_column("salt", pa.array(salt))
 

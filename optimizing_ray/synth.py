@@ -124,6 +124,10 @@ def documents_batch(idx: np.ndarray, variant: str = "flat2d",
     variants (FIXTURES.md F1a/F1b/F1c):
       * "uniform": 3D, sizes uniform (0,10]  (main.cpp:24-33)
       * "skewed":  80% Gaussian cluster (sigma = 1 coarse cell), 20% uniform
+      * "hotspot": "skewed" plus 3% of rows pinned to ONE exact landmark
+                   point — the degenerate-key case (every row in the same
+                   max_depth cell) that capacity subdivision cannot split
+                   and only salting handles
       * "flat2d":  y=z=h=d=0 2D corpus, sizes (0.1,100]
                    (.Test/QuadTree.cpp:354-365)
     """
@@ -132,7 +136,7 @@ def documents_batch(idx: np.ndarray, variant: str = "flat2d",
         world = WORLD_2D if variant == "flat2d" else WORLD_3D
     wx, wy, wz = world.size
     ux, uy, uz = u01(idx, seed + 1), u01(idx, seed + 2), u01(idx, seed + 3)
-    if variant == "skewed":
+    if variant in ("skewed", "hotspot"):
         cell_w = wx / 8.0
         hot = u01(idx, seed + 11) < 0.8
         cxr = world.min_x + 0.5 * wx + _gauss(idx, seed + 12) * cell_w
@@ -140,6 +144,12 @@ def documents_batch(idx: np.ndarray, variant: str = "flat2d",
         x = np.where(hot, np.clip(cxr, world.min_x, world.max_x - 1e-9), world.min_x + ux * wx)
         y = np.where(hot, np.clip(cyr, world.min_y, world.max_y - 1e-9), world.min_y + uy * wy)
         z = np.zeros_like(x) if world.dims == 2 else world.min_z + uz * wz
+        if variant == "hotspot":
+            pin = u01(idx, seed + 17) < 0.03
+            x = np.where(pin, world.min_x + 0.7 * wx, x)
+            y = np.where(pin, world.min_y + 0.7 * wy, y)
+            if world.dims != 2:
+                z = np.where(pin, world.min_z + 0.7 * wz, z)
     else:
         x = world.min_x + ux * wx
         y = world.min_y + uy * wy

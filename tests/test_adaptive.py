@@ -99,6 +99,26 @@ def test_salted_resumable_write_splits_hot_cell(ray_session, tmp_path):
     assert len(hot_parts) > 1  # the hot cell fans out over salts
 
 
+def test_hotspot_variant_forces_salt(ray_session):
+    """The bench's headline skew corpus: a point-mass landmark (3% of
+    rows on ONE coordinate) lands in a single max_depth cell no
+    subdivision can split — only salting handles it (the invariant
+    bench.py asserts via adaptive_hot_cells > 0)."""
+    import ray.data as rd
+    t = synth.documents_batch(np.arange(20000), variant="hotspot",
+                              with_spans=False)
+    out, plan = adaptive.adaptive_assign(
+        rd.from_arrow(t), WORLD_3D, capacity=200, coarse_depth=3, max_depth=7,
+        salt_threshold=200, n_salts=8)
+    assert len(plan.hot_cells) > 0
+    df = out.to_pandas()
+    hot = set(int(h) for h in plan.hot_cells)
+    hot_rows = df[df["cell_key"].isin(hot)]
+    # the landmark rows fan out across salts instead of one giant group
+    assert hot_rows["salt"].nunique() == 8
+    assert (df[~df["cell_key"].isin(hot)]["salt"] == 0).all()
+
+
 def test_adaptive_assign_3d_octree(ray_session):
     """The octree capacity rule (dims=3): leaves respect capacity unless at
     max depth, keys are ancestor-consistent, all rows covered."""
