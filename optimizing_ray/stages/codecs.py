@@ -97,34 +97,38 @@ def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
 def encode_png(img: np.ndarray, *, filter_mode: str = "cycle") -> bytes:
     """8-bit RGB PNG encoder.  ``filter_mode='cycle'`` uses filter type
     ``row % 5`` so every decoder filter path is exercised by the fixture
-    roundtrip (a constant filter would leave Paeth/Average untested)."""
+    roundtrip (a constant filter would leave Paeth/Average untested).
+
+    Filtering is one whole-image vector pass: the predictor inputs
+    (left / up / upper-left) are plain array shifts of the ORIGINAL
+    pixels (PNG filters predict from reconstructed bytes == original
+    bytes on the encode side), so all five filter rows come from one
+    stacked computation instead of a per-row Python loop."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise NotImplementedError("encoder supports 8-bit RGB only")
     h, w, bpp = img.shape
-    raws = []
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    zeros = np.zeros(bpp, dtype=np.int32)
-    for r in range(h):
-        row = img[r].reshape(-1).astype(np.int32)
-        ft = (r % 5) if filter_mode == "cycle" else 0
-        left = np.concatenate([zeros, row[:-bpp]])
-        ul = np.concatenate([zeros, prev[:-bpp]])
-        if ft == 0:
-            pred = 0
-        elif ft == 1:
-            pred = left
-        elif ft == 2:
-            pred = prev
-        elif ft == 3:
-            pred = (left + prev) >> 1
-        else:
-            pred = _paeth(left, prev, ul)
-        filt = ((row - pred) % 256).astype(np.uint8)
-        raws.append(bytes([ft]) + filt.tobytes())
-        prev = row
+    stride = w * bpp
+    rows = img.reshape(h, stride).astype(np.int32)
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    ul = np.zeros_like(rows)
+    ul[1:, bpp:] = rows[:-1, :-bpp]
+    if filter_mode == "cycle":
+        ft = np.arange(h, dtype=np.int64) % 5
+    else:
+        ft = np.zeros(h, dtype=np.int64)
+    preds = np.stack([np.zeros_like(rows), left, up,
+                      (left + up) >> 1, _paeth(left, up, ul)])
+    pred = preds[ft, np.arange(h)]
+    filt = ((rows - pred) % 256).astype(np.uint8)
+    scan = np.empty((h, stride + 1), dtype=np.uint8)
+    scan[:, 0] = ft
+    scan[:, 1:] = filt
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (_PNG_MAGIC + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(b"".join(raws), 1))
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes(), 1))
             + _chunk(b"IEND", b""))
 
 

@@ -55,109 +55,131 @@ def _round6(a: np.ndarray) -> np.ndarray:
     return np.floor(a * 1e6 + 0.5) / 1e6
 
 
-class MediaFeaturizer:
-    """Actor: fetch + decode + featurize the media spans of each document.
+def _empty_append(batch: pa.Table) -> pa.Table:
+    for name, typ in _SCALAR_COLS:
+        batch = batch.append_column(name, pa.array([], typ))
+    return batch.append_column(
+        "media_features", pa.array([], pa.list_(pa.float32(), N_FEATURES)))
+
+
+def _featurize_batch(batch: pa.Table, fetch) -> pa.Table:
+    """fetch + decode + featurize the media spans of each document.
 
     Input rows carry ``spans``; output appends the scalar stat columns in
     ``_SCALAR_COLS`` plus ``media_features: fixed_size_list<float32>[8]``
-    (a compact summary vector; zeros when the doc has no media spans).
-    Construction cost (none today, a store client + codec tables in a
-    real deployment) is per-actor — this class is passed to
-    ``map_batches`` as a callable CLASS.
-    """
+    (a compact summary vector; zeros when the doc has no media spans)."""
+    import pyarrow.compute as pc
+    if batch.num_rows == 0 or "spans" not in batch.column_names:
+        return _empty_append(batch)
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    # vectorized span scan: flatten once, never per-row as_py() —
+    # only the per-REF fetch+decode (inherently per-object) loops
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+    is_media = (kind != "text") & (ref != "")
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    n_spans = np.diff(offs)
+    n = len(batch)
+    row_of_span = np.repeat(np.arange(n), n_spans)
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, row_of_span, is_media)
+
+    n_img = np.zeros(n, dtype=np.int64)
+    n_aud = np.zeros(n, dtype=np.int64)
+    sum_rgb = np.zeros((n, 3), dtype=np.int64)
+    img_min = np.full(n, 255, dtype=np.int64)
+    img_max = np.zeros(n, dtype=np.int64)
+    sum_x = np.zeros(n, dtype=np.int64)
+    sum_x2 = np.zeros(n, dtype=np.int64)
+    crossings = np.zeros(n, dtype=np.int64)
+
+    m_rows = row_of_span[is_media]
+    m_refs = ref[is_media]
+    m_kinds = kind[is_media]
+    for j in range(len(m_refs)):
+        row = int(m_rows[j])
+        data = fetch(m_refs[j], m_kinds[j])
+        if data[:8] == _PNG_MAGIC:
+            px = decode_png(data).astype(np.int64)
+            n_img[row] += 1
+            sum_rgb[row] += px.reshape(-1, 3).sum(axis=0)
+            img_min[row] = min(img_min[row], int(px.min()))
+            img_max[row] = max(img_max[row], int(px.max()))
+        elif data[:4] == b"RIFF":
+            x = decode_wav(data).astype(np.int64)
+            n_aud[row] += 1
+            sum_x[row] += int(x.sum())
+            sum_x2[row] += int((x * x).sum())
+            crossings[row] += int((x[:-1] * x[1:] < 0).sum())
+        else:
+            raise NotImplementedError(
+                f"unrecognized media container for {m_refs[j]!r} "
+                "(PNG and WAV supported)")
+
+    img_px = np.maximum(n_img, 1) * float(IMG_W * IMG_H)
+    aud_n = np.maximum(n_aud, 1) * float(N_SAMPLES)
+    has_i, has_a = n_img > 0, n_aud > 0
+    mean_rgb = _round6(sum_rgb / img_px[:, None]) * has_i[:, None]
+    aud_mean = _round6(sum_x / aud_n) * has_a
+    aud_rms = _round6(np.sqrt(sum_x2 / aud_n)) * has_a
+    img_min = np.where(has_i, img_min, 0)
+
+    vals = {
+        "n_media_spans": counts, "n_img": n_img, "n_aud": n_aud,
+        "img_mean_r": mean_rgb[:, 0], "img_mean_g": mean_rgb[:, 1],
+        "img_mean_b": mean_rgb[:, 2],
+        "img_min": img_min, "img_max": img_max,
+        "aud_mean": aud_mean, "aud_rms": aud_rms,
+        "aud_crossings": crossings,
+    }
+    for name, typ in _SCALAR_COLS:
+        batch = batch.append_column(name, pa.array(vals[name], typ))
+    feats = np.stack([
+        n_img.astype(np.float64), n_aud.astype(np.float64),
+        mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2],
+        aud_mean, aud_rms, crossings.astype(np.float64),
+    ], axis=1).astype(np.float32)
+    return batch.append_column(
+        "media_features",
+        pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()),
+                                          N_FEATURES))
+
+
+class MediaFeaturizer:
+    """Actor seam for a REAL store client: construction cost (client
+    connect, codec tables) is per-actor — pass this class to
+    ``map_batches`` as a callable CLASS with ``concurrency=N``.  The
+    default fixture store has no such state, so
+    ``extract_media_features`` only routes through this pool when a
+    custom ``fetch`` is supplied."""
 
     def __init__(self, fetch=None):
         self.fetch = fetch or fetch_fixture
 
-    def _empty_append(self, batch: pa.Table) -> pa.Table:
-        for name, typ in _SCALAR_COLS:
-            batch = batch.append_column(name, pa.array([], typ))
-        return batch.append_column(
-            "media_features", pa.array([], pa.list_(pa.float32(), N_FEATURES)))
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        if batch.num_rows == 0 or "spans" not in batch.column_names:
-            return self._empty_append(batch)
-        spans = batch["spans"]
-        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
-        # vectorized span scan: flatten once, never per-row as_py() —
-        # only the per-REF fetch+decode (inherently per-object) loops
-        flat = spans.flatten()
-        kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
-        ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
-        is_media = (kind != "text") & (ref != "")
-        offs = np.asarray(spans.offsets, dtype=np.int64)
-        n_spans = np.diff(offs)
-        n = len(batch)
-        row_of_span = np.repeat(np.arange(n), n_spans)
-        counts = np.zeros(n, dtype=np.int64)
-        np.add.at(counts, row_of_span, is_media)
+        return _featurize_batch(batch, self.fetch)
 
-        n_img = np.zeros(n, dtype=np.int64)
-        n_aud = np.zeros(n, dtype=np.int64)
-        sum_rgb = np.zeros((n, 3), dtype=np.int64)
-        img_min = np.full(n, 255, dtype=np.int64)
-        img_max = np.zeros(n, dtype=np.int64)
-        sum_x = np.zeros(n, dtype=np.int64)
-        sum_x2 = np.zeros(n, dtype=np.int64)
-        crossings = np.zeros(n, dtype=np.int64)
 
-        m_rows = row_of_span[is_media]
-        m_refs = ref[is_media]
-        m_kinds = kind[is_media]
-        for j in range(len(m_refs)):
-            row = int(m_rows[j])
-            data = self.fetch(m_refs[j], m_kinds[j])
-            if data[:8] == _PNG_MAGIC:
-                px = decode_png(data).astype(np.int64)
-                n_img[row] += 1
-                sum_rgb[row] += px.reshape(-1, 3).sum(axis=0)
-                img_min[row] = min(img_min[row], int(px.min()))
-                img_max[row] = max(img_max[row], int(px.max()))
-            elif data[:4] == b"RIFF":
-                x = decode_wav(data).astype(np.int64)
-                n_aud[row] += 1
-                sum_x[row] += int(x.sum())
-                sum_x2[row] += int((x * x).sum())
-                crossings[row] += int((x[:-1] * x[1:] < 0).sum())
-            else:
-                raise NotImplementedError(
-                    f"unrecognized media container for {m_refs[j]!r} "
-                    "(PNG and WAV supported)")
-
-        img_px = np.maximum(n_img, 1) * float(IMG_W * IMG_H)
-        aud_n = np.maximum(n_aud, 1) * float(N_SAMPLES)
-        has_i, has_a = n_img > 0, n_aud > 0
-        mean_rgb = _round6(sum_rgb / img_px[:, None]) * has_i[:, None]
-        aud_mean = _round6(sum_x / aud_n) * has_a
-        aud_rms = _round6(np.sqrt(sum_x2 / aud_n)) * has_a
-        img_min = np.where(has_i, img_min, 0)
-
-        vals = {
-            "n_media_spans": counts, "n_img": n_img, "n_aud": n_aud,
-            "img_mean_r": mean_rgb[:, 0], "img_mean_g": mean_rgb[:, 1],
-            "img_mean_b": mean_rgb[:, 2],
-            "img_min": img_min, "img_max": img_max,
-            "aud_mean": aud_mean, "aud_rms": aud_rms,
-            "aud_crossings": crossings,
-        }
-        for name, typ in _SCALAR_COLS:
-            batch = batch.append_column(name, pa.array(vals[name], typ))
-        feats = np.stack([
-            n_img.astype(np.float64), n_aud.astype(np.float64),
-            mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2],
-            aud_mean, aud_rms, crossings.astype(np.float64),
-        ], axis=1).astype(np.float32)
-        return batch.append_column(
-            "media_features",
-            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()),
-                                              N_FEATURES))
+def _featurize_fixture(batch: pa.Table) -> pa.Table:
+    return _featurize_batch(batch, fetch_fixture)
 
 
 def extract_media_features(docs: rd.Dataset, *, fetch=None,
-                           concurrency: int | tuple[int, int] = (1, 4),
+                           concurrency: int | tuple[int, int] = (2, 8),
                            batch_size: int = 256) -> rd.Dataset:
+    """Decode + featurize media spans.
+
+    Default (fixture store, no per-worker state): STATELESS tasks — an
+    autoscaling actor pool starts at 1 actor and never ramps inside a
+    seconds-long decode stage, serializing ~250 us/image codec work
+    (the repo's broadcast-stage discipline, ``broadcast.py``).  With a
+    custom ``fetch`` (a real store client) the stage becomes the
+    actor-pool seam so the client is built once per actor."""
+    if fetch is None:
+        return docs.map_batches(_featurize_fixture, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=batch_size)
     return docs.map_batches(MediaFeaturizer, fn_constructor_args=(fetch,),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=batch_size, concurrency=concurrency)
