@@ -85,6 +85,50 @@ def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def jaccard_pairs_grouped(ids_a: np.ndarray, ids_b: np.ndarray,
+                          sh) -> np.ndarray:
+    """Exact Jaccard for a BATCH of candidate pairs, vectorized by
+    grouping on ``ids_a``: on LSH-candidate batches a doc appears in many
+    pairs (~75x at sf0.1), so per-pair ``intersect1d`` calls are Python-
+    overhead-bound (~53 us/pair measured).  Instead, for each unique
+    doc_a, concatenate the shingle arrays of ALL its partners and run ONE
+    ``searchsorted`` against doc_a's sorted-unique array, segmenting the
+    match counts back per pair with a cumsum — the Python loop shrinks
+    from pairs to distinct left docs.
+
+    ``sh(id) -> np.ndarray`` returns the doc's sorted-unique shingle
+    hashes (callers memoize per batch).  Returns float64 jaccard per
+    pair, aligned with the input order."""
+    n = len(ids_a)
+    ja = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return ja
+    order = np.argsort(ids_a, kind="stable")
+    sa = ids_a[order]
+    sb = ids_b[order]
+    run_starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+    run_ends = np.r_[run_starts[1:], n]
+    out = np.empty(n, dtype=np.float64)
+    for s, e in zip(run_starts, run_ends):
+        A = sh(sa[s])
+        bs = [sh(x) for x in sb[s:e]]
+        lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=e - s)
+        if len(A) == 0 or not lens.any():
+            inter = np.zeros(e - s, dtype=np.int64)
+        else:
+            X = np.concatenate(bs)
+            pos = np.searchsorted(A, X)
+            pos[pos == len(A)] = len(A) - 1
+            match = A[pos] == X
+            cs = np.r_[0, np.cumsum(match)]
+            ends = np.cumsum(lens)
+            inter = cs[ends] - cs[ends - lens]
+        union = len(A) + lens - inter
+        out[s:e] = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    ja[order] = out
+    return ja
+
+
 def shingles(text: str, k: int = 5) -> set[int]:
     """Character k-shingle hash set of one document (same values as
     ``shingle_hashes``, as a Python set — test/oracle convenience)."""

@@ -29,7 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from optimizing_ray.functions.text import jaccard_sorted, shingle_hashes
+from optimizing_ray.functions.text import (jaccard_pairs_grouped,
+                                           shingle_hashes)
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
@@ -296,13 +297,17 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
         return cand
 
     def add_pair_shard(t: pa.Table) -> pa.Table:
+        # shard on doc_a ONLY (not the pair hash): duplicates of (a, b)
+        # still co-locate for the dedup, and the downstream verify's
+        # grouped-jaccard kernel (jaccard_pairs_grouped) needs all of a
+        # doc's partners in one batch to amortize its per-left-doc
+        # searchsorted — pair-hash sharding scatters them, leaving the
+        # kernel's grouping degenerate (measured 2x SLOWER than per-pair
+        # intersect1d).  Skew bound: a doc's candidate count is capped by
+        # its bucket cardinality x band count, not the corpus size.
         a = pd.util.hash_pandas_object(
             pd.Series(t["doc_a"].to_numpy(zero_copy_only=False)), index=False).to_numpy()
-        b = pd.util.hash_pandas_object(
-            pd.Series(t["doc_b"].to_numpy(zero_copy_only=False)), index=False).to_numpy()
-        with np.errstate(over="ignore"):
-            h = a * np.uint64(31) + b
-        return t.append_column("_pshard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+        return t.append_column("_pshard", pa.array((a % np.uint64(n_shards)).astype(np.int64)))
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pshard"])
@@ -399,39 +404,78 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
 
             ids_a = t["doc_a"].to_numpy(zero_copy_only=False)
             ids_b = t["doc_b"].to_numpy(zero_copy_only=False)
-            ja = [jaccard_sorted(sh(i, a), sh(j, b))
-                  for i, j, a, b in zip(ids_a, ids_b,
-                                        t["_text_a"].to_numpy(zero_copy_only=False),
-                                        t["_text_b"].to_numpy(zero_copy_only=False))]
+            texts = dict(zip(ids_a, t["_text_a"].to_numpy(zero_copy_only=False)))
+            texts.update(zip(ids_b, t["_text_b"].to_numpy(zero_copy_only=False)))
+            ja = jaccard_pairs_grouped(
+                ids_a, ids_b, lambda k: sh(k, texts.get(k)))
             t = t.append_column("jaccard", pa.array(ja, pa.float64()))
-            t = t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+            t = t.filter(pa.array(ja >= jaccard_threshold))
             return t.select(["doc_a", "doc_b", "jaccard"])
 
         return cand.map_batches(check_joined, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    texts_map: dict = {}
-    for ref in docs.select_columns([id_col, text_col]).to_arrow_refs():
-        t = ray.get(ref)
-        texts_map.update(zip(t[id_col].to_numpy(zero_copy_only=False),
-                             t[text_col].to_numpy(zero_copy_only=False)))
-    tm_ref = ray.put(texts_map)
+    # Broadcast the (id -> SHINGLES) map, not the raw texts: a doc's
+    # candidate partners scatter across pair shards, so per-batch text
+    # memos recomputed each doc's shingles up to n_shards times — that
+    # redundant shingling (44 us/doc), not the jaccard, dominated the
+    # verify (measured ~85% of its UDF time at sf0.1).  Shingling runs
+    # ONCE per doc in a parallel pass; the driver only re-slices the
+    # list column into per-doc views.  Memory: ~8 B x shingles/doc (~5x
+    # the text bytes), bounded by broadcast_threshold BY PLAN CHOICE.
+    def shingle_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_sh": pa.array([], pa.list_(pa.int64()))})
+        arrs = [shingle_hashes(x or "", k_shingle)
+                for x in t[text_col].to_numpy(zero_copy_only=False)]
+        offs = np.zeros(len(arrs) + 1, dtype=np.int32)
+        np.cumsum([len(a) for a in arrs], out=offs[1:])
+        flat = (np.concatenate(arrs) if arrs else np.empty(0, np.uint64))
+        return pa.table({
+            id_col: t[id_col],
+            "_sh": pa.ListArray.from_arrays(pa.array(offs),
+                                            pa.array(flat.view(np.int64))),
+        })
+
+    # Ship THREE flat arrays (ids, offsets, hash blob), not a dict of
+    # 5k+ tiny arrays — per-object pickle overhead made the dict's
+    # first-touch deserialize cost ~0.1 s PER WORKER; big arrays ride
+    # plasma zero-copy and each worker re-slices views once (cached).
+    id_parts, off_parts, flat_parts = [], [np.zeros(1, dtype=np.int64)], []
+    base = 0
+    for ref in (docs.select_columns([id_col, text_col])
+                .map_batches(shingle_batch, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs()):
+        p = ray.get(ref)
+        if p.num_rows == 0:
+            continue
+        id_parts.append(p[id_col].to_numpy(zero_copy_only=False))
+        col = p["_sh"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat_parts.append(col.flatten().to_numpy(zero_copy_only=False)
+                          .view(np.uint64))
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        off_parts.append(offs[1:] + base)
+        base += offs[-1]
+    sm_ref = ray.put((
+        np.concatenate(id_parts) if id_parts else np.empty(0, dtype=object),
+        np.concatenate(off_parts),
+        np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)))
+    _no_sh = np.empty(0, dtype=np.uint64)
+
+    def _build_sh_map():
+        ids, offs, flat = ray.get(sm_ref)
+        return {ids[i]: flat[offs[i]:offs[i + 1]] for i in range(len(ids))}
 
     def check_broadcast(t: pa.Table) -> pa.Table:
-        tm = ray.get(tm_ref)
-        memo: dict = {}  # per-doc shingles once per batch (see check_joined)
-
-        def sh(key):
-            v = memo.get(key)
-            if v is None:
-                v = memo[key] = shingle_hashes(tm.get(key, "") or "", k_shingle)
-            return v
-
-        ja = [jaccard_sorted(sh(a), sh(b))
-              for a, b in zip(t["doc_a"].to_numpy(zero_copy_only=False),
-                              t["doc_b"].to_numpy(zero_copy_only=False))]
+        from optimizing_ray.broadcast import cached
+        sm = cached(("minhash_sh", sm_ref.hex()), _build_sh_map)
+        ja = jaccard_pairs_grouped(t["doc_a"].to_numpy(zero_copy_only=False),
+                                   t["doc_b"].to_numpy(zero_copy_only=False),
+                                   lambda k: sm.get(k, _no_sh))
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
-        return t.filter(pa.array(np.asarray(ja) >= jaccard_threshold))
+        return t.filter(pa.array(ja >= jaccard_threshold))
 
     return cand.map_batches(check_broadcast, batch_format="pyarrow",
                             zero_copy_batch=True)
