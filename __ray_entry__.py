@@ -775,11 +775,46 @@ def _q_span_passthrough(sf_dir: str):
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
+PYR_DEPTH = 5
+KNNJ_K = 4
+
+
+def _q_tile_pyramid(sf_dir: str):
+    """Multi-resolution tile pyramid (map-tile build): per-cell counts at
+    EVERY depth 0..PYR_DEPTH from one corpus pass — coarser levels are
+    pure key shifts of the finest level (cells.parent), never a re-read.
+    The quadtree's per-level occupancy (DynamicOctree.hpp:113-124
+    size()) materialized as a table."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pyramid
+
+    return pyramid.tile_pyramid(_docs(sf_dir), world=WORLD_2D,
+                                max_depth=PYR_DEPTH)
+
+
+def _q_knn_join(sf_dir: str):
+    """Distributed kNN self-JOIN: every doc's KNNJ_K nearest other docs.
+    Unlike `knn` (driver-held query table) the left side is a Dataset —
+    ring-disk cover explode + left-outer cell join + sharded top-k
+    merge, rings doubling until the k-th distance is provably inside
+    the ring (WorldPartition.hpp:196-204 neighborhood rule as a join)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import knn
+
+    docs = _docs(sf_dir)
+    out = knn.knn_join(docs, docs, world=WORLD_2D, depth=DEPTH, k=KNNJ_K,
+                       exclude_self=True, num_partitions=8,
+                       nrows=_tbl_rows(sf_dir, "documents"))
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
+        "tile_pyramid": _q_tile_pyramid,
+        "knn_join": _q_knn_join,
         "grid_cells": _q_grid_cells,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
@@ -833,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": oracle.tile_assign_sql(DEPTH),
         "tile_counts": oracle.tile_counts_sql(DEPTH),
+        "tile_pyramid": oracle.tile_pyramid_sql(PYR_DEPTH),
+        "knn_join": oracle.knn_join_sql(KNNJ_K),
         "grid_cells": oracle.grid_cells_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),

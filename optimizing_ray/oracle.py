@@ -1163,3 +1163,53 @@ WITH bands AS (
 SELECT e.event_id AS event_id, b.band_id AS band_id, e.value AS value
 FROM {table} e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """
+
+
+# --- round 3: tile pyramid + kNN join -------------------------------------
+
+def tile_pyramid_sql(max_depth: int, min_depth: int = 0,
+                     world: World = DRIVER_WORLD,
+                     table: str = "documents") -> str:
+    """Per-cell counts at every depth — one morton CTE at ``max_depth``,
+    coarser levels by key shifts (``parent = key >> 2``; the sentinel tag
+    ``1 << 2*depth`` shifts into exactly the coarser level's tag, so the
+    shifted key IS the depth-d engine key)."""
+    wx, wy, _ = world.size
+    per_depth = " UNION ALL ".join(
+        f"SELECT {d} AS depth, (mkey >> {2 * (max_depth - d)}) AS cell_key, "
+        f"COUNT(*) AS n_docs FROM mz GROUP BY 2"
+        for d in range(min_depth, max_depth + 1))
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id, x, y,
+         {cell_idx_expr('x', world.min_x, wx, max_depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, max_depth)} AS iy
+  FROM geo
+),
+{morton_ctes('cellidx', max_depth)}
+SELECT CAST(depth AS BIGINT) AS depth, CAST(cell_key AS BIGINT) AS cell_key,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ({per_depth}) p
+"""
+
+
+def knn_join_sql(k: int, world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """Oracle for the kNN self-join: per-left-row top-k by the
+    (dist2, neighbor_id) tiebreak — identical ordering to the engine's
+    finalize stage (and to ``knn_sql``)."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""
+WITH {geo_cte(table, world)}
+SELECT doc_id, neighbor_id, dist, CAST(knn_rank AS BIGINT) AS knn_rank
+FROM (
+  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+         sqrt({d2}) AS dist,
+         row_number() OVER (PARTITION BY a.doc_id
+                            ORDER BY {d2}, b.doc_id) AS knn_rank
+  FROM geo a, geo b
+  WHERE a.doc_id <> b.doc_id
+) s
+WHERE knn_rank <= {k}
+"""

@@ -31,7 +31,7 @@ import ray.data as rd
 from optimizing_ray import cells
 from optimizing_ray.config import World
 
-__all__ = ["knn_brute", "knn_ring", "knn_ring_store"]
+__all__ = ["knn_brute", "knn_ring", "knn_ring_store", "knn_join"]
 
 
 class _PartialTopK:
@@ -316,3 +316,248 @@ def knn_ring_store(store_dir: str, queries: pa.Table, *, world: World,
                          queries, world=world, depth=depth,
                          batch_size=batch_size, max_rounds=max_rounds)
     return out, metrics
+
+
+def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
+             depth: int, k: int, left_id_col: str = "doc_id",
+             right_id_col: str = "doc_id", exclude_self: bool = False,
+             n_shards: int = 32, num_partitions: int = 32,
+             max_rounds: int | None = None, nrows: int | None = None,
+             tail_threshold: int = 65_536) -> rd.Dataset:
+    """Distributed kNN JOIN: for EVERY left row, its k nearest right rows.
+
+    Unlike ``knn_ring`` (driver-held query table), both sides are
+    Datasets — the left side never materializes driver-side, so the
+    operator scales to a full-corpus self-join (the retrieval-per-record
+    primitive of training-data curation).  Plan per ring round r:
+
+    1. explode pending left rows over their Chebyshev ring-r cell disks
+       (``cells.disk2``, the reference neighborhood rule
+       ``WorldPartition.hpp:196-204``);
+    2. LEFT OUTER hash-join with the cell-keyed right side on
+       ``cell_key`` (outer so zero-candidate rows stay pending);
+    3. in-batch partial top-k per left row (at most k rows per (batch,
+       left) leave the stage);
+    4. one sharded exchange on ``hash(left_id)`` merges partials, ranks
+       by (dist2, right_id) — the SQL oracle's exact tiebreak — and
+       splits done/pending with the ring guarantee: the k-th distance
+       must be STRICTLY inside ``ring * cell_w`` (``_knn_ring_impl``
+       bound); undone rows re-enter with a doubled ring.
+
+    Rounds materialize (iterative-pipeline discipline); results stream
+    out as the union of per-round done Datasets.  Output columns:
+    ``(left_id_col, neighbor_id, dist, knn_rank)``.
+
+    Round economics: each distributed round is ~2 exchanges of fixed
+    cost, so (a) ``nrows`` (the free parquet-metadata right-row count)
+    sizes the FIRST ring to the expected k-th-neighbor radius under
+    uniform density — most rows finish in round 1; (b) after the first
+    round, a pending set at or below ``tail_threshold`` rows finishes
+    driver-side via ``knn_brute`` (the working-notes tail rule:
+    per-round dispatch dominates below ~65k rows); bigger pending sets
+    keep ring-doubling distributed.  ``exclude_self`` tails request
+    k+1 (ids are unique, so at most ONE row — the self row — is
+    dropped per query; the first k survivors are exactly the true
+    top-k).
+    """
+    wx, wy, _ = world.size
+    n = 1 << depth
+    cell_w = min(wx, wy) / n
+    if max_rounds is None:
+        max_rounds = depth + 2  # ring doubles until >= n covers the grid
+    ring0 = 1
+    if nrows and nrows > 0:
+        # expected k-th NN radius for uniform density, in cell widths
+        r_k = float(np.sqrt((k + 1) / (np.pi * nrows) * (wx * wy)))
+        ring0 = int(np.clip(np.ceil(r_k / cell_w), 1, max(1, n - 1)))
+
+    # native id types preserved end-to-end: casting ids to string would
+    # silently change the (dist2, right_id) tiebreak from numeric to
+    # lexicographic and break the SQL oracle's row_number ordering
+    lid_type = left.schema().base_schema.field(left_id_col).type
+    rid_type = right.schema().base_schema.field(right_id_col).type
+    out_schema = pa.schema([
+        ("_lid", lid_type), ("_rid", rid_type),
+        ("dist", pa.float64()), ("knn_rank", pa.int64()),
+        ("x", pa.float64()), ("y", pa.float64()), ("_done", pa.bool_()),
+    ])
+
+    def assign_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({"_lid": pa.array([], lid_type),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        return pa.table({"_lid": t[left_id_col],
+                         "x": t["x"], "y": t["y"]})
+
+    def assign_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({"_rid": pa.array([], rid_type),
+                             "_rx": pa.array([], pa.float64()),
+                             "_ry": pa.array([], pa.float64()),
+                             "cell_key": pa.array([], pa.int64())})
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        key = cells.point_cell2(x, y, world, depth).astype(np.int64)
+        return pa.table({"_rid": t[right_id_col],
+                         "_rx": t["x"], "_ry": t["y"],
+                         "cell_key": pa.array(key)})
+
+    right_keyed = right.map_batches(assign_right, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    pending = left.map_batches(assign_left, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    done_parts: list[rd.Dataset] = []
+    ring = ring0
+    for rnd in range(max_rounds):
+        force = ring >= n or rnd == max_rounds - 1
+
+        def explode(t: pa.Table, ring=ring) -> pa.Table:
+            if t.num_rows == 0 or "_lid" not in t.column_names:
+                return pa.table({"_lid": pa.array([], pa.string()),
+                                 "x": pa.array([], pa.float64()),
+                                 "y": pa.array([], pa.float64()),
+                                 "cell_key": pa.array([], pa.int64())})
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            key = cells.point_cell2(x, y, world, depth)
+            disk = cells.disk2(key, ring).astype(np.int64)  # (n, (2r+1)^2)
+            m = disk.shape[1]
+            df = pd.DataFrame({
+                "_lid": np.repeat(t["_lid"].to_numpy(zero_copy_only=False), m),
+                "x": np.repeat(x, m), "y": np.repeat(y, m),
+                "cell_key": disk.ravel(),
+            }).drop_duplicates(["_lid", "cell_key"])  # border clamp dups
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        exploded = pending.map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        joined = exploded.join(right_keyed, join_type="left_outer",
+                               on=("cell_key",),
+                               num_partitions=num_partitions)
+
+        # the left-outer join NaN-upcasts a nullable int id column to
+        # float64 under pandas (working-notes gotcha); ids are exact in
+        # float64 far beyond any corpus size, and _restore casts them
+        # back before rows leave the exchange
+        _int_rid = pa.types.is_integer(rid_type)
+        _fill = 0 if _int_rid else ""
+
+        def _restore(s: pd.Series) -> pd.Series:
+            return s.astype(np.int64) if _int_rid else s
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ["_lid", "x", "y", "_rid", "_d2", "_hasc", "_shard"]
+            if len(df) == 0 or "_lid" not in df.columns:
+                return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in
+                                     zip(cols, [object, float, float,
+                                                object, float, bool,
+                                                np.int64])})
+            real = df[df["_rid"].notna()]
+            if exclude_self:
+                real = real[real["_lid"] != real["_rid"]]
+            dx = real["x"].to_numpy() - real["_rx"].to_numpy()
+            dy = real["y"].to_numpy() - real["_ry"].to_numpy()
+            real = real.assign(_d2=dx * dx + dy * dy, _hasc=True)
+            real = real.sort_values(["_lid", "_d2", "_rid"],
+                                    kind="stable").groupby("_lid").head(k)
+            # keep zero-candidate left rows visible downstream (sentinel)
+            lost = df[~df["_lid"].isin(real["_lid"])].drop_duplicates("_lid")
+            keep = ["_lid", "x", "y", "_rid", "_d2", "_hasc"]
+            if len(lost):
+                lost = lost.assign(_rid=_fill, _d2=np.inf, _hasc=False)
+                real = pd.concat([real[keep], lost[keep]])
+            else:
+                real = real[keep]
+            real = real.assign(_rid=_restore(real["_rid"]))
+            sh = pd.util.hash_pandas_object(real["_lid"], index=False)
+            return real.assign(_shard=(sh % n_shards).astype(np.int64))
+
+        def finalize(g: pd.DataFrame, ring=ring, force=force) -> pd.DataFrame:
+            real = g[g["_hasc"]].sort_values(["_lid", "_d2", "_rid"],
+                                             kind="stable")
+            real = real.assign(knn_rank=real.groupby("_lid").cumcount() + 1)
+            topk = real[real["knn_rank"] <= k]
+            stats = topk.groupby("_lid")["_d2"].agg(["count", "max"])
+            kth = np.sqrt(stats["max"].to_numpy())
+            done = (stats["count"].to_numpy() >= k) & (kth < ring * cell_w)
+            if force:
+                done = np.ones(len(stats), dtype=bool)
+            done_ids = set(stats.index[done])
+            dres = topk[topk["_lid"].isin(done_ids)]
+            dres = pd.DataFrame({
+                "_lid": dres["_lid"], "_rid": _restore(dres["_rid"]),
+                "dist": np.sqrt(dres["_d2"].to_numpy()),
+                "knn_rank": dres["knn_rank"].astype(np.int64),
+                "x": 0.0, "y": 0.0, "_done": True,
+            })
+            pend = g[~g["_lid"].isin(done_ids)].drop_duplicates("_lid")
+            pres = pd.DataFrame({
+                "_lid": pend["_lid"], "_rid": _restore(pend["_rid"]) if
+                len(pend) else _restore(pd.Series([], dtype=object)),
+                "dist": 0.0, "knn_rank": np.int64(0),
+                "x": pend["x"], "y": pend["y"], "_done": False,
+            })
+            return pd.concat([dres, pres], ignore_index=True)
+
+        round_out = (joined.map_batches(partial, batch_format="pandas")
+                     .groupby("_shard").map_groups(finalize,
+                                                   batch_format="pandas")
+                     .map_batches(lambda t: t.cast(out_schema),
+                                  batch_format="pyarrow")
+                     .materialize())
+        done_parts.append(round_out.filter(expr="_done == True")
+                          .select_columns(["_lid", "_rid", "dist",
+                                           "knn_rank"]))
+        pending = (round_out.filter(expr="_done == False")
+                   .select_columns(["_lid", "x", "y"]).materialize())
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+        if n_pending <= tail_threshold:
+            # straggler tail driver-side: below the dispatch knee, more
+            # distributed rounds cost more than one brute merge
+            blocks = []
+            for t in ray.get(pending.to_arrow_refs()):
+                if isinstance(t, pd.DataFrame):  # pandas-block lineage
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                if t.num_rows:
+                    blocks.append(t)
+            pt = pa.concat_tables(blocks)
+            kk = k + 1 if exclude_self else k
+            qtab = pa.table({"query_id": pt["_lid"], "x": pt["x"],
+                             "y": pt["y"],
+                             "k": pa.array(np.full(pt.num_rows, kk))})
+            rds = right_keyed.map_batches(
+                lambda t: t.rename_columns(
+                    ["doc_id" if c == "_rid" else
+                     ("x" if c == "_rx" else ("y" if c == "_ry" else c))
+                     for c in t.column_names]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            tail = knn_brute(rds, qtab).to_pandas()
+            if exclude_self:
+                tail = tail[tail["query_id"] != tail["doc_id"]]
+            tail = tail.sort_values(["query_id", "knn_rank"], kind="stable")
+            tail["knn_rank"] = tail.groupby("query_id").cumcount() + 1
+            tail = tail[tail["knn_rank"] <= k]
+            done_parts.append(rd.from_arrow(pa.Table.from_pandas(
+                pd.DataFrame({"_lid": tail["query_id"],
+                              "_rid": tail["doc_id"],
+                              "dist": tail["dist"],
+                              "knn_rank": tail["knn_rank"].astype(np.int64)}),
+                preserve_index=False)))
+            break
+        ring *= 2
+
+    result = done_parts[0]
+    for p in done_parts[1:]:
+        result = result.union(p)
+
+    def rename(t: pa.Table) -> pa.Table:
+        names = [left_id_col if c == "_lid" else
+                 ("neighbor_id" if c == "_rid" else c)
+                 for c in t.column_names]
+        return t.rename_columns(names)
+
+    return result.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)

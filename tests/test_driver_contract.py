@@ -40,6 +40,9 @@ SQL_NAMES = [
     # round 3: real stdlib PNG/WAV codecs — the oracle recomputes stats
     # from raw fixture values, so equality proves the bytes roundtrip
     "media_features",
+    # round 3: multi-resolution tile pyramid (shift-derived levels) and
+    # the distributed kNN self-join (ring-disk explode + outer cell join)
+    "tile_pyramid", "knn_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -85,3 +85,75 @@ def test_knn_3d_matches_oracle(ray_session):
         want = ids[np.lexsort((ids, d2))[:5]]
         g = res[res.query_id == row["query_id"]].sort_values("knn_rank")
         np.testing.assert_array_equal(g["doc_id"].to_numpy(), want)
+
+
+def _knn_join_oracle(ids, x, y, k, exclude_self=True):
+    rows = []
+    for i in range(len(ids)):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        order = np.lexsort((ids, d2))
+        if exclude_self:
+            order = order[ids[order] != ids[i]]
+        for r, j in enumerate(order[:k]):
+            rows.append((ids[i], ids[j], np.sqrt(d2[j]), r + 1))
+    return rows
+
+
+def test_knn_join_self_matches_oracle(ray_session, corpus):
+    """Distributed kNN self-join == per-row brute top-k, incl. the
+    (dist, id) tiebreak and self-exclusion."""
+    import ray.data as rd
+
+    sub = corpus.slice(0, 500).select(["doc_id", "x", "y"])
+    ds = rd.from_arrow(sub).repartition(4)
+    got = (knn.knn_join(ds, ds, world=WORLD_2D, depth=4, k=3,
+                        exclude_self=True, num_partitions=4)
+           .to_pandas().sort_values(["doc_id", "knn_rank"])
+           .reset_index(drop=True))
+    ids = sub["doc_id"].to_numpy()
+    want = _knn_join_oracle(ids, sub["x"].to_numpy(), sub["y"].to_numpy(), 3)
+    assert len(got) == len(want)
+    for (gi, gn, gd, gr), (wi, wn, wd, wr) in zip(
+            got.itertuples(index=False),
+            sorted(want, key=lambda r: (r[0], r[3]))):
+        assert (gi, gn, gr) == (wi, wn, wr)
+        assert abs(gd - wd) < 1e-12
+
+
+def test_knn_join_sparse_left_ring_expansion(ray_session):
+    """Left rows in EMPTY regions (zero candidates in early rings) stay
+    pending through the left-outer join and resolve in later rounds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # right side clustered in one corner; left probe in the far corner
+    rx = np.linspace(1.0, 5.0, 20)
+    right = pa.table({"doc_id": pa.array(np.arange(20)),
+                      "x": pa.array(rx), "y": pa.array(rx)})
+    left = pa.table({"doc_id": pa.array([1000]),
+                     "x": pa.array([99_000.0]), "y": pa.array([99_000.0])})
+    got = (knn.knn_join(rd.from_arrow(left), rd.from_arrow(right),
+                        world=WORLD_2D, depth=4, k=2, num_partitions=2)
+           .to_pandas().sort_values("knn_rank"))
+    # nearest two right rows by euclidean distance from (99000, 99000)
+    d2 = (rx - 99_000.0) ** 2 * 2
+    want = np.arange(20)[np.argsort(d2)][:2]
+    assert list(got["neighbor_id"]) == list(want)
+    assert len(got) == 2
+
+
+def test_knn_join_fewer_than_k(ray_session):
+    """Corpus smaller than k: every left row gets all candidates, ranked,
+    once the ring covers the world (forced-done path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2]),
+                  "x": pa.array([10.0, 20.0, 90_000.0]),
+                  "y": pa.array([10.0, 20.0, 90_000.0])})
+    ds = rd.from_arrow(t)
+    got = (knn.knn_join(ds, ds, world=WORLD_2D, depth=4, k=5,
+                        exclude_self=True, num_partitions=2)
+           .to_pandas())
+    assert len(got) == 6  # 3 left rows x 2 other docs each
+    assert set(got.groupby("doc_id")["knn_rank"].max()) == {2}
