@@ -228,6 +228,22 @@ def _q_pip_join(sf_dir: str):
                                   depth=DEPTH, kernel="convex")
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Zonal statistics (classic GIS raster/vector aggregate): per
+    convex zone, count + exact-integer sum/mean of n_chars over the
+    contained docs — the broadcast PIP join composed with a bounded
+    partial-agg driver merge (tile_counts plan)."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pip
+    from optimizing_ray.sources import driver_tables
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    docs = driver_tables.documents_with_geometry(sf_dir, columns=["n_chars"])
+    return pip.zonal_stats(docs, polys, world=WORLD_2D, depth=DEPTH,
+                           kernel="convex", value_col="n_chars")
+
+
 def _q_pip_join_shuffle(sf_dir: str):
     from optimizing_ray import synth
     from optimizing_ray.config import WORLD_2D
@@ -822,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
+        "zonal_stats": _q_zonal_stats,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -877,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracle.knn_sql(N_KNN_QUERIES),
         "knn_ring": oracle.knn_sql(N_KNN_QUERIES),
         "pip_join": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
+        "zonal_stats": oracle.zonal_stats_sql(synth.polygons_table(8, world=WORLD_2D)),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

@@ -1213,3 +1213,38 @@ FROM (
 ) s
 WHERE knn_rank <= {k}
 """
+
+
+def zonal_stats_sql(polygons, world: World = DRIVER_WORLD,
+                    table: str = "documents",
+                    value_col: str = "n_chars") -> str:
+    """Zonal statistics twin: the pip_join_sql containment (HAVING min
+    edge-cross >= 0 over inlined convex edges) aggregated per zone.
+    ``value_col`` is integer, so SUM is order-exact and the mean is one
+    shared division of exact integers floor-rounded at 1e-6 on both
+    sides — no float-sum-order hazard."""
+    values = []
+    for row in polygons.to_pylist():
+        ring = row["ring"]
+        for i in range(len(ring)):
+            v1, v2 = ring[i], ring[(i + 1) % len(ring)]
+            values.append(f"('{row['poly_id']}', {v1['x']!r}, {v1['y']!r}, "
+                          f"{v2['x']!r}, {v2['y']!r})")
+    edges = ",\n  ".join(values)
+    return f"""
+WITH {geo_cte(table, world, extra_cols=value_col)},
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {edges}),
+hits AS (
+  SELECT e.poly_id AS poly_id, g.doc_id AS doc_id,
+         min(g.{value_col}) AS v
+  FROM geo g CROSS JOIN edges e
+  GROUP BY e.poly_id, g.doc_id
+  HAVING min((e.x2 - e.x1) * (g.y - e.y1) - (e.y2 - e.y1) * (g.x - e.x1)) >= 0
+)
+SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v) AS BIGINT) AS sum_{value_col},
+       floor((CAST(SUM(v) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
+         AS mean_{value_col}
+FROM hits GROUP BY poly_id
+"""

@@ -32,7 +32,8 @@ from optimizing_ray import cells
 from optimizing_ray.config import World
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
-__all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast", "pip_join_shuffle"]
+__all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast",
+           "pip_join_shuffle", "zonal_stats"]
 
 
 def pip_ray_cast(px: np.ndarray, py: np.ndarray,
@@ -301,3 +302,57 @@ def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
 
     return (tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(within_shard, batch_format="pyarrow"))
+
+
+def zonal_stats(docs: rd.Dataset, polygons: pa.Table, *, world: World,
+                depth: int, kernel: str = "convex",
+                value_col: str = "n_chars") -> pa.Table:
+    """Per-zone aggregates over contained points — the classic zonal
+    statistics of raster/vector GIS, composed from the broadcast PIP
+    join: (poly_id, n_docs, sum_<value>, mean_<value>).
+
+    Scale shape: the join streams; each batch pre-aggregates to at most
+    one row per zone, so the merge input is bounded by blocks x zones
+    and runs driver-side (the tile_counts plan).  ``value_col`` must be
+    an INTEGER column: integer partial sums are order-exact, and the
+    mean is ONE shared division of exact integers — the SQL twin
+    reproduces both bit-for-bit with no float-sum-order hazard (the
+    repo's oracle discipline).  Zones containing no points are absent
+    (matching the GROUP BY twin)."""
+    joined = pip_join_broadcast(docs, polygons, world=world, depth=depth,
+                                kernel=kernel,
+                                payload_cols=("doc_id", value_col))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "poly_id" not in t.column_names:
+            return pa.table({"poly_id": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        pid = t["poly_id"].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # int64 accumulate (bincount weights go through float64; keep
+        # integer sums EXACT at any magnitude)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, val)
+        return pa.table({"poly_id": pa.array(uniq.astype(object)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    sum_col, mean_col = f"sum_{value_col}", f"mean_{value_col}"
+    if not tabs:
+        return pa.table({"poly_id": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         sum_col: pa.array([], pa.int64()),
+                         mean_col: pa.array([], pa.float64())})
+    df = pa.concat_tables(tabs).to_pandas()
+    agg = df.groupby("poly_id", as_index=False, sort=True).sum()
+    n = agg["n"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy().astype(np.int64)
+    mean = np.floor((s / n) * 1e6 + 0.5) / 1e6
+    return pa.table({"poly_id": pa.array(agg["poly_id"]),
+                     "n_docs": pa.array(n), sum_col: pa.array(s),
+                     mean_col: pa.array(mean)})

@@ -43,6 +43,8 @@ SQL_NAMES = [
     # round 3: multi-resolution tile pyramid (shift-derived levels) and
     # the distributed kNN self-join (ring-disk explode + outer cell join)
     "tile_pyramid", "knn_join",
+    # round 3: zonal statistics (PIP join + exact-integer zone aggregates)
+    "zonal_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

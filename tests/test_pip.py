@@ -74,3 +74,32 @@ def test_pip_shuffle_matches_broadcast(ray_session):
                              depth=4, n_shards=8).to_pandas()
     assert set(zip(a["poly_id"], a["doc_id"])) == set(zip(b["poly_id"], b["doc_id"]))
     assert len(b) == len(b.drop_duplicates())
+
+
+def test_zonal_stats_square_zones(ray_session):
+    """Hand-checkable axis-aligned square zones: counts, exact integer
+    sums, and the shared-division mean; empty zones absent."""
+    import ray.data as rd
+
+    def square(pid, x0, y0, s):
+        return {"poly_id": pid,
+                "ring": [{"x": x0, "y": y0}, {"x": x0 + s, "y": y0},
+                         {"x": x0 + s, "y": y0 + s}, {"x": x0, "y": y0 + s}]}
+
+    polys = pa.Table.from_pylist(
+        [square("A", 0.0, 0.0, 100.0), square("B", 1000.0, 1000.0, 50.0),
+         square("EMPTY", 90_000.0, 90_000.0, 1.0)])
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6)),
+        "x": pa.array([10.0, 20.0, 99.0, 1010.0, 1049.0, 5000.0]),
+        "y": pa.array([10.0, 20.0, 99.0, 1010.0, 1049.0, 5000.0]),
+        "val": pa.array(np.array([7, 11, 13, 100, 200, 999], dtype=np.int64)),
+    })
+    out = pip.zonal_stats(rd.from_arrow(docs), polys, world=WORLD_2D,
+                          depth=4, kernel="convex", value_col="val")
+    df = out.to_pandas().set_index("poly_id")
+    assert set(df.index) == {"A", "B"}  # EMPTY zone absent
+    assert df.loc["A", "n_docs"] == 3 and df.loc["A", "sum_val"] == 31
+    assert df.loc["B", "n_docs"] == 2 and df.loc["B", "sum_val"] == 300
+    assert df.loc["A", "mean_val"] == np.floor((31 / 3) * 1e6 + 0.5) / 1e6
+    assert df.loc["B", "mean_val"] == 150.0
