@@ -824,6 +824,53 @@ def _q_knn_join(sf_dir: str):
     return out
 
 
+HEX_SIZE = 2500.0  # hex circumradius: ~600 hexes over the 100k^2 world
+
+
+def _q_hex_assign(sf_dir: str):
+    """H3-flavored hexagonal cell assignment (the north-star's second
+    cell family next to the Morton quadkeys): axial (q, r) via cube
+    rounding, SQL-twinned IEEE op order."""
+    from optimizing_ray.stages.assign import assign_hex
+
+    return assign_hex(_docs(sf_dir), HEX_SIZE).select_columns(
+        ["doc_id", "hex_q", "hex_r"])
+
+
+def _q_hex_counts(sf_dir: str):
+    """Per-hex counts: partial per-batch unique+count, driver merge —
+    bounded by the ~600 hexes covering the world, never a shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from optimizing_ray.stages.assign import assign_hex
+
+    ds = assign_hex(_docs(sf_dir), HEX_SIZE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "hex_q" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # pack (q, r) into one int64 key, offset-biased so negatives pack
+        # cleanly; |q|,|r| < 2^20 at any world size
+        B = np.int64(1 << 20)
+        k = ((t["hex_q"].to_numpy() + B) << np.int64(21)) | (t["hex_r"].to_numpy() + B)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    keys = np.concatenate([t["k"].to_numpy() for t in tabs])
+    ns = np.concatenate([t["n"].to_numpy() for t in tabs])
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(agg, inv, ns)
+    B = np.int64(1 << 20)
+    return pa.table({"hex_q": pa.array((uk >> np.int64(21)) - B),
+                     "hex_r": pa.array((uk & np.int64((1 << 21) - 1)) - B),
+                     "n_docs": pa.array(agg)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -832,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "knn_join": _q_knn_join,
         "grid_cells": _q_grid_cells,
+        "hex_assign": _q_hex_assign,
+        "hex_counts": _q_hex_counts,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
         "box_join_3d": _q_box_join_3d,
@@ -888,6 +937,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": oracle.tile_pyramid_sql(PYR_DEPTH),
         "knn_join": oracle.knn_join_sql(KNNJ_K),
         "grid_cells": oracle.grid_cells_sql(),
+        "hex_assign": oracle.hex_assign_sql(HEX_SIZE),
+        "hex_counts": oracle.hex_counts_sql(HEX_SIZE),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -27,6 +27,7 @@ __all__ = [
     "point_cell2", "cell_box2", "neighbors2", "disk2",
     "cover2", "adaptive_cover2", "grid_cell",
     "encode3", "decode3", "depth_of3", "point_cell3", "cover3",
+    "hex_axial", "hex_center", "hex_neighbors",
 ]
 
 _M2 = (
@@ -294,6 +295,64 @@ def adaptive_cover2(min_x: float, min_y: float, max_x: float, max_y: float,
 
     visit(1, 0, world.min_x, world.min_y, world.min_x + wx, world.min_y + wy)
     return np.asarray(keys, dtype=np.uint64), np.asarray(full, dtype=bool)
+
+
+# --- hexagonal (H3-flavored) cells -----------------------------------------
+#
+# The north-star names H3/S2 cell encoding; the Morton quadkeys above are
+# the S2-flavored family (square hierarchy).  This is the H3-flavored one:
+# pointy-top hexagons addressed by axial coordinates (q, r), assignment by
+# the standard fractional-axial + cube-rounding algorithm.  Every step is
+# plain IEEE double arithmetic in a FIXED op order so the DuckDB oracle
+# (oracle.hex_assign_sql) reproduces the assignment bit-for-bit — floor
+# (x + 0.5) rounding only (Python/DuckDB round() disagree at halves).
+
+_SQRT3 = np.sqrt(3.0)
+
+
+def hex_axial(x, y, size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Pointy-top hexagonal cell assignment: world (x, y) -> axial
+    (q, r) int64 for hexes of circumradius `size`.
+
+    Fractional axial coords, then cube rounding (round each of x/y/z,
+    fix the axis with the largest rounding error so x+y+z == 0 holds).
+    Op order matches ``oracle.hex_assign_sql`` exactly.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    cx, cz = qf, rf
+    cy = -qf - rf
+    rx = np.floor(cx + 0.5)
+    ry = np.floor(cy + 0.5)
+    rz = np.floor(cz + 0.5)
+    dx = np.abs(rx - cx)
+    dy = np.abs(ry - cy)
+    dz = np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    q = np.where(fix_x, -ry - rz, rx)
+    r = np.where(fix_z, -rx - ry, rz)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_center(q, r, size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Axial (q, r) -> world coordinates of the hex center."""
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    return size * (_SQRT3 * q + _SQRT3 / 2.0 * r), size * (1.5 * r)
+
+
+_HEX_DIRS = np.asarray([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)],
+                       dtype=np.int64)
+
+
+def hex_neighbors(q, r) -> tuple[np.ndarray, np.ndarray]:
+    """The 6 axial neighbors of each hex; shape (..., 6)."""
+    q = np.asarray(q, dtype=np.int64)[..., None]
+    r = np.asarray(r, dtype=np.int64)[..., None]
+    return q + _HEX_DIRS[:, 0], r + _HEX_DIRS[:, 1]
 
 
 def grid_cell(x, z, cell_x: float = 255.0, cell_z: float = 255.0):

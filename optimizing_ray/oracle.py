@@ -1248,3 +1248,49 @@ SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS mean_{value_col}
 FROM hits GROUP BY poly_id
 """
+
+
+# --- round 3: hexagonal (H3-flavored) cells --------------------------------
+
+def hex_assign_sql(size: float, world: World = DRIVER_WORLD,
+                   table: str = "documents") -> str:
+    """DuckDB twin of ``cells.hex_axial``: fractional pointy-top axial
+    coordinates + cube rounding, in EXACTLY the engine's IEEE op order.
+    Rounding is floor(v + 0.5) on both sides (never round(): Python
+    half-even vs DuckDB half-away).  The cube-round fix-up replicates the
+    engine's predicate order: fix x when dx is strictly largest, else fix
+    z unless dy > dz (y never needs output fixing — only q = x and r = z
+    are returned)."""
+    qf = f"((sqrt(3.0) / 3.0 * x - y / 3.0) / {size!r})"
+    rf = f"((2.0 / 3.0 * y) / {size!r})"
+    return f"""
+WITH {geo_cte(table, world)},
+hexf AS (
+  SELECT doc_id, {qf} AS qf, {rf} AS rf FROM geo),
+cube AS (
+  SELECT doc_id, qf, rf, (-qf - rf) AS cy,
+         floor(qf + 0.5) AS rx,
+         floor((-qf - rf) + 0.5) AS ry,
+         floor(rf + 0.5) AS rz
+  FROM hexf),
+fixed AS (
+  SELECT doc_id, rx, ry, rz,
+         (abs(rx - qf) > abs(ry - cy) AND abs(rx - qf) > abs(rz - rf)) AS fix_x,
+         (abs(ry - cy) > abs(rz - rf)) AS y_gt_z
+  FROM cube)
+SELECT doc_id,
+       CAST(CASE WHEN fix_x THEN -ry - rz ELSE rx END AS BIGINT) AS hex_q,
+       CAST(CASE WHEN (NOT fix_x) AND (NOT y_gt_z) THEN -rx - ry ELSE rz END
+            AS BIGINT) AS hex_r
+FROM fixed
+"""
+
+
+def hex_counts_sql(size: float, world: World = DRIVER_WORLD,
+                   table: str = "documents") -> str:
+    """Per-hex document counts over the hex assignment."""
+    return f"""
+WITH assigned AS ({hex_assign_sql(size, world, table)})
+SELECT hex_q, hex_r, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY hex_q, hex_r
+"""

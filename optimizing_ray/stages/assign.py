@@ -27,7 +27,8 @@ import ray.data as rd
 from optimizing_ray import cells
 from optimizing_ray.config import World
 
-__all__ = ["assign_point_cells_batch", "assign_tiles", "explode_cover_batch"]
+__all__ = ["assign_point_cells_batch", "assign_tiles", "explode_cover_batch",
+           "assign_hex_batch", "assign_hex"]
 
 
 def assign_point_cells_batch(t: pa.Table, depth: int, world: World,
@@ -50,6 +51,27 @@ def assign_tiles(ds: rd.Dataset, depth: int, world: World,
     return ds.map_batches(
         lambda t: assign_point_cells_batch(t, depth, world, x_col, y_col, out_col),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_hex_batch(t: pa.Table, size: float,
+                     x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Append axial hexagonal cell coordinates (hex_q, hex_r) — the
+    H3-flavored sibling of the Morton quadkey assignment (north-star
+    'distributed H3/S2 cell encoding').  SQL twin: oracle.hex_assign_sql."""
+    if t.num_rows == 0 or x_col not in t.column_names:
+        t = t.append_column("hex_q", pa.array([], pa.int64()))
+        return t.append_column("hex_r", pa.array([], pa.int64()))
+    q, r = cells.hex_axial(t[x_col].to_numpy(zero_copy_only=False),
+                           t[y_col].to_numpy(zero_copy_only=False), size)
+    t = t.append_column("hex_q", pa.array(q))
+    return t.append_column("hex_r", pa.array(r))
+
+
+def assign_hex(ds: rd.Dataset, size: float, x_col: str = "x",
+               y_col: str = "y") -> rd.Dataset:
+    """Dataset wrapper for ``assign_hex_batch`` (stateless zero-copy map)."""
+    return ds.map_batches(lambda t: assign_hex_batch(t, size, x_col, y_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def explode_cover_batch(t: pa.Table, depth: int, world: World,

@@ -143,3 +143,46 @@ def test_grid_cell_truncation():
     cx, cz = cells.grid_cell(np.asarray([510.1, -10.0, 0.0]), np.asarray([254.9, 255.0, -300.0]))
     np.testing.assert_array_equal(cx, [2, 0, 0])   # C-style trunc toward zero
     np.testing.assert_array_equal(cz, [0, 1, -1])
+
+
+# --- hexagonal (H3-flavored) cells ------------------------------------------
+
+def test_hex_axial_nearest_center():
+    """Cube rounding == nearest hex center (the defining property)."""
+    rng = np.random.default_rng(7)
+    size = 2500.0
+    x = rng.uniform(0.0, 100_000.0, 4000)
+    y = rng.uniform(0.0, 100_000.0, 4000)
+    q, r = cells.hex_axial(x, y, size)
+    cx, cy = cells.hex_center(q, r, size)
+    d0 = (x - cx) ** 2 + (y - cy) ** 2
+    nq, nr = cells.hex_neighbors(q, r)
+    nx, ny = cells.hex_center(nq, nr, size)
+    dn = (x[:, None] - nx) ** 2 + (y[:, None] - ny) ** 2
+    # own center at least as close as every neighbor center (small slack
+    # for exact-boundary float ties)
+    assert np.all(d0 <= dn.min(axis=1) + 1e-6)
+
+
+def test_hex_center_roundtrip():
+    q0 = np.arange(-20, 21, dtype=np.int64)
+    r0 = (q0 * 7) % 13 - 6
+    cx, cy = cells.hex_center(q0, r0, 300.0)
+    q1, r1 = cells.hex_axial(cx, cy, 300.0)
+    np.testing.assert_array_equal(q0, q1)
+    np.testing.assert_array_equal(r0, r1)
+
+
+def test_hex_axial_cube_sum_zero():
+    """The rounded cube coords always satisfy x + y + z == 0, i.e. the
+    fix-up branch ran correctly for every input."""
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-50_000.0, 150_000.0, 2000)
+    y = rng.uniform(-50_000.0, 150_000.0, 2000)
+    q, r = cells.hex_axial(x, y, 777.0)
+    # recompute y-cube from the output and check integrality via center
+    # roundtrip: a (q, r) produced by rounding must map back to itself
+    cx, cy = cells.hex_center(q, r, 777.0)
+    q2, r2 = cells.hex_axial(cx, cy, 777.0)
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(r, r2)

@@ -45,6 +45,9 @@ SQL_NAMES = [
     "tile_pyramid", "knn_join",
     # round 3: zonal statistics (PIP join + exact-integer zone aggregates)
     "zonal_stats",
+    # round 3: hexagonal (H3-flavored) cell family — axial assignment via
+    # cube rounding + per-hex counts
+    "hex_assign", "hex_counts",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
