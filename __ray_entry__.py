@@ -825,6 +825,21 @@ def _q_knn_join(sf_dir: str):
 
 
 HEX_SIZE = 2500.0  # hex circumradius: ~600 hexes over the 100k^2 world
+DWITHIN_R = 2000.0  # distance band: ~150 pairs at sf0.01
+
+
+def _q_dwithin_join(sf_dir: str):
+    """Distance-band spatial self-join (ST_DWithin): all doc pairs within
+    DWITHIN_R, each unordered pair once.  nrows hint -> broadcast plan at
+    driver scale; the sharded explode+join plan is pytest-equivalence
+    tested (test_dwithin)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+
+    docs = _docs(sf_dir)
+    return dwithin.dwithin_join(docs, docs, world=WORLD_2D, depth=DEPTH,
+                                radius=DWITHIN_R,
+                                nrows=_tbl_rows(sf_dir, "documents"))
 
 
 def _q_hex_assign(sf_dir: str):
@@ -881,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_cells": _q_grid_cells,
         "hex_assign": _q_hex_assign,
         "hex_counts": _q_hex_counts,
+        "dwithin_join": _q_dwithin_join,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
         "box_join_3d": _q_box_join_3d,
@@ -939,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cells": oracle.grid_cells_sql(),
         "hex_assign": oracle.hex_assign_sql(HEX_SIZE),
         "hex_counts": oracle.hex_counts_sql(HEX_SIZE),
+        "dwithin_join": oracle.dwithin_join_sql(DWITHIN_R),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -1294,3 +1294,16 @@ WITH assigned AS ({hex_assign_sql(size, world, table)})
 SELECT hex_q, hex_r, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM assigned GROUP BY hex_q, hex_r
 """
+
+
+def dwithin_join_sql(radius: float, world: World = DRIVER_WORLD,
+                     table: str = "documents") -> str:
+    """Distance-band self-join twin: each unordered pair once
+    (doc_a < doc_b), same d2 expression order as the engine residual."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""
+WITH {geo_cte(table, world)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sqrt({d2}) AS dist
+FROM geo a, geo b
+WHERE a.doc_id < b.doc_id AND {d2} <= {radius * radius!r}
+"""

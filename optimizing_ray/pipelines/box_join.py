@@ -345,8 +345,13 @@ def box_join_shuffle(docs: rd.Dataset, queries: rd.Dataset | pa.Table, *,
     docs_keyed = docs.map_batches(
         lambda t: assign_point_cells_batch(t, depth, world).select(slim_cols),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = docs_keyed.join(qcov, join_type="inner", on=("cell_key",),
-                             num_partitions=num_partitions)
+    # NOT Dataset.join: the native join starts num_partitions aggregator
+    # actors per execution (~15 s cold on this VM, measured round 3);
+    # hash_shard_join is the union + shard-groupby exchange instead
+    from optimizing_ray.pipelines import shard_join
+    joined = shard_join.hash_shard_join(docs_keyed, qcov, on="cell_key",
+                                        how="inner",
+                                        n_shards=min(num_partitions, 32))
 
     def residual(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False)

@@ -1,0 +1,185 @@
+"""Distance-band spatial join (ST_DWithin): every pair within radius R.
+
+The fixed-radius sibling of ``knn.knn_join`` — the classic geospatial
+self-join ("all pairs of points closer than R"), and at corpus scale the
+spatial analogue of near-duplicate pair generation.  The reference's
+view-distance neighborhood rule (``WorldPartition.hpp:196-212``) is the
+same pruning idea with r = view distance.
+
+Two plans (the dedup/pip/knn_join plan-choice discipline):
+
+* broadcast (``nrows`` <= threshold): the right side ships ONCE via
+  ``ray.put`` as cell-sorted arrays; each left batch gathers ring
+  candidates per unique cell and masks ``d2 <= R^2`` — zero shuffles.
+* shard (default, no hint = assume large): left explodes over its
+  Chebyshev disk of ``ceil(R / cell_w)`` cells, ONE
+  ``shard_join.hash_shard_join`` on the right side's own cell, then a
+  vectorized residual distance filter.  Every surviving pair appears
+  exactly once (the right row has ONE cell; the left explode emits that
+  cell once), so no dedup shuffle is needed.
+
+Output: (doc_a, doc_b, dist) with ``doc_a < doc_b`` — each unordered
+pair once, ids kept in their native type so the comparison matches the
+SQL oracle's (``oracle.dwithin_join_sql``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from optimizing_ray import cells
+from optimizing_ray.config import World
+from optimizing_ray.pipelines import shard_join
+from optimizing_ray.pipelines.box_join import _ranges_to_rows
+
+__all__ = ["dwithin_join"]
+
+
+def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
+           prefix: str) -> pa.Table:
+    if t.num_rows == 0 or "x" not in t.column_names:
+        return pa.table({f"{prefix}id": pa.array([], pa.string()),
+                         f"{prefix}x": pa.array([], pa.float64()),
+                         f"{prefix}y": pa.array([], pa.float64()),
+                         "cell_key": pa.array([], pa.int64())})
+    key = cells.point_cell2(t["x"].to_numpy(zero_copy_only=False),
+                            t["y"].to_numpy(zero_copy_only=False),
+                            world, depth).astype(np.int64)
+    return pa.table({f"{prefix}id": t[id_col], f"{prefix}x": t["x"],
+                     f"{prefix}y": t["y"], "cell_key": pa.array(key)})
+
+
+def dwithin_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
+                 depth: int, radius: float, id_col: str = "doc_id",
+                 n_shards: int = 32, nrows: int | None = None,
+                 broadcast_threshold: int = 200_000) -> rd.Dataset:
+    """All (left, right) pairs with euclidean distance <= radius and
+    ``left_id < right_id`` (each unordered pair once; self pairs never
+    emitted).  Both sides must carry (id_col, x, y)."""
+    wx, wy, _ = world.size
+    n = 1 << depth
+    cell_w = min(wx, wy) / n
+    ring = int(np.clip(np.ceil(radius / cell_w), 1, max(1, n - 1)))
+    r2 = radius * radius
+
+    if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        return _dwithin_broadcast(left, right, world=world, depth=depth,
+                                  ring=ring, r2=r2, id_col=id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({"_aid": pa.array([], pa.string()),
+                             "_ax": pa.array([], pa.float64()),
+                             "_ay": pa.array([], pa.float64()),
+                             "cell_key": pa.array([], pa.int64())})
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        key = cells.point_cell2(x, y, world, depth)
+        disk = cells.disk2(key, ring).astype(np.int64)
+        m = disk.shape[1]
+        df = pd.DataFrame({
+            "_aid": np.repeat(t[id_col].to_numpy(zero_copy_only=False), m),
+            "_ax": np.repeat(x, m), "_ay": np.repeat(y, m),
+            "cell_key": disk.ravel(),
+        }).drop_duplicates(["_aid", "cell_key"])  # border clamp dups
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    a_side = left.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    b_side = right.map_batches(lambda t: _keyed(t, world, depth, id_col, "_b"),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    joined = shard_join.hash_shard_join(a_side, b_side, on="cell_key",
+                                        how="inner", n_shards=n_shards)
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "_aid" not in df.columns:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "dist": []})
+        dx = df["_ax"].to_numpy() - df["_bx"].to_numpy()
+        dy = df["_ay"].to_numpy() - df["_by"].to_numpy()
+        d2 = dx * dx + dy * dy
+        keep = (d2 <= r2) & (df["_aid"].to_numpy() < df["_bid"].to_numpy())
+        out = df[keep]
+        return pd.DataFrame({"doc_a": out["_aid"].to_numpy(),
+                             "doc_b": out["_bid"].to_numpy(),
+                             "dist": np.sqrt(d2[keep])})
+
+    return joined.map_batches(residual, batch_format="pandas")
+
+
+def _dwithin_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
+                       depth: int, ring: int, r2: float,
+                       id_col: str) -> rd.Dataset:
+    from optimizing_ray.broadcast import cached
+
+    parts = [t for t in ray.get(right.map_batches(
+        lambda t: _keyed(t, world, depth, id_col, "_b"),
+        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if parts:
+        rt = pa.concat_tables(parts)
+        k = rt["cell_key"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        state = {"skey": k[order], "bx": rt["_bx"].to_numpy()[order],
+                 "by": rt["_by"].to_numpy()[order],
+                 "bid": rt["_bid"].to_numpy(zero_copy_only=False)[order]}
+    else:
+        state = {"skey": np.empty(0, np.int64), "bx": np.empty(0),
+                 "by": np.empty(0), "bid": np.empty(0, object)}
+    state_ref = ray.put(state)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        id_type = (t[id_col].type if id_col in t.column_names else pa.int64())
+        empty = pa.table({"doc_a": pa.array([], id_type),
+                          "doc_b": pa.array([], id_type),
+                          "dist": pa.array([], pa.float64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        st = cached(("dwithin_bcast", state_ref.hex()),
+                    lambda: ray.get(state_ref))
+        skey, bx, by, bid = st["skey"], st["bx"], st["by"], st["bid"]
+        if len(skey) == 0:
+            return empty
+        ax = t["x"].to_numpy(zero_copy_only=False)
+        ay = t["y"].to_numpy(zero_copy_only=False)
+        aid = t[id_col].to_numpy(zero_copy_only=False)
+        akey = cells.point_cell2(ax, ay, world, depth)
+        out_a, out_b, out_d = [], [], []
+        ucells, inv = np.unique(akey, return_inverse=True)
+        for ci in range(len(ucells)):
+            rows_q = np.flatnonzero(inv == ci)
+            qcells = np.unique(cells.disk2(np.uint64(ucells[ci]),
+                                           ring).astype(np.int64))
+            lo = np.searchsorted(skey, qcells, side="left")
+            hi = np.searchsorted(skey, qcells, side="right")
+            cand = _ranges_to_rows(lo, hi)
+            if len(cand) == 0:
+                continue
+            qch = max(1, (1 << 22) // max(len(cand), 1))
+            for s in range(0, len(rows_q), qch):
+                rq = rows_q[s:s + qch]
+                dx = ax[rq, None] - bx[cand][None, :]
+                dy = ay[rq, None] - by[cand][None, :]
+                d2 = dx * dx + dy * dy
+                hit = ((d2 <= r2)
+                       & (aid[rq, None] < bid[cand][None, :]))
+                qi, mi = np.nonzero(hit)
+                if len(qi) == 0:
+                    continue
+                out_a.append(rq[qi])
+                out_b.append(cand[mi])
+                out_d.append(np.sqrt(d2[qi, mi]))
+        if not out_a:
+            return empty
+        ai = np.concatenate(out_a)
+        return pa.table({
+            "doc_a": t[id_col].take(pa.array(ai)),
+            "doc_b": pa.array(bid[np.concatenate(out_b)]).cast(id_type),
+            "dist": pa.array(np.concatenate(out_d)),
+        })
+
+    return left.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -30,8 +30,22 @@ import ray.data as rd
 
 from optimizing_ray import cells
 from optimizing_ray.config import World
+from optimizing_ray.pipelines import shard_join
 
 __all__ = ["knn_brute", "knn_ring", "knn_ring_store", "knn_join"]
+
+
+def _smallest_with_ties(d2: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the kk smallest values PLUS every value tied at the
+    k-th — argpartition alone breaks exact-distance ties arbitrarily,
+    which silently drops the (d2, doc_id)-ordered winner at a partial
+    boundary (the final merges sort composite and cut at k, so emitting
+    the tie set keeps them exact; measured tie case: symmetric doc
+    geometry at sf0.01, round 3)."""
+    if kk >= len(d2):
+        return np.arange(len(d2))
+    part = np.argpartition(d2, kk - 1)[:kk]
+    return np.flatnonzero(d2 <= d2[part].max())
 
 
 class _PartialTopK:
@@ -82,15 +96,14 @@ class _PartialTopK:
                         dz = zs - self.qz[qi]
                         d2 = d2 + dz * dz
                     kk = min(int(self.k[qi]), m)
-                    part = np.argpartition(d2, kk - 1)[:kk] if kk < m else np.arange(m)
+                    part = _smallest_with_ties(d2, kk)
                     cand_rows[qi].append(part + s)
                     cand_d[qi].append(d2[part])
             for qi in range(nq):
                 rows = np.concatenate(cand_rows[qi])
                 d2 = np.concatenate(cand_d[qi])
                 kk = min(int(self.k[qi]), len(rows))
-                part = (np.argpartition(d2, kk - 1)[:kk]
-                        if kk < len(rows) else np.arange(len(rows)))
+                part = _smallest_with_ties(d2, kk)
                 out_q.append(np.full(len(part), qi))
                 out_rows.append(rows[part])
                 out_d.append(d2[part])
@@ -120,7 +133,7 @@ class _PartialTopK:
                     dz = z[rows] - self.qz[qi]
                     d2 = d2 + dz * dz
                 kk = min(int(self.k[qi]), len(rows))
-                part = np.argpartition(d2, kk - 1)[:kk] if kk < len(rows) else np.arange(len(rows))
+                part = _smallest_with_ties(d2, kk)
                 out_q.append(np.full(len(part), qi))
                 out_rows.append(rows[part])
                 out_d.append(d2[part])
@@ -318,12 +331,179 @@ def knn_ring_store(store_dir: str, queries: pa.Table, *, world: World,
     return out, metrics
 
 
+def _lexsortable(a: np.ndarray) -> np.ndarray:
+    """Object arrays (arrow string ids) -> unicode dtype for np.lexsort."""
+    return a.astype(str) if a.dtype == object else a
+
+
+def _knn_join_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
+                        depth: int, k: int, left_id_col: str,
+                        right_id_col: str, exclude_self: bool) -> rd.Dataset:
+    """Broadcast plan for ``knn_join``: the right side (gated to
+    <= broadcast_threshold rows BY PLAN CHOICE) ships once via
+    ``ray.put`` as cell-sorted arrays; every LEFT batch then computes
+    its rows' exact kNN locally with per-cell ring expansion — zero
+    shuffles, no rounds, one streaming pass over the left side.  The
+    kernel is vectorized per unique left cell (queries sharing a cell
+    share their candidate gather), never per row."""
+    from optimizing_ray.broadcast import cached
+
+    n = 1 << depth
+    wx, wy, _ = world.size
+    cell_w = min(wx, wy) / n
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({"_rid": pa.array([], pa.string()),
+                             "_rx": pa.array([], pa.float64()),
+                             "_ry": pa.array([], pa.float64()),
+                             "cell_key": pa.array([], pa.int64())})
+        key = cells.point_cell2(t["x"].to_numpy(zero_copy_only=False),
+                                t["y"].to_numpy(zero_copy_only=False),
+                                world, depth).astype(np.int64)
+        return pa.table({"_rid": t[right_id_col], "_rx": t["x"],
+                         "_ry": t["y"], "cell_key": pa.array(key)})
+
+    parts = [t for t in ray.get(right.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if parts:
+        rt = pa.concat_tables(parts)
+        skey_u = rt["cell_key"].to_numpy()
+        order = np.argsort(skey_u, kind="stable")
+        state = {
+            "skey": skey_u[order],
+            "rx": rt["_rx"].to_numpy()[order],
+            "ry": rt["_ry"].to_numpy()[order],
+            # unicode (not object) dtype so np.lexsort can key on ids
+            "rid": _lexsortable(rt["_rid"].to_numpy(zero_copy_only=False)[order]),
+            "n_right": rt.num_rows,
+        }
+    else:
+        state = {"skey": np.empty(0, np.int64), "rx": np.empty(0),
+                 "ry": np.empty(0), "rid": np.empty(0, object), "n_right": 0}
+    state_ref = ray.put(state)
+    nr = state["n_right"]
+    ring0 = 1
+    if nr > 0:
+        r_k = float(np.sqrt((k + 1) / (np.pi * nr) * (wx * wy)))
+        ring0 = int(np.clip(np.ceil(r_k / cell_w), 1, max(1, n - 1)))
+
+    from optimizing_ray.pipelines.box_join import _ranges_to_rows
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        rid_type = (t[left_id_col].type if left_id_col in t.column_names
+                    else pa.int64())
+        empty = pa.table({left_id_col: pa.array([], rid_type),
+                          "neighbor_id": pa.array([], rid_type),
+                          "dist": pa.array([], pa.float64()),
+                          "knn_rank": pa.array([], pa.int64())})
+        if t.num_rows == 0 or left_id_col not in t.column_names:
+            return empty
+        st = cached(("knn_join_bcast", state_ref.hex()),
+                    lambda: ray.get(state_ref))
+        skey, rx, ry, rid = st["skey"], st["rx"], st["ry"], st["rid"]
+        lx = t["x"].to_numpy(zero_copy_only=False)
+        ly = t["y"].to_numpy(zero_copy_only=False)
+        lid = t[left_id_col].to_numpy(zero_copy_only=False)
+        if st["n_right"] == 0:
+            return empty
+        lkey = cells.point_cell2(lx, ly, world, depth)
+        out_l, out_r, out_d, out_rank = [], [], [], []
+        pend = np.arange(len(lx))
+        ring = ring0
+        while len(pend):
+            force = ring >= n
+            still: list[np.ndarray] = []
+            ucells, inv = np.unique(lkey[pend], return_inverse=True)
+            for ci in range(len(ucells)):
+                rows_q = pend[inv == ci]
+                qcells = np.unique(cells.disk2(
+                    np.uint64(ucells[ci]), ring).astype(np.int64))
+                lo = np.searchsorted(skey, qcells, side="left")
+                hi = np.searchsorted(skey, qcells, side="right")
+                cand = _ranges_to_rows(lo, hi)
+                if len(cand) == 0:
+                    if force:
+                        continue  # grid exhausted, no neighbors exist
+                    still.append(rows_q)
+                    continue
+                # query-chunked distance blocks: bound the (q, m) matrix
+                qch = max(1, (1 << 22) // max(len(cand), 1))
+                for s in range(0, len(rows_q), qch):
+                    rq = rows_q[s:s + qch]
+                    dx = lx[rq, None] - rx[cand][None, :]
+                    dy = ly[rq, None] - ry[cand][None, :]
+                    d2 = dx * dx + dy * dy
+                    if exclude_self:
+                        d2[lid[rq, None] == rid[cand][None, :]] = np.inf
+                    kk = min(k, d2.shape[1])
+                    idx = (np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                           if kk < d2.shape[1]
+                           else np.broadcast_to(np.arange(d2.shape[1]),
+                                                (len(rq), d2.shape[1])))
+                    dsel = np.take_along_axis(d2, idx, axis=1)
+                    nvalid = (dsel < np.inf).sum(axis=1)
+                    kth = np.where(nvalid >= 1,
+                                   np.max(np.where(dsel < np.inf, dsel, 0.0),
+                                          axis=1), np.inf)
+                    done = ((nvalid >= min(k, st["n_right"]))
+                            & (np.sqrt(kth) < ring * cell_w)) | force
+                    if not force and not done.all():
+                        still.append(rq[~done])
+                    drows = np.flatnonzero(done)
+                    if len(drows) == 0:
+                        continue
+                    # vectorized emit over ALL done rows of the chunk.
+                    # argpartition breaks EXACT-d2 ties at the k boundary
+                    # arbitrarily, but the oracle's row_number orders by
+                    # (d2, rid) — so include every candidate tied at the
+                    # k-th distance, ONE lexsort keyed (query, d2, rid),
+                    # then cut at rank k
+                    d2d = d2[drows]
+                    kv = kth[drows]
+                    tie = (d2d <= kv[:, None]) & (d2d < np.inf)
+                    cnts = tie.sum(axis=1)
+                    qrep = np.repeat(np.arange(len(drows)), cnts)
+                    dflat = d2d[tie]
+                    colidx = np.broadcast_to(np.arange(d2d.shape[1]),
+                                             d2d.shape)[tie]
+                    rv = cand[colidx]
+                    o = np.lexsort((rid[rv], dflat, qrep))
+                    starts = np.cumsum(cnts) - cnts
+                    ranks = (np.arange(len(o), dtype=np.int64)
+                             - np.repeat(starts, cnts) + 1)
+                    keep = ranks <= k
+                    out_l.append(np.repeat(rq[drows], cnts)[keep])
+                    out_r.append(rv[o][keep])
+                    out_d.append(dflat[o][keep])
+                    out_rank.append(ranks[keep])
+            if force:
+                break
+            pend = (np.concatenate(still) if still
+                    else np.empty(0, dtype=np.int64))
+            ring = min(ring * 2, n)
+        if not out_l:
+            return empty
+        li = np.concatenate(out_l)
+        return pa.table({
+            left_id_col: t[left_id_col].take(pa.array(li)),
+            "neighbor_id": pa.array(rid[np.concatenate(out_r)]).cast(rid_type),
+            "dist": pa.array(np.sqrt(np.concatenate(out_d))),
+            "knn_rank": pa.array(np.concatenate(out_rank)),
+        })
+
+    return left.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
              depth: int, k: int, left_id_col: str = "doc_id",
              right_id_col: str = "doc_id", exclude_self: bool = False,
              n_shards: int = 32, num_partitions: int = 32,
              max_rounds: int | None = None, nrows: int | None = None,
-             tail_threshold: int = 65_536) -> rd.Dataset:
+             tail_threshold: int = 65_536,
+             broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Distributed kNN JOIN: for EVERY left row, its k nearest right rows.
 
     Unlike ``knn_ring`` (driver-held query table), both sides are
@@ -359,7 +539,18 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
     k+1 (ids are unique, so at most ONE row — the self row — is
     dropped per query; the first k survivors are exactly the true
     top-k).
+
+    Plan choice (the dedup/pip discipline): when ``nrows`` (the free
+    parquet-metadata right-row count) is given and at most
+    ``broadcast_threshold``, the right side broadcasts once and each
+    left batch joins locally with zero shuffles
+    (``_knn_join_broadcast``); no hint = assume large = sharded rounds.
     """
+    if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        return _knn_join_broadcast(left, right, world=world, depth=depth,
+                                   k=k, left_id_col=left_id_col,
+                                   right_id_col=right_id_col,
+                                   exclude_self=exclude_self)
     wx, wy, _ = world.size
     n = 1 << depth
     cell_w = min(wx, wy) / n
@@ -432,9 +623,12 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
 
         exploded = pending.map_batches(explode, batch_format="pyarrow",
                                        zero_copy_batch=True)
-        joined = exploded.join(right_keyed, join_type="left_outer",
-                               on=("cell_key",),
-                               num_partitions=num_partitions)
+        # NOT Dataset.join: the native join starts num_partitions
+        # aggregator actors per execution (~15 s cold on this VM);
+        # hash_shard_join is the repo's union + shard-groupby exchange
+        joined = shard_join.hash_shard_join(exploded, right_keyed,
+                                            on="cell_key", how="left",
+                                            n_shards=n_shards)
 
         # the left-outer join NaN-upcasts a nullable int id column to
         # float64 under pandas (working-notes gotcha); ids are exact in

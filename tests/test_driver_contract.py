@@ -48,6 +48,8 @@ SQL_NAMES = [
     # round 3: hexagonal (H3-flavored) cell family — axial assignment via
     # cube rounding + per-hex counts
     "hex_assign", "hex_counts",
+    # round 3: distance-band spatial self-join (ST_DWithin)
+    "dwithin_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1,0 +1,77 @@
+"""Distance-band join: broadcast and sharded plans vs a brute oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray.pipelines import dwithin
+
+
+def _brute(ids, x, y, r):
+    pairs = set()
+    for i in range(len(ids)):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        for j in np.flatnonzero(d2 <= r * r):
+            if ids[i] < ids[j]:
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(42)
+    n = 800
+    # clustered so the band actually produces pairs
+    cx = rng.uniform(0, 100_000, 40)
+    cy = rng.uniform(0, 100_000, 40)
+    pick = rng.integers(0, 40, n)
+    x = np.clip(cx[pick] + rng.normal(0, 1500, n), 0, 99_999)
+    y = np.clip(cy[pick] + rng.normal(0, 1500, n), 0, 99_999)
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "x": pa.array(x), "y": pa.array(y)})
+
+
+@pytest.mark.parametrize("nrows", [None, 800])
+def test_dwithin_plans_match_brute(ray_session, cloud, nrows):
+    import ray.data as rd
+
+    ds = rd.from_arrow(cloud).repartition(4)
+    got = dwithin.dwithin_join(ds, ds, world=WORLD_2D, depth=4,
+                               radius=2000.0, nrows=nrows).to_pandas()
+    ids = cloud["doc_id"].to_numpy()
+    want = _brute(ids, cloud["x"].to_numpy(), cloud["y"].to_numpy(), 2000.0)
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+    assert len(got) == len(want)  # each pair exactly once
+    # distances exact
+    x, y = cloud["x"].to_numpy(), cloud["y"].to_numpy()
+    d = np.sqrt((x[got["doc_a"]] - x[got["doc_b"]]) ** 2
+                + (y[got["doc_a"]] - y[got["doc_b"]]) ** 2)
+    np.testing.assert_allclose(got["dist"].to_numpy(), d, rtol=0, atol=0)
+
+
+def test_dwithin_string_ids_broadcast(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(["a", "b", "c", "d"]),
+                  "x": pa.array([0.0, 100.0, 200.0, 50_000.0]),
+                  "y": pa.array([0.0, 0.0, 0.0, 50_000.0])})
+    ds = rd.from_arrow(t)
+    got = dwithin.dwithin_join(ds, ds, world=WORLD_2D, depth=4,
+                               radius=250.0, nrows=4).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_dwithin_radius_spans_cells(ray_session):
+    """Radius larger than a cell: ring cover > 1 still finds far pairs."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "x": pa.array([100.0, 12_000.0]),
+                  "y": pa.array([100.0, 100.0])})
+    ds = rd.from_arrow(t)
+    for nrows in (None, 2):
+        got = dwithin.dwithin_join(ds, ds, world=WORLD_2D, depth=4,
+                                   radius=12_000.0, nrows=nrows).to_pandas()
+        assert list(zip(got["doc_a"], got["doc_b"])) == [(0, 1)]

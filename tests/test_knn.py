@@ -157,3 +157,61 @@ def test_knn_join_fewer_than_k(ray_session):
            .to_pandas())
     assert len(got) == 6  # 3 left rows x 2 other docs each
     assert set(got.groupby("doc_id")["knn_rank"].max()) == {2}
+
+
+def test_knn_join_broadcast_plan_equivalent(ray_session, corpus):
+    """The nrows-gated broadcast plan (zero shuffles) returns EXACTLY the
+    distributed plan's rows — same ids, ranks, and (dist, id) tiebreaks."""
+    import ray.data as rd
+
+    sub = corpus.slice(0, 500).select(["doc_id", "x", "y"])
+    ds = rd.from_arrow(sub).repartition(4)
+    got = (knn.knn_join(ds, ds, world=WORLD_2D, depth=4, k=3,
+                        exclude_self=True, nrows=500)
+           .to_pandas().sort_values(["doc_id", "knn_rank"])
+           .reset_index(drop=True))
+    ids = sub["doc_id"].to_numpy()
+    want = _knn_join_oracle(ids, sub["x"].to_numpy(), sub["y"].to_numpy(), 3)
+    assert len(got) == len(want)
+    for (gi, gn, gd, gr), (wi, wn, wd, wr) in zip(
+            got.itertuples(index=False),
+            sorted(want, key=lambda r: (r[0], r[3]))):
+        assert (gi, gn, gr) == (wi, wn, wr)
+        assert abs(gd - wd) < 1e-12
+
+
+def test_knn_join_broadcast_string_ids_and_fewer_than_k(ray_session):
+    """Broadcast plan with STRING ids (lexsortable unicode path) and a
+    corpus smaller than k (forced-done once the ring covers the grid)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                  "x": pa.array([10.0, 20.0, 90_000.0]),
+                  "y": pa.array([10.0, 20.0, 90_000.0])})
+    ds = rd.from_arrow(t)
+    got = (knn.knn_join(ds, ds, world=WORLD_2D, depth=4, k=5,
+                        exclude_self=True, nrows=3)
+           .to_pandas())
+    assert len(got) == 6
+    assert set(got.groupby("doc_id")["knn_rank"].max()) == {2}
+    assert got["neighbor_id"].dtype == object  # ids stay strings
+
+
+def test_knn_join_broadcast_sparse_left(ray_session):
+    """Broadcast plan: a left probe far from all right rows expands its
+    ring locally until candidates appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rx = np.linspace(1.0, 5.0, 20)
+    right = pa.table({"doc_id": pa.array(np.arange(20)),
+                      "x": pa.array(rx), "y": pa.array(rx)})
+    left = pa.table({"doc_id": pa.array([1000]),
+                     "x": pa.array([99_000.0]), "y": pa.array([99_000.0])})
+    got = (knn.knn_join(rd.from_arrow(left), rd.from_arrow(right),
+                        world=WORLD_2D, depth=4, k=2, nrows=20)
+           .to_pandas().sort_values("knn_rank"))
+    d2 = (rx - 99_000.0) ** 2 * 2
+    want = np.arange(20)[np.argsort(d2)][:2]
+    assert list(got["neighbor_id"]) == list(want)
