@@ -228,6 +228,29 @@ def _q_pip_join(sf_dir: str):
                                   depth=DEPTH, kernel="convex")
 
 
+def _q_pip_anti_join(sf_dir: str):
+    """Spatial anti-join: docs contained in NO zone polygon (broadcast
+    complement of pip_join; the curation 'outside all regions' filter)."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pip
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    return pip.pip_anti_join(_docs(sf_dir), polys, kernel="convex")
+
+
+def _q_nearest_zone(sf_dir: str):
+    """Reverse geocode: each doc's nearest zone by centroid distance
+    (argmin with the (d2, poly_id) tiebreak), centroids as shared
+    floor-rounded fixture constants."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import pip
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    return pip.nearest_zone(_docs(sf_dir), polys)
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (classic GIS raster/vector aggregate): per
     convex zone, count + exact-integer sum/mean of n_chars over the
@@ -904,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
         "zonal_stats": _q_zonal_stats,
+        "pip_anti_join": _q_pip_anti_join,
+        "nearest_zone": _q_nearest_zone,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -963,6 +988,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring": oracle.knn_sql(N_KNN_QUERIES),
         "pip_join": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "zonal_stats": oracle.zonal_stats_sql(synth.polygons_table(8, world=WORLD_2D)),
+        "pip_anti_join": oracle.pip_anti_join_sql(
+            synth.polygons_table(8, world=WORLD_2D)),
+        "nearest_zone": oracle.nearest_zone_sql(
+            synth.polygons_table(8, world=WORLD_2D)),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

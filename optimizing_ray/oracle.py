@@ -1307,3 +1307,57 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sqrt({d2}) AS dist
 FROM geo a, geo b
 WHERE a.doc_id < b.doc_id AND {d2} <= {radius * radius!r}
 """
+
+
+def pip_anti_join_sql(polygons, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """Spatial anti-join twin: docs whose id is in NO convex-containment
+    group (same HAVING min(edge cross) >= 0 as pip_join_sql)."""
+    values = []
+    for row in polygons.to_pylist():
+        ring = row["ring"]
+        for i in range(len(ring)):
+            v1, v2 = ring[i], ring[(i + 1) % len(ring)]
+            values.append(f"('{row['poly_id']}', {v1['x']!r}, {v1['y']!r}, "
+                          f"{v2['x']!r}, {v2['y']!r})")
+    edges = ",\n  ".join(values)
+    return f"""
+WITH {geo_cte(table, world)},
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {edges}),
+hits AS (
+  SELECT g.doc_id AS doc_id
+  FROM geo g CROSS JOIN edges e
+  GROUP BY e.poly_id, g.doc_id
+  HAVING min((e.x2 - e.x1) * (g.y - e.y1) - (e.y2 - e.y1) * (g.x - e.x1)) >= 0
+)
+SELECT doc_id, x, y FROM geo
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def nearest_zone_sql(polygons, world: World = DRIVER_WORLD,
+                     table: str = "documents") -> str:
+    """Reverse-geocode twin: argmin centroid distance with the
+    (d2, poly_id) row_number tiebreak.  Centroids are the SHARED
+    floor-rounded constants from ``pip.zone_centroids`` (fixture
+    constants, like the ring vertices everywhere else)."""
+    from optimizing_ray.pipelines.pip import zone_centroids
+    pids, cx, cy = zone_centroids(polygons)
+    cent = ",\n  ".join(f"('{p}', {x!r}, {y!r})"
+                        for p, x, y in zip(pids, cx, cy))
+    return f"""
+WITH {geo_cte(table, world)},
+cent(poly_id, cx, cy) AS (VALUES
+  {cent}),
+d AS (
+  SELECT g.doc_id AS doc_id, c.poly_id AS poly_id,
+         ((g.x - c.cx) * (g.x - c.cx) + (g.y - c.cy) * (g.y - c.cy)) AS d2,
+         row_number() OVER (PARTITION BY g.doc_id
+                            ORDER BY ((g.x - c.cx) * (g.x - c.cx)
+                                      + (g.y - c.cy) * (g.y - c.cy)),
+                                     c.poly_id) AS rn
+  FROM geo g CROSS JOIN cent c)
+SELECT doc_id, poly_id, floor(sqrt(d2) * 1e6 + 0.5) / 1e6 AS dist
+FROM d WHERE rn = 1
+"""

@@ -33,7 +33,8 @@ from optimizing_ray.config import World
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
 __all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast",
-           "pip_join_shuffle", "zonal_stats"]
+           "pip_join_shuffle", "zonal_stats", "pip_anti_join",
+           "zone_centroids", "nearest_zone"]
 
 
 def pip_ray_cast(px: np.ndarray, py: np.ndarray,
@@ -302,6 +303,82 @@ def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
 
     return (tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(within_shard, batch_format="pyarrow"))
+
+
+def pip_anti_join(docs: rd.Dataset, polygons: pa.Table, *,
+                  kernel: str = "ray_cast",
+                  payload_cols: tuple[str, ...] = ("doc_id", "x", "y"),
+                  batch_size: int | None = None) -> rd.Dataset:
+    """Spatial ANTI-join: docs contained in NO polygon (the complement
+    of ``pip_join_broadcast`` under the same kernel).  Broadcast-only:
+    the anti predicate must see every polygon, so the small side ships
+    once and each batch evaluates a bbox-prefiltered containment mask —
+    zero shuffles, one streaming pass."""
+    polys_ref = ray.put(compile_polygons(polygons))
+    from optimizing_ray.broadcast import cached
+    kern = pip_convex if kernel == "convex" else pip_ray_cast
+
+    def anti_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "x" not in batch.column_names:
+            return pa.table({c: pa.array([], pa.float64() if c in ("x", "y")
+                                         else pa.int64())
+                             for c in payload_cols})
+        polys = cached(("pip_anti", polys_ref.hex()),
+                       lambda: ray.get(polys_ref))
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(x), dtype=bool)
+        for _pid, vx, vy in polys:
+            cand = np.flatnonzero(~hit & (x >= vx.min()) & (x <= vx.max())
+                                  & (y >= vy.min()) & (y <= vy.max()))
+            if len(cand) == 0:
+                continue
+            hit[cand[kern(x[cand], y[cand], vx, vy)]] = True
+        return batch.select(list(payload_cols)).filter(pa.array(~hit))
+
+    return docs.map_batches(anti_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+
+
+def zone_centroids(polygons: pa.Table) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Vertex-mean centroid per polygon, floor-rounded at 1e-6 so the
+    value is a shared CONSTANT between the engine and the SQL oracle
+    (inlined literals) regardless of float summation order.  Returns
+    (poly_ids sorted asc, cx, cy)."""
+    polys = sorted(compile_polygons(polygons), key=lambda p: p[0])
+    pids = np.asarray([p[0] for p in polys])
+    cx = np.asarray([np.floor(p[1].mean() * 1e6 + 0.5) / 1e6 for p in polys])
+    cy = np.asarray([np.floor(p[2].mean() * 1e6 + 0.5) / 1e6 for p in polys])
+    return pids, cx, cy
+
+
+def nearest_zone(docs: rd.Dataset, polygons: pa.Table,
+                 batch_size: int | None = None) -> rd.Dataset:
+    """Reverse geocode: each doc's nearest zone by centroid distance,
+    tie-broken by ascending poly_id (the SQL row_number order).  The
+    Z-centroid matrix broadcasts as plain constants (Z is small by
+    construction); the per-batch kernel is one (n, Z) distance argmin."""
+    pids, cx, cy = zone_centroids(polygons)
+
+    def near_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "x" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "poly_id": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.float64())})
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        dx = x[:, None] - cx[None, :]
+        dy = y[:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        win = np.argmin(d2, axis=1)  # first index wins ties = id-asc order
+        dist = np.floor(np.sqrt(d2[np.arange(len(x)), win]) * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": batch["doc_id"],
+                         "poly_id": pa.array(pids[win]),
+                         "dist": pa.array(dist)})
+
+    return docs.map_batches(near_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
 
 
 def zonal_stats(docs: rd.Dataset, polygons: pa.Table, *, world: World,

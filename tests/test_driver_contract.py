@@ -50,6 +50,8 @@ SQL_NAMES = [
     "hex_assign", "hex_counts",
     # round 3: distance-band spatial self-join (ST_DWithin)
     "dwithin_join",
+    # round 3: spatial anti-join + nearest-zone reverse geocode
+    "pip_anti_join", "nearest_zone",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -103,3 +103,46 @@ def test_zonal_stats_square_zones(ray_session):
     assert df.loc["B", "n_docs"] == 2 and df.loc["B", "sum_val"] == 300
     assert df.loc["A", "mean_val"] == np.floor((31 / 3) * 1e6 + 0.5) / 1e6
     assert df.loc["B", "mean_val"] == 150.0
+
+
+def test_pip_anti_join_is_complement(ray_session):
+    """anti(docs) union hit-doc-ids == all docs; intersection == empty."""
+    import numpy as np
+    import ray.data as rd
+    from optimizing_ray import synth
+    from optimizing_ray.pipelines import pip as pipmod
+
+    corpus = synth.documents_batch(np.arange(2000), variant="flat2d", with_spans=False)
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    ds = rd.from_arrow(corpus.select(["doc_id", "x", "y"]))
+    hits = set(pipmod.pip_join_broadcast(ds, polys, world=WORLD_2D, depth=4,
+                                         kernel="convex")
+               .to_pandas()["doc_id"])
+    anti = set(pipmod.pip_anti_join(ds, polys, kernel="convex")
+               .to_pandas()["doc_id"])
+    allids = set(corpus["doc_id"].to_pylist())
+    assert hits | anti == allids
+    assert hits & anti == set()
+
+
+def test_nearest_zone_matches_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from optimizing_ray import synth
+    from optimizing_ray.pipelines import pip as pipmod
+
+    corpus = synth.documents_batch(np.arange(1000), variant="flat2d", with_spans=False)
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    ds = rd.from_arrow(corpus.select(["doc_id", "x", "y"]))
+    got = (pipmod.nearest_zone(ds, polys).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pids, cx, cy = pipmod.zone_centroids(polys)
+    x = corpus["x"].to_numpy()
+    y = corpus["y"].to_numpy()
+    d2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
+    win = np.argmin(d2, axis=1)
+    assert list(got["poly_id"]) == list(pids[win])
+    np.testing.assert_allclose(
+        got["dist"].to_numpy(),
+        np.floor(np.sqrt(d2[np.arange(len(x)), win]) * 1e6 + 0.5) / 1e6,
+        rtol=0, atol=0)
