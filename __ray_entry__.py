@@ -849,6 +849,20 @@ def _q_knn_join(sf_dir: str):
 
 HEX_SIZE = 2500.0  # hex circumradius: ~600 hexes over the 100k^2 world
 DWITHIN_R = 2000.0  # distance band: ~150 pairs at sf0.01
+IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
+
+
+def _q_idw_grid(sf_dir: str):
+    """IDW interpolation raster (vector -> continuous raster): per-pixel
+    inverse-distance-weighted mean of n_chars over docs within IDW_R.
+    Fixed-point integer weights keep partial sums order-exact."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.documents_with_geometry(sf_dir, columns=["n_chars"])
+    return raster.idw_grid(docs, world=WORLD_2D, width=IDW_W, height=IDW_W,
+                           radius=IDW_R)
 
 
 def _q_dwithin_join(sf_dir: str):
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "pip_anti_join": _q_pip_anti_join,
         "nearest_zone": _q_nearest_zone,
+        "idw_grid": _q_idw_grid,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -992,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
             synth.polygons_table(8, world=WORLD_2D)),
         "nearest_zone": oracle.nearest_zone_sql(
             synth.polygons_table(8, world=WORLD_2D)),
+        "idw_grid": oracle.idw_grid_sql(IDW_W, IDW_W, IDW_R),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

@@ -1361,3 +1361,34 @@ d AS (
 SELECT doc_id, poly_id, floor(sqrt(d2) * 1e6 + 0.5) / 1e6 AS dist
 FROM d WHERE rn = 1
 """
+
+
+def idw_grid_sql(width: int, height: int, radius: float,
+                 world: World = DRIVER_WORLD, table: str = "documents",
+                 value_col: str = "n_chars") -> str:
+    """IDW raster twin: pixel centers x docs within radius, fixed-point
+    integer weight w = floor(1e9 / (1 + d2)) so SUM(w) / SUM(w*v) are
+    order-exact BIGINTs; the final mean is one shared division, floor-
+    rounded at 1e-6 (matching ``raster.idw_grid``)."""
+    wx, wy, _ = world.size
+    d2 = "((g.x - p.cx) * (g.x - p.cx) + (g.y - p.cy) * (g.y - p.cy))"
+    return f"""
+WITH {geo_cte(table, world, extra_cols=value_col)},
+pixels AS (
+  SELECT a.px AS px, b.py AS py,
+         ({world.min_x!r} + (a.px + 0.5) / {width} * {wx!r}) AS cx,
+         ({world.min_y!r} + (b.py + 0.5) / {height} * {wy!r}) AS cy
+  FROM generate_series(0, {width - 1}) a(px)
+  CROSS JOIN generate_series(0, {height - 1}) b(py)
+),
+hits AS (
+  SELECT p.px, p.py,
+         CAST(floor(1e9 / (1.0 + {d2})) AS BIGINT) AS w,
+         g.{value_col} AS v
+  FROM pixels p JOIN geo g ON {d2} <= {radius * radius!r}
+)
+SELECT px, py, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS wsum,
+       floor(CAST(SUM(w * v) AS DOUBLE) / SUM(w) * 1e6 + 0.5) / 1e6 AS idw
+FROM hits GROUP BY px, py
+"""

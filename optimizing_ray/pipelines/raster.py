@@ -31,7 +31,8 @@ import ray.data as rd
 from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
-__all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene", "shade"]
+__all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
+           "shade", "idw_grid"]
 
 
 class _NearestDoc:
@@ -125,6 +126,94 @@ def covering_pixels(docs: rd.Dataset, *, world: World, width: int, height: int,
             "pixel_id", pa.array(py.astype(np.int64) * width + px.astype(np.int64)))
 
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def idw_grid(docs: rd.Dataset, *, world: World, width: int, height: int,
+             radius: float, value_col: str = "n_chars") -> pa.Table:
+    """Inverse-distance-weighted interpolation onto a pixel grid
+    (vector -> continuous raster): for every pixel center, over docs
+    within ``radius``, idw = sum(w*v) / sum(w) with the fixed-point
+    integer weight w = floor(1e9 / (1 + d2)) (1e9 scale: nonzero out to
+    the radius, sums far below int64).
+
+    Integer weights make the partial sums ORDER-EXACT (no float-sum-
+    order hazard across parallel batches); the mean is ONE shared
+    division, floor-rounded at 1e-6 on both engine and SQL sides
+    (``oracle.idw_grid_sql``).  Each batch scatter-adds into bounded
+    (width x height) accumulators, so the exchange is a driver merge of
+    blocks x pixels rows — never a shuffle.  Pixels no doc reaches are
+    absent from the output (inner-join semantics)."""
+    wx, wy, _ = world.size
+    pw, ph = wx / width, wy / height
+    mx = int(np.ceil(radius / pw)) + 1
+    my = int(np.ceil(radius / ph)) + 1
+    r2 = radius * radius
+    npix = width * height
+    offx, offy = np.meshgrid(np.arange(-mx, mx + 1), np.arange(-my, my + 1),
+                             indexing="xy")
+    offx, offy = offx.ravel(), offy.ravel()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pix": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "wsum": pa.array([], pa.int64()),
+                          "wvsum": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return empty
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # candidate pixel window around each doc (superset; d2 decides)
+        bx = np.floor((x - world.min_x) / pw).astype(np.int64)
+        by = np.floor((y - world.min_y) / ph).astype(np.int64)
+        ix = bx[:, None] + offx[None, :]
+        iy = by[:, None] + offy[None, :]
+        ok = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        # pixel-center distance (exact SQL op order)
+        cx = world.min_x + (ix + 0.5) / width * wx
+        cy = world.min_y + (iy + 0.5) / height * wy
+        dx = x[:, None] - cx
+        dy = y[:, None] - cy
+        d2 = dx * dx + dy * dy
+        hit = ok & (d2 <= r2)
+        if not hit.any():
+            return empty
+        pix = (iy * width + ix)[hit]
+        w = np.floor(1e9 / (1.0 + d2[hit])).astype(np.int64)
+        vv = np.broadcast_to(v[:, None], hit.shape)[hit]
+        nacc = np.zeros(npix, dtype=np.int64)
+        wacc = np.zeros(npix, dtype=np.int64)
+        wvacc = np.zeros(npix, dtype=np.int64)
+        np.add.at(nacc, pix, 1)
+        np.add.at(wacc, pix, w)
+        np.add.at(wvacc, pix, w * vv)
+        nz = np.flatnonzero(nacc)
+        return pa.table({"pix": pa.array(nz), "n": pa.array(nacc[nz]),
+                         "wsum": pa.array(wacc[nz]),
+                         "wvsum": pa.array(wvacc[nz])})
+
+    parts = [t for t in ray.get(docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"px": pa.array([], pa.int64()),
+                         "py": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "wsum": pa.array([], pa.int64()),
+                         "idw": pa.array([], pa.float64())})
+    pix = np.concatenate([t["pix"].to_numpy() for t in parts])
+    nacc = np.zeros(npix, dtype=np.int64)
+    wacc = np.zeros(npix, dtype=np.int64)
+    wvacc = np.zeros(npix, dtype=np.int64)
+    np.add.at(nacc, pix, np.concatenate([t["n"].to_numpy() for t in parts]))
+    np.add.at(wacc, pix, np.concatenate([t["wsum"].to_numpy() for t in parts]))
+    np.add.at(wvacc, pix,
+              np.concatenate([t["wvsum"].to_numpy() for t in parts]))
+    nz = np.flatnonzero(nacc)
+    idw = np.floor(wvacc[nz].astype(np.float64) / wacc[nz] * 1e6 + 0.5) / 1e6
+    return pa.table({"px": pa.array(nz % width), "py": pa.array(nz // width),
+                     "n_docs": pa.array(nacc[nz]),
+                     "wsum": pa.array(wacc[nz]), "idw": pa.array(idw)})
 
 
 class _Raycaster:

@@ -52,6 +52,8 @@ SQL_NAMES = [
     "dwithin_join",
     # round 3: spatial anti-join + nearest-zone reverse geocode
     "pip_anti_join", "nearest_zone",
+    # round 3: IDW interpolation raster (order-exact integer weights)
+    "idw_grid",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -138,3 +138,46 @@ def test_shade_miss_gives_zero(ray_session):
     out = raster.shade(prays, scene, samples_per_pixel=4).to_pandas()
     assert out["hit_frac"].iloc[0] == 0.0
     assert out["mean_t_hit"].iloc[0] == 0.0
+
+
+def test_idw_grid_matches_brute(ray_session):
+    """Partial-scatter IDW == single-pass brute over (pixel x doc), and
+    the integer-weight sums are block-count invariant (order-exact)."""
+    import ray.data as rd
+    from optimizing_ray import synth
+    from optimizing_ray.pipelines.raster import idw_grid
+
+    corpus = synth.documents_batch(np.arange(3000), variant="flat2d",
+                                   with_spans=False)
+    t = corpus.select(["doc_id", "x", "y"]).append_column(
+        "n_chars", pa.array((np.arange(3000) % 977).astype(np.int64)))
+    W, R = 8, 9000.0
+    wx, wy, _ = WORLD_2D.size
+    got = idw_grid(rd.from_arrow(t).repartition(5), world=WORLD_2D,
+                   width=W, height=W, radius=R).to_pandas()
+    got1 = idw_grid(rd.from_arrow(t), world=WORLD_2D,
+                    width=W, height=W, radius=R).to_pandas()
+    # block-count invariance (integer partials)
+    pd_sorted = lambda df: df.sort_values(["px", "py"]).reset_index(drop=True)
+    assert pd_sorted(got).equals(pd_sorted(got1))
+    # brute oracle
+    x, y = t["x"].to_numpy(), t["y"].to_numpy()
+    v = t["n_chars"].to_numpy()
+    rows = {}
+    for py in range(W):
+        for px in range(W):
+            cx = WORLD_2D.min_x + (px + 0.5) / W * wx
+            cy = WORLD_2D.min_y + (py + 0.5) / W * wy
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            m = d2 <= R * R
+            if not m.any():
+                continue
+            w = np.floor(1e9 / (1.0 + d2[m])).astype(np.int64)
+            rows[(px, py)] = (int(m.sum()), int(w.sum()),
+                              np.floor(float((w * v[m]).sum()) / w.sum()
+                                       * 1e6 + 0.5) / 1e6)
+    assert len(got) == len(rows)
+    for r in got.itertuples(index=False):
+        n, ws, idw = rows[(r.px, r.py)]
+        assert (r.n_docs, r.wsum) == (n, ws)
+        assert r.idw == idw
