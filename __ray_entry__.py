@@ -850,6 +850,17 @@ def _q_knn_join(sf_dir: str):
 HEX_SIZE = 2500.0  # hex circumradius: ~600 hexes over the 100k^2 world
 DWITHIN_R = 2000.0  # distance band: ~150 pairs at sf0.01
 IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
+HH_K = 50  # heavy hitters: top-50 tokens
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Corpus-wide top-k token counts (heavy hitters): arrow-native
+    tokenize, sharded total counts, 32 x k driver merge."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["text"])
+    return textops.heavy_hitters(docs, k=HH_K)
 
 
 def _q_idw_grid(sf_dir: str):
@@ -944,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_anti_join": _q_pip_anti_join,
         "nearest_zone": _q_nearest_zone,
         "idw_grid": _q_idw_grid,
+        "heavy_hitters": _q_heavy_hitters,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1008,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone": oracle.nearest_zone_sql(
             synth.polygons_table(8, world=WORLD_2D)),
         "idw_grid": oracle.idw_grid_sql(IDW_W, IDW_W, IDW_R),
+        "heavy_hitters": oracle.heavy_hitters_sql(HH_K),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

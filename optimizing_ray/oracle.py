@@ -1392,3 +1392,23 @@ SELECT px, py, CAST(COUNT(*) AS BIGINT) AS n_docs,
        floor(CAST(SUM(w * v) AS DOUBLE) / SUM(w) * 1e6 + 0.5) / 1e6 AS idw
 FROM hits GROUP BY px, py
 """
+
+
+def heavy_hitters_sql(k: int = 50, table: str = "documents") -> str:
+    """Heavy-hitters twin: whitespace-split trimmed text, lowercased,
+    empties dropped (the tatoks convention), global count, top-k by
+    (n DESC, token ASC) with row_number rank."""
+    return f"""
+WITH toks AS (
+  SELECT lower(tok) AS token
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM {table}) u
+  WHERE tok <> ''
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

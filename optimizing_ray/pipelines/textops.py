@@ -14,7 +14,7 @@ import ray.data as rd
 
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
-__all__ = ["analyze_text", "doc_stats", "fingerprints"]
+__all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -137,3 +137,60 @@ def train_split(docs: rd.Dataset, *, id_col: str = "doc_id",
         return t.append_column("split", pa.array(split.tolist(), pa.string()))
 
     return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters(docs: rd.Dataset, *, k: int = 50, text_col: str = "text",
+                  n_shards: int = 32) -> pa.Table:
+    """Corpus-wide top-k tokens by count, ties by token asc — the heavy-
+    hitters primitive of corpus analysis.  Plan: per-batch arrow-native
+    tokenize (utf8_split_whitespace, zero Python per row) + in-batch
+    unique/count partials, hash-of-token shard exchange (a token\'s
+    partials all land in one shard, so per-shard counts are TOTAL and a
+    per-shard top-k is a correct superset), then a 32 x k driver merge.
+    Token semantics == oracle.heavy_hitters_sql (and the text_analysis
+    tatoks CTE): whitespace split of trimmed text, lowercased, empties
+    dropped."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t[text_col])))
+        toks = pc.utf8_lower(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        arr = toks.to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"token": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["token"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=False)["n"].sum().reset_index()
+        agg = agg.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+        return agg
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .map_batches(add_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_shard").map_groups(shard_topk, batch_format="pandas")
+             .to_pandas())
+    out = (parts.sort_values(["n", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -233,3 +233,25 @@ def test_pq_encode_is_compact(ray_session, embeddings):
     assert tt.column_names == ["vec_id", "code"]
     assert tt.num_rows == 500
     assert tt.schema.field("code").type == pa.list_(pa.uint8(), 4)
+
+
+def test_heavy_hitters_tiebreak_and_block_invariance(ray_session):
+    """Counts exact vs a local Counter; ties at equal count order by
+    token asc; result invariant to block count."""
+    from collections import Counter
+
+    import ray.data as rd
+    from optimizing_ray.pipelines import textops
+
+    texts = (["aa bb", "bb cc aa", "  cc  dd ", "AA bb"] * 25
+             + ["zz yy xx"] * 10)
+    t = pa.table({"text": pa.array(texts)})
+    want = Counter()
+    for s in texts:
+        want.update(w.lower() for w in s.split())
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for nb in (1, 7):
+        got = textops.heavy_hitters(
+            rd.from_arrow(t).repartition(nb), k=5).to_pandas()
+        assert list(zip(got["token"], got["n"])) == top
+        assert list(got["rank"]) == [1, 2, 3, 4, 5]

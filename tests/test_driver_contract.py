@@ -54,6 +54,8 @@ SQL_NAMES = [
     "pip_anti_join", "nearest_zone",
     # round 3: IDW interpolation raster (order-exact integer weights)
     "idw_grid",
+    # round 3: corpus-wide heavy hitters (top-k tokens)
+    "heavy_hitters",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
