@@ -853,6 +853,19 @@ IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
 HH_K = 50  # heavy hitters: top-50 tokens
 
 
+def _q_segment_cover(sf_dir: str):
+    """Trajectory segment -> tile supercover: every grid cell each doc's
+    movement segment crosses (column-sweep, two vectorized explodes)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import assign
+
+    docs = _docs(sf_dir).map_batches(driver_tables.derive_segments_batch,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return assign.segment_cover(docs, DEPTH, WORLD_2D)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Corpus-wide top-k token counts (heavy hitters): arrow-native
     tokenize, sharded total counts, 32 x k driver merge."""
@@ -956,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_zone": _q_nearest_zone,
         "idw_grid": _q_idw_grid,
         "heavy_hitters": _q_heavy_hitters,
+        "segment_cover": _q_segment_cover,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1021,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
             synth.polygons_table(8, world=WORLD_2D)),
         "idw_grid": oracle.idw_grid_sql(IDW_W, IDW_W, IDW_R),
         "heavy_hitters": oracle.heavy_hitters_sql(HH_K),
+        "segment_cover": oracle.segment_cover_sql(DEPTH),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

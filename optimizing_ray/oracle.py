@@ -1412,3 +1412,55 @@ r AS (SELECT token, n,
 SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def segment_cover_sql(depth: int, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """Segment->tile supercover twin (column sweep).  Every float
+    expression is in ``stages.assign.segment_cover_batch``'s exact op
+    order; bounds live in CTEs (the DuckDB flat-vector gotcha)."""
+    from optimizing_ray.sources.driver_tables import segment_endpoint_sql
+    n = 1 << depth
+    wx, wy, _ = world.size
+    cw, ch = wx / n, wy / n
+    seg = segment_endpoint_sql(world)
+    return f"""
+WITH {geo_cte(table, world)},
+seg AS (
+  SELECT doc_id, x AS x0, y AS y0, {seg['x1']} AS x1, {seg['y1']} AS y1
+  FROM geo),
+bounds AS (
+  SELECT *, LEAST(x0, x1) AS xmin, GREATEST(x0, x1) AS xmax FROM seg),
+colidx AS (
+  SELECT *,
+    GREATEST(0, LEAST({n - 1},
+      CAST(floor((xmin - {world.min_x!r}) / {cw!r}) AS BIGINT))) AS ixlo,
+    GREATEST(0, LEAST({n - 1},
+      CAST(floor((xmax - {world.min_x!r}) / {cw!r}) AS BIGINT))) AS ixhi
+  FROM bounds),
+cols AS (
+  SELECT c.*, u.ix
+  FROM colidx c,
+  LATERAL (SELECT unnest(generate_series(c.ixlo, c.ixhi)) AS ix) u),
+spans AS (
+  SELECT doc_id, x0, y0, x1, y1, ix,
+    GREATEST(xmin, {world.min_x!r} + ix * {cw!r}) AS xa,
+    LEAST(xmax, {world.min_x!r} + (ix + 1) * {cw!r}) AS xb
+  FROM cols),
+yint AS (
+  SELECT doc_id, ix,
+    CASE WHEN x1 = x0 THEN LEAST(y0, y1)
+         ELSE y0 + (y1 - y0) * ((xa - x0) / (x1 - x0)) END AS ya,
+    CASE WHEN x1 = x0 THEN GREATEST(y0, y1)
+         ELSE y0 + (y1 - y0) * ((xb - x0) / (x1 - x0)) END AS yb
+  FROM spans),
+yidx AS (
+  SELECT doc_id, ix,
+    GREATEST(0, LEAST({n - 1},
+      CAST(floor((LEAST(ya, yb) - {world.min_y!r}) / {ch!r}) AS BIGINT))) AS iylo,
+    GREATEST(0, LEAST({n - 1},
+      CAST(floor((GREATEST(ya, yb) - {world.min_y!r}) / {ch!r}) AS BIGINT))) AS iyhi
+  FROM yint)
+SELECT doc_id, ix AS cell_ix, u.iy AS cell_iy
+FROM yidx, LATERAL (SELECT unnest(generate_series(iylo, iyhi)) AS iy) u
+"""

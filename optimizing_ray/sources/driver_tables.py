@@ -122,6 +122,42 @@ def driver_knn_queries(nq: int = 24, world: World = DRIVER_WORLD) -> pa.Table:
     })
 
 
+# --- deterministic trajectory segments (SQL-twinned) ----------------------
+#
+# Each doc gets a movement segment from its geometry position to a second
+# deterministic endpoint — the trajectory workload for the segment->tile
+# supercover operator (stages.assign.segment_cover).
+
+SEG_MULTS = {"x": 3_266_489_917, "y": 374_761_393}
+SEG_SALT = 424_243
+
+
+def derive_segments_batch(batch: pa.Table,
+                          world: World = DRIVER_WORLD) -> pa.Table:
+    """Append segment endpoint columns (x1, y1); (x, y) from
+    ``derive_geometry_batch`` is the start."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        batch = batch.append_column("x1", pa.array([], pa.float64()))
+        return batch.append_column("y1", pa.array([], pa.float64()))
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    wx, wy, _ = world.size
+    h = doc_id + np.int64(SEG_SALT)
+    batch = batch.append_column(
+        "x1", pa.array(world.min_x + _frac(h, SEG_MULTS["x"]) * wx))
+    return batch.append_column(
+        "y1", pa.array(world.min_y + _frac(h, SEG_MULTS["y"]) * wy))
+
+
+def segment_endpoint_sql(world: World = DRIVER_WORLD) -> dict[str, str]:
+    """SQL twin of ``derive_segments_batch`` endpoint columns."""
+    wx, wy, _ = world.size
+    h = f"(doc_id + {SEG_SALT})"
+    return {
+        "x1": f"({world.min_x!r} + {frac_sql(h, SEG_MULTS['x'])} * {wx!r})",
+        "y1": f"({world.min_y!r} + {frac_sql(h, SEG_MULTS['y'])} * {wy!r})",
+    }
+
+
 # --- deterministic interleaved spans for driver docs (SQL-twinned) --------
 #
 # The driver's documents.parquet has no spans column, so the span-sequence

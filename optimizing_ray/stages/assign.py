@@ -28,7 +28,8 @@ from optimizing_ray import cells
 from optimizing_ray.config import World
 
 __all__ = ["assign_point_cells_batch", "assign_tiles", "explode_cover_batch",
-           "assign_hex_batch", "assign_hex"]
+           "assign_hex_batch", "assign_hex",
+           "segment_cover_batch", "segment_cover"]
 
 
 def assign_point_cells_batch(t: pa.Table, depth: int, world: World,
@@ -50,6 +51,79 @@ def assign_tiles(ds: rd.Dataset, depth: int, world: World,
     """Dataset wrapper: stateless zero-copy Arrow map_batches."""
     return ds.map_batches(
         lambda t: assign_point_cells_batch(t, depth, world, x_col, y_col, out_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def segment_cover_batch(t: pa.Table, depth: int, world: World,
+                        x0_col: str = "x", y0_col: str = "y",
+                        x1_col: str = "x1", y1_col: str = "y1",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Line-segment -> grid-cell supercover (trajectory tile assignment),
+    by COLUMN SWEEP: for every x-column the segment's x-span touches,
+    the y-interval of the (monotone linear) segment inside that column
+    picks the y-cells.  Two vectorized explodes (per-column, then
+    per-cell), no per-row Python.  Every float expression is in the
+    exact op order of ``oracle.segment_cover_sql`` so the emitted
+    (cell_ix, cell_iy) sets match bit-for-bit.
+
+    The reference analogue is the duplicating multi-cell insert of a
+    box (``.Test/oldQuadTree.cpp:237-253``) applied to a moving point's
+    path (``WorldPartition::update`` relocation, WorldPartition.hpp:240).
+    """
+    if t.num_rows == 0 or x0_col not in t.column_names:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cell_ix": pa.array([], pa.int64()),
+                         "cell_iy": pa.array([], pa.int64())})
+    n = 1 << depth
+    wx, wy, _ = world.size
+    cw, ch = wx / n, wy / n
+    x0 = t[x0_col].to_numpy(zero_copy_only=False)
+    y0 = t[y0_col].to_numpy(zero_copy_only=False)
+    x1 = t[x1_col].to_numpy(zero_copy_only=False)
+    y1 = t[y1_col].to_numpy(zero_copy_only=False)
+    xmin = np.minimum(x0, x1)
+    xmax = np.maximum(x0, x1)
+    ix_lo = np.clip(np.floor((xmin - world.min_x) / cw).astype(np.int64),
+                    0, n - 1)
+    ix_hi = np.clip(np.floor((xmax - world.min_x) / cw).astype(np.int64),
+                    0, n - 1)
+    ncols = ix_hi - ix_lo + 1
+    total = int(ncols.sum())
+    seg = np.repeat(np.arange(len(x0), dtype=np.int64), ncols)
+    starts = np.concatenate([[0], np.cumsum(ncols)[:-1]])
+    ix = ix_lo[seg] + (np.arange(total, dtype=np.int64)
+                       - np.repeat(starts, ncols))
+    # clip the segment's x-span to the column, then its y-interval there
+    xa = np.maximum(xmin[seg], world.min_x + ix * cw)
+    xb = np.minimum(xmax[seg], world.min_x + (ix + 1) * cw)
+    vert = x1[seg] == x0[seg]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ta = (xa - x0[seg]) / (x1[seg] - x0[seg])
+        tb = (xb - x0[seg]) / (x1[seg] - x0[seg])
+    ya = np.where(vert, np.minimum(y0[seg], y1[seg]),
+                  y0[seg] + (y1[seg] - y0[seg]) * ta)
+    yb = np.where(vert, np.maximum(y0[seg], y1[seg]),
+                  y0[seg] + (y1[seg] - y0[seg]) * tb)
+    iy_lo = np.clip(np.floor((np.minimum(ya, yb) - world.min_y) / ch)
+                    .astype(np.int64), 0, n - 1)
+    iy_hi = np.clip(np.floor((np.maximum(ya, yb) - world.min_y) / ch)
+                    .astype(np.int64), 0, n - 1)
+    nys = iy_hi - iy_lo + 1
+    total2 = int(nys.sum())
+    colrep = np.repeat(np.arange(total, dtype=np.int64), nys)
+    starts2 = np.concatenate([[0], np.cumsum(nys)[:-1]])
+    iy = iy_lo[colrep] + (np.arange(total2, dtype=np.int64)
+                          - np.repeat(starts2, nys))
+    ids = t[id_col].take(pa.array(seg[colrep]))
+    return pa.table({id_col: ids, "cell_ix": pa.array(ix[colrep]),
+                     "cell_iy": pa.array(iy)})
+
+
+def segment_cover(ds: rd.Dataset, depth: int, world: World,
+                  **cols) -> rd.Dataset:
+    """Dataset wrapper for ``segment_cover_batch`` (stateless map)."""
+    return ds.map_batches(
+        lambda t: segment_cover_batch(t, depth, world, **cols),
         batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -56,6 +56,8 @@ SQL_NAMES = [
     "idw_grid",
     # round 3: corpus-wide heavy hitters (top-k tokens)
     "heavy_hitters",
+    # round 3: trajectory segment -> tile supercover (column sweep)
+    "segment_cover",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
