@@ -853,6 +853,22 @@ IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
 HH_K = 50  # heavy hitters: top-50 tokens
 
 
+def _q_poly_overlap_join(sf_dir: str):
+    """Polygon-polygon intersection join: per-doc convex pentagons vs
+    the broadcast zone rings, exact SAT predicate (the polygon-overlay
+    primitive)."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import poly_join
+    from optimizing_ray.sources import driver_tables
+
+    docs = _docs(sf_dir).map_batches(
+        driver_tables.derive_doc_polygons_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+    zones = synth.polygons_table(8, world=WORLD_2D)
+    return poly_join.poly_overlap_join(docs, zones)
+
+
 def _q_segment_cover(sf_dir: str):
     """Trajectory segment -> tile supercover: every grid cell each doc's
     movement segment crosses (column-sweep, two vectorized explodes)."""
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_grid": _q_idw_grid,
         "heavy_hitters": _q_heavy_hitters,
         "segment_cover": _q_segment_cover,
+        "poly_overlap_join": _q_poly_overlap_join,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1036,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_grid": oracle.idw_grid_sql(IDW_W, IDW_W, IDW_R),
         "heavy_hitters": oracle.heavy_hitters_sql(HH_K),
         "segment_cover": oracle.segment_cover_sql(DEPTH),
+        "poly_overlap_join": oracle.poly_overlap_join_sql(
+            synth.polygons_table(8, world=WORLD_2D)),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

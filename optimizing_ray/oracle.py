@@ -1464,3 +1464,88 @@ yidx AS (
 SELECT doc_id, ix AS cell_ix, u.iy AS cell_iy
 FROM yidx, LATERAL (SELECT unnest(generate_series(iylo, iyhi)) AS iy) u
 """
+
+
+def poly_overlap_join_sql(zones, world: World = DRIVER_WORLD,
+                          table: str = "documents") -> str:
+    """Convex polygon-polygon join twin (separating-axis theorem over
+    edge normals of BOTH shapes, strict comparisons).  Pentagon verts
+    are computed from the shared unit-shape constants + per-doc scales
+    in the exact engine op order; zone rings inline as VALUES; min/max
+    projections are order-independent, so every float is bit-identical
+    to ``poly_join.poly_overlap_join``."""
+    from optimizing_ray.sources.driver_tables import (
+        PENT_UX, PENT_UY, doc_polygon_scale_sql)
+    sc = doc_polygon_scale_sql()
+    pentv = ",\n  ".join(f"({j}, {PENT_UX[j]!r}, {PENT_UY[j]!r})"
+                         for j in range(5))
+    pente = ",\n  ".join(
+        f"({i}, {PENT_UX[i]!r}, {PENT_UY[i]!r}, "
+        f"{PENT_UX[(i + 1) % 5]!r}, {PENT_UY[(i + 1) % 5]!r})"
+        for i in range(5))
+    zedges, zverts = [], []
+    for row in zones.to_pylist():
+        ring = row["ring"]
+        for i in range(len(ring)):
+            v1, v2 = ring[i], ring[(i + 1) % len(ring)]
+            zedges.append(f"('{row['poly_id']}', {i}, {v1['x']!r}, "
+                          f"{v1['y']!r}, {v2['x']!r}, {v2['y']!r})")
+            zverts.append(f"('{row['poly_id']}', {v1['x']!r}, {v1['y']!r})")
+    return f"""
+WITH {geo_cte(table, world)},
+geo2 AS (
+  SELECT doc_id, x, y, {sc['sx']} AS sx, {sc['sy']} AS sy FROM geo),
+pentv(j, ux, uy) AS (VALUES
+  {pentv}),
+pente(i, ux1, uy1, ux2, uy2) AS (VALUES
+  {pente}),
+zedge(poly_id, eid, x1, y1, x2, y2) AS (VALUES
+  {",".join(zedges)}),
+zvert(poly_id, zx, zy) AS (VALUES
+  {",".join(zverts)}),
+docv AS (
+  SELECT g.doc_id, p.j, (g.x + g.sx * p.ux) AS vx, (g.y + g.sy * p.uy) AS vy
+  FROM geo2 g CROSS JOIN pentv p),
+zaxis AS (
+  SELECT poly_id, eid, -(y2 - y1) AS nx, (x2 - x1) AS ny FROM zedge),
+zself AS (
+  SELECT z.poly_id, z.eid,
+         min(z.nx * v.zx + z.ny * v.zy) AS zmin,
+         max(z.nx * v.zx + z.ny * v.zy) AS zmax
+  FROM zaxis z JOIN zvert v USING (poly_id) GROUP BY z.poly_id, z.eid),
+dprojz AS (
+  SELECT z.poly_id, z.eid, d.doc_id,
+         min(z.nx * d.vx + z.ny * d.vy) AS pmin,
+         max(z.nx * d.vx + z.ny * d.vy) AS pmax
+  FROM zaxis z CROSS JOIN docv d GROUP BY z.poly_id, z.eid, d.doc_id),
+sep1 AS (
+  SELECT p.poly_id, p.doc_id
+  FROM dprojz p JOIN zself s ON s.poly_id = p.poly_id AND s.eid = p.eid
+  WHERE p.pmax < s.zmin OR s.zmax < p.pmin
+  GROUP BY p.poly_id, p.doc_id),
+daxis AS (
+  SELECT g.doc_id, e.i,
+         -((g.y + g.sy * e.uy2) - (g.y + g.sy * e.uy1)) AS nx,
+         ((g.x + g.sx * e.ux2) - (g.x + g.sx * e.ux1)) AS ny
+  FROM geo2 g CROSS JOIN pente e),
+dself AS (
+  SELECT d.doc_id, d.i,
+         min(d.nx * v.vx + d.ny * v.vy) AS qmin,
+         max(d.nx * v.vx + d.ny * v.vy) AS qmax
+  FROM daxis d JOIN docv v USING (doc_id) GROUP BY d.doc_id, d.i),
+zprojd AS (
+  SELECT d.doc_id, d.i, zv.poly_id,
+         min(d.nx * zv.zx + d.ny * zv.zy) AS rmin,
+         max(d.nx * zv.zx + d.ny * zv.zy) AS rmax
+  FROM daxis d CROSS JOIN zvert zv GROUP BY d.doc_id, d.i, zv.poly_id),
+sep2 AS (
+  SELECT z.poly_id, z.doc_id
+  FROM zprojd z JOIN dself q ON q.doc_id = z.doc_id AND q.i = z.i
+  WHERE q.qmax < z.rmin OR z.rmax < q.qmin
+  GROUP BY z.poly_id, z.doc_id),
+seps AS (SELECT * FROM sep1 UNION SELECT * FROM sep2)
+SELECT z.poly_id, g.doc_id
+FROM (SELECT DISTINCT poly_id FROM zvert) z CROSS JOIN geo2 g
+WHERE NOT EXISTS (SELECT 1 FROM seps s
+                  WHERE s.poly_id = z.poly_id AND s.doc_id = g.doc_id)
+"""

@@ -158,6 +158,45 @@ def segment_endpoint_sql(world: World = DRIVER_WORLD) -> dict[str, str]:
     }
 
 
+# --- deterministic per-doc convex polygons (SQL-twinned) ------------------
+#
+# Each doc gets a convex pentagon: a FIXED unit shape (constant vertex
+# offsets, CCW) anisotropically scaled by per-doc (sx, sy) and translated
+# to the doc position.  Affine scaling keeps convexity; no trig is used
+# anywhere (libm cos/sin are not bit-reproducible across engines).
+
+PENT_UX = (1.0, 0.31, -0.81, -0.81, 0.31)
+PENT_UY = (0.0, 0.95, 0.59, -0.59, -0.95)
+PENT_SCALE_MULTS = {"sx": 2_654_435_761, "sy": 668_265_263}
+PENT_SALT = 186_282
+PENT_SMIN, PENT_SSPAN = 300.0, 2_200.0
+
+
+def derive_doc_polygons_batch(batch: pa.Table) -> pa.Table:
+    """Append per-doc pentagon scales (sx, sy); vertex j of doc d is
+    (x + sx * PENT_UX[j], y + sy * PENT_UY[j])."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        batch = batch.append_column("sx", pa.array([], pa.float64()))
+        return batch.append_column("sy", pa.array([], pa.float64()))
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    h = doc_id + np.int64(PENT_SALT)
+    batch = batch.append_column("sx", pa.array(
+        PENT_SMIN + _frac(h, PENT_SCALE_MULTS["sx"]) * PENT_SSPAN))
+    return batch.append_column("sy", pa.array(
+        PENT_SMIN + _frac(h, PENT_SCALE_MULTS["sy"]) * PENT_SSPAN))
+
+
+def doc_polygon_scale_sql() -> dict[str, str]:
+    """SQL twin of ``derive_doc_polygons_batch``."""
+    h = f"(doc_id + {PENT_SALT})"
+    return {
+        "sx": (f"({PENT_SMIN!r} + {frac_sql(h, PENT_SCALE_MULTS['sx'])}"
+               f" * {PENT_SSPAN!r})"),
+        "sy": (f"({PENT_SMIN!r} + {frac_sql(h, PENT_SCALE_MULTS['sy'])}"
+               f" * {PENT_SSPAN!r})"),
+    }
+
+
 # --- deterministic interleaved spans for driver docs (SQL-twinned) --------
 #
 # The driver's documents.parquet has no spans column, so the span-sequence

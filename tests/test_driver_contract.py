@@ -58,6 +58,8 @@ SQL_NAMES = [
     "heavy_hitters",
     # round 3: trajectory segment -> tile supercover (column sweep)
     "segment_cover",
+    # round 3: convex polygon-polygon intersection join (SAT)
+    "poly_overlap_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1,0 +1,75 @@
+"""Polygon-polygon SAT join: scalar re-implementation + geometric checks."""
+
+import numpy as np
+import pyarrow as pa
+
+from optimizing_ray.config import WORLD_2D
+from optimizing_ray import synth
+from optimizing_ray.pipelines import poly_join
+from optimizing_ray.pipelines.pip import compile_polygons
+from optimizing_ray.sources.driver_tables import PENT_UX, PENT_UY
+
+
+def test_unit_pentagon_is_convex_ccw():
+    ux, uy = np.asarray(PENT_UX), np.asarray(PENT_UY)
+    for i in range(5):
+        j, k = (i + 1) % 5, (i + 2) % 5
+        cross = ((ux[j] - ux[i]) * (uy[k] - uy[j])
+                 - (uy[j] - uy[i]) * (ux[k] - ux[j]))
+        assert cross > 0  # strictly convex, CCW
+
+
+def _sat_scalar(vx, vy, zx, zy):
+    """Independent scalar SAT (python loops) for one pentagon/zone pair."""
+    def axes(xs, ys):
+        n = len(xs)
+        return [(-(ys[(i + 1) % n] - ys[i]), xs[(i + 1) % n] - xs[i])
+                for i in range(n)]
+    for nx, ny in axes(zx, zy) + axes(vx, vy):
+        pa_ = [nx * a + ny * b for a, b in zip(vx, vy)]
+        pz = [nx * a + ny * b for a, b in zip(zx, zy)]
+        if max(pa_) < min(pz) or max(pz) < min(pa_):
+            return False
+    return True
+
+
+def test_sat_join_matches_scalar(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n = 400
+    zones = synth.polygons_table(8, world=WORLD_2D)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(rng.uniform(0, 100_000, n)),
+                  "y": pa.array(rng.uniform(0, 100_000, n)),
+                  "sx": pa.array(rng.uniform(300, 9_000, n)),
+                  "sy": pa.array(rng.uniform(300, 9_000, n))})
+    got = set(map(tuple, poly_join.poly_overlap_join(
+        rd.from_arrow(t), zones).to_pandas().values))
+    ux, uy = np.asarray(PENT_UX), np.asarray(PENT_UY)
+    want = set()
+    x, y = t["x"].to_numpy(), t["y"].to_numpy()
+    sx, sy = t["sx"].to_numpy(), t["sy"].to_numpy()
+    for pid, zx, zy in compile_polygons(zones):
+        for d in range(n):
+            vx = (x[d] + sx[d] * ux).tolist()
+            vy = (y[d] + sy[d] * uy).tolist()
+            if _sat_scalar(vx, vy, zx.tolist(), zy.tolist()):
+                want.add((pid, d))
+    assert got == want
+    assert len(want) > 20  # the fixture actually exercises the predicate
+
+
+def test_sat_join_containment_is_hit(ray_session):
+    """A pentagon entirely inside a zone must be reported (intersection
+    includes containment)."""
+    import ray.data as rd
+
+    zones = synth.polygons_table(8, world=WORLD_2D)
+    pid, zx, zy = compile_polygons(zones)[0]
+    cx, cy = float(zx.mean()), float(zy.mean())
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "x": pa.array([cx]), "y": pa.array([cy]),
+                  "sx": pa.array([1.0]), "sy": pa.array([1.0])})
+    got = poly_join.poly_overlap_join(rd.from_arrow(t), zones).to_pandas()
+    assert (pid, 7) in set(map(tuple, got.values))
