@@ -853,6 +853,22 @@ IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
 HH_K = 50  # heavy hitters: top-50 tokens
 
 
+def _q_tile_median(sf_dir: str):
+    """Per-tile median of n_chars: the mergeable quantile sketch keyed
+    by Morton cell (spatial x sketch composition; hash(cell) % 32
+    shards, never one Ray group per cell)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages.assign import assign_tiles
+
+    docs = driver_tables.documents_with_geometry(sf_dir,
+                                                 columns=["n_chars"])
+    keyed = assign_tiles(docs, DEPTH, WORLD_2D)
+    return sketches.grouped_quantile_sketch(keyed, key_col="cell_key",
+                                            value_col="n_chars", q=0.5)
+
+
 def _q_poly_overlap_join(sf_dir: str):
     """Polygon-polygon intersection join: per-doc convex pentagons vs
     the broadcast zone rings, exact SAT predicate (the polygon-overlay
@@ -987,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "segment_cover": _q_segment_cover,
         "poly_overlap_join": _q_poly_overlap_join,
+        "tile_median": _q_tile_median,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1055,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_cover": oracle.segment_cover_sql(DEPTH),
         "poly_overlap_join": oracle.poly_overlap_join_sql(
             synth.polygons_table(8, world=WORLD_2D)),
+        "tile_median": oracle.tile_median_sql(DEPTH),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

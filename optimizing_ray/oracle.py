@@ -1549,3 +1549,25 @@ FROM (SELECT DISTINCT poly_id FROM zvert) z CROSS JOIN geo2 g
 WHERE NOT EXISTS (SELECT 1 FROM seps s
                   WHERE s.poly_id = z.poly_id AND s.doc_id = g.doc_id)
 """
+
+
+def tile_median_sql(depth: int, world: World = DRIVER_WORLD,
+                    table: str = "documents",
+                    value_col: str = "n_chars") -> str:
+    """Per-tile median twin: the grouped quantile sketch keyed by the
+    Morton cell (driver-scale groups stay below the summary size, so
+    the sketch provably equals quantile_disc)."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world, extra_cols=value_col)},
+cellidx AS (
+  SELECT doc_id, x, y, {value_col},
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+{morton_ctes('cellidx', depth, carry=f'doc_id, x, y, {value_col}')}
+SELECT mkey AS cell_key,
+       CAST(quantile_disc({value_col}, 0.5) AS DOUBLE) AS p50
+FROM mz GROUP BY mkey
+"""

@@ -60,6 +60,8 @@ SQL_NAMES = [
     "segment_cover",
     # round 3: convex polygon-polygon intersection join (SAT)
     "poly_overlap_join",
+    # round 3: per-tile median (spatial x quantile-sketch composition)
+    "tile_median",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
