@@ -853,6 +853,19 @@ IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
 HH_K = 50  # heavy hitters: top-50 tokens
 
 
+def _q_interval_join(sf_dir: str):
+    """Temporal interval-overlap self-join over events (half-open
+    [s, s+dur) intervals, deterministic int64 durations): bucket-explode
+    + ONE sharded hash join + ownership dedup — the 1-D temporal twin
+    of dwithin_join."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["event_id", "ts"],
+                            num_blocks=8)
+    return windows.interval_join(ev)
+
+
 def _q_tile_median(sf_dir: str):
     """Per-tile median of n_chars: the mergeable quantile sketch keyed
     by Morton cell (spatial x sketch composition; hash(cell) % 32
@@ -1004,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_cover": _q_segment_cover,
         "poly_overlap_join": _q_poly_overlap_join,
         "tile_median": _q_tile_median,
+        "interval_join": _q_interval_join,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1073,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "poly_overlap_join": oracle.poly_overlap_join_sql(
             synth.polygons_table(8, world=WORLD_2D)),
         "tile_median": oracle.tile_median_sql(DEPTH),
+        "interval_join": oracle.interval_join_sql(),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

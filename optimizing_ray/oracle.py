@@ -1571,3 +1571,22 @@ SELECT mkey AS cell_key,
        CAST(quantile_disc({value_col}, 0.5) AS DOUBLE) AS p50
 FROM mz GROUP BY mkey
 """
+
+
+def interval_join_sql(table: str = "events") -> str:
+    """Interval-overlap self-join twin: half-open [s, s+dur) intervals
+    with the shared pure-int64 duration derivation
+    (``windows.interval_durations``); exact integer overlap length."""
+    from optimizing_ray.pipelines.windows import (
+        IVJ_DUR_MIN_US, IVJ_DUR_MULT, IVJ_DUR_SALT, IVJ_DUR_SPAN_US)
+    dur = (f"({IVJ_DUR_MIN_US} + ((event_id + {IVJ_DUR_SALT}) "
+           f"* {IVJ_DUR_MULT}) % {1 << 32} % {IVJ_DUR_SPAN_US})")
+    return f"""
+WITH iv AS (
+  SELECT event_id, epoch_us(ts) AS s, epoch_us(ts) + {dur} AS e
+  FROM {table})
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_us
+FROM iv a, iv b
+WHERE a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+"""

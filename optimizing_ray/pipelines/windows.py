@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "with_prev_value", "asof_join", "range_join"]
+           "with_prev_value", "asof_join", "range_join", "interval_join"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str, n_shards: int = 64) -> rd.Dataset:
     """Merge (key, window_id, n, s) partials by (key, window): shard on
@@ -326,3 +326,90 @@ def range_join(events: rd.Dataset, bands: "pa.Table", *,
                          value_col: pa.array(v[ri])})
 
     return events.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# deterministic per-event interval durations (SQL-twinned, pure int64)
+IVJ_DUR_MULT = 2_246_822_519
+IVJ_DUR_SALT = 911_382_323
+IVJ_DUR_MIN_US = 60_000_000        # 1 min
+IVJ_DUR_SPAN_US = 540_000_000      # + up to 9 min  (max ~= bucket width)
+IVJ_BUCKET_US = 600_000_000        # 10 min >= max duration
+
+
+def interval_durations(event_id: np.ndarray) -> np.ndarray:
+    """dur_us = MIN + ((id + SALT) * MULT mod 2^32) mod SPAN — plain
+    int64 arithmetic DuckDB reproduces exactly."""
+    return (np.int64(IVJ_DUR_MIN_US)
+            + ((event_id + np.int64(IVJ_DUR_SALT)) * np.int64(IVJ_DUR_MULT)
+               % np.int64(1 << 32)) % np.int64(IVJ_DUR_SPAN_US))
+
+
+def interval_join(events: rd.Dataset, *, id_col: str = "event_id",
+                  ts_col: str = "ts", n_shards: int = 32,
+                  bucket_us: int = IVJ_BUCKET_US) -> rd.Dataset:
+    """Temporal interval-overlap SELF-join: every pair of events whose
+    half-open intervals [s, s+dur) intersect, each unordered pair once
+    (event_a < event_b), with the exact integer overlap length.
+
+    Large-large plan: intervals explode over the <= 2 time buckets they
+    touch (bucket width >= max duration by construction), ONE
+    ``shard_join.hash_shard_join`` on the bucket, then a vectorized
+    residual (overlap + id order + BUCKET OWNERSHIP: a pair is emitted
+    only in the bucket containing max(s_a, s_b), so cross-bucket pairs
+    are never duplicated).  The 1-D temporal twin of the spatial
+    ``dwithin_join``; SQL twin ``oracle.interval_join_sql``."""
+    from optimizing_ray.pipelines import shard_join
+
+    def explode(t: pa.Table, prefix: str) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({f"{prefix}id": pa.array([], pa.int64()),
+                             f"{prefix}s": pa.array([], pa.int64()),
+                             f"{prefix}e": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (t[ts_col].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        e = s + interval_durations(eid)
+        b0 = s // np.int64(bucket_us)
+        b1 = e // np.int64(bucket_us)
+        nb = (b1 - b0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(eid), dtype=np.int64), nb)
+        starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        off = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(starts, nb)
+        return pa.table({f"{prefix}id": pa.array(eid[rep]),
+                         f"{prefix}s": pa.array(s[rep]),
+                         f"{prefix}e": pa.array(e[rep]),
+                         "bucket": pa.array(b0[rep] + off)})
+
+    left = events.map_batches(lambda t: explode(t, "_a"),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    right = events.map_batches(lambda t: explode(t, "_b"),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    joined = shard_join.hash_shard_join(left, right, on="bucket",
+                                        how="inner", n_shards=n_shards)
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_a": np.int64, "event_b": np.int64,
+                "overlap_us": np.int64}
+        if len(df) == 0 or "_aid" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        a_s = df["_as"].to_numpy()
+        b_s = df["_bs"].to_numpy()
+        a_e = df["_ae"].to_numpy()
+        b_e = df["_be"].to_numpy()
+        own = np.maximum(a_s, b_s) // np.int64(bucket_us)
+        keep = ((df["_aid"].to_numpy() < df["_bid"].to_numpy())
+                & (a_s < b_e) & (b_s < a_e)
+                & (own == df["bucket"].to_numpy()))
+        out = df[keep]
+        return pd.DataFrame({
+            "event_a": out["_aid"].to_numpy(),
+            "event_b": out["_bid"].to_numpy(),
+            "overlap_us": (np.minimum(out["_ae"].to_numpy(),
+                                      out["_be"].to_numpy())
+                           - np.maximum(out["_as"].to_numpy(),
+                                        out["_bs"].to_numpy())),
+        })
+
+    return joined.map_batches(residual, batch_format="pandas")

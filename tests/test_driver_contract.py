@@ -62,6 +62,8 @@ SQL_NAMES = [
     "poly_overlap_join",
     # round 3: per-tile median (spatial x quantile-sketch composition)
     "tile_median",
+    # round 3: temporal interval-overlap self-join (bucket ownership)
+    "interval_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

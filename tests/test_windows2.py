@@ -144,3 +144,37 @@ def test_asof_join_string_keys_and_payload(ray_session):
     assert got["amount"].dtype == np.int64
     assert got.loc[3, "amount"] == 40 and got.loc[3, "tag"] == "d"
     assert list(got.sort_index()["tag"]) == ["a", "b", "c", "d", "e"]
+
+
+def test_interval_join_matches_brute_and_crosses_buckets(ray_session):
+    """Exploded bucket-owned join == brute O(n^2) overlap; pairs whose
+    overlap spans a bucket boundary appear exactly once."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows
+
+    rng = np.random.default_rng(3)
+    n = 600
+    base = np.int64(1_700_000_000_000_000)
+    # cluster starts so overlaps are common AND straddle bucket edges
+    s = base + (rng.integers(0, 40, n) * windows.IVJ_BUCKET_US // 2
+                + rng.integers(0, 300_000_000, n)).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64) * 7 + 3
+    t = pa.table({"event_id": pa.array(eid),
+                  "ts": pa.array(s.astype("datetime64[us]"))})
+    got = (windows.interval_join(rd.from_arrow(t).repartition(4))
+           .to_pandas().sort_values(["event_a", "event_b"])
+           .reset_index(drop=True))
+    e = s + windows.interval_durations(eid)
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            if eid[i] < eid[j] and s[i] < e[j] and s[j] < e[i]:
+                rows.append((eid[i], eid[j],
+                             min(e[i], e[j]) - max(s[i], s[j])))
+    want = (pd.DataFrame(rows, columns=["event_a", "event_b", "overlap_us"])
+            .sort_values(["event_a", "event_b"]).reset_index(drop=True))
+    assert len(got) == len(want) and len(want) > 100
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
