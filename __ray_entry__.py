@@ -853,6 +853,29 @@ IDW_W, IDW_R = 16, 8000.0  # IDW raster: 256 pixels, ~8 docs/pixel reach
 HH_K = 50  # heavy hitters: top-50 tokens
 
 
+GEOHASH_LEN = 8
+
+
+def _q_geohash(sf_dir: str):
+    """World-normalized geohash cell strings (the third cell family
+    next to Morton quadkeys and hex axial): base32, prefix property."""
+    import pyarrow as pa
+    from optimizing_ray import cells
+    from optimizing_ray.config import WORLD_2D
+
+    def gh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "geohash": pa.array([], pa.string())})
+        g = cells.geohash(t["x"].to_numpy(zero_copy_only=False),
+                          t["y"].to_numpy(zero_copy_only=False),
+                          WORLD_2D, GEOHASH_LEN)
+        return pa.table({"doc_id": t["doc_id"], "geohash": pa.array(g)})
+
+    return _docs(sf_dir).map_batches(gh, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
 def _q_interval_join(sf_dir: str):
     """Temporal interval-overlap self-join over events (half-open
     [s, s+dur) intervals, deterministic int64 durations): bucket-explode
@@ -1018,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_overlap_join": _q_poly_overlap_join,
         "tile_median": _q_tile_median,
         "interval_join": _q_interval_join,
+        "geohash": _q_geohash,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1088,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
             synth.polygons_table(8, world=WORLD_2D)),
         "tile_median": oracle.tile_median_sql(DEPTH),
         "interval_join": oracle.interval_join_sql(),
+        "geohash": oracle.geohash_sql(GEOHASH_LEN),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

@@ -27,8 +27,10 @@ __all__ = [
     "point_cell2", "cell_box2", "neighbors2", "disk2",
     "cover2", "adaptive_cover2", "grid_cell",
     "encode3", "decode3", "depth_of3", "point_cell3", "cover3",
-    "hex_axial", "hex_center", "hex_neighbors",
+    "hex_axial", "hex_center", "hex_neighbors", "geohash",
 ]
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 _M2 = (
     0x5555555555555555, 0x3333333333333333, 0x0F0F0F0F0F0F0F0F,
@@ -353,6 +355,33 @@ def hex_neighbors(q, r) -> tuple[np.ndarray, np.ndarray]:
     q = np.asarray(q, dtype=np.int64)[..., None]
     r = np.asarray(r, dtype=np.int64)[..., None]
     return q + _HEX_DIRS[:, 0], r + _HEX_DIRS[:, 1]
+
+
+def geohash(x, y, world: World, length: int = 8) -> np.ndarray:
+    """World-normalized geohash strings (base32, standard alphabet):
+    the world box plays the lon/lat extent, x/y quantize to
+    ceil(5*length/2) / floor(5*length/2) bits, bits interleave x-first
+    from the MSB (the geohash convention), and every 5 bits pick one
+    character.  Prefix property holds: truncating the string = the
+    enclosing coarser cell.  SQL twin: oracle.geohash_sql."""
+    if length % 2 != 0 or length < 2 or length > 12:
+        raise ValueError("length must be even, 2..12 (x-bits fit uint32)")
+    bits = 5 * length
+    nx = bits // 2  # x gets the extra bit for odd bit counts; even here
+    wx, wy, _ = world.size
+    n = np.int64(1) << np.int64(nx)
+    fx = (np.asarray(x, dtype=np.float64) - world.min_x) / wx
+    fy = (np.asarray(y, dtype=np.float64) - world.min_y) / wy
+    ix = np.clip((fx * n).astype(np.int64), 0, int(n) - 1).astype(np.uint64)
+    iy = np.clip((fy * n).astype(np.int64), 0, int(n) - 1).astype(np.uint64)
+    code = spread2(iy) | (spread2(ix) << np.uint64(1))  # x on MSB-first even
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    out = np.empty((code.size, length), dtype=np.uint8)
+    flat = code.ravel()
+    for k in range(length):
+        c = (flat >> np.uint64(bits - 5 * (k + 1))) & np.uint64(31)
+        out[:, k] = alpha[c.astype(np.int64)]
+    return out.view(f"S{length}").ravel().astype(str).reshape(code.shape)
 
 
 def grid_cell(x, z, cell_x: float = 255.0, cell_z: float = 255.0):

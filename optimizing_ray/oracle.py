@@ -1590,3 +1590,41 @@ SELECT a.event_id AS event_a, b.event_id AS event_b,
 FROM iv a, iv b
 WHERE a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
 """
+
+
+def geohash_sql(length: int = 8, world: World = DRIVER_WORLD,
+                table: str = "documents") -> str:
+    """Geohash twin: quantize, spread-interleave (x on the odd LSB
+    lanes = MSB-first even positions), then 5-bit groups index the
+    standard base32 alphabet."""
+    from optimizing_ray.cells import GEOHASH_ALPHABET
+    bits = 5 * length
+    nx = bits // 2
+    n = 1 << nx
+    wx, wy, _ = world.size
+    parts = [
+        "g0 AS (SELECT doc_id, CAST(ixq AS UBIGINT) AS sx, "
+        "CAST(iyq AS UBIGINT) AS sy FROM cellidx)"]
+    prev = "g0"
+    for i, (shift, mask) in enumerate(_SPREAD_STEPS, start=1):
+        parts.append(
+            f"g{i} AS (SELECT * REPLACE (((sx | (sx << {shift})) & {mask}) AS sx, "
+            f"((sy | (sy << {shift})) & {mask}) AS sy) FROM {prev})")
+        prev = f"g{i}"
+    spread = ", ".join(parts)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((code >> {bits - 5 * (k + 1)}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(length))
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, nx)} AS ixq,
+         {cell_idx_expr('y', world.min_y, wy, nx)} AS iyq
+  FROM geo
+),
+{spread},
+codes AS (SELECT doc_id, CAST(sy | (sx * 2) AS BIGINT) AS code FROM {prev})
+SELECT doc_id, {chars} AS geohash FROM codes
+"""

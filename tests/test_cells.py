@@ -186,3 +186,35 @@ def test_hex_axial_cube_sum_zero():
     q2, r2 = cells.hex_axial(cx, cy, 777.0)
     np.testing.assert_array_equal(q, q2)
     np.testing.assert_array_equal(r, r2)
+
+
+def test_geohash_prefix_property_and_cell_sharing():
+    """Truncation = enclosing coarser cell: points in the same fine cell
+    share the full hash; points in the same coarse cell share the
+    prefix."""
+    from optimizing_ray.config import WORLD_2D
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0, 100_000, 500)
+    y = rng.uniform(0, 100_000, 500)
+    g8 = cells.geohash(x, y, WORLD_2D, 8)
+    g4 = cells.geohash(x, y, WORLD_2D, 4)
+    # coarse hash bits are a prefix of the fine hash bits <=> the first
+    # 4 chars of g8 equal g4 (both use 10 bits/axis at length 4)
+    assert all(a[:4] == b for a, b in zip(g8, g4))
+    # same point -> same hash; distinct far points -> distinct hashes
+    assert (cells.geohash(x[:1], y[:1], WORLD_2D, 8) == g8[:1]).all()
+    far = cells.geohash(np.asarray([1.0, 99_000.0]),
+                        np.asarray([1.0, 99_000.0]), WORLD_2D, 8)
+    assert far[0] != far[1]
+
+
+def test_geohash_known_bits():
+    """Hand-check the bit layout: the world NE corner is all-1 bits =
+    'zzzzzzzz'; the SW corner all-0 = '00000000'."""
+    from optimizing_ray.config import WORLD_2D
+
+    g = cells.geohash(np.asarray([0.0, 99_999.999]),
+                      np.asarray([0.0, 99_999.999]), WORLD_2D, 8)
+    assert g[0] == "00000000"
+    assert g[1] == "zzzzzzzz"

@@ -64,6 +64,8 @@ SQL_NAMES = [
     "tile_median",
     # round 3: temporal interval-overlap self-join (bucket ownership)
     "interval_join",
+    # round 3: geohash cell strings (third cell family)
+    "geohash",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
