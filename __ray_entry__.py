@@ -854,6 +854,25 @@ HH_K = 50  # heavy hitters: top-50 tokens
 
 
 GEOHASH_LEN = 8
+TILE_TOPK_K = 3
+
+
+def _q_tile_topk(sf_dir: str):
+    """Top-k docs per Morton tile by (n_chars desc, doc_id asc):
+    spatial group top-k — in-batch partial top-k, hash(cell) shards."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages.assign import assign_tiles
+
+    docs = driver_tables.documents_with_geometry(sf_dir,
+                                                 columns=["n_chars"])
+    keyed = assign_tiles(docs, DEPTH, WORLD_2D).map_batches(
+        lambda t: t.select(["cell_key", "doc_id", "n_chars"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return textops.top_k_per_group(keyed, group_col="cell_key",
+                                   order_col="n_chars", id_col="doc_id",
+                                   k=TILE_TOPK_K, rank_name="cell_rank")
 
 
 def _q_geohash(sf_dir: str):
@@ -1042,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_median": _q_tile_median,
         "interval_join": _q_interval_join,
         "geohash": _q_geohash,
+        "tile_topk": _q_tile_topk,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1113,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_median": oracle.tile_median_sql(DEPTH),
         "interval_join": oracle.interval_join_sql(),
         "geohash": oracle.geohash_sql(GEOHASH_LEN),
+        "tile_topk": oracle.tile_topk_sql(DEPTH, TILE_TOPK_K),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

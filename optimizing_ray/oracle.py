@@ -1628,3 +1628,27 @@ cellidx AS (
 codes AS (SELECT doc_id, CAST(sy | (sx * 2) AS BIGINT) AS code FROM {prev})
 SELECT doc_id, {chars} AS geohash FROM codes
 """
+
+
+def tile_topk_sql(depth: int, k: int = 3, world: World = DRIVER_WORLD,
+                  table: str = "documents",
+                  value_col: str = "n_chars") -> str:
+    """Top-k docs per Morton tile by (value desc, doc_id asc)."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world, extra_cols=value_col)},
+cellidx AS (
+  SELECT doc_id, x, y, {value_col},
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+{morton_ctes('cellidx', depth, carry=f'doc_id, x, y, {value_col}')}
+SELECT cell_key, doc_id, {value_col}, cell_rank
+FROM (
+  SELECT mkey AS cell_key, doc_id, {value_col},
+         row_number() OVER (PARTITION BY mkey
+                            ORDER BY {value_col} DESC, doc_id) AS cell_rank
+  FROM mz
+) s WHERE cell_rank <= {k}
+"""

@@ -66,6 +66,8 @@ SQL_NAMES = [
     "interval_join",
     # round 3: geohash cell strings (third cell family)
     "geohash",
+    # round 3: top-k per tile (spatial group top-k)
+    "tile_topk",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
