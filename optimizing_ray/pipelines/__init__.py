@@ -3,16 +3,21 @@ from optimizing_ray.pipelines import (
     box_join,
     curate,
     dedup,
+    dwithin,
     knn,
     mutate,
     pip,
+    poly_join,
+    pyramid,
     raster,
     relational,
+    shard_join,
     sketches,
     textops,
     tile_store,
     windows,
 )
 
-__all__ = ["ann", "box_join", "curate", "dedup", "knn", "mutate", "pip", "raster",
-           "relational", "sketches", "textops", "tile_store", "windows"]
+__all__ = ["ann", "box_join", "curate", "dedup", "dwithin", "knn", "mutate",
+           "pip", "poly_join", "pyramid", "raster", "relational",
+           "shard_join", "sketches", "textops", "tile_store", "windows"]
