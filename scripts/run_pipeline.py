@@ -35,6 +35,10 @@ def main() -> int:
                          "quality gate -> split) and write the curated "
                          "corpus partitioned by split+shard instead of "
                          "the tiling pipeline")
+    ap.add_argument("--trajectories", action="store_true",
+                    help="trajectory ingest: derive per-doc movement "
+                         "segments, supercover them to tiles, and write "
+                         "one tile group per cell (resumable)")
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--capacity", type=int, default=10_000)
     ap.add_argument("--salt-threshold", type=int, default=1_000_000)
@@ -90,6 +94,45 @@ def main() -> int:
         rows = manifest.resumable_write(keyed, args.output, key_col="part_key")
         out = {
             "status": "ok", "mode": "curate",
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "tile_groups_written": len(rows),
+            "rows_written": int(sum(r["rows_out"] for r in rows)),
+            "tile_groups_total": len(manifest.read_manifest(args.output)),
+            "output": args.output,
+        }
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
+
+    if args.trajectories:
+        # trajectory ingest: segment -> tile supercover rows land as one
+        # tile group per crossed cell (Morton-composite part key), so a
+        # failed run resumes per cell
+        import pyarrow as pa
+
+        from optimizing_ray import cells as cl
+        from optimizing_ray.stages.assign import segment_cover
+
+        docs = driver_tables.documents_with_geometry(args.input)
+        segs = docs.map_batches(driver_tables.derive_segments_batch,
+                                batch_format="pyarrow", zero_copy_batch=True)
+        covered = segment_cover(segs, args.depth, WORLD_2D)
+
+        def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cell_ix" not in t.column_names:
+                return t.append_column("part_key", pa.array([], pa.int64()))
+            import numpy as np
+            key = cl.encode2(t["cell_ix"].to_numpy().astype(np.uint64),
+                             t["cell_iy"].to_numpy().astype(np.uint64),
+                             args.depth).astype(np.int64)
+            return t.append_column("part_key", pa.array(key))
+
+        keyed = covered.map_batches(part, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        rows = manifest.resumable_write(keyed, args.output,
+                                        key_col="part_key")
+        out = {
+            "status": "ok", "mode": "trajectories",
             "wall_s": round(time.perf_counter() - t0, 3),
             "tile_groups_written": len(rows),
             "rows_written": int(sum(r["rows_out"] for r in rows)),
