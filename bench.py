@@ -53,6 +53,20 @@ def run_bench() -> dict:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # record run quality: this shared VM has multi-minute noisy-neighbor
+    # episodes that cut single-stream DRAM bandwidth from ~8-10 GB/s to
+    # 1.5-5 (working notes).  The probe contextualizes every recorded
+    # number — a run with probe < ~7 is not an idle-machine run.
+    import numpy as _np2
+    _pb = _np2.random.rand(25_000_000)
+    _t0 = time.perf_counter()
+    _s = 0.0
+    for _ in range(5):
+        _s += _pb.sum()
+    extras["dram_probe_gbs"] = round(5 * _pb.nbytes / 1e9
+                                     / (time.perf_counter() - _t0), 2)
+    del _pb
+
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
