@@ -963,6 +963,18 @@ def _q_heavy_hitters(sf_dir: str):
     return textops.heavy_hitters(docs, k=HH_K)
 
 
+def _q_spatial_clusters(sf_dir: str):
+    """Density clustering (DBSCAN minPts=1): connected components of the
+    DWITHIN_R distance-band graph; cluster_id = min member.  Composes
+    dwithin_join with the distributed min-label propagation."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+
+    return dwithin.spatial_clusters(
+        _docs(sf_dir), world=WORLD_2D, depth=DEPTH, radius=DWITHIN_R,
+        nrows=_tbl_rows(sf_dir, "documents"))
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -1045,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_assign": _q_hex_assign,
         "hex_counts": _q_hex_counts,
         "dwithin_join": _q_dwithin_join,
+        "spatial_clusters": _q_spatial_clusters,
         "box_join": _q_box_join,
         "box_join_shuffle": _q_box_join_shuffle,
         "box_join_3d": _q_box_join_3d,
@@ -1114,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_assign": oracle.hex_assign_sql(HEX_SIZE),
         "hex_counts": oracle.hex_counts_sql(HEX_SIZE),
         "dwithin_join": oracle.dwithin_join_sql(DWITHIN_R),
+        "spatial_clusters": oracle.spatial_clusters_sql(DWITHIN_R),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -1652,3 +1652,26 @@ FROM (
   FROM mz
 ) s WHERE cell_rank <= {k}
 """
+
+
+def spatial_clusters_sql(radius: float, world: World = DRIVER_WORLD,
+                         table: str = "documents") -> str:
+    """Spatial-cluster twin: recursive-CTE transitive closure of the
+    distance-band graph, cluster_id = min reachable id (singletons seed
+    from the self row)."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+p0 AS (
+  SELECT a.doc_id AS ea, b.doc_id AS eb
+  FROM geo a, geo b
+  WHERE a.doc_id < b.doc_id AND {d2} <= {radius * radius!r}),
+pairs AS (SELECT ea, eb FROM p0 UNION ALL SELECT eb, ea FROM p0),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM geo
+  UNION
+  SELECT r.src, p.eb FROM reach r JOIN pairs p ON p.ea = r.dst
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+"""

@@ -68,6 +68,8 @@ SQL_NAMES = [
     "geohash",
     # round 3: top-k per tile (spatial group top-k)
     "tile_topk",
+    # round 3: density clustering = dwithin graph + connected components
+    "spatial_clusters",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

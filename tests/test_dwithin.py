@@ -75,3 +75,37 @@ def test_dwithin_radius_spans_cells(ray_session):
         got = dwithin.dwithin_join(ds, ds, world=WORLD_2D, depth=4,
                                    radius=12_000.0, nrows=nrows).to_pandas()
         assert list(zip(got["doc_a"], got["doc_b"])) == [(0, 1)]
+
+
+def test_spatial_clusters_plans_match(ray_session, cloud):
+    """Driver union-find plan == distributed min-label propagation ==
+    a local reference clustering; singletons label themselves."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(cloud).repartition(4)
+    kw = dict(world=WORLD_2D, depth=4, radius=2000.0)
+    got_b = (dwithin.spatial_clusters(ds, nrows=800, **kw)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got_d = (dwithin.spatial_clusters(ds, nrows=None, **kw)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got_b.equals(got_d)
+    # local reference: union-find over brute pairs + singleton fill
+    ids = cloud["doc_id"].to_numpy()
+    pairs = _brute(ids, cloud["x"].to_numpy(), cloud["y"].to_numpy(), 2000.0)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {i: find(int(i)) for i in ids}
+    got_map = dict(zip(got_b["doc_id"], got_b["cluster_id"]))
+    assert got_map == want
+    assert len(got_b) == len(ids)
