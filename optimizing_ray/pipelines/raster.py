@@ -83,7 +83,11 @@ def nearest_doc_per_pixel(pixels: rd.Dataset | pa.Table, docs_small: pa.Table,
     })
     if isinstance(pixels, pa.Table):
         n_blocks = max(1, pixels.num_rows // 16_384)
-        pixels = rd.from_arrow(pixels).repartition(n_blocks)
+        pixels = rd.from_arrow(pixels)
+        if n_blocks > 1:
+            # repartition is an all-to-all operator even when it's a
+            # no-op — skip it for small single-block pixel tables
+            pixels = pixels.repartition(n_blocks)
     from optimizing_ray.broadcast import cached
 
     def near_batch(batch):
@@ -262,7 +266,9 @@ def raycast_scene(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
     scene_ref = ray.put(scene)
     if isinstance(pixel_rays, pa.Table):
         n_blocks = max(1, pixel_rays.num_rows // 16_384)
-        pixel_rays = rd.from_arrow(pixel_rays).repartition(n_blocks)
+        pixel_rays = rd.from_arrow(pixel_rays)
+        if n_blocks > 1:  # repartition is all-to-all even as a no-op
+            pixel_rays = pixel_rays.repartition(n_blocks)
     from optimizing_ray.broadcast import cached
 
     def cast_batch(batch):
@@ -287,8 +293,10 @@ def shade(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
     from optimizing_ray.synth import u01
 
     if isinstance(pixel_rays, pa.Table):
-        pixel_rays = rd.from_arrow(pixel_rays).repartition(
-            max(1, pixel_rays.num_rows // 16_384))
+        nb = max(1, pixel_rays.num_rows // 16_384)
+        pixel_rays = rd.from_arrow(pixel_rays)
+        if nb > 1:  # skip the no-op all-to-all
+            pixel_rays = pixel_rays.repartition(nb)
     scene_ref = ray.put(scene)
 
     def shade_batch(t: pa.Table) -> pa.Table:
