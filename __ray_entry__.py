@@ -855,6 +855,20 @@ HH_K = 50  # heavy hitters: top-50 tokens
 
 GEOHASH_LEN = 8
 TILE_TOPK_K = 3
+STRAT_RATES = {"en": 0.3, "fr": 0.8, "de": 0.8, "es": 0.8, "zh": 0.5}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-language sampling (corpus rebalancing): the
+    train_split hash discipline with per-stratum rates — stable across
+    runs and resumes, zero shuffles."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "lang"])
+    return textops.stratified_sample(docs, rates=STRAT_RATES,
+                                     default_rate=0.1)
 
 
 def _q_tile_topk(sf_dir: str):
@@ -1075,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": _q_interval_join,
         "geohash": _q_geohash,
         "tile_topk": _q_tile_topk,
+        "stratified_sample": _q_stratified_sample,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1148,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": oracle.interval_join_sql(),
         "geohash": oracle.geohash_sql(GEOHASH_LEN),
         "tile_topk": oracle.tile_topk_sql(DEPTH, TILE_TOPK_K),
+        "stratified_sample": oracle.stratified_sample_sql(STRAT_RATES, 0.1),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

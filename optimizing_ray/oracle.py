@@ -1675,3 +1675,18 @@ reach(src, dst) AS (
 SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
 FROM reach GROUP BY src
 """
+
+
+def stratified_sample_sql(rates: dict, default_rate: float = 0.0,
+                          mult: int = 2_885_564_557,
+                          table: str = "documents") -> str:
+    """Stratified-sample twin: the train_split frac hash gated by a
+    per-stratum CASE rate."""
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v!r}"
+                     for k, v in rates.items())
+    frac = f"(((doc_id * {mult}) % {1 << 32}) / {float(1 << 32)!r})"
+    return f"""
+SELECT doc_id, lang
+FROM {table}
+WHERE {frac} < (CASE {cases} ELSE {default_rate!r} END)
+"""

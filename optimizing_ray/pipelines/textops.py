@@ -194,3 +194,31 @@ def heavy_hitters(docs: rd.Dataset, *, k: int = 50, text_col: str = "text",
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["n"] = out["n"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+STRAT_MULT = 2_885_564_557  # the train_split multiplier family
+
+
+def stratified_sample(docs: rd.Dataset, *, rates: dict, id_col: str = "doc_id",
+                      stratum_col: str = "lang", default_rate: float = 0.0,
+                      mult: int = STRAT_MULT) -> rd.Dataset:
+    """Deterministic per-stratum sampling (corpus rebalancing): keep a
+    row iff ((id * mult) % 2^32) / 2^32 < rates[stratum] — the
+    train_split hash discipline per group, so the sample is stable
+    across runs/resumes and exactly reproducible in SQL
+    (``oracle.stratified_sample_sql``).  Zero shuffles."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = ((ids * np.int64(mult)) % np.int64(1 << 32)
+                ).astype(np.float64) / float(1 << 32)
+        strata = t[stratum_col].to_numpy(zero_copy_only=False)
+        rate = np.full(len(ids), default_rate)
+        for k, v in rates.items():
+            rate[strata == k] = v
+        return t.filter(pa.array(frac < rate))
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -70,6 +70,8 @@ SQL_NAMES = [
     "tile_topk",
     # round 3: density clustering = dwithin graph + connected components
     "spatial_clusters",
+    # round 3: deterministic per-stratum sampling (corpus rebalancing)
+    "stratified_sample",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
