@@ -30,11 +30,13 @@ def pruned_read(store_dir: str, cell_keys: np.ndarray) -> tuple[rd.Dataset, int,
     Returns (dataset, n_parts_read, n_parts_total)."""
     rows = [r for r in manifest.read_manifest(store_dir) if r.get("status") == "done"]
     wanted = set(int(k) for k in np.asarray(cell_keys).ravel())
-    hit = [os.path.join(r["part_path"], "data.parquet")
-           for r in rows if r["cell_key"] in wanted]
+    # compacted parts: several cells share one path — read each ONCE
+    all_paths = {os.path.join(r["part_path"], "data.parquet") for r in rows}
+    hit = sorted({os.path.join(r["part_path"], "data.parquet")
+                  for r in rows if r["cell_key"] in wanted})
     if not hit:
-        return rd.from_items([]), 0, len(rows)
-    return rd.read_parquet(hit), len(hit), len(rows)
+        return rd.from_items([]), 0, len(all_paths)
+    return rd.read_parquet(hit), len(hit), len(all_paths)
 
 
 def query_tiles(store_dir: str, queries: pa.Table, *, world: World, depth: int,

@@ -30,18 +30,22 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-__all__ = ["resumable_write", "read_manifest", "completed_keys", "read_output"]
+__all__ = ["resumable_write", "read_manifest", "completed_keys",
+           "read_output", "compact_store"]
 
 MANIFEST = "manifest.jsonl"
 DONE = "_done.json"
 
 
 def _scan_parts(out_dir: str) -> list[dict]:
-    """Lineage records of every atomically-completed tile group on disk."""
+    """Lineage records of every atomically-completed tile group on disk.
+    A compacted part's ``_done.json`` holds a LIST of records (one per
+    member cell, sharing the merged part_path)."""
     rows = []
     for done in glob.glob(os.path.join(out_dir, "part=*", DONE)):
         with open(done) as f:
-            rows.append(json.load(f))
+            rec = json.load(f)
+        rows.extend(rec if isinstance(rec, list) else [rec])
     return rows
 
 
@@ -159,7 +163,114 @@ def resumable_write(ds: rd.Dataset, out_dir: str, *, key_col: str = "cell_key",
 
 def read_output(out_dir: str) -> rd.Dataset:
     """Read back every COMPLETED tile group (manifest-driven, so partially
-    written / orphaned temp dirs are never picked up)."""
-    parts = [os.path.join(r["part_path"], "data.parquet")
-             for r in read_manifest(out_dir) if r.get("status") == "done"]
+    written / orphaned temp dirs are never picked up).  Compacted parts
+    are read ONCE even though several cells share their path."""
+    parts = sorted({os.path.join(r["part_path"], "data.parquet")
+                    for r in read_manifest(out_dir)
+                    if r.get("status") == "done"})
     return rd.read_parquet(parts)
+
+
+def compact_store(out_dir: str, *, small_rows: int, target_rows: int,
+                  parallel: bool = True) -> dict:
+    """Merge runs of Morton-ADJACENT small tile groups into one part —
+    the small-files maintenance pass (at 100 TB a store accumulates
+    millions of sub-block parts whose open/footer cost dominates reads).
+
+    Greedy over the manifest in cell_key order (Morton order = spatial
+    locality, so merged parts stay pruning-friendly): consecutive groups
+    with fewer than ``small_rows`` rows pack together until
+    ``target_rows``.  Each merged part is written atomically
+    (tmp + rename) with a LIST-form ``_done.json`` carrying one lineage
+    record per member cell (rows_out preserved, part_path shared); the
+    compacted manifest is rewritten BEFORE the stale source dirs are
+    deleted, so every crash window leaves a readable store:
+    pre-rename -> sources win; post-rename pre-manifest -> sources still
+    authoritative (the merged dir is an ignorable orphan until its cells
+    enter the manifest); post-manifest -> merged part wins and stale
+    source dirs are swept here or by the next compaction.
+
+    Rows keep their cell_key column, so pruned reads over merged parts
+    stay correct (the join's cell gather filters rows, not just parts).
+    Returns {"parts_before", "parts_after", "groups_merged"}.
+    """
+    import ray as _ray
+
+    rows = [r for r in read_manifest(out_dir) if r.get("status") == "done"]
+    rows.sort(key=lambda r: r["cell_key"])
+    # unit = one PHYSICAL part (an earlier compaction may have several
+    # records sharing a path — re-compaction must read that file once)
+    units: list[dict] = []
+    seen: dict[str, dict] = {}
+    for r in rows:
+        u = seen.get(r["part_path"])
+        if u is None:
+            u = {"path": r["part_path"], "recs": [], "rows": 0}
+            seen[r["part_path"]] = u
+            units.append(u)
+        u["recs"].append(r)
+        u["rows"] += r["rows_out"]
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for u in units:
+        if u["rows"] < small_rows and cur_rows + u["rows"] <= target_rows:
+            cur.append(u)
+            cur_rows += u["rows"]
+        else:
+            if len(cur) > 1:
+                groups.append(cur)
+            cur, cur_rows = ([u], u["rows"]) if u["rows"] < small_rows \
+                else ([], 0)
+    if len(cur) > 1:
+        groups.append(cur)
+    parts_before = len(units)
+
+    def merge_group(group_units: list[dict]) -> list[dict]:
+        members = [r for u in group_units for r in u["recs"]]
+        tabs = [pq.read_table(os.path.join(u["path"], "data.parquet"))
+                for u in group_units]
+        merged = pa.concat_tables(tabs)
+        k0, k1 = members[0]["cell_key"], members[-1]["cell_key"]
+        part_dir = os.path.join(out_dir, f"part={k0}-{k1}")
+        tmp_dir = os.path.join(out_dir, f".tmp-cmp-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(merged, os.path.join(tmp_dir, "data.parquet"))
+        recs = [{**m, "part_path": part_dir, "compacted": True}
+                for m in members]
+        with open(os.path.join(tmp_dir, DONE), "w") as f:
+            json.dump(recs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)  # commit point for the merged part
+        return recs
+
+    if parallel and groups:
+        merge_remote = _ray.remote(merge_group)
+        all_recs = _ray.get([merge_remote.remote(g) for g in groups])
+    else:
+        all_recs = [merge_group(g) for g in groups]
+
+    # manifest first (atomic rename), THEN sweep the stale source dirs
+    by_key = {r["cell_key"]: r for r in read_manifest(out_dir)}
+    stale: set[str] = set()
+    for group_units, recs in zip(groups, all_recs):
+        for rec in recs:
+            by_key[rec["cell_key"]] = rec
+        stale.update(u["path"] for u in group_units)
+    tmp = os.path.join(out_dir, f".{MANIFEST}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        for r in sorted(by_key.values(), key=lambda r: r["cell_key"]):
+            f.write(json.dumps(r) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(out_dir, MANIFEST))
+    live = {r["part_path"] for r in by_key.values()}
+    for p in stale - live:
+        shutil.rmtree(p, ignore_errors=True)
+    parts_after = len({r["part_path"] for r in by_key.values()
+                       if r.get("status") == "done"})
+    return {"parts_before": parts_before, "parts_after": parts_after,
+            "groups_merged": len(groups)}

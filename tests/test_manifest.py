@@ -117,3 +117,75 @@ def test_stale_foreign_tmp_swept_fresh_kept(ray_session, tmp_path):
     assert not os.path.exists(stale), "stale orphan should be swept"
     assert os.path.exists(fresh), "fresh foreign temp must survive"
     assert os.path.exists(live), "in-flight long write must survive"
+
+
+def _store_rows(out_dir):
+    import pandas as pd
+    df = manifest.read_output(out_dir).to_pandas()
+    # the hive `part` column comes from the DIRECTORY name, which
+    # compaction legitimately renames — compare table content only
+    df = df.drop(columns=[c for c in ("part",) if c in df.columns])
+    return df.sort_values(["cell_key", "doc_id"]).reset_index(drop=True)
+
+
+def test_compact_store_preserves_rows_and_lineage(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.stages.assign import assign_tiles
+    from optimizing_ray import synth
+
+    out = str(tmp_path / "store")
+    corpus = synth.documents_batch(np.arange(3000), variant="flat2d",
+                                   with_spans=False)
+    keyed = assign_tiles(rd.from_arrow(corpus).repartition(4), 4, WORLD_2D)
+    manifest.resumable_write(keyed, out)
+    before = _store_rows(out)
+    n_keys_before = len(manifest.completed_keys(out))
+
+    stats = manifest.compact_store(out, small_rows=40, target_rows=400)
+    assert stats["groups_merged"] > 0
+    assert stats["parts_after"] < stats["parts_before"]
+    after = _store_rows(out)
+    assert before.equals(after)  # byte-identical content
+    # lineage: every cell still has its record, rows_out preserved
+    assert len(manifest.completed_keys(out)) == n_keys_before
+    recs = {r["cell_key"]: r for r in manifest.read_manifest(out)}
+    cnt = before.groupby("cell_key").size()
+    for k, n in cnt.items():
+        assert recs[int(k)]["rows_out"] == int(n)
+    # resume: a rerun writes nothing (completed keys intact)
+    rows = manifest.resumable_write(keyed, out)
+    assert rows == []
+    assert _store_rows(out).equals(before)
+
+
+def test_compact_store_pruned_read_and_recompaction(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import tile_store
+    from optimizing_ray.stages.assign import assign_tiles
+    from optimizing_ray import synth
+
+    out = str(tmp_path / "store")
+    corpus = synth.documents_batch(np.arange(2000), variant="flat2d",
+                                   with_spans=False)
+    keyed = assign_tiles(rd.from_arrow(corpus).repartition(4), 4, WORLD_2D)
+    manifest.resumable_write(keyed, out)
+    all_keys = sorted(manifest.completed_keys(out))
+    want_keys = np.asarray(all_keys[:5], dtype=np.int64)
+    ds0, _, _ = tile_store.pruned_read(out, want_keys)
+    want = set(ds0.to_pandas()["doc_id"])
+
+    manifest.compact_store(out, small_rows=30, target_rows=300)
+    ds1, n_read, n_total = tile_store.pruned_read(out, want_keys)
+    got = ds1.to_pandas()
+    # a merged part may carry extra cells' rows; the WANTED rows must all
+    # be present and cell-filterable
+    got_w = got[got["cell_key"].isin(want_keys)]
+    assert set(got_w["doc_id"]) == want
+    assert n_read <= n_total
+    # second compaction over already-merged parts must not duplicate rows
+    manifest.compact_store(out, small_rows=10_000, target_rows=100_000)
+    assert len(_store_rows(out)) == 2000
