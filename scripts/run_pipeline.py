@@ -35,6 +35,12 @@ def main() -> int:
                          "quality gate -> split) and write the curated "
                          "corpus partitioned by split+shard instead of "
                          "the tiling pipeline")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance pass on an existing --output store: "
+                         "merge Morton-adjacent small tile groups "
+                         "(--small-rows/--target-rows)")
+    ap.add_argument("--small-rows", type=int, default=10_000)
+    ap.add_argument("--target-rows", type=int, default=500_000)
     ap.add_argument("--trajectories", action="store_true",
                     help="trajectory ingest: derive per-doc movement "
                          "segments, supercover them to tiles, and write "
@@ -62,6 +68,17 @@ def main() -> int:
     from optimizing_ray.state import manifest
 
     t0 = time.perf_counter()
+
+    if args.compact:
+        stats = manifest.compact_store(args.output,
+                                       small_rows=args.small_rows,
+                                       target_rows=args.target_rows)
+        out = {"status": "ok", "mode": "compact",
+               "wall_s": round(time.perf_counter() - t0, 3),
+               **stats, "output": args.output}
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
 
     if args.curate:
         # the training-data flagship as a resumable CLI: curated corpus
