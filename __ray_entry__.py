@@ -938,6 +938,53 @@ def _q_tile_median(sf_dir: str):
                                             value_col="n_chars", q=0.5)
 
 
+def _q_tile_distinct_sources(sf_dir: str):
+    """Exact distinct sources per tile: in-batch (cell, source) dedup,
+    hash-sharded global dedup, per-cell count partials, bounded driver
+    merge — the per-region-cardinality op with no sketch needed."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages.assign import assign_tiles
+
+    docs = driver_tables.documents_with_geometry(sf_dir, columns=["source"])
+    keyed = assign_tiles(docs, DEPTH, WORLD_2D)
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell_key" not in t.column_names:
+            return pa.table({"cell_key": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "_shard": pa.array([], pa.int64())})
+        df = (t.select(["cell_key", "source"]).to_pandas()
+              .drop_duplicates())
+        h = pd.util.hash_pandas_object(
+            df["cell_key"].astype(np.int64) * 1000003
+            + pd.util.hash_pandas_object(df["source"], index=False)
+            .astype(np.int64), index=False).to_numpy()
+        df["_shard"] = (h % np.uint64(32)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["cell_key", "source"])
+        out = u.groupby("cell_key").size().reset_index(name="n")
+        return out
+
+    parts = (keyed.map_batches(pair_dedup, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("_shard").map_groups(shard_count,
+                                           batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("cell_key")["n"].sum().reset_index()
+           .sort_values("cell_key").reset_index(drop=True))
+    return pa.table({"cell_key": pa.array(agg["cell_key"].to_numpy()
+                                          .astype(np.int64)),
+                     "n_sources": pa.array(agg["n"].to_numpy()
+                                           .astype(np.int64))})
+
+
 def _q_poly_overlap_join(sf_dir: str):
     """Polygon-polygon intersection join: per-doc convex pentagons vs
     the broadcast zone rings, exact SAT predicate (the polygon-overlay
@@ -1090,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash": _q_geohash,
         "tile_topk": _q_tile_topk,
         "stratified_sample": _q_stratified_sample,
+        "tile_distinct_sources": _q_tile_distinct_sources,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "raster_near": _q_raster_near,
         "vector_raster": _q_vector_raster,
@@ -1164,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": oracle.geohash_sql(GEOHASH_LEN),
         "tile_topk": oracle.tile_topk_sql(DEPTH, TILE_TOPK_K),
         "stratified_sample": oracle.stratified_sample_sql(STRAT_RATES, 0.1),
+        "tile_distinct_sources": oracle.tile_distinct_sources_sql(DEPTH),
         "pip_join_shuffle": oracle.pip_join_sql(synth.polygons_table(8, world=WORLD_2D)),
         "raster_near": oracle.raster_near_sql(RASTER_W, RASTER_W),
         "vector_raster": oracle.vector_raster_sql(RASTER_W, RASTER_W),

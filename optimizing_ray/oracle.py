@@ -1690,3 +1690,22 @@ SELECT doc_id, lang
 FROM {table}
 WHERE {frac} < (CASE {cases} ELSE {default_rate!r} END)
 """
+
+
+def tile_distinct_sources_sql(depth: int, world: World = DRIVER_WORLD,
+                              table: str = "documents") -> str:
+    """Exact per-tile distinct-source counts."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world, extra_cols="source")},
+cellidx AS (
+  SELECT doc_id, x, y, source,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+{morton_ctes('cellidx', depth, carry='doc_id, x, y, source')}
+SELECT mkey AS cell_key,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM mz GROUP BY mkey
+"""

@@ -72,6 +72,8 @@ SQL_NAMES = [
     "spatial_clusters",
     # round 3: deterministic per-stratum sampling (corpus rebalancing)
     "stratified_sample",
+    # round 3: exact per-tile distinct-source counts
+    "tile_distinct_sources",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
