@@ -377,11 +377,13 @@ def _knn_join_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
             "ry": rt["_ry"].to_numpy()[order],
             # unicode (not object) dtype so np.lexsort can key on ids
             "rid": _lexsortable(rt["_rid"].to_numpy(zero_copy_only=False)[order]),
+            "rid_type": rt.schema.field("_rid").type,
             "n_right": rt.num_rows,
         }
     else:
         state = {"skey": np.empty(0, np.int64), "rx": np.empty(0),
-                 "ry": np.empty(0), "rid": np.empty(0, object), "n_right": 0}
+                 "ry": np.empty(0), "rid": np.empty(0, object),
+                 "rid_type": pa.int64(), "n_right": 0}
     state_ref = ray.put(state)
     nr = state["n_right"]
     ring0 = 1
@@ -390,12 +392,13 @@ def _knn_join_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
         ring0 = int(np.clip(np.ceil(r_k / cell_w), 1, max(1, n - 1)))
 
     from optimizing_ray.pipelines.box_join import _ranges_to_rows
+    rtype = state["rid_type"]  # neighbor ids keep the RIGHT side's type
 
     def join_batch(t: pa.Table) -> pa.Table:
-        rid_type = (t[left_id_col].type if left_id_col in t.column_names
+        lid_type = (t[left_id_col].type if left_id_col in t.column_names
                     else pa.int64())
-        empty = pa.table({left_id_col: pa.array([], rid_type),
-                          "neighbor_id": pa.array([], rid_type),
+        empty = pa.table({left_id_col: pa.array([], lid_type),
+                          "neighbor_id": pa.array([], rtype),
                           "dist": pa.array([], pa.float64()),
                           "knn_rank": pa.array([], pa.int64())})
         if t.num_rows == 0 or left_id_col not in t.column_names:
@@ -488,7 +491,7 @@ def _knn_join_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
         li = np.concatenate(out_l)
         return pa.table({
             left_id_col: t[left_id_col].take(pa.array(li)),
-            "neighbor_id": pa.array(rid[np.concatenate(out_r)]).cast(rid_type),
+            "neighbor_id": pa.array(rid[np.concatenate(out_r)]).cast(rtype),
             "dist": pa.array(np.sqrt(np.concatenate(out_d))),
             "knn_rank": pa.array(np.concatenate(out_rank)),
         })

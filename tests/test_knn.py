@@ -215,3 +215,23 @@ def test_knn_join_broadcast_sparse_left(ray_session):
     d2 = (rx - 99_000.0) ** 2 * 2
     want = np.arange(20)[np.argsort(d2)][:2]
     assert list(got["neighbor_id"]) == list(want)
+
+
+def test_knn_join_broadcast_mixed_id_types(ray_session):
+    """Left string ids vs right INT ids: neighbor_id keeps the right
+    side's type (regression: it was cast to the left type)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({"doc_id": pa.array(["q1", "q2"]),
+                     "x": pa.array([10.0, 50_000.0]),
+                     "y": pa.array([10.0, 50_000.0])})
+    right = pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                      "x": pa.array(np.linspace(0, 99_000, 50)),
+                      "y": pa.array(np.linspace(0, 99_000, 50))})
+    got = (knn.knn_join(rd.from_arrow(left), rd.from_arrow(right),
+                        world=WORLD_2D, depth=4, k=2, nrows=50)
+           .to_pandas())
+    assert len(got) == 4
+    assert got["neighbor_id"].dtype == np.int64
+    assert set(got["doc_id"]) == {"q1", "q2"}
