@@ -140,3 +140,67 @@ def test_driver_span_derivation_prop(doc_ids):
     got = dt.span_fingerprint_batch(t)["span_fp"].to_numpy()
     assert np.array_equal(got, np.array([ref_fp(r) for r in rows],
                                         dtype=np.int64))
+
+
+@given(st.floats(-200_000, 300_000), st.floats(-200_000, 300_000),
+       st.floats(100.0, 10_000.0))
+@settings(max_examples=200, deadline=None)
+def test_hex_axial_nearest_center_prop(x, y, size):
+    """Cube rounding = nearest hex center for ANY point and size (ties
+    within float tolerance allowed either way)."""
+    q, r = cells.hex_axial(np.asarray([x]), np.asarray([y]), size)
+    cx, cy = cells.hex_center(q, r, size)
+    d0 = (x - cx[0]) ** 2 + (y - cy[0]) ** 2
+    nq, nr = cells.hex_neighbors(q, r)
+    nx, ny = cells.hex_center(nq, nr, size)
+    dn = ((x - nx) ** 2 + (y - ny) ** 2).min()
+    assert d0 <= dn + 1e-6 * size * size
+
+
+@given(st.floats(0, 99_999), st.floats(0, 99_999),
+       st.floats(0, 99_999), st.floats(0, 99_999),
+       st.integers(2, 6))
+@settings(max_examples=150, deadline=None)
+def test_segment_cover_samples_prop(x0, y0, x1, y1, depth):
+    """Dense sampling along any segment never visits a cell outside the
+    emitted cover."""
+    import pyarrow as pa
+    from optimizing_ray.stages import assign
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "x": pa.array([x0]), "y": pa.array([y0]),
+                  "x1": pa.array([x1]), "y1": pa.array([y1])})
+    out = assign.segment_cover_batch(t, depth, WORLD_2D)
+    got = set(zip(out["cell_ix"].to_numpy(), out["cell_iy"].to_numpy()))
+    g = 1 << depth
+    cw = 100_000.0 / g
+    ts = np.linspace(0, 1, 800)
+    sx = x0 + (x1 - x0) * ts
+    sy = y0 + (y1 - y0) * ts
+    ix = np.clip((sx / cw).astype(np.int64), 0, g - 1)
+    iy = np.clip((sy / cw).astype(np.int64), 0, g - 1)
+    assert set(zip(ix.tolist(), iy.tolist())) <= got
+
+
+@given(st.integers(0, 2**28 - 1))
+@settings(max_examples=200, deadline=None)
+def test_geohash_matches_morton_bits_prop(doc_id):
+    """geohash bits == the quantized (ix, iy) interleave for any doc
+    position derived over the full doc_id domain."""
+    from optimizing_ray.sources.driver_tables import derive_geometry_batch
+    import pyarrow as pa
+
+    t = derive_geometry_batch(pa.table({"doc_id": pa.array([doc_id], pa.int64())}))
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    g = cells.geohash(x, y, WORLD_2D, 8)[0]
+    n = 1 << 20
+    ix = int(np.clip(int((x[0] - 0.0) / 100_000.0 * n), 0, n - 1))
+    iy = int(np.clip(int((y[0] - 0.0) / 100_000.0 * n), 0, n - 1))
+    code = 0
+    for b in range(19, -1, -1):
+        code = (code << 1) | ((ix >> b) & 1)
+        code = (code << 1) | ((iy >> b) & 1)
+    want = "".join(cells.GEOHASH_ALPHABET[(code >> (40 - 5 * (k + 1))) & 31]
+                   for k in range(8))
+    assert g == want
