@@ -300,6 +300,15 @@ def run_scaling() -> dict:
     # noise arrives in multi-minute episodes, and interleaving exposes both
     # levels to the same episodes instead of biasing whichever phase ran
     # during one
+    import numpy as _np
+    _pb = _np.random.rand(25_000_000)
+    _t0 = time.time()
+    _s = 0.0
+    for _ in range(5):
+        _s += _pb.sum()
+    probe = round(5 * _pb.nbytes / 1e9 / (time.time() - _t0), 2)
+    del _pb
+
     reps = 3
     runs_lo, runs_hi = [], []
     for _ in range(reps):
@@ -327,6 +336,7 @@ def run_scaling() -> dict:
         "corpus_rows": r_lo["corpus_rows"],
         "rows_per_sec_lo": round(r_lo["corpus_rows"] / t_lo, 1),
         "rows_per_sec_hi": round(r_hi["corpus_rows"] / t_hi, 1),
+        "dram_probe_gbs": probe,
         "detail_lo": r_lo["queries"], "detail_hi": r_hi["queries"],
     }
 
