@@ -775,7 +775,8 @@ def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
 
 def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
                                      b: str = "doc_b", n_shards: int = 32,
-                                     max_iters: int = 64) -> rd.Dataset:
+                                     max_iters: int = 64,
+                                     stats: dict | None = None) -> rd.Dataset:
     """Distributed min-label propagation over the verified-pair graph —
     the at-scale path the driver-side ``connected_components`` union-find
     names as its fallback (for when even the verified pair set outgrows
@@ -784,13 +785,17 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
 
     Per iteration (2 sharded exchanges, never one Ray group per node):
     candidate labels flow across edges (side-tagged union of edge rows and
-    label rows sharded by hash(src); the side tag keeps both payloads the
+    label rows sharded by hash(src); the kind tag keeps all payloads the
     id type — no null columns, which pandas would upcast to float), then
     each node takes the min of its candidates (shard by hash(node)).
-    Converges in O(component diameter) iterations; near-dup graphs are
-    unions of small cliques, so a few rounds in practice.  Fixpoint
-    detected by a per-iteration changed count (labels materialize each
-    round — bounded: one row per node)."""
+
+    POINTER HALVING: each node also posts a request row keyed by its
+    CURRENT label, answered in the same exchange with that label's label
+    — the label graph shortcuts toward the minimum exponentially, so
+    convergence is O(log diameter) rounds instead of O(diameter) (a
+    512-node chain converges in ~10 rounds, not 511).  Fixpoint detected
+    by a per-iteration changed count (labels materialize each round —
+    bounded: one row per node); ``stats['rounds']`` reports the count."""
 
     def shard_of(vals) -> np.ndarray:
         h = pd.util.hash_pandas_object(pd.Series(list(vals)), index=False).to_numpy()
@@ -803,14 +808,14 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
             # which pandas upcasts to float downstream (working notes)
             kt = t[a].type if a in t.column_names else pa.int64()
             return pa.table({"key": pa.array([], kt), "val": pa.array([], kt),
-                             "is_edge": pa.array([], pa.bool_()),
+                             "kind": pa.array([], pa.int8()),
                              "_shard": pa.array([], pa.int64())})
         ca = t[a].to_numpy(zero_copy_only=False)
         cb = t[b].to_numpy(zero_copy_only=False)
         src = np.concatenate([ca, cb])
         dst = np.concatenate([cb, ca])
         return pa.table({"key": pa.array(src), "val": pa.array(dst),
-                         "is_edge": pa.array(np.ones(len(src), bool)),
+                         "kind": pa.array(np.ones(len(src), np.int8)),
                          "_shard": pa.array(shard_of(src))})
 
     edges = pairs.map_batches(sym, batch_format="pyarrow",
@@ -825,22 +830,36 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
               .map_groups(init_labels, batch_format="pandas").materialize())
 
     def tag_label(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["node"], "val": t["label"],
-                         "is_edge": pa.array(np.zeros(t.num_rows, bool)),
-                         "_shard": pa.array(shard_of(
-                             t["node"].to_numpy(zero_copy_only=False)))})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        # kind 0: node -> label fact; kind 2: request for label(label),
+        # keyed by the label so the answer joins in the SAME exchange
+        key = np.concatenate([node, lab])
+        val = np.concatenate([lab, node])
+        kind = np.concatenate([np.zeros(len(node), np.int8),
+                               np.full(len(node), 2, np.int8)])
+        return pa.table({"key": pa.array(key), "val": pa.array(val),
+                         "kind": pa.array(kind),
+                         "_shard": pa.array(shard_of(key))})
 
     def flow(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[~g["is_edge"]][["key", "val"]]
-        edg = g[g["is_edge"]][["key", "val"]]
+        lab = g[g["kind"] == 0][["key", "val"]]
+        edg = g[g["kind"] == 1][["key", "val"]]
+        req = g[g["kind"] == 2][["key", "val"]]
         m = edg.merge(lab, on="key", how="inner", suffixes=("", "_lab"))
-        # candidates: labels crossing edges (to the edge dst) + self labels
-        # (self rows marked so take_min can emit the changed flag without a
-        # separate old-vs-new exchange)
+        # pointer halving: answer label(label) requests from the same
+        # shard's label facts (request key IS the label id)
+        m2 = req.merge(lab, on="key", how="inner", suffixes=("", "_lab"))
+        # candidates: labels crossing edges (to the edge dst) + shortcut
+        # labels (to the requester) + self labels (self rows marked so
+        # take_min can emit the changed flag without an extra exchange)
         cand = pd.concat([
             pd.DataFrame({"dst": m["val"].to_numpy(),
                           "label": m["val_lab"].to_numpy(),
                           "is_self": np.zeros(len(m), bool)}),
+            pd.DataFrame({"dst": m2["val"].to_numpy(),
+                          "label": m2["val_lab"].to_numpy(),
+                          "is_self": np.zeros(len(m2), bool)}),
             pd.DataFrame({"dst": lab["key"].to_numpy(),
                           "label": lab["val"].to_numpy(),
                           "is_self": np.ones(len(lab), bool)}),
@@ -861,7 +880,9 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         })
 
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         tagged = labels.map_batches(tag_label, batch_format="pyarrow",
                                     zero_copy_batch=True).union(edges)
         cand = tagged.groupby("_shard").map_groups(flow, batch_format="pandas")
@@ -872,6 +893,8 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         if not labels.sum("changed"):
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # exhaustion would silently return NON-minimal representatives
         # (min-label moves one hop per round; a path component of

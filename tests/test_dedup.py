@@ -218,3 +218,21 @@ def test_connected_components_distributed_raises_on_exhaustion(ray_session):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components_distributed(
             rd.from_pandas(pairs), n_shards=4, max_iters=3).to_pandas()
+
+
+def test_cc_distributed_long_chain_pointer_halving(ray_session):
+    """A 300-node path graph (diameter 299) converges in O(log d) rounds
+    — plain min-label propagation would exhaust max_iters=64."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 300
+    pairs = pa.table({"doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+                      "doc_b": pa.array(np.arange(1, n, dtype=np.int64))})
+    stats = {}
+    out = (dedup.connected_components_distributed(
+        rd.from_arrow(pairs).repartition(3), stats=stats)
+        .to_pandas())
+    assert set(out["rep"]) == {0}
+    assert len(out) == n
+    assert stats["rounds"] <= 14, stats  # ~log2(300) + slack, not 299
