@@ -197,11 +197,10 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     generation, broadcast or sharded by ``nrows``) and connected
     components.  Plan choice for the CC stage (the dedup discipline):
     with ``nrows`` at or below the threshold the pair set is bounded BY
-    PLAN CHOICE and driver union-find labels it in one pass
-    (min-label propagation costs 2 exchanges x O(component diameter)
-    rounds — a chain cluster makes that minutes of fixed exchange cost
-    on a corpus union-find handles in milliseconds); above it, the
-    sharded distributed propagation runs.  The label attach is ONE
+    PLAN CHOICE and driver union-find labels it in one pass (the
+    propagation pays 2 exchanges x O(log diameter) rounds of fixed cost
+    — milliseconds of work for a small corpus); above it, the sharded
+    pointer-halving propagation runs.  The label attach is ONE
     side-tagged shard exchange (docs + label rows on hash(id)), never a
     driver materialization of the corpus.
     SQL twin: oracle.spatial_clusters_sql (recursive-CTE closure)."""
