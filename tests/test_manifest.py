@@ -1,6 +1,8 @@
 """Checkpoint/resume: kill after K tile groups, resume, verify identical
 final output (SURVEY.md §5 resume test)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -189,3 +191,63 @@ def test_compact_store_pruned_read_and_recompaction(ray_session, tmp_path):
     # second compaction over already-merged parts must not duplicate rows
     manifest.compact_store(out, small_rows=10_000, target_rows=100_000)
     assert len(_store_rows(out)) == 2000
+
+
+def test_compact_store_crash_window_reads_stay_consistent(ray_session,
+                                                          tmp_path):
+    """Crash AFTER the merged part's rename but BEFORE the manifest
+    rewrite: the old manifest + old part dirs stay authoritative, the
+    orphan merged dir is ignored, and no row is duplicated or lost."""
+    import shutil
+
+    import numpy as np
+    import ray.data as rd
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.stages.assign import assign_tiles
+    from optimizing_ray import synth
+
+    src = str(tmp_path / "src")
+    corpus = synth.documents_batch(np.arange(1500), variant="flat2d",
+                                   with_spans=False)
+    keyed = assign_tiles(rd.from_arrow(corpus).repartition(3), 4, WORLD_2D)
+    manifest.resumable_write(keyed, src)
+    before = _store_rows(src)
+
+    # reconstruct the crash state: pre-compaction snapshot + the merged
+    # dirs from a completed compaction, but the OLD manifest
+    crash = str(tmp_path / "crash")
+    shutil.copytree(src, crash)
+
+    def repoint(root):
+        # part_path is recorded absolute at write time; a real crash is
+        # in-place (same dir), so the copied simulation must repoint
+        import json as _json
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn in (manifest.DONE, manifest.MANIFEST):
+                    fp = os.path.join(dirpath, fn)
+                    txt = open(fp).read().replace(src, root)
+                    open(fp, "w").write(txt)
+
+    repoint(crash)
+    manifest.compact_store(src, small_rows=30, target_rows=300)
+    merged_dirs = [d for d in os.listdir(src)
+                   if d.startswith("part=") and "-" in d]
+    assert merged_dirs
+    for d in merged_dirs:
+        # fix part_path inside the copied _done.json records to point at
+        # the crash dir (as the in-flight compaction there would have)
+        shutil.copytree(os.path.join(src, d), os.path.join(crash, d))
+        done = os.path.join(crash, d, manifest.DONE)
+        import json as _json
+        recs = _json.load(open(done))
+        for r in recs:
+            r["part_path"] = os.path.join(crash, d)
+        _json.dump(recs, open(done, "w"))
+
+    after = _store_rows(crash)
+    assert before.drop(columns=["part"], errors="ignore").equals(
+        after.drop(columns=["part"], errors="ignore"))
+    # and a LATER compaction on the crash store still works + no dups
+    manifest.compact_store(crash, small_rows=30, target_rows=300)
+    assert len(_store_rows(crash)) == 1500
