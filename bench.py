@@ -52,6 +52,11 @@ def run_bench() -> dict:
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # min-of-REPS per stateless query: this VM's noisy-neighbor bursts
+    # cycle in minutes, so a single-shot sweep always catches a few;
+    # the min of two consecutive runs discards one-sided bursts (stateful
+    # stages — store write, serving — stay single-run)
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
 
     # record run quality: this shared VM has multi-minute noisy-neighbor
     # episodes that cut single-stream DRAM bandwidth from ~8-10 GB/s to
@@ -67,10 +72,15 @@ def run_bench() -> dict:
                                      / (time.perf_counter() - _t0), 2)
     del _pb
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, n_reps=None):
+        best = None
+        out = None
+        for _ in range(n_reps if n_reps is not None else reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
         return out
 
     depth = 6  # 64x64 grid over the 1M corpus (~244 rows/cell)
