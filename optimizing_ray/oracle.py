@@ -296,7 +296,7 @@ GROUP BY user_id, epoch_us(ts) // {window_s * 1_000_000}
 
 def ann_topk_sql(n_queries: int, k: int, table: str = "embeddings") -> str:
     """Cosine top-k; queries = the first n_queries vectors of the table.
-    Tiebreak (score desc, vec_id asc) matches ``ann._merge_topk``."""
+    Tiebreak (score desc, vec_id asc) matches ``ann._driver_merge``."""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM {table}
            WHERE vec_id < {n_queries})

@@ -94,17 +94,20 @@ def _driver_merge(partial: rd.Dataset, k: int) -> pa.Table:
                          "vec_id": pa.array([], pa.int64()),
                          "ann_rank": pa.array([], pa.int64())})
     allp = pa.concat_tables(tables).to_pandas()
-    out = allp.groupby("query_id", group_keys=False, sort=False) \
-        .apply(_merge_topk(k)).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def _merge_topk(k: int):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).copy()
-        g["ann_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "ann_rank"]]
-    return merge
+    # vectorized final merge: one lexsort + boundary rank, not
+    # groupby().apply() (per-group Python; the knn.py merge pattern)
+    qid = allp["query_id"].to_numpy()
+    vid = allp["vec_id"].to_numpy()
+    score = allp["score"].to_numpy()
+    order = np.lexsort((vid, -score, qid))
+    qs, vids = qid[order], vid[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    seg_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, seg_len)
+    keep = rank < k
+    return pa.table({"query_id": pa.array(qs[keep]),
+                     "vec_id": pa.array(vids[keep]),
+                     "ann_rank": pa.array(rank[keep] + 1)})
 
 
 def brute_topk(embeddings: rd.Dataset, query_ids, query_matrix: np.ndarray, *,

@@ -150,6 +150,31 @@ class _PartialTopK:
         })
 
 
+def _merge_topk_driver(allp: pd.DataFrame, queries: pa.Table) -> pd.DataFrame:
+    """Vectorized driver-side final top-k merge: ONE lexsort over the
+    (<= Q x k x blocks) partial rows + boundary rank selection, replacing
+    pandas ``groupby().apply()`` (per-group Python and the suite's
+    DeprecationWarning source).  Ordering contract unchanged: rank 1..k
+    by (dist2, doc_id) per query — the SQL oracle's tiebreak."""
+    if not len(allp):
+        return pd.DataFrame(columns=["query_id", "doc_id", "dist", "knn_rank"])
+    qid = allp["query_id"].to_numpy()
+    d2 = allp["dist2"].to_numpy()
+    did = allp["doc_id"].to_numpy()
+    order = np.lexsort((did, d2, qid))
+    qs, d2s, dids = qid[order], d2[order], did[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    seg_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, seg_len)
+    kser = pd.Series(queries["k"].to_numpy(zero_copy_only=False),
+                     index=queries["query_id"].to_pylist())
+    krow = kser.loc[qs].to_numpy()
+    keep = rank < krow
+    return pd.DataFrame({
+        "query_id": qs[keep], "doc_id": dids[keep],
+        "dist": np.sqrt(d2s[keep]), "knn_rank": rank[keep] + 1})
+
+
 def _final_topk(queries: pa.Table):
     kmap = dict(zip(queries["query_id"].to_pylist(),
                     queries["k"].to_numpy(zero_copy_only=False).tolist()))
@@ -199,9 +224,8 @@ def knn_brute(docs: rd.Dataset, queries: pa.Table, *,
                          "dist": pa.array([], pa.float64()),
                          "knn_rank": pa.array([], pa.int64())})
     allp = pa.concat_tables(tables).to_pandas()
-    fin = _final_topk(queries)
-    out = allp.groupby("query_id", group_keys=False, sort=False).apply(fin)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    out = _merge_topk_driver(allp, queries)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _knn_ring_impl(source_fn, brute_ds_fn, queries: pa.Table, *,
@@ -249,9 +273,7 @@ def _knn_ring_impl(source_fn, brute_ds_fn, queries: pa.Table, *,
             batch_size=batch_size)
         ptabs = [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows]
         if ptabs:
-            allp = pa.concat_tables(ptabs).to_pandas()
-            merged = allp.groupby("query_id", group_keys=False, sort=False) \
-                .apply(_final_topk(sub)).reset_index(drop=True)
+            merged = _merge_topk_driver(pa.concat_tables(ptabs).to_pandas(), sub)
         else:
             merged = pd.DataFrame(columns=["query_id", "doc_id", "dist", "knn_rank"])
         still = []
