@@ -14,9 +14,100 @@ import math
 import re
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["TextAnalyzer", "token_count", "fingerprint64", "shingles",
-           "shingle_hashes", "jaccard_sorted"]
+           "shingle_hashes", "shingle_hashes_batch",
+           "shingle_window_hashes_batch", "jaccard_sorted"]
+
+# ---------------------------------------------------------------------------
+# Batch blob machinery (round-4): every corpus-wide kernel below operates on
+# ONE concatenated UTF-8 byte blob + per-doc offsets — zero-copy straight out
+# of the Arrow string column — so the per-doc Python loop disappears from the
+# hot paths (fingerprints, shingling, text analysis).  The per-doc scalar
+# functions remain as the reference semantics and the non-ASCII fallback.
+# ---------------------------------------------------------------------------
+
+
+def _as_string_array(texts) -> pa.Array:
+    """Normalize any text input (list of str/None, pa.Array, ChunkedArray)
+    to one non-null pyarrow string array."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array([("" if t is None else t) for t in texts],
+                         pa.string())
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    return texts
+
+
+def _utf8_blob(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8, offsets int64) view of a string array's UTF-8 bytes —
+    zero-copy except for slice normalization and the int64 offset cast."""
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt,
+                         count=len(arr) + 1 + arr.offset)[arr.offset:]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))
+    if offs[0]:
+        data = data[offs[0]:]
+        offs = offs - offs[0]
+    return data, offs
+
+
+def _padded_blob(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Blob + offsets with every doc NUL-padded to >= k bytes (the scalar
+    kernels' short-doc branch), so every rolling-hash segment is
+    non-empty.  Fast path is the zero-copy blob when no doc is short."""
+    data, offs = _utf8_blob(arr)
+    lens = np.diff(offs)
+    if len(lens) == 0 or int(lens.min()) >= k:
+        return data, offs
+    new_lens = np.maximum(lens, k)
+    new_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offs[1:])
+    out = np.zeros(int(new_offs[-1]), dtype=np.uint8)
+    # scatter all original bytes to their padded positions in one pass
+    src_total = int(offs[-1])
+    if src_total:
+        dst = (np.arange(src_total, dtype=np.int64)
+               + np.repeat(new_offs[:-1] - offs[:-1], lens))
+        out[dst] = data[:src_total]
+    return out, new_offs
+
+
+_ROLL_B = np.uint64(1000003)
+
+
+def _rolling_hash(data: np.ndarray, k: int) -> np.ndarray:
+    """All k-gram Rabin-Karp hashes of the blob (positions 0..len-k),
+    base 1000003 mod 2^64 — the scalar ``shingle_hashes``/``fingerprint64``
+    recurrence, k vector passes over the blob."""
+    n = len(data) - k + 1
+    h = np.zeros(max(n, 0), dtype=np.uint64)
+    if n <= 0:
+        return h
+    d = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h *= _ROLL_B
+            h += d[j:j + n]
+    return h
+
+
+def _valid_windows(offs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat indices of in-doc window starts, per-doc valid-window offsets)
+    for a padded blob (every doc >= k bytes, so every segment >= 1)."""
+    lens = np.diff(offs)
+    n_i = lens - k + 1
+    voffs = np.zeros(len(n_i) + 1, dtype=np.int64)
+    np.cumsum(n_i, out=voffs[1:])
+    idx = (np.arange(int(voffs[-1]), dtype=np.int64)
+           + np.repeat(offs[:-1] - voffs[:-1], n_i))
+    return idx, voffs
 
 _WS = re.compile(r"\s+")
 _TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")  # BPE-ish wordpiece seed
@@ -31,30 +122,65 @@ _STOPWORDS = {
 }
 
 
+# Python re's \s over str matches these ASCII bytes (incl. \x1c-\x1f file
+# separators, which are NOT Unicode White_Space — the scalar reference
+# semantics the byte tables reproduce exactly for ASCII input)
+_PY_SPACE_BYTES = (9, 10, 11, 12, 13, 28, 29, 30, 31, 32)
+_SPACE_TABLE = np.zeros(256, dtype=bool)
+_SPACE_TABLE[list(_PY_SPACE_BYTES)] = True
+_WORD_TABLE = np.zeros(256, dtype=bool)
+_WORD_TABLE[[ord(c) for c in
+             "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"]] = True
+# bytes where the vectorized ASCII classifier would diverge from Python
+# re semantics via pyarrow's Unicode tokenizer: non-ASCII lead bytes and
+# the \x1c-\x1f separators (Python-\s yes, Unicode-WS no)
+_ASCII_DIVERGENT = np.zeros(256, dtype=bool)
+_ASCII_DIVERGENT[128:] = True
+_ASCII_DIVERGENT[[28, 29, 30, 31]] = True
+
+
+def _token_run_counts(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-doc count of maximal non-whitespace byte runs (== Python
+    ``len(re.split(r'\\s+', t.strip()))`` for non-blank ASCII t, 0 for
+    blank) — one pass over the blob."""
+    n_docs = len(offs) - 1
+    if len(data) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    sp = _SPACE_TABLE[data]
+    prev_sp = np.empty(len(data), dtype=bool)
+    prev_sp[0] = True
+    prev_sp[1:] = sp[:-1]
+    ds = offs[:-1]
+    prev_sp[ds[ds < len(data)]] = True  # doc starts (trailing empties excl.)
+    starts = ~sp & prev_sp
+    cs = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(starts, out=cs[1:])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
 def token_count(texts) -> np.ndarray:
-    """Whitespace token counts (vectorized-ish; regex precompiled)."""
-    return np.asarray([len(_WS.split(t.strip())) if t and t.strip() else 0
-                       for t in texts], dtype=np.int64)
+    """Whitespace token counts — vectorized over the batch blob (ASCII
+    fast path; per-row regex fallback on divergent bytes)."""
+    arr = _as_string_array(texts)
+    data, offs = _utf8_blob(arr)
+    if len(data) and _ASCII_DIVERGENT[data].any():
+        return np.asarray([len(_WS.split(t.strip())) if t and t.strip() else 0
+                           for t in arr.to_pylist()], dtype=np.int64)
+    return _token_run_counts(data, offs)
 
 
 def fingerprint64(texts, *, window: int = 8) -> np.ndarray:
     """Rolling polynomial hash fingerprint of each document: XOR of all
-    `window`-gram Rabin-Karp hashes — order-sensitive, locality-free."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    B = np.uint64(1000003)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            b = t.encode("utf-8", "ignore")
-            if len(b) < window:
-                arr = np.frombuffer(b.ljust(window, b"\0"), dtype=np.uint8)
-            else:
-                arr = np.frombuffer(b, dtype=np.uint8)
-            n = len(arr) - window + 1
-            h = np.zeros(n, dtype=np.uint64)
-            for j in range(window):  # window is small; the array op is the vector axis
-                h = h * B + arr[j:j + n].astype(np.uint64)
-            out[i] = np.bitwise_xor.reduce(h)
-    return out
+    `window`-gram Rabin-Karp hashes — order-sensitive, locality-free.
+    Vectorized over the batch blob: ONE rolling-hash pass + per-doc XOR
+    segments (round-4; was a per-doc Python loop)."""
+    arr = _as_string_array(texts)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    data, offs = _padded_blob(arr, window)
+    h = _rolling_hash(data, window)
+    idx, voffs = _valid_windows(offs, window)
+    return np.bitwise_xor.reduceat(h[idx], voffs[:-1])
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -76,6 +202,55 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         for j in range(k):
             h = h * np.uint64(1000003) + arr[j:j + n].astype(np.uint64)
     return np.unique(h)
+
+
+def shingle_hashes_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of ``shingle_hashes``: (flat uint64, offsets int64) where
+    ``flat[offs[i]:offs[i+1]]`` is doc i's SORTED-UNIQUE k-shingle hashes
+    (bit-identical to the scalar function).  One rolling-hash pass over
+    the concatenated blob + one segment-keyed lexsort — the per-doc
+    Python loop that dominated the minhash signature stage (~44 us/doc
+    measured round 2) collapses to C passes (round-4, VERDICT item 3)."""
+    hv, voffs = shingle_window_hashes_batch(texts, k)
+    n_docs = len(voffs) - 1
+    if len(hv) == 0:
+        return hv, voffs
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(voffs))
+    try:  # polars hash-unique + multithreaded sort: ~5x a numpy lexsort
+        import polars as pl
+        df = pl.DataFrame({"s": seg, "h": hv}).unique().sort(["s", "h"])
+        hs = df["h"].to_numpy()
+        segs = df["s"].to_numpy()
+        # every doc has >= 1 window (padding), so all segments present
+        uoffs = np.searchsorted(segs, np.arange(n_docs + 1, dtype=np.int64))
+        return hs, uoffs
+    except ImportError:
+        order = np.lexsort((hv, seg))
+        hs = hv[order]
+        # seg blocks are contiguous and in order, so segment boundaries in
+        # the sorted view are still voffs; unique-within-segment mask:
+        mask = np.empty(len(hs), dtype=bool)
+        mask[0] = True
+        np.not_equal(hs[1:], hs[:-1], out=mask[1:])
+        mask[voffs[:-1]] = True  # first window of every doc
+        cs = np.zeros(len(hs) + 1, dtype=np.int64)
+        np.cumsum(mask, out=cs[1:])
+        return hs[mask], cs[voffs]
+
+
+def shingle_window_hashes_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-gram window hashes per doc WITHOUT the sorted-unique step:
+    (flat uint64, offsets int64).  Sufficient (and cheaper) wherever the
+    consumer is duplicate-insensitive — MinHash's per-salt min over the
+    multiset equals the min over the set."""
+    arr = _as_string_array(texts)
+    n_docs = len(arr)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    data, offs = _padded_blob(arr, k)
+    h = _rolling_hash(data, k)
+    idx, voffs = _valid_windows(offs, k)
+    return h[idx], voffs
 
 
 def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
@@ -178,6 +353,65 @@ class TextAnalyzer:
         return math.floor(q * 1e6 + 0.5) / 1e6
 
     def analyze_batch(self, texts) -> dict[str, np.ndarray]:
+        """Vectorized batch scorer (round-4, VERDICT item 2): arrow-native
+        tokenize + hashed stopword membership + byte-table punctuation
+        counts over the batch blob — zero Python per row on the ASCII
+        fast path (the corpus); per-row scalar fallback on divergent
+        bytes keeps the reference semantics exact everywhere.  Float
+        expressions mirror the scalar operation ORDER so doubles are
+        bit-identical (the SQL-oracle contract)."""
+        arr = _as_string_array(texts)
+        n_docs = len(arr)
+        data, offs = _utf8_blob(arr)
+        if len(data) and _ASCII_DIVERGENT[data].any():
+            return self._analyze_batch_python(arr.to_pylist())
+        n = np.diff(offs).astype(np.float64)          # chars == bytes (ASCII)
+        n_toks = _token_run_counts(data, offs)        # lang_id/quality denom
+        if len(data):
+            punct = ~_SPACE_TABLE[data] & ~_WORD_TABLE[data]
+            cs = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(punct, out=cs[1:])
+            n_punct = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.float64)
+        else:
+            n_punct = np.zeros(n_docs, dtype=np.float64)
+        # stopword hits per language: one flatten + one is_in per language
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        loffs = np.asarray(toks.offsets, dtype=np.int64)
+        lang_names = list(self.stops)
+        hits = np.zeros((n_docs, len(lang_names)), dtype=np.int64)
+        if len(flat):
+            csb = np.zeros(len(flat) + 1, dtype=np.int64)
+            for li, lang in enumerate(lang_names):
+                m = pc.is_in(flat, value_set=pa.array(sorted(self.stops[lang])))
+                np.cumsum(m.to_numpy(zero_copy_only=False), out=csb[1:])
+                hits[:, li] = csb[loffs[1:]] - csb[loffs[:-1]]
+        mh = hits.max(axis=1)
+        lang_pred = np.where(mh == 0, "und",
+                             np.asarray(lang_names)[hits.argmax(axis=1)])
+        lang_conf = np.divide(mh, n_toks, out=np.zeros(n_docs),
+                              where=n_toks > 0)
+        # quality composite — same expression order as the scalar path
+        n_tok_q = np.maximum(n_toks, 1).astype(np.float64)
+        n_safe = np.maximum(n, 1.0)
+        len_score = np.minimum(1.0, n / 500.0)
+        tok_score = np.maximum(0.0, 1.0 - np.abs(n / n_tok_q - 6.0) / 10.0)
+        punct_score = np.maximum(0.0, 1.0 - 4.0 * (n_punct / n_safe))
+        stop_score = np.minimum(1.0, 4.0 * lang_conf)
+        q = 0.25 * (len_score + tok_score + punct_score + stop_score)
+        q = np.floor(q * 1e6 + 0.5) / 1e6
+        q[n == 0] = 0.0
+        return {
+            "lang_pred": lang_pred,
+            "lang_conf": lang_conf,
+            "quality": q,
+            "n_tokens": n_toks,
+        }
+
+    def _analyze_batch_python(self, texts) -> dict[str, np.ndarray]:
+        """Per-row reference path (non-ASCII / control-byte fallback)."""
         langs, confs, quals = [], [], []
         for t in texts:
             lang, conf = self.lang_id(t or "")

