@@ -60,3 +60,29 @@ class EngineConfig:
     # Ray execution knobs
     batch_size: int | None = 65_536
     target_rows_per_cell: int = 500_000  # pick coarse_depth so E[rows/cell] ~ this
+
+
+def default_shards(floor: int = 32) -> int:
+    """Cluster-derived shuffle width: ``max(floor, total cluster CPUs)``.
+
+    Every sharded exchange in the engine (shard_join, dedup, windows,
+    textops, dwithin, pip, sketches) takes an explicit ``n_shards``;
+    when the caller passes None this seam resolves it.  The floor of 32
+    is THIS VM's measured dispatch-cost knee (<= 32 groups cost ~1 s
+    fixed, 64 cost ~2 s — a single-node property, see CLAUDE.md); on a
+    multi-node cluster ``ray.cluster_resources()`` raises the width so
+    reduce-side parallelism tracks the cluster instead of capping at 32
+    (round-4, VERDICT item 6).  Falls back to the floor when Ray isn't
+    initialised (pure-local library use)."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return max(floor, int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return floor
+
+
+def resolve_shards(n_shards: int | None, floor: int = 32) -> int:
+    """``n_shards or default_shards(floor)`` with explicit-zero guarded."""
+    return n_shards if n_shards else default_shards(floor)

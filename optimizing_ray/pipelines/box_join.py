@@ -37,7 +37,7 @@ import ray
 import ray.data as rd
 
 from optimizing_ray import cells, geom
-from optimizing_ray.config import World
+from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
 __all__ = ["box_join_broadcast", "box_join_broadcast_3d", "box_join_shuffle",
@@ -114,7 +114,7 @@ def box_join_adaptive(docs_keyed: rd.Dataset, queries: pa.Table, *, world: World
 
 def gather_payload(slim_result: rd.Dataset, docs: rd.Dataset, *,
                    payload_cols: tuple[str, ...], on: str = "doc_id",
-                   num_buckets: int = 32) -> rd.Dataset:
+                   num_buckets: int | None = None) -> rd.Dataset:
     """Semi-join-then-gather (SURVEY.md §7.4 wide-row rule): joins ship
     only slim (key, id) rows; wide payloads (spans, media bytes) re-attach
     AFTERWARDS by id, touching each payload row once instead of once per
@@ -125,6 +125,8 @@ def gather_payload(slim_result: rd.Dataset, docs: rd.Dataset, *,
     (Acero) rejects nested non-key columns like ``spans: list<struct>``.
     """
     import pandas as pd
+
+    num_buckets = resolve_shards(num_buckets)
 
     pay_schema = docs.schema().base_schema
     pay_types = {c: pay_schema.field(c).type for c in payload_cols}

@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import (jaccard_pairs_grouped,
                                            shingle_hashes,
                                            shingle_hashes_batch,
@@ -104,7 +105,7 @@ def exact_dedup(docs: rd.Dataset, *, text_col: str = "text",
     Without ``nrows`` the shuffle plan is taken even on tiny corpora
     (correct, just more exchanges) — pass the free parquet-metadata row
     count to enable the broadcast fast path (see ``_plan_rows``)."""
-    n_shards = 32
+    n_shards = resolve_shards(None)
 
     def slim_hash(t: pa.Table) -> pa.Table:
         # the arrow column goes zero-copy into the polars hash kernel
@@ -276,7 +277,7 @@ def _band_rows(ids, sig: np.ndarray, bands: int) -> pa.Table:
     return _banded_table(ids, _band_hashes(sig, bands), with_bh=False)
 
 
-def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
+def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int | None = None, *,
                         with_bh: bool) -> rd.Dataset:
     """(band, bucket, doc_id[, bh]) rows -> candidate pairs (a < b), deduped.
 
@@ -299,6 +300,7 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
     * without: within-shard drop_duplicates, then a second exchange keyed
       on hash(pair) — it moves only candidate pairs (<< corpus rows), the
       right trade at large band counts."""
+    n_shards = resolve_shards(n_shards)
 
     def add_shard(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -363,7 +365,7 @@ def _pairs_from_buckets(bucketed: rd.Dataset, n_shards: int = 32, *,
 
 def _attach_payload(pairs: rd.Dataset, docs: rd.Dataset, *, id_col: str,
                     pair_col: str, src_col: str, out_col: str,
-                    num_buckets: int = 32) -> rd.Dataset:
+                    num_buckets: int | None = None) -> rd.Dataset:
     """Attach docs[src_col] to pair rows by pairs[pair_col] == docs[id_col]
     using the streaming bucket-merge (box_join.gather_payload) — no
     driver-side materialization of the corpus, works for nested types."""
@@ -674,7 +676,7 @@ def simhash_pairs(docs: rd.Dataset, *, text_col: str = "text",
                          "doc_id": pa.array(np.concatenate(dids)),
                          "sim": pa.array(np.concatenate(hashes))})
 
-    n_shards = 32
+    n_shards = resolve_shards(None)
     bucketed = docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -859,7 +861,7 @@ def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",
 
 
 def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
-                                     b: str = "doc_b", n_shards: int = 32,
+                                     b: str = "doc_b", n_shards: int | None = None,
                                      max_iters: int = 64,
                                      stats: dict | None = None) -> rd.Dataset:
     """Distributed min-label propagation over the verified-pair graph —
@@ -881,6 +883,7 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
     512-node chain converges in ~10 rounds, not 511).  Fixpoint detected
     by a per-iteration changed count (labels materialize each round —
     bounded: one row per node); ``stats['rounds']`` reports the count."""
+    n_shards = resolve_shards(n_shards)
 
     def shard_of(vals) -> np.ndarray:
         h = pd.util.hash_pandas_object(pd.Series(list(vals)), index=False).to_numpy()

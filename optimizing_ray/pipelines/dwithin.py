@@ -32,7 +32,7 @@ import ray
 import ray.data as rd
 
 from optimizing_ray import cells
-from optimizing_ray.config import World
+from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.pipelines import shard_join
 from optimizing_ray.pipelines.box_join import _ranges_to_rows
 
@@ -55,11 +55,12 @@ def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
 
 def dwithin_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
                  depth: int, radius: float, id_col: str = "doc_id",
-                 n_shards: int = 32, nrows: int | None = None,
+                 n_shards: int | None = None, nrows: int | None = None,
                  broadcast_threshold: int = 200_000) -> rd.Dataset:
     """All (left, right) pairs with euclidean distance <= radius and
     ``left_id < right_id`` (each unordered pair once; self pairs never
     emitted).  Both sides must carry (id_col, x, y)."""
+    n_shards = resolve_shards(n_shards)
     wx, wy, _ = world.size
     n = 1 << depth
     cell_w = min(wx, wy) / n
@@ -187,7 +188,7 @@ def _dwithin_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
 
 def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
                      radius: float, id_col: str = "doc_id",
-                     nrows: int | None = None, n_shards: int = 32,
+                     nrows: int | None = None, n_shards: int | None = None,
                      broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Density clustering (DBSCAN with minPts=1): connected components
     of the distance-band graph.  cluster_id = the component's minimum
@@ -205,6 +206,8 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     driver materialization of the corpus.
     SQL twin: oracle.spatial_clusters_sql (recursive-CTE closure)."""
     import pandas as pd
+
+    n_shards = resolve_shards(n_shards)
 
     from optimizing_ray.pipelines.dedup import (
         connected_components, connected_components_distributed)

@@ -525,7 +525,7 @@ def _knn_join_broadcast(left: rd.Dataset, right: rd.Dataset, *, world: World,
 def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
              depth: int, k: int, left_id_col: str = "doc_id",
              right_id_col: str = "doc_id", exclude_self: bool = False,
-             n_shards: int = 32, num_partitions: int = 32,
+             n_shards: int | None = None, num_partitions: int | None = None,
              max_rounds: int | None = None, nrows: int | None = None,
              tail_threshold: int = 65_536,
              broadcast_threshold: int = 200_000) -> rd.Dataset:
@@ -571,6 +571,8 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, *, world: World,
     left batch joins locally with zero shuffles
     (``_knn_join_broadcast``); no hint = assume large = sharded rounds.
     """
+    from optimizing_ray.config import resolve_shards
+    n_shards = resolve_shards(n_shards)
     if nrows is not None and 0 <= nrows <= broadcast_threshold:
         return _knn_join_broadcast(left, right, world=world, depth=depth,
                                    k=k, left_id_col=left_id_col,

@@ -29,7 +29,7 @@ import ray
 import ray.data as rd
 
 from optimizing_ray import cells
-from optimizing_ray.config import World
+from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.stages.assign import assign_point_cells_batch
 
 __all__ = ["pip_ray_cast", "pip_convex", "pip_join_broadcast",
@@ -154,7 +154,7 @@ def pip_join_broadcast(docs: rd.Dataset, polygons: pa.Table, *, world: World,
 def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
                      world: World, depth: int, kernel: str = "ray_cast",
                      payload_cols: tuple[str, ...] = ("doc_id",),
-                     n_shards: int = 32) -> rd.Dataset:
+                     n_shards: int | None = None) -> rd.Dataset:
     """Both-sides-large PIP plan: polygons explode to their cover cells,
     docs carry their point cell; the two sides co-group on a cell-hash
     shard (side-tagged union — Acero joins reject the nested ring column)
@@ -163,6 +163,7 @@ def pip_join_shuffle(docs: rd.Dataset, polygons: rd.Dataset | pa.Table, *,
     Pairs are unique by construction (each doc has ONE cell; each
     (polygon, cell) is distinct and a doc is tested only against the
     polygons covering its own cell)."""
+    n_shards = resolve_shards(n_shards)
     if isinstance(polygons, pa.Table):
         polygons = rd.from_arrow(polygons)
 

@@ -32,6 +32,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from optimizing_ray.config import resolve_shards
+
 __all__ = ["hash_shard_join"]
 
 _PHI64 = np.uint64(0x9E3779B97F4A7C15)
@@ -44,13 +46,14 @@ def _shard_of(key: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def hash_shard_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
-                    how: str = "inner", n_shards: int = 32) -> rd.Dataset:
+                    how: str = "inner", n_shards: int | None = None) -> rd.Dataset:
     """Equi-join two Datasets on integer column ``on``.
 
     ``how`` is ``'inner'`` or ``'left'`` (left-outer: unmatched left rows
     survive with nulls in the right columns).  Column names of the two
     sides must be disjoint apart from ``on``.
     """
+    n_shards = resolve_shards(n_shards)
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lschema = left.schema().base_schema

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from optimizing_ray.config import resolve_shards
+
 __all__ = ["percentile_disc", "hll_distinct", "splitmix64",
            "quantile_sketch", "grouped_quantile_sketch"]
 
@@ -199,7 +201,7 @@ def quantile_sketch(ds: rd.Dataset, value_col: str, qs=(0.5,), *,
 
 def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
                             q: float = 0.5, k: int = 512,
-                            n_shards: int = 32,
+                            n_shards: int | None = None,
                             out_col: str | None = None) -> rd.Dataset:
     """Per-key quantiles at UNBOUNDED key cardinality: per-batch per-key
     summaries (<= k weighted points each) shuffle on ``hash(key) %
@@ -210,6 +212,7 @@ def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
     (batch, key) group exceeds k values — weights stay 1 and rank-select
     degenerates to the discrete quantile; beyond that it degrades
     gracefully to the summary's bounded rank error."""
+    n_shards = resolve_shards(n_shards)
     out_col = out_col or f"p{int(q * 100)}"
 
     def partial(t: pa.Table) -> pa.Table:

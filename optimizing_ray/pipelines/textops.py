@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from optimizing_ray.config import resolve_shards
+
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters"]
@@ -96,10 +98,12 @@ def _distinct_final(parts: rd.Dataset, col: str) -> rd.Dataset:
 
 def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
                     id_col: str, k: int = 3, rank_name: str = "rank",
-                    n_shards: int = 16) -> rd.Dataset:
+                    n_shards: int | None = None) -> rd.Dataset:
     """Top-k rows per group by (order_col desc, id_col asc) with in-batch
     partial top-k (each batch forwards at most k rows per group)."""
     import pandas as pd
+
+    n_shards = resolve_shards(n_shards, floor=16)
 
     def partial(g_t: pa.Table) -> pa.Table:
         df = g_t.select([group_col, order_col, id_col]).to_pandas()
@@ -140,7 +144,7 @@ def train_split(docs: rd.Dataset, *, id_col: str = "doc_id",
 
 
 def heavy_hitters(docs: rd.Dataset, *, k: int = 50, text_col: str = "text",
-                  n_shards: int = 32) -> pa.Table:
+                  n_shards: int | None = None) -> pa.Table:
     """Corpus-wide top-k tokens by count, ties by token asc — the heavy-
     hitters primitive of corpus analysis.  Plan: per-batch arrow-native
     tokenize (utf8_split_whitespace, zero Python per row) + in-batch
@@ -151,6 +155,8 @@ def heavy_hitters(docs: rd.Dataset, *, k: int = 50, text_col: str = "text",
     tatoks CTE): whitespace split of trimmed text, lowercased, empties
     dropped."""
     import pandas as pd
+
+    n_shards = resolve_shards(n_shards)
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:

@@ -15,15 +15,20 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from optimizing_ray.config import resolve_shards
+
 __all__ = ["tumbling_window", "sliding_window", "session_window",
            "with_prev_value", "asof_join", "range_join", "interval_join"]
 
-def _sharded_sum(partials: rd.Dataset, key_col: str, n_shards: int = 64) -> rd.Dataset:
+def _sharded_sum(partials: rd.Dataset, key_col: str,
+                 n_shards: int | None = None) -> rd.Dataset:
     """Merge (key, window_id, n, s) partials by (key, window): shard on
     hash(key, window) % n_shards and sum vectorized inside each shard —
     Ray's native multi-key aggregate degrades when group count approaches
     row count (measured 2x slower than a single-block pandas groupby at
-    380 k groups); 64 shards keep the merge distributed AND vectorized."""
+    380 k groups); 64 shards keep the merge distributed AND vectorized
+    (cluster-derived via resolve_shards, floor 64)."""
+    n_shards = resolve_shards(n_shards, floor=64)
 
     def add_shard(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -104,13 +109,14 @@ def sliding_window(events: rd.Dataset, *, window_s: int = 3600,
 def session_window(events: rd.Dataset, *, gap_s: int = 1800,
                    key_col: str = "user_id", ts_col: str = "ts",
                    value_col: str = "value", id_col: str = "event_id",
-                   n_shards: int = 64) -> rd.Dataset:
+                   n_shards: int | None = None) -> rd.Dataset:
     """Session windows: per key, a new session starts when the gap to the
     previous event exceeds ``gap_s``.  Requires per-key ordered
     processing: shuffle key = ``key % n_shards`` (per-group dispatch
     amortized, same sharding rationale as dedup), per-key ordering done
     with a vectorized pandas sort inside the shard.  Ties on ts break by
     ``id_col`` — the same ORDER BY the SQL oracle uses."""
+    n_shards = resolve_shards(n_shards, floor=64)
     gap_us = np.int64(gap_s) * np.int64(1_000_000)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -140,11 +146,13 @@ def session_window(events: rd.Dataset, *, gap_s: int = 1800,
 
 def with_prev_value(events: rd.Dataset, *, key_col: str = "user_id",
                     ts_col: str = "ts", value_col: str = "value",
-                    id_col: str = "event_id", n_shards: int = 64) -> rd.Dataset:
+                    id_col: str = "event_id",
+                    n_shards: int | None = None) -> rd.Dataset:
     """As-of self-join: attach each event's most recent PRIOR value for the
     same key (the ordered-log pattern for as-of/range joins: shard by key
     hash, sort within shard, vectorized shift).  Ties on ts break by
     id_col, matching the SQL lag() oracle."""
+    n_shards = resolve_shards(n_shards, floor=64)
 
     def add_shard(t: pa.Table) -> pa.Table:
         key = t[key_col].to_numpy(zero_copy_only=False)
@@ -176,7 +184,7 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
               key_col: str = "user_id", ts_col: str = "ts",
               rate_col: str = "rate", id_col: str = "event_id",
               payload_cols: tuple[str, ...] = (),
-              n_shards: int = 32) -> rd.Dataset:
+              n_shards: int | None = None) -> rd.Dataset:
     """Temporal AS-OF join: each event row gets the dimension row with
     the LATEST ts <= event ts for the same key (inclusive on equal ts),
     NULL when no dimension row precedes it — the operator Ray Data lacks
@@ -198,6 +206,7 @@ def asof_join(events: rd.Dataset, dim: rd.Dataset, *,
     typed nulls on the dimension side, the pip_join_shuffle pattern).
     Keys may be integers (sharded by cheap modulo) or any hashable type
     (sharded by pandas hash, round-2 VERDICT generalization)."""
+    n_shards = resolve_shards(n_shards)
     ev_schema = events.schema().base_schema
     pay_types = {c: ev_schema.field(c).type for c in payload_cols}
 
@@ -345,7 +354,7 @@ def interval_durations(event_id: np.ndarray) -> np.ndarray:
 
 
 def interval_join(events: rd.Dataset, *, id_col: str = "event_id",
-                  ts_col: str = "ts", n_shards: int = 32,
+                  ts_col: str = "ts", n_shards: int | None = None,
                   bucket_us: int = IVJ_BUCKET_US) -> rd.Dataset:
     """Temporal interval-overlap SELF-join: every pair of events whose
     half-open intervals [s, s+dur) intersect, each unordered pair once

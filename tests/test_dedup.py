@@ -236,3 +236,39 @@ def test_cc_distributed_long_chain_pointer_halving(ray_session):
     assert set(out["rep"]) == {0}
     assert len(out) == n
     assert stats["rounds"] <= 14, stats  # ~log2(300) + slack, not 299
+
+
+def test_plan_choice_by_nrows_hint(ray_session):
+    """Round-4 (VERDICT item 8): the nrows hint is THE plan switch — a
+    small known corpus takes the zero/one-shuffle broadcast plan, no hint
+    assumes large and takes the sharded join plan."""
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(["a b c d e"] * 5 + ["f g h i j"] * 5)})
+    # exact_dedup: broadcast = semi-join filter, no Sort/shuffle in plan
+    b = dedup.exact_dedup(rd.from_arrow(t), nrows=10)
+    j = dedup.exact_dedup(rd.from_arrow(t))
+    assert "semi" in repr(b) and "Sort" not in repr(b)
+    assert "Sort" in repr(j)  # sharded winners exchange
+    # minhash: broadcast = driver candidates + check_broadcast leg
+    mb = dedup.minhash_lsh_pairs(rd.from_arrow(t), nrows=10)
+    mj = dedup.minhash_lsh_pairs(rd.from_arrow(t))
+    assert "check_broadcast" in repr(mb) and "Sort" not in repr(mb)
+    assert "check_joined" in repr(mj)
+    # both plans agree on the result
+    bb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    jj = j.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bb, jj)
+
+
+def test_resolve_shards_seam(ray_session):
+    """Cluster-derived shuffle width: floor 32 locally (the measured
+    dispatch knee), max(floor, cluster CPUs) when Ray is up, explicit
+    values pass through."""
+    from optimizing_ray.config import default_shards, resolve_shards
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert default_shards() == max(32, cpus)
+    assert resolve_shards(None) == max(32, cpus)
+    assert resolve_shards(48) == 48
+    assert resolve_shards(None, floor=64) == max(64, cpus)
