@@ -70,17 +70,32 @@ def documents_with_geometry(sf_dir: str, *, columns: list[str] | None = None,
     """documents.parquet + derived geometry. Prunes to doc_id (+ requested
     payload columns) at the read."""
     cols = ["doc_id"] + [c for c in (columns or []) if c != "doc_id"]
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = read(sf_dir, "documents", columns=cols)
     return ds.map_batches(lambda t: derive_geometry_batch(t, world),
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _auto_blocks(sf_dir: str, table: str) -> int:
+    """Block count sized from the (free) parquet footer row count:
+    Ray's auto-split slices a tiny single-file table into ~2x-CPU blocks
+    (78 rows/block at sf0.1 documents), so every downstream map leg pays
+    ~CPU-count per-block dispatches + tiny-batch kernel overhead — that
+    floor, repeated per leg, dominated dwithin/spatial_clusters at
+    driver scale (round 4, measured 3.2 s -> see BASELINE.md).  Target
+    ~256 rows/block, capped at 64 so large tables keep today's
+    parallelism."""
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return int(np.clip(rows // 256, 1, 64))
+
+
 def read(sf_dir: str, table: str, *, columns: list[str] | None = None,
          num_blocks: int | None = None) -> rd.Dataset:
-    """Single-file driver tables read as ONE block by default, which
-    serializes every downstream map; pass num_blocks to split."""
-    kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
+    """Driver-table read with row-count-derived block sizing (see
+    ``_auto_blocks``); pass num_blocks to override."""
+    nb = num_blocks if num_blocks else _auto_blocks(sf_dir, table)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           override_num_blocks=nb)
 
 
 # --- driver-side query workloads (SQL-twinned, FIXTURES.md F2/F3) ---------
