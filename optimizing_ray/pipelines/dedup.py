@@ -464,6 +464,26 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, text_col: str = "text",
     raise ValueError(f"unknown verify plan {verify!r}")
 
 
+def _band_candidates(bh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Positional candidate pairs (ia < ib) from an (n, bands) band-hash
+    matrix: one pandas self-merge on (band, bucket) + composite-key
+    unique.  Driver-side by design — callers are the nrows-gated
+    broadcast plans, where the corpus state is already collected.
+    Callers must order rows by ascending id so positional < means
+    id <.  Output is sorted by (ia, ib): dense per-left-doc groups for
+    the grouped verify kernels."""
+    n, bands = bh.shape
+    df = pd.DataFrame({
+        "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+        "bucket": bh.T.ravel(),
+        "i": np.tile(np.arange(n, dtype=np.int64), bands)})
+    m = df.merge(df, on=["band", "bucket"])
+    key = m["i_x"].to_numpy() * np.int64(n) + m["i_y"].to_numpy()
+    key = key[m["i_x"].to_numpy() < m["i_y"].to_numpy()]
+    uk = np.unique(key)
+    return uk // n, uk % n
+
+
 def _minhash_pairs_broadcast(docs: rd.Dataset, *, text_col: str, id_col: str,
                              num_perm: int, bands: int, k_shingle: int,
                              jaccard_threshold: float,
@@ -529,17 +549,8 @@ def _minhash_pairs_broadcast(docs: rd.Dataset, *, text_col: str, id_col: str,
     sh_flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
     sh_offs = np.asarray(sh_col.offsets, dtype=np.int64)
 
-    # candidate pairs: one self-merge on (band, bucket), positional dedup
-    df = pd.DataFrame({
-        "band": np.repeat(np.arange(bands, dtype=np.int32), n),
-        "bucket": bh.T.ravel(),
-        "i": np.tile(np.arange(n, dtype=np.int64), bands)})
-    m = df.merge(df, on=["band", "bucket"])
-    key = m["i_x"].to_numpy() * np.int64(n) + m["i_y"].to_numpy()
-    key = key[m["i_x"].to_numpy() < m["i_y"].to_numpy()]
-    uk = np.unique(key)          # sorted by (ia, ib): dense per-left groups
-    ia, ib = uk // n, uk % n
-    if not len(uk):
+    ia, ib = _band_candidates(bh)
+    if not len(ia):
         return rd.from_arrow(empty)
 
     # broadcast the shingle map as THREE flat arrays (ids, offsets, blob):
@@ -562,8 +573,8 @@ def _minhash_pairs_broadcast(docs: rd.Dataset, *, text_col: str, id_col: str,
         return t.filter(pa.array(ja >= jaccard_threshold))
 
     ptab = pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
-    step = max(1, -(-len(uk) // verify_chunks))
-    chunks = [ptab.slice(s, step) for s in range(0, len(uk), step)]
+    step = max(1, -(-len(ia) // verify_chunks))
+    chunks = [ptab.slice(s, step) for s in range(0, len(ia), step)]
     return rd.from_arrow(chunks).map_batches(
         check_broadcast, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -751,26 +762,6 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
     planes_ref = ray.put(planes)
     from optimizing_ray.pipelines.ann import _to_matrix
 
-    def sigs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # incl. empty-schema blocks (working notes);
-            return _empty_band_table()  # (0,0) @ planes would also raise
-        P = ray.get(planes_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        bits = (_to_matrix(t[vec_col]) @ P) > 0  # (n, n_planes), zero-copy in
-        per_band = n_planes // bands
-        # pack each band's bits via matmul against powers of two —
-        # no per-bit Python loop
-        pows = (1 << np.arange(per_band, dtype=np.int64))[::-1]
-        hs = np.ascontiguousarray(
-            bits.reshape(len(ids), bands, per_band).astype(np.int64) @ pows)
-        return _banded_table(ids, hs, with_bh=False)
-
-    bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _pairs_from_buckets(bucketed, with_bh=False)
-
-    if verify == "auto":
-        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
-
     def _cos_table(t: pa.Table, A: np.ndarray, B: np.ndarray) -> pa.Table:
         # vectorized exact cosine over all pairs in the batch
         if len(A):
@@ -787,6 +778,97 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
         t = t.append_column("cosine", pa.array(rounded, pa.float64()))
         t = t.filter(pa.array(rounded >= threshold))
         return t.select(["doc_a", "doc_b", "cosine"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # incl. empty-schema blocks (working notes);
+            return _empty_band_table()  # (0,0) @ planes would also raise
+        P = ray.get(planes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (_to_matrix(t[vec_col]) @ P) > 0  # (n, n_planes), zero-copy in
+        per_band = n_planes // bands
+        # pack each band's bits via matmul against powers of two —
+        # no per-bit Python loop
+        pows = (1 << np.arange(per_band, dtype=np.int64))[::-1]
+        hs = np.ascontiguousarray(
+            bits.reshape(len(ids), bands, per_band).astype(np.int64) @ pows)
+        return _banded_table(ids, hs, with_bh=False)
+
+    if verify == "auto":
+        verify = "broadcast" if _plan_rows(nrows) <= broadcast_threshold else "join"
+
+    if verify == "broadcast":
+        # round-4 zero-shuffle small-corpus plan (the minhash/exact_dedup
+        # precedent): ONE corpus leg emits (id, band hashes, vector),
+        # driver self-merge generates candidates, ONE parallel exact-
+        # cosine verify leg against the broadcast vector matrix.
+        # Bounded driver-side by broadcast_threshold BY PLAN CHOICE.
+        def vec_state(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "_bh": pa.array([], pa.list_(pa.int64(), bands)),
+                    "_vec": pa.array([], pa.list_(pa.float64()))})
+            P = ray.get(planes_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _to_matrix(t[vec_col])
+            bits = (M @ P) > 0
+            per_band = n_planes // bands
+            pows = (1 << np.arange(per_band, dtype=np.int64))[::-1]
+            hs = np.ascontiguousarray(
+                bits.reshape(len(ids), bands, per_band).astype(np.int64) @ pows)
+            flat = M.astype(np.float64).ravel()
+            offs = np.arange(len(ids) + 1, dtype=np.int32) * M.shape[1]
+            return pa.table({
+                id_col: pa.array(ids),
+                "_bh": pa.FixedSizeListArray.from_arrays(
+                    pa.array(hs.ravel()), bands),
+                "_vec": pa.ListArray.from_arrays(pa.array(offs),
+                                                 pa.array(flat)),
+            })
+
+        parts = [p for p in ray.get(
+            embeddings.select_columns([id_col, vec_col])
+            .map_batches(vec_state, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=2048)
+            .to_arrow_refs()) if p.num_rows]
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not parts:
+            return rd.from_arrow(empty)
+        tab = pa.concat_tables(parts).combine_chunks()
+        ids = tab[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        bh = (tab["_bh"].chunk(0).flatten().to_numpy(zero_copy_only=False)
+              .reshape(n, bands))[order]
+        vc = tab["_vec"].chunk(0)
+        V = (vc.flatten().to_numpy(zero_copy_only=False)
+             .reshape(n, -1))[order]
+        ia, ib = _band_candidates(bh)
+        if not len(ia):
+            return rd.from_arrow(empty)
+        v_ref = ray.put(np.ascontiguousarray(V))
+
+        def check_bcast(t: pa.Table) -> pa.Table:
+            from optimizing_ray.broadcast import cached
+            Vm = cached(("emb_vecs", v_ref.hex()), lambda: ray.get(v_ref))
+            pa_idx = t["_pa"].to_numpy()
+            pb_idx = t["_pb"].to_numpy()
+            out = _cos_table(t, Vm[pa_idx], Vm[pb_idx])
+            return out
+
+        ptab = pa.table({"doc_a": pa.array(ids[ia]),
+                         "doc_b": pa.array(ids[ib]),
+                         "_pa": pa.array(ia), "_pb": pa.array(ib)})
+        step = max(1, -(-len(ia) // 32))
+        chunks = [ptab.slice(s, step) for s in range(0, len(ia), step)]
+        return rd.from_arrow(chunks).map_batches(
+            check_bcast, batch_format="pyarrow", zero_copy_batch=True)
+
+    bucketed = embeddings.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _pairs_from_buckets(bucketed, with_bh=False)
 
     if verify == "join":
         # streaming bucket merges — handles the nested list<float> payload,
@@ -805,29 +887,7 @@ def embedding_near_dup_pairs(embeddings: rd.Dataset, *, vec_col: str = "embeddin
         return cand.map_batches(check_join, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    vm: dict = {}
-    for ref in embeddings.select_columns([id_col, vec_col]).to_arrow_refs():
-        t = ray.get(ref)
-        vm.update(zip(t[id_col].to_numpy(zero_copy_only=False),
-                      t[vec_col].to_pylist()))  # nested vec stays a list
-    vm_ref = ray.put(vm)
-
-    def check_broadcast(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            if "doc_a" not in t.column_names:  # empty-schema block
-                return pa.table({"doc_a": pa.array([], pa.int64()),
-                                 "doc_b": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return _cos_table(t, np.empty((0, 0)), np.empty((0, 0)))
-        m = ray.get(vm_ref)
-        a = np.asarray([m[i] for i in t["doc_a"].to_numpy(zero_copy_only=False)],
-                       dtype=np.float64)
-        b = np.asarray([m[i] for i in t["doc_b"].to_numpy(zero_copy_only=False)],
-                       dtype=np.float64)
-        return _cos_table(t, a, b)
-
-    return cand.map_batches(check_broadcast, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    raise ValueError(f"unknown verify plan {verify!r}")
 
 
 def connected_components(pairs: pd.DataFrame, *, a: str = "doc_a",

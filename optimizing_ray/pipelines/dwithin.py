@@ -201,8 +201,11 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     PLAN CHOICE and driver union-find labels it in one pass (the
     propagation pays 2 exchanges x O(log diameter) rounds of fixed cost
     — milliseconds of work for a small corpus); above it, the sharded
-    pointer-halving propagation runs.  The label attach is ONE
-    side-tagged shard exchange (docs + label rows on hash(id)), never a
+    pointer-halving propagation runs.  Label attach follows the same
+    gate (round 4): in the broadcast plan the (id -> rep) map already
+    lives driver-side, so it ships via ray.put and docs take ONE lookup
+    map leg (the attach exchange was a pure ~1 s dispatch-floor cost);
+    the at-scale path keeps the side-tagged shard exchange — never a
     driver materialization of the corpus.
     SQL twin: oracle.spatial_clusters_sql (recursive-CTE closure)."""
     import pandas as pd
@@ -215,20 +218,37 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     pairs = dwithin_join(docs, docs, world=world, depth=depth, radius=radius,
                          id_col=id_col, nrows=nrows, n_shards=n_shards)
     if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        from optimizing_ray.broadcast import cached
+
         ptabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         pdf = (pa.concat_tables(ptabs).to_pandas() if ptabs
                else pd.DataFrame({"doc_a": [], "doc_b": []}))
         rep = connected_components(pdf)
-        ids = np.asarray(sorted(rep.keys()))
-        labels = rd.from_arrow(pa.table({
-            "id": pa.array(ids.astype(np.int64) if len(ids) else
-                           np.empty(0, np.int64)),
-            "rep": pa.array(np.asarray([rep[i] for i in ids],
-                                       dtype=np.int64) if len(ids) else
-                            np.empty(0, np.int64)),
-        }))
-    else:
-        labels = connected_components_distributed(pairs, n_shards=n_shards)
+        ids = np.asarray(sorted(rep.keys()), dtype=np.int64)
+        reps = (np.asarray([rep[i] for i in ids], dtype=np.int64)
+                if len(ids) else np.empty(0, np.int64))
+        lab_ref = ray.put((ids, reps))
+
+        def label_batch(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or id_col not in t.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "cluster_id": pa.array([], pa.int64())})
+            ks, vs = cached(("clusters_lab", lab_ref.hex()),
+                            lambda: ray.get(lab_ref))
+            did = (t[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            if len(ks):
+                pos = np.clip(np.searchsorted(ks, did), 0, len(ks) - 1)
+                out = np.where(ks[pos] == did, vs[pos], did)  # isolated = self
+            else:
+                out = did
+            return pa.table({"doc_id": pa.array(did),
+                             "cluster_id": pa.array(out)})
+
+        return docs.map_batches(label_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    labels = connected_components_distributed(pairs, n_shards=n_shards)
 
     def tag_docs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
