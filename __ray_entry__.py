@@ -919,7 +919,7 @@ def _q_interval_join(sf_dir: str):
 
     ev = driver_tables.read(sf_dir, "events", columns=["event_id", "ts"],
                             num_blocks=8)
-    return windows.interval_join(ev)
+    return windows.interval_join(ev, nrows=_tbl_rows(sf_dir, "events"))
 
 
 def _q_tile_median(sf_dir: str):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from optimizing_ray.config import resolve_shards
@@ -353,12 +354,92 @@ def interval_durations(event_id: np.ndarray) -> np.ndarray:
                % np.int64(1 << 32)) % np.int64(IVJ_DUR_SPAN_US))
 
 
+def _interval_join_broadcast(events: rd.Dataset, *, id_col: str,
+                             ts_col: str) -> rd.Dataset:
+    """Broadcast plan for ``interval_join`` (gated upstream by nrows):
+    the interval table ships once via ray.put as start-sorted arrays;
+    every batch finds its rows' overlap candidates with two
+    searchsorted calls (window [s - max_dur, e) is a provable superset:
+    durations are < IVJ_DUR_MIN_US + IVJ_DUR_SPAN_US by construction)
+    and a ragged-arange gather — zero shuffles, each unordered pair
+    emitted exactly once from its smaller-id side."""
+    from optimizing_ray.broadcast import cached
+
+    max_dur = np.int64(IVJ_DUR_MIN_US + IVJ_DUR_SPAN_US)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.int64()),
+                             "_e": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (t[ts_col].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"_id": pa.array(eid), "_s": pa.array(s),
+                         "_e": pa.array(s + interval_durations(eid))})
+
+    parts = [p for p in ray.get(events.map_batches(
+        slim, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        if p.num_rows]
+    if parts:
+        rt = pa.concat_tables(parts)
+        ss = rt["_s"].to_numpy()
+        order = np.argsort(ss, kind="stable")
+        state = (ss[order], rt["_e"].to_numpy()[order],
+                 rt["_id"].to_numpy()[order])
+    else:
+        state = (np.empty(0, np.int64),) * 3
+    state_ref = ray.put(state)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_a": pa.array([], pa.int64()),
+                          "event_b": pa.array([], pa.int64()),
+                          "overlap_us": pa.array([], pa.int64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        ss, ee, ii = cached(("ivj_bcast", state_ref.hex()),
+                            lambda: ray.get(state_ref))
+        if len(ss) == 0:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (t[ts_col].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        e = s + interval_durations(eid)
+        lo = np.searchsorted(ss, s - max_dur, side="left")
+        hi = np.searchsorted(ss, e, side="left")     # s_j < e_i
+        n_i = hi - lo
+        tot = int(n_i.sum())
+        if tot == 0:
+            return empty
+        voffs = np.zeros(len(n_i) + 1, dtype=np.int64)
+        np.cumsum(n_i, out=voffs[1:])
+        idx = (np.arange(tot, dtype=np.int64)
+               + np.repeat(lo - voffs[:-1], n_i))
+        row = np.repeat(np.arange(len(eid), dtype=np.int64), n_i)
+        keep = (ee[idx] > s[row]) & (eid[row] < ii[idx])
+        ri, ci = row[keep], idx[keep]
+        overlap = np.minimum(e[ri], ee[ci]) - np.maximum(s[ri], ss[ci])
+        return pa.table({"event_a": pa.array(eid[ri]),
+                         "event_b": pa.array(ii[ci]),
+                         "overlap_us": pa.array(overlap)})
+
+    return events.map_batches(join_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def interval_join(events: rd.Dataset, *, id_col: str = "event_id",
                   ts_col: str = "ts", n_shards: int | None = None,
-                  bucket_us: int = IVJ_BUCKET_US) -> rd.Dataset:
+                  bucket_us: int = IVJ_BUCKET_US, nrows: int | None = None,
+                  broadcast_threshold: int = 200_000) -> rd.Dataset:
     """Temporal interval-overlap SELF-join: every pair of events whose
     half-open intervals [s, s+dur) intersect, each unordered pair once
     (event_a < event_b), with the exact integer overlap length.
+
+    Plan choice (the dedup/knn_join discipline): with ``nrows`` (free
+    parquet metadata) at or below ``broadcast_threshold`` the interval
+    table broadcasts once and each batch joins locally with zero
+    shuffles (``_interval_join_broadcast``); no hint = assume large =
+    the sharded bucket-explode plan below.
 
     Large-large plan: intervals explode over the <= 2 time buckets they
     touch (bucket width >= max duration by construction), ONE
@@ -367,6 +448,8 @@ def interval_join(events: rd.Dataset, *, id_col: str = "event_id",
     only in the bucket containing max(s_a, s_b), so cross-bucket pairs
     are never duplicated).  The 1-D temporal twin of the spatial
     ``dwithin_join``; SQL twin ``oracle.interval_join_sql``."""
+    if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        return _interval_join_broadcast(events, id_col=id_col, ts_col=ts_col)
     from optimizing_ray.pipelines import shard_join
 
     def explode(t: pa.Table, prefix: str) -> pa.Table:

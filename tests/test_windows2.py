@@ -178,3 +178,32 @@ def test_interval_join_matches_brute_and_crosses_buckets(ray_session):
             .sort_values(["event_a", "event_b"]).reset_index(drop=True))
     assert len(got) == len(want) and len(want) > 100
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interval_join_broadcast_plan_matches_sharded(ray_session):
+    """Round-4 nrows-gated broadcast plan == the sharded bucket plan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows
+
+    rng = np.random.default_rng(9)
+    n = 500
+    base = np.int64(1_700_000_000_000_000)
+    s = base + (rng.integers(0, 30, n) * windows.IVJ_BUCKET_US // 2
+                + rng.integers(0, 300_000_000, n)).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64) * 3 + 1
+    t = pa.table({"event_id": pa.array(eid),
+                  "ts": pa.array(s.astype("datetime64[us]"))})
+    a = (windows.interval_join(rd.from_arrow(t).repartition(4), nrows=n)
+         .to_pandas().sort_values(["event_a", "event_b"])
+         .reset_index(drop=True))
+    b = (windows.interval_join(rd.from_arrow(t).repartition(4))
+         .to_pandas().sort_values(["event_a", "event_b"])
+         .reset_index(drop=True))
+    assert len(a) == len(b) > 50
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # broadcast plan has no shard exchange in its DAG
+    lazy = windows.interval_join(rd.from_arrow(t), nrows=n)
+    assert "Sort" not in repr(lazy)
