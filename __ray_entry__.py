@@ -1024,6 +1024,31 @@ def _q_heavy_hitters(sf_dir: str):
     return textops.heavy_hitters(docs, k=HH_K)
 
 
+DECON_MOD, DECON_N = 97, 4
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: broadcast blocklist of the
+    benchmark docs' word 4-gram hashes (bounded by the benchmark suite
+    size), one zero-shuffle probe leg over the corpus."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.decontaminate(docs, benchmark_mod=DECON_MOD, n=DECON_N)
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per doc (token count,
+    unique-token / top-token / duplicate-bigram fractions), one
+    vectorized map leg."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.repetition_stats(docs)
+
+
 def _q_spatial_clusters(sf_dir: str):
     """Density clustering (DBSCAN minPts=1): connected components of the
     DWITHIN_R distance-band graph; cluster_id = min member.  Composes
@@ -1167,12 +1192,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": _q_train_split,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
+        # round 4 wave 2: training-data hygiene ops, in-window for their
+        # first driver check
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
         "events_window": _q_events_window,
-        "session_window": _q_session_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
-        "raster_density": _q_raster_density,
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sales_by_nation": _q_sales_by_nation,
@@ -1195,6 +1222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_distinct_sources": _q_tile_distinct_sources,
         "vector_raster": _q_vector_raster,
         "sliding_window": _q_sliding_window,
+        # demoted round 4 wave 2 to make room for decontaminate /
+        # repetition_stats (both green in CORRECTNESS_r03.json on
+        # unchanged code; family twins events_window / raster_near stay
+        # in-window)
+        "session_window": _q_session_window,
+        "raster_density": _q_raster_density,
     }
 
 
@@ -1242,6 +1275,8 @@ def oracle_sql() -> dict[str, str]:
         "train_split": oracle.train_split_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "doc_stats": oracle.doc_stats_sql(),
+        "decontaminate": oracle.decontaminate_sql(DECON_MOD, DECON_N),
+        "repetition_stats": oracle.repetition_stats_sql(),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),

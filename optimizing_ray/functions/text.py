@@ -19,7 +19,9 @@ import pyarrow.compute as pc
 
 __all__ = ["TextAnalyzer", "token_count", "fingerprint64", "shingles",
            "shingle_hashes", "shingle_hashes_batch",
-           "shingle_window_hashes_batch", "jaccard_sorted"]
+           "shingle_window_hashes_batch", "jaccard_sorted",
+           "token_hash", "token_hashes_batch", "token_ngram_hashes_batch",
+           "repetition_profile_batch"]
 
 # ---------------------------------------------------------------------------
 # Batch blob machinery (round-4): every corpus-wide kernel below operates on
@@ -308,6 +310,147 @@ def shingles(text: str, k: int = 5) -> set[int]:
     """Character k-shingle hash set of one document (same values as
     ``shingle_hashes``, as a Python set — test/oracle convenience)."""
     return set(shingle_hashes(text, k).tolist())
+
+
+# ---------------------------------------------------------------------------
+# Word-token machinery (round-4 wave 2): decontamination, repetition
+# signals.  Tokenization is an EXACT single-space split (DuckDB
+# ``string_split(text, ' ')`` semantics: empties kept, '' -> ['']), NOT the
+# whitespace regex of TextAnalyzer — the oracle joins on token/n-gram
+# STRINGS, so both sides must agree byte-for-byte on token boundaries and
+# the regex-\s dialect differences (see _PY_SPACE_BYTES above) stay out of
+# the contract.  Engine-side tokens travel as 64-bit polynomial hashes
+# (same base as the shingle machinery); equal strings hash equal, distinct
+# strings collide with ~2^-64 probability — the same by-design
+# approximation as the LSH family, verified exact by the driver gate.
+# ---------------------------------------------------------------------------
+
+
+def token_hash(token: str) -> int:
+    """Scalar reference: polynomial (base 1000003, mod 2^64) hash of one
+    token's UTF-8 bytes — the per-token twin of the rolling-hash
+    recurrence.  '' hashes to 0."""
+    h = 0
+    for b in token.encode("utf-8"):
+        h = (h * int(_ROLL_B) + b) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _segment_hashes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Polynomial hash of every [offs[i], offs[i+1]) byte segment of one
+    blob, vectorized: byte-position passes over a shrinking alive set
+    (tokens are short, so ~max_token_len passes).  Empty segments -> 0."""
+    lens = np.diff(offs)
+    n = len(lens)
+    h = np.zeros(n, dtype=np.uint64)
+    if n == 0 or len(data) == 0:
+        return h
+    d = data.astype(np.uint64)
+    starts = offs[:-1].astype(np.int64)
+    alive = np.flatnonzero(lens > 0)
+    j = 0
+    with np.errstate(over="ignore"):
+        while len(alive):
+            h[alive] = h[alive] * _ROLL_B + d[starts[alive] + j]
+            j += 1
+            alive = alive[lens[alive] > j]
+    return h
+
+
+def token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 token hashes, int64 per-doc offsets) for the
+    single-space tokenization of every doc.  The split itself is
+    arrow-native (``pc.split_pattern``); hashing is one blob pass."""
+    arr = _as_string_array(texts)
+    n_docs = len(arr)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lists = pc.split_pattern(arr, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    doffs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=doffs[1:])
+    toks = pc.list_flatten(lists)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    data, offs = _utf8_blob(toks)
+    return _segment_hashes(data, offs), doffs
+
+
+def token_ngram_hashes_batch(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 word-n-gram hashes, int64 per-doc offsets): rolling
+    polynomial over token-hash SYMBOLS (not bytes), windows clipped to doc
+    boundaries.  Docs with fewer than n tokens contribute zero windows.
+    Hash-equal to ``token_hash`` composition on the joined n-gram, i.e.
+    two n-grams collide iff their token sequences collide."""
+    th, doffs = token_hashes_batch(texts)
+    return _doc_windows(th, doffs, n)
+
+
+def repetition_profile_batch(texts) -> dict[str, np.ndarray]:
+    """Gopher-style repetition signals per doc, all int64 and vectorized
+    over the batch: n_tokens, n_distinct (distinct tokens), top_count
+    (occurrences of the most frequent token), n_bigrams (n_tokens - 1,
+    floored at 0), n_distinct_bigrams.  Token identity = 64-bit hash
+    (collision caveat in the module note above)."""
+    th, doffs = token_hashes_batch(texts)
+    counts = np.diff(doffs)
+    n_docs = len(counts)
+    if n_docs == 0:
+        z = np.empty(0, dtype=np.int64)
+        return {"n_tokens": z, "n_distinct": z, "top_count": z,
+                "n_bigrams": z, "n_distinct_bigrams": z}
+    # every doc has >= 1 token (split of '' is ['']), so doffs boundaries
+    # are valid run starts
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((th, seg))
+    hs = th[order]
+    new = np.empty(len(hs), dtype=bool)
+    new[0] = True
+    np.not_equal(hs[1:], hs[:-1], out=new[1:])
+    new[doffs[:-1]] = True
+    n_distinct = np.bincount(seg[order][new], minlength=n_docs)
+    run_starts = np.flatnonzero(new)
+    run_lens = np.diff(np.append(run_starts, len(hs)))
+    run_doc = seg[order][run_starts]
+    first_run = np.searchsorted(run_doc, np.arange(n_docs, dtype=np.int64))
+    top_count = np.maximum.reduceat(run_lens, first_run)
+    bh, boffs = _doc_windows(th, doffs, 2)
+    n_bigrams = np.diff(boffs)
+    if len(bh):
+        bseg = np.repeat(np.arange(n_docs, dtype=np.int64), n_bigrams)
+        border = np.lexsort((bh, bseg))
+        bhs = bh[border]
+        bnew = np.empty(len(bhs), dtype=bool)
+        bnew[0] = True
+        np.not_equal(bhs[1:], bhs[:-1], out=bnew[1:])
+        bnew[boffs[:-1][n_bigrams > 0]] = True
+        n_db = np.bincount(bseg[border][bnew], minlength=n_docs)
+    else:
+        n_db = np.zeros(n_docs, dtype=np.int64)
+    return {"n_tokens": counts.astype(np.int64),
+            "n_distinct": n_distinct.astype(np.int64),
+            "top_count": top_count.astype(np.int64),
+            "n_bigrams": n_bigrams.astype(np.int64),
+            "n_distinct_bigrams": n_db.astype(np.int64)}
+
+
+def _doc_windows(sym: np.ndarray, doffs: np.ndarray,
+                 n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-window polynomial hashes over a flat symbol array,
+    clipped to per-doc segments (the shared tail of
+    ``token_ngram_hashes_batch``)."""
+    counts = np.diff(doffs)
+    n_i = np.maximum(counts - n + 1, 0)
+    voffs = np.zeros(len(n_i) + 1, dtype=np.int64)
+    np.cumsum(n_i, out=voffs[1:])
+    total = int(voffs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), voffs
+    idx = (np.arange(total, dtype=np.int64)
+           + np.repeat(doffs[:-1] - voffs[:-1], n_i))
+    return _rolling_hash(sym, n)[idx], voffs
 
 
 class TextAnalyzer:

@@ -1709,3 +1709,53 @@ SELECT mkey AS cell_key,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
 FROM mz GROUP BY mkey
 """
+
+
+def decontaminate_sql(benchmark_mod: int = 97, n: int = 4,
+                      table: str = "documents") -> str:
+    """Benchmark n-gram decontamination twin
+    (``textops.decontaminate``): the benchmark suite is the docs with
+    doc_id % benchmark_mod == 0; a corpus doc is contaminated per n-gram
+    POSITION whose word n-gram (single-space split, string identity —
+    the engine rides 64-bit hashes of the same token sequences) appears
+    anywhere in the benchmark set."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - {n - 1})) AS i
+        FROM lists),
+grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + {n - 1}), ' ') AS ng
+          FROM pos),
+bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % {benchmark_mod} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (ng)
+WHERE g.doc_id % {benchmark_mod} <> 0
+GROUP BY g.doc_id
+"""
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Gopher-style repetition signal twin (``textops.repetition_stats``):
+    single-space token identity, fractions floor(x*1e6+0.5)/1e6-rounded in
+    the engine's exact float op order (left-assoc divide, scale, shift)."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, unnest(l) AS tok FROM lists),
+cnt AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        FROM toks GROUP BY doc_id),
+tcnt AS (SELECT doc_id, max(c) AS top_count
+         FROM (SELECT doc_id, tok, count(*) AS c FROM toks
+               GROUP BY doc_id, tok) GROUP BY doc_id),
+pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM lists),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS b FROM pos),
+bcnt AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS ndb
+         FROM bg GROUP BY doc_id)
+SELECT c.doc_id,
+  CAST(c.n_tokens AS BIGINT) AS n_tokens,
+  floor(c.n_distinct / CAST(c.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS uniq_frac,
+  floor(t.top_count / CAST(c.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_frac,
+  CASE WHEN b.nb IS NULL OR b.nb = 0 THEN 0.0
+       ELSE floor((1.0 - b.ndb / CAST(b.nb AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       END AS dup_bigram_frac
+FROM cnt c JOIN tcnt t USING (doc_id) LEFT JOIN bcnt b USING (doc_id)
+"""

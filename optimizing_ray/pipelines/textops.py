@@ -16,7 +16,8 @@ from optimizing_ray.config import resolve_shards
 
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
-__all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters"]
+__all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
+           "decontaminate", "repetition_stats"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -228,3 +229,107 @@ def stratified_sample(docs: rd.Dataset, *, rates: dict, id_col: str = "doc_id",
 
     return docs.map_batches(keep, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def decontaminate(docs: rd.Dataset, *, benchmark_mod: int = 97, n: int = 4,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Benchmark n-gram decontamination — the training-data hygiene op:
+    flag every corpus doc sharing a word n-gram with the held-out
+    benchmark suite (here derived deterministically as the docs with
+    ``doc_id % benchmark_mod == 0``; in production a separate small
+    table).  Returns (doc_id, n_hits) for contaminated NON-benchmark
+    docs, where n_hits counts the doc's n-gram POSITIONS that appear in
+    the benchmark set (``oracle.decontaminate_sql`` twin).
+
+    Plan (zero shuffles): one column-pruned corpus leg projects the
+    benchmark docs' distinct n-gram hashes (driver-side union is bounded
+    by the BENCHMARK SUITE size — fixed, small, and independent of corpus
+    scale, the canonical broadcast side at 100 TB); the sorted blocklist
+    ships once via ray.put; one probe leg scans the corpus with a
+    searchsorted membership test per batch.  Tokens/n-grams ride 64-bit
+    polynomial hashes (collision caveat: functions/text.py module note).
+    """
+    import ray
+
+    from optimizing_ray.functions.text import token_ngram_hashes_batch
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({"gh": pa.array([], pa.uint64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % benchmark_mod == 0))
+        if t.num_rows == 0:
+            return pa.table({"gh": pa.array([], pa.uint64())})
+        hv, _ = token_ngram_hashes_batch(t[text_col], n)
+        return pa.table({"gh": pa.array(np.unique(hv))})
+
+    parts = (docs.select_columns([id_col, text_col])
+             .map_batches(bench_grams, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .take_all())  # bounded by the benchmark suite's n-gram count
+    bl = np.unique(np.array([r["gh"] for r in parts], dtype=np.uint64))
+    bl_ref = ray.put(bl)
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % benchmark_mod != 0
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return empty
+        ids = ids[keep]
+        blk = ray.get(bl_ref)
+        hv, voffs = token_ngram_hashes_batch(t[text_col], n)
+        if len(hv) == 0 or len(blk) == 0:
+            return empty
+        pos = np.searchsorted(blk, hv)
+        hit = (pos < len(blk)) & (blk[np.minimum(pos, len(blk) - 1)] == hv)
+        seg = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        np.diff(voffs))
+        hits = np.bincount(seg[hit], minlength=t.num_rows)
+        flag = hits > 0
+        return pa.table({"doc_id": pa.array(ids[flag]),
+                         "n_hits": pa.array(hits[flag].astype(np.int64))})
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def repetition_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """Gopher-style repetition quality signals per doc (single-space
+    token semantics, ``oracle.repetition_stats_sql`` twin): token count,
+    unique-token fraction, top-token fraction, duplicate-bigram fraction.
+    Fractions are floor(x * 1e6 + 0.5) / 1e6-rounded on BOTH sides
+    (Python/DuckDB round() disagree at halves).  One map leg, zero
+    shuffles, all-vectorized (functions.text.repetition_profile_batch)."""
+    from optimizing_ray.functions.text import repetition_profile_batch
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "uniq_frac": pa.array([], pa.float64()),
+                             "top_frac": pa.array([], pa.float64()),
+                             "dup_bigram_frac": pa.array([], pa.float64())})
+        p = repetition_profile_batch(t[text_col])
+        nt = p["n_tokens"].astype(np.float64)
+        uniq = np.floor(p["n_distinct"] / nt * 1e6 + 0.5) / 1e6
+        top = np.floor(p["top_count"] / nt * 1e6 + 0.5) / 1e6
+        nb = p["n_bigrams"]
+        dup = np.zeros(len(nb))
+        nz = nb > 0
+        dup[nz] = np.floor((1.0 - p["n_distinct_bigrams"][nz] / nb[nz].astype(np.float64))
+                           * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": t[id_col],
+                         "n_tokens": pa.array(p["n_tokens"]),
+                         "uniq_frac": pa.array(uniq),
+                         "top_frac": pa.array(top),
+                         "dup_bigram_frac": pa.array(dup)})
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True))

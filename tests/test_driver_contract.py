@@ -74,6 +74,9 @@ SQL_NAMES = [
     "stratified_sample",
     # round 3: exact per-tile distinct-source counts
     "tile_distinct_sources",
+    # round 4: training-data hygiene — benchmark n-gram decontamination
+    # (broadcast blocklist) and Gopher-style repetition signals
+    "decontaminate", "repetition_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

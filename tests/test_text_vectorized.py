@@ -128,3 +128,77 @@ def test_window_hashes_min_equals_unique_min(corpus):
         a = flat_w[offs_w[i]:offs_w[i + 1]]
         b = flat_u[offs_u[i]:offs_u[i + 1]]
         assert a.min() == b.min()
+
+
+# --- round-4 wave 2: word-token machinery ----------------------------------
+
+WORD_DOCS = ["the fast key order sort table", "", "a", "a a a b", "x  y",
+             "spark spark spark", "merge line " * 40 + "tail"]
+
+
+def test_token_hashes_match_scalar():
+    from optimizing_ray.functions.text import token_hash, token_hashes_batch
+    th, doffs = token_hashes_batch(WORD_DOCS)
+    flat_exp, offs_exp = [], [0]
+    for d in WORD_DOCS:
+        toks = d.split(" ")
+        flat_exp += [token_hash(t) for t in toks]
+        offs_exp.append(offs_exp[-1] + len(toks))
+    assert th.tolist() == flat_exp
+    assert doffs.tolist() == offs_exp
+
+
+def test_token_ngram_hashes_roll_over_token_hashes():
+    from optimizing_ray.functions.text import (token_hash,
+                                               token_ngram_hashes_batch)
+    n = 3
+    hv, voffs = token_ngram_hashes_batch(WORD_DOCS, n)
+    B, M = 1000003, 1 << 64
+    flat_exp, offs_exp = [], [0]
+    for d in WORD_DOCS:
+        hs = [token_hash(t) for t in d.split(" ")]
+        grams = []
+        for i in range(max(len(hs) - n + 1, 0)):
+            h = 0
+            for x in hs[i:i + n]:
+                h = (h * B + x) % M
+            grams.append(h)
+        flat_exp += grams
+        offs_exp.append(offs_exp[-1] + len(grams))
+    assert hv.tolist() == flat_exp
+    assert voffs.tolist() == offs_exp
+
+
+def test_repetition_profile_matches_counter_reference():
+    from collections import Counter
+
+    from optimizing_ray.functions.text import repetition_profile_batch
+    p = repetition_profile_batch(WORD_DOCS)
+    for i, d in enumerate(WORD_DOCS):
+        ts = d.split(" ")
+        bg = [tuple(ts[j:j + 2]) for j in range(len(ts) - 1)]
+        c = Counter(ts)
+        assert p["n_tokens"][i] == len(ts)
+        assert p["n_distinct"][i] == len(set(ts))
+        assert p["top_count"][i] == max(c.values())
+        assert p["n_bigrams"][i] == len(bg)
+        assert p["n_distinct_bigrams"][i] == len(set(bg))
+
+
+def test_decontaminate_blocklist_is_benchmark_bounded(ray_session):
+    """The broadcast blocklist derives from benchmark docs only: with no
+    doc_id divisible by the modulus, nothing is flagged even for exact
+    duplicate texts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import decontaminate
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d e f", "a b c d e f", "q r s t"])})
+    out = decontaminate(rd.from_arrow(t), benchmark_mod=97, n=4).take_all()
+    assert out == []
+    # doc 97*2 is a benchmark doc; doc 5 repeats one of its 4-grams
+    t2 = pa.table({"doc_id": pa.array([194, 5, 6], pa.int64()),
+                   "text": pa.array(["a b c d e f", "z z a b c d zz", "q r s t"])})
+    out2 = decontaminate(rd.from_arrow(t2), benchmark_mod=97, n=4).take_all()
+    assert out2 == [{"doc_id": 5, "n_hits": 1}]
