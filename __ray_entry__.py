@@ -1049,6 +1049,18 @@ def _q_repetition_stats(sf_dir: str):
     return textops.repetition_stats(docs)
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing: deterministic planted email/phone/IP (SQL-twinned
+    derivation), RE2 counts + redaction in arrow kernels, one map leg."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = (driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(driver_tables.derive_pii_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return textops.pii_redact(docs)
+
+
 def _q_spatial_clusters(sf_dir: str):
     """Density clustering (DBSCAN minPts=1): connected components of the
     DWITHIN_R distance-band graph; cluster_id = min member.  Composes
@@ -1196,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first driver check
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
         "events_window": _q_events_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
@@ -1203,7 +1216,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sales_by_nation": _q_sales_by_nation,
-        "median_qty": _q_median_qty,
         "ann_topk": _q_ann_topk,
         "user_median_sketch": _q_user_median_sketch,
         "adaptive_assign": _q_adaptive_assign,  # rows-only companion oracle
@@ -1228,6 +1240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window)
         "session_window": _q_session_window,
         "raster_density": _q_raster_density,
+        # demoted for pii_redact (green r3; quantile-sketch kernel stays
+        # in-window via user_median_sketch / tile_median)
+        "median_qty": _q_median_qty,
     }
 
 
@@ -1277,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracle.doc_stats_sql(),
         "decontaminate": oracle.decontaminate_sql(DECON_MOD, DECON_N),
         "repetition_stats": oracle.repetition_stats_sql(),
+        "pii_redact": oracle.pii_redact_sql(),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),

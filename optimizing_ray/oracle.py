@@ -1759,3 +1759,25 @@ SELECT c.doc_id,
        END AS dup_bigram_frac
 FROM cnt c JOIN tcnt t USING (doc_id) LEFT JOIN bcnt b USING (doc_id)
 """
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    """PII count+redaction twin (``textops.pii_redact`` over
+    ``driver_tables.derive_pii_batch``-augmented text): same RE2
+    patterns, counts on the original text, replacements applied in
+    PII_PATTERNS order."""
+    from optimizing_ray.pipelines.textops import PII_PATTERNS
+    from optimizing_ray.sources.driver_tables import pii_text_sql
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    clean = "ptext"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH pii AS (SELECT doc_id, {pii_text_sql()} AS ptext FROM {table})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(ptext, '{pats["email"]}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(ptext, '{pats["phone"]}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(ptext, '{pats["ip"]}')) AS BIGINT) AS n_ips,
+  {clean} AS clean_text
+FROM pii
+"""

@@ -17,7 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
-           "decontaminate", "repetition_stats"]
+           "decontaminate", "repetition_stats", "pii_redact"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -333,3 +333,48 @@ def repetition_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
 
     return (docs.select_columns([id_col, text_col])
             .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# RE2 patterns shared by the engine (pyarrow.compute, RE2) and the oracle
+# (DuckDB regexp_*, also RE2) — same dialect on both sides by construction.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+1-555-[0-9]{4}", "<PHONE>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_redact(docs: rd.Dataset, *, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """PII scrubbing for training corpora: count and redact email /
+    phone / IPv4 matches per doc (``oracle.pii_redact_sql`` twin).  All
+    regex work is RE2 inside arrow kernels (count_substring_regex +
+    replace_substring_regex) — zero Python per row, one map leg, zero
+    shuffles.  Counts are taken on the ORIGINAL text; replacements apply
+    in PII_PATTERNS order (the patterns are mutually non-overlapping on
+    any text: emails contain '@', phones contain '-', IPs are dotted
+    digit runs)."""
+    import pyarrow.compute as pc
+
+    def redact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_emails": pa.array([], pa.int64()),
+                             "n_phones": pa.array([], pa.int64()),
+                             "n_ips": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string())})
+        txt = t[text_col]
+        counts = {name: pc.cast(pc.count_substring_regex(txt, pat),
+                                pa.int64())
+                  for name, pat, _ in PII_PATTERNS}
+        clean = txt
+        for _, pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        return pa.table({"doc_id": t[id_col],
+                         "n_emails": counts["email"],
+                         "n_phones": counts["phone"],
+                         "n_ips": counts["ip"],
+                         "clean_text": clean})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        redact, batch_format="pyarrow", zero_copy_batch=True)

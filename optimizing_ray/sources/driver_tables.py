@@ -275,6 +275,61 @@ def derive_spans_batch(batch: pa.Table) -> pa.Table:
         "spans", pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct))
 
 
+# --- deterministic planted PII for driver docs (SQL-twinned) ---------------
+#
+# The synthetic corpus has no PII, so the redaction operator's driver
+# query PLANTS it deterministically from doc_id (the planted-duplicates
+# discipline of the LSH oracles): docs divisible by the moduli below get
+# an email / phone / IPv4 suffix appended.  Both sides build the exact
+# same string (plain integer arithmetic + lpad), so counts and redacted
+# text are byte-identical.
+
+PII_EMAIL_MOD, PII_PHONE_MOD, PII_IP_MOD = 7, 11, 13
+
+
+def derive_pii_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Replace ``text`` with the PII-augmented text (arrow-native concat;
+    zero Python per row)."""
+    import pyarrow.compute as pc
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        return batch
+    ids = batch["doc_id"].to_numpy().astype(np.int64)
+    ids_s = pc.cast(pa.array(ids), pa.string())
+    j = pc.binary_join_element_wise
+    email = pc.if_else(pa.array(ids % PII_EMAIL_MOD == 0),
+                       j(" contact u", ids_s, "@mail.example.com now", ""),
+                       "")
+    phone = pc.if_else(pa.array(ids % PII_PHONE_MOD == 0),
+                       j(" call +1-555-",
+                         pc.utf8_lpad(pc.cast(pa.array(ids % 10000),
+                                              pa.string()), 4, "0"),
+                         " today", ""),
+                       "")
+    ip = pc.if_else(pa.array(ids % PII_IP_MOD == 0),
+                    j(" from 192.168.",
+                      pc.cast(pa.array(ids % 256), pa.string()), ".",
+                      pc.cast(pa.array((ids // 7) % 256), pa.string()), ""),
+                    "")
+    ptext = j(batch[text_col], email, phone, ip, "")
+    i = batch.column_names.index(text_col)
+    return batch.set_column(i, text_col, ptext)
+
+
+def pii_text_sql(text_col: str = "text") -> str:
+    """SQL twin of ``derive_pii_batch`` (one expression producing the
+    augmented text)."""
+    return (
+        f"{text_col} || "
+        f"CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN ' contact u' || "
+        f"CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END || "
+        f"CASE WHEN doc_id % {PII_PHONE_MOD} = 0 THEN ' call +1-555-' || "
+        f"lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' "
+        f"ELSE '' END || "
+        f"CASE WHEN doc_id % {PII_IP_MOD} = 0 THEN ' from 192.168.' || "
+        f"CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        f"CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END")
+
+
 def _fold_utf8(arr: pa.Array) -> np.ndarray:
     """Vectorized polynomial byte fold (base ``_FP_B`` mod 2^64) over a
     string array: one pass per CHAR POSITION, never per row."""

@@ -77,6 +77,8 @@ SQL_NAMES = [
     # round 4: training-data hygiene — benchmark n-gram decontamination
     # (broadcast blocklist) and Gopher-style repetition signals
     "decontaminate", "repetition_stats",
+    # round 4: PII count+redaction over planted, SQL-twinned PII
+    "pii_redact",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

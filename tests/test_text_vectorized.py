@@ -202,3 +202,24 @@ def test_decontaminate_blocklist_is_benchmark_bounded(ray_session):
                    "text": pa.array(["a b c d e f", "z z a b c d zz", "q r s t"])})
     out2 = decontaminate(rd.from_arrow(t2), benchmark_mod=97, n=4).take_all()
     assert out2 == [{"doc_id": 5, "n_hits": 1}]
+
+
+def test_pii_redact_counts_and_scrubs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import pii_redact
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a@b.co and c.d+x@e-f.org, call +1-555-0042, ip 10.0.0.1",
+            "no pii here"])})
+    out = (pii_redact(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_emails"] == 2
+    assert out.loc[0, "n_phones"] == 1
+    assert out.loc[0, "n_ips"] == 1
+    assert out.loc[0, "clean_text"] == \
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, ip <IP>"
+    assert out.loc[1, ["n_emails", "n_phones", "n_ips"]].tolist() == [0, 0, 0]
+    assert out.loc[1, "clean_text"] == "no pii here"
