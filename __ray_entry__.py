@@ -1049,6 +1049,21 @@ def _q_repetition_stats(sf_dir: str):
     return textops.repetition_stats(docs)
 
 
+POLY_COVER_DEPTH = 7
+
+
+def _q_polygon_cover(sf_dir: str):
+    """Adaptive mixed-depth cell cover of every doc pentagon (the S2
+    RegionCoverer twin): vectorized BFS per batch, zero shuffles."""
+    from optimizing_ray.pipelines import poly_join
+    from optimizing_ray.sources import driver_tables
+
+    docs = (_docs(sf_dir)
+            .map_batches(driver_tables.derive_doc_polygons_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return poly_join.polygon_cover(docs, max_depth=POLY_COVER_DEPTH)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrubbing: deterministic planted email/phone/IP (SQL-twinned
     derivation), RE2 counts + redaction in arrow kernels, one map leg."""
@@ -1209,12 +1224,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
+        "polygon_cover": _q_polygon_cover,
         "events_window": _q_events_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "distinct_sources": _q_distinct_sources,
-        "top_docs_per_lang": _q_top_docs_per_lang,
         "sales_by_nation": _q_sales_by_nation,
         "ann_topk": _q_ann_topk,
         "user_median_sketch": _q_user_median_sketch,
@@ -1240,9 +1255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window)
         "session_window": _q_session_window,
         "raster_density": _q_raster_density,
-        # demoted for pii_redact (green r3; quantile-sketch kernel stays
-        # in-window via user_median_sketch / tile_median)
+        # demoted for pii_redact / polygon_cover (green r3; quantile-
+        # sketch kernel stays in-window via user_median_sketch /
+        # tile_median, group-top-k via heavy_hitters)
         "median_qty": _q_median_qty,
+        "top_docs_per_lang": _q_top_docs_per_lang,
     }
 
 
@@ -1293,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracle.decontaminate_sql(DECON_MOD, DECON_N),
         "repetition_stats": oracle.repetition_stats_sql(),
         "pii_redact": oracle.pii_redact_sql(),
+        "polygon_cover": oracle.polygon_cover_sql(POLY_COVER_DEPTH),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),

@@ -1781,3 +1781,114 @@ SELECT doc_id,
   {clean} AS clean_text
 FROM pii
 """
+
+
+def polygon_cover_sql(max_depth: int, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """Adaptive polygon region-cover twin (``poly_join.polygon_cover``)
+    as a NON-recursive closure — the BFS emission rule re-expressed per
+    depth (containment is monotone down the cell tree, disjointness is
+    monotone up, so):
+
+      * full cells at depth d  =  inside(cell) AND NOT inside(parent)
+      * partial leaves at max_depth  =  overlap(cell) AND NOT inside(cell)
+
+    Candidates per depth come from the polygon bbox index range padded
+    by one cell (a strict superset of every emitted cell); the exact SAT
+    / half-plane classification then matches the engine bit-for-bit:
+    cell bounds derive from (ix, iy) by the same wmin + ix*cw float
+    formula, centers/halfwidths/projections in the same op order."""
+    from optimizing_ray.sources.driver_tables import (
+        PENT_UX, PENT_UY, doc_polygon_scale_sql)
+    sc = doc_polygon_scale_sql()
+    k = len(PENT_UX)
+    wminx, wminy = world.min_x, world.min_y
+    wx, wy, _ = world.size
+    pentv = ",\n  ".join(f"({j}, {PENT_UX[j]!r}, {PENT_UY[j]!r})"
+                         for j in range(k))
+    parts = [
+        geo_cte(table, world),
+        f"geo2 AS (SELECT doc_id, x, y, {sc['sx']} AS sx, {sc['sy']} AS sy"
+        " FROM geo)",
+        f"pentv(j, ux, uy) AS (VALUES\n  {pentv})",
+        "pv AS (SELECT g.doc_id, p.j, (g.x + g.sx * p.ux) AS vx,"
+        " (g.y + g.sy * p.uy) AS vy FROM geo2 g CROSS JOIN pentv p)",
+        "ax0 AS (SELECT v1.doc_id, v1.j, v1.vx, v1.vy,"
+        " -(v2.vy - v1.vy) AS nx, (v2.vx - v1.vx) AS ny FROM pv v1"
+        f" JOIN pv v2 ON v2.doc_id = v1.doc_id AND v2.j = (v1.j + 1) % {k})",
+        "ax1 AS (SELECT doc_id, j, nx, ny, nx * vx + ny * vy AS c FROM ax0)",
+        "axes AS (SELECT a.doc_id, a.j, a.nx, a.ny, a.c,"
+        " min(a.nx * p.vx + a.ny * p.vy) AS pmin,"
+        " max(a.nx * p.vx + a.ny * p.vy) AS pmax"
+        " FROM ax1 a JOIN pv p USING (doc_id)"
+        " GROUP BY a.doc_id, a.j, a.nx, a.ny, a.c)",
+        "pbox AS (SELECT doc_id, min(vx) AS bminx, max(vx) AS bmaxx,"
+        " min(vy) AS bminy, max(vy) AS bmaxy FROM pv GROUP BY doc_id)",
+    ]
+    sels = []
+    for d in range(max_depth + 1):
+        nd = 1 << d
+        cw = wx / nd
+        ch = wy / nd
+        parent = ""
+        if d:
+            cwp = wx / (nd // 2)
+            chp = wy / (nd // 2)
+            parent = f""",
+    {wminx!r} + (u.ix // 2) * {cwp!r} AS qminx,
+    {wminx!r} + ((u.ix // 2) + 1) * {cwp!r} AS qmaxx,
+    {wminy!r} + (v.iy // 2) * {chp!r} AS qminy,
+    {wminy!r} + ((v.iy // 2) + 1) * {chp!r} AS qmaxy"""
+        parts.append(f"""cand{d} AS (
+  SELECT b.doc_id, u.ix, v.iy,
+    {wminx!r} + u.ix * {cw!r} AS cminx,
+    {wminx!r} + (u.ix + 1) * {cw!r} AS cmaxx,
+    {wminy!r} + v.iy * {ch!r} AS cminy,
+    {wminy!r} + (v.iy + 1) * {ch!r} AS cmaxy{parent}
+  FROM pbox b,
+  LATERAL (SELECT unnest(generate_series(
+     GREATEST(0, CAST(floor((b.bminx - {wminx!r}) / {cw!r}) AS BIGINT) - 1),
+     LEAST({nd - 1}, CAST(floor((b.bmaxx - {wminx!r}) / {cw!r}) AS BIGINT) + 1)
+     )) AS ix) u,
+  LATERAL (SELECT unnest(generate_series(
+     GREATEST(0, CAST(floor((b.bminy - {wminy!r}) / {ch!r}) AS BIGINT) - 1),
+     LEAST({nd - 1}, CAST(floor((b.bmaxy - {wminy!r}) / {ch!r}) AS BIGINT) + 1)
+     )) AS iy) v)""")
+
+        def center(lo: str, hi: str, lo2: str, hi2: str) -> str:
+            return (f"(a.nx * ((c.{lo} + c.{hi}) * 0.5)"
+                    f" + a.ny * ((c.{lo2} + c.{hi2}) * 0.5))")
+
+        def radius(lo: str, hi: str, lo2: str, hi2: str) -> str:
+            return (f"(abs(a.nx) * ((c.{hi} - c.{lo}) * 0.5)"
+                    f" + abs(a.ny) * ((c.{hi2} - c.{lo2}) * 0.5))")
+
+        cell = ("cminx", "cmaxx", "cminy", "cmaxy")
+        par = ("qminx", "qmaxx", "qminy", "qmaxy")
+        cdmr = f"{center(*cell)} - {radius(*cell)}"
+        cdpr = f"{center(*cell)} + {radius(*cell)}"
+        ins = f"bool_and({cdmr} >= a.c)"
+        pins = (f"bool_and({center(*par)} - {radius(*par)} >= a.c)"
+                if d else "FALSE")
+        sepax = f"bool_or(({cdpr}) < a.pmin OR a.pmax < ({cdmr}))"
+        gcols = ("c.doc_id, c.ix, c.iy, c.cminx, c.cmaxx, c.cminy, c.cmaxy"
+                 + (", c.qminx, c.qmaxx, c.qminy, c.qmaxy" if d else ""))
+        parts.append(
+            f"cls{d} AS (SELECT c.doc_id, c.ix, c.iy, c.cminx, c.cmaxx,"
+            f" c.cminy, c.cmaxy, {ins} AS ins, {pins} AS pins,"
+            f" {sepax} AS sepax FROM cand{d} c JOIN axes a USING (doc_id)"
+            f" GROUP BY {gcols})")
+        sels.append(
+            f"SELECT doc_id, CAST({d} AS BIGINT) AS depth,"
+            f" CAST(ix AS BIGINT) AS cell_ix, CAST(iy AS BIGINT) AS cell_iy,"
+            f" CAST(1 AS BIGINT) AS full_cover FROM cls{d}"
+            f" WHERE ins AND NOT pins")
+        if d == max_depth:
+            sels.append(
+                f"SELECT c.doc_id, CAST({d} AS BIGINT), CAST(c.ix AS BIGINT),"
+                f" CAST(c.iy AS BIGINT), CAST(0 AS BIGINT)"
+                f" FROM cls{d} c JOIN pbox b USING (doc_id)"
+                " WHERE NOT c.ins AND NOT c.sepax"
+                " AND NOT (b.bmaxx < c.cminx OR c.cmaxx < b.bminx"
+                " OR b.bmaxy < c.cminy OR c.cmaxy < b.bminy)")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)

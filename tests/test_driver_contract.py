@@ -79,6 +79,9 @@ SQL_NAMES = [
     "decontaminate", "repetition_stats",
     # round 4: PII count+redaction over planted, SQL-twinned PII
     "pii_redact",
+    # round 4: adaptive polygon region cover (S2 RegionCoverer twin) vs
+    # the non-recursive per-depth closure of the BFS emission rule
+    "polygon_cover",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
