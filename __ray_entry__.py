@@ -1064,6 +1064,47 @@ def _q_polygon_cover(sf_dir: str):
     return poly_join.polygon_cover(docs, max_depth=POLY_COVER_DEPTH)
 
 
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    """lineitem semi-join urgent orders: bloom prefilter broadcast once
+    (fixed bits, independent of key count), exact verify exchange over
+    the survivors only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from optimizing_ray.pipelines import relational
+    from optimizing_ray.sources import driver_tables
+
+    line = driver_tables.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = driver_tables.read(sf_dir, "orders",
+                                columns=["o_orderkey", "o_orderpriority"])
+
+    def keys(t):
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64())})
+        sel = t.filter(pc.equal(t["o_orderpriority"], BLOOM_PRIORITY))
+        return pa.table({"l_orderkey": sel["o_orderkey"]})
+
+    key_ds = orders.map_batches(keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return relational.bloom_semi_join(line, key_ds, on="l_orderkey")
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms: exact integer score, two bounded
+    sharded exchanges (token-hash for DF + scoring, doc-hash for the
+    final top-k)."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.tfidf_top_terms(docs, k=3)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrubbing: deterministic planted email/phone/IP (SQL-twinned
     derivation), RE2 counts + redaction in arrow kernels, one map leg."""
@@ -1225,11 +1266,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "polygon_cover": _q_polygon_cover,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bloom_semi_join": _q_bloom_semi_join,
         "events_window": _q_events_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "distinct_sources": _q_distinct_sources,
         "sales_by_nation": _q_sales_by_nation,
         "ann_topk": _q_ann_topk,
         "user_median_sketch": _q_user_median_sketch,
@@ -1260,6 +1301,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tile_median, group-top-k via heavy_hitters)
         "median_qty": _q_median_qty,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        # demoted for tfidf_top_terms / bloom_semi_join (green r3;
+        # sharded-distinct kernel stays exercised via the tile_store
+        # suite, interval banding via in-window interval_join)
+        "distinct_sources": _q_distinct_sources,
+        "range_join": _q_range_join,
     }
 
 
@@ -1311,6 +1357,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracle.repetition_stats_sql(),
         "pii_redact": oracle.pii_redact_sql(),
         "polygon_cover": oracle.polygon_cover_sql(POLY_COVER_DEPTH),
+        "tfidf_top_terms": oracle.tfidf_top_terms_sql(3),
+        "bloom_semi_join": oracle.bloom_semi_join_sql(BLOOM_PRIORITY),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),

@@ -1892,3 +1892,40 @@ def polygon_cover_sql(max_depth: int, world: World = DRIVER_WORLD,
                 " AND NOT (b.bmaxx < c.cminx OR c.cmaxx < b.bminx"
                 " OR b.bmaxy < c.cminy OR c.cmaxy < b.bminy)")
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def tfidf_top_terms_sql(k: int = 3, table: str = "documents") -> str:
+    """Per-doc top-k TF-IDF twin (``textops.tfidf_top_terms``): tatoks
+    tokenization, EXACT integer score tf * 1_000_000 // df (log-free by
+    design — libm is not bit-reproducible across engines), row_number
+    over (score DESC, token ASC)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM {table}) u
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+sc AS (SELECT t.doc_id, t.token, t.tf, (t.tf * 1000000) // d.df AS score
+       FROM tf t JOIN df d USING (token)),
+r AS (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rank
+      FROM sc)
+SELECT doc_id, token, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def bloom_semi_join_sql(priority: str = "1-URGENT") -> str:
+    """Semi-join twin (``relational.bloom_semi_join``): the bloom is a
+    prefilter only (exact verify exchange downstream), so the oracle is
+    the plain IN-subquery semi-join."""
+    return f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '{priority}')
+"""

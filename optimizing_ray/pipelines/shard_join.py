@@ -46,18 +46,28 @@ def _shard_of(key: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def hash_shard_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
-                    how: str = "inner", n_shards: int | None = None) -> rd.Dataset:
+                    how: str = "inner", n_shards: int | None = None,
+                    lschema: pa.Schema | None = None,
+                    rschema: pa.Schema | None = None) -> rd.Dataset:
     """Equi-join two Datasets on integer column ``on``.
 
     ``how`` is ``'inner'`` or ``'left'`` (left-outer: unmatched left rows
     survive with nulls in the right columns).  Column names of the two
     sides must be disjoint apart from ``on``.
+
+    ``lschema``/``rschema``: pass the known Arrow schemas when a side is
+    a derived pipeline — ``Dataset.schema()`` on a map chain EXECUTES
+    the upstream pipeline to peek one block (measured seconds per probe
+    on multi-leg sides), so callers that already know the shape should
+    say so.
     """
     n_shards = resolve_shards(n_shards)
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    if lschema is None:
+        lschema = left.schema().base_schema
+    if rschema is None:
+        rschema = right.schema().base_schema
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != on]
     overlap = set(lcols) & set(rcols)

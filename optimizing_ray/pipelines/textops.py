@@ -17,7 +17,8 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
-           "decontaminate", "repetition_stats", "pii_redact"]
+           "decontaminate", "repetition_stats", "pii_redact",
+           "tfidf_top_terms"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -378,3 +379,104 @@ def pii_redact(docs: rd.Dataset, *, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(docs: rd.Dataset, *, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    n_shards: int | None = None) -> rd.Dataset:
+    """Per-doc top-k TF-IDF terms over the corpus — the canonical
+    big-to-big token join: document frequencies are corpus-wide state
+    that (at 100 TB vocab sizes) can neither broadcast nor sit on the
+    driver.  The score is log-free EXACT integer arithmetic
+    (``score = tf * 1_000_000 // df`` — monotone in tf and 1/df like
+    tf-idf, and bit-identical in DuckDB; libm ln/log are not
+    reproducible across engines), ties broken by token asc
+    (``oracle.tfidf_top_terms_sql``).
+
+    Plan (two sharded exchanges, both bounded):
+    1. per-batch exact (doc, token, tf) partials (docs are rows, so tf
+       is total within one batch) -> token-hash shard: each token's full
+       posting set co-locates, DF totals in-shard, scores finalize
+       there, and a per-(doc, shard) partial top-k caps the next
+       exchange at k rows per doc per shard;
+    2. doc-hash shard merges partials to the global per-doc top-k.
+    Tokenization = the heavy_hitters/tatoks convention (whitespace split
+    of trimmed text, lowercased, empties dropped)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_shards = resolve_shards(n_shards)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        lst = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t[text_col]))
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(ids, counts)
+        flat = pc.utf8_lower(pc.list_flatten(lst)).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        if not keep.any():
+            return empty
+        g = (pd.DataFrame({"doc_id": doc_rep[keep], "token": flat[keep]})
+             .groupby(["doc_id", "token"], sort=False).size()
+             .rename("tf").reset_index())
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def add_tok_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["token"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def shard_score(g: pd.DataFrame) -> pd.DataFrame:
+        df_tok = g.groupby("token", sort=False)["doc_id"].size()
+        dfv = g["token"].map(df_tok).to_numpy().astype(np.int64)
+        g = g[["doc_id", "token", "tf"]].copy()
+        g["score"] = (g["tf"].to_numpy().astype(np.int64)
+                      * np.int64(1_000_000)) // dfv
+        return (g.sort_values(["score", "token"], ascending=[False, True],
+                              kind="stable")
+                .groupby("doc_id", sort=False).head(k))
+
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_shard", pa.array((ids % n_shards).astype(np.int64)))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["score", "token"], ascending=[False, True],
+                             kind="stable")
+               .groupby("doc_id", sort=False).head(k).copy())
+        out["rank"] = (out.groupby("doc_id", sort=False).cumcount()
+                       + 1).astype(np.int64)
+        return out[["doc_id", "token", "score", "rank"]]
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(tf_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(add_tok_shard, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_shard").map_groups(shard_score, batch_format="pandas")
+            .map_batches(add_doc_shard, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_shard").map_groups(final_topk, batch_format="pandas"))

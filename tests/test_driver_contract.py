@@ -82,6 +82,9 @@ SQL_NAMES = [
     # round 4: adaptive polygon region cover (S2 RegionCoverer twin) vs
     # the non-recursive per-depth closure of the BFS emission rule
     "polygon_cover",
+    # round 4: per-doc TF-IDF top terms (exact integer score, two bounded
+    # exchanges) and the bloom-prefiltered exact semi-join
+    "tfidf_top_terms", "bloom_semi_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1,0 +1,54 @@
+"""bloom_semi_join + tfidf_top_terms engine invariants (SQL equivalence
+runs in test_driver_contract)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from optimizing_ray.pipelines.relational import (_bloom_positions,
+                                                 bloom_semi_join)
+from optimizing_ray.pipelines.textops import tfidf_top_terms
+
+
+def test_bloom_prefilter_rejects_most_non_members(ray_session):
+    """The bloom is a real prefilter: non-member keys rarely pass (FP
+    rate << 1 at the defaults), and members ALWAYS pass (no false
+    negatives — the semi-join result is exact)."""
+    rng = np.random.default_rng(3)
+    members = np.unique(rng.integers(0, 1 << 40, 2000))
+    non = np.unique(rng.integers(1 << 41, 1 << 42, 5000))
+    m_bits, k = 1 << 20, 4
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = _bloom_positions(members, m_bits, k).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+    def hits(keys):
+        p = _bloom_positions(keys, m_bits, k)
+        return ((words[(p >> np.uint64(6)).astype(np.int64)]
+                 >> (p & np.uint64(63))) & np.uint64(1)).all(axis=1)
+
+    assert hits(members).all()                   # no false negatives
+    assert hits(non).mean() < 0.01               # sparse false positives
+
+
+def test_bloom_semi_join_is_exact(ray_session):
+    left = pa.table({"k": pa.array(list(range(1000)), pa.int64()),
+                     "v": pa.array([i * 2 for i in range(1000)], pa.int64())})
+    keys = pa.table({"k": pa.array([3, 500, 999, 12345], pa.int64())})
+    out = (bloom_semi_join(rd.from_arrow(left), rd.from_arrow(keys), on="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [3, 500, 999]
+    assert out["v"].tolist() == [6, 1000, 1998]
+
+
+def test_tfidf_rare_term_outranks_common(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["common rare common", "common common",
+                          "common other"])})
+    out = tfidf_top_terms(rd.from_arrow(docs), k=1).to_pandas()
+    row = out[out.doc_id == 1].iloc[0]
+    assert row["token"] == "rare" and row["rank"] == 1
+    # score = tf * 1e6 // df = 1 * 1e6 // 1
+    assert row["score"] == 1_000_000
