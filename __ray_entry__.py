@@ -1064,6 +1064,31 @@ def _q_polygon_cover(sf_dir: str):
     return poly_join.polygon_cover(docs, max_depth=POLY_COVER_DEPTH)
 
 
+DUP_NGRAM_N = 4
+
+
+def _q_dup_ngram_stats(sf_dir: str):
+    """Cross-doc duplicated n-gram stats (exact-substring-dedup signal):
+    gram-hash exchange co-locates posting sets, doc-hash merge."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.dup_ngram_stats(docs, n=DUP_NGRAM_N)
+
+
+def _q_span_kind_rollup(sf_dir: str):
+    """Per-kind rollup over the interleaved span column (the input_hint
+    payload): per-batch partials, driver combine, zero shuffles."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = (driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(driver_tables.derive_spans_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return textops.span_kind_rollup(docs)
+
+
 BLOOM_PRIORITY = "1-URGENT"
 
 
@@ -1247,9 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
-        "zonal_stats": _q_zonal_stats,
         "pip_anti_join": _q_pip_anti_join,
-        "nearest_zone": _q_nearest_zone,
         "idw_grid": _q_idw_grid,
         "heavy_hitters": _q_heavy_hitters,
         "poly_overlap_join": _q_poly_overlap_join,
@@ -1268,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_cover": _q_polygon_cover,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bloom_semi_join": _q_bloom_semi_join,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "span_kind_rollup": _q_span_kind_rollup,
         "events_window": _q_events_window,
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
@@ -1306,6 +1331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # suite, interval banding via in-window interval_join)
         "distinct_sources": _q_distinct_sources,
         "range_join": _q_range_join,
+        # demoted for dup_ngram_stats / span_kind_rollup (green r3; the
+        # pip kernel family stays in-window via pip_join / pip_anti_join)
+        "zonal_stats": _q_zonal_stats,
+        "nearest_zone": _q_nearest_zone,
     }
 
 
@@ -1359,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "polygon_cover": oracle.polygon_cover_sql(POLY_COVER_DEPTH),
         "tfidf_top_terms": oracle.tfidf_top_terms_sql(3),
         "bloom_semi_join": oracle.bloom_semi_join_sql(BLOOM_PRIORITY),
+        "dup_ngram_stats": oracle.dup_ngram_stats_sql(DUP_NGRAM_N),
+        "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),
         "session_window": oracle.session_window_sql(1800),

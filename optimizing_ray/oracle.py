@@ -1929,3 +1929,62 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '{priority}')
 """
+
+
+def dup_ngram_stats_sql(n: int = 4, table: str = "documents") -> str:
+    """Cross-doc duplicated n-gram stats twin
+    (``textops.dup_ngram_stats``): single-space split, gram identity by
+    string (engine rides 64-bit hashes of the same token sequences);
+    dup_frac in the engine's float op order."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - {n - 1})) AS i
+        FROM lists),
+grams AS (SELECT doc_id, array_to_string(list_slice(l, i, i + {n - 1}), ' ') AS ng
+          FROM pos),
+gdoc AS (SELECT ng, count(DISTINCT doc_id) AS nd FROM grams GROUP BY ng)
+SELECT g.doc_id,
+  CAST(count(*) FILTER (WHERE d.nd >= 2) AS BIGINT) AS n_dup,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  floor(count(*) FILTER (WHERE d.nd >= 2) / CAST(count(*) AS DOUBLE)
+        * 1e6 + 0.5) / 1e6 AS dup_frac
+FROM grams g JOIN gdoc d USING (ng)
+GROUP BY g.doc_id
+"""
+
+
+def span_kind_rollup_sql(table: str = "documents") -> str:
+    """Per-kind span rollup twin (``textops.span_kind_rollup`` over
+    ``derive_spans_batch``): the span derivation CTEs of
+    ``span_passthrough_sql`` over ALL docs, then one GROUP BY kind."""
+    from optimizing_ray.sources.driver_tables import SPAN_MULTS, SPAN_SALT
+    toks = "[" + ", ".join(f"'{t}'" for t in SPAN_TOKENS) + "]"
+    ntok = len(SPAN_TOKENS)
+    skey = "(doc_id * 16 + ord)"
+    return f"""
+WITH ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id, n_spans,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, n_spans, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t1'])} * {ntok}) AS BIGINT) AS t1,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t2'])} * {ntok}) AS BIGINT) AS t2,
+         1 + CAST(floor({frac_sql(skey, SPAN_MULTS['len'])} * 64) AS BIGINT) AS span_len
+        FROM sp),
+fld2 AS (SELECT doc_id, n_spans, ord,
+          CASE kind_i WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+          CASE WHEN kind_i = 0 THEN {toks}[t1 + 1] || ' ' || {toks}[t2 + 1] ELSE '' END AS txt,
+          CASE WHEN kind_i <> 0 THEN 'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                                     || '/' || CAST(ord AS VARCHAR) ELSE '' END AS media,
+          COALESCE(SUM(span_len) OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM fld)
+SELECT kind,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(length(txt)) AS BIGINT) AS text_chars,
+  CAST(count(*) FILTER (WHERE media <> '') AS BIGINT) AS n_media,
+  CAST(max(off) AS BIGINT) AS max_offset
+FROM fld2 GROUP BY kind
+"""

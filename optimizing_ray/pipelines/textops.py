@@ -18,7 +18,7 @@ from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_cou
 
 __all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
-           "tfidf_top_terms"]
+           "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -480,3 +480,137 @@ def tfidf_top_terms(docs: rd.Dataset, *, k: int = 3, text_col: str = "text",
             .map_batches(add_doc_shard, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("_shard").map_groups(final_topk, batch_format="pandas"))
+
+
+def dup_ngram_stats(docs: rd.Dataset, *, n: int = 4, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    n_shards: int | None = None) -> rd.Dataset:
+    """Cross-document duplicated-substring signal (the distributed
+    approximation of suffix-array exact-substring dedup): for every doc,
+    how many of its word n-gram positions carry a gram that appears in
+    >= 2 DISTINCT docs corpus-wide, plus the duplicated fraction
+    (``oracle.dup_ngram_stats_sql`` twin; single-space token semantics).
+
+    Plan (two sharded exchanges, both slim):
+    1. per-batch (gram hash, doc_id) position rows -> gram-hash shard:
+       each gram's full posting multiset co-locates, so its distinct-doc
+       count is total in-shard; per-(doc, shard) partial (n_dup, n_grams)
+       counts collapse the exchange to one row per doc per shard;
+    2. doc-hash shard sums partials and emits the per-doc stats."""
+    import pandas as pd
+
+    from optimizing_ray.functions.text import token_ngram_hashes_batch
+
+    n_shards = resolve_shards(n_shards)
+
+    def grams(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "gh": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        hv, voffs = token_ngram_hashes_batch(t[text_col], n)
+        if len(hv) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(voffs))
+        gh = hv.view(np.int64)
+        return pa.table({"doc_id": pa.array(doc), "gh": pa.array(gh),
+                         "_shard": pa.array(
+                             (hv % np.uint64(n_shards)).astype(np.int64))})
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gh", sort=False)["doc_id"].nunique()
+        dup = g["gh"].map(nd).to_numpy() >= 2
+        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
+               .groupby("doc_id", sort=False)
+               .agg(n_dup=("dup", "sum"), n_grams=("dup", "size"))
+               .reset_index())
+        out["n_dup"] = out["n_dup"].astype(np.int64)
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        return out
+
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_shard", pa.array((ids % n_shards).astype(np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False)
+               .agg(n_dup=("n_dup", "sum"), n_grams=("n_grams", "sum"))
+               .reset_index())
+        nd = out["n_dup"].to_numpy().astype(np.int64)
+        ng = out["n_grams"].to_numpy().astype(np.int64)
+        out["n_dup"] = nd
+        out["n_grams"] = ng
+        out["dup_frac"] = np.floor(nd / ng * 1e6 + 0.5) / 1e6
+        return out
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(shard_counts,
+                                          batch_format="pandas")
+            .map_batches(add_doc_shard, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_shard").map_groups(final, batch_format="pandas"))
+
+
+def span_kind_rollup(docs_with_spans: rd.Dataset, *,
+                     spans_col: str = "spans") -> pa.Table:
+    """Per-kind corpus rollup over the interleaved span column
+    (list<struct<kind,text,media_ref,offset>> — the input_hint payload):
+    span count, total text chars, media-ref count, max offset.  One map
+    leg of per-batch partials (bounded by kind cardinality), driver
+    combine — zero shuffles (``oracle.span_kind_rollup_sql`` twin)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.string()),
+                          "n_spans": pa.array([], pa.int64()),
+                          "text_chars": pa.array([], pa.int64()),
+                          "n_media": pa.array([], pa.int64()),
+                          "max_offset": pa.array([], pa.int64())})
+        if t.num_rows == 0 or spans_col not in t.column_names:
+            return empty
+        ls = t[spans_col]
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        flat = pc.list_flatten(ls)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat.field("text")).to_numpy().astype(np.int64)
+        med = pc.not_equal(flat.field("media_ref"), "").to_numpy(
+            zero_copy_only=False)
+        off = flat.field("offset").to_numpy().astype(np.int64)
+        rows = []
+        for k in np.unique(kind):
+            m = kind == k
+            rows.append((str(k), int(m.sum()), int(tlen[m].sum()),
+                         int(med[m].sum()), int(off[m].max())))
+        ks, ns, tc, nm, mo = zip(*rows)
+        return pa.table({"kind": pa.array(list(ks), pa.string()),
+                         "n_spans": pa.array(list(ns), pa.int64()),
+                         "text_chars": pa.array(list(tc), pa.int64()),
+                         "n_media": pa.array(list(nm), pa.int64()),
+                         "max_offset": pa.array(list(mo), pa.int64())})
+
+    parts = (docs_with_spans.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True).to_pandas())
+    if parts.empty:
+        return pa.table({"kind": pa.array([], pa.string()),
+                         "n_spans": pa.array([], pa.int64()),
+                         "text_chars": pa.array([], pa.int64()),
+                         "n_media": pa.array([], pa.int64()),
+                         "max_offset": pa.array([], pa.int64())})
+    out = (parts.groupby("kind", sort=True)
+           .agg(n_spans=("n_spans", "sum"), text_chars=("text_chars", "sum"),
+                n_media=("n_media", "sum"), max_offset=("max_offset", "max"))
+           .reset_index())
+    for c in ("n_spans", "text_chars", "n_media", "max_offset"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -85,6 +85,9 @@ SQL_NAMES = [
     # round 4: per-doc TF-IDF top terms (exact integer score, two bounded
     # exchanges) and the bloom-prefiltered exact semi-join
     "tfidf_top_terms", "bloom_semi_join",
+    # round 4: cross-doc duplicated-substring signal and the per-kind
+    # interleaved-span rollup
+    "dup_ngram_stats", "span_kind_rollup",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -52,3 +52,36 @@ def test_tfidf_rare_term_outranks_common(ray_session):
     assert row["token"] == "rare" and row["rank"] == 1
     # score = tf * 1e6 // df = 1 * 1e6 // 1
     assert row["score"] == 1_000_000
+
+
+def test_dup_ngram_stats_flags_cross_doc_repeats(ray_session):
+    from optimizing_ray.pipelines.textops import dup_ngram_stats
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e", "x a b c d y", "p q r s t"])})
+    out = (dup_ngram_stats(rd.from_arrow(docs), n=4).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc 1: grams {abcd, bcde} — abcd also in doc 2
+    assert out.loc[1, "n_dup"] == 1 and out.loc[1, "n_grams"] == 2
+    # doc 2: grams {xabc, abcd, bcdy} — one shared
+    assert out.loc[2, "n_dup"] == 1 and out.loc[2, "n_grams"] == 3
+    # doc 3: nothing shared
+    assert out.loc[3, "n_dup"] == 0 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_span_kind_rollup_counts(ray_session):
+    from optimizing_ray.pipelines.textops import span_kind_rollup
+    spans_t = pa.list_(pa.struct([("kind", pa.string()),
+                                  ("text", pa.string()),
+                                  ("media_ref", pa.string()),
+                                  ("offset", pa.int32())]))
+    rows = [[{"kind": "text", "text": "ab cd", "media_ref": "", "offset": 0},
+             {"kind": "image", "text": "", "media_ref": "m://1", "offset": 5}],
+            [{"kind": "text", "text": "xyz", "media_ref": "", "offset": 0}]]
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "spans": pa.array(rows, spans_t)})
+    out = span_kind_rollup(rd.from_arrow(t)).to_pandas().set_index("kind")
+    assert out.loc["text", "n_spans"] == 2
+    assert out.loc["text", "text_chars"] == 8
+    assert out.loc["image", "n_media"] == 1
+    assert out.loc["image", "max_offset"] == 5
