@@ -233,15 +233,18 @@ def stratified_sample(docs: rd.Dataset, *, rates: dict, id_col: str = "doc_id",
 
 
 def decontaminate(docs: rd.Dataset, *, benchmark_mod: int = 97, n: int = 4,
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> rd.Dataset:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  emit: str = "hits") -> rd.Dataset:
     """Benchmark n-gram decontamination — the training-data hygiene op:
     flag every corpus doc sharing a word n-gram with the held-out
     benchmark suite (here derived deterministically as the docs with
     ``doc_id % benchmark_mod == 0``; in production a separate small
-    table).  Returns (doc_id, n_hits) for contaminated NON-benchmark
-    docs, where n_hits counts the doc's n-gram POSITIONS that appear in
-    the benchmark set (``oracle.decontaminate_sql`` twin).
+    table).  ``emit='hits'`` returns (doc_id, n_hits) for contaminated
+    NON-benchmark docs, where n_hits counts the doc's n-gram POSITIONS
+    that appear in the benchmark set (``oracle.decontaminate_sql``
+    twin); ``emit='clean'`` returns the KEPT corpus instead — all input
+    columns, benchmark docs and contaminated docs dropped (the curation
+    funnel stage).
 
     Plan (zero shuffles): one column-pruned corpus leg projects the
     benchmark docs' distinct n-gram hashes (driver-side union is bounded
@@ -254,6 +257,9 @@ def decontaminate(docs: rd.Dataset, *, benchmark_mod: int = 97, n: int = 4,
     import ray
 
     from optimizing_ray.functions.text import token_ngram_hashes_batch
+
+    if emit not in ("hits", "clean"):
+        raise ValueError(f"emit must be 'hits' or 'clean', got {emit!r}")
 
     def bench_grams(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
@@ -296,6 +302,28 @@ def decontaminate(docs: rd.Dataset, *, benchmark_mod: int = 97, n: int = 4,
         return pa.table({"doc_id": pa.array(ids[flag]),
                          "n_hits": pa.array(hits[flag].astype(np.int64))})
 
+    def probe_clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % benchmark_mod != 0
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return t
+        blk = ray.get(bl_ref)
+        hv, voffs = token_ngram_hashes_batch(t[text_col], n)
+        if len(hv) == 0 or len(blk) == 0:
+            return t
+        pos = np.searchsorted(blk, hv)
+        hit = (pos < len(blk)) & (blk[np.minimum(pos, len(blk) - 1)] == hv)
+        seg = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        np.diff(voffs))
+        hits = np.bincount(seg[hit], minlength=t.num_rows)
+        return t.filter(pa.array(hits == 0))
+
+    if emit == "clean":
+        return docs.map_batches(probe_clean, batch_format="pyarrow",
+                                zero_copy_batch=True)
     return (docs.select_columns([id_col, text_col])
             .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True))
 

@@ -46,6 +46,12 @@ def main() -> int:
                          "segments, supercover them to tiles, and write "
                          "one tile group per cell (resumable)")
     ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--decontaminate-mod", type=int, default=None,
+                    help="curate: drop benchmark docs (doc_id %% MOD == 0) "
+                         "and every doc sharing a word 4-gram with them")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="curate: scrub email/phone/IP from text before "
+                         "analysis")
     ap.add_argument("--capacity", type=int, default=10_000)
     ap.add_argument("--salt-threshold", type=int, default=1_000_000)
     ap.add_argument("--n-salts", type=int, default=8)
@@ -96,7 +102,9 @@ def main() -> int:
             nrows = _pq.ParquetFile(f"{args.input}/documents.parquet").metadata.num_rows
         except Exception:
             nrows = None
-        out_ds = cur.curate(docs, min_quality=args.min_quality, nrows=nrows)
+        out_ds = cur.curate(docs, min_quality=args.min_quality, nrows=nrows,
+                            decontaminate_mod=args.decontaminate_mod,
+                            redact_pii=args.redact_pii)
 
         def part(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "doc_id" not in t.column_names:

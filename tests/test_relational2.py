@@ -85,3 +85,24 @@ def test_span_kind_rollup_counts(ray_session):
     assert out.loc["text", "text_chars"] == 8
     assert out.loc["image", "n_media"] == 1
     assert out.loc["image", "max_offset"] == 5
+
+
+def test_curate_hygiene_stages(ray_session):
+    """decontaminate_mod drops benchmark docs AND their n-gram sharers;
+    redact_pii scrubs text before analysis."""
+    from optimizing_ray.pipelines.curate import curate
+    docs = pa.table({
+        "doc_id": pa.array([97 * 2, 5, 6, 7], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",      # benchmark doc
+            "x alpha beta gamma delta y z",             # shares a 4-gram
+            "mail me at u9@ex.org for the the data set now ok",
+            "clean words only in this one document here"])})
+    out = curate(rd.from_arrow(docs), min_quality=0.0, nrows=4,
+                 decontaminate_mod=97, redact_pii=True).to_pandas()
+    kept = set(out.doc_id)
+    assert 97 * 2 not in kept          # benchmark doc dropped
+    assert 5 not in kept               # contaminated doc dropped
+    assert {6, 7} <= kept
+    txt = out[out.doc_id == 6].iloc[0]["text"]
+    assert "<EMAIL>" in txt and "u9@ex.org" not in txt
