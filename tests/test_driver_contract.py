@@ -208,3 +208,33 @@ def test_queries_also_match_at_sf0001(ray_session, name):
     ray_df = to_df(e.queries()[name](sf))
     sql_df = c.execute(e.oracle_sql()[name]).df()
     compare(ray_df, sql_df, f"{name}@sf0.001")
+
+
+def test_rotation_window_holds_the_unverified_queries():
+    """Rotation guard: the driver checks only the FIRST 50 queries()
+    entries, so every query whose implementation is new or changed this
+    round must sit inside that window; everything past the cap must have
+    a green CORRECTNESS_r03 row on code unchanged since."""
+    import __ray_entry__ as e
+
+    q = list(e.queries().keys())
+    window = set(q[:50])
+    must_be_checked = {
+        # round-4 wave-2 additions (never driver-verified before)
+        "decontaminate", "repetition_stats", "pii_redact", "polygon_cover",
+        "tfidf_top_terms", "bloom_semi_join", "dup_ngram_stats",
+        "span_kind_rollup",
+        # round-3 past-cap promotions (rotation task 1)
+        "media_features", "trace_first_hit", "minhash_pairs",
+        # families whose kernels changed in round 4 (vectorized text /
+        # top-k merges / shard-width seam)
+        "text_analysis", "fingerprints", "curate", "doc_stats",
+        "knn", "knn_ring", "knn_join", "ann_topk", "events_window",
+    }
+    missing = must_be_checked - window
+    assert not missing, f"changed/new queries past the driver cap: {missing}"
+    # every oracle key must be a real query and vice versa (minus the
+    # documented rows-only remainder)
+    o = set(e.oracle_sql().keys())
+    assert o <= set(q)
+    assert set(q) - o == set(ROWS_ONLY_NAMES)

@@ -223,3 +223,41 @@ def test_pii_redact_counts_and_scrubs(ray_session):
         "mail <EMAIL> and <EMAIL>, call <PHONE>, ip <IP>"
     assert out.loc[1, ["n_emails", "n_phones", "n_ips"]].tolist() == [0, 0, 0]
     assert out.loc[1, "clean_text"] == "no pii here"
+
+
+def test_token_kernels_match_scalar_on_random_unicode():
+    """Property: batch kernels == scalar split/hash on arbitrary text,
+    including multibyte UTF-8, control bytes, repeated/leading/trailing
+    spaces (UTF-8 continuation bytes never collide with the 0x20
+    separator, so byte-level splitting equals str.split(' '))."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from optimizing_ray.functions.text import (repetition_profile_batch,
+                                               token_hash,
+                                               token_hashes_batch)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+        max_size=8))
+    def check(docs):
+        th, doffs = token_hashes_batch(docs)
+        flat_exp, offs_exp = [], [0]
+        for d in docs:
+            toks = d.split(" ")
+            flat_exp += [token_hash(t) for t in toks]
+            offs_exp.append(offs_exp[-1] + len(toks))
+        assert th.tolist() == flat_exp
+        assert doffs.tolist() == offs_exp
+        p = repetition_profile_batch(docs)
+        for i, d in enumerate(docs):
+            ts = d.split(" ")
+            c = Counter(ts)
+            assert p["n_tokens"][i] == len(ts)
+            assert p["n_distinct"][i] == len(set(ts))
+            assert p["top_count"][i] == max(c.values())
+
+    check()
