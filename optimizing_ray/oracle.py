@@ -1988,3 +1988,47 @@ SELECT kind,
   CAST(max(off) AS BIGINT) AS max_offset
 FROM fld2 GROUP BY kind
 """
+
+
+def image_resize_sql(out_w: int = 4, out_h: int = 4,
+                     table: str = "documents") -> str:
+    """Image-resize twin (``media.resize_images``): per image span,
+    nearest-neighbor source index src = (dst * src_dim) // dst_dim —
+    exact integers — then the fixture pixel formula per selected pixel.
+    The engine path decodes REAL PNG bytes first, so equality proves
+    decode + resample reconstruct every selected pixel."""
+    from optimizing_ray.stages.codecs import IMG_H, IMG_W, PIX_MOD
+    skey = "(doc_id * 16 + ord)"
+    nq = out_w * out_h * 3
+    r6 = "floor({} * 1e6 + 0.5) / 1e6"
+    npix = float(out_w * out_h)
+    return f"""
+WITH ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i
+        FROM sp),
+med AS (SELECT doc_id, ord,
+         (doc_id * 16 + ord) % {PIX_MOD} AS base
+        FROM fld WHERE kind_i = 1),
+rp AS (SELECT doc_id, ord, base, q.q AS q FROM med, range({nq}) q(q)),
+pix AS (SELECT doc_id, ord,
+         ((((q // {out_w * 3}) * {IMG_H}) // {out_h}) * {IMG_W}
+          + (((q % {out_w * 3}) // 3) * {IMG_W}) // {out_w}) * 3
+         + (q % 3) AS p,
+         q % 3 AS c, base
+        FROM rp),
+pv AS (SELECT doc_id, ord, c,
+        (base * (p + 1) + ((p * p) % 257) * 31) % 256 AS v
+       FROM pix)
+SELECT doc_id, ord,
+  {r6.format(f"(CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE) / {npix!r})")} AS r_mean_r,
+  {r6.format(f"(CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE) / {npix!r})")} AS r_mean_g,
+  {r6.format(f"(CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE) / {npix!r})")} AS r_mean_b,
+  CAST(MIN(v) AS BIGINT) AS r_min,
+  CAST(MAX(v) AS BIGINT) AS r_max
+FROM pv GROUP BY doc_id, ord
+"""

@@ -35,7 +35,7 @@ from optimizing_ray.stages.codecs import (IMG_H, IMG_W, N_SAMPLES, _PNG_MAGIC,
                                           fetch_fixture)
 
 __all__ = ["MediaFeaturizer", "extract_media_features", "sample_frames",
-           "N_FEATURES"]
+           "N_FEATURES", "ImageResizer", "resize_images"]
 
 N_FEATURES = 8
 
@@ -232,3 +232,90 @@ def sample_frames(docs: rd.Dataset, *, every_n: int = 10) -> rd.Dataset:
 
     return docs.map_batches(frames, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=256)
+
+
+def _resize_batch(batch: pa.Table, fetch, out_w: int, out_h: int) -> pa.Table:
+    """decode -> nearest-neighbor resize -> per-IMAGE stats (one row per
+    image span).  The resample index math is exact integer
+    (src = (dst * src_dim) // dst_dim), so the SQL twin recomputes the
+    selected pixels from the fixture formula and equality proves the
+    decode + resize path reconstructs them exactly."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ord": pa.array([], pa.int64()),
+                      "r_mean_r": pa.array([], pa.float64()),
+                      "r_mean_g": pa.array([], pa.float64()),
+                      "r_mean_b": pa.array([], pa.float64()),
+                      "r_min": pa.array([], pa.int64()),
+                      "r_max": pa.array([], pa.int64())})
+    if batch.num_rows == 0 or "spans" not in batch.column_names:
+        return empty
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+    is_media = (kind != "text") & (ref != "")
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    n_spans = np.diff(offs)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_span = np.repeat(ids, n_spans)
+    ord_of_span = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(offs[:-1], n_spans))
+    iy = (np.arange(out_h, dtype=np.int64) * IMG_H) // out_h
+    ix = (np.arange(out_w, dtype=np.int64) * IMG_W) // out_w
+    npix = float(out_w * out_h)
+    rows: list[tuple] = []
+    for j in np.flatnonzero(is_media):
+        data = fetch(ref[j], kind[j])
+        if data[:8] != _PNG_MAGIC:
+            continue  # resize is an image op; audio spans pass through
+        px = decode_png(data)
+        r = px[iy][:, ix].astype(np.int64)          # (out_h, out_w, 3)
+        s = r.reshape(-1, 3).sum(axis=0)
+        means = np.floor(s / npix * 1e6 + 0.5) / 1e6
+        rows.append((int(doc_of_span[j]), int(ord_of_span[j]),
+                     float(means[0]), float(means[1]), float(means[2]),
+                     int(r.min()), int(r.max())))
+    if not rows:
+        return empty
+    d, o, mr, mg, mb, mn, mx = zip(*rows)
+    return pa.table({"doc_id": pa.array(list(d), pa.int64()),
+                     "ord": pa.array(list(o), pa.int64()),
+                     "r_mean_r": pa.array(list(mr), pa.float64()),
+                     "r_mean_g": pa.array(list(mg), pa.float64()),
+                     "r_mean_b": pa.array(list(mb), pa.float64()),
+                     "r_min": pa.array(list(mn), pa.int64()),
+                     "r_max": pa.array(list(mx), pa.int64())})
+
+
+class ImageResizer:
+    """Actor seam for resize with a real store client (the
+    MediaFeaturizer discipline: client per actor, decode per batch)."""
+
+    def __init__(self, fetch=None, out_w: int = 4, out_h: int = 4):
+        self.fetch = fetch or fetch_fixture
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _resize_batch(batch, self.fetch, self.out_w, self.out_h)
+
+
+def resize_images(docs: rd.Dataset, *, out_w: int = 4, out_h: int = 4,
+                  fetch=None, batch_size: int = 256,
+                  concurrency: int | tuple[int, int] = (2, 8)) -> rd.Dataset:
+    """Image resize stage: fetch + REAL PNG decode + nearest-neighbor
+    resample to (out_w, out_h), one output row per image span with the
+    resized channel means / min / max (``oracle.image_resize_sql``
+    twin).  Same plan shape as ``extract_media_features``: stateless
+    tasks on the fixture store, actor pool when a real ``fetch`` client
+    is supplied."""
+    if fetch is None:
+        return docs.map_batches(
+            lambda t: _resize_batch(t, fetch_fixture, out_w, out_h),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+    return docs.map_batches(ImageResizer,
+                            fn_constructor_args=(fetch, out_w, out_h),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=batch_size, concurrency=concurrency)

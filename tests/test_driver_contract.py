@@ -88,6 +88,9 @@ SQL_NAMES = [
     # round 4: cross-doc duplicated-substring signal and the per-kind
     # interleaved-span rollup
     "dup_ngram_stats", "span_kind_rollup",
+    # round 4: image resize (real PNG decode + nearest-neighbor resample,
+    # oracle recomputes selected pixels from the fixture formula)
+    "image_resize",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -223,7 +226,7 @@ def test_rotation_window_holds_the_unverified_queries():
         # round-4 wave-2 additions (never driver-verified before)
         "decontaminate", "repetition_stats", "pii_redact", "polygon_cover",
         "tfidf_top_terms", "bloom_semi_join", "dup_ngram_stats",
-        "span_kind_rollup",
+        "span_kind_rollup", "image_resize",
         # round-3 past-cap promotions (rotation task 1)
         "media_features", "trace_first_hit", "minhash_pairs",
         # families whose kernels changed in round 4 (vectorized text /

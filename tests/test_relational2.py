@@ -106,3 +106,27 @@ def test_curate_hygiene_stages(ray_session):
     assert {6, 7} <= kept
     txt = out[out.doc_id == 6].iloc[0]["text"]
     assert "<EMAIL>" in txt and "u9@ex.org" not in txt
+
+
+def test_resize_images_nearest_neighbor(ray_session):
+    """Resize stage: decode + nearest-neighbor on the fixture store;
+    stats equal a direct numpy resample of the fixture pixels."""
+    import pyarrow as pa
+
+    from optimizing_ray.sources.driver_tables import derive_spans_batch
+    from optimizing_ray.stages.codecs import IMG_H, IMG_W, image_pixels
+    from optimizing_ray.stages.media import resize_images
+
+    base = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+    docs = rd.from_arrow(derive_spans_batch(base))
+    out = resize_images(docs, out_w=4, out_h=4).to_pandas()
+    assert len(out) > 0
+    iy = (np.arange(4) * IMG_H) // 4
+    ix = (np.arange(4) * IMG_W) // 4
+    for _, row in out.head(10).iterrows():
+        px = image_pixels(int(row.doc_id) * 16 + int(row.ord))
+        r = px[iy][:, ix].astype(np.int64)
+        s = r.reshape(-1, 3).sum(axis=0)
+        exp = np.floor(s / 16.0 * 1e6 + 0.5) / 1e6
+        assert (row.r_mean_r, row.r_mean_g, row.r_mean_b) == tuple(exp)
+        assert row.r_min == r.min() and row.r_max == r.max()
