@@ -464,6 +464,16 @@ def _q_top_docs_per_lang(sf_dir: str):
                                    id_col="doc_id", k=3, rank_name="lang_rank")
 
 
+def _q_source_cap(sf_dir: str):
+    """Per-source document cap (the per-domain cap of a curation funnel):
+    keep the 20 lowest-id docs per source with their crawl-order rank."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "source"])
+    return textops.source_cap(docs, k=20)
+
+
 def _q_sales_by_nation(sf_dir: str):
     from optimizing_ray.pipelines import relational
 
@@ -1278,7 +1288,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3-green queries kept in-window ---
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
-        "tile_pyramid": _q_tile_pyramid,
         "knn_join": _q_knn_join,
         "hex_counts": _q_hex_counts,
         "dwithin_join": _q_dwithin_join,
@@ -1312,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
         "sales_by_nation": _q_sales_by_nation,
+        # --- round-4 wave-3 additions (new => in-window) ---
+        "source_cap": _q_source_cap,
         "ann_topk": _q_ann_topk,
         "user_median_sketch": _q_user_median_sketch,
         "adaptive_assign": _q_adaptive_assign,  # rows-only companion oracle
@@ -1353,6 +1364,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted for image_resize (green r3; zero-shuffle hash-gate map
         # unchanged in round 4 — train_split twin stays in-window)
         "stratified_sample": _q_stratified_sample,
+        # demoted for the wave-3 additions (green r3; unchanged since —
+        # the Morton/aggregation family stays in-window via tile_counts /
+        # tile_median)
+        "tile_pyramid": _q_tile_pyramid,
     }
 
 
@@ -1419,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
+        "source_cap": oracle.source_cap_sql(k=20),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
         # round-2: brute-force twins for the previously rows-only ops

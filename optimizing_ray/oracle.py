@@ -413,6 +413,19 @@ FROM (
 """
 
 
+def source_cap_sql(k: int = 20, table: str = "documents") -> str:
+    """Per-source document cap: the k smallest doc_ids per source with
+    their 1-based crawl-order rank (textops.source_cap twin)."""
+    return f"""
+SELECT source, doc_id, src_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM {table}
+) s WHERE src_rank <= {k}
+"""
+
+
 def sales_by_nation_sql() -> str:
     """Broadcast dimension join: order revenue per customer nation."""
     return """

@@ -18,7 +18,9 @@ from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_cou
 
 __all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
-           "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup"]
+           "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
+           "source_cap", "top_k_per_group", "train_split",
+           "stratified_sample"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -100,16 +102,19 @@ def _distinct_final(parts: rd.Dataset, col: str) -> rd.Dataset:
 
 def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
                     id_col: str, k: int = 3, rank_name: str = "rank",
+                    ascending: bool = False,
                     n_shards: int | None = None) -> rd.Dataset:
     """Top-k rows per group by (order_col desc, id_col asc) with in-batch
-    partial top-k (each batch forwards at most k rows per group)."""
+    partial top-k (each batch forwards at most k rows per group).
+    ``ascending=True`` flips the order_col direction (bottom-k)."""
     import pandas as pd
 
     n_shards = resolve_shards(n_shards, floor=16)
+    cols = list(dict.fromkeys([group_col, order_col, id_col]))
 
     def partial(g_t: pa.Table) -> pa.Table:
-        df = g_t.select([group_col, order_col, id_col]).to_pandas()
-        out = (df.sort_values([order_col, id_col], ascending=[False, True])
+        df = g_t.select(cols).to_pandas()
+        out = (df.sort_values([order_col, id_col], ascending=[ascending, True])
                .groupby(group_col, sort=False).head(k))
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -120,7 +125,7 @@ def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
         return t.append_column("_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.sort_values([order_col, id_col], ascending=[False, True])
+        out = (g.sort_values([order_col, id_col], ascending=[ascending, True])
                .groupby(group_col, sort=False).head(k).copy())
         out[rank_name] = out.groupby(group_col, sort=False).cumcount() + 1
         return out.drop(columns=["_shard"])
@@ -128,6 +133,23 @@ def top_k_per_group(docs: rd.Dataset, *, group_col: str, order_col: str,
     return (docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(final, batch_format="pandas"))
+
+
+def source_cap(docs: rd.Dataset, *, group_col: str = "source",
+               id_col: str = "doc_id", k: int = 20,
+               rank_name: str = "src_rank",
+               n_shards: int | None = None) -> rd.Dataset:
+    """Per-source document cap — the per-domain cap of a training-data
+    curation funnel: keep at most ``k`` docs per source, deterministically
+    the k with the SMALLEST id (crawl order), with their 1-based rank.
+
+    Scale shape: each batch forwards at most k rows per source seen in it
+    (in-batch partial bottom-k), so the single hash(source) exchange moves
+    O(k x sources) rows, never the corpus; the result is stable across
+    block layout and resumes (pure function of the key set)."""
+    return top_k_per_group(docs, group_col=group_col, order_col=id_col,
+                           id_col=id_col, k=k, rank_name=rank_name,
+                           ascending=True, n_shards=n_shards)
 
 
 def train_split(docs: rd.Dataset, *, id_col: str = "doc_id",

@@ -91,6 +91,8 @@ SQL_NAMES = [
     # round 4: image resize (real PNG decode + nearest-neighbor resample,
     # oracle recomputes selected pixels from the fixture formula)
     "image_resize",
+    # round 4 wave 3: per-source document cap (curation per-domain cap)
+    "source_cap",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -130,3 +130,24 @@ def test_resize_images_nearest_neighbor(ray_session):
         exp = np.floor(s / 16.0 * 1e6 + 0.5) / 1e6
         assert (row.r_mean_r, row.r_mean_g, row.r_mean_b) == tuple(exp)
         assert row.r_min == r.min() and row.r_max == r.max()
+
+
+def test_source_cap_keeps_lowest_ids_per_source(ray_session):
+    """Skewed sources: one hot source far over the cap, one under; the
+    cap keeps exactly the k lowest ids with crawl-order ranks, invariant
+    to block layout (partials forward <= k rows per source per batch)."""
+    from optimizing_ray.pipelines.textops import source_cap
+
+    ids = np.arange(1000, dtype=np.int64)
+    src = np.where(ids % 10 == 0, "rare.org", "hot.com")
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    for nb in (1, 7):
+        out = (source_cap(rd.from_arrow(t).repartition(nb), k=5)
+               .to_pandas().sort_values(["source", "doc_id"])
+               .reset_index(drop=True))
+        hot = out[out.source == "hot.com"]
+        rare = out[out.source == "rare.org"]
+        assert hot.doc_id.tolist() == [1, 2, 3, 4, 5]      # lowest non-%10
+        assert rare.doc_id.tolist() == [0, 10, 20, 30, 40]
+        assert hot.src_rank.tolist() == [1, 2, 3, 4, 5]
+        assert rare.src_rank.tolist() == [1, 2, 3, 4, 5]
