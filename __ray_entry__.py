@@ -474,6 +474,18 @@ def _q_source_cap(sf_dir: str):
     return textops.source_cap(docs, k=20)
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user running total ordered by (ts, event_id) — the cumulative
+    window op; fixed-point cents keep prefix sums order-exact."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts", "value"],
+                            num_blocks=8)
+    return windows.running_total(ev)
+
+
 def _q_sales_by_nation(sf_dir: str):
     from optimizing_ray.pipelines import relational
 
@@ -1318,11 +1330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_rollup": _q_span_kind_rollup,
         "image_resize": _q_image_resize,
         "events_window": _q_events_window,
-        "prev_value": _q_prev_value,
         "asof_join": _q_asof_join,
         "sales_by_nation": _q_sales_by_nation,
         # --- round-4 wave-3 additions (new => in-window) ---
         "source_cap": _q_source_cap,
+        "running_total": _q_running_total,
         "ann_topk": _q_ann_topk,
         "user_median_sketch": _q_user_median_sketch,
         "adaptive_assign": _q_adaptive_assign,  # rows-only companion oracle
@@ -1366,8 +1378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         # demoted for the wave-3 additions (green r3; unchanged since —
         # the Morton/aggregation family stays in-window via tile_counts /
-        # tile_median)
+        # tile_median, the shard+sort ordered-log family via asof_join /
+        # running_total)
         "tile_pyramid": _q_tile_pyramid,
+        "prev_value": _q_prev_value,
     }
 
 
@@ -1435,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "source_cap": oracle.source_cap_sql(k=20),
+        "running_total": oracle.running_total_sql(),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
         # round-2: brute-force twins for the previously rows-only ops

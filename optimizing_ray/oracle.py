@@ -447,6 +447,20 @@ FROM {table}
 """
 
 
+def running_total_sql(table: str = "events") -> str:
+    """Cumulative-window oracle: per-key running total of fixed-point
+    cents ordered by (ts, event_id) — int64 prefix sums are order-exact,
+    so the window twin matches windows.running_total bit-for-bit."""
+    return f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_cents
+FROM {table}
+"""
+
+
 def median_qty_sql(table: str = "lineitem") -> str:
     """Exact discrete median per return flag (quantile_disc returns an
     actual element — bit-for-bit matchable, verified convention-equal to

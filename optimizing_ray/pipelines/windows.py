@@ -19,7 +19,8 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "with_prev_value", "asof_join", "range_join", "interval_join"]
+           "with_prev_value", "running_total", "asof_join", "range_join",
+           "interval_join"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -168,6 +169,44 @@ def with_prev_value(events: rd.Dataset, *, key_col: str = "user_id",
 
     return (events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(prev, batch_format="pandas"))
+
+
+def running_total(events: rd.Dataset, *, key_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  id_col: str = "event_id",
+                  n_shards: int | None = None) -> rd.Dataset:
+    """Per-key running total ordered by (ts, id) — the cumulative-window
+    streaming op (SUM ... OVER (PARTITION BY key ORDER BY ts, id)).
+
+    Values ride as fixed-point cents (floor(v*100 + 0.5), the repo's
+    float-rounding discipline) so the int64 prefix sums are order-exact
+    and bit-identical to the SQL window twin regardless of block layout.
+    One hash(key) exchange; the per-shard cumsum is a vectorized pandas
+    groupby (keys co-located, arbitrarily many keys per shard)."""
+    n_shards = resolve_shards(n_shards, floor=64)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             ts_col: pa.array([], pa.int64()),
+                             "_cents": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(t[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
+            "_cents": pa.array(cents),
+            "_shard": pa.array(_shard_of_keys(key, n_shards)),
+        })
+
+    def accumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        g = g.assign(run_cents=g.groupby(key_col, sort=False)["_cents"].cumsum())
+        return g.drop(columns=["_shard", "_cents"])
+
+    return (events.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(accumulate, batch_format="pandas"))
 
 
 def _shard_of_keys(key: np.ndarray, n_shards: int) -> np.ndarray:

@@ -92,7 +92,8 @@ SQL_NAMES = [
     # oracle recomputes selected pixels from the fixture formula)
     "image_resize",
     # round 4 wave 3: per-source document cap (curation per-domain cap)
-    "source_cap",
+    # and the per-key cumulative window (order-exact fixed-point cents)
+    "source_cap", "running_total",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
