@@ -474,6 +474,17 @@ def _q_source_cap(sf_dir: str):
     return textops.source_cap(docs, k=20)
 
 
+def _q_global_rank(sf_dir: str):
+    """Distributed global sort/rank (TeraSort shape): sample boundaries,
+    range-partition exchange, per-part sort + prefix offsets."""
+    from optimizing_ray.pipelines import sort
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "n_chars"])
+    return sort.global_rank(docs, key_col="n_chars", id_col="doc_id")
+
+
 def _q_running_total(sf_dir: str):
     """Per-user running total ordered by (ts, event_id) — the cumulative
     window op; fixed-point cents keep prefix sums order-exact."""
@@ -1335,8 +1346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 wave-3 additions (new => in-window) ---
         "source_cap": _q_source_cap,
         "running_total": _q_running_total,
+        "global_rank": _q_global_rank,
         "ann_topk": _q_ann_topk,
-        "user_median_sketch": _q_user_median_sketch,
         "adaptive_assign": _q_adaptive_assign,  # rows-only companion oracle
         # --- past the driver's 50-query cap this round (all green in
         # CORRECTNESS_r03.json; implementations unchanged in round 4) ---
@@ -1382,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # running_total)
         "tile_pyramid": _q_tile_pyramid,
         "prev_value": _q_prev_value,
+        "user_median_sketch": _q_user_median_sketch,
     }
 
 
@@ -1450,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),
+        "global_rank": oracle.global_rank_sql(),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
         # round-2: brute-force twins for the previously rows-only ops

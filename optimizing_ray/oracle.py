@@ -447,6 +447,17 @@ FROM {table}
 """
 
 
+def global_rank_sql(table: str = "documents") -> str:
+    """Distributed sample-sort oracle: exact total-order rank by
+    (n_chars, doc_id) — sort.global_rank twin."""
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS global_rank
+FROM {table}
+"""
+
+
 def running_total_sql(table: str = "events") -> str:
     """Cumulative-window oracle: per-key running total of fixed-point
     cents ordered by (ts, event_id) — int64 prefix sums are order-exact,

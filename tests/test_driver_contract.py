@@ -94,6 +94,9 @@ SQL_NAMES = [
     # round 4 wave 3: per-source document cap (curation per-domain cap)
     # and the per-key cumulative window (order-exact fixed-point cents)
     "source_cap", "running_total",
+    # round 4 wave 3: distributed global sort/rank (sample-based range
+    # partitioning, the TeraSort shape)
+    "global_rank",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
