@@ -497,6 +497,54 @@ def _q_running_total(sf_dir: str):
     return windows.running_total(ev)
 
 
+KMEANS_K = 8
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """One exact Lloyd step over the embedding column: quantized int64
+    distances (zero float ambiguity), seeds = vec_id < k, bounded k x dim
+    driver merge, two streaming passes, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import cluster
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    seeds = cluster.quantize_embeddings(qt["embedding"].take(pa.array(order)))
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    cent, live = cluster.kmeans_step(emb, seeds)
+    emb2 = driver_tables.read(sf_dir, "embeddings",
+                              columns=["vec_id", "embedding"])
+    return cluster.kmeans_assign(emb2, cent, live)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing: global exclusive prefix sum of
+    token counts in doc_id order (TeraSort shape over the materialized
+    slim projection), pack = 2048-token chunk of the concatenated stream."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.pack_sequences(docs, budget=2048)
+
+
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score (cheap perplexity proxy): corpus token
+    counts -> per-doc mean token log-probability; broadcast plan under
+    the nrows gate, sharded two-exchange plan at scale."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.unigram_logprob(docs, nrows=_tbl_rows(sf_dir, "documents"))
+
+
 def _q_sales_by_nation(sf_dir: str):
     from optimizing_ray.pipelines import relational
 
@@ -1310,7 +1358,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_passthrough": _q_span_passthrough,
         # --- round-3-green queries kept in-window ---
         "tile_assign": _q_tile_assign,
-        "tile_counts": _q_tile_counts,
         "knn_join": _q_knn_join,
         "hex_counts": _q_hex_counts,
         "dwithin_join": _q_dwithin_join,
@@ -1319,7 +1366,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "pip_join": _q_pip_join,
-        "pip_anti_join": _q_pip_anti_join,
         "idw_grid": _q_idw_grid,
         "heavy_hitters": _q_heavy_hitters,
         "poly_overlap_join": _q_poly_overlap_join,
@@ -1341,7 +1387,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_rollup": _q_span_kind_rollup,
         "image_resize": _q_image_resize,
         "events_window": _q_events_window,
-        "asof_join": _q_asof_join,
         "sales_by_nation": _q_sales_by_nation,
         # --- round-4 wave-3 additions (new => in-window) ---
         "source_cap": _q_source_cap,
@@ -1349,8 +1394,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "ann_topk": _q_ann_topk,
         "adaptive_assign": _q_adaptive_assign,  # rows-only companion oracle
+        # --- round-4 wave-4 additions (new => in-window; displaced
+        # tile_counts / pip_anti_join / asof_join past the cap — all
+        # green in CORRECTNESS_r03.json on code unchanged since, with
+        # in-window family twins tile_assign+tile_median, pip_join,
+        # events_window+running_total) ---
+        "kmeans_clusters": _q_kmeans_clusters,
+        "pack_sequences": _q_pack_sequences,
+        "unigram_logprob": _q_unigram_logprob,
         # --- past the driver's 50-query cap this round (all green in
         # CORRECTNESS_r03.json; implementations unchanged in round 4) ---
+        "tile_counts": _q_tile_counts,
+        "pip_anti_join": _q_pip_anti_join,
+        "asof_join": _q_asof_join,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "box_join_shuffle": _q_box_join_shuffle,
         "box_join_3d": _q_box_join_3d,
@@ -1463,6 +1519,9 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),
         "global_rank": oracle.global_rank_sql(),
+        "kmeans_clusters": oracle.kmeans_sql(KMEANS_K),
+        "pack_sequences": oracle.pack_sequences_sql(2048),
+        "unigram_logprob": oracle.unigram_logprob_sql(),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
         # round-2: brute-force twins for the previously rows-only ops

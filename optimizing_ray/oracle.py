@@ -2070,3 +2070,81 @@ SELECT doc_id, ord,
   CAST(MAX(v) AS BIGINT) AS r_max
 FROM pv GROUP BY doc_id, ord
 """
+
+
+def kmeans_sql(k: int = 8, scale: int = 1024,
+               table: str = "embeddings") -> str:
+    """One-Lloyd-step k-means twin (``cluster.kmeans_step`` +
+    ``kmeans_assign``): quantize q = floor(double(v) * scale) (scale a
+    power of two, so exact for float32 inputs), seeds = vec_id < k,
+    integer argmin with (d2, cluster) tiebreak, refined centroids by the
+    exact nonneg-mod floor division, second assignment.  All arithmetic
+    int64 — no float summation order anywhere."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}),
+seeds AS (SELECT vec_id AS c, pos, q FROM eq WHERE vec_id < {k}),
+d0 AS (SELECT e.vec_id, s.c, sum((e.q - s.q) * (e.q - s.q)) AS d2
+       FROM eq e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c),
+a0 AS (SELECT vec_id, c FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d0) WHERE rn = 1),
+cs AS (SELECT a.c, e.pos, sum(e.q) AS s, count(*) AS n
+       FROM a0 a JOIN eq e USING (vec_id) GROUP BY a.c, e.pos),
+cent AS (SELECT c, pos,
+                CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m FROM cs),
+d1 AS (SELECT e.vec_id, t.c, sum((e.q - t.m) * (e.q - t.m)) AS d2
+       FROM eq e JOIN cent t USING (pos) GROUP BY e.vec_id, t.c)
+SELECT vec_id, c AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
+  SELECT vec_id, c, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM d1) WHERE rn = 1
+"""
+
+
+def pack_sequences_sql(budget: int = 2048, table: str = "documents") -> str:
+    """Sequence-packing twin (``textops.pack_sequences``): docs
+    concatenated in doc_id order into one token stream, chunked into
+    fixed ``budget``-token packs; each doc reports its global token
+    start offset and the pack containing its first token.  Token count =
+    single-space split length (the decontaminate-family lockstep).  All
+    integers; floor division via the exact divisible-subtraction form
+    (never CAST(double), which rounds)."""
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM {table}),
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+               AS pack_start
+      FROM t)
+SELECT doc_id, n_tokens, pack_start,
+       CAST((pack_start - (pack_start % {budget})) / {budget} AS BIGINT)
+         AS pack_id
+FROM c
+"""
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """Unigram-LM quality-score twin (``textops.unigram_logprob``):
+    corpus unigram counts (single-space token identity; the engine rides
+    64-bit token hashes, collision caveat as decontaminate), per-doc
+    score = mean ln(count(tok)) - ln(total corpus tokens), rounded
+    floor(x*1e6+0.5)/1e6 at the END on both sides (per-doc float sums
+    are order-ambiguous at ~1e-13 — far inside the rounding guard)."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM {table}),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM toks),
+per AS (SELECT doc_id, count(*) AS n_tokens, sum(ln(c)) AS s
+        FROM toks JOIN cnt USING (tok) GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor((s / n_tokens - ln((SELECT t FROM tot))) * 1e6 + 0.5) / 1e6
+         AS logprob
+FROM per
+"""

@@ -1,0 +1,134 @@
+"""Document clustering over the embedding column: one exact Lloyd step.
+
+The k-means primitive of corpus organisation (topic bucketing, curriculum
+binning, cluster-balanced sampling) expressed so the result is EXACT and
+SQL-twinnable — the idw_grid fixed-point discipline applied to k-means:
+
+1. QUANTIZE: q = floor(float64(v) * scale) per element, scale a power of
+   two so the multiply is exact for float32 inputs.  All distances and
+   centroid updates are then int64 arithmetic — no float summation-order
+   ambiguity between parallel batches, numpy, and DuckDB.
+2. SEED: centroids = the quantized vectors of ``vec_id < k`` (the
+   ann_topk "first n vectors" contract).
+3. ASSIGN (pass 1): per batch, argmin_j ||q - c_j||^2 with ties to the
+   LOWEST cluster id (np.argmin first-hit == SQL ``ORDER BY d2, c``
+   row_number), emitting per-batch partial (cluster, count, per-dim sum)
+   rows — k x (dim+1) ints per batch, merged driver-side (bounded by k,
+   never by corpus size).
+4. REFINE: m_j = floordiv(sum_j, n_j) elementwise — exact integer floor
+   division (SQL twin uses the nonneg-mod identity, not double division).
+   Clusters that captured zero vectors (possible only when a seed
+   duplicates an earlier seed) are dropped on both sides.
+5. ASSIGN (pass 2): one more broadcast pass against the refined
+   centroids; output (vec_id, cluster, dist2) — all int64.
+
+Scale shape: two streaming passes over the corpus plus one bounded
+k x dim driver merge; zero shuffles; centroids ride ``ray.put`` once.
+Additional Lloyd iterations repeat steps 3-5 (each is one pass + one
+bounded merge) — the driver query runs one refinement, which already
+exercises the full exchange.
+
+Reference twin: the per-cell bucketing of ``WorldPartition.hpp:240``
+(objects -> nearest region) generalised to learned regions in embedding
+space; cited for parity, not ported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from optimizing_ray.pipelines.ann import _to_matrix
+
+__all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign"]
+
+
+def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
+    """(n, dim) int64: floor(float64(v) * scale).  scale must be a power
+    of two so float32 -> float64 * scale is exact (no double rounding);
+    the SQL twin computes CAST(floor(CAST(v AS DOUBLE) * scale) AS BIGINT)."""
+    assert scale & (scale - 1) == 0, "scale must be a power of two"
+    return np.floor(_to_matrix(col) * float(scale)).astype(np.int64)
+
+
+def _assign_int(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, dist2) int64 per row: exact ||q||^2 - 2 qC^T + ||c||^2 in
+    int64 matmul (d <= ~2^10 per element keeps every term far below 2^63).
+    np.argmin returns the FIRST minimum — the SQL (d2, cluster) tiebreak."""
+    d2 = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]
+    a = d2.argmin(axis=1)
+    return a.astype(np.int64), d2[np.arange(len(a)), a].astype(np.int64)
+
+
+def kmeans_step(emb: rd.Dataset, seeds: np.ndarray, *,
+                vec_col: str = "embedding", scale: int = 1024) -> np.ndarray:
+    """One exact Lloyd refinement: assign to ``seeds`` ((k, dim) int64),
+    return ``(centroids, cluster_ids)`` — the refined integer centroids
+    ((k', dim), k' <= k: empty clusters dropped, rows keep seed order)
+    and the surviving seed indices labelling them."""
+    k, dim = seeds.shape
+    seeds_ref = ray.put(np.ascontiguousarray(seeds))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sums": pa.array([], pa.list_(pa.int64()))})
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return empty
+        from optimizing_ray.broadcast import cached
+        C = cached(("kmeans_seeds", seeds_ref), lambda: ray.get(seeds_ref))
+        Q = quantize_embeddings(t[vec_col], scale)
+        a, _ = _assign_int(Q, C)
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, a, Q)
+        live = np.flatnonzero(n)
+        return pa.table({"cluster": pa.array(live.astype(np.int64)),
+                         "n": pa.array(n[live]),
+                         "sums": pa.array(list(sums[live]))})
+
+    parts = [t for t in ray.get(
+        emb.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    n_tot = np.zeros(k, dtype=np.int64)
+    s_tot = np.zeros((k, dim), dtype=np.int64)
+    for t in parts:
+        cl = t["cluster"].to_numpy()
+        n_tot[cl] += t["n"].to_numpy()
+        s_tot[cl] += np.stack(
+            [np.asarray(v, dtype=np.int64) for v in t["sums"].to_pylist()])
+    live = np.flatnonzero(n_tot)
+    # exact elementwise floor division (numpy // floors; the SQL twin
+    # uses (s - ((s % n) + n) % n) / n — identical on negatives)
+    return s_tot[live] // n_tot[live][:, None], live
+
+
+def kmeans_assign(emb: rd.Dataset, centroids: np.ndarray,
+                  cluster_ids: np.ndarray | None = None, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 1024) -> rd.Dataset:
+    """Final assignment pass: (vec_id, cluster, dist2) against the given
+    integer centroids.  ``cluster_ids`` maps centroid row -> reported
+    cluster label (identity when None)."""
+    if cluster_ids is None:
+        cluster_ids = np.arange(len(centroids), dtype=np.int64)
+    cref = ray.put((np.ascontiguousarray(centroids),
+                    np.asarray(cluster_ids, dtype=np.int64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64())})
+        from optimizing_ray.broadcast import cached
+        C, labels = cached(("kmeans_cent", cref), lambda: ray.get(cref))
+        Q = quantize_embeddings(t[vec_col], scale)
+        a, d2 = _assign_int(Q, C)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(labels[a]),
+                         "dist2": pa.array(d2)})
+
+    return emb.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)

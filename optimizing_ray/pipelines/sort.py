@@ -31,7 +31,7 @@ import ray.data as rd
 
 from optimizing_ray.config import resolve_shards
 
-__all__ = ["global_rank"]
+__all__ = ["global_rank", "global_running_offset"]
 
 
 def _sample_boundaries(ds: rd.Dataset, key_col: str, n_parts: int,
@@ -106,3 +106,63 @@ def global_rank(ds: rd.Dataset, *, key_col: str, id_col: str,
 
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_part").map_groups(rank, batch_format="pandas"))
+
+
+def global_running_offset(ds: rd.Dataset, *, key_col: str, val_col: str,
+                          offset_name: str = "offset",
+                          n_parts: int | None = None,
+                          sample_per_block: int = 64) -> rd.Dataset:
+    """Append the exact EXCLUSIVE prefix sum of ``val_col`` in ``key_col``
+    order (unique int64 keys): row i gets sum of val over all rows with a
+    strictly smaller key.  Same TeraSort shape as ``global_rank`` — the
+    COUNT pass becomes a per-partition SUM pass (int64, order-exact), the
+    driver exclusive-scans the tiny partition-total vector, and the one
+    shuffle adds within-partition exclusive cumsums.  The SQL twin is
+    ``sum(val) OVER (ORDER BY key) - val``.
+
+    ``ds`` should be the slim (key, val) projection, pre-materialized by
+    the caller if deriving it is expensive (each pass re-executes the
+    lazy plan otherwise)."""
+    n_parts = resolve_shards(n_parts)
+    bounds = _sample_boundaries(ds, key_col, n_parts, sample_per_block)
+
+    def part_of(t: pa.Table) -> np.ndarray:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return np.searchsorted(bounds, k, side="right").astype(np.int64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        acc = np.zeros(len(bounds) + 1, dtype=np.int64)
+        np.add.at(acc, part_of(t),
+                  t[val_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        nz = np.flatnonzero(acc)
+        return pa.table({"part": pa.array(nz.astype(np.int64)),
+                         "s": pa.array(acc[nz])})
+
+    cdf = (ds.map_batches(sums, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas().groupby("part")["s"].sum())
+    full = np.zeros(len(bounds) + 1, dtype=np.int64)
+    if len(cdf):
+        full[cdf.index.to_numpy()] = cdf.to_numpy()
+    offsets_ref = ray.put(np.concatenate([[0], np.cumsum(full)[:-1]]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             val_col: pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64())})
+        return t.append_column("_part", pa.array(part_of(t)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values(key_col)
+        v = g[val_col].to_numpy().astype(np.int64)
+        part = int(g["_part"].iloc[0])
+        excl = np.concatenate([[0], np.cumsum(v)[:-1]])
+        g = g.assign(**{offset_name: offs[part] + excl})
+        return g.drop(columns=["_part"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_part").map_groups(scan, batch_format="pandas"))

@@ -16,7 +16,8 @@ from optimizing_ray.config import resolve_shards
 
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
-__all__ = ["analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
+__all__ = ["pack_sequences", "unigram_logprob",
+           "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
            "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
@@ -664,3 +665,250 @@ def span_kind_rollup(docs_with_spans: rd.Dataset, *,
     for c in ("n_spans", "text_chars", "n_media", "max_offset"):
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_sequences(docs: rd.Dataset, *, budget: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_parts: int | None = None) -> rd.Dataset:
+    """Training-shard sequence packing: docs concatenated in ``id_col``
+    order into one token stream, chunked into fixed ``budget``-token
+    packs; each doc reports (n_tokens, pack_start, pack_id) where
+    pack_start is its global token offset and pack_id the pack holding
+    its first token — the GPT-style pack-and-chunk layout, as metadata.
+
+    Token count = single-space split length (the decontaminate-family
+    lockstep; SQL twin ``len(string_split(text, ' '))``).
+
+    Scale shape: tokenization runs ONCE into a materialized slim
+    (id, n_tokens) projection (16 B/row — the TeraSort trade: without it
+    every prefix-sum pass would re-read the full text), then
+    ``sort.global_running_offset`` does sample + per-partition sums +
+    ONE range-partitioned exchange.  All arithmetic int64-exact, so the
+    result is stable across block layouts and resumes."""
+    import pyarrow.compute as pc
+    from optimizing_ray.pipelines.sort import global_running_offset
+
+    def ntok(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        n = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    slim = docs.map_batches(ntok, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    packed = global_running_offset(slim, key_col=id_col, val_col="n_tokens",
+                                   offset_name="pack_start", n_parts=n_parts)
+
+    def add_pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pack_start" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "pack_start": pa.array([], pa.int64()),
+                             "pack_id": pa.array([], pa.int64())})
+        ps = t["pack_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pack_id", pa.array(ps // budget))
+
+    return packed.map_batches(add_pack, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def unigram_logprob(docs: rd.Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    broadcast_threshold: int = 200_000,
+                    nrows: int | None = None,
+                    n_shards: int | None = None) -> rd.Dataset:
+    """Unigram language-model quality score — the cheap perplexity proxy
+    of a training-data funnel: per doc, mean ln(corpus count of token)
+    minus ln(total corpus tokens), i.e. the average token log-probability
+    under the corpus's own unigram distribution.  Rare-token-heavy
+    (low-quality / wrong-language / binary-ish) docs score low.
+
+    Token identity = single-space split, 64-bit polynomial hash (the
+    decontaminate collision caveat); the SQL twin counts token STRINGS.
+    Scores are floor(x*1e6+0.5)/1e6-rounded at the END on both sides —
+    per-doc float sums are order-ambiguous at ~1e-13, far inside the
+    guard.
+
+    Plans (the dedup nrows-gate discipline):
+    * BROADCAST (nrows <= broadcast_threshold): per-batch (hash, count)
+      partials merge driver-side into the vocab (bounded by distinct
+      tokens), ln(count) rides ray.put, one scoring pass. Zero shuffles.
+    * SHARDED (default with no hint): token rows and count partials
+      union-exchange on hash(token) shards (counts are total per shard),
+      per-shard join yields per-(doc, shard) partial ln-sums, ONE more
+      doc-sharded exchange merges them; ln(T) folds in at the end from
+      the count partials' own total. Wide text bytes never shuffle.
+    """
+    from optimizing_ray.functions.text import token_hashes_batch
+    from optimizing_ray.pipelines.dedup import _plan_rows
+
+    n_shards_r = resolve_shards(n_shards)
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"th": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        th, _ = token_hashes_batch(t[text_col])
+        uk, cnt = np.unique(th.view(np.int64), return_counts=True)
+        return pa.table({"th": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = docs.map_batches(vocab_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    if _plan_rows(nrows) <= broadcast_threshold:
+        import ray
+        tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "logprob": pa.array([], pa.float64())}))
+        th_all = np.concatenate([t["th"].to_numpy() for t in tabs])
+        n_all = np.concatenate([t["n"].to_numpy() for t in tabs])
+        uk, inv = np.unique(th_all, return_inverse=True)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, n_all)
+        total = int(cnt.sum())
+        vocab_ref = ray.put((uk, np.log(cnt.astype(np.float64))))
+        ln_t = float(np.log(float(total)))
+
+        def score(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "n_tokens": pa.array([], pa.int64()),
+                                 "logprob": pa.array([], pa.float64())})
+            from optimizing_ray.broadcast import cached
+            vk, vln = cached(("unigram_vocab", vocab_ref),
+                             lambda: ray.get(vocab_ref))
+            th, doffs = token_hashes_batch(t[text_col])
+            ln = vln[np.searchsorted(vk, th.view(np.int64))]
+            # every doc has >= 1 token (split of '' is ['']), so reduceat
+            # segments are never empty
+            s = np.add.reduceat(ln, doffs[:-1]) if len(ln) else np.zeros(0)
+            ntok = np.diff(doffs).astype(np.float64)
+            lp = np.floor((s / ntok - ln_t) * 1e6 + 0.5) / 1e6
+            return pa.table({id_col: t[id_col],
+                             "n_tokens": pa.array(np.diff(doffs)),
+                             "logprob": pa.array(lp)})
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # --- sharded plan: two bounded exchanges, no driver vocab ---
+    import pandas as pd
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "th": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_side": pa.array([], pa.int64())})
+        th, doffs = token_hashes_batch(t[text_col])
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        np.diff(doffs))
+        return pa.table({id_col: pa.array(ids.astype(np.int64)),
+                         "th": pa.array(th.view(np.int64)),
+                         "n": pa.array(np.zeros(len(th), dtype=np.int64)),
+                         "_side": pa.array(np.zeros(len(th), dtype=np.int64))})
+
+    def cnt_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "th" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "th": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_side": pa.array([], pa.int64())})
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table({id_col: pa.array(z),
+                         "th": t["th"],
+                         "n": t["n"],
+                         "_side": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "th" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "th": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_side": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        th = t["th"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = th * np.uint64(0x9E3779B97F4A7C15)
+        sh = ((h >> np.uint64(33)) % np.uint64(n_shards_r)).astype(np.int64)
+        return t.append_column("_shard", pa.array(sh))
+
+    def shard_score(g: pd.DataFrame) -> pd.DataFrame:
+        cn = g[g["_side"] == 1].groupby("th", sort=False)["n"].sum()
+        tk = g[g["_side"] == 0]
+        if len(tk) == 0:
+            return pd.DataFrame({id_col: np.zeros(0, dtype=np.int64),
+                                 "s": np.zeros(0),
+                                 "nt": np.zeros(0, dtype=np.int64),
+                                 "_shard": np.zeros(0, dtype=np.int64),
+                                 "t": np.zeros(0, dtype=np.int64)})
+        ln = np.log(cn.loc[tk["th"].to_numpy()].to_numpy().astype(np.float64))
+        df = pd.DataFrame({id_col: tk[id_col].to_numpy(), "_ln": ln})
+        out = df.groupby(id_col, sort=False).agg(
+            s=("_ln", "sum"), nt=("_ln", "size")).reset_index()
+        out["nt"] = out["nt"].astype(np.int64)
+        out["_shard"] = np.int64(g["_shard"].iloc[0])
+        out["t"] = np.int64(cn.sum())  # this shard's token total
+        return out
+
+    union = (docs.map_batches(tok_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .union(parts.map_batches(cnt_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+    # materialized: consumed twice (per-shard totals -> T, then the doc
+    # exchange); O(docs x shards-touched) slim rows, never the corpus
+    per_shard = (union.map_batches(add_shard, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .groupby("_shard").map_groups(shard_score,
+                                               batch_format="pandas")
+                 .materialize())
+
+    # T = sum of per-shard token totals (each token counted in exactly
+    # one shard); each map_groups output block is one shard, so the
+    # per-batch unique below is one row per shard
+    def shard_tot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_shard" not in t.column_names:
+            return pa.table({"_shard": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        sh = t["_shard"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        uk, first = np.unique(sh, return_index=True)
+        return pa.table({"_shard": pa.array(uk.astype(np.int64)),
+                         "t": pa.array(tt[first].astype(np.int64))})
+
+    st = (per_shard.map_batches(shard_tot, batch_format="pyarrow",
+                                zero_copy_batch=True)
+          .to_pandas().drop_duplicates("_shard"))
+    total = int(st["t"].sum())
+    ln_t = float(np.log(float(total))) if total else 0.0
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "nt": pa.array([], pa.int64()),
+                             "_dsh": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(0x9E3779B97F4A7C15)
+        sh = ((h >> np.uint64(33)) % np.uint64(n_shards_r)).astype(np.int64)
+        return t.select([id_col, "s", "nt"]).append_column("_dsh", pa.array(sh))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False).agg(
+            s=("s", "sum"), n_tokens=("nt", "sum")).reset_index()
+        lp = np.floor((agg["s"].to_numpy() / agg["n_tokens"].to_numpy()
+                       - ln_t) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({id_col: agg[id_col].to_numpy(),
+                             "n_tokens": agg["n_tokens"].to_numpy().astype(np.int64),
+                             "logprob": lp})
+
+    return (per_shard.map_batches(add_dshard, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("_dsh").map_groups(finalize, batch_format="pandas"))

@@ -1,0 +1,113 @@
+"""Round-4 wave-4 ops: exact quantized k-means, sequence packing,
+unigram-LM scoring — kernel oracles plus the plan-equality checks the
+sf0.01 driver gate can't see (sharded vs broadcast, empty-cluster drop)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from optimizing_ray.pipelines import cluster, textops
+from optimizing_ray.pipelines.sort import global_running_offset
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds(vecs: np.ndarray) -> rd.Dataset:
+    t = pa.table({"vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                  "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    return rd.from_arrow(t)
+
+
+def _brute_assign(Q, C):
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(a)), a]
+
+
+def test_kmeans_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    k = 5
+    seeds = Q[:k]
+    cent, live = cluster.kmeans_step(_emb_ds(vecs), seeds)
+    # brute twin: assign to seeds, floor-div centroid update
+    a0, _ = _brute_assign(Q, seeds)
+    exp_cent = np.stack([Q[a0 == j].sum(axis=0) // (a0 == j).sum()
+                         for j in range(k)])
+    assert (live == np.arange(k)).all()
+    np.testing.assert_array_equal(cent, exp_cent)
+    out = cluster.kmeans_assign(_emb_ds(vecs), cent, live).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    a1, d1 = _brute_assign(Q, exp_cent)
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), a1)
+    np.testing.assert_array_equal(out["dist2"].to_numpy(), d1.astype(np.int64))
+
+
+def test_kmeans_duplicate_seed_drops_empty_cluster(ray_session):
+    # seed 2 duplicates seed 0 -> every vector prefers cluster 0 (tie ->
+    # lowest id), cluster 2 captures nothing and is dropped on refine
+    vecs = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0],
+                     [0.9, 0.1], [0.1, 0.9]], dtype=np.float32)
+    Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    seeds = Q[:3]
+    cent, live = cluster.kmeans_step(_emb_ds(vecs), seeds)
+    assert list(live) == [0, 1]
+    out = cluster.kmeans_assign(_emb_ds(vecs), cent, live).to_pandas()
+    assert set(out["cluster"]) <= {0, 1}
+    assert len(out) == 5
+
+
+def test_global_running_offset_exact(ray_session):
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(1000).astype(np.int64)
+    vals = rng.integers(0, 50, size=1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(ids), "v": pa.array(vals)}))
+    out = (global_running_offset(ds, key_col="k", val_col="v",
+                                 offset_name="off")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    order = np.argsort(ids)
+    expect = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+    np.testing.assert_array_equal(out["off"].to_numpy(), expect)
+
+
+def test_pack_sequences_brute(ray_session):
+    texts = ["a b c", "", "x", "one  two", "  lead", "t " * 500]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}))
+    out = (textops.pack_sequences(ds, budget=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ntok = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+    start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), ntok)
+    np.testing.assert_array_equal(out["pack_start"].to_numpy(), start)
+    np.testing.assert_array_equal(out["pack_id"].to_numpy(), start // 4)
+
+
+@pytest.mark.parametrize("plan_rows,thresh", [(500, 1 << 30), (500, 10)])
+def test_unigram_logprob_plans_agree_with_brute(ray_session, plan_rows, thresh):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.from_arrow(t)
+    out = (textops.unigram_logprob(docs, nrows=plan_rows,
+                                   broadcast_threshold=thresh)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute twin over token strings
+    toks = [s.split(" ") for s in t["text"].to_pylist()]
+    from collections import Counter
+    cnt = Counter(tok for ts in toks for tok in ts)
+    total = sum(cnt.values())
+    exp = []
+    for ts in toks:
+        s = sum(np.log(float(cnt[x])) for x in ts)
+        exp.append(np.floor((s / len(ts) - np.log(float(total))) * 1e6 + 0.5) / 1e6)
+    ids = np.argsort(t["doc_id"].to_numpy())
+    np.testing.assert_allclose(out["logprob"].to_numpy(),
+                               np.asarray(exp)[ids], rtol=0, atol=1e-9)
+    np.testing.assert_array_equal(
+        out["n_tokens"].to_numpy(),
+        np.array([len(ts) for ts in toks], dtype=np.int64)[ids])

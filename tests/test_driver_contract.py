@@ -97,6 +97,10 @@ SQL_NAMES = [
     # round 4 wave 3: distributed global sort/rank (sample-based range
     # partitioning, the TeraSort shape)
     "global_rank",
+    # round 4 wave 4: exact quantized k-means Lloyd step over embeddings,
+    # token-budget sequence packing (global prefix sum, TeraSort shape),
+    # unigram-LM quality score (broadcast/sharded vocab plans)
+    "kmeans_clusters", "pack_sequences", "unigram_logprob",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -239,6 +243,8 @@ def test_rotation_window_holds_the_unverified_queries():
         # top-k merges / shard-width seam)
         "text_analysis", "fingerprints", "curate", "doc_stats",
         "knn", "knn_ring", "knn_join", "ann_topk", "events_window",
+        # round-4 wave-4 additions (never driver-verified before)
+        "kmeans_clusters", "pack_sequences", "unigram_logprob",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
