@@ -545,6 +545,32 @@ def _q_unigram_logprob(sf_dir: str):
     return textops.unigram_logprob(docs, nrows=_tbl_rows(sf_dir, "documents"))
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Sliding-window RAG chunking: 16-token windows every 12 tokens,
+    chunk text as one vectorized blob gather (zero shuffles)."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.chunk_docs(docs, chunk_tokens=16, stride=12)
+
+
+MIX_TARGETS = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+MIX_BUDGET = 20_000
+
+
+def _q_mix_corpus(sf_dir: str):
+    """Corpus mixing: per-language keep rates from token totals vs target
+    fractions under a budget, deterministic id-hash sampling."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "lang", "text"])
+    return textops.mix_corpus(docs, targets=MIX_TARGETS,
+                              budget_tokens=MIX_BUDGET)
+
+
 def _q_sales_by_nation(sf_dir: str):
     from optimizing_ray.pipelines import relational
 
@@ -1359,7 +1385,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3-green queries kept in-window ---
         "tile_assign": _q_tile_assign,
         "knn_join": _q_knn_join,
-        "hex_counts": _q_hex_counts,
         "dwithin_join": _q_dwithin_join,
         "spatial_clusters": _q_spatial_clusters,
         "box_join": _q_box_join,
@@ -1371,7 +1396,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_overlap_join": _q_poly_overlap_join,
         "tile_median": _q_tile_median,
         "interval_join": _q_interval_join,
-        "raster_near": _q_raster_near,
         "train_split": _q_train_split,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -1402,11 +1426,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
+        # (wave-4 second batch: chunking + mixing displaced hex_counts /
+        # raster_near — r3-green, unchanged, families covered in-window
+        # by tile_assign/tile_median, idw_grid, trace_first_hit, knn)
+        "chunk_docs": _q_chunk_docs,
+        "mix_corpus": _q_mix_corpus,
         # --- past the driver's 50-query cap this round (all green in
         # CORRECTNESS_r03.json; implementations unchanged in round 4) ---
         "tile_counts": _q_tile_counts,
         "pip_anti_join": _q_pip_anti_join,
         "asof_join": _q_asof_join,
+        "hex_counts": _q_hex_counts,
+        "raster_near": _q_raster_near,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "box_join_shuffle": _q_box_join_shuffle,
         "box_join_3d": _q_box_join_3d,
@@ -1522,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": oracle.kmeans_sql(KMEANS_K),
         "pack_sequences": oracle.pack_sequences_sql(2048),
         "unigram_logprob": oracle.unigram_logprob_sql(),
+        "chunk_docs": oracle.chunk_docs_sql(16, 12),
+        "mix_corpus": oracle.mix_corpus_sql(MIX_TARGETS, MIX_BUDGET),
         "median_qty": oracle.median_qty_sql(),
         "ann_topk": oracle.ann_topk_sql(ANN_Q, ANN_K),
         # round-2: brute-force twins for the previously rows-only ops

@@ -2148,3 +2148,51 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          AS logprob
 FROM per
 """
+
+
+def chunk_docs_sql(chunk_tokens: int = 64, stride: int = 48,
+                   table: str = "documents") -> str:
+    """Sliding-window chunking twin (``textops.chunk_docs``): single-space
+    token windows every ``stride`` tokens; chunk text via inclusive
+    list_slice + single-space join, byte-equal to the engine's contiguous
+    blob slice of the original text."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+ch AS (SELECT doc_id, l,
+              unnest(generate_series(0, (len(l) - 1) // {stride})) AS chunk_id
+       FROM lists)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * {stride} AS BIGINT) AS chunk_start,
+  CAST(least(chunk_id * {stride} + {chunk_tokens}, len(l))
+       - chunk_id * {stride} AS BIGINT) AS n_chunk_tokens,
+  array_to_string(list_slice(l, chunk_id * {stride} + 1,
+                             chunk_id * {stride} + {chunk_tokens}), ' ')
+    AS chunk_text
+FROM ch
+"""
+
+
+def mix_corpus_sql(targets: dict, budget_tokens: int,
+                   mult: int = 2_885_564_557,
+                   table: str = "documents") -> str:
+    """Corpus-mixing twin (``textops.mix_corpus``): per-language keep rate
+    min(1, (budget * frac) / lang_tokens) — ONE multiply then ONE divide,
+    bit-identical IEEE order to the engine — gated by the train_split
+    id-hash frac.  Languages outside ``targets`` keep nothing."""
+    cases = " ".join(f"WHEN lang = '{k}' THEN {float(v)!r}"
+                     for k, v in targets.items())
+    frac = f"(((doc_id * {mult}) % {1 << 32}) / {float(1 << 32)!r})"
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM {table}),
+tl AS (SELECT lang, sum(n_tokens) AS lang_toks FROM t GROUP BY lang),
+r AS (SELECT lang,
+             least(1.0, ({float(budget_tokens)!r} *
+                         (CASE {cases} ELSE 0.0 END)) / CAST(lang_toks AS DOUBLE))
+               AS rate
+      FROM tl)
+SELECT t.doc_id, t.lang, t.n_tokens
+FROM t JOIN r USING (lang)
+WHERE {frac} < r.rate
+"""

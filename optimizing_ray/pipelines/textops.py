@@ -16,7 +16,7 @@ from optimizing_ray.config import resolve_shards
 
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
-__all__ = ["pack_sequences", "unigram_logprob",
+__all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
            "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
@@ -912,3 +912,156 @@ def unigram_logprob(docs: rd.Dataset, *, id_col: str = "doc_id",
     return (per_shard.map_batches(add_dshard, batch_format="pyarrow",
                                   zero_copy_batch=True)
             .groupby("_dsh").map_groups(finalize, batch_format="pandas"))
+
+
+def chunk_docs(docs: rd.Dataset, *, chunk_tokens: int = 64, stride: int = 48,
+               id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Sliding-window document chunking — the RAG / context-window
+    splitter: each doc becomes chunks of ``chunk_tokens`` single-space
+    tokens starting every ``stride`` tokens (overlap = chunk - stride),
+    one output row per chunk with its 0-based id, token start offset,
+    token count, and the chunk TEXT (byte-exact ``' '.join(tokens[s:e])``,
+    which for a single-space split is a contiguous byte slice of the
+    original doc — no re-join allocation per token).
+
+    Fully vectorized per batch: arrow split offsets give every token's
+    byte position, chunk blobs are one fancy-indexed gather from the
+    batch text blob.  Zero shuffles — a pure flat-map; output rows are a
+    deterministic function of the doc, so the stage is resume-stable.
+    SQL twin ``oracle.chunk_docs_sql`` (list_slice + array_to_string)."""
+    import pyarrow.compute as pc
+    from optimizing_ray.functions.text import _as_string_array, _utf8_blob
+
+    C, S = int(chunk_tokens), int(stride)
+    assert C >= 1 and S >= 1
+
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "chunk_start": pa.array([], pa.int64()),
+                          "n_chunk_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        arr = _as_string_array(t[text_col])
+        data, doc_offs = _utf8_blob(arr)
+        lists = pc.split_pattern(arr, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        ntok = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        toks = pc.list_flatten(lists)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        _, tok_offs = _utf8_blob(toks)
+        tl = np.diff(tok_offs)                      # token byte lengths
+        # token k's byte START inside its doc: cumsum of (len+1) rebased
+        # per doc (the +1 per separator; rebasing cancels the per-doc
+        # overcount)
+        ccs = np.concatenate([[0], np.cumsum(tl + 1)])
+        doc_first = np.concatenate([[0], np.cumsum(ntok)])  # flat index
+        tok_start_in_doc = ccs[:-1] - np.repeat(ccs[doc_first[:-1]], ntok)
+        tok_end_in_doc = tok_start_in_doc + tl      # byte END (excl)
+
+        n_chunks = (ntok - 1) // S + 1              # ntok >= 1 always
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(ntok), dtype=np.int64), n_chunks)
+        cstarts = np.concatenate([[0], np.cumsum(n_chunks)])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(
+            cstarts[:-1], n_chunks)
+        s_tok = chunk_id * S
+        e_tok = np.minimum(s_tok + C, ntok[doc_idx])
+        # flat token indices -> byte range inside the batch text blob
+        first_flat = doc_first[doc_idx]
+        b_start = (doc_offs[doc_idx]
+                   + tok_start_in_doc[first_flat + s_tok])
+        b_end = (doc_offs[doc_idx]
+                 + tok_end_in_doc[first_flat + e_tok - 1])
+        L = (b_end - b_start).astype(np.int64)
+        out_offs = np.concatenate([[0], np.cumsum(L)]).astype(np.int32)
+        idx = (np.arange(int(out_offs[-1]), dtype=np.int64)
+               - np.repeat(out_offs[:-1].astype(np.int64), L)
+               + np.repeat(b_start, L))
+        blob = data[idx]
+        chunk_text = pa.StringArray.from_buffers(
+            total, pa.py_buffer(out_offs.tobytes()),
+            pa.py_buffer(blob.tobytes()))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[doc_idx].astype(np.int64)),
+                         "chunk_id": pa.array(chunk_id),
+                         "chunk_start": pa.array(s_tok),
+                         "n_chunk_tokens": pa.array(e_tok - s_tok),
+                         "chunk_text": chunk_text})
+
+    return docs.map_batches(chunk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def mix_corpus(docs: rd.Dataset, *, targets: dict, budget_tokens: int,
+               id_col: str = "doc_id", lang_col: str = "lang",
+               text_col: str = "text", mult: int = STRAT_MULT) -> rd.Dataset:
+    """Corpus mixing — rebalance per-language token mass toward target
+    fractions under a total token budget (the static data-mixing step of
+    training-set assembly): per language, keep rate
+    ``min(1, budget * targets[lang] / lang_tokens)``; docs kept by the
+    deterministic train_split id-hash, so the sample is stable across
+    runs / resumes and exactly reproducible in SQL.  Languages outside
+    ``targets`` get rate 0.
+
+    Scale shape: tokenization runs ONCE into a materialized slim
+    (id, lang, n_tokens) projection; per-language totals are per-batch
+    partials merged driver-side (bounded by the language set); the
+    filter pass is zero-shuffle.  Output: kept (doc_id, lang, n_tokens).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    def slim_f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             lang_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        n = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+        return pa.table({id_col: t[id_col], lang_col: t[lang_col],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    slim = docs.map_batches(slim_f, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or lang_col not in t.column_names:
+            return pa.table({lang_col: pa.array([], pa.string()),
+                             "tl": pa.array([], pa.int64())})
+        df = t.select([lang_col, "n_tokens"]).to_pandas()
+        agg = df.groupby(lang_col, sort=False)["n_tokens"].sum().reset_index()
+        return pa.table({lang_col: pa.array(agg[lang_col].astype(str)),
+                         "tl": pa.array(agg["n_tokens"].to_numpy().astype(np.int64))})
+
+    parts = (slim.map_batches(lang_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas())
+    totals = parts.groupby(lang_col)["tl"].sum()
+    # rate = min(1, (budget * frac) / T_l) — ONE multiply then ONE divide,
+    # the exact IEEE op order the SQL twin uses
+    rates = {lang: min(1.0, (float(budget_tokens) * float(frac)) / float(totals[lang]))
+             for lang, frac in targets.items() if lang in totals.index}
+    rates_ref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             lang_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        from optimizing_ray.broadcast import cached
+        r = cached(("mix_rates", rates_ref), lambda: ray.get(rates_ref))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = ((ids * np.int64(mult)) % np.int64(1 << 32)
+                ).astype(np.float64) / float(1 << 32)
+        langs = t[lang_col].to_numpy(zero_copy_only=False)
+        rate = np.zeros(len(ids))
+        for k, v in r.items():
+            rate[langs == k] = v
+        return t.filter(pa.array(frac < rate))
+
+    return slim.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -111,3 +111,60 @@ def test_unigram_logprob_plans_agree_with_brute(ray_session, plan_rows, thresh):
     np.testing.assert_array_equal(
         out["n_tokens"].to_numpy(),
         np.array([len(ts) for ts in toks], dtype=np.int64)[ids])
+
+
+def test_chunk_docs_brute(ray_session):
+    texts = ["a b c d e f g", "", "x", "one  two", "  lead sp",
+             "αβ γδ εζ", "w " * 40 + "end"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}))
+    C, S = 3, 2
+    out = (textops.chunk_docs(ds, chunk_tokens=C, stride=S)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        o = 0
+        cid = 0
+        while o < len(toks):
+            rows.append((i, cid, o, min(C, len(toks) - o),
+                         " ".join(toks[o:o + C])))
+            o += S
+            cid += 1
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk_start",
+                                      "n_chunk_tokens", "chunk_text"])
+    assert len(out) == len(exp)
+    for c in exp.columns:
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_mix_corpus_rates_and_determinism(ray_session):
+    rng = np.random.default_rng(11)
+    langs = np.array(["en", "fr", "xx"])[rng.integers(0, 3, size=300)]
+    texts = ["tok " * int(n) + "end" for n in rng.integers(1, 30, size=300)]
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs),
+                  "text": pa.array(texts)})
+    targets = {"en": 0.7, "fr": 0.3}
+    out = (textops.mix_corpus(rd.from_arrow(t), targets=targets,
+                              budget_tokens=1500)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # untargeted language keeps nothing
+    assert not (out["lang"] == "xx").any()
+    # brute twin
+    ntok = np.array([len(s.split(" ")) for s in texts], dtype=np.int64)
+    kept = []
+    for lang, frac in targets.items():
+        tl = int(ntok[langs == lang].sum())
+        rate = min(1.0, (1500.0 * frac) / float(tl))
+        sel = (langs == lang) & (
+            ((ids * 2_885_564_557) % (1 << 32)) / float(1 << 32) < rate)
+        kept.extend(ids[sel])
+    assert sorted(kept) == out["doc_id"].tolist()
+    # deterministic across a rerun
+    out2 = (textops.mix_corpus(rd.from_arrow(t), targets=targets,
+                               budget_tokens=1500)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()

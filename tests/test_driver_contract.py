@@ -101,6 +101,9 @@ SQL_NAMES = [
     # token-budget sequence packing (global prefix sum, TeraSort shape),
     # unigram-LM quality score (broadcast/sharded vocab plans)
     "kmeans_clusters", "pack_sequences", "unigram_logprob",
+    # round 4 wave 4 second batch: sliding-window RAG chunking (vectorized
+    # blob gather) and per-language corpus mixing under a token budget
+    "chunk_docs", "mix_corpus",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -245,6 +248,7 @@ def test_rotation_window_holds_the_unverified_queries():
         "knn", "knn_ring", "knn_join", "ann_topk", "events_window",
         # round-4 wave-4 additions (never driver-verified before)
         "kmeans_clusters", "pack_sequences", "unigram_logprob",
+        "chunk_docs", "mix_corpus",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
