@@ -97,8 +97,11 @@ def kmeans_step(emb: rd.Dataset, seeds: np.ndarray, *,
     for t in parts:
         cl = t["cluster"].to_numpy()
         n_tot[cl] += t["n"].to_numpy()
-        s_tot[cl] += np.stack(
-            [np.asarray(v, dtype=np.int64) for v in t["sums"].to_pylist()])
+        col = t["sums"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s_tot[cl] += (col.flatten().to_numpy(zero_copy_only=False)
+                      .reshape(len(cl), dim))
     live = np.flatnonzero(n_tot)
     # exact elementwise floor division (numpy // floors; the SQL twin
     # uses (s - ((s % n) + n) % n) / n — identical on negatives)
