@@ -929,13 +929,24 @@ def chunk_docs(docs: rd.Dataset, *, chunk_tokens: int = 64, stride: int = 48,
     batch text blob.  Zero shuffles — a pure flat-map; output rows are a
     deterministic function of the doc, so the stage is resume-stable.
     SQL twin ``oracle.chunk_docs_sql`` (list_slice + array_to_string)."""
-    import pyarrow.compute as pc
-    from optimizing_ray.functions.text import _as_string_array, _utf8_blob
-
     C, S = int(chunk_tokens), int(stride)
     assert C >= 1 and S >= 1
 
     def chunk(t: pa.Table) -> pa.Table:
+        return chunk_batch(t, C, S, id_col=id_col, text_col=text_col)
+
+    return docs.map_batches(chunk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def chunk_batch(t: pa.Table, C: int, S: int, *, id_col: str = "doc_id",
+                text_col: str = "text") -> pa.Table:
+    """The chunk_docs per-batch kernel (module-level so the property
+    suite can drive it without a Ray session)."""
+    import pyarrow.compute as pc
+    from optimizing_ray.functions.text import _as_string_array, _utf8_blob
+
+    if True:  # (kept indentation of the original closure body)
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "chunk_id": pa.array([], pa.int64()),
                           "chunk_start": pa.array([], pa.int64()),
@@ -993,9 +1004,6 @@ def chunk_docs(docs: rd.Dataset, *, chunk_tokens: int = 64, stride: int = 48,
                          "chunk_start": pa.array(s_tok),
                          "n_chunk_tokens": pa.array(e_tok - s_tok),
                          "chunk_text": chunk_text})
-
-    return docs.map_batches(chunk, batch_format="pyarrow",
-                            zero_copy_batch=True)
 
 
 def mix_corpus(docs: rd.Dataset, *, targets: dict, budget_tokens: int,

@@ -168,3 +168,33 @@ def test_mix_corpus_rates_and_determinism(ray_session):
                                budget_tokens=1500)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+# --- property tests (no Ray session: chunk_batch is a pure kernel) ---
+
+from hypothesis import given, settings, strategies as st
+
+_txt = st.text(
+    alphabet=st.sampled_from(list("ab αβ日\t") + [" "]), min_size=0, max_size=60)
+
+
+@given(st.lists(_txt, min_size=1, max_size=12),
+       st.integers(1, 7), st.integers(1, 5))
+@settings(max_examples=150, deadline=None)
+def test_chunk_batch_equals_python_prop(texts, C, S):
+    from optimizing_ray.pipelines.textops import chunk_batch
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = chunk_batch(t, C, S).to_pandas()
+    rows = []
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        o = 0
+        while o < len(toks):
+            rows.append((i, o // S, o, min(C, len(toks) - o),
+                         " ".join(toks[o:o + C])))
+            o += S
+    assert len(out) == len(rows)
+    got = list(map(tuple, out[["doc_id", "chunk_id", "chunk_start",
+                               "n_chunk_tokens", "chunk_text"]].itertuples(index=False)))
+    assert got == rows
