@@ -33,6 +33,20 @@ N_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0")) or max(16, N_CORPUS //
 
 
 def run_bench() -> dict:
+    import numpy as _np0
+    import time as _time0
+
+    # fresh-page provisioning probe — MUST run before any big allocation
+    # in this process (freed pages from earlier arrays would be reused and
+    # hide the wall fresh worker allocations actually pay).  Big numpy
+    # temporaries are mmap'd per call; during provisioning-wall episodes
+    # this measured 15 MB/s vs ~3 GB/s calm (round-4 working notes).
+    _t0 = _time0.perf_counter()
+    _fx = _np0.empty(12_000_000, dtype=_np0.uint8)
+    _fx[::4096] = 1
+    _fault_mbs = round(12.0 / (_time0.perf_counter() - _t0), 1)
+    del _fx
+
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -84,6 +98,8 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         _x = _pp.sum() + _pp.sum()
         return round(2 * _pp.nbytes / 1e9 / (time.perf_counter() - t0), 2)
+
+    extras["fault_probe_mbs"] = _fault_mbs  # taken at process start
 
     def timed(name, fn, n_reps=None):
         best = None
