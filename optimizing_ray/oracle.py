@@ -2196,3 +2196,115 @@ SELECT t.doc_id, t.lang, t.n_tokens
 FROM t JOIN r USING (lang)
 WHERE {frac} < r.rate
 """
+
+
+def near_dedup_keep_sql(k_shingle: int = 5, jaccard_threshold: float = 0.5,
+                        table: str = "documents") -> str:
+    """End-to-end near-dedup keep-list twin (``dedup.near_dedup_keep``):
+    the exact-Jaccard pair graph of ``minhash_pairs_sql`` closed into
+    connected components by a recursive CTE (the ``spatial_clusters_sql``
+    pattern), rep_id = the component's minimum member, kept = 1 iff the
+    doc IS its representative.  Every document emits a row (singletons
+    seed from the self row).  The engine's LSH stage is probabilistic
+    recall, but on the driver corpus every true pair has jaccard >= 0.92
+    where the 16x4 banding miss probability is < 1e-8 per pair — the
+    exhaustive closure and the engine's clusters provably coincide."""
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, {k_shingle}) AS s
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, length(text) - {k_shingle - 1}))) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+p0 AS (
+  SELECT doc_a AS ea, doc_b AS eb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ninter / CAST(sa.n + sb.n - ninter AS DOUBLE) >= {jaccard_threshold!r}
+),
+pairs AS (SELECT ea, eb FROM p0 UNION ALL SELECT eb, ea FROM p0),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT r.src, p.eb FROM reach r JOIN pairs p ON p.ea = r.dst
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS rep_id,
+       CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM reach GROUP BY src
+"""
+
+
+def semantic_dedup_sql(k: int = 8, scale: int = 1024,
+                       tau_num: int = 9, tau_den: int = 10,
+                       table: str = "embeddings",
+                       plant_mod: int | None = None,
+                       plant_offset: int = 10_000_000) -> str:
+    """SemDeDup twin (``cluster.semantic_dedup``): the ``kmeans_sql``
+    one-Lloyd-step assignment, then within each cluster a vector is a
+    duplicate iff some LOWER-id same-cluster vector passes the integer
+    cross-multiplied cosine gate
+
+        dot > 0 AND tau_den^2*dot^2 >= tau_num^2*n2_a*n2_b
+
+    over the same quantized vectors.  DuckDB sums BIGINT into HUGEINT so
+    every product is exact; the engine guards its int64 range.
+
+    ``plant_mod`` mirrors the driver query's planted exact copies
+    (vec_id % mod == 0 duplicated under vec_id + offset): an identical
+    vector lands in the same cluster with cosine exactly 1, so the
+    operator provably marks every plant — the embedding_near_dup
+    certainty argument applied to SemDeDup."""
+    src = table
+    if plant_mod is not None:
+        src = f"""(SELECT vec_id, embedding FROM {table}
+       UNION ALL
+       SELECT vec_id + {plant_offset} AS vec_id, embedding
+       FROM {table} WHERE vec_id % {plant_mod} = 0)"""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {src} AS src_emb),
+seeds AS (SELECT vec_id AS c, pos, q FROM eq WHERE vec_id < {k}),
+d0 AS (SELECT e.vec_id, s.c, sum((e.q - s.q) * (e.q - s.q)) AS d2
+       FROM eq e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c),
+a0 AS (SELECT vec_id, c FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d0) WHERE rn = 1),
+cs AS (SELECT a.c, e.pos, sum(e.q) AS s, count(*) AS n
+       FROM a0 a JOIN eq e USING (vec_id) GROUP BY a.c, e.pos),
+cent AS (SELECT c, pos,
+                CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m FROM cs),
+d1 AS (SELECT e.vec_id, t.c, sum((e.q - t.m) * (e.q - t.m)) AS d2
+       FROM eq e JOIN cent t USING (pos) GROUP BY e.vec_id, t.c),
+a1 AS (SELECT vec_id, c AS cluster FROM (
+         SELECT vec_id, c, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d1) WHERE rn = 1),
+n2 AS (SELECT vec_id, sum(q * q) AS n2 FROM eq GROUP BY vec_id),
+cp AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+dots AS (SELECT cp.va, cp.vb, sum(ea.q * eb.q) AS dot
+         FROM cp
+         JOIN eq ea ON ea.vec_id = cp.va
+         JOIN eq eb ON eb.vec_id = cp.vb AND eb.pos = ea.pos
+         GROUP BY cp.va, cp.vb),
+dups AS (SELECT DISTINCT d.vb AS vec_id
+         FROM dots d
+         JOIN n2 na ON na.vec_id = d.va
+         JOIN n2 nb ON nb.vec_id = d.vb
+         WHERE d.dot > 0
+           AND {tau_den * tau_den} * d.dot * d.dot
+               >= {tau_num * tau_num} * na.n2 * nb.n2)
+SELECT a1.vec_id, CAST(a1.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM a1 LEFT JOIN dups USING (vec_id)
+"""

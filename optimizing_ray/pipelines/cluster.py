@@ -42,7 +42,8 @@ import ray.data as rd
 
 from optimizing_ray.pipelines.ann import _to_matrix
 
-__all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign"]
+__all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
+           "semantic_dedup"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -135,3 +136,111 @@ def kmeans_assign(emb: rd.Dataset, centroids: np.ndarray,
 
     return emb.map_batches(assign, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def semantic_dedup(emb: rd.Dataset, seeds: np.ndarray, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1024, tau_num: int = 9, tau_den: int = 10,
+                   n_shards: int | None = None) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023 shape): k-means buckets the corpus,
+    then WITHIN each cluster every vector with a lower-id neighbor at
+    cosine >= tau_num/tau_den is marked a duplicate.  Output one row per
+    vector: ``(vec_id, cluster, kept)`` with kept = 1 iff no such
+    neighbor exists (cluster = the surviving seed's vec_id, as
+    ``kmeans_assign``).
+
+    EXACT across engines: clustering is the quantized-integer Lloyd
+    step (``kmeans_step``), and the cosine gate is the integer
+    cross-multiplied predicate
+
+        dot > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2
+
+    over the SAME quantized vectors — no float cosine anywhere, so the
+    boundary cases match DuckDB bit-for-bit (``oracle.semantic_dedup_sql``;
+    DuckDB's integer sums are HUGEINT, the engine guards the int64 range
+    below).
+
+    Scale shape: two streaming k-means passes (bounded k x dim driver
+    merge), then ONE shuffle — vectors ride to hash(cluster) % n_shards
+    shards and the per-cluster pairwise check runs chunked inside the
+    shard (the SemDeDup cost model: k chosen so clusters stay small, so
+    the m^2 d work per cluster is bounded by construction; the chunking
+    keeps peak memory at chunk x m).  Isolated regime note: with tiny k
+    the shuffle fans into <= k groups — the ~1 s per-exchange dispatch
+    floor, not a data cost."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    cent, live = kmeans_step(emb, seeds, vec_col=vec_col, scale=scale)
+    cref = ray.put((np.ascontiguousarray(cent),
+                    np.asarray(live, dtype=np.int64)))
+
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "_q": pa.array([], pa.list_(pa.int64())),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return empty
+        from optimizing_ray.broadcast import cached
+        C, labels = cached(("semdedup_cent", cref), lambda: ray.get(cref))
+        Q = quantize_embeddings(t[vec_col], scale)
+        a, _ = _assign_int(Q, C)
+        cl = labels[a]
+        flat = pa.array(Q.reshape(-1))
+        offs = pa.array(np.arange(len(cl) + 1, dtype=np.int32) * Q.shape[1])
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(cl),
+                         "_q": pa.ListArray.from_arrays(offs, flat),
+                         "_shard": pa.array((cl % n_shards).astype(np.int64))})
+
+    def within_shard(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "kept": pa.array([], pa.int64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = t["_q"].combine_chunks() if isinstance(t["_q"], pa.ChunkedArray) \
+            else t["_q"]
+        Q = (qc.flatten().to_numpy(zero_copy_only=False)
+             .reshape(len(ids), -1))
+        order = np.lexsort((ids, cl))
+        ids, cl, Q = ids[order], cl[order], Q[order]
+        kept = np.ones(len(ids), dtype=np.int64)
+        num2 = np.int64(tau_num * tau_num)
+        den2 = np.int64(tau_den * tau_den)
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            Qg = Q[s:e]
+            n2 = (Qg * Qg).sum(axis=1)
+            # int64-range guard: |dot| <= max(n2) (Cauchy-Schwarz) and
+            # the predicate squares it once more times tau_den^2; the
+            # check runs in Python ints so it cannot itself overflow
+            mx = int(n2.max())
+            assert tau_den * tau_den * mx * mx < (1 << 63), (
+                "quantized norms too large for the int64 cosine "
+                "predicate: lower `scale`")
+            step = 4096
+            for cs in range(1, m, step):
+                ce = min(cs + step, m)
+                D = Qg[cs:ce] @ Qg[:ce].T  # rows cs..ce vs all cols < ce
+                pred = (D > 0) & (den2 * D * D
+                                  >= num2 * np.outer(n2[cs:ce], n2[:ce]))
+                # only lower-sorted-position (== lower vec_id within the
+                # cluster) partners count
+                rows = np.arange(cs, ce)[:, None]
+                pred &= np.arange(ce)[None, :] < rows
+                kept[s + cs:s + ce] &= ~pred.any(axis=1)
+        return pa.table({id_col: pa.array(ids),
+                         "cluster": pa.array(cl),
+                         "kept": pa.array(kept)})
+
+    tagged = emb.map_batches(assign_with_vec, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return tagged.groupby("_shard").map_groups(within_shard,
+                                               batch_format="pyarrow")

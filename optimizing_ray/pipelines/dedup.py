@@ -37,7 +37,8 @@ from optimizing_ray.functions.text import (jaccard_pairs_grouped,
 
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
-           "connected_components_distributed"]
+           "connected_components_distributed", "cluster_reps",
+           "near_dedup_keep"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1056,3 +1057,143 @@ def connected_components_distributed(pairs: rd.Dataset, *, a: str = "doc_a",
         return pd.DataFrame({"id": df["node"], "rep": df["label"]})
 
     return labels.map_batches(out_cols, batch_format="pandas")
+
+
+def cluster_reps(items: rd.Dataset, pairs: rd.Dataset, *,
+                 id_col: str = "doc_id", rep_col: str = "rep",
+                 pair_a: str = "doc_a", pair_b: str = "doc_b",
+                 nrows: int | None = None, n_shards: int | None = None,
+                 broadcast_threshold: int = 200_000) -> rd.Dataset:
+    """(id_col, rep_col) for EVERY item: rep = the minimum member of the
+    item's connected component in the ``pairs`` graph; items in no pair
+    are their own singleton representative.
+
+    The shared labelling tail of every pairs->clusters operator
+    (near-dup keep lists, spatial density clusters).  Plan gate (the
+    dedup discipline): with ``nrows`` at or below the threshold the pair
+    set is bounded BY PLAN CHOICE — driver union-find labels it in one
+    pass and the (id -> rep) map ships once via ``ray.put`` (items take
+    ONE lookup map leg, zero shuffles).  Above it, the sharded
+    pointer-halving propagation runs and labels re-attach through a
+    side-tagged shard exchange — the corpus is never collected."""
+    n_shards = resolve_shards(n_shards)
+
+    if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        from optimizing_ray.broadcast import cached
+
+        ptabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pdf = (pa.concat_tables(ptabs).to_pandas() if ptabs
+               else pd.DataFrame({pair_a: [], pair_b: []}))
+        rep = connected_components(pdf, a=pair_a, b=pair_b)
+        ids = np.asarray(sorted(rep.keys()), dtype=np.int64)
+        reps = (np.asarray([rep[i] for i in ids], dtype=np.int64)
+                if len(ids) else np.empty(0, np.int64))
+        lab_ref = ray.put((ids, reps))
+
+        def label_batch(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or id_col not in t.column_names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 rep_col: pa.array([], pa.int64())})
+            ks, vs = cached(("cluster_reps_lab", lab_ref.hex()),
+                            lambda: ray.get(lab_ref))
+            did = (t[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            if len(ks):
+                pos = np.clip(np.searchsorted(ks, did), 0, len(ks) - 1)
+                out = np.where(ks[pos] == did, vs[pos], did)  # isolated = self
+            else:
+                out = did
+            return pa.table({id_col: pa.array(did), rep_col: pa.array(out)})
+
+        return items.map_batches(label_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    labels = connected_components_distributed(pairs, a=pair_a, b=pair_b,
+                                              n_shards=n_shards)
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64()),
+                             "is_lab": pa.array([], pa.bool_())})
+        return pa.table({"id": t[id_col], "rep": t[id_col],
+                         "is_lab": pa.array(np.zeros(t.num_rows, bool))})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64()),
+                             "is_lab": pa.array([], pa.bool_())})
+        return pa.table({"id": t["id"], "rep": t["rep"],
+                         "is_lab": pa.array(np.ones(t.num_rows, bool))})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return t.append_column("_shard", pa.array([], pa.int64()))
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["id"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    union = (items.map_batches(tag_items, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .union(labels.map_batches(tag_labels, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+             .map_batches(add_shard, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[~g["is_lab"]][["id"]]
+        lab = g[g["is_lab"]][["id", "rep"]]
+        out = base.merge(lab, on="id", how="left")
+        rep = out["rep"].to_numpy()
+        ids = out["id"].to_numpy()
+        rep = np.where(pd.isna(rep), ids, rep)
+        return pd.DataFrame({id_col: ids.astype(np.int64),
+                             rep_col: rep.astype(np.int64)})
+
+    return union.groupby("_shard").map_groups(attach, batch_format="pandas")
+
+
+def near_dedup_keep(docs: rd.Dataset, *, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 64,
+                    bands: int = 16, k_shingle: int = 5,
+                    jaccard_threshold: float = 0.5,
+                    nrows: int | None = None, n_shards: int | None = None,
+                    broadcast_threshold: int = 200_000) -> rd.Dataset:
+    """End-to-end near-deduplication keep list — the operator a training
+    pipeline actually runs (pairs are an intermediate): MinHash+LSH
+    candidate pairs -> exact-Jaccard verify -> connected components ->
+    per-doc row ``(doc_id, rep_id, kept)`` where rep_id is the duplicate
+    cluster's minimum member and kept = 1 iff this doc IS the
+    representative (exactly one survivor per cluster; singletons keep
+    themselves).
+
+    Composition of ``minhash_lsh_pairs`` and ``cluster_reps`` — both
+    stages share the ``nrows`` plan gate, so a small known corpus runs
+    zero-shuffle end to end while the at-scale path stays fully
+    sharded.  SQL twin: ``oracle.near_dedup_keep_sql`` (exact-Jaccard
+    pair graph + recursive-CTE closure)."""
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, bands=bands,
+                              k_shingle=k_shingle,
+                              jaccard_threshold=jaccard_threshold,
+                              nrows=nrows,
+                              broadcast_threshold=broadcast_threshold)
+    labs = cluster_reps(docs, pairs, id_col=id_col, rep_col="rep_id",
+                        nrows=nrows, n_shards=n_shards,
+                        broadcast_threshold=broadcast_threshold)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.int64())})
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        rep = t["rep_id"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: t[id_col], "rep_id": t["rep_id"],
+                         "kept": pa.array((did == rep).astype(np.int64))})
+
+    return labs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -195,101 +195,16 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     member id; isolated docs are their own singleton cluster.
 
     Composition of two at-scale primitives: ``dwithin_join`` (pair
-    generation, broadcast or sharded by ``nrows``) and connected
-    components.  Plan choice for the CC stage (the dedup discipline):
-    with ``nrows`` at or below the threshold the pair set is bounded BY
-    PLAN CHOICE and driver union-find labels it in one pass (the
-    propagation pays 2 exchanges x O(log diameter) rounds of fixed cost
-    — milliseconds of work for a small corpus); above it, the sharded
-    pointer-halving propagation runs.  Label attach follows the same
-    gate (round 4): in the broadcast plan the (id -> rep) map already
-    lives driver-side, so it ships via ray.put and docs take ONE lookup
-    map leg (the attach exchange was a pure ~1 s dispatch-floor cost);
-    the at-scale path keeps the side-tagged shard exchange — never a
-    driver materialization of the corpus.
+    generation, broadcast or sharded by ``nrows``) and the shared
+    pairs->labels tail ``dedup.cluster_reps``, which carries the plan
+    gate (driver union-find + broadcast label map below the threshold;
+    sharded pointer-halving propagation + side-tagged attach exchange
+    above it — the corpus is never collected).
     SQL twin: oracle.spatial_clusters_sql (recursive-CTE closure)."""
-    import pandas as pd
-
-    n_shards = resolve_shards(n_shards)
-
-    from optimizing_ray.pipelines.dedup import (
-        connected_components, connected_components_distributed)
+    from optimizing_ray.pipelines.dedup import cluster_reps
 
     pairs = dwithin_join(docs, docs, world=world, depth=depth, radius=radius,
                          id_col=id_col, nrows=nrows, n_shards=n_shards)
-    if nrows is not None and 0 <= nrows <= broadcast_threshold:
-        from optimizing_ray.broadcast import cached
-
-        ptabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-        pdf = (pa.concat_tables(ptabs).to_pandas() if ptabs
-               else pd.DataFrame({"doc_a": [], "doc_b": []}))
-        rep = connected_components(pdf)
-        ids = np.asarray(sorted(rep.keys()), dtype=np.int64)
-        reps = (np.asarray([rep[i] for i in ids], dtype=np.int64)
-                if len(ids) else np.empty(0, np.int64))
-        lab_ref = ray.put((ids, reps))
-
-        def label_batch(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or id_col not in t.column_names:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "cluster_id": pa.array([], pa.int64())})
-            ks, vs = cached(("clusters_lab", lab_ref.hex()),
-                            lambda: ray.get(lab_ref))
-            did = (t[id_col].to_numpy(zero_copy_only=False)
-                   .astype(np.int64))
-            if len(ks):
-                pos = np.clip(np.searchsorted(ks, did), 0, len(ks) - 1)
-                out = np.where(ks[pos] == did, vs[pos], did)  # isolated = self
-            else:
-                out = did
-            return pa.table({"doc_id": pa.array(did),
-                             "cluster_id": pa.array(out)})
-
-        return docs.map_batches(label_batch, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-    labels = connected_components_distributed(pairs, n_shards=n_shards)
-
-    def tag_docs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or id_col not in t.column_names:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "rep": pa.array([], pa.int64()),
-                             "is_lab": pa.array([], pa.bool_())})
-        return pa.table({"id": t[id_col], "rep": t[id_col],
-                         "is_lab": pa.array(np.zeros(t.num_rows, bool))})
-
-    def tag_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "id" not in t.column_names:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "rep": pa.array([], pa.int64()),
-                             "is_lab": pa.array([], pa.bool_())})
-        return pa.table({"id": t["id"], "rep": t["rep"],
-                         "is_lab": pa.array(np.ones(t.num_rows, bool))})
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "id" not in t.column_names:
-            return t.append_column("_shard", pa.array([], pa.int64()))
-        h = pd.util.hash_pandas_object(
-            pd.Series(t["id"].to_numpy(zero_copy_only=False)),
-            index=False).to_numpy()
-        return t.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
-
-    union = (docs.map_batches(tag_docs, batch_format="pyarrow",
-                              zero_copy_batch=True)
-             .union(labels.map_batches(tag_labels, batch_format="pyarrow",
-                                       zero_copy_batch=True))
-             .map_batches(add_shard, batch_format="pyarrow",
-                          zero_copy_batch=True))
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        base = g[~g["is_lab"]][["id"]]
-        lab = g[g["is_lab"]][["id", "rep"]]
-        out = base.merge(lab, on="id", how="left")
-        rep = out["rep"].to_numpy()
-        ids = out["id"].to_numpy()
-        rep = np.where(pd.isna(rep), ids, rep)
-        return pd.DataFrame({"doc_id": ids.astype(np.int64),
-                             "cluster_id": rep.astype(np.int64)})
-
-    return union.groupby("_shard").map_groups(attach, batch_format="pandas")
+    return cluster_reps(docs, pairs, id_col=id_col, rep_col="cluster_id",
+                        nrows=nrows, n_shards=n_shards,
+                        broadcast_threshold=broadcast_threshold)

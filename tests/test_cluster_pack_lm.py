@@ -198,3 +198,49 @@ def test_chunk_batch_equals_python_prop(texts, C, S):
     got = list(map(tuple, out[["doc_id", "chunk_id", "chunk_start",
                                "n_chunk_tokens", "chunk_text"]].itertuples(index=False)))
     assert got == rows
+
+
+def test_semantic_dedup_matches_brute(ray_session):
+    """Engine result == numpy brute force of the same exact pipeline
+    (one quantized Lloyd step, then within-cluster lower-id cosine gate
+    via the integer cross-multiplied predicate)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(scale=0.3, size=(120, 16)).astype(np.float32)
+    # plant exact copies so real duplicates exist
+    plant_src = np.arange(0, 120, 10)
+    vecs = np.concatenate([vecs, vecs[plant_src]])
+    ids = np.concatenate([np.arange(120), plant_src + 1000]).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([v for v in vecs],
+                                        pa.list_(pa.float32()))})
+    Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    k = 4
+    seeds = Q[:k]
+    out = (cluster.semantic_dedup(rd.from_arrow(t), seeds)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    # brute twin
+    a0, _ = _brute_assign(Q, seeds)
+    cent = np.stack([Q[a0 == j].sum(axis=0) // (a0 == j).sum()
+                     for j in range(k)])
+    a1, _ = _brute_assign(Q, cent)
+    n2 = (Q * Q).sum(axis=1)
+    order = np.argsort(ids)
+    kept = {}
+    for j in range(k):
+        members = [i for i in order if a1[i] == j]
+        for pi, i in enumerate(members):
+            dup = any((Q[i] @ Q[m]) > 0 and
+                      100 * int(Q[i] @ Q[m]) ** 2
+                      >= 81 * int(n2[i]) * int(n2[m])
+                      for m in members[:pi])
+            kept[ids[i]] = 0 if dup else 1
+    np.testing.assert_array_equal(out["cluster"].to_numpy(),
+                                  a1[order].astype(np.int64))
+    np.testing.assert_array_equal(out["kept"].to_numpy(),
+                                  np.array([kept[i] for i in ids[order]]))
+    # every planted copy is caught (cosine exactly 1 with its original,
+    # same cluster by identical distances)
+    planted = out[out["vec_id"] >= 1000]
+    assert (planted["kept"] == 0).all()
+    assert len(planted) == len(plant_src)

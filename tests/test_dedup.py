@@ -272,3 +272,52 @@ def test_resolve_shards_seam(ray_session):
     assert resolve_shards(None) == max(32, cpus)
     assert resolve_shards(48) == 48
     assert resolve_shards(None, floor=64) == max(64, cpus)
+
+
+def _brute_keep(t: pa.Table, threshold: float) -> pd.DataFrame:
+    """Exhaustive exact-Jaccard graph + union-find keep list."""
+    df = t.to_pandas()
+    sh = {r.doc_id: shingles(r.text) for r in df.itertuples()}
+    ids = sorted(sh)
+    edges = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= threshold]
+    rep = dedup.connected_components(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    out = pd.DataFrame({"doc_id": ids})
+    out["rep_id"] = [rep.get(i, i) for i in ids]
+    out["kept"] = (out["doc_id"] == out["rep_id"]).astype(np.int64)
+    return out
+
+
+@pytest.mark.parametrize("plan_nrows", ["hint", None])
+def test_near_dedup_keep_matches_brute(ray_session, plan_nrows):
+    """Both plans (broadcast via nrows hint, sharded without) produce the
+    exhaustive union-find keep list: every doc one row, rep = min member,
+    exactly one kept doc per cluster.  Recall certainty: the corpus's
+    true pairs all have jaccard >= ~0.9 where 16x4 banding is sure."""
+    import ray.data as rd
+    t = corpus_with_dups()
+    nrows = t.num_rows if plan_nrows == "hint" else None
+    out = (dedup.near_dedup_keep(rd.from_arrow(t), jaccard_threshold=0.6,
+                                 nrows=nrows)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_keep(t, 0.6)
+    pd.testing.assert_frame_equal(out[["doc_id", "rep_id", "kept"]], want)
+    # structural: one survivor per cluster, singletons keep themselves
+    assert (out.groupby("rep_id")["kept"].sum() == 1).all()
+
+
+@pytest.mark.parametrize("plan_nrows", ["hint", None])
+def test_cluster_reps_covers_isolated_items(ray_session, plan_nrows):
+    """cluster_reps labels EVERY item: members get the component min,
+    items in no pair are their own rep — identically on both plans."""
+    import ray.data as rd
+    items = pa.table({"doc_id": pa.array(np.arange(10, dtype=np.int64))})
+    pairs = pa.table({"doc_a": pa.array([1, 2, 7], pa.int64()),
+                      "doc_b": pa.array([2, 3, 8], pa.int64())})
+    nrows = 10 if plan_nrows == "hint" else None
+    out = (dedup.cluster_reps(rd.from_arrow(items), rd.from_arrow(pairs),
+                              nrows=nrows)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+    assert dict(zip(out["doc_id"], out["rep"])) == want

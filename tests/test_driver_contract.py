@@ -104,6 +104,10 @@ SQL_NAMES = [
     # round 4 wave 4 second batch: sliding-window RAG chunking (vectorized
     # blob gather) and per-language corpus mixing under a token budget
     "chunk_docs", "mix_corpus",
+    # round 4 wave 5: end-to-end dedup keep lists — MinHash+LSH pairs ->
+    # connected components (recursive-CTE SQL closure) and SemDeDup
+    # (quantized k-means + integer-exact within-cluster cosine gate)
+    "near_dedup_keep", "semantic_dedup",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -249,6 +253,8 @@ def test_rotation_window_holds_the_unverified_queries():
         # round-4 wave-4 additions (never driver-verified before)
         "kmeans_clusters", "pack_sequences", "unigram_logprob",
         "chunk_docs", "mix_corpus",
+        # round-4 wave-5 additions (never driver-verified before)
+        "near_dedup_keep", "semantic_dedup",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
