@@ -2308,3 +2308,47 @@ SELECT a1.vec_id, CAST(a1.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM a1 LEFT JOIN dups USING (vec_id)
 """
+
+
+def build_vocab_sql(min_count: int = 5, table: str = "documents") -> str:
+    """Tokenizer-vocabulary twin (``textops.build_vocab``): single-space
+    token counts (empties dropped), min-count cutoff, rank by
+    (cnt DESC, term ASC) — DuckDB's default binary collation matches the
+    engine's byte-order tie sort (UTF-8 byte order == code-point order)."""
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM {table}),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        WHERE term <> '' GROUP BY term HAVING count(*) >= {min_count})
+SELECT term, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS term_rank
+FROM cnt
+"""
+
+
+def trajectory_stats_sql(world: World = DRIVER_WORLD,
+                         table: str = "events") -> str:
+    """Per-user trajectory twin (``windows.trajectory_stats``): points
+    derived from event_id by the shared geometry formula, ordered by
+    (ts, event_id); lag-window segment lengths, arg_min/arg_max first
+    and last points, order-independent bbox extrema.  path_len and
+    net_disp floor(x*1e6+0.5)/1e6 at the END on both sides."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT user_id, ts, event_id, {x} AS x, {y} AS y FROM {table}),
+seg AS (SELECT user_id, x, y,
+               x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+               row_number() OVER w AS rn
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       floor(coalesce(sum(sqrt(dx * dx + dy * dy)), 0.0) * 1e6 + 0.5) / 1e6
+         AS path_len,
+       floor(sqrt((arg_max(x, rn) - arg_min(x, rn))
+                  * (arg_max(x, rn) - arg_min(x, rn))
+                + (arg_max(y, rn) - arg_min(y, rn))
+                  * (arg_max(y, rn) - arg_min(y, rn))) * 1e6 + 0.5) / 1e6
+         AS net_disp,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM seg GROUP BY user_id
+"""

@@ -17,6 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
+           "build_vocab",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
            "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
@@ -1073,3 +1074,64 @@ def mix_corpus(docs: rd.Dataset, *, targets: dict, budget_tokens: int,
 
     return slim.map_batches(keep, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def build_vocab(docs: rd.Dataset, *, text_col: str = "text",
+                min_count: int = 5, n_shards: int | None = None) -> pa.Table:
+    """Tokenizer vocabulary: global single-space token counts with a
+    min-count cutoff and a deterministic global rank — the vocabulary-
+    prep step of tokenizer training.  Output (term, cnt, term_rank),
+    term_rank = row number under (cnt DESC, term byte-order ASC).
+
+    Token semantics: ``string_split(text, ' ')`` with empties dropped —
+    the decontaminate/pack_sequences single-space lockstep family (NOT
+    heavy_hitters' lowercased whitespace family).  Plan: per-batch
+    arrow-native split + in-batch unique/count partials, hash(term)
+    shard exchange (a term's partials all land in one shard, so the
+    min-count cutoff per shard is exact), then a driver-side rank over
+    the SURVIVING vocabulary — bounded by the key space after the
+    cutoff, orders of magnitude smaller than the corpus (the
+    heavy_hitters discipline).  SQL twin: ``oracle.build_vocab_sql``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_shards = resolve_shards(n_shards)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        arr = toks.to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"term": pa.array(uk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["term"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False)["cnt"].sum().reset_index()
+        return agg[agg["cnt"] >= min_count]
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .map_batches(add_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_shard").map_groups(shard_merge,
+                                           batch_format="pandas")
+             .to_pandas())
+    out = (parts.sort_values(["cnt", "term"], ascending=[False, True])
+           .reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["term_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -19,6 +19,7 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
+           "trajectory_stats",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join"]
 
@@ -544,3 +545,90 @@ def interval_join(events: rd.Dataset, *, id_col: str = "event_id",
         })
 
     return joined.map_batches(residual, batch_format="pandas")
+
+
+def trajectory_stats(events: rd.Dataset, *, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     n_shards: int | None = None) -> rd.Dataset:
+    """Per-user trajectory aggregation — the GPS-track shape of the
+    events stream: each event gets a deterministic point (x, y derived
+    from event_id by the shared driver-table formula), each user's
+    points are ordered by (ts, event_id), and one row per user reports
+
+        n_points, path_len (sum of consecutive segment lengths),
+        net_disp (first -> last point distance),
+        min_x / max_x / min_y / max_y (visit bbox)
+
+    path_len and net_disp are floor(x*1e6 + 0.5)/1e6-rounded at the END
+    on both sides (per-user float sums are order-ambiguous at ~1e-12);
+    the bbox extrema are order-independent and exact.
+
+    Scale shape: ONE hash(user)-shard exchange of slim
+    (user, ts, event_id, x, y) rows; per-shard work is one lexsort +
+    ``np.add.reduceat`` segment sums — no per-user Python.  SQL twin:
+    ``oracle.trajectory_stats_sql`` (lag window + group aggregates)."""
+    n_shards = resolve_shards(n_shards)
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    wx = WORLD_2D.size[0]
+    wy = WORLD_2D.size[1]
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_eid": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        return pa.table({"user_id": pa.array(key), "_ts": pa.array(ts),
+                         "_eid": pa.array(eid), "x": pa.array(x),
+                         "y": pa.array(y),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in
+                                 [("user_id", np.int64),
+                                  ("n_points", np.int64),
+                                  ("path_len", np.float64),
+                                  ("net_disp", np.float64),
+                                  ("min_x", np.float64), ("max_x", np.float64),
+                                  ("min_y", np.float64), ("max_y", np.float64)]})
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), g["_ts"].to_numpy(), key))
+        key = key[order]
+        x = g["x"].to_numpy()[order]
+        y = g["y"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.r_[starts, len(key)]
+        dx = np.diff(x)
+        dy = np.diff(y)
+        seg = np.sqrt(dx * dx + dy * dy)
+        seg[starts[1:] - 1] = 0.0  # cross-user boundaries contribute 0
+        seg = np.r_[seg, 0.0]
+        path = np.add.reduceat(seg, starts)
+        # reduceat over a trailing zero keeps single-point users at 0.0
+        lasts = bounds[1:] - 1
+        nd = np.sqrt((x[lasts] - x[starts]) ** 2 + (y[lasts] - y[starts]) ** 2)
+        r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+        mn_x = np.minimum.reduceat(x, starts)
+        mx_x = np.maximum.reduceat(x, starts)
+        mn_y = np.minimum.reduceat(y, starts)
+        mx_y = np.maximum.reduceat(y, starts)
+        return pd.DataFrame({
+            "user_id": key[starts].astype(np.int64),
+            "n_points": np.diff(bounds).astype(np.int64),
+            "path_len": r6(path), "net_disp": r6(nd),
+            "min_x": mn_x, "max_x": mx_x, "min_y": mn_y, "max_y": mx_y})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas"))

@@ -244,3 +244,55 @@ def test_semantic_dedup_matches_brute(ray_session):
     planted = out[out["vec_id"] >= 1000]
     assert (planted["kept"] == 0).all()
     assert len(planted) == len(plant_src)
+
+
+def test_build_vocab_matches_brute(ray_session):
+    """Sharded vocabulary == a Counter over single-space tokens with the
+    cutoff; rank deterministic under (cnt DESC, term ASC)."""
+    from collections import Counter
+    texts = ["a b b c c c", "c d d  e", "b c a", "", "a a  b"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = textops.build_vocab(rd.from_arrow(t), min_count=2).to_pandas()
+    cnt = Counter(tok for s in texts for tok in s.split(" ") if tok)
+    want = sorted(((c, k) for k, c in cnt.items() if c >= 2),
+                  key=lambda p: (-p[0], p[1]))
+    assert list(out["term"]) == [k for _, k in want]
+    assert list(out["cnt"]) == [c for c, _ in want]
+    assert list(out["term_rank"]) == list(range(1, len(want) + 1))
+
+
+def test_trajectory_stats_matches_brute(ray_session):
+    """Engine per-user trajectory rows == a pandas brute force over the
+    same derived points (order by ts then event_id, segment sums)."""
+    from optimizing_ray.pipelines import windows as W
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+    from optimizing_ray.config import WORLD_2D
+
+    rng = np.random.default_rng(3)
+    n = 400
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "event_id": pa.array(eid),
+        "ts": pa.array(rng.integers(0, 50, n) * 1_000_000,
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 17, n).astype(np.int64))})
+    out = (W.trajectory_stats(rd.from_arrow(t))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    wx, wy, _ = WORLD_2D.size
+    df = t.to_pandas()
+    df["x"] = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    df["y"] = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+    rows = []
+    for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        rows.append((u, len(g), r6(seg.sum()),
+                     r6(np.sqrt((x[-1] - x[0]) ** 2 + (y[-1] - y[0]) ** 2)),
+                     x.min(), x.max(), y.min(), y.max()))
+    want = pd.DataFrame(rows, columns=["user_id", "n_points", "path_len",
+                                       "net_disp", "min_x", "max_x",
+                                       "min_y", "max_y"])
+    want["n_points"] = want["n_points"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)

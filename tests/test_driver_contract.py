@@ -108,6 +108,10 @@ SQL_NAMES = [
     # connected components (recursive-CTE SQL closure) and SemDeDup
     # (quantized k-means + integer-exact within-cluster cosine gate)
     "near_dedup_keep", "semantic_dedup",
+    # round 4 wave 5 second batch: tokenizer vocabulary (min-count +
+    # global rank) and per-user trajectory aggregation over derived
+    # event points (lag-window segments, bbox extrema)
+    "build_vocab", "trajectory_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -254,7 +258,8 @@ def test_rotation_window_holds_the_unverified_queries():
         "kmeans_clusters", "pack_sequences", "unigram_logprob",
         "chunk_docs", "mix_corpus",
         # round-4 wave-5 additions (never driver-verified before)
-        "near_dedup_keep", "semantic_dedup",
+        "near_dedup_keep", "semantic_dedup", "build_vocab",
+        "trajectory_stats",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
