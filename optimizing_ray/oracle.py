@@ -2352,3 +2352,36 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
        min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
 FROM seg GROUP BY user_id
 """
+
+
+def tile_embedding_centroid_sql(depth: int, world: World = DRIVER_WORLD,
+                                scale: int = 1024,
+                                table: str = "embeddings") -> str:
+    """Semantic-tile-map twin (``cluster.tile_embedding_centroid``):
+    points derived from vec_id by the shared geometry formula, quantized
+    elements summed per (Morton tile, pos), exact floor-div mean via the
+    nonneg-mod identity (never CAST(double AS BIGINT), which rounds)."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('vec_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('vec_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT vec_id, {x} AS px, {y} AS py FROM {table}),
+cix AS (SELECT vec_id,
+               {cell_idx_expr('px', world.min_x, wx, depth)} AS ix,
+               {cell_idx_expr('py', world.min_y, wy, depth)} AS iy
+        FROM pts),
+{morton_ctes('cix', depth, carry='vec_id')},
+eq AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}),
+agg AS (SELECT mz.mkey AS tile, eq.pos,
+               CAST(count(*) AS BIGINT) AS n_vecs, sum(eq.q) AS s
+        FROM mz JOIN eq USING (vec_id)
+        GROUP BY mz.mkey, eq.pos)
+SELECT tile, pos, n_vecs,
+       CAST((s - ((s % n_vecs) + n_vecs) % n_vecs) / n_vecs AS BIGINT)
+         AS centroid_q
+FROM agg
+"""

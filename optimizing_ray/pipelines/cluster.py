@@ -43,7 +43,7 @@ import ray.data as rd
 from optimizing_ray.pipelines.ann import _to_matrix
 
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
-           "semantic_dedup"]
+           "semantic_dedup", "tile_embedding_centroid"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -244,3 +244,89 @@ def semantic_dedup(emb: rd.Dataset, seeds: np.ndarray, *,
                              zero_copy_batch=True)
     return tagged.groupby("_shard").map_groups(within_shard,
                                                batch_format="pyarrow")
+
+
+def tile_embedding_centroid(emb: rd.Dataset, *, depth: int, world,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding", scale: int = 1024,
+                            n_shards: int | None = None) -> rd.Dataset:
+    """Semantic tile map — the geo x embedding fusion op: per spatial
+    tile (sentinel-tagged Morton key at ``depth``), the integer-exact
+    mean embedding of the vectors whose derived points fall in it.
+    Output one row per (tile, pos): ``(tile, pos, n_vecs, centroid_q)``
+    with pos 1-based (the SQL generate_series convention) and
+    centroid_q = floor-div mean of the quantized elements — the
+    ``kmeans_step`` fixed-point discipline keyed by tile instead of by
+    centroid.
+
+    Points derive from ``vec_id`` by the shared driver-table geometry
+    formula (no join: the tile is a pure function of the id, exactly as
+    the documents side).  Scale shape: per-batch (tile, n, sum-vector)
+    partials via one sort + ``reduceat`` (bounded by tiles-per-batch,
+    never rows), ONE hash(tile) shard exchange of those partials, exact
+    floor-div merge inside the shard.  SQL twin:
+    ``oracle.tile_embedding_centroid_sql``."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.config import resolve_shards
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sums": pa.array([], pa.list_(pa.int64())),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        key = point_cell2(x, y, world, depth).astype(np.int64)
+        Q = quantize_embeddings(t[vec_col], scale)
+        order = np.argsort(key, kind="stable")
+        k2, Q2 = key[order], Q[order]
+        starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+        sums = np.add.reduceat(Q2, starts, axis=0)
+        n = np.diff(np.r_[starts, len(k2)]).astype(np.int64)
+        tiles = k2[starts]
+        flat = pa.array(sums.reshape(-1))
+        offs = pa.array(np.arange(len(tiles) + 1, dtype=np.int32)
+                        * Q.shape[1])
+        return pa.table({"tile": pa.array(tiles),
+                         "n": pa.array(n),
+                         "sums": pa.ListArray.from_arrays(offs, flat),
+                         "_shard": pa.array(tiles % n_shards)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "n_vecs": pa.array([], pa.int64()),
+                          "centroid_q": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "tile" not in t.column_names:
+            return empty
+        tile = t["tile"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sc = t["sums"].combine_chunks() if isinstance(t["sums"], pa.ChunkedArray) \
+            else t["sums"]
+        S = (sc.flatten().to_numpy(zero_copy_only=False)
+             .reshape(len(tile), -1))
+        dim = S.shape[1]
+        order = np.argsort(tile, kind="stable")
+        t2, n2, S2 = tile[order], n[order], S[order]
+        starts = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
+        s_tot = np.add.reduceat(S2, starts, axis=0)
+        n_tot = np.add.reduceat(n2, starts)
+        cen = s_tot // n_tot[:, None]  # exact floor division
+        tiles = t2[starts]
+        m = len(tiles)
+        return pa.table({
+            "tile": pa.array(np.repeat(tiles, dim)),
+            "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), m)),
+            "n_vecs": pa.array(np.repeat(n_tot.astype(np.int64), dim)),
+            "centroid_q": pa.array(cen.reshape(-1))})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return parts.groupby("_shard").map_groups(merge, batch_format="pyarrow")

@@ -296,3 +296,37 @@ def test_trajectory_stats_matches_brute(ray_session):
                                        "min_y", "max_y"])
     want["n_points"] = want["n_points"].astype(np.int64)
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_tile_embedding_centroid_matches_brute(ray_session):
+    """Sharded tile-centroid rows == a numpy brute force over the same
+    derived points and quantized vectors (exact floor-div means)."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(scale=0.4, size=(300, 8)).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([v for v in vecs],
+                                        pa.list_(pa.float32()))})
+    depth = 3
+    out = (cluster.tile_embedding_centroid(rd.from_arrow(t), depth=depth,
+                                           world=WORLD_2D)
+           .to_pandas().sort_values(["tile", "pos"]).reset_index(drop=True))
+    wx, wy, _ = WORLD_2D.size
+    x = WORLD_2D.min_x + _frac(ids, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(ids, GEO_MULTS["y"]) * wy
+    key = point_cell2(x, y, WORLD_2D, depth).astype(np.int64)
+    Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    rows = []
+    for tile in np.unique(key):
+        m = key == tile
+        cen = Q[m].sum(axis=0) // m.sum()
+        for pos in range(Q.shape[1]):
+            rows.append((tile, pos + 1, int(m.sum()), cen[pos]))
+    want = pd.DataFrame(rows, columns=["tile", "pos", "n_vecs", "centroid_q"])
+    want = want.astype({"tile": np.int64, "pos": np.int64,
+                        "n_vecs": np.int64, "centroid_q": np.int64})
+    pd.testing.assert_frame_equal(out, want)

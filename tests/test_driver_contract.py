@@ -112,6 +112,9 @@ SQL_NAMES = [
     # global rank) and per-user trajectory aggregation over derived
     # event points (lag-window segments, bbox extrema)
     "build_vocab", "trajectory_stats",
+    # round 4 wave 5 third batch: per-tile integer-exact mean embedding
+    # (geo x embedding fusion, kmeans fixed-point discipline by tile)
+    "tile_embedding_centroid",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -259,7 +262,7 @@ def test_rotation_window_holds_the_unverified_queries():
         "chunk_docs", "mix_corpus",
         # round-4 wave-5 additions (never driver-verified before)
         "near_dedup_keep", "semantic_dedup", "build_vocab",
-        "trajectory_stats",
+        "trajectory_stats", "tile_embedding_centroid",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
