@@ -2385,3 +2385,53 @@ SELECT tile, pos, n_vecs,
          AS centroid_q
 FROM agg
 """
+
+
+def importance_weights_sql(target_lang: str = "en", n_buckets: int = 4096,
+                           max_token_len: int = 32,
+                           table: str = "documents") -> str:
+    """DSIR importance-weight twin (``textops.importance_weights``): the
+    SAME polynomial token hash (base 1000003 mod 2^64) computed in SQL
+    via a powers-of-base table — h = sum(byte_i * base^(L-i)) mod 2^64,
+    HUGEINT products, one final mod.  ``ord(substring(tok, i, 1))`` is
+    the UTF-8 byte for ASCII corpora (the driver tables are ASCII; the
+    engine hashes raw bytes).  Tokens longer than ``max_token_len``
+    would fall outside the powers table — the driver corpus max is far
+    below it.  Bucket b = h % n_buckets; add-1 smoothed log-ratio score
+    with the identical float expression shape, floor(x*1e6+0.5)/1e6 at
+    the END."""
+    base = 1000003
+    mod = 1 << 64
+    powers = ", ".join(f"({e}, {pow(base, e, mod)})"
+                       for e in range(max_token_len))
+    B = n_buckets
+    return f"""
+WITH powers(e, p) AS (VALUES {powers}),
+lists AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, lang, i AS tpos, l[i] AS tok
+         FROM lists,
+              LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+chars AS (SELECT doc_id, tpos, length(tok) - ci AS e,
+                 ord(substring(tok, ci, 1)) AS byte
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, length(tok))) AS ci) h),
+th AS (SELECT doc_id, tpos,
+              CAST(sum(CAST(byte AS HUGEINT) * p) % {mod} AS HUGEINT) AS h
+       FROM chars JOIN powers USING (e) GROUP BY doc_id, tpos),
+bk AS (SELECT t.doc_id, t.lang, CAST(coalesce(th.h, 0) % {B} AS BIGINT) AS b
+       FROM toks t LEFT JOIN th ON th.doc_id = t.doc_id AND th.tpos = t.tpos),
+rcnt AS (SELECT b, count(*) AS rc FROM bk GROUP BY b),
+tcnt AS (SELECT b, count(*) AS tc FROM bk WHERE lang = '{target_lang}'
+         GROUP BY b),
+tots AS (SELECT (SELECT count(*) FROM bk) AS r_tot,
+                (SELECT coalesce(sum(tc), 0) FROM tcnt) AS t_tot),
+per AS (SELECT bk.doc_id, count(*) AS n_tokens,
+               sum(ln(coalesce(tc, 0) + 1.0) - ln(rc + 1.0)) AS s
+        FROM bk JOIN rcnt USING (b) LEFT JOIN tcnt USING (b)
+        GROUP BY bk.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor((s + n_tokens * (ln(CAST(r_tot AS DOUBLE) + {float(B)!r})
+                            - ln(CAST(t_tot AS DOUBLE) + {float(B)!r})))
+             * 1e6 + 0.5) / 1e6 AS weight
+FROM per, tots
+"""

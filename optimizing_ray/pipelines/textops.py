@@ -17,7 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
-           "build_vocab",
+           "build_vocab", "importance_weights",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
            "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
@@ -1135,3 +1135,86 @@ def build_vocab(docs: rd.Dataset, *, text_col: str = "text",
     out["cnt"] = out["cnt"].astype(np.int64)
     out["term_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def importance_weights(docs: rd.Dataset, *, target_lang: str = "en",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang",
+                       n_buckets: int = 4096) -> rd.Dataset:
+    """DSIR-shaped importance weights (Xie et al. 2023 shape): score each
+    document by how much more likely its tokens are under the TARGET
+    distribution (docs with ``lang_col == target_lang``) than under the
+    RAW corpus distribution, over ``n_buckets`` hashed unigram buckets
+    with add-1 smoothing:
+
+        weight(doc) = sum_tok [ ln((tc[b]+1)/(T+B)) - ln((rc[b]+1)/(R+B)) ]
+                    = sum_tok (ln(tc[b]+1) - ln(rc[b]+1))
+                      + n_tokens * (ln(R+B) - ln(T+B))
+
+    with b = token_hash64 % B.  High-weight docs look like the target —
+    the importance-resampling signal of a data-mixture pipeline.
+
+    Scale shape: hashing into B buckets makes the statistics pass
+    B-BOUNDED BY CONSTRUCTION (the DSIR design choice) — per-batch dense
+    (bucket, rc, tc) partials merge driver-side into two length-B
+    arrays, the per-bucket log-ratio table rides ``ray.put``, and one
+    scoring pass streams the corpus.  Zero shuffles at any corpus size.
+
+    Output (doc_id, n_tokens, weight), weight floor(x*1e6+0.5)/1e6 at
+    the END (per-doc float sums are order-ambiguous at ~1e-13).  SQL
+    twin ``oracle.importance_weights_sql`` computes the SAME polynomial
+    token hash via a powers-of-base table (exact for ASCII corpora —
+    ``ord`` is the UTF-8 byte for ASCII; the engine hashes raw bytes)."""
+    import ray
+    from optimizing_ray.functions.text import token_hashes_batch
+
+    B = n_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "rc": pa.array([], pa.int64()),
+                             "tc": pa.array([], pa.int64())})
+        th, doffs = token_hashes_batch(t[text_col])
+        b = (th % np.uint64(B)).astype(np.int64)
+        is_tgt = np.asarray(t[lang_col].to_numpy(zero_copy_only=False)
+                            == target_lang)
+        tok_tgt = np.repeat(is_tgt, np.diff(doffs))
+        rc = np.bincount(b, minlength=B)
+        tc = np.bincount(b[tok_tgt], minlength=B)
+        return pa.table({"b": pa.array(np.arange(B, dtype=np.int64)),
+                         "rc": pa.array(rc.astype(np.int64)),
+                         "tc": pa.array(tc.astype(np.int64))})
+
+    tabs = [t for t in ray.get(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    rc = np.zeros(B, dtype=np.int64)
+    tc = np.zeros(B, dtype=np.int64)
+    for t in tabs:
+        bb = t["b"].to_numpy()
+        rc[bb] += t["rc"].to_numpy()
+        tc[bb] += t["tc"].to_numpy()
+    w = np.log(tc.astype(np.float64) + 1.0) - np.log(rc.astype(np.float64) + 1.0)
+    const = float(np.log(float(rc.sum()) + B) - np.log(float(tc.sum()) + B))
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        from optimizing_ray.broadcast import cached
+        wv = cached(("dsir_w", w_ref), lambda: ray.get(w_ref))
+        th, doffs = token_hashes_batch(t[text_col])
+        b = (th % np.uint64(B)).astype(np.int64)
+        tw = wv[b]
+        s = np.add.reduceat(tw, doffs[:-1]) if len(tw) else np.zeros(0)
+        n = np.diff(doffs)
+        wt = np.floor((s + n * const) * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(n.astype(np.int64)),
+                         "weight": pa.array(wt)})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

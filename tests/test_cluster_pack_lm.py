@@ -330,3 +330,33 @@ def test_tile_embedding_centroid_matches_brute(ray_session):
     want = want.astype({"tile": np.int64, "pos": np.int64,
                         "n_vecs": np.int64, "centroid_q": np.int64})
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_importance_weights_matches_brute(ray_session):
+    """Engine DSIR weights == a Counter-based brute force of the same
+    hashed-bucket add-1 log-ratio formula."""
+    from optimizing_ray.functions.text import token_hash
+    texts = ["the cat sat", "le chat", "the dog ran fast",
+             "der hund", "the the the", "chat chat le le"]
+    langs = ["en", "fr", "en", "de", "en", "fr"]
+    t = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    B = 64
+    out = (textops.importance_weights(rd.from_arrow(t), n_buckets=B)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    rc = np.zeros(B); tc = np.zeros(B)
+    for s, l in zip(texts, langs):
+        for tok in s.split(" "):
+            b = token_hash(tok) % B
+            rc[b] += 1
+            if l == "en":
+                tc[b] += 1
+    const = np.log(rc.sum() + B) - np.log(tc.sum() + B)
+    want = []
+    for s in texts:
+        bs = [token_hash(tok) % B for tok in s.split(" ")]
+        sm = sum(np.log(tc[b] + 1.0) - np.log(rc[b] + 1.0) for b in bs)
+        want.append(np.floor((sm + len(bs) * const) * 1e6 + 0.5) / 1e6)
+    np.testing.assert_array_equal(out["weight"].to_numpy(), np.array(want))
+    # target-looking docs score higher than off-target ones
+    assert out.loc[4, "weight"] > out.loc[5, "weight"]

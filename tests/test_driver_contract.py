@@ -115,6 +115,10 @@ SQL_NAMES = [
     # round 4 wave 5 third batch: per-tile integer-exact mean embedding
     # (geo x embedding fusion, kmeans fixed-point discipline by tile)
     "tile_embedding_centroid",
+    # round 4 wave 5 fourth batch: DSIR importance weights over hashed
+    # unigram buckets (SQL twin computes the identical polynomial token
+    # hash via a powers-of-base table)
+    "importance_weights",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -263,6 +267,7 @@ def test_rotation_window_holds_the_unverified_queries():
         # round-4 wave-5 additions (never driver-verified before)
         "near_dedup_keep", "semantic_dedup", "build_vocab",
         "trajectory_stats", "tile_embedding_centroid",
+        "importance_weights",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"
