@@ -2435,3 +2435,19 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              * 1e6 + 0.5) / 1e6 AS weight
 FROM per, tots
 """
+
+
+def event_transitions_sql(table: str = "events") -> str:
+    """Event-type transition-matrix twin (``windows.event_transitions``):
+    lag window over (ts, event_id) per user, group by the pair."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM {table})
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""

@@ -19,7 +19,7 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "trajectory_stats",
+           "trajectory_stats", "event_transitions",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join"]
 
@@ -632,3 +632,67 @@ def trajectory_stats(events: rd.Dataset, *, key_col: str = "user_id",
     return (events.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(per_shard, batch_format="pandas"))
+
+
+def event_transitions(events: rd.Dataset, *, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      n_shards: int | None = None) -> rd.Dataset:
+    """Corpus-wide event-type transition matrix — the Markov-bigram view
+    of the events stream: for every consecutive pair within a user's
+    (ts, event_id)-ordered sequence, count (from_type, to_type).
+    Output one row per observed transition: (from_type, to_type, n).
+
+    Scale shape: transitions are within-user, so rows ride ONE
+    hash(user) shard exchange of slim (user, ts, event_id, type) rows;
+    inside the shard one lexsort + boundary mask yields the pair list
+    and a pandas groupby emits per-shard partials.  The result is
+    bounded by |types|^2 regardless of corpus size, so partials merge
+    driver-side (the tile_counts discipline).  SQL twin:
+    ``oracle.event_transitions_sql`` (lag window + group)."""
+    n_shards = resolve_shards(n_shards)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_eid": pa.array([], pa.int64()),
+                             "etype": pa.array([], pa.string()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(key),
+                         "_ts": t[ts_col].cast(pa.int64()),
+                         "_eid": t[id_col],
+                         "etype": t[type_col],
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), g["_ts"].to_numpy(), key))
+        key = key[order]
+        ty = g["etype"].to_numpy()[order]
+        same = key[1:] == key[:-1]
+        df = pd.DataFrame({"from_type": ty[:-1][same], "to_type": ty[1:][same]})
+        agg = (df.groupby(["from_type", "to_type"], sort=False)
+               .size().rename("n").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    parts = (events.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("_shard").map_groups(per_shard,
+                                           batch_format="pandas"))
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({"from_type": pa.array([], pa.string()),
+                                       "to_type": pa.array([], pa.string()),
+                                       "n": pa.array([], pa.int64())}))
+    df = pa.concat_tables(tabs).to_pandas()
+    out = (df.groupby(["from_type", "to_type"], sort=True)["n"].sum()
+           .reset_index())
+    out["n"] = out["n"].astype(np.int64)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

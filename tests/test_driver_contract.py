@@ -119,6 +119,8 @@ SQL_NAMES = [
     # unigram buckets (SQL twin computes the identical polynomial token
     # hash via a powers-of-base table)
     "importance_weights",
+    # round 4 wave 5 fifth batch: event-type Markov transition matrix
+    "event_transitions",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
@@ -267,7 +269,7 @@ def test_rotation_window_holds_the_unverified_queries():
         # round-4 wave-5 additions (never driver-verified before)
         "near_dedup_keep", "semantic_dedup", "build_vocab",
         "trajectory_stats", "tile_embedding_centroid",
-        "importance_weights",
+        "importance_weights", "event_transitions",
     }
     missing = must_be_checked - window
     assert not missing, f"changed/new queries past the driver cap: {missing}"

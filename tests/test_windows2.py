@@ -207,3 +207,32 @@ def test_interval_join_broadcast_plan_matches_sharded(ray_session):
     # broadcast plan has no shard exchange in its DAG
     lazy = windows.interval_join(rd.from_arrow(t), nrows=n)
     assert "Sort" not in repr(lazy)
+
+
+def test_event_transitions_matches_brute(ray_session):
+    """Sharded transition counts == a per-user ordered pandas brute."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows as W
+
+    rng = np.random.default_rng(9)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 40, n) * 1_000_000,
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 11, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n))})
+    out = (W.event_transitions(rd.from_arrow(t))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+    c = Counter()
+    for _, g in df.groupby("user_id"):
+        ty = g["event_type"].to_list()
+        for x, y in zip(ty, ty[1:]):
+            c[(x, y)] += 1
+    want = pd.DataFrame([(a, b, v) for (a, b), v in sorted(c.items())],
+                        columns=["from_type", "to_type", "n"])
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
