@@ -2451,3 +2451,21 @@ SELECT prev AS from_type, event_type AS to_type,
 FROM seq WHERE prev IS NOT NULL
 GROUP BY prev, event_type
 """
+
+
+def curriculum_bins_sql(n_bins: int = 10, table: str = "documents") -> str:
+    """Curriculum-binning twin (``sort.curriculum_bins``): exact rank by
+    (n_chars, doc_id), bin = (rank-1)*B // N via the divisible-
+    subtraction floor division (values nonnegative)."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS global_rank,
+         CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n
+  FROM {table})
+SELECT doc_id, n_chars, global_rank,
+       CAST(((global_rank - 1) * {n_bins}
+             - (((global_rank - 1) * {n_bins}) % n)) / n AS BIGINT) AS bin
+FROM r
+"""

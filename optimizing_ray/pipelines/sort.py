@@ -31,7 +31,7 @@ import ray.data as rd
 
 from optimizing_ray.config import resolve_shards
 
-__all__ = ["global_rank", "global_running_offset"]
+__all__ = ["global_rank", "global_running_offset", "curriculum_bins"]
 
 
 def _sample_boundaries(ds: rd.Dataset, key_col: str, n_parts: int,
@@ -166,3 +166,31 @@ def global_running_offset(ds: rd.Dataset, *, key_col: str, val_col: str,
 
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_part").map_groups(scan, batch_format="pandas"))
+
+
+def curriculum_bins(ds: rd.Dataset, *, key_col: str, id_col: str,
+                    total_rows: int, n_bins: int = 10,
+                    n_parts: int | None = None) -> rd.Dataset:
+    """Curriculum binning — equal-population score buckets for staged
+    training: exact global rank by (key_col, id_col) (the sample-sort
+    machinery), then ``bin = (rank-1) * n_bins // total_rows`` — the
+    exact-integer ntile-by-formula, identical in SQL via the
+    divisible-subtraction floor division.  ``total_rows`` comes free
+    from parquet metadata (never a count() pass).  Output
+    (id_col, key_col, global_rank, bin)."""
+    ranked = global_rank(ds, key_col=key_col, id_col=id_col,
+                         n_parts=n_parts)
+    B = np.int64(n_bins)
+    N = np.int64(total_rows)
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "global_rank" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "global_rank": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64())})
+        r = t["global_rank"].to_numpy(zero_copy_only=False) - 1
+        return t.append_column("bin", pa.array((r * B) // N))
+
+    return ranked.map_batches(add_bin, batch_format="pyarrow",
+                              zero_copy_batch=True)

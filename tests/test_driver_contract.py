@@ -121,6 +121,9 @@ SQL_NAMES = [
     "importance_weights",
     # round 4 wave 5 fifth batch: event-type Markov transition matrix
     "event_transitions",
+    # round 4 wave 5 sixth batch: curriculum binning (exact ntile over
+    # the sample-sort global rank) — born past-cap, pytest-oracled here
+    "curriculum_bins",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
