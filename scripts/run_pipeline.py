@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--decontaminate-mod", type=int, default=None,
                     help="curate: drop benchmark docs (doc_id %% MOD == 0) "
                          "and every doc sharing a word 4-gram with them")
+    ap.add_argument("--near-dedup", type=float, default=None,
+                    metavar="JACCARD",
+                    help="curate: drop near-duplicate docs (MinHash+LSH "
+                         "keep list at this jaccard threshold, one "
+                         "survivor per cluster)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="curate: scrub email/phone/IP from text before "
                          "analysis")
@@ -104,7 +109,8 @@ def main() -> int:
             nrows = None
         out_ds = cur.curate(docs, min_quality=args.min_quality, nrows=nrows,
                             decontaminate_mod=args.decontaminate_mod,
-                            redact_pii=args.redact_pii)
+                            redact_pii=args.redact_pii,
+                            near_dup_jaccard=args.near_dedup)
 
         def part(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "doc_id" not in t.column_names:

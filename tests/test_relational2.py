@@ -3,6 +3,7 @@ runs in test_driver_contract)."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from optimizing_ray.pipelines.relational import (_bloom_positions,
@@ -151,3 +152,25 @@ def test_source_cap_keeps_lowest_ids_per_source(ray_session):
         assert rare.doc_id.tolist() == [0, 10, 20, 30, 40]
         assert hot.src_rank.tolist() == [1, 2, 3, 4, 5]
         assert rare.src_rank.tolist() == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.parametrize("plan_rows", [6, None])
+def test_curate_near_dedup_stage(ray_session, plan_rows):
+    """The --near-dedup funnel stage keeps exactly one survivor per
+    near-duplicate cluster on BOTH plans (broadcast anti-filter and
+    sharded kept-id join)."""
+    import ray.data as rd
+    from optimizing_ray.pipelines.curate import curate
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base.replace("the", "THE", 1),
+             "pack my box with five dozen liquor jugs tonight my friend",
+             "a completely different document about ray data and arrow",
+             "sphinx of black quartz judge my vow said the old teacher",
+             "how vexingly quick daft zebras jump over fences here"]
+    docs = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                     "text": pa.array(texts)})
+    out = curate(rd.from_arrow(docs), min_quality=0.0, nrows=plan_rows,
+                 near_dup_jaccard=0.6).to_pandas()
+    # doc 1 is a near-dup of doc 0 (1-char edit) -> dropped; rest kept
+    assert set(out["doc_id"]) == {0, 2, 3, 4, 5}
