@@ -204,3 +204,54 @@ def test_geohash_matches_morton_bits_prop(doc_id):
     want = "".join(cells.GEOHASH_ALPHABET[(code >> (40 - 5 * (k + 1))) & 31]
                    for k in range(8))
     assert g == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                max_size=40),
+       st.integers(0, 24))
+@settings(max_examples=80, deadline=None)
+def test_union_find_reps_are_component_minima_prop(edges, n_items):
+    """connected_components returns, for every touched node, the MINIMUM
+    member of its connected component (checked against a BFS closure)."""
+    import pandas as pd
+
+    from optimizing_ray.pipelines.dedup import connected_components
+
+    pdf = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    rep = connected_components(pdf)
+    # BFS reference
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for start in adj:
+        seen = {start}
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        assert rep[start] == min(seen)
+
+
+@given(st.lists(st.lists(st.integers(-600, 600), min_size=4, max_size=4),
+                min_size=2, max_size=24, unique_by=tuple))
+@settings(max_examples=80, deadline=None)
+def test_integer_cosine_predicate_equals_float_prop(vecs):
+    """The cross-multiplied integer gate den^2*dot^2 >= num^2*n2a*n2b
+    (dot > 0) agrees with float cosine >= 0.9 whenever the float cosine
+    is not razor-close to the boundary (the predicate IS the exact
+    arithmetic; floats are the approximation)."""
+    Q = np.asarray(vecs, dtype=np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    for i in range(len(Q)):
+        for j in range(i + 1, len(Q)):
+            if n2[i] == 0 or n2[j] == 0:
+                continue
+            dot = int(Q[i] @ Q[j])
+            exact = dot > 0 and 100 * dot * dot >= 81 * int(n2[i]) * int(n2[j])
+            fc = dot / np.sqrt(float(n2[i]) * float(n2[j]))
+            if abs(fc - 0.9) > 1e-9:
+                assert exact == (fc >= 0.9)
