@@ -1475,6 +1475,20 @@ def _q_curriculum_bins(sf_dir: str):
                                 total_rows=_tbl_rows(sf_dir, "documents"))
 
 
+def _q_embedding_knn_graph(sf_dir: str):
+    """Exact embedding kNN graph: every vector's 5 nearest others by
+    quantized-int64 L2, (d2, id) tie order.  Brute baseline of the ANN
+    family (corpus broadcast once, chunked int matmuls, axis-vectorized
+    partial top-k with the k-th tie set); IVF buckets are the scale
+    path."""
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    return ann.embedding_knn_graph(emb, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1588,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # level verification is the contract pytest, which runs every
         # SQL-oracled query against DuckDB at sf0.001 each suite run
         "curriculum_bins": _q_curriculum_bins,
+        "embedding_knn_graph": _q_embedding_knn_graph,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1727,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": oracle.importance_weights_sql(),
         "event_transitions": oracle.event_transitions_sql(),
         "curriculum_bins": oracle.curriculum_bins_sql(),
+        "embedding_knn_graph": oracle.embedding_knn_graph_sql(5),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

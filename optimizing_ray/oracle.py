@@ -2469,3 +2469,28 @@ SELECT doc_id, n_chars, global_rank,
              - (((global_rank - 1) * {n_bins}) % n)) / n AS BIGINT) AS bin
 FROM r
 """
+
+
+def embedding_knn_graph_sql(k: int = 5, scale: int = 1024,
+                            table: str = "embeddings") -> str:
+    """Embedding kNN-graph twin (``ann.embedding_knn_graph``): exhaustive
+    quantized-integer L2 with the (d2, neighbor_id) total order —
+    row_number cut at k is deterministic because neighbor ids are
+    unique per query."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}),
+d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             sum((a.q - b.q) * (a.q - b.q)) AS d2
+      FROM eq a JOIN eq b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+r AS (SELECT va, vb, d2,
+             row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rn
+      FROM d)
+SELECT va AS vec_id, vb AS neighbor_id, CAST(d2 AS BIGINT) AS dist2,
+       CAST(rn AS BIGINT) AS knn_rank
+FROM r WHERE rn <= {k}
+"""

@@ -17,7 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
+__all__ = ["embedding_knn_graph",
+           "brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
            "train_pq", "pq_encode", "pq_topk",
            "build_ivfpq_index", "query_ivfpq_index"]
 
@@ -689,3 +690,87 @@ def query_ivfpq_index(out_dir: str, query_ids, query_matrix: np.ndarray, *,
     id_index = {int(v): i for i, v in enumerate(vt["vec_id"].to_numpy())}
     return _rerank_exact(np.asarray(query_ids), Qn, pool_ids, id_index,
                          Vn, k), metrics
+
+
+def embedding_knn_graph(emb: rd.Dataset, *, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        scale: int = 1024,
+                        corpus_chunk: int = 8192) -> rd.Dataset:
+    """Exact kNN GRAPH over the embedding column — the embedding-space
+    twin of the spatial ``knn.knn_join`` self-join: for EVERY vector its
+    ``k`` nearest others by quantized-integer L2 (floor(v*scale), the
+    kmeans discipline), ties broken by neighbor id — the (d2, id) exact
+    ordering, so the result is bit-identical to the SQL row_number twin.
+    Output (vec_id, neighbor_id, dist2, knn_rank).
+
+    Plan: the quantized corpus (ids, Q) rides ``ray.put`` once; each
+    batch computes distances against the corpus in ``corpus_chunk``
+    column blocks via one int64 matmul per block, takes a vectorized
+    per-row partial top-k INCLUDING the k-th-distance tie set (the
+    ``_smallest_with_ties`` rule, axis-vectorized), and only the final
+    per-row selection sorts the small candidate pool.  This is the
+    brute BASELINE of the ANN family (the ann_topk shape with queries =
+    corpus); the scale path buckets with the IVF index exactly as
+    ``query_ivf_index`` does for held queries.  Self pairs drop by id
+    (d2 = 0 with ids unique)."""
+    chunks = [t for t in ray.get(emb.to_arrow_refs()) if t.num_rows]
+    if not chunks:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.int64()),
+            "knn_rank": pa.array([], pa.int64())}))
+    corpus = pa.concat_tables(chunks)
+    cids = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    C = np.floor(_to_matrix(corpus[vec_col]) * float(scale)).astype(np.int64)
+    cref = ray.put((cids, np.ascontiguousarray(C)))
+
+    def knn_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dist2": pa.array([], pa.int64()),
+                          "knn_rank": pa.array([], pa.int64())})
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return empty
+        from optimizing_ray.broadcast import cached
+        ids_c, Cm = cached(("eknn_corpus", cref), lambda: ray.get(cref))
+        qids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = np.floor(_to_matrix(t[vec_col]) * float(scale)).astype(np.int64)
+        m = len(qids)
+        qn = (Q * Q).sum(axis=1)
+        cand_r = []
+        cand_c = []
+        cand_d = []
+        for s in range(0, len(ids_c), corpus_chunk):
+            e = min(s + corpus_chunk, len(ids_c))
+            Cc = Cm[s:e]
+            D = (qn[:, None] - 2 * (Q @ Cc.T)
+                 + (Cc * Cc).sum(axis=1)[None, :])
+            # mask self pairs to +inf-equivalent (ids unique)
+            self_m = qids[:, None] == ids_c[None, s:e]
+            D[self_m] = np.iinfo(np.int64).max
+            kk = min(k, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            thr = np.take_along_axis(D, part, axis=1).max(axis=1)
+            mask = D <= thr[:, None]  # partial top-k PLUS the k-th ties
+            r, c = np.nonzero(mask)
+            cand_r.append(r)
+            cand_c.append(c + s)
+            cand_d.append(D[r, c])
+        r = np.concatenate(cand_r)
+        nid = ids_c[np.concatenate(cand_c)]
+        d2 = np.concatenate(cand_d)
+        # exact final selection: (query, d2, neighbor_id) lexsort, cut k
+        order = np.lexsort((nid, d2, r))
+        r, nid, d2 = r[order], nid[order], d2[order]
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        rank = np.arange(len(r)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(r)])) + 1
+        keep = rank <= k
+        return pa.table({id_col: pa.array(qids[r[keep]]),
+                         "neighbor_id": pa.array(nid[keep]),
+                         "dist2": pa.array(d2[keep]),
+                         "knn_rank": pa.array(rank[keep])})
+
+    return emb.map_batches(knn_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)

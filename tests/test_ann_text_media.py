@@ -255,3 +255,35 @@ def test_heavy_hitters_tiebreak_and_block_invariance(ray_session):
             rd.from_arrow(t).repartition(nb), k=5).to_pandas()
         assert list(zip(got["token"], got["n"])) == top
         assert list(got["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_embedding_knn_graph_ties_and_chunking(ray_session):
+    """Chunked engine result == brute lexsort selection, including exact
+    distance ties (planted identical vectors) across chunk boundaries."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import ann as A
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(scale=0.4, size=(90, 8)).astype(np.float32)
+    vecs[60] = vecs[10]  # exact duplicate -> d2 tie structure
+    vecs[61] = vecs[10]
+    t = pa.table({"vec_id": pa.array(np.arange(90, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = (A.embedding_knn_graph(rd.from_arrow(t), k=4, corpus_chunk=17)
+           .to_pandas().sort_values(["vec_id", "knn_rank"])
+           .reset_index(drop=True))
+    Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
+    rows = []
+    for i in range(90):
+        d2 = ((Q - Q[i]) ** 2).sum(axis=1)
+        cand = [(int(d2[j]), j) for j in range(90) if j != i]
+        cand.sort()
+        for rk, (d, j) in enumerate(cand[:4], 1):
+            rows.append((i, j, d, rk))
+    want = pd.DataFrame(rows, columns=["vec_id", "neighbor_id",
+                                       "dist2", "knn_rank"])
+    want = want.astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    # the planted duplicates are each other's rank-1/2 neighbors at d2=0
+    assert set(out[(out.vec_id == 10) & (out.dist2 == 0)]
+               ["neighbor_id"]) == {60, 61}

@@ -122,8 +122,10 @@ SQL_NAMES = [
     # round 4 wave 5 fifth batch: event-type Markov transition matrix
     "event_transitions",
     # round 4 wave 5 sixth batch: curriculum binning (exact ntile over
-    # the sample-sort global rank) — born past-cap, pytest-oracled here
-    "curriculum_bins",
+    # the sample-sort global rank) and the exact embedding kNN graph —
+    # both born past-cap (window full of first-check queries),
+    # pytest-oracled here
+    "curriculum_bins", "embedding_knn_graph",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
