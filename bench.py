@@ -86,12 +86,16 @@ def run_bench() -> dict:
                                      / (time.perf_counter() - _t0), 2)
     del _pb
 
-    # round-4 (VERDICT item 5): PER-QUERY noise attribution — a tiny
-    # (~64 MB traffic, ~10 ms) probe runs immediately before every rep,
-    # and each recorded time carries the probe of its winning (min) rep.
-    # A query whose number regressed with probe < ~7 GB/s was measured
-    # inside a noisy-neighbor episode, not a code regression.
-    _pp = _np2.random.rand(4_000_000)
+    # round-4 (VERDICT item 5): PER-QUERY noise attribution — a probe
+    # runs immediately before every rep, and each recorded time carries
+    # the probe of its winning (min) rep.  A query whose number
+    # regressed with a sub-normal probe was measured inside a
+    # noisy-neighbor episode, not a code regression.
+    # Buffer sized 100 MB — the original 32 MB buffer fit the LLC, so
+    # per-query values read cache bandwidth (~7-8) even while true DRAM
+    # streaming was at 1.5 GB/s (measured round 4); readings before
+    # this change are on the cache scale, not comparable.
+    _pp = _np2.random.rand(12_500_000)
     probes: dict = {}
 
     def _mini_probe() -> float:
