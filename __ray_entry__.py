@@ -1489,6 +1489,18 @@ def _q_embedding_knn_graph(sf_dir: str):
     return ann.embedding_knn_graph(emb, k=5)
 
 
+def _q_user_tile_visits(sf_dir: str):
+    """Spatio-temporal visit matrix: per (user, tile) visit count and
+    first/last timestamps; per-batch lexsort+reduceat partials, one
+    hash(user, tile) shard exchange (min/max merge exact)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events")
+    return windows.user_tile_visits(ev, depth=DEPTH, world=WORLD_2D)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1603,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled query against DuckDB at sf0.001 each suite run
         "curriculum_bins": _q_curriculum_bins,
         "embedding_knn_graph": _q_embedding_knn_graph,
+        "user_tile_visits": _q_user_tile_visits,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1743,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oracle.event_transitions_sql(),
         "curriculum_bins": oracle.curriculum_bins_sql(),
         "embedding_knn_graph": oracle.embedding_knn_graph_sql(5),
+        "user_tile_visits": oracle.user_tile_visits_sql(DEPTH),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2494,3 +2494,27 @@ SELECT va AS vec_id, vb AS neighbor_id, CAST(d2 AS BIGINT) AS dist2,
        CAST(rn AS BIGINT) AS knn_rank
 FROM r WHERE rn <= {k}
 """
+
+
+def user_tile_visits_sql(depth: int, world: World = DRIVER_WORLD,
+                         table: str = "events") -> str:
+    """Spatio-temporal visit-matrix twin (``windows.user_tile_visits``):
+    the Morton CTE chain over event_id-derived points, grouped by
+    (user, tile) with exact min/max timestamps."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    {x} AS px, {y} AS py
+             FROM {table}),
+cix AS (SELECT event_id, user_id, ts_us,
+               {cell_idx_expr('px', world.min_x, wx, depth)} AS ix,
+               {cell_idx_expr('py', world.min_y, wy, depth)} AS iy
+        FROM pts),
+{morton_ctes('cix', depth, carry='event_id, user_id, ts_us')}
+SELECT user_id, mkey AS tile, CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(min(ts_us) AS BIGINT) AS first_ts_us,
+       CAST(max(ts_us) AS BIGINT) AS last_ts_us
+FROM mz GROUP BY user_id, mkey
+"""

@@ -19,7 +19,7 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "trajectory_stats", "event_transitions",
+           "trajectory_stats", "event_transitions", "user_tile_visits",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join"]
 
@@ -696,3 +696,69 @@ def event_transitions(events: rd.Dataset, *, key_col: str = "user_id",
            .reset_index())
     out["n"] = out["n"].astype(np.int64)
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def user_tile_visits(events: rd.Dataset, *, depth: int, world,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     n_shards: int | None = None) -> rd.Dataset:
+    """Spatio-temporal visit matrix — who was where, when: per
+    (user, tile) the visit count and first/last event time, with tiles
+    derived from event_id by the shared geometry formula (Morton key at
+    ``depth``).  The geo x stream fusion: output
+    (user_id, tile, n_visits, first_ts_us, last_ts_us).
+
+    Scale shape: per-batch pre-aggregation (one lexsort + reduceat per
+    batch — at most one row per (batch, user, tile) leaves the stage),
+    then ONE hash(user, tile) shard exchange merges partials (counts
+    sum; first/last are order-independent min/max, so the merge is
+    exact).  SQL twin: ``oracle.user_tile_visits_sql``."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "l": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t[ts_col].cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        tile = point_cell2(x, y, world, depth).astype(np.int64)
+        order = np.lexsort((tile, key))
+        k2, t2, ts2 = key[order], tile[order], ts[order]
+        starts = np.flatnonzero(
+            np.r_[True, (k2[1:] != k2[:-1]) | (t2[1:] != t2[:-1])])
+        n = np.diff(np.r_[starts, len(k2)]).astype(np.int64)
+        f = np.minimum.reduceat(ts2, starts)
+        l = np.maximum.reduceat(ts2, starts)
+        uk, ut = k2[starts], t2[starts]
+        with np.errstate(over="ignore"):
+            h = (uk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + ut.astype(np.uint64))
+        return pa.table({"user_id": pa.array(uk), "tile": pa.array(ut),
+                         "n": pa.array(n), "f": pa.array(f),
+                         "l": pa.array(l),
+                         "_shard": pa.array(
+                             (h % np.uint64(n_shards)).astype(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "tile"], sort=False).agg(
+            n_visits=("n", "sum"), first_ts_us=("f", "min"),
+            last_ts_us=("l", "max")).reset_index()
+        for c in ("n_visits", "first_ts_us", "last_ts_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(merge, batch_format="pandas"))

@@ -126,6 +126,9 @@ SQL_NAMES = [
     # both born past-cap (window full of first-check queries),
     # pytest-oracled here
     "curriculum_bins", "embedding_knn_graph",
+    # round 4 wave 5 seventh batch: spatio-temporal visit matrix (geo x
+    # stream fusion) — past-cap, pytest-oracled
+    "user_tile_visits",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
