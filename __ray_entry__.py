@@ -1501,6 +1501,47 @@ def _q_user_tile_visits(sf_dir: str):
     return windows.user_tile_visits(ev, depth=DEPTH, world=WORLD_2D)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against an on-disk fingerprint store —
+    the daily-crawl-increment shape: docs with doc_id % 3 != 0 persist
+    as yesterday's corpus (hash-prefix-partitioned parquet, atomic
+    rebuild idempotent), then the FULL table streams against the store
+    and only content not already stored survives.  Each batch reads
+    only the store parts its own hash prefixes name."""
+    import os
+    import re
+
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    store = f"/tmp/graft_fp_store_{tag}"
+    old = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_only(t):
+        import numpy as np
+        import pyarrow as pa
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 3 != 0))
+
+    import pyarrow as pa
+    dedup.build_fingerprint_store(
+        old.map_batches(old_only, batch_format="pyarrow",
+                        zero_copy_batch=True), store)
+    new = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup.filter_new_against_store(new, store)
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return t.select(["doc_id"])
+
+    return out.map_batches(ids_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1616,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_bins": _q_curriculum_bins,
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
+        "dedup_incremental": _q_dedup_incremental,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1757,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_bins": oracle.curriculum_bins_sql(),
         "embedding_knn_graph": oracle.embedding_knn_graph_sql(5),
         "user_tile_visits": oracle.user_tile_visits_sql(DEPTH),
+        "dedup_incremental": oracle.dedup_incremental_sql(3),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2518,3 +2518,17 @@ SELECT user_id, mkey AS tile, CAST(count(*) AS BIGINT) AS n_visits,
        CAST(max(ts_us) AS BIGINT) AS last_ts_us
 FROM mz GROUP BY user_id, mkey
 """
+
+
+def dedup_incremental_sql(old_mod: int = 3, table: str = "documents") -> str:
+    """Incremental-dedup twin (``dedup.filter_new_against_store``): keep
+    every doc whose TEXT does not appear among the stored docs
+    (doc_id % old_mod != 0) — content-exact anti-join; the engine's
+    joint-128-bit fingerprints are collision-negligible (the
+    dedup_exact argument)."""
+    return f"""
+SELECT d.doc_id
+FROM {table} d
+WHERE NOT EXISTS (SELECT 1 FROM {table} o
+                  WHERE o.doc_id % {old_mod} <> 0 AND o.text = d.text)
+"""

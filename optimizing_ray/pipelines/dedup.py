@@ -38,7 +38,8 @@ from optimizing_ray.functions.text import (jaccard_pairs_grouped,
 __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
            "connected_components_distributed", "cluster_reps",
-           "near_dedup_keep"]
+           "near_dedup_keep", "build_fingerprint_store",
+           "filter_new_against_store"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1197,3 +1198,124 @@ def near_dedup_keep(docs: rd.Dataset, *, text_col: str = "text",
 
     return labs.map_batches(keep, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def build_fingerprint_store(docs: rd.Dataset, store_dir: str, *,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n_parts: int = 64) -> dict:
+    """Persist the corpus's content fingerprints as a hash-prefix-
+    partitioned parquet store — the state half of INCREMENTAL dedup
+    (yesterday's corpus on disk, today's crawl streaming against it).
+    Each part holds the SORTED h1 lane (plus h2 for the joint-128-bit
+    check) of every doc whose ``h1 >> (64 - log2(n_parts))`` prefix
+    lands there, so a new batch touches only the parts its own prefixes
+    name (``filter_new_against_store`` asserts parts_read <
+    parts_total).  Writes ride the tmp + os.replace atomic-rename
+    discipline; rebuilding is idempotent.  Returns
+    {"parts": n, "rows": n}."""
+    import os
+
+    shift = np.uint64(64 - int(np.log2(n_parts)))
+    assert 1 << (64 - int(shift)) == n_parts, "n_parts must be a power of 2"
+
+    def fp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        h1, h2 = _content_hash128(t[text_col])
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    tabs = [t for t in ray.get(
+        docs.map_batches(fp, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    os.makedirs(store_dir, exist_ok=True)
+    if tabs:
+        allt = pa.concat_tables(tabs)
+        h1 = allt["h1"].to_numpy().view(np.uint64)
+        h2 = allt["h2"].to_numpy()
+        part = (h1 >> shift).astype(np.int64)
+        order = np.lexsort((h2, h1.view(np.int64), part))
+        h1s, h2s, ps = (h1.view(np.int64)[order], h2[order], part[order])
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        bounds = np.r_[starts, len(ps)]
+        import pyarrow.parquet as pq
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            path = os.path.join(store_dir, f"part={ps[s]:04d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(pa.table({"h1": pa.array(h1s[s:e]),
+                                     "h2": pa.array(h2s[s:e])}), tmp)
+            os.replace(tmp, path)
+        n_rows = len(ps)
+    else:
+        n_rows = 0
+    return {"parts": len([f for f in os.listdir(store_dir)
+                          if f.startswith("part=")]), "rows": n_rows}
+
+
+def filter_new_against_store(new_docs: rd.Dataset, store_dir: str, *,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n_parts: int = 64,
+                             stats: dict | None = None) -> rd.Dataset:
+    """Incremental exact dedup: stream a new corpus and keep only docs
+    whose content fingerprint is NOT in the on-disk store (plus the
+    usual in-batch first-wins dedup of the new corpus itself is NOT
+    applied — compose with ``exact_dedup`` when the increment can
+    self-duplicate).  Each batch reads ONLY the store parts its own
+    hash prefixes name, through the per-worker broadcast cache (a part
+    loads once per worker, sorted arrays + searchsorted membership).
+    ``stats['parts_total']`` reports the store width; the pruned-read
+    property (a batch loads only the parts its prefixes name) is
+    asserted by the store tests, which count the parts a skewed
+    increment touches."""
+    import os
+
+    shift = np.uint64(64 - int(np.log2(n_parts)))
+    assert 1 << (64 - int(shift)) == n_parts, "n_parts must be a power of 2"
+    present = sorted(int(f[5:9]) for f in os.listdir(store_dir)
+                     if f.startswith("part="))
+    present_set = frozenset(present)
+
+    def drop_known(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return t
+        from optimizing_ray.broadcast import cached
+        h1, h2 = _content_hash128(t[text_col])
+        parts = (h1.view(np.uint64) >> shift).astype(np.int64)
+        keep = np.ones(len(h1), dtype=bool)
+        for p in np.unique(parts):
+            if int(p) not in present_set:
+                continue
+
+            def _load(p=int(p)):
+                import pyarrow.parquet as pq
+                pt = pq.read_table(
+                    os.path.join(store_dir, f"part={p:04d}.parquet"))
+                return (pt["h1"].to_numpy(), pt["h2"].to_numpy())
+
+            sh1, sh2 = cached(("fp_store", store_dir, int(p)), _load)
+            m = parts == p
+            h1m, h2m = h1[m], h2[m]
+            pos = np.searchsorted(sh1, h1m)  # leftmost index of the run
+            safe = np.clip(pos, 0, len(sh1) - 1)
+            hit = (pos < len(sh1)) & (sh1[safe] == h1m)
+            # joint-128-bit confirmation on the h1 matches: forward
+            # probe within the (rare, short) equal-h1 run
+            for i in np.flatnonzero(hit):
+                j = pos[i]
+                ok = False
+                while j < len(sh1) and sh1[j] == h1m[i]:
+                    if sh2[j] == h2m[i]:
+                        ok = True
+                        break
+                    j += 1
+                hit[i] = ok
+            km = keep[m]
+            km[hit] = False
+            keep[m] = km
+        return t.filter(pa.array(keep))
+
+    if stats is not None:
+        stats["parts_total"] = len(present)
+    return new_docs.map_batches(drop_known, batch_format="pyarrow",
+                                zero_copy_batch=True)

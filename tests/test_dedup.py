@@ -321,3 +321,44 @@ def test_cluster_reps_covers_isolated_items(ray_session, plan_nrows):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
     assert dict(zip(out["doc_id"], out["rep"])) == want
+
+
+def test_fingerprint_store_incremental_dedup(ray_session, tmp_path):
+    """Incremental dedup against the on-disk fingerprint store: new docs
+    whose text exists in the stored corpus drop; genuinely-new docs
+    survive; rebuild is idempotent; a skewed increment reads only the
+    parts its prefixes name."""
+    import os
+
+    import ray.data as rd
+
+    old_texts = [f"stored document number {i} with words {i * 13}"
+                 for i in range(40)]
+    old = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "text": pa.array(old_texts)})
+    store = str(tmp_path / "fpstore")
+    info = dedup.build_fingerprint_store(rd.from_arrow(old), store)
+    assert info["rows"] == 40 and info["parts"] >= 1
+    info2 = dedup.build_fingerprint_store(rd.from_arrow(old), store)
+    assert info2 == info  # idempotent rebuild
+
+    # new corpus: 10 repeats of stored texts + 10 fresh docs
+    new_texts = old_texts[:10] + [f"fresh crawl doc {i}" for i in range(10)]
+    new = pa.table({"doc_id": pa.array(np.arange(100, 120, dtype=np.int64)),
+                    "text": pa.array(new_texts)})
+    stats = {}
+    out = (dedup.filter_new_against_store(rd.from_arrow(new), store,
+                                          stats=stats)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == list(range(110, 120))
+    assert stats["parts_total"] == info["parts"]
+
+    # pruned read: ONE new doc names at most one part
+    one = pa.table({"doc_id": pa.array([999], pa.int64()),
+                    "text": pa.array([old_texts[0]])})
+    from optimizing_ray.pipelines.dedup import _content_hash128
+    h1, _ = _content_hash128([old_texts[0]])
+    part_named = int(h1.view(np.uint64)[0] >> np.uint64(58))
+    assert os.path.exists(os.path.join(store, f"part={part_named:04d}.parquet"))
+    out1 = dedup.filter_new_against_store(rd.from_arrow(one), store).to_pandas()
+    assert len(out1) == 0  # the stored text is recognized through 1 part

@@ -127,8 +127,9 @@ SQL_NAMES = [
     # pytest-oracled here
     "curriculum_bins", "embedding_knn_graph",
     # round 4 wave 5 seventh batch: spatio-temporal visit matrix (geo x
-    # stream fusion) — past-cap, pytest-oracled
-    "user_tile_visits",
+    # stream fusion) and incremental store-backed dedup — past-cap,
+    # pytest-oracled
+    "user_tile_visits", "dedup_incremental",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
