@@ -1542,6 +1542,17 @@ def _q_dedup_incremental(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared vs TextAnalyzer-predicted
+    language counts — bounded langs^2 partials, driver merge."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text", "lang"])
+    return textops.lang_confusion(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1658,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
         "dedup_incremental": _q_dedup_incremental,
+        "lang_confusion": _q_lang_confusion,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1800,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_graph": oracle.embedding_knn_graph_sql(5),
         "user_tile_visits": oracle.user_tile_visits_sql(DEPTH),
         "dedup_incremental": oracle.dedup_incremental_sql(3),
+        "lang_confusion": oracle.lang_confusion_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2532,3 +2532,15 @@ FROM {table} d
 WHERE NOT EXISTS (SELECT 1 FROM {table} o
                   WHERE o.doc_id % {old_mod} <> 0 AND o.text = d.text)
 """
+
+
+def lang_confusion_sql(table: str = "documents") -> str:
+    """Language-ID confusion-matrix twin (``textops.lang_confusion``):
+    declared vs predicted language counts over the exact
+    ``text_analysis_ctes`` lang_pred."""
+    return f"""
+WITH {text_analysis_ctes(table)}
+SELECT d.lang, ta.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM ta JOIN {table} d USING (doc_id)
+GROUP BY d.lang, ta.lang_pred
+"""

@@ -39,7 +39,7 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
            "connected_components_distributed", "cluster_reps",
            "near_dedup_keep", "build_fingerprint_store",
-           "filter_new_against_store"]
+           "filter_new_against_store", "append_to_fingerprint_store"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1319,3 +1319,53 @@ def filter_new_against_store(new_docs: rd.Dataset, store_dir: str, *,
         stats["parts_total"] = len(present)
     return new_docs.map_batches(drop_known, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def append_to_fingerprint_store(new_docs: rd.Dataset, store_dir: str, *,
+                                text_col: str = "text",
+                                n_parts: int = 64) -> dict:
+    """Fold an increment's fingerprints INTO the store — the nightly
+    merge that follows ``filter_new_against_store``: per TOUCHED part,
+    read + merge-sort + atomic replace; untouched parts are never
+    rewritten (the tile-store compaction discipline applied to the
+    dedup state).  Returns {"parts_touched": n, "rows_added": n}."""
+    import os
+
+    shift = np.uint64(64 - int(np.log2(n_parts)))
+    assert 1 << (64 - int(shift)) == n_parts, "n_parts must be a power of 2"
+
+    def fp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        h1, h2 = _content_hash128(t[text_col])
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    tabs = [t for t in ray.get(
+        new_docs.map_batches(fp, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        return {"parts_touched": 0, "rows_added": 0}
+    import pyarrow.parquet as pq
+    allt = pa.concat_tables(tabs)
+    h1 = allt["h1"].to_numpy()
+    h2 = allt["h2"].to_numpy()
+    part = (h1.view(np.uint64) >> shift).astype(np.int64)
+    os.makedirs(store_dir, exist_ok=True)
+    touched = 0
+    for p in np.unique(part):
+        m = part == p
+        nh1, nh2 = h1[m], h2[m]
+        path = os.path.join(store_dir, f"part={p:04d}.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path)
+            nh1 = np.concatenate([old["h1"].to_numpy(), nh1])
+            nh2 = np.concatenate([old["h2"].to_numpy(), nh2])
+        order = np.lexsort((nh2, nh1))
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"h1": pa.array(nh1[order]),
+                                 "h2": pa.array(nh2[order])}), tmp)
+        os.replace(tmp, path)
+        touched += 1
+    return {"parts_touched": touched, "rows_added": int(len(h1))}

@@ -17,7 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
-           "build_vocab", "importance_weights",
+           "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
            "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
@@ -1218,3 +1218,41 @@ def importance_weights(docs: rd.Dataset, *, target_lang: str = "en",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def lang_confusion(docs: rd.Dataset, *, lang_col: str = "lang",
+                   text_col: str = "text") -> pa.Table:
+    """Language-ID confusion matrix — the evaluation view of the
+    TextAnalyzer gate: counts per (declared lang, predicted lang).
+    Per-batch partial counts (bounded by langs^2), driver merge (the
+    tile_counts discipline).  Output (lang, lang_pred, n) sorted."""
+    import pandas as pd
+
+    ds = analyze_text(docs, text_col=text_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or lang_col not in t.column_names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "lang_pred": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({"lang": t[lang_col].to_numpy(zero_copy_only=False),
+                           "lang_pred": t["lang_pred"]
+                           .to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["lang", "lang_pred"], sort=False)
+               .size().rename("n").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    import ray
+    tabs = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "lang_pred": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    df = pa.concat_tables(tabs).to_pandas()
+    out = (df.groupby(["lang", "lang_pred"], sort=True)["n"].sum()
+           .reset_index())
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -362,3 +362,39 @@ def test_fingerprint_store_incremental_dedup(ray_session, tmp_path):
     assert os.path.exists(os.path.join(store, f"part={part_named:04d}.parquet"))
     out1 = dedup.filter_new_against_store(rd.from_arrow(one), store).to_pandas()
     assert len(out1) == 0  # the stored text is recognized through 1 part
+
+
+def test_fingerprint_store_append_merges_increment(ray_session, tmp_path):
+    """append_to_fingerprint_store folds an increment in: after the
+    merge the store recognizes BOTH corpora; untouched parts are not
+    rewritten."""
+    import os
+
+    import ray.data as rd
+
+    a = pa.table({"doc_id": pa.array(np.arange(30, dtype=np.int64)),
+                  "text": pa.array([f"corpus A doc {i}" for i in range(30)])})
+    b = pa.table({"doc_id": pa.array(np.arange(30, 50, dtype=np.int64)),
+                  "text": pa.array([f"corpus B doc {i}" for i in range(20)])})
+    store = str(tmp_path / "fp2")
+    dedup.build_fingerprint_store(rd.from_arrow(a), store)
+    mtimes = {f: os.path.getmtime(os.path.join(store, f))
+              for f in os.listdir(store)}
+    info = dedup.append_to_fingerprint_store(rd.from_arrow(b), store)
+    assert info["rows_added"] == 20 and info["parts_touched"] >= 1
+    # untouched parts keep their mtime (never rewritten)
+    from optimizing_ray.pipelines.dedup import _content_hash128
+    h1, _ = _content_hash128(b["text"])
+    touched = {f"part={p:04d}.parquet"
+               for p in np.unique(h1.view(np.uint64) >> np.uint64(58))}
+    for f, mt in mtimes.items():
+        if f not in touched:
+            assert os.path.getmtime(os.path.join(store, f)) == mt
+    # both corpora recognized; fresh doc survives
+    probe = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([a["text"][0].as_py(),
+                                        b["text"][0].as_py(),
+                                        "genuinely new text"])})
+    out = dedup.filter_new_against_store(rd.from_arrow(probe),
+                                         store).to_pandas()
+    assert list(out["doc_id"]) == [3]

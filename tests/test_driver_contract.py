@@ -130,6 +130,9 @@ SQL_NAMES = [
     # stream fusion) and incremental store-backed dedup — past-cap,
     # pytest-oracled
     "user_tile_visits", "dedup_incremental",
+    # round 4 wave 5 eighth batch: language-ID confusion matrix over the
+    # exact text_analysis lang_pred
+    "lang_confusion",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
