@@ -324,6 +324,24 @@ def run_bench() -> dict:
     }
 
 
+def _aggregate_probe(n_procs: int = 8, window_s: float = 2.0) -> float:
+    """Aggregate streaming GB/s over n_procs concurrent processes:
+    each child allocates its buffer, sleeps until a shared start time
+    (setup excluded), then streams for window_s and reports bytes
+    moved; the parent sums rates over the common window."""
+    import subprocess as _sp
+    start_at = time.time() + 4.0
+    code = (f"import numpy,time;a=numpy.random.rand(12_500_000);"
+            f"time.sleep(max(0, {start_at!r}-time.time()));"
+            f"t0=time.time();b=0\n"
+            f"while time.time()-t0 < {window_s!r}: s=a.sum(); b+=a.nbytes\n"
+            f"print(b/1e9/(time.time()-t0))")
+    procs = [_sp.Popen([sys.executable, "-c", code], stdout=_sp.PIPE,
+                       text=True) for _ in range(n_procs)]
+    per = [float(p.communicate()[0].strip()) for p in procs]
+    return round(sum(per), 2)
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # larger corpus for the scaling runs so compute dominates the
@@ -357,6 +375,13 @@ def run_scaling() -> dict:
     probe = round(5 * _pb.nbytes / 1e9 / (time.time() - _t0), 2)
     del _pb
 
+    # AGGREGATE probe: 8 concurrent streams.  A neighbor consuming ~10%
+    # of aggregate bandwidth is invisible to the single-stream probe but
+    # taxes the 8-CPU leg directly (round-4 diagnosis: lo leg at its
+    # historical best while hi ran 12% slow).  Compare against the
+    # machine's own idle aggregate (~15-20 GB/s) before trusting eff.
+    agg_probe = _aggregate_probe()
+
     reps = 3
     runs_lo, runs_hi = [], []
     for _ in range(reps):
@@ -385,6 +410,7 @@ def run_scaling() -> dict:
         "rows_per_sec_lo": round(r_lo["corpus_rows"] / t_lo, 1),
         "rows_per_sec_hi": round(r_hi["corpus_rows"] / t_hi, 1),
         "dram_probe_gbs": probe,
+        "aggregate_probe_gbs": agg_probe,
         "detail_lo": r_lo["queries"], "detail_hi": r_hi["queries"],
     }
 
