@@ -1553,6 +1553,28 @@ def _q_lang_confusion(sf_dir: str):
     return textops.lang_confusion(docs)
 
 
+def _q_cluster_top_terms(sf_dir: str):
+    """Topic labels for embedding clusters: exact Lloyd step -> labels
+    join documents by id -> per-cluster top-3 tokens (hash(term) shard
+    totals, per-shard top-k superset, bounded driver merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import cluster
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    seeds = cluster.quantize_embeddings(qt["embedding"].take(pa.array(order)))
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return cluster.cluster_top_terms(emb, docs, seeds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1670,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_tile_visits": _q_user_tile_visits,
         "dedup_incremental": _q_dedup_incremental,
         "lang_confusion": _q_lang_confusion,
+        "cluster_top_terms": _q_cluster_top_terms,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1813,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "user_tile_visits": oracle.user_tile_visits_sql(DEPTH),
         "dedup_incremental": oracle.dedup_incremental_sql(3),
         "lang_confusion": oracle.lang_confusion_sql(),
+        "cluster_top_terms": oracle.cluster_top_terms_sql(KMEANS_K),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2544,3 +2544,52 @@ SELECT d.lang, ta.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM ta JOIN {table} d USING (doc_id)
 GROUP BY d.lang, ta.lang_pred
 """
+
+
+def cluster_top_terms_sql(k: int = 8, k_terms: int = 3, scale: int = 1024,
+                          emb_table: str = "embeddings",
+                          doc_table: str = "documents") -> str:
+    """Cluster-topic twin (``cluster.cluster_top_terms``): the
+    ``kmeans_sql`` assignment joined to the documents by id, token
+    counts per (cluster, term) in the tatoks convention, row_number
+    top-k by (cnt DESC, term)."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {emb_table}),
+seeds AS (SELECT vec_id AS c, pos, q FROM eq WHERE vec_id < {k}),
+d0 AS (SELECT e.vec_id, s.c, sum((e.q - s.q) * (e.q - s.q)) AS d2
+       FROM eq e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c),
+a0 AS (SELECT vec_id, c FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d0) WHERE rn = 1),
+cs AS (SELECT a.c, e.pos, sum(e.q) AS s, count(*) AS n
+       FROM a0 a JOIN eq e USING (vec_id) GROUP BY a.c, e.pos),
+cent AS (SELECT c, pos,
+                CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m FROM cs),
+d1 AS (SELECT e.vec_id, t.c, sum((e.q - t.m) * (e.q - t.m)) AS d2
+       FROM eq e JOIN cent t USING (pos) GROUP BY e.vec_id, t.c),
+a1 AS (SELECT vec_id, c AS cluster FROM (
+         SELECT vec_id, c, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d1) WHERE rn = 1),
+toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM {doc_table}) u
+  WHERE tok <> ''),
+ct AS (SELECT a1.cluster, t.term, count(*) AS cnt
+       FROM toks t JOIN a1 ON a1.vec_id = t.doc_id
+       GROUP BY a1.cluster, t.term),
+r AS (SELECT cluster, term, cnt,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY cnt DESC, term) AS trank
+      FROM ct)
+SELECT CAST(cluster AS BIGINT) AS cluster, term, CAST(cnt AS BIGINT) AS cnt,
+       CAST(trank AS BIGINT) AS term_rank
+FROM r WHERE trank <= {k_terms}
+"""

@@ -43,7 +43,8 @@ import ray.data as rd
 from optimizing_ray.pipelines.ann import _to_matrix
 
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
-           "semantic_dedup", "tile_embedding_centroid"]
+           "semantic_dedup", "tile_embedding_centroid",
+           "cluster_top_terms"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -330,3 +331,98 @@ def tile_embedding_centroid(emb: rd.Dataset, *, depth: int, world,
     parts = emb.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True)
     return parts.groupby("_shard").map_groups(merge, batch_format="pyarrow")
+
+
+def cluster_top_terms(emb: rd.Dataset, docs: rd.Dataset, seeds: np.ndarray, *,
+                      k_terms: int = 3, id_col: str = "vec_id",
+                      doc_id_col: str = "doc_id", text_col: str = "text",
+                      vec_col: str = "embedding",
+                      n_shards: int | None = None) -> pa.Table:
+    """Topic labels for embedding clusters — the composition showcase:
+    one exact Lloyd step buckets the corpus, the labels equi-join the
+    documents by id (``hash_shard_join`` — embeddings' vec_id IS the
+    doc id), and each cluster reports its ``k_terms`` most frequent
+    tokens (heavy_hitters token convention: whitespace split of trimmed
+    text, lowercased, empties dropped; ties by term asc).
+
+    Output (cluster, term, cnt, term_rank).  Plan: join exchange, then
+    ONE hash(term) shard exchange of per-batch (cluster, term, cnt)
+    partials — a term's rows all land in one shard, so per-shard
+    per-(cluster, term) totals are exact and a per-shard per-cluster
+    top-k is a correct superset; the driver merge is bounded by
+    clusters x k x shards (the heavy_hitters discipline)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from optimizing_ray.config import resolve_shards
+    from optimizing_ray.pipelines.shard_join import hash_shard_join
+
+    n_shards = resolve_shards(n_shards)
+    cent, live = kmeans_step(emb, seeds, vec_col=vec_col, scale=1024)
+    labels = kmeans_assign(emb, cent, live, id_col=id_col, vec_col=vec_col)
+
+    def slim_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({doc_id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({doc_id_col: t[id_col], "cluster": t["cluster"]})
+
+    lab = labels.map_batches(slim_labels, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = hash_shard_join(
+        docs, lab, on=doc_id_col,
+        lschema=pa.schema([pa.field(doc_id_col, pa.int64()),
+                           pa.field(text_col, pa.string())]),
+        rschema=pa.schema([pa.field(doc_id_col, pa.int64()),
+                           pa.field("cluster", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t[text_col]))
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        cl = np.repeat(t["cluster"].to_numpy(zero_copy_only=False), lens)
+        arr = flat.to_numpy(zero_copy_only=False)
+        keep = arr != ""
+        df = pd.DataFrame({"cluster": cl[keep], "term": arr[keep]})
+        agg = (df.groupby(["cluster", "term"], sort=False)
+               .size().rename("cnt").reset_index())
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["term"].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["cluster", "term"], sort=False)["cnt"]
+               .sum().reset_index())
+        return (agg.sort_values(["cnt", "term"], ascending=[False, True])
+                .groupby("cluster", sort=False).head(k_terms))
+
+    parts = (joined.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .map_batches(add_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_shard").map_groups(shard_topk,
+                                           batch_format="pandas")
+             .to_pandas())
+    out = (parts.sort_values(["cluster", "cnt", "term"],
+                             ascending=[True, False, True])
+           .groupby("cluster", sort=False).head(k_terms)
+           .reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["term_rank"] = (out.groupby("cluster", sort=False).cumcount()
+                        + 1).astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -131,8 +131,9 @@ SQL_NAMES = [
     # pytest-oracled
     "user_tile_visits", "dedup_incremental",
     # round 4 wave 5 eighth batch: language-ID confusion matrix over the
-    # exact text_analysis lang_pred
-    "lang_confusion",
+    # exact text_analysis lang_pred, and cluster topic labels (kmeans
+    # labels join docs -> per-cluster top terms)
+    "lang_confusion", "cluster_top_terms",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
