@@ -65,7 +65,6 @@ def curate(docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
                                broadcast_threshold=broadcast_threshold)
         from optimizing_ray.pipelines.dedup import _plan_rows
         if _plan_rows(nrows) <= broadcast_threshold:
-            from optimizing_ray.broadcast import cached
             tabs = [t for t in ray.get(keep.to_arrow_refs()) if t.num_rows]
             dropped = (np.sort(np.concatenate(
                 [t.filter(pc.equal(t["kept"], 0))[id_col]
