@@ -1575,6 +1575,37 @@ def _q_cluster_top_terms(sf_dir: str):
     return cluster.cluster_top_terms(emb, docs, seeds)
 
 
+def _q_late_events(sf_dir: str):
+    """Out-of-order arrival accounting with a DETERMINISTIC scrambled
+    arrival order (arrival = event_id * odd-mult mod 2^64 — bijective,
+    so every event has a unique arrival rank and genuine lateness
+    exists): per user, late-event count and worst watermark skew."""
+    import numpy as np
+    import pyarrow as pa
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events")
+
+    def scramble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "_arrival": pa.array([], pa.uint64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # mod 2^32 so the odd-multiplier product actually wraps for
+            # small ids (a full-width product of a small id never
+            # overflows 2^64 and would preserve the original order);
+            # bijective on ids < 2^32, so arrival ranks stay unique
+            arr = (eid * np.uint64(2_885_564_557)) % np.uint64(1 << 32)
+        return t.append_column("_arrival", pa.array(arr))
+
+    ev = ev.map_batches(scramble, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return windows.late_events(ev, id_col="_arrival")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1693,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "lang_confusion": _q_lang_confusion,
         "cluster_top_terms": _q_cluster_top_terms,
+        "late_events": _q_late_events,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1837,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": oracle.dedup_incremental_sql(3),
         "lang_confusion": oracle.lang_confusion_sql(),
         "cluster_top_terms": oracle.cluster_top_terms_sql(KMEANS_K),
+        "late_events": oracle.late_events_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2593,3 +2593,30 @@ SELECT CAST(cluster AS BIGINT) AS cluster, term, CAST(cnt AS BIGINT) AS cnt,
        CAST(trank AS BIGINT) AS term_rank
 FROM r WHERE trank <= {k_terms}
 """
+
+
+def late_events_sql(mult: int = 2_885_564_557,
+                    table: str = "events") -> str:
+    """Out-of-order accounting twin (``windows.late_events``): arrival
+    order = event_id * mult mod 2^32 (bijective for odd mult and ids
+    below 2^32 — the train_split wrap; a full-width mod 2^64 never
+    wraps for small ids and preserves the original order); running max
+    event time per
+    user in arrival order with a 1-preceding frame; late = ts <
+    watermark-before-arrival."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+             PARTITION BY user_id
+             ORDER BY (CAST(event_id AS HUGEINT) * {mult})
+                      % {1 << 32}
+             ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS wm
+  FROM {table})
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE ts_us < wm) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts_us < wm THEN wm - ts_us END), 0)
+            AS BIGINT) AS max_skew_us
+FROM seq GROUP BY user_id
+"""

@@ -20,6 +20,7 @@ from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_stats", "event_transitions", "user_tile_visits",
+           "late_events",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join"]
 
@@ -762,3 +763,63 @@ def user_tile_visits(events: rd.Dataset, *, depth: int, world,
     return (events.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(merge, batch_format="pandas"))
+
+
+def late_events(events: rd.Dataset, *, key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                n_shards: int | None = None) -> rd.Dataset:
+    """Out-of-order arrival accounting — the watermark view of the
+    stream: an event is LATE if its event time precedes the maximum
+    event time already seen for its user in ARRIVAL order (event_id).
+    Output one row per user: (user_id, n_events, n_late, max_skew_us)
+    where max_skew_us is the worst lateness (running-max ts minus the
+    late event's ts; 0 when nothing is late).
+
+    Scale shape: ONE hash(user) shard exchange of slim rows; inside the
+    shard one lexsort by (user, event_id) + ``np.maximum.accumulate``
+    per user segment (vectorized running watermark).  SQL twin:
+    ``oracle.late_events_sql`` (max window with 1-preceding frame)."""
+    n_shards = resolve_shards(n_shards)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_eid": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(key),
+                         "_ts": t[ts_col].cast(pa.int64()),
+                         "_eid": t[id_col],
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "n_late": pd.Series([], dtype=np.int64),
+                                 "max_skew_us": pd.Series([], dtype=np.int64)})
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), key))
+        df = pd.DataFrame({"u": key[order],
+                           "ts": g["_ts"].to_numpy()[order]})
+        # per-user running max in arrival order (Cython groupby cummax),
+        # shifted one arrival back: the watermark BEFORE each event
+        prev_wm = (df.groupby("u", sort=False)["ts"].cummax()
+                   .groupby(df["u"], sort=False).shift(1))
+        late = df["ts"] < prev_wm  # NaN (first arrival) compares False
+        skew = np.where(late, (prev_wm - df["ts"]).fillna(0), 0)
+        out = pd.DataFrame({"u": df["u"], "late": late.astype(np.int64),
+                            "skew": skew})
+        agg = out.groupby("u", sort=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_skew_us=("skew", "max")).reset_index()
+        return pd.DataFrame({"user_id": agg["u"].astype(np.int64),
+                             "n_events": agg["n_events"].astype(np.int64),
+                             "n_late": agg["n_late"].astype(np.int64),
+                             "max_skew_us": agg["max_skew_us"]
+                             .astype(np.int64)})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas"))

@@ -134,6 +134,9 @@ SQL_NAMES = [
     # exact text_analysis lang_pred, and cluster topic labels (kmeans
     # labels join docs -> per-cluster top terms)
     "lang_confusion", "cluster_top_terms",
+    # round 4 wave 5 ninth batch: out-of-order arrival accounting under
+    # a deterministic scrambled arrival order
+    "late_events",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -236,3 +236,37 @@ def test_event_transitions_matches_brute(ray_session):
                         columns=["from_type", "to_type", "n"])
     want["n"] = want["n"].astype(np.int64)
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_late_events_matches_brute(ray_session):
+    """Watermark accounting == a per-user running-max brute over an
+    explicit out-of-order arrival sequence."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import windows as W
+
+    rng = np.random.default_rng(17)
+    n = 250
+    arrival = rng.permutation(n).astype(np.int64)  # explicit disorder
+    t = pa.table({
+        "event_id": pa.array(arrival),
+        "ts": pa.array(rng.integers(0, 10**9, n),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 9, n).astype(np.int64))})
+    out = (W.late_events(rd.from_arrow(t))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["user_id", "event_id"])
+    rows = []
+    for u, g in df.groupby("user_id"):
+        ts = g["ts"].astype("int64").to_numpy()
+        wm = np.iinfo(np.int64).min
+        late = 0
+        skew = 0
+        for v in ts:
+            if v < wm:
+                late += 1
+                skew = max(skew, wm - v)
+            wm = max(wm, v)
+        rows.append((u, len(ts), late, skew))
+    want = pd.DataFrame(rows, columns=["user_id", "n_events", "n_late",
+                                       "max_skew_us"]).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
