@@ -270,3 +270,29 @@ def test_late_events_matches_brute(ray_session):
     want = pd.DataFrame(rows, columns=["user_id", "n_events", "n_late",
                                        "max_skew_us"]).astype(np.int64)
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_wave5_ops_handle_empty_inputs(ray_session):
+    """Every wave-5 operator returns a typed empty result on an empty
+    input table (Ray Data passes empty blocks with empty schemas)."""
+    import ray.data as rd
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import ann, cluster, dedup, windows as W
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string())}))
+    assert W.trajectory_stats(ev).count() == 0
+    assert W.event_transitions(ev).count() == 0
+    assert W.late_events(ev).count() == 0
+    assert W.user_tile_visits(ev, depth=3, world=WORLD_2D).count() == 0
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}))
+    assert dedup.near_dedup_keep(docs, nrows=0).count() == 0
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert ann.embedding_knn_graph(emb, k=3).count() == 0
