@@ -1606,6 +1606,39 @@ def _q_late_events(sf_dir: str):
     return windows.late_events(ev, id_col="_arrival")
 
 
+def _q_semantic_decontaminate(sf_dir: str):
+    """Semantic benchmark decontamination over the planted corpus:
+    benchmark = vec_id % PLANT_MOD == 0; exact copies planted under
+    +PLANT_OFFSET sit at cosine exactly 1 and provably drop; survivors
+    = everything else (no organic pair reaches 0.9 on the driver
+    corpus, and the integer cosine gate is exact both engines)."""
+    import numpy as np
+    import pyarrow as pa
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        sel = t.filter(pa.array(t["vec_id"].to_numpy() % PLANT_MOD == 0))
+        copies = sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sel["vec_id"], PLANT_OFFSET))
+        return pa.concat_tables([t, copies])
+
+    aug = emb.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    import pyarrow.parquet as pq
+    bench = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id"])["vec_id"].to_numpy()
+    bench = bench[bench % PLANT_MOD == 0]
+    return ann.semantic_decontaminate(aug, bench)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1725,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "cluster_top_terms": _q_cluster_top_terms,
         "late_events": _q_late_events,
+        "semantic_decontaminate": _q_semantic_decontaminate,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1870,6 +1904,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": oracle.lang_confusion_sql(),
         "cluster_top_terms": oracle.cluster_top_terms_sql(KMEANS_K),
         "late_events": oracle.late_events_sql(),
+        "semantic_decontaminate": oracle.semantic_decontaminate_sql(
+            PLANT_MOD, plant_offset=PLANT_OFFSET),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -2620,3 +2620,44 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
             AS BIGINT) AS max_skew_us
 FROM seq GROUP BY user_id
 """
+
+
+def semantic_decontaminate_sql(bench_mod: int = 25, scale: int = 1024,
+                               tau_num: int = 9, tau_den: int = 10,
+                               plant_offset: int = 10_000_000,
+                               table: str = "embeddings") -> str:
+    """Semantic-decontamination twin (``ann.semantic_decontaminate``)
+    over the PLANTED corpus (originals plus exact copies of every
+    benchmark vector under +offset, the embedding_near_dup certainty
+    argument): survivors = non-benchmark vectors with NO benchmark
+    vector at integer-exact cosine >= tau (a planted copy sits at
+    cosine exactly 1 and provably drops)."""
+    src = f"""(SELECT vec_id, embedding FROM {table}
+       UNION ALL
+       SELECT vec_id + {plant_offset} AS vec_id, embedding
+       FROM {table} WHERE vec_id % {bench_mod} = 0)"""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {src} AS src_emb),
+n2 AS (SELECT vec_id, sum(q * q) AS n2 FROM eq GROUP BY vec_id),
+bench AS (SELECT vec_id FROM {table} WHERE vec_id % {bench_mod} = 0),
+dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.q * b.q) AS dot
+         FROM eq a JOIN eq b ON a.pos = b.pos
+         WHERE b.vec_id IN (SELECT vec_id FROM bench)
+           AND a.vec_id NOT IN (SELECT vec_id FROM bench)
+         GROUP BY a.vec_id, b.vec_id),
+hits AS (SELECT DISTINCT d.va AS vec_id
+         FROM dots d
+         JOIN n2 na ON na.vec_id = d.va
+         JOIN n2 nb ON nb.vec_id = d.vb
+         WHERE d.dot > 0
+           AND {tau_den * tau_den} * d.dot * d.dot
+               >= {tau_num * tau_num} * na.n2 * nb.n2)
+SELECT e.vec_id
+FROM (SELECT DISTINCT vec_id FROM eq) e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM bench)
+  AND e.vec_id NOT IN (SELECT vec_id FROM hits)
+"""

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["embedding_knn_graph",
+__all__ = ["embedding_knn_graph", "semantic_decontaminate",
            "brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
            "train_pq", "pq_encode", "pq_topk",
            "build_ivfpq_index", "query_ivfpq_index"]
@@ -773,4 +773,85 @@ def embedding_knn_graph(emb: rd.Dataset, *, k: int = 5,
                          "knn_rank": pa.array(rank[keep])})
 
     return emb.map_batches(knn_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def semantic_decontaminate(emb: rd.Dataset, bench_ids, *, id_col: str = "vec_id",
+                           vec_col: str = "embedding", scale: int = 1024,
+                           tau_num: int = 9, tau_den: int = 10) -> rd.Dataset:
+    """Semantic benchmark decontamination — the embedding-space twin of
+    the n-gram ``textops.decontaminate``: drop every corpus vector whose
+    cosine to ANY benchmark vector reaches tau_num/tau_den, via the
+    exact integer cross-multiplied predicate (dot > 0 AND
+    tau_den^2*dot^2 >= tau_num^2*|a|^2*|b|^2) over quantized vectors —
+    bit-identical to the SQL twin.  Benchmark members themselves are
+    dropped too (they ARE the contamination set).
+
+    Output: the surviving rows as (vec_id, kept=1)-shaped id list
+    (one column, ``vec_id``).  Plan: the benchmark matrix (bounded — a
+    benchmark suite, not a corpus) rides ``ray.put`` once; one
+    streaming pass computes chunked int64 matmuls per batch.  Zero
+    shuffles at any corpus size."""
+    bench_ids = np.asarray(bench_ids, dtype=np.int64)
+    bset_ref = None
+
+    def collect_bench(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_q": pa.array([], pa.list_(pa.int64()))})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = np.isin(ids, bench_ids)
+        sel = t.filter(pa.array(m))
+        if sel.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_q": pa.array([], pa.list_(pa.int64()))})
+        Q = np.floor(_to_matrix(sel[vec_col]) * float(scale)).astype(np.int64)
+        flat = pa.array(Q.reshape(-1))
+        offs = pa.array(np.arange(sel.num_rows + 1, dtype=np.int32)
+                        * Q.shape[1])
+        return pa.table({id_col: sel[id_col],
+                         "_q": pa.ListArray.from_arrays(offs, flat)})
+
+    btabs = [t for t in ray.get(
+        emb.map_batches(collect_bench, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    if btabs:
+        bt = pa.concat_tables(btabs)
+        qc = bt["_q"].combine_chunks() if isinstance(bt["_q"], pa.ChunkedArray) \
+            else bt["_q"]
+        B = (qc.flatten().to_numpy(zero_copy_only=False)
+             .reshape(bt.num_rows, -1))
+    else:
+        B = np.zeros((0, 1), dtype=np.int64)
+    bset_ref = ray.put(np.ascontiguousarray(B))
+    num2 = np.int64(tau_num * tau_num)
+    den2 = np.int64(tau_den * tau_den)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        from optimizing_ray.broadcast import cached
+        Bm = cached(("semdecon_bench", bset_ref), lambda: ray.get(bset_ref))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, bench_ids)
+        if len(Bm) and keep.any():
+            Q = np.floor(_to_matrix(t[vec_col]) * float(scale)).astype(np.int64)
+            n2 = (Q * Q).sum(axis=1)
+            bn2 = (Bm * Bm).sum(axis=1)
+            # int64-range guard (the semantic_dedup rule): |dot| <=
+            # sqrt(max n2 * max bn2), squared once more times tau_den^2
+            mx = max(int(n2.max()), int(bn2.max()))
+            assert tau_den * tau_den * mx * mx < (1 << 63), (
+                "quantized norms too large for the int64 cosine "
+                "predicate: lower `scale`")
+            step = 4096
+            for s in range(0, len(Bm), step):
+                Bc = Bm[s:s + step]
+                D = Q @ Bc.T
+                pred = (D > 0) & (den2 * D * D
+                                  >= num2 * np.outer(n2, bn2[s:s + step]))
+                keep &= ~pred.any(axis=1)
+        return pa.table({id_col: pa.array(ids[keep])})
+
+    return emb.map_batches(survivors, batch_format="pyarrow",
                            zero_copy_batch=True)

@@ -137,6 +137,9 @@ SQL_NAMES = [
     # round 4 wave 5 ninth batch: out-of-order arrival accounting under
     # a deterministic scrambled arrival order
     "late_events",
+    # round 4 wave 5 tenth batch: semantic benchmark decontamination
+    # (cross-set integer-exact cosine vs a planted benchmark)
+    "semantic_decontaminate",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
