@@ -1639,6 +1639,27 @@ def _q_semantic_decontaminate(sf_dir: str):
     return ann.semantic_decontaminate(aug, bench)
 
 
+def _q_embedding_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph at FULL probe: every cell probed, so the
+    result provably equals the brute graph and shares its oracle (the
+    full-probe certainty rule).  The sharded two-exchange plan is the
+    100-TB path; partial-probe recall is pytest-pinned."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    seeds = cluster.quantize_embeddings(qt["embedding"].take(pa.array(order)))
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    return ann.embedding_knn_graph_ivf(emb, seeds, k=5, n_probe=KMEANS_K)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1759,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_top_terms": _q_cluster_top_terms,
         "late_events": _q_late_events,
         "semantic_decontaminate": _q_semantic_decontaminate,
+        "embedding_knn_graph_ivf": _q_embedding_knn_graph_ivf,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1906,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": oracle.late_events_sql(),
         "semantic_decontaminate": oracle.semantic_decontaminate_sql(
             PLANT_MOD, plant_offset=PLANT_OFFSET),
+        "embedding_knn_graph_ivf": oracle.embedding_knn_graph_sql(5),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

@@ -287,3 +287,41 @@ def test_embedding_knn_graph_ties_and_chunking(ray_session):
     # the planted duplicates are each other's rank-1/2 neighbors at d2=0
     assert set(out[(out.vec_id == 10) & (out.dist2 == 0)]
                ["neighbor_id"]) == {60, 61}
+
+
+def test_embedding_knn_graph_ivf_full_probe_equals_brute(ray_session):
+    """With every cell probed the IVF graph PROVABLY equals the brute
+    graph (the full-probe oracle-certainty rule); at n_probe=1 planted
+    identical vectors are still found (they share a cell), and overall
+    recall stays high."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import ann as A
+    from optimizing_ray.pipelines.cluster import quantize_embeddings
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(scale=0.4, size=(150, 8)).astype(np.float32)
+    vecs[120] = vecs[7]  # planted exact duplicate
+    t = pa.table({"vec_id": pa.array(np.arange(150, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    seeds = np.floor(vecs[:6].astype(np.float64) * 1024).astype(np.int64)
+
+    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=4)
+             .to_pandas().sort_values(["vec_id", "knn_rank"])
+             .reset_index(drop=True))
+    full = (A.embedding_knn_graph_ivf(rd.from_arrow(t), seeds, k=4,
+                                      n_probe=6)
+            .to_pandas().sort_values(["vec_id", "knn_rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, brute)
+
+    one = (A.embedding_knn_graph_ivf(rd.from_arrow(t), seeds, k=4,
+                                     n_probe=1).to_pandas())
+    # planted duplicate found at rank 1 both directions
+    assert ((one.vec_id == 120) & (one.neighbor_id == 7)
+            & (one.knn_rank == 1)).any()
+    assert ((one.vec_id == 7) & (one.neighbor_id == 120)
+            & (one.knn_rank == 1)).any()
+    # recall vs brute stays high even at 1 probe of 6 cells
+    bset = set(map(tuple, brute[["vec_id", "neighbor_id"]].values))
+    oset = set(map(tuple, one[["vec_id", "neighbor_id"]].values))
+    assert len(bset & oset) / len(bset) > 0.6

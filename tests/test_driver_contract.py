@@ -140,6 +140,9 @@ SQL_NAMES = [
     # round 4 wave 5 tenth batch: semantic benchmark decontamination
     # (cross-set integer-exact cosine vs a planted benchmark)
     "semantic_decontaminate",
+    # round 4 wave 5 eleventh batch: IVF-bucketed kNN graph at full
+    # probe (provably equals the brute graph; shares its oracle)
+    "embedding_knn_graph_ivf",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
