@@ -638,7 +638,7 @@ def trajectory_stats(events: rd.Dataset, *, key_col: str = "user_id",
 def event_transitions(events: rd.Dataset, *, key_col: str = "user_id",
                       ts_col: str = "ts", id_col: str = "event_id",
                       type_col: str = "event_type",
-                      n_shards: int | None = None) -> rd.Dataset:
+                      n_shards: int | None = None) -> pa.Table:
     """Corpus-wide event-type transition matrix — the Markov-bigram view
     of the events stream: for every consecutive pair within a user's
     (ts, event_id)-ordered sequence, count (from_type, to_type).
@@ -689,14 +689,17 @@ def event_transitions(events: rd.Dataset, *, key_col: str = "user_id",
                                            batch_format="pandas"))
     tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
     if not tabs:
-        return rd.from_arrow(pa.table({"from_type": pa.array([], pa.string()),
-                                       "to_type": pa.array([], pa.string()),
-                                       "n": pa.array([], pa.int64())}))
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     df = pa.concat_tables(tabs).to_pandas()
     out = (df.groupby(["from_type", "to_type"], sort=True)["n"].sum()
            .reset_index())
     out["n"] = out["n"].astype(np.int64)
-    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    # bounded result (types^2 rows): a pyarrow Table, the
+    # heavy_hitters/build_vocab driver-merge convention — wrapping it
+    # back into a Dataset only re-buys a dispatch round-trip
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def user_tile_visits(events: rd.Dataset, *, depth: int, world,

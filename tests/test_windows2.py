@@ -224,7 +224,7 @@ def test_event_transitions_matches_brute(ray_session):
         "event_type": pa.array(rng.choice(["a", "b", "c"], n))})
     out = (W.event_transitions(rd.from_arrow(t))
            .to_pandas().sort_values(["from_type", "to_type"])
-           .reset_index(drop=True))
+           .reset_index(drop=True))  # pa.Table -> pandas
     df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
     from collections import Counter
     c = Counter()
@@ -285,7 +285,7 @@ def test_wave5_ops_handle_empty_inputs(ray_session):
         "user_id": pa.array([], pa.int64()),
         "event_type": pa.array([], pa.string())}))
     assert W.trajectory_stats(ev).count() == 0
-    assert W.event_transitions(ev).count() == 0
+    assert W.event_transitions(ev).num_rows == 0  # pa.Table result
     assert W.late_events(ev).count() == 0
     assert W.user_tile_visits(ev, depth=3, world=WORLD_2D).count() == 0
 
