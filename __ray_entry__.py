@@ -1660,6 +1660,21 @@ def _q_embedding_knn_graph_ivf(sf_dir: str):
     return ann.embedding_knn_graph_ivf(emb, seeds, k=5, n_probe=KMEANS_K)
 
 
+def _q_image_dhash(sf_dir: str):
+    """Perceptual difference-hash per image span (the image-dedup
+    primitive): real PNG decode -> 9x8 integer-gray grid -> 64
+    adjacent-column comparison bits.  Fixture images colliding mod
+    PIX_MOD share a hash, so downstream exact dedup on dhash groups
+    real duplicates."""
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import media
+
+    docs = (driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(driver_tables.derive_spans_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return media.image_dhash(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver harness checks only the FIRST 50 entries
     # (observed cap, CORRECTNESS_r03.json).  Rotation policy so every
@@ -1781,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "semantic_decontaminate": _q_semantic_decontaminate,
         "embedding_knn_graph_ivf": _q_embedding_knn_graph_ivf,
+        "image_dhash": _q_image_dhash,
         "train_split": _q_train_split,
         "poly_overlap_join": _q_poly_overlap_join,
         "heavy_hitters": _q_heavy_hitters,
@@ -1929,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": oracle.semantic_decontaminate_sql(
             PLANT_MOD, plant_offset=PLANT_OFFSET),
         "embedding_knn_graph_ivf": oracle.embedding_knn_graph_sql(5),
+        "image_dhash": oracle.image_dhash_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),
         "semantic_dedup": oracle.semantic_dedup_sql(
             KMEANS_K, plant_mod=PLANT_MOD, plant_offset=PLANT_OFFSET),

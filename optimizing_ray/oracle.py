@@ -2661,3 +2661,55 @@ FROM (SELECT DISTINCT vec_id FROM eq) e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM bench)
   AND e.vec_id NOT IN (SELECT vec_id FROM hits)
 """
+
+
+def image_dhash_sql(gw: int = 9, gh: int = 8,
+                    table: str = "documents") -> str:
+    """Perceptual-dhash twin (``media.image_dhash``): the image_resize
+    fixture-pixel formula resampled to a (gh, gw) integer-gray grid
+    (gray = r+g+b), bit (y, x) = gray(y,x) < gray(y,x+1), weights from
+    a 2^b VALUES table (HUGEINT literals), signed-int64 fold at the
+    end (the split-multiply hash convention)."""
+    from optimizing_ray.stages.codecs import IMG_H, IMG_W, PIX_MOD
+    skey = "(doc_id * 16 + ord)"
+    nq = gw * gh * 3
+    n_bits = gh * (gw - 1)
+    weights = ", ".join(f"({b}, {1 << b})" for b in range(n_bits))
+    return f"""
+WITH wt(b, w) AS (VALUES {weights}),
+ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i
+        FROM sp),
+med AS (SELECT doc_id, ord,
+         (doc_id * 16 + ord) % {PIX_MOD} AS base
+        FROM fld WHERE kind_i = 1),
+rp AS (SELECT doc_id, ord, base, q.q AS q FROM med, range({nq}) q(q)),
+pix AS (SELECT doc_id, ord,
+         q // {gw * 3} AS y, (q % {gw * 3}) // 3 AS x,
+         ((((q // {gw * 3}) * {IMG_H}) // {gh}) * {IMG_W}
+          + (((q % {gw * 3}) // 3) * {IMG_W}) // {gw}) * 3
+         + (q % 3) AS p, base
+        FROM rp),
+g AS (SELECT doc_id, ord, y, x,
+        SUM((base * (p + 1) + ((p * p) % 257) * 31) % 256) AS gray
+      FROM pix GROUP BY doc_id, ord, y, x),
+bits AS (SELECT a.doc_id, a.ord, a.y * {gw - 1} + a.x AS b
+         FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.ord = a.ord
+                          AND n.y = a.y AND n.x = a.x + 1
+         WHERE a.gray < n.gray),
+h AS (SELECT m.doc_id, m.ord,
+        CAST(coalesce((SELECT SUM(wt.w) FROM bits
+                       JOIN wt USING (b)
+                       WHERE bits.doc_id = m.doc_id
+                         AND bits.ord = m.ord), 0) AS HUGEINT) AS u
+      FROM med m)
+SELECT doc_id, ord,
+       CAST(CASE WHEN u >= {1 << 63} THEN u - {1 << 64} ELSE u END
+            AS BIGINT) AS dhash
+FROM h
+"""

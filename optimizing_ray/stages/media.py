@@ -319,3 +319,60 @@ def resize_images(docs: rd.Dataset, *, out_w: int = 4, out_h: int = 4,
                             fn_constructor_args=(fetch, out_w, out_h),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=batch_size, concurrency=concurrency)
+
+
+def _dhash_batch(batch: pa.Table, fetch, gw: int = 9, gh: int = 8) -> pa.Table:
+    """Perceptual difference-hash per image span — the image-dedup
+    primitive: decode PNG, nearest-neighbor resample to a (gh, gw)
+    integer-gray grid (gray = r+g+b, no float luma weights), bit
+    (y, x) = gray[y, x] < gray[y, x+1] — 64 bits for the 9x8 default.
+    All arithmetic integer, so the SQL twin recomputes the hash from
+    the fixture formula bit-for-bit (signed int64 view both sides)."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ord": pa.array([], pa.int64()),
+                      "dhash": pa.array([], pa.int64())})
+    if batch.num_rows == 0 or "spans" not in batch.column_names:
+        return empty
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+    is_media = (kind != "text") & (ref != "")
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    n_spans = np.diff(offs)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_span = np.repeat(ids, n_spans)
+    ord_of_span = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(offs[:-1], n_spans))
+    iy = (np.arange(gh, dtype=np.int64) * IMG_H) // gh
+    ix = (np.arange(gw, dtype=np.int64) * IMG_W) // gw
+    weights = (np.uint64(1) << np.arange(gh * (gw - 1),
+                                         dtype=np.uint64).reshape(gh, gw - 1))
+    rows: list[tuple] = []
+    for j in np.flatnonzero(is_media):
+        data = fetch(ref[j], kind[j])
+        if data[:8] != _PNG_MAGIC:
+            continue
+        px = decode_png(data)
+        g = px[iy][:, ix].astype(np.int64).sum(axis=2)  # (gh, gw) gray
+        bits = (g[:, :-1] < g[:, 1:])
+        rows.append((int(doc_of_span[j]), int(ord_of_span[j]),
+                     int(weights[bits].sum(dtype=np.uint64))))
+    if not rows:
+        return empty
+    d, o, hh = zip(*rows)
+    return pa.table({"doc_id": pa.array(list(d), pa.int64()),
+                     "ord": pa.array(list(o), pa.int64()),
+                     "dhash": pa.array(np.array(hh, dtype=np.uint64)
+                                       .view(np.int64))})
+
+
+def image_dhash(docs: rd.Dataset, *, fetch=None,
+                gw: int = 9, gh: int = 8) -> rd.Dataset:
+    """Dataset wrapper for the per-span perceptual hash (fixture fetch
+    by default; a store client rides the ImageResizer actor seam)."""
+    f = fetch or fetch_fixture
+    return docs.map_batches(lambda t: _dhash_batch(t, f, gw, gh),
+                            batch_format="pyarrow", zero_copy_batch=True)
