@@ -2713,3 +2713,43 @@ SELECT doc_id, ord,
             AS BIGINT) AS dhash
 FROM h
 """
+
+
+def audio_fingerprint_sql(table: str = "documents") -> str:
+    """Audio-fingerprint twin (``media.audio_fingerprint``): fixture
+    samples x(i) = (base*(i+1) + i*i*7) % 4096 - 2048, bit i =
+    x(i) < x(i+1), 2^i VALUES weights, signed-int64 fold."""
+    from optimizing_ray.stages.codecs import N_SAMPLES, PIX_MOD
+    skey = "(doc_id * 16 + ord)"
+    weights = ", ".join(f"({b}, {1 << b})" for b in range(N_SAMPLES - 1))
+    return f"""
+WITH wt(b, w) AS (VALUES {weights}),
+ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i
+        FROM sp),
+aud AS (SELECT doc_id, ord,
+         (doc_id * 16 + ord) % {PIX_MOD} AS base
+        FROM fld WHERE kind_i = 2),
+smp AS (SELECT doc_id, ord, i.i AS i,
+         (base * (i.i + 1) + i.i * i.i * 7) % 4096 - 2048 AS x
+        FROM aud, range({N_SAMPLES}) i(i)),
+bits AS (SELECT a.doc_id, a.ord, a.i AS b
+         FROM smp a JOIN smp n ON n.doc_id = a.doc_id AND n.ord = a.ord
+                             AND n.i = a.i + 1
+         WHERE a.x < n.x),
+h AS (SELECT m.doc_id, m.ord,
+        CAST(coalesce((SELECT SUM(wt.w) FROM bits
+                       JOIN wt USING (b)
+                       WHERE bits.doc_id = m.doc_id
+                         AND bits.ord = m.ord), 0) AS HUGEINT) AS u
+      FROM aud m)
+SELECT doc_id, ord,
+       CAST(CASE WHEN u >= {1 << 63} THEN u - {1 << 64} ELSE u END
+            AS BIGINT) AS afp
+FROM h
+"""

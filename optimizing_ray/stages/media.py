@@ -376,3 +376,53 @@ def image_dhash(docs: rd.Dataset, *, fetch=None,
     f = fetch or fetch_fixture
     return docs.map_batches(lambda t: _dhash_batch(t, f, gw, gh),
                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _audio_fp_batch(batch: pa.Table, fetch) -> pa.Table:
+    """Difference fingerprint per audio span — the audio-dedup twin of
+    ``_dhash_batch``: decode WAV, bit i = sample(i) < sample(i+1) over
+    the N_SAMPLES int16 sequence (63 bits), signed-int64 fold.  Integer
+    end to end; the SQL twin recomputes every bit from the fixture
+    sample formula, so equality proves the WAV encode/decode path."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ord": pa.array([], pa.int64()),
+                      "afp": pa.array([], pa.int64())})
+    if batch.num_rows == 0 or "spans" not in batch.column_names:
+        return empty
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+    is_media = (kind != "text") & (ref != "")
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    n_spans = np.diff(offs)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_span = np.repeat(ids, n_spans)
+    ord_of_span = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(offs[:-1], n_spans))
+    weights = np.uint64(1) << np.arange(N_SAMPLES - 1, dtype=np.uint64)
+    rows: list[tuple] = []
+    for j in np.flatnonzero(is_media):
+        data = fetch(ref[j], kind[j])
+        if data[:8] == _PNG_MAGIC:
+            continue  # fingerprint is an audio op; image spans pass
+        x = decode_wav(data).astype(np.int64)
+        bits = x[:-1] < x[1:]
+        rows.append((int(doc_of_span[j]), int(ord_of_span[j]),
+                     int(weights[bits].sum(dtype=np.uint64))))
+    if not rows:
+        return empty
+    d, o, hh = zip(*rows)
+    return pa.table({"doc_id": pa.array(list(d), pa.int64()),
+                     "ord": pa.array(list(o), pa.int64()),
+                     "afp": pa.array(np.array(hh, dtype=np.uint64)
+                                     .view(np.int64))})
+
+
+def audio_fingerprint(docs: rd.Dataset, *, fetch=None) -> rd.Dataset:
+    """Dataset wrapper for the per-span audio difference fingerprint."""
+    f = fetch or fetch_fixture
+    return docs.map_batches(lambda t: _audio_fp_batch(t, f),
+                            batch_format="pyarrow", zero_copy_batch=True)

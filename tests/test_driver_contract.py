@@ -143,9 +143,9 @@ SQL_NAMES = [
     # round 4 wave 5 eleventh batch: IVF-bucketed kNN graph at full
     # probe (provably equals the brute graph; shares its oracle)
     "embedding_knn_graph_ivf",
-    # round 4 wave 5 twelfth batch: perceptual image dhash over the real
-    # PNG decode path
-    "image_dhash",
+    # round 4 wave 5 twelfth batch: perceptual image dhash + audio
+    # difference fingerprint over the real PNG/WAV decode paths
+    "image_dhash", "audio_fingerprint",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
