@@ -1209,10 +1209,11 @@ def build_fingerprint_store(docs: rd.Dataset, store_dir: str, *,
     Each part holds the SORTED h1 lane (plus h2 for the joint-128-bit
     check) of every doc whose ``h1 >> (64 - log2(n_parts))`` prefix
     lands there, so a new batch touches only the parts its own prefixes
-    name (``filter_new_against_store`` asserts parts_read <
-    parts_total).  Writes ride the tmp + os.replace atomic-rename
-    discipline; rebuilding is idempotent.  Returns
-    {"parts": n, "rows": n}."""
+    name.  The build is SHARDED (one hash-prefix exchange, each part
+    sorts + writes inside its group — the manifest write_group shape;
+    the corpus's hash table never collects driver-side).  Writes ride
+    the tmp + os.replace atomic-rename discipline; rebuilding is
+    idempotent.  Returns {"parts": n, "rows": n}."""
     import os
 
     shift = np.uint64(64 - int(np.log2(n_parts)))
@@ -1221,35 +1222,45 @@ def build_fingerprint_store(docs: rd.Dataset, store_dir: str, *,
     def fp(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or text_col not in t.column_names:
             return pa.table({"h1": pa.array([], pa.int64()),
-                             "h2": pa.array([], pa.int64())})
+                             "h2": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64())})
         h1, h2 = _content_hash128(t[text_col])
-        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+        part = (h1.view(np.uint64) >> shift).astype(np.int64)
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "_part": pa.array(part)})
 
-    tabs = [t for t in ray.get(
-        docs.map_batches(fp, batch_format="pyarrow",
-                         zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
     os.makedirs(store_dir, exist_ok=True)
-    if tabs:
-        allt = pa.concat_tables(tabs)
-        h1 = allt["h1"].to_numpy().view(np.uint64)
-        h2 = allt["h2"].to_numpy()
-        part = (h1 >> shift).astype(np.int64)
-        order = np.lexsort((h2, h1.view(np.int64), part))
-        h1s, h2s, ps = (h1.view(np.int64)[order], h2[order], part[order])
-        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
-        bounds = np.r_[starts, len(ps)]
+
+    # SHARDED write (the manifest write_group shape): fingerprints ride
+    # one hash-prefix exchange and each part sorts + writes inside its
+    # group — the corpus's hash table is never collected driver-side
+    # (16 bytes/doc is still terabytes at 10^12 docs)
+    def write_part(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            path = os.path.join(store_dir, f"part={ps[s]:04d}.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(pa.table({"h1": pa.array(h1s[s:e]),
-                                     "h2": pa.array(h2s[s:e])}), tmp)
-            os.replace(tmp, path)
-        n_rows = len(ps)
-    else:
-        n_rows = 0
+        if t.num_rows == 0 or "h1" not in t.column_names:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        p = int(t["_part"][0].as_py())
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        path = os.path.join(store_dir, f"part={p:04d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"h1": pa.array(h1[order]),
+                                 "h2": pa.array(h2[order])}), tmp)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    res = (docs.map_batches(fp, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_part").map_groups(write_part,
+                                        batch_format="pyarrow")
+           .to_pandas())
+    n_rows = int(res["n"].sum()) if len(res) else 0
     return {"parts": len([f for f in os.listdir(store_dir)
-                          if f.startswith("part=")]), "rows": n_rows}
+                          if f.startswith("part=")
+                          and f.endswith(".parquet")]), "rows": n_rows}
 
 
 def filter_new_against_store(new_docs: rd.Dataset, store_dir: str, *,
