@@ -1199,6 +1199,17 @@ def _q_dup_ngram_stats(sf_dir: str):
     return textops.dup_ngram_stats(docs, n=DUP_NGRAM_N)
 
 
+def _q_strip_dup_ngrams(sf_dir: str):
+    """Exact-substring dedup removal (Lee-et-al-style rewrite of the
+    dup_ngram_stats signal): gram-hash exchange finds duplicated grams,
+    doc-hash exchange rewrites the text (covered tokens cut)."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.strip_dup_ngrams(docs, n=DUP_NGRAM_N)
+
+
 def _q_span_kind_rollup(sf_dir: str):
     """Per-kind rollup over the interleaved span column (the input_hint
     payload): per-batch partials, driver combine, zero shuffles."""
@@ -1800,6 +1811,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # level verification is the contract pytest, which runs every
         # SQL-oracled query against DuckDB at sf0.001 each suite run
         "curriculum_bins": _q_curriculum_bins,
+        # strip_dup_ngrams is NEW (round-4 continuation), born past-cap
+        # like the other wave-5+ ops: its DuckDB hash check runs in the
+        # contract pytest every suite run; promote in round 5
+        "strip_dup_ngrams": _q_strip_dup_ngrams,
+
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
         "dedup_incremental": _q_dedup_incremental,
@@ -1919,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracle.tfidf_top_terms_sql(3),
         "bloom_semi_join": oracle.bloom_semi_join_sql(BLOOM_PRIORITY),
         "dup_ngram_stats": oracle.dup_ngram_stats_sql(DUP_NGRAM_N),
+        "strip_dup_ngrams": oracle.strip_dup_ngrams_sql(DUP_NGRAM_N),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

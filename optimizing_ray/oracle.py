@@ -1991,6 +1991,39 @@ GROUP BY g.doc_id
 """
 
 
+def strip_dup_ngrams_sql(n: int = 4, table: str = "documents") -> str:
+    """Exact-substring dedup removal twin (``textops.strip_dup_ngrams``):
+    single-space split; a token survives iff no duplicated n-gram (>= 2
+    distinct docs, gram identity by string — the engine rides 64-bit
+    hashes of the same token sequences) covers its position; survivors
+    re-join with single spaces (string_agg ORDER BY position).  Coverage
+    bounds precompute in the dup CTE (the DuckDB computed-expression
+    range-join assertion gotcha)."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - {n - 1})) AS i
+        FROM lists),
+grams AS (SELECT doc_id, i, array_to_string(list_slice(l, i, i + {n - 1}), ' ') AS ng
+          FROM pos),
+gdup AS (SELECT ng FROM grams GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, i AS lo, i + {n - 1} AS hi FROM grams JOIN gdup USING (ng)),
+toks AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p, unnest(l) AS tok
+         FROM lists),
+kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM dup d
+                           WHERE d.doc_id = t.doc_id
+                             AND t.p >= d.lo AND t.p <= d.hi)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT l.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(l.l) AS BIGINT) AS n_tokens,
+       CAST(len(l.l) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM lists l LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def span_kind_rollup_sql(table: str = "documents") -> str:
     """Per-kind span rollup twin (``textops.span_kind_rollup`` over
     ``derive_spans_batch``): the span derivation CTEs of

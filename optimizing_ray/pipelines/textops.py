@@ -20,7 +20,8 @@ __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
            "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
-           "tfidf_top_terms", "dup_ngram_stats", "span_kind_rollup",
+           "tfidf_top_terms", "dup_ngram_stats", "strip_dup_ngrams",
+           "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
            "stratified_sample"]
 
@@ -1256,3 +1257,191 @@ def lang_confusion(docs: rd.Dataset, *, lang_col: str = "lang",
            .reset_index())
     out["n"] = out["n"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _strip_rebuild(texts, ids: np.ndarray, dup_doc: np.ndarray,
+                   dup_pos: np.ndarray, n: int) -> dict:
+    """The strip_dup_ngrams per-shard rewrite kernel (module-level so the
+    property suite can drive it without a Ray session): given the shard's
+    doc texts, their ids, and the (doc, gram-start) rows of duplicated
+    n-grams, cut every covered token and re-join survivors with single
+    spaces.  Fully vectorized: coverage is one diff/cumsum pass over flat
+    token positions; the output text is ONE fancy-indexed gather over the
+    token byte blob (chunk_batch gather discipline) — no per-doc Python.
+
+    Returns {"clean_text": StringArray, "n_tokens": int64[], "n_removed":
+    int64[]} aligned with ``ids``."""
+    import pyarrow.compute as pc
+
+    from optimizing_ray.functions.text import _as_string_array, _utf8_blob
+
+    arr = _as_string_array(texts)
+    lists = pc.split_pattern(arr, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ntok = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    toks = pc.list_flatten(lists)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tdata, toffs = _utf8_blob(toks)
+    n_docs = len(ntok)
+    total = int(ntok.sum())
+    doc_first = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(ntok, out=doc_first[1:])
+
+    # duplicated gram starts -> flat token index; cover [p, p+n) per gram
+    # (gram starts satisfy p + n <= ntok, so the -1 lands at most on the
+    # doc boundary and never bleeds into the next doc)
+    order = np.argsort(ids, kind="stable")
+    row = order[np.searchsorted(ids[order], dup_doc)]
+    flat_lo = doc_first[row] + dup_pos
+    delta = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(delta, flat_lo, 1)
+    np.add.at(delta, flat_lo + n, -1)
+    cover = np.cumsum(delta[:total]) > 0
+    kept = np.flatnonzero(~cover)
+
+    # one gather builds every surviving token + a trailing-space byte per
+    # token (sentinel byte appended to the blob); per-doc final spaces
+    # drop via one boolean compress
+    tl = np.diff(toffs).astype(np.int64)
+    starts = toffs[:-1].astype(np.int64)
+    out_len = tl[kept] + 1
+    off = np.zeros(len(kept) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=off[1:])
+    src = np.empty(len(tdata) + 1, dtype=np.uint8)
+    src[:len(tdata)] = tdata
+    src[len(tdata)] = 0x20
+    idx = (np.arange(int(off[-1]), dtype=np.int64)
+           - np.repeat(off[:-1], out_len) + np.repeat(starts[kept], out_len))
+    if len(kept):
+        idx[off[1:] - 1] = len(tdata)
+    blob = src[idx]
+
+    kd = np.searchsorted(doc_first, kept, side="right") - 1
+    cnt = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(cnt, kd, 1)
+    doc_out = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(doc_out, kd, out_len)
+    keep_byte = np.ones(len(blob), dtype=bool)
+    doc_end = np.cumsum(doc_out)
+    nz = cnt > 0
+    keep_byte[doc_end[nz] - 1] = False
+    final = blob[keep_byte]
+    out_offs = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(doc_out - nz, out=out_offs[1:])
+    clean = pa.StringArray.from_buffers(
+        n_docs, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(final.tobytes()))
+    return {"clean_text": clean, "n_tokens": ntok,
+            "n_removed": ntok - cnt}
+
+
+def strip_dup_ngrams(docs: rd.Dataset, *, n: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_shards: int | None = None) -> rd.Dataset:
+    """Exact-substring dedup REMOVAL — the rewrite stage behind the
+    `dup_ngram_stats` signal (the distributed word-token approximation of
+    suffix-array substring dedup a training corpus runs corpus-wide):
+    every token position covered by a word n-gram that appears in >= 2
+    DISTINCT docs is cut; survivors re-join with single spaces
+    (single-space token semantics, ``oracle.strip_dup_ngrams_sql`` twin).
+    Output: (doc_id, clean_text, n_tokens, n_removed) per input doc.
+
+    Plan (two sharded exchanges, no driver materialization):
+    1. slim (gram hash, doc, pos) rows -> gram-hash shard; grams whose
+       posting set spans >= 2 distinct docs emit their (doc, pos) start
+       rows (bounded by the duplicated-gram volume);
+    2. dup positions side-tag-union the docs on hash(doc) shards — the
+       text bytes ride this exchange exactly once (they ARE the output);
+       inside the shard the `_strip_rebuild` kernel cuts covered tokens
+       with one coverage cumsum + one blob gather.
+    """
+    import pandas as pd
+
+    from optimizing_ray.functions.text import token_ngram_hashes_batch
+
+    n_shards = resolve_shards(n_shards)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _doc_shard(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * MIX
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    g_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "pos": pa.array([], pa.int64()),
+                        "gh": pa.array([], pa.int64()),
+                        "_shard": pa.array([], pa.int64())})
+
+    def grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return g_empty
+        hv, voffs = token_ngram_hashes_batch(t[text_col], n)
+        if len(hv) == 0:
+            return g_empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.diff(voffs)
+        doc = np.repeat(ids, cnt)
+        pos = (np.arange(len(hv), dtype=np.int64)
+               - np.repeat(voffs[:-1].astype(np.int64), cnt))
+        return pa.table({"doc_id": pa.array(doc), "pos": pa.array(pos),
+                         "gh": pa.array(hv.view(np.int64)),
+                         "_shard": pa.array(
+                             (hv % np.uint64(n_shards)).astype(np.int64))})
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gh", sort=False)["doc_id"].nunique()
+        dup = g["gh"].map(nd).to_numpy() >= 2
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[dup],
+                             "pos": g["pos"].to_numpy()[dup]})
+
+    u_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "pos": pa.array([], pa.int64()),
+                        "text": pa.array([], pa.string()),
+                        "_shard": pa.array([], pa.int64())})
+
+    def dup_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return u_empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "pos": t["pos"],
+                         "text": pa.array([""] * len(ids), pa.string()),
+                         "_shard": pa.array(_doc_shard(ids))})
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return u_empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "pos": pa.array(np.full(len(ids), -1, np.int64)),
+                         "text": t[text_col],
+                         "_shard": pa.array(_doc_shard(ids))})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy() == -1
+        ids = g["doc_id"].to_numpy()[is_doc].astype(np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "clean_text": np.zeros(0, object),
+                                 "n_tokens": np.zeros(0, np.int64),
+                                 "n_removed": np.zeros(0, np.int64)})
+        out = _strip_rebuild(g["text"].to_numpy()[is_doc], ids,
+                             g["doc_id"].to_numpy()[~is_doc].astype(np.int64),
+                             g["pos"].to_numpy()[~is_doc].astype(np.int64), n)
+        return pd.DataFrame({"doc_id": ids,
+                             "clean_text": out["clean_text"].to_pandas(),
+                             "n_tokens": out["n_tokens"],
+                             "n_removed": out["n_removed"]})
+
+    base = docs.select_columns([id_col, text_col])
+    dup = (base.map_batches(grams, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_shard").map_groups(dup_positions,
+                                         batch_format="pandas")
+           .map_batches(dup_rows, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    texts = base.map_batches(text_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (texts.union(dup)
+            .groupby("_shard").map_groups(rebuild, batch_format="pandas"))

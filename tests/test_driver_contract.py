@@ -146,6 +146,9 @@ SQL_NAMES = [
     # round 4 wave 5 twelfth batch: perceptual image dhash + audio
     # difference fingerprint over the real PNG/WAV decode paths
     "image_dhash", "audio_fingerprint",
+    # round 4 continuation: exact-substring dedup removal (the rewrite
+    # behind the dup_ngram_stats signal; byte-exact clean_text)
+    "strip_dup_ngrams",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

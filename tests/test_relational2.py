@@ -174,3 +174,34 @@ def test_curate_near_dedup_stage(ray_session, plan_rows):
                  near_dup_jaccard=0.6).to_pandas()
     # doc 1 is a near-dup of doc 0 (1-char edit) -> dropped; rest kept
     assert set(out["doc_id"]) == {0, 2, 3, 4, 5}
+
+
+def test_strip_dup_ngrams_cuts_covered_tokens(ray_session):
+    """Rewrite twin of dup_ngram_stats: tokens covered by any cross-doc
+    duplicated n-gram are cut, survivors re-join single-spaced; brute
+    union-of-windows oracle, incl. empty text and an all-covered doc."""
+    from optimizing_ray.pipelines.textops import strip_dup_ngrams
+    texts = ["a b c d e", "x a b c d y", "p q r s t", "", "a b c d"]
+    ids = [1, 2, 3, 4, 5]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+    out = (strip_dup_ngrams(rd.from_arrow(docs), n=4).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    n = 4
+    gram_docs = {}
+    toks = {i: t.split(" ") for i, t in zip(ids, texts)}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            gram_docs.setdefault(tuple(tk[p:p + n]), set()).add(i)
+    for i, tk in toks.items():
+        cov = [False] * len(tk)
+        for p in range(len(tk) - n + 1):
+            if len(gram_docs[tuple(tk[p:p + n])]) >= 2:
+                cov[p:p + n] = [True] * n
+        kept = [t for t, c in zip(tk, cov) if not c]
+        assert out.loc[i, "clean_text"] == " ".join(kept)
+        assert out.loc[i, "n_tokens"] == len(tk)
+        assert out.loc[i, "n_removed"] == sum(cov)
+    # doc 5 is wholly one duplicated gram -> fully stripped
+    assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_removed"] == 4
