@@ -1210,6 +1210,17 @@ def _q_strip_dup_ngrams(sf_dir: str):
     return textops.strip_dup_ngrams(docs, n=DUP_NGRAM_N)
 
 
+def _q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling: B-bounded weight pass + integer-exact
+    acceptance gate (zero shuffles at any corpus size)."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text", "lang"])
+    return textops.dsir_sample(docs)
+
+
 def _q_span_kind_rollup(sf_dir: str):
     """Per-kind rollup over the interleaved span column (the input_hint
     payload): per-batch partials, driver combine, zero shuffles."""
@@ -1815,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # like the other wave-5+ ops: its DuckDB hash check runs in the
         # contract pytest every suite run; promote in round 5
         "strip_dup_ngrams": _q_strip_dup_ngrams,
+        "dsir_sample": _q_dsir_sample,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -1936,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": oracle.bloom_semi_join_sql(BLOOM_PRIORITY),
         "dup_ngram_stats": oracle.dup_ngram_stats_sql(DUP_NGRAM_N),
         "strip_dup_ngrams": oracle.strip_dup_ngrams_sql(DUP_NGRAM_N),
+        "dsir_sample": oracle.dsir_sample_sql(),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

@@ -2470,6 +2470,29 @@ FROM per, tots
 """
 
 
+def dsir_sample_sql(target_lang: str = "en", scale: int = 2,
+                    offset6: int = 500_000, mult: int = 2_654_435_761,
+                    table: str = "documents") -> str:
+    """DSIR importance-resampling twin (``textops.dsir_sample``): the
+    importance_weights query feeds an all-integer acceptance gate —
+    rate6 = clamp(scale * floor(weight / n_tokens * 1e6 + 0.5) + offset6,
+    0, 1e6); keep iff ((doc_id * mult) % 2^32) * 1e6 < rate6 * 2^32.
+    Every arithmetic step lands on identical doubles/BIGINTs in both
+    engines (the train_split 2^32-wrap discipline)."""
+    iw = importance_weights_sql(target_lang=target_lang, table=table)
+    return f"""
+WITH iw AS ({iw}),
+rated AS (SELECT doc_id, n_tokens, weight,
+                 least(greatest({scale} * CAST(floor(weight / n_tokens * 1e6
+                                                     + 0.5) AS BIGINT)
+                                + {offset6}, 0), 1000000) AS rate6
+          FROM iw)
+SELECT doc_id, n_tokens, weight, rate6
+FROM rated
+WHERE ((doc_id * {mult}) % 4294967296) * 1000000 < rate6 * 4294967296
+"""
+
+
 def event_transitions_sql(table: str = "events") -> str:
     """Event-type transition-matrix twin (``windows.event_transitions``):
     lag window over (ts, event_id) per user, group by the pair."""

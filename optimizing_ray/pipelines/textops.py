@@ -17,6 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
+           "dsir_sample",
            "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
@@ -1445,3 +1446,51 @@ def strip_dup_ngrams(docs: rd.Dataset, *, n: int = 4, id_col: str = "doc_id",
                              zero_copy_batch=True)
     return (texts.union(dup)
             .groupby("_shard").map_groups(rebuild, batch_format="pandas"))
+
+
+def dsir_sample(docs: rd.Dataset, *, target_lang: str = "en",
+                scale: int = 2, offset6: int = 500_000,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang", n_buckets: int = 4096,
+                mult: int = 2_654_435_761) -> rd.Dataset:
+    """DSIR importance RESAMPLING — the selection stage downstream of
+    ``importance_weights`` (Xie et al. 2023: sample toward the target
+    distribution): deterministic integer-exact acceptance sampling.
+    Per doc, the per-token mean log-ratio in micro-nats
+    w6pt = floor(weight / n_tokens * 1e6 + 0.5) maps monotonically to an
+    acceptance rate rate6 = clamp(scale * w6pt + offset6, 0, 1e6); the
+    doc survives iff uniform(doc_id) < rate6 where uniform is the
+    train_split 2^32-wrap multiply hash (a DIFFERENT odd multiplier, so
+    the split and sample gates are independent) compared all-integer:
+    ((id * mult) % 2^32) * 1e6 < rate6 * 2^32.  Every step is exact in
+    BIGINT, so the SQL twin ``oracle.dsir_sample_sql`` reproduces the
+    kept set bit-for-bit (ids must stay below 2^63/mult — the train_split
+    discipline).
+
+    Scale shape: composes importance_weights' B-bounded zero-shuffle plan
+    with one more stateless filter map — zero shuffles at any corpus
+    size.  Output: surviving (doc_id, n_tokens, weight, rate6)."""
+    iw = importance_weights(docs, target_lang=target_lang, id_col=id_col,
+                            text_col=text_col, lang_col=lang_col,
+                            n_buckets=n_buckets)
+    M32 = np.int64(1) << np.int64(32)
+
+    def gate(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.float64()),
+                          "rate6": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "weight" not in t.column_names:
+            return empty
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w6pt = np.floor(w / n * 1e6 + 0.5).astype(np.int64)
+        rate6 = np.clip(np.int64(scale) * w6pt + np.int64(offset6),
+                        0, 1_000_000)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (ids * np.int64(mult)) % M32
+        keep = u * np.int64(1_000_000) < (rate6 << np.int64(32))
+        out = t.append_column("rate6", pa.array(rate6))
+        return out.filter(pa.array(keep))
+
+    return iw.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -360,3 +360,35 @@ def test_importance_weights_matches_brute(ray_session):
     np.testing.assert_array_equal(out["weight"].to_numpy(), np.array(want))
     # target-looking docs score higher than off-target ones
     assert out.loc[4, "weight"] > out.loc[5, "weight"]
+
+
+def test_dsir_sample_gate_is_exact(ray_session):
+    """Acceptance gate recomputed brute from the weights: rate6 clamps
+    the scaled per-token weight, keep iff the 2^32-wrap hash is under
+    it; the kept set equals importance_weights + manual gate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.textops import dsir_sample, importance_weights
+
+    texts = ["alpha beta gamma delta", "epsilon zeta eta theta",
+             "alpha beta epsilon zeta", "iota kappa lam mu",
+             "alpha alpha beta beta", "nu xi omicron pi"]
+    langs = ["en", "en", "fr", "fr", "en", "de"]
+    docs = pa.table({"doc_id": pa.array(list(range(1, 7)), pa.int64()),
+                     "text": pa.array(texts), "lang": pa.array(langs)})
+    scale, off, mult = 2, 700_000, 2_654_435_761
+    iw = (importance_weights(rd.from_arrow(docs)).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    w6pt = np.floor(iw["weight"].to_numpy()
+                    / iw["n_tokens"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    rate6 = np.clip(scale * w6pt + off, 0, 1_000_000)
+    u = (iw["doc_id"].to_numpy().astype(np.int64) * np.int64(mult)) % (1 << 32)
+    keep = u * np.int64(1_000_000) < (rate6 << np.int64(32))
+    want = set(iw["doc_id"].to_numpy()[keep])
+
+    out = (dsir_sample(rd.from_arrow(docs), scale=scale, offset6=off)
+           .to_pandas().sort_values("doc_id"))
+    assert set(out["doc_id"]) == want and 0 < len(out) < 6
+    got_rate = out.set_index("doc_id")["rate6"]
+    for d in want:
+        assert got_rate.loc[d] == rate6[iw["doc_id"].to_numpy() == d][0]

@@ -149,6 +149,9 @@ SQL_NAMES = [
     # round 4 continuation: exact-substring dedup removal (the rewrite
     # behind the dup_ngram_stats signal; byte-exact clean_text)
     "strip_dup_ngrams",
+    # round 4 continuation: DSIR importance resampling (acceptance gate
+    # over importance_weights, all-integer)
+    "dsir_sample",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
