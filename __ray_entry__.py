@@ -1221,6 +1221,17 @@ def _q_dsir_sample(sf_dir: str):
     return textops.dsir_sample(docs)
 
 
+def _q_source_quality_gate(sf_dir: str):
+    """C4-style per-domain curation: one hash(source) exchange of slim
+    (doc, source, q6) rows; mean test integer-exact in-shard."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "source", "text"])
+    return textops.source_quality_gate(docs, tau=0.7)
+
+
 def _q_span_kind_rollup(sf_dir: str):
     """Per-kind rollup over the interleaved span column (the input_hint
     payload): per-batch partials, driver combine, zero shuffles."""
@@ -1827,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract pytest every suite run; promote in round 5
         "strip_dup_ngrams": _q_strip_dup_ngrams,
         "dsir_sample": _q_dsir_sample,
+        "source_quality_gate": _q_source_quality_gate,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -1949,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_stats": oracle.dup_ngram_stats_sql(DUP_NGRAM_N),
         "strip_dup_ngrams": oracle.strip_dup_ngrams_sql(DUP_NGRAM_N),
         "dsir_sample": oracle.dsir_sample_sql(),
+        "source_quality_gate": oracle.source_quality_gate_sql(0.7),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

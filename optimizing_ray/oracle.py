@@ -2493,6 +2493,25 @@ WHERE ((doc_id * {mult}) % 4294967296) * 1000000 < rate6 * 4294967296
 """
 
 
+def source_quality_gate_sql(tau: float = 0.7,
+                            table: str = "documents") -> str:
+    """Per-domain curation gate twin (``textops.source_quality_gate``):
+    the text_analysis quality CTEs feed a per-source HAVING with the
+    integer cross-multiply mean test (sum of q6 >= tau6 * count — no
+    float division), then a semi-join keeps the surviving sources'
+    docs."""
+    tau6 = int(tau * 1e6 + 0.5)  # tau > 0: int() == floor here
+    return f"""
+WITH {text_analysis_ctes(table)},
+q AS (SELECT d.doc_id, d.source, t.quality
+      FROM {table} d JOIN ta t USING (doc_id)),
+ok AS (SELECT source FROM q GROUP BY source
+       HAVING sum(CAST(floor(quality * 1e6 + 0.5) AS BIGINT))
+              >= {tau6} * count(*))
+SELECT q.doc_id, q.source, q.quality FROM q JOIN ok USING (source)
+"""
+
+
 def event_transitions_sql(table: str = "events") -> str:
     """Event-type transition-matrix twin (``windows.event_transitions``):
     lag window over (ts, event_id) per user, group by the pair."""

@@ -17,7 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
-           "dsir_sample",
+           "dsir_sample", "source_quality_gate",
            "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
            "decontaminate", "repetition_stats", "pii_redact",
@@ -1494,3 +1494,58 @@ def dsir_sample(docs: rd.Dataset, *, target_lang: str = "en",
         return out.filter(pa.array(keep))
 
     return iw.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_quality_gate(docs: rd.Dataset, *, tau: float = 0.7,
+                        id_col: str = "doc_id", source_col: str = "source",
+                        text_col: str = "text",
+                        n_shards: int | None = None) -> rd.Dataset:
+    """Per-DOMAIN curation gate (the C4 / Gopher source-level filter):
+    keep every document whose SOURCE's mean quality score >= ``tau`` —
+    a low-quality domain drops wholesale even when an individual page
+    scores well, and vice versa.  Quality is the exact ``analyze_text``
+    composite (already floor(x*1e6+0.5)/1e6, so q6 = round(q*1e6) is an
+    integer both engines agree on); the mean test is the integer
+    cross-multiply sum(q6) >= tau6 * n — no float division anywhere.
+    Output: surviving (doc_id, source, quality) rows.
+
+    Plan: ONE hash(source)-shard exchange of slim (doc, source, q6)
+    rows — a source's docs all co-locate, so its mean test is total
+    in-shard and kept docs emit directly (no survivor broadcast, no
+    join; domains >> shards keeps shards balanced).  SQL twin
+    ``oracle.source_quality_gate_sql``."""
+    import pandas as pd
+
+    tau6 = int(np.floor(tau * 1e6 + 0.5))
+    n_shards = resolve_shards(n_shards)
+    scored = analyze_text(docs.select_columns([id_col, source_col, text_col]))
+
+    s_empty = pa.table({id_col: pa.array([], pa.int64()),
+                        "source": pa.array([], pa.string()),
+                        "q6": pa.array([], pa.int64()),
+                        "_shard": pa.array([], pa.int64())})
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "quality" not in t.column_names:
+            return s_empty
+        q6 = np.floor(t["quality"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5).astype(np.int64)
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(src), index=False).to_numpy()
+        return pa.table({id_col: t[id_col],
+                         "source": t[source_col],
+                         "q6": pa.array(q6),
+                         "_shard": pa.array(
+                             (h % np.uint64(n_shards)).astype(np.int64))})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("source", sort=False)["q6"].agg(["sum", "size"])
+        ok = tot.index[tot["sum"] >= tau6 * tot["size"]]
+        out = g[g["source"].isin(set(ok))]
+        return pd.DataFrame({id_col: out[id_col].to_numpy().astype(np.int64),
+                             "source": out["source"].to_numpy(),
+                             "quality": out["q6"].to_numpy() / 1e6})
+
+    return (scored.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(gate, batch_format="pandas"))

@@ -152,6 +152,9 @@ SQL_NAMES = [
     # round 4 continuation: DSIR importance resampling (acceptance gate
     # over importance_weights, all-integer)
     "dsir_sample",
+    # round 4 continuation: per-domain quality gate (C4-style source
+    # filter; integer cross-multiply mean test)
+    "source_quality_gate",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

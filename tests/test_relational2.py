@@ -205,3 +205,33 @@ def test_strip_dup_ngrams_cuts_covered_tokens(ray_session):
         assert out.loc[i, "n_removed"] == sum(cov)
     # doc 5 is wholly one duplicated gram -> fully stripped
     assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_removed"] == 4
+
+
+def test_source_quality_gate_drops_whole_sources(ray_session):
+    """Per-source mean-quality gate: sources whose mean q6 falls below
+    tau6 drop wholesale; survivors keep every doc with its quality."""
+    from optimizing_ray.pipelines.textops import analyze_text, source_quality_gate
+    texts = {
+        "good": ["the quick brown fox jumps over the lazy dog near the river bank",
+                 "a small team of engineers built the new bridge over the canal"],
+        "junk": ["$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))",
+                 "zzz qqq jjj xxx vvv kkk www yyy hhh ggg"]}
+    rows_id, rows_src, rows_txt = [], [], []
+    i = 1
+    for src, ts in texts.items():
+        for t in ts:
+            rows_id.append(i); rows_src.append(src); rows_txt.append(t); i += 1
+    docs = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                     "source": pa.array(rows_src),
+                     "text": pa.array(rows_txt)})
+    scored = analyze_text(rd.from_arrow(docs)).to_pandas()
+    means = scored.groupby("source")["quality"].mean()
+    assert means["good"] > means["junk"]
+    tau = float((means["good"] + means["junk"]) / 2)
+    out = (source_quality_gate(rd.from_arrow(docs), tau=tau).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert set(out["source"]) == {"good"} and len(out) == 2
+    got = out.set_index("doc_id")["quality"]
+    want = scored.set_index("doc_id")["quality"]
+    for d in out["doc_id"]:
+        assert got.loc[d] == want.loc[d]
