@@ -1534,6 +1534,32 @@ def _q_user_tile_visits(sf_dir: str):
     return windows.user_tile_visits(ev, depth=DEPTH, world=WORLD_2D)
 
 
+GEOFENCE = (25000.0, 30000.0, 60000.0, 70000.0)
+OD_DEPTH = 4
+
+
+def _q_geofence_transitions(sf_dir: str):
+    """Geofence enter/exit events per user: inside-flag per batch, one
+    hash(user) exchange, lexsort + neighbor-compare in-shard."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events")
+    return windows.geofence_transitions(ev, fence=GEOFENCE, world=WORLD_2D)
+
+
+def _q_od_matrix(sf_dir: str):
+    """Origin-destination trip matrix per session: one hash(user)
+    exchange for sessions, one hash(o, d) exchange for pair counts."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events")
+    return windows.od_matrix(ev, depth=OD_DEPTH, world=WORLD_2D)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup against an on-disk fingerprint store —
     the daily-crawl-increment shape: docs with doc_id % 3 != 0 persist
@@ -1839,6 +1865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_ngrams": _q_strip_dup_ngrams,
         "dsir_sample": _q_dsir_sample,
         "source_quality_gate": _q_source_quality_gate,
+        "geofence_transitions": _q_geofence_transitions,
+        "od_matrix": _q_od_matrix,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -1962,6 +1990,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_ngrams": oracle.strip_dup_ngrams_sql(DUP_NGRAM_N),
         "dsir_sample": oracle.dsir_sample_sql(),
         "source_quality_gate": oracle.source_quality_gate_sql(0.7),
+        "geofence_transitions": oracle.geofence_transitions_sql(GEOFENCE),
+        "od_matrix": oracle.od_matrix_sql(OD_DEPTH),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

@@ -2595,6 +2595,75 @@ FROM mz GROUP BY user_id, mkey
 """
 
 
+def geofence_transitions_sql(fence: tuple, world: World = DRIVER_WORLD,
+                             table: str = "events") -> str:
+    """Geofence enter/exit twin (``windows.geofence_transitions``): the
+    shared event-point derivation feeds an inside-flag, lag window over
+    (ts, event_id) per user, transitions where the flag changes."""
+    fx0, fy0, fx1, fy1 = (float(v) for v in fence)
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    {x} AS px, {y} AS py
+             FROM {table}),
+fl AS (SELECT event_id, user_id, ts_us,
+              CASE WHEN px >= {fx0!r} AND px < {fx1!r}
+                    AND py >= {fy0!r} AND py < {fy1!r}
+                   THEN 1 ELSE 0 END AS ins
+       FROM pts),
+seq AS (SELECT *, lag(ins) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev
+        FROM fl)
+SELECT user_id, event_id, CAST(ts_us AS BIGINT) AS ts_us,
+       CASE WHEN ins = 1 THEN 'enter' ELSE 'exit' END AS kind
+FROM seq WHERE prev IS NOT NULL AND prev <> ins
+"""
+
+
+def od_matrix_sql(depth: int, gap_s: int = 1800,
+                  world: World = DRIVER_WORLD,
+                  table: str = "events") -> str:
+    """Origin-destination matrix twin (``windows.od_matrix``): Morton
+    tiles over event points, session ids via the session_window lag +
+    cumulative-sum rule, first/last tile per session via window
+    functions (full frame for last_value), pair counts."""
+    gap_us = int(gap_s) * 1_000_000
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    {x} AS px, {y} AS py
+             FROM {table}),
+cix AS (SELECT event_id, user_id, ts_us,
+               {cell_idx_expr('px', world.min_x, wx, depth)} AS ix,
+               {cell_idx_expr('py', world.min_y, wy, depth)} AS iy
+        FROM pts),
+{morton_ctes('cix', depth, carry='event_id, user_id, ts_us')},
+brk AS (SELECT event_id, user_id, ts_us, mkey,
+               CASE WHEN ts_us - lag(ts_us) OVER
+                         (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    > {gap_us} THEN 1 ELSE 0 END AS b
+        FROM mz),
+sid AS (SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS s
+        FROM brk),
+ses AS (SELECT DISTINCT user_id, s,
+               first_value(mkey) OVER w AS o,
+               last_value(mkey) OVER
+                 (PARTITION BY user_id, s ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS d
+        FROM sid WINDOW w AS (PARTITION BY user_id, s
+                              ORDER BY ts_us, event_id))
+SELECT o AS origin_tile, d AS dest_tile,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM ses GROUP BY o, d
+"""
+
+
 def dedup_incremental_sql(old_mod: int = 3, table: str = "documents") -> str:
     """Incremental-dedup twin (``dedup.filter_new_against_store``): keep
     every doc whose TEXT does not appear among the stored docs

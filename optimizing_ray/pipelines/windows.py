@@ -20,7 +20,7 @@ from optimizing_ray.config import resolve_shards
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_stats", "event_transitions", "user_tile_visits",
-           "late_events",
+           "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join"]
 
@@ -826,3 +826,144 @@ def late_events(events: rd.Dataset, *, key_col: str = "user_id",
     return (events.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(per_shard, batch_format="pandas"))
+
+
+def geofence_transitions(events: rd.Dataset, *, fence: tuple, world,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         n_shards: int | None = None) -> rd.Dataset:
+    """Geofence enter/exit detection — the geo x stream op of a location
+    pipeline: per user, order events by (event time, event_id) and emit
+    a row whenever the inside-the-fence flag CHANGES (first event emits
+    nothing).  ``fence`` = (fx0, fy0, fx1, fy1), half-open axis-aligned
+    box in world coords; event points derive from event_id by the shared
+    driver-table geometry formula (so engine and SQL twin
+    ``oracle.geofence_transitions_sql`` land on identical doubles).
+    Output: (user_id, event_id, ts_us, kind) with kind 'enter'/'exit'.
+
+    Plan: inside-flag computed per batch (zero-copy), ONE hash(user)
+    shard exchange of slim rows, lexsort + neighbor-compare inside the
+    shard (the late_events shape)."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    fx0, fy0, fx1, fy1 = (float(v) for v in fence)
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_eid": pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_in": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        ins = ((x >= fx0) & (x < fx1) & (y >= fy0) & (y < fy1))
+        return pa.table({"user_id": pa.array(key),
+                         "_eid": pa.array(eid),
+                         "_ts": t[ts_col].cast(pa.int64()),
+                         "_in": pa.array(ins.astype(np.int64)),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), g["_ts"].to_numpy(), key))
+        u = key[order]
+        e = g["_eid"].to_numpy()[order]
+        ts = g["_ts"].to_numpy()[order]
+        fl = g["_in"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        idx = np.flatnonzero(same & (fl[1:] != fl[:-1])) + 1
+        kind = np.where(fl[idx] == 1, "enter", "exit")
+        return pd.DataFrame({"user_id": u[idx].astype(np.int64),
+                             "event_id": e[idx].astype(np.int64),
+                             "ts_us": ts[idx].astype(np.int64),
+                             "kind": kind})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas"))
+
+
+def od_matrix(events: rd.Dataset, *, depth: int, world, gap_s: int = 1800,
+              key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id",
+              n_shards: int | None = None) -> rd.Dataset:
+    """Origin-destination trip matrix — per user SESSION (the
+    session_window gap rule), the Morton tile of the session's first
+    event is its origin and of its last event its destination; count
+    trips per (origin, dest) pair.  Output (origin_tile, dest_tile,
+    n_trips).  SQL twin ``oracle.od_matrix_sql``.
+
+    Plan: ONE hash(user) shard exchange of slim rows (a user's sessions
+    are whole within the shard), lexsort + gap-boundary masks give every
+    session's first/last tile vectorized; per-shard (o, d) partial
+    counts then merge on ONE more hash(o, d) exchange — bounded by
+    distinct pairs, never the event count, and fully distributed at any
+    tile depth."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    gap_us = int(gap_s) * 1_000_000
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_eid": pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_tile": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        tile = point_cell2(x, y, world, depth).astype(np.int64)
+        return pa.table({"user_id": pa.array(key),
+                         "_eid": pa.array(eid),
+                         "_ts": t[ts_col].cast(pa.int64()),
+                         "_tile": pa.array(tile),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o": pd.Series([], dtype=np.int64),
+                              "d": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64),
+                              "_shard2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), g["_ts"].to_numpy(), key))
+        u = key[order]
+        ts = g["_ts"].to_numpy()[order]
+        tile = g["_tile"].to_numpy()[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(new_user | gap)
+        ends = np.r_[starts[1:], len(u)] - 1
+        o, d = tile[starts], tile[ends]
+        df = (pd.DataFrame({"o": o, "d": d})
+              .groupby(["o", "d"], sort=False).size().rename("n")
+              .reset_index())
+        with np.errstate(over="ignore"):
+            h = (df["o"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + df["d"].to_numpy().astype(np.uint64))
+        df["n"] = df["n"].astype(np.int64)
+        df["_shard2"] = (h % np.uint64(n_shards)).astype(np.int64)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["o", "d"], sort=False)["n"].sum().reset_index())
+        return pd.DataFrame({"origin_tile": agg["o"].astype(np.int64),
+                             "dest_tile": agg["d"].astype(np.int64),
+                             "n_trips": agg["n"].astype(np.int64)})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+            .groupby("_shard2").map_groups(merge, batch_format="pandas"))

@@ -155,6 +155,9 @@ SQL_NAMES = [
     # round 4 continuation: per-domain quality gate (C4-style source
     # filter; integer cross-multiply mean test)
     "source_quality_gate",
+    # round 4 continuation: geo x stream fusions — geofence enter/exit
+    # transitions and the per-session origin-destination trip matrix
+    "geofence_transitions", "od_matrix",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

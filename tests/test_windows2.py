@@ -296,3 +296,73 @@ def test_wave5_ops_handle_empty_inputs(ray_session):
         "vec_id": pa.array([], pa.int64()),
         "embedding": pa.array([], pa.list_(pa.float32()))}))
     assert ann.embedding_knn_graph(emb, k=3).count() == 0
+
+
+def test_geofence_transitions_emit_on_flag_change(ray_session):
+    """Hand-built stream: user 1 out->in->in->out emits enter+exit; user
+    2 always outside emits nothing; first event never emits."""
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.windows import geofence_transitions
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+    import numpy as np
+
+    wx, wy, _ = WORLD_2D.size
+    eids = np.arange(1, 40, dtype=np.int64)
+    x = WORLD_2D.min_x + _frac(eids, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(eids, GEO_MULTS["y"]) * wy
+    inside = (x >= 25000.0) & (x < 60000.0) & (y >= 30000.0) & (y < 70000.0)
+    ins_ids = eids[inside][:2]
+    out_ids = eids[~inside][:4]
+    # user 1: out, in, in, out (ts ascending); user 2: out, out
+    seq = [(1, out_ids[0], 10), (1, ins_ids[0], 20), (1, ins_ids[1], 30),
+           (1, out_ids[1], 40), (2, out_ids[2], 10), (2, out_ids[3], 20)]
+    t = pa.table({"user_id": pa.array([s[0] for s in seq], pa.int64()),
+                  "event_id": pa.array([s[1] for s in seq], pa.int64()),
+                  "ts": pa.array([s[2] * 1_000_000 for s in seq],
+                                 pa.timestamp("us"))})
+    out = (geofence_transitions(rd.from_arrow(t),
+                                fence=(25000.0, 30000.0, 60000.0, 70000.0),
+                                world=WORLD_2D)
+           .to_pandas().sort_values("ts_us").reset_index(drop=True))
+    assert list(out["user_id"]) == [1, 1]
+    assert list(out["kind"]) == ["enter", "exit"]
+    assert list(out["event_id"]) == [ins_ids[0], out_ids[1]]
+
+
+def test_od_matrix_counts_session_endpoints(ray_session):
+    """Two sessions for one user (gap splits), one for another: the
+    (origin, dest) pairs are the session first/last tiles, counted."""
+    import pyarrow as pa
+    import ray.data as rd
+    import numpy as np
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.pipelines.windows import od_matrix
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    wx, wy, _ = WORLD_2D.size
+    gap = 1800 * 1_000_000
+    # user 1: events 1,2 in session A; big gap; events 3,4 session B
+    # user 2: single-event session (origin == dest)
+    seq = [(1, 1, 0), (1, 2, 60), (1, 3, 4000), (1, 4, 4060), (2, 5, 0)]
+    t = pa.table({"user_id": pa.array([s[0] for s in seq], pa.int64()),
+                  "event_id": pa.array([s[1] for s in seq], pa.int64()),
+                  "ts": pa.array([s[2] * 1_000_000 for s in seq],
+                                 pa.timestamp("us"))})
+    out = (od_matrix(rd.from_arrow(t), depth=4, world=WORLD_2D, gap_s=1800)
+           .to_pandas())
+    eids = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    x = WORLD_2D.min_x + _frac(eids, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(eids, GEO_MULTS["y"]) * wy
+    tile = point_cell2(x, y, WORLD_2D, 4).astype(np.int64)
+    want = {(tile[0], tile[1]): 1, (tile[2], tile[3]): 1,
+            (tile[4], tile[4]): 1}
+    got = {(r.origin_tile, r.dest_tile): r.n_trips
+           for r in out.itertuples()}
+    # identical pairs collapse into counts
+    merged = {}
+    for k, v in want.items():
+        merged[k] = merged.get(k, 0) + v
+    assert got == merged
