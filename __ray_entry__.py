@@ -1560,6 +1560,17 @@ def _q_od_matrix(sf_dir: str):
     return windows.od_matrix(ev, depth=OD_DEPTH, world=WORLD_2D)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score (CCNet perplexity proxy): pair rows and
+    count partials exchange on hash(prev) shards — pair AND prefix
+    counts are both total in-shard — then one doc-hash merge."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.bigram_logprob(docs)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup against an on-disk fingerprint store —
     the daily-crawl-increment shape: docs with doc_id % 3 != 0 persist
@@ -1867,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate": _q_source_quality_gate,
         "geofence_transitions": _q_geofence_transitions,
         "od_matrix": _q_od_matrix,
+        "bigram_logprob": _q_bigram_logprob,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -1992,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_gate": oracle.source_quality_gate_sql(0.7),
         "geofence_transitions": oracle.geofence_transitions_sql(GEOFENCE),
         "od_matrix": oracle.od_matrix_sql(OD_DEPTH),
+        "bigram_logprob": oracle.bigram_logprob_sql(),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

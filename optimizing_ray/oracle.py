@@ -2183,6 +2183,38 @@ FROM per
 """
 
 
+def bigram_logprob_sql(vocab_size: int = 4096,
+                       table: str = "documents") -> str:
+    """Bigram-LM quality-score twin (``textops.bigram_logprob``): pair
+    identity by token STRINGS via a lag window (the engine rides 64-bit
+    hash mixes of the same sequences); add-1 / add-V smoothing with the
+    CONSTANT vocabulary V, prefix counts from the pair counts; docs
+    with < 2 tokens score 0.0; floor(x*1e6+0.5)/1e6 at the END (the
+    engine groups its float sums differently — drift ~1e-12, far inside
+    the guard)."""
+    V = float(vocab_size)
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p,
+                unnest(l) AS tok
+         FROM lists),
+pairs AS (SELECT doc_id, p, lag(tok) OVER (PARTITION BY doc_id ORDER BY p)
+                 AS prev, tok
+          FROM toks),
+pr AS (SELECT doc_id, prev, tok FROM pairs WHERE prev IS NOT NULL),
+pc AS (SELECT prev, tok, count(*) AS c FROM pr GROUP BY prev, tok),
+pv AS (SELECT prev, sum(c) AS cp FROM pc GROUP BY prev),
+per AS (SELECT pr.doc_id, count(*) AS n_pairs,
+               sum(ln(c + 1.0) - ln(cp + {V!r})) AS s
+        FROM pr JOIN pc USING (prev, tok) JOIN pv USING (prev)
+        GROUP BY pr.doc_id)
+SELECT l.doc_id, CAST(COALESCE(per.n_pairs, 0) AS BIGINT) AS n_pairs,
+       COALESCE(floor(per.s / per.n_pairs * 1e6 + 0.5) / 1e6, 0.0)
+         AS logprob
+FROM lists l LEFT JOIN per USING (doc_id)
+"""
+
+
 def chunk_docs_sql(chunk_tokens: int = 64, stride: int = 48,
                    table: str = "documents") -> str:
     """Sliding-window chunking twin (``textops.chunk_docs``): single-space

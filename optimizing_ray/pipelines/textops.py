@@ -16,7 +16,8 @@ from optimizing_ray.config import resolve_shards
 
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
-__all__ = ["pack_sequences", "unigram_logprob", "chunk_docs", "mix_corpus",
+__all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
+           "chunk_docs", "mix_corpus",
            "dsir_sample", "source_quality_gate",
            "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
@@ -1549,3 +1550,236 @@ def source_quality_gate(docs: rd.Dataset, *, tau: float = 0.7,
     return (scored.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(gate, batch_format="pandas"))
+
+
+def _bigram_rows(t: pa.Table, id_col: str, text_col: str):
+    """Per-batch bigram machinery shared by both bigram_logprob plans:
+    returns (doc ids per pair, prev-token hash, pair hash, ids of docs
+    with zero pairs, n_tokens per doc).  Pair identity = 64-bit mix of
+    the two token hashes (decontaminate collision caveat); token
+    semantics = single-space split (token_hashes_batch lockstep)."""
+    from optimizing_ray.functions.text import token_hashes_batch
+
+    th, doffs = token_hashes_batch(t[text_col])
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = np.diff(doffs)
+    total = int(doffs[-1])
+    is_start = np.zeros(total, dtype=bool)
+    if total:
+        is_start[doffs[:-1][ntok > 0]] = True
+    pos = np.flatnonzero(~is_start)
+    prev = th[pos - 1]
+    cur = th[pos]
+    with np.errstate(over="ignore"):
+        ph = prev * np.uint64(0x9E3779B97F4A7C15) + cur
+    doc = np.repeat(ids, ntok)[pos]
+    zero_ids = ids[ntok < 2]
+    return doc, prev, ph, zero_ids, ntok
+
+
+def bigram_logprob(docs: rd.Dataset, *, id_col: str = "doc_id",
+                   text_col: str = "text", vocab_size: int = 4096,
+                   broadcast_threshold: int = 200_000,
+                   nrows: int | None = None,
+                   n_shards: int | None = None) -> rd.Dataset:
+    """Bigram language-model quality score — the CCNet-style perplexity
+    proxy one rung above ``unigram_logprob``: per doc, the mean add-1 /
+    add-V smoothed conditional log-probability of its token bigrams
+    under the corpus's own bigram distribution,
+
+        score = mean_i [ ln(c(prev_i, cur_i) + 1)
+                         - ln(c_prefix(prev_i) + V) ]
+
+    with c_prefix(w) = number of corpus bigrams starting with w and V =
+    ``vocab_size`` a CONSTANT smoothing vocabulary (the fixed-tokenizer
+    convention, which keeps the sharded plan decomposable).  Docs with
+    fewer than 2 tokens score 0.0 with n_pairs 0.  Output (doc_id,
+    n_pairs, logprob), floor(x*1e6+0.5)/1e6 at the END both sides.
+
+    Plans (the unigram_logprob nrows-gate discipline):
+    * BROADCAST (nrows <= threshold): per-batch (pair, n) partials merge
+      driver-side (bounded by distinct pairs), the two count maps ride
+      ray.put, one scoring pass — zero shuffles.
+    * SHARDED (default, no hint): pair rows and count partials exchange
+      on hash(PREV) shards — a prev's whole pair family co-locates, so
+      BOTH the pair counts and the prefix counts are total in-shard and
+      one leg computes the full per-(doc, shard) partial sums; ONE more
+      doc-hash exchange merges (zero-pair docs ride it as (doc, 0, 0)
+      rows).  Wide text bytes never shuffle.  A hot prefix token skews
+      one shard; shards >> nodes keeps workers busy."""
+    import pandas as pd
+
+    from optimizing_ray.pipelines.dedup import _plan_rows
+
+    V = float(vocab_size)
+    n_shards_r = resolve_shards(n_shards)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    if _plan_rows(nrows) <= broadcast_threshold:
+        import ray
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return pa.table({"ph": pa.array([], pa.int64()),
+                                 "pv": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            _, prev, ph, _, _ = _bigram_rows(t, id_col, text_col)
+            key = np.stack([ph.view(np.int64), prev.view(np.int64)], axis=1)
+            uk, cnt = np.unique(key, axis=0, return_counts=True)
+            return pa.table({"ph": pa.array(uk[:, 0]),
+                             "pv": pa.array(uk[:, 1]),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        tabs = [t for t in ray.get(
+            docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            allt = pa.concat_tables(tabs)
+            ph_all = allt["ph"].to_numpy(zero_copy_only=False)
+            pv_all = allt["pv"].to_numpy(zero_copy_only=False)
+            n_all = allt["n"].to_numpy(zero_copy_only=False)
+            pk, inv = np.unique(ph_all, return_inverse=True)
+            pc = np.zeros(len(pk), dtype=np.int64)
+            np.add.at(pc, inv, n_all)
+            vk, vinv = np.unique(pv_all, return_inverse=True)
+            vc = np.zeros(len(vk), dtype=np.int64)
+            np.add.at(vc, vinv, n_all)
+        else:
+            pk = pc = vk = vc = np.zeros(0, dtype=np.int64)
+        state = ray.put((pk, np.log(pc + 1.0), vk, np.log(vc + V)))
+
+        def score(t: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "n_pairs": pa.array([], pa.int64()),
+                              "logprob": pa.array([], pa.float64())})
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return empty
+            from optimizing_ray.broadcast import cached
+            pk_, lp_, vk_, lv_ = cached(("bigram_lm", state),
+                                        lambda: ray.get(state))
+            doc, prev, ph, zero_ids, ntok = _bigram_rows(t, id_col, text_col)
+            s = (lp_[np.searchsorted(pk_, ph.view(np.int64))]
+                 - lv_[np.searchsorted(vk_, prev.view(np.int64))])
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            npairs = np.maximum(ntok - 1, 0)
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(npairs[:-1], out=starts[1:])
+            ssum = np.zeros(len(ids))
+            nz = npairs > 0
+            if s.size:
+                ssum[nz] = np.add.reduceat(s, starts[nz])
+            lp = np.zeros(len(ids))
+            lp[nz] = np.floor(ssum[nz] / npairs[nz] * 1e6 + 0.5) / 1e6
+            return pa.table({id_col: pa.array(ids),
+                             "n_pairs": pa.array(npairs.astype(np.int64)),
+                             "logprob": pa.array(lp)})
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # ---- sharded plan ----
+    u_empty = pa.table({id_col: pa.array([], pa.int64()),
+                        "pv": pa.array([], pa.int64()),
+                        "ph": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "_side": pa.array([], pa.int64()),
+                        "_shard": pa.array([], pa.int64())})
+
+    def _pv_shard(pv_i64: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = pv_i64.view(np.uint64) * MIX
+        return ((h >> np.uint64(33)) % np.uint64(n_shards_r)).astype(np.int64)
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return u_empty
+        doc, prev, ph, _, _ = _bigram_rows(t, id_col, text_col)
+        key = np.stack([doc, prev.view(np.int64), ph.view(np.int64)], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        pv = uk[:, 1]
+        return pa.table({id_col: pa.array(uk[:, 0]),
+                         "pv": pa.array(pv), "ph": pa.array(uk[:, 2]),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "_side": pa.array(np.zeros(len(uk), np.int64)),
+                         "_shard": pa.array(_pv_shard(pv))})
+
+    def cnt_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return u_empty
+        _, prev, ph, _, _ = _bigram_rows(t, id_col, text_col)
+        key = np.stack([ph.view(np.int64), prev.view(np.int64)], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        pv = uk[:, 1]
+        return pa.table({id_col: pa.array(np.zeros(len(uk), np.int64)),
+                         "pv": pa.array(pv), "ph": pa.array(uk[:, 0]),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "_side": pa.array(np.ones(len(uk), np.int64)),
+                         "_shard": pa.array(_pv_shard(pv))})
+
+    def shard_score(g: pd.DataFrame) -> pd.DataFrame:
+        cnts = g[g["_side"] == 1]
+        occ = g[g["_side"] == 0]
+        out_empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                  "s": pd.Series([], dtype=np.float64),
+                                  "np_": pd.Series([], dtype=np.int64)})
+        if len(occ) == 0:
+            return out_empty
+        cp = cnts.groupby("ph", sort=False)["n"].sum()
+        cpre = cnts.groupby("pv", sort=False)["n"].sum()
+        term = (np.log(cp.loc[occ["ph"].to_numpy()].to_numpy() + 1.0)
+                - np.log(cpre.loc[occ["pv"].to_numpy()].to_numpy() + V))
+        nocc = occ["n"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({id_col: occ[id_col].to_numpy(),
+                           "s": term * nocc, "np_": nocc})
+        agg = df.groupby(id_col, sort=False).agg(
+            s=("s", "sum"), np_=("np_", "sum")).reset_index()
+        agg["np_"] = agg["np_"].astype(np.int64)
+        return agg
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "np_": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        _, _, _, zero_ids, _ = _bigram_rows(t, id_col, text_col)
+        return pa.table({id_col: pa.array(zero_ids),
+                         "s": pa.array(np.zeros(len(zero_ids))),
+                         "np_": pa.array(np.zeros(len(zero_ids), np.int64))})
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "np_": pa.array([], pa.int64()),
+                             "_dsh": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * MIX
+        sh = ((h >> np.uint64(33)) % np.uint64(n_shards_r)).astype(np.int64)
+        return t.select([id_col, "s", "np_"]).append_column(
+            "_dsh", pa.array(sh))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False).agg(
+            s=("s", "sum"), n_pairs=("np_", "sum")).reset_index()
+        npp = agg["n_pairs"].to_numpy().astype(np.int64)
+        lp = np.zeros(len(agg))
+        nz = npp > 0
+        lp[nz] = np.floor(agg["s"].to_numpy()[nz] / npp[nz] * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({id_col: agg[id_col].to_numpy(),
+                             "n_pairs": npp, "logprob": lp})
+
+    base = docs.select_columns([id_col, text_col])
+    union = (base.map_batches(occ_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .union(base.map_batches(cnt_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True)))
+    partials = (union.groupby("_shard").map_groups(shard_score,
+                                                   batch_format="pandas")
+                .union(base.map_batches(zero_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+    return (partials.map_batches(add_dshard, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("_dsh").map_groups(finalize, batch_format="pandas"))

@@ -392,3 +392,38 @@ def test_dsir_sample_gate_is_exact(ray_session):
     got_rate = out.set_index("doc_id")["rate6"]
     for d in want:
         assert got_rate.loc[d] == rate6[iw["doc_id"].to_numpy() == d][0]
+
+
+@pytest.mark.parametrize("plan_kw", [{"nrows": 10}, {}],
+                         ids=["broadcast", "sharded"])
+def test_bigram_logprob_matches_brute(ray_session, plan_kw):
+    """Both plans vs a Counter brute over token-string bigrams,
+    including a single-token doc (0 pairs -> 0.0) and repeated pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from optimizing_ray.pipelines.textops import bigram_logprob
+
+    V = 4096.0
+    texts = ["a b a b c", "b c b c", "a", "x y x y x"]
+    ids = [1, 2, 3, 4]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+    pc, pv = Counter(), Counter()
+    for t in texts:
+        tk = t.split(" ")
+        for a, b in zip(tk, tk[1:]):
+            pc[(a, b)] += 1
+            pv[a] += 1
+    out = (bigram_logprob(rd.from_arrow(docs), **plan_kw).to_pandas()
+           .set_index("doc_id").sort_index())
+    for i, t in zip(ids, texts):
+        tk = t.split(" ")
+        prs = list(zip(tk, tk[1:]))
+        assert out.loc[i, "n_pairs"] == len(prs)
+        if not prs:
+            assert out.loc[i, "logprob"] == 0.0
+            continue
+        s = sum(np.log(pc[p] + 1.0) - np.log(pv[p[0]] + V) for p in prs)
+        want = np.floor(s / len(prs) * 1e6 + 0.5) / 1e6
+        assert out.loc[i, "logprob"] == want

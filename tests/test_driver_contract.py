@@ -158,6 +158,9 @@ SQL_NAMES = [
     # round 4 continuation: geo x stream fusions — geofence enter/exit
     # transitions and the per-session origin-destination trip matrix
     "geofence_transitions", "od_matrix",
+    # round 4 continuation: bigram-LM quality score (CCNet-style
+    # perplexity proxy; hash(prev) shard co-locates pair + prefix counts)
+    "bigram_logprob",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
