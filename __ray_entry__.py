@@ -1571,6 +1571,16 @@ def _q_bigram_logprob(sf_dir: str):
     return textops.bigram_logprob(docs)
 
 
+def _q_knn_classify(sf_dir: str):
+    """kNN majority-vote classifier over embeddings: train matrix
+    broadcast once, one streaming pass, vectorized per-query vote."""
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings")
+    return ann.knn_classify(emb)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup against an on-disk fingerprint store —
     the daily-crawl-increment shape: docs with doc_id % 3 != 0 persist
@@ -1879,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofence_transitions": _q_geofence_transitions,
         "od_matrix": _q_od_matrix,
         "bigram_logprob": _q_bigram_logprob,
+        "knn_classify": _q_knn_classify,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2005,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": oracle.geofence_transitions_sql(GEOFENCE),
         "od_matrix": oracle.od_matrix_sql(OD_DEPTH),
         "bigram_logprob": oracle.bigram_logprob_sql(),
+        "knn_classify": oracle.knn_classify_sql(),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),

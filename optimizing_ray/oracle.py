@@ -2603,6 +2603,43 @@ FROM r WHERE rn <= {k}
 """
 
 
+def knn_classify_sql(k: int = 5, holdout_mod: int = 5,
+                     holdout_rem: int = 0, scale: int = 1024,
+                     table: str = "embeddings") -> str:
+    """kNN majority-vote classifier twin (``ann.knn_classify``):
+    exhaustive quantized-integer L2 from the held-out queries to the
+    train split, row_number cut at k under (d2, train_id), then the
+    (count DESC, label ASC) vote winner per query."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+           AS q
+  FROM {table}),
+d AS (SELECT a.vec_id AS qv, b.vec_id AS tv,
+             sum((a.q - b.q) * (a.q - b.q)) AS d2
+      FROM eq a JOIN eq b ON a.pos = b.pos
+      WHERE a.vec_id % {holdout_mod} = {holdout_rem}
+        AND b.vec_id % {holdout_mod} <> {holdout_rem}
+      GROUP BY a.vec_id, b.vec_id),
+r AS (SELECT qv, tv, d2,
+             row_number() OVER (PARTITION BY qv ORDER BY d2, tv) AS rn
+      FROM d),
+nb AS (SELECT r.qv, e.label FROM r JOIN {table} e ON e.vec_id = r.tv
+       WHERE rn <= {k}),
+vc AS (SELECT qv, label, count(*) AS c FROM nb GROUP BY qv, label),
+w AS (SELECT qv, label, c,
+             row_number() OVER (PARTITION BY qv ORDER BY c DESC, label ASC)
+               AS wr
+      FROM vc)
+SELECT w.qv AS vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(w.label AS BIGINT) AS pred_label, CAST(w.c AS BIGINT) AS n_votes
+FROM w JOIN {table} e ON e.vec_id = w.qv
+WHERE w.wr = 1
+"""
+
+
 def user_tile_visits_sql(depth: int, world: World = DRIVER_WORLD,
                          table: str = "events") -> str:
     """Spatio-temporal visit-matrix twin (``windows.user_tile_visits``):

@@ -18,6 +18,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["embedding_knn_graph", "embedding_knn_graph_ivf",
+           "knn_classify",
            "semantic_decontaminate",
            "brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
            "train_pq", "pq_encode", "pq_topk",
@@ -989,3 +990,105 @@ def embedding_knn_graph_ivf(emb: rd.Dataset, seeds: np.ndarray, *,
                             zero_copy_batch=True)
             .groupby("_shard").map_groups(per_cell, batch_format="pyarrow"))
     return cand.groupby("_shard2").map_groups(final, batch_format="pandas")
+
+
+def knn_classify(emb: rd.Dataset, *, k: int = 5, holdout_mod: int = 5,
+                 holdout_rem: int = 0, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label",
+                 scale: int = 1024,
+                 corpus_chunk: int = 8192) -> rd.Dataset:
+    """kNN majority-vote classification over the embedding column — the
+    similarity-search stand-in for a fastText-style quality / domain
+    classifier in a curation pipeline: vectors with
+    ``id % holdout_mod == holdout_rem`` are the held-out QUERY set, the
+    rest the labeled TRAIN set; each query takes the majority label of
+    its ``k`` nearest train vectors under quantized-int64 L2 with the
+    exact (d2, train_id) total order (the embedding_knn_graph
+    discipline); vote ties break to the SMALLEST label, so the result
+    is bit-identical to the SQL row_number twin
+    (``oracle.knn_classify_sql``).  Output (vec_id, label, pred_label,
+    n_votes) — true label kept for accuracy / confusion analysis.
+
+    Plan: the quantized TRAIN matrix rides ``ray.put`` once; queries
+    stream in one pass of chunked int64 matmuls with tie-retaining
+    partial top-k per chunk (exact final lexsort cut), then a
+    vectorized per-query vote — zero shuffles.  This is the brute
+    BASELINE (the embedding_knn_graph shape); the scale path buckets
+    train vectors with the IVF index exactly as
+    ``embedding_knn_graph_ivf`` does."""
+    chunks = [t for t in ray.get(emb.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "pred_label": pa.array([], pa.int64()),
+                      "n_votes": pa.array([], pa.int64())})
+    if not chunks:
+        return rd.from_arrow(empty)
+    corpus = pa.concat_tables(chunks)
+    ids_all = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_train = (ids_all % holdout_mod) != holdout_rem
+    tids = ids_all[is_train]
+    tlab = (corpus[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[is_train])
+    T = np.floor(_to_matrix(corpus[vec_col]) * float(scale)).astype(
+        np.int64)[is_train]
+    tref = ray.put((tids, tlab, np.ascontiguousarray(T)))
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return empty
+        from optimizing_ray.broadcast import cached
+        ids_t, lab_t, Tm = cached(("knn_classify_train", tref),
+                                  lambda: ray.get(tref))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = (ids % holdout_mod) == holdout_rem
+        if not qm.any():
+            return empty
+        qids = ids[qm]
+        qlab = t[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[qm]
+        Q = np.floor(_to_matrix(t[vec_col]) * float(scale)).astype(
+            np.int64)[qm]
+        qn = (Q * Q).sum(axis=1)
+        cand_r, cand_c, cand_d = [], [], []
+        for s in range(0, len(ids_t), corpus_chunk):
+            e = min(s + corpus_chunk, len(ids_t))
+            Cc = Tm[s:e]
+            D = (qn[:, None] - 2 * (Q @ Cc.T)
+                 + (Cc * Cc).sum(axis=1)[None, :])
+            kk = min(k, D.shape[1])
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            thr = np.take_along_axis(D, part, axis=1).max(axis=1)
+            mask = D <= thr[:, None]  # partial top-k PLUS k-th ties
+            r, c = np.nonzero(mask)
+            cand_r.append(r)
+            cand_c.append(c + s)
+            cand_d.append(D[r, c])
+        r = np.concatenate(cand_r)
+        cidx = np.concatenate(cand_c)
+        d2 = np.concatenate(cand_d)
+        nid = ids_t[cidx]
+        order = np.lexsort((nid, d2, r))
+        r, cidx = r[order], cidx[order]
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        rank = np.arange(len(r)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(r)])) + 1
+        keep = rank <= k
+        r, lab = r[keep], lab_t[cidx[keep]]
+        # vectorized vote: counts per (query, label) segment, then the
+        # (count DESC, label ASC) winner per query
+        o2 = np.lexsort((lab, r))
+        r2, l2 = r[o2], lab[o2]
+        seg = np.flatnonzero(np.r_[True, (r2[1:] != r2[:-1])
+                                   | (l2[1:] != l2[:-1])])
+        cnt = np.diff(np.r_[seg, len(r2)]).astype(np.int64)
+        rq, rl = r2[seg], l2[seg]
+        o3 = np.lexsort((rl, -cnt, rq))
+        rq, rl, cnt = rq[o3], rl[o3], cnt[o3]
+        first = np.flatnonzero(np.r_[True, rq[1:] != rq[:-1]])
+        return pa.table({id_col: pa.array(qids[rq[first]]),
+                         "label": pa.array(qlab[rq[first]]),
+                         "pred_label": pa.array(rl[first]),
+                         "n_votes": pa.array(cnt[first])})
+
+    return emb.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True)

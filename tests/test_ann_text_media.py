@@ -325,3 +325,47 @@ def test_embedding_knn_graph_ivf_full_probe_equals_brute(ray_session):
     bset = set(map(tuple, brute[["vec_id", "neighbor_id"]].values))
     oset = set(map(tuple, one[["vec_id", "neighbor_id"]].values))
     assert len(bset & oset) / len(bset) > 0.6
+
+
+def test_knn_classify_majority_and_ties(ray_session):
+    """Planted geometry: queries sit on top of known-label clusters;
+    a vote tie breaks to the smallest label."""
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.ann import knn_classify
+
+    # train ids (not % 5 == 0): two clusters, labels 1 and 2
+    # query ids (% 5 == 0): 10 near cluster A, 20 equidistant tie
+    rows = []
+    for i, vid in enumerate([1, 2, 3]):        # cluster A, label 1
+        rows.append((vid, [0.0, 0.1 * i], 1))
+    for i, vid in enumerate([6, 7, 8]):        # cluster B, label 2
+        rows.append((vid, [10.0, 0.1 * i], 2))
+    rows.append((10, [0.0, 0.05], 9))          # query near A
+    rows.append((4, [5.0, 0.0], 1))            # midpoint train, label 1
+    rows.append((9, [5.0, 0.1], 2))            # midpoint train, label 2
+    rows.append((20, [5.0, 0.05], 9))          # query: 2 votes vs 2 votes
+    t = pa.table({"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "embedding": pa.array([r[1] for r in rows],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([r[2] for r in rows], pa.int32())})
+    out = (knn_classify(rd.from_arrow(t), k=3, holdout_mod=5,
+                        holdout_rem=0).to_pandas()
+           .set_index("vec_id").sort_index())
+    assert set(out.index) == {10, 20}
+    assert out.loc[10, "pred_label"] == 1 and out.loc[10, "n_votes"] == 3
+    # query 20's 3 nearest: the two midpoint trains + one cluster — the
+    # exact winner depends on the (count, label) rule; recompute brute
+    import numpy as np
+    q = np.floor(np.array([5.0, 0.05]) * 1024).astype(np.int64)
+    trains = [(r[0], np.floor(np.array(r[1]) * 1024).astype(np.int64), r[2])
+              for r in rows if r[0] % 5 != 0]
+    d = sorted(((int(((q - v) ** 2).sum()), vid, lab)
+                for vid, v, lab in trains))[:3]
+    from collections import Counter
+    cnt = Counter(lab for _, _, lab in d)
+    top = max(cnt.values())
+    want = min(l for l, c in cnt.items() if c == top)
+    assert out.loc[20, "pred_label"] == want
+    assert out.loc[20, "n_votes"] == top
+    assert out.loc[20, "label"] == 9

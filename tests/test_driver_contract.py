@@ -161,6 +161,9 @@ SQL_NAMES = [
     # round 4 continuation: bigram-LM quality score (CCNet-style
     # perplexity proxy; hash(prev) shard co-locates pair + prefix counts)
     "bigram_logprob",
+    # round 4 continuation: kNN majority-vote classifier (the
+    # similarity-search quality-classifier stand-in)
+    "knn_classify",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
