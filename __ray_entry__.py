@@ -577,6 +577,19 @@ def _q_sales_by_nation(sf_dir: str):
     return relational.sales_by_nation(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 twin: integer-cents pricing summary (bounded per-batch
+    partials over the 6 flag/status combos, zero shuffles)."""
+    from optimizing_ray.pipelines import relational
+    from optimizing_ray.sources import driver_tables
+
+    li = driver_tables.read(sf_dir, "lineitem",
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity", "l_extendedprice",
+                                     "l_discount", "l_tax", "l_shipdate"])
+    return relational.pricing_summary(li)
+
+
 def _q_median_qty(sf_dir: str):
     from optimizing_ray.pipelines import sketches
     from optimizing_ray.sources import driver_tables
@@ -1890,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": _q_od_matrix,
         "bigram_logprob": _q_bigram_logprob,
         "knn_classify": _q_knn_classify,
+        "pricing_summary": _q_pricing_summary,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2029,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": oracle.distinct_sources_sql(),
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
+        "pricing_summary": oracle.pricing_summary_sql(),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),
         "global_rank": oracle.global_rank_sql(),

@@ -2966,3 +2966,40 @@ SELECT doc_id, ord,
             AS BIGINT) AS afp
 FROM h
 """
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02",
+                        table: str = "lineitem") -> str:
+    """TPC-H Q1 twin (relational.pricing_summary): integer-cents fixed
+    point keeps every sum order-exact; averages use the divisible-
+    subtraction floor division (all operands nonnegative).  DuckDB sums
+    integers as HUGEINT automatically — cast each output to BIGINT (the
+    HUGEINT->float64 pandas gotcha)."""
+    return f"""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dc,
+         CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tc
+  FROM {table}
+  WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(qc) AS BIGINT) AS sum_qty_c,
+         CAST(SUM(pc) AS BIGINT) AS sum_base_c,
+         CAST(SUM(dc) AS BIGINT) AS sum_disc_c,
+         CAST(SUM(pc * (100 - dc)) AS BIGINT) AS sum_disc_price4,
+         CAST(SUM(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS sum_charge6,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM q GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c,
+       sum_disc_price4, sum_charge6, count_order,
+       CAST((sum_qty_c - (sum_qty_c % count_order)) / count_order
+            AS BIGINT) AS avg_qty_c,
+       CAST((sum_base_c - (sum_base_c % count_order)) / count_order
+            AS BIGINT) AS avg_price_c,
+       CAST((sum_disc_c - (sum_disc_c % count_order)) / count_order
+            AS BIGINT) AS avg_disc_c
+FROM s
+"""

@@ -14,7 +14,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join"]
+__all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
+           "pricing_summary"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -187,3 +188,92 @@ def bloom_semi_join(left: rd.Dataset, right_keys: rd.Dataset, *, on: str,
     return hash_shard_join(candidates, right_keys, on=on, how="inner",
                            n_shards=n_shards, lschema=lschema,
                            rschema=rschema)
+
+
+# --- TPC-H Q1 pricing summary (integer-cents exact) -------------------------
+
+def pricing_summary(li: rd.Dataset, *, cutoff: str = "1998-09-02") -> pa.Table:
+    """TPC-H Q1 twin: per (returnflag, linestatus) pricing summary over
+    lineitem rows shipped on or before ``cutoff``.
+
+    Exactness: every money/rate column is 2-decimal by TPC-H convention,
+    so floor(x*100+0.5) cents are exact int64 on both engines; the
+    derived sums stay integer (disc_price in 1e-4 dollars, charge in
+    1e-6), so parallel partial sums are order-exact — no float rounding
+    discipline needed anywhere.  Averages are integer floor-divisions
+    (all operands nonnegative; DuckDB twin uses the divisible-
+    subtraction form).  Overflow headroom: charge6 <= ~1e11/row, so
+    int64 holds ~9e7 rows per PARTIAL (one batch); the driver merge
+    re-sums <= 6 rows per block in Python ints via pandas int64 —
+    at 100 TB shard the merge by group key first (6 keys — trivial).
+
+    Plan: one streaming pass, per-batch lexsort+reduceat partials
+    bounded by the 6 (flag, status) combos, driver merge of <= 6 rows
+    per block; zero shuffles (reference relational surface:
+    aggregation over scan, SURVEY.md section 2.5).
+    """
+    cut = np.datetime64(cutoff)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "sum_qty_c": pa.array([], pa.int64()),
+            "sum_base_c": pa.array([], pa.int64()),
+            "sum_disc_c": pa.array([], pa.int64()),
+            "sum_disc_price4": pa.array([], pa.int64()),
+            "sum_charge6": pa.array([], pa.int64()),
+            "count_order": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0 or "l_shipdate" not in t.column_names:
+            return empty
+        keep = t["l_shipdate"].to_numpy() <= cut
+        if not keep.any():
+            return empty
+        t = t.filter(pa.array(keep))
+        qc = np.floor(t["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        pc = np.floor(t["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        tc = np.floor(t["l_tax"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc_price4 = pc * (100 - dc)
+        charge6 = disc_price4 * (100 + tc)
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        stat = t["l_linestatus"].to_numpy(zero_copy_only=False)
+        combo = np.char.add(np.char.add(flag.astype("U1"), "|"),
+                            stat.astype("U1"))
+        uk, inv = np.unique(combo, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uk)))
+        out = {"l_returnflag": pa.array([u[0] for u in uk]),
+               "l_linestatus": pa.array([u[2] for u in uk])}
+        for name, col in (("sum_qty_c", qc), ("sum_base_c", pc),
+                          ("sum_disc_c", dc),
+                          ("sum_disc_price4", disc_price4),
+                          ("sum_charge6", charge6)):
+            out[name] = pa.array(np.add.reduceat(col[order], starts))
+        out["count_order"] = pa.array(np.diff(
+            np.append(starts, len(inv))).astype(np.int64))
+        return pa.table(out)
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        agg = pd.DataFrame(columns=["l_returnflag", "l_linestatus",
+                                    "sum_qty_c", "sum_base_c", "sum_disc_c",
+                                    "sum_disc_price4", "sum_charge6",
+                                    "count_order"])
+    else:
+        agg = (parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
+               .sum().reset_index())
+    n = agg["count_order"].to_numpy(np.int64) if len(agg) else np.array([], np.int64)
+    cols = {"l_returnflag": pa.array(agg["l_returnflag"].astype(str)),
+            "l_linestatus": pa.array(agg["l_linestatus"].astype(str))}
+    for c in ("sum_qty_c", "sum_base_c", "sum_disc_c", "sum_disc_price4",
+              "sum_charge6", "count_order"):
+        cols[c] = pa.array(agg[c].to_numpy(np.int64) if len(agg)
+                           else np.array([], np.int64))
+    for src, dst in (("sum_qty_c", "avg_qty_c"), ("sum_base_c", "avg_price_c"),
+                     ("sum_disc_c", "avg_disc_c")):
+        s = cols[src].to_numpy(zero_copy_only=False)
+        cols[dst] = pa.array(s // n if len(agg) else np.array([], np.int64))
+    return pa.table(cols)

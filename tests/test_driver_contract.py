@@ -164,6 +164,9 @@ SQL_NAMES = [
     # round 4 continuation: kNN majority-vote classifier (the
     # similarity-search quality-classifier stand-in)
     "knn_classify",
+    # round 4 wave 6: TPC-H Q1 pricing summary (integer-cents exact,
+    # bounded partials, zero shuffles)
+    "pricing_summary",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

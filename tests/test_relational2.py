@@ -235,3 +235,50 @@ def test_source_quality_gate_drops_whole_sources(ray_session):
     want = scored.set_index("doc_id")["quality"]
     for d in out["doc_id"]:
         assert got.loc[d] == want.loc[d]
+
+
+def test_pricing_summary_matches_pandas_brute(ray_session):
+    """Integer-cents TPC-H Q1 twin == float pandas brute (the fixture
+    values are exact 2-decimal, so cents arithmetic loses nothing), and
+    the shipdate cutoff actually filters."""
+    import pandas as pd
+    from optimizing_ray.pipelines.relational import pricing_summary
+
+    n = 400
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["O", "F"], n),
+        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_extendedprice": rng.integers(100, 10_000_000, n) / 100.0,
+        "l_discount": rng.integers(0, 11, n) / 100.0,
+        "l_tax": rng.integers(0, 9, n) / 100.0,
+        "l_shipdate": pd.to_datetime("1998-01-01")
+        + pd.to_timedelta(rng.integers(0, 700, n), unit="D"),
+    })
+    out = pricing_summary(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    ).to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    kept = df[df.l_shipdate <= pd.Timestamp("1998-09-02")].copy()
+    assert 0 < len(kept) < n
+    kept["qc"] = np.floor(kept.l_quantity * 100 + 0.5).astype(np.int64)
+    kept["pc"] = np.floor(kept.l_extendedprice * 100 + 0.5).astype(np.int64)
+    kept["dc"] = np.floor(kept.l_discount * 100 + 0.5).astype(np.int64)
+    kept["tc"] = np.floor(kept.l_tax * 100 + 0.5).astype(np.int64)
+    kept["dp4"] = kept.pc * (100 - kept.dc)
+    kept["ch6"] = kept.dp4 * (100 + kept.tc)
+    g = (kept.groupby(["l_returnflag", "l_linestatus"], sort=True)
+         .agg(sum_qty_c=("qc", "sum"), sum_base_c=("pc", "sum"),
+              sum_disc_c=("dc", "sum"), sum_disc_price4=("dp4", "sum"),
+              sum_charge6=("ch6", "sum"), count_order=("qc", "size"))
+         .reset_index())
+    for c in ["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_disc_price4",
+              "sum_charge6", "count_order"]:
+        assert (out[c].to_numpy() == g[c].to_numpy()).all(), c
+    assert (out["avg_qty_c"].to_numpy()
+            == g.sum_qty_c.to_numpy() // g.count_order.to_numpy()).all()
+    # cents round-trip is exact: sum of floats == cents sum / 100
+    assert np.allclose(out["sum_base_c"].to_numpy() / 100.0,
+                       kept.groupby(["l_returnflag", "l_linestatus"],
+                                    sort=True).l_extendedprice.sum().to_numpy())
