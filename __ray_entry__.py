@@ -474,6 +474,16 @@ def _q_source_cap(sf_dir: str):
     return textops.source_cap(docs, k=20)
 
 
+def _q_sample_per_group(sf_dir: str):
+    """Fixed-quota deterministic sample: exactly min(5, |source|) docs
+    per source by 2^32-wrap hash rank (eval-set carving)."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "source"])
+    return textops.sample_per_group(docs, n=5)
+
+
 def _q_global_rank(sf_dir: str):
     """Distributed global sort/rank (TeraSort shape): sample boundaries,
     range-partition exchange, per-part sort + prefix offsets."""
@@ -1904,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "knn_classify": _q_knn_classify,
         "pricing_summary": _q_pricing_summary,
+        "sample_per_group": _q_sample_per_group,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2044,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
+        "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),
         "global_rank": oracle.global_rank_sql(),

@@ -3003,3 +3003,21 @@ SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c,
             AS BIGINT) AS avg_disc_c
 FROM s
 """
+
+
+def sample_per_group_sql(n: int = 5, mult: int = 3_267_000_013,
+                         table: str = "documents") -> str:
+    """textops.sample_per_group twin: fixed-quota per-group sample by
+    the 2^32-wrap hash rank (ties by doc_id — the hash is a permutation
+    of ids so ties cannot occur, but the order pins the convention)."""
+    return f"""
+SELECT source, doc_id, smp_h, smp_rank
+FROM (
+  SELECT source, doc_id,
+         (doc_id * {mult}) % 4294967296 AS smp_h,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {mult}) % 4294967296, doc_id) AS smp_rank
+  FROM {table}
+) s WHERE smp_rank <= {n}
+"""

@@ -157,6 +157,43 @@ def source_cap(docs: rd.Dataset, *, group_col: str = "source",
                            ascending=True, n_shards=n_shards)
 
 
+SAMPLE_MULT = 3_267_000_013  # odd, independent of the train_split family
+
+
+def sample_per_group(docs: rd.Dataset, *, group_col: str = "source",
+                     id_col: str = "doc_id", n: int = 5,
+                     n_shards: int | None = None) -> rd.Dataset:
+    """Deterministic n-per-group sample: exactly min(n, |group|) rows per
+    group, chosen by ranking ids under an independent 2^32-wrap hash
+    (h = (id * SAMPLE_MULT) mod 2^32 — the train_split permutation
+    family; a plain odd multiply mod 2^64 would NOT permute small ids).
+    Unlike stratified_sample's per-row keep-rate (binomial counts), this
+    is the fixed-quota flavor a curation funnel uses for "take 5 docs
+    from every domain for the eval set".
+
+    Scale shape = source_cap: each batch forwards at most n rows per
+    group it sees (in-batch partial bottom-n on the hash), so the single
+    hash(group) exchange moves O(n x groups) rows.  Stable across block
+    layout and resumes (pure function of the id set).  Guard: ids must
+    stay below ~2^31 so id * SAMPLE_MULT fits int64 (driver ids do; at
+    larger id spaces swap in the splitmix64 lane).
+    """
+    def add_h(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "smp_h": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(SAMPLE_MULT)) % np.int64(1 << 32)
+        return t.append_column("smp_h", pa.array(h))
+
+    withh = docs.map_batches(add_h, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return top_k_per_group(withh, group_col=group_col, order_col="smp_h",
+                           id_col=id_col, k=n, rank_name="smp_rank",
+                           ascending=True, n_shards=n_shards)
+
+
 def train_split(docs: rd.Dataset, *, id_col: str = "doc_id",
                 train_frac: float = 0.9, mult: int = 2_885_564_557) -> rd.Dataset:
     """Deterministic train/val assignment by id hash — stable across runs,

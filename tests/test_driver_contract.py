@@ -167,6 +167,8 @@ SQL_NAMES = [
     # round 4 wave 6: TPC-H Q1 pricing summary (integer-cents exact,
     # bounded partials, zero shuffles)
     "pricing_summary",
+    # round 4 wave 6: fixed-quota deterministic per-group sampling
+    "sample_per_group",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -282,3 +282,33 @@ def test_pricing_summary_matches_pandas_brute(ray_session):
     assert np.allclose(out["sum_base_c"].to_numpy() / 100.0,
                        kept.groupby(["l_returnflag", "l_linestatus"],
                                     sort=True).l_extendedprice.sum().to_numpy())
+
+
+def test_sample_per_group_quota_and_determinism(ray_session):
+    """Exactly min(n, |group|) rows per group, identical across block
+    layouts (pure function of the id set), and ranks follow the 2^32-wrap
+    hash order."""
+    from optimizing_ray.pipelines.textops import SAMPLE_MULT, sample_per_group
+
+    ids = np.arange(1, 301, dtype=np.int64)
+    src = np.where(ids % 7 == 0, "rare", np.where(ids % 2 == 0, "even", "odd"))
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src.tolist())})
+
+    def run(nblocks):
+        out = sample_per_group(rd.from_arrow(t).repartition(nblocks),
+                               n=4).to_pandas()
+        return out.sort_values(["source", "smp_rank"]).reset_index(drop=True)
+
+    a, b = run(1), run(9)
+    assert a.equals(b)
+    sizes = a.groupby("source").size()
+    assert (sizes == 4).all()  # every group has >= 4 members here
+    # rank order == hash order within each group
+    for _, g in a.groupby("source"):
+        h = (g.doc_id.to_numpy() * SAMPLE_MULT) % (1 << 32)
+        assert (g.smp_h.to_numpy() == h).all()
+        assert (np.argsort(h, kind="stable") + 1 == g.smp_rank.to_numpy()).all()
+    # a group smaller than n returns the whole group
+    small = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "source": pa.array(["s", "s"])})
+    assert len(sample_per_group(rd.from_arrow(small), n=10).to_pandas()) == 2
