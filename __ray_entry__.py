@@ -1052,6 +1052,19 @@ def _q_interval_join(sf_dir: str):
     return windows.interval_join(ev, nrows=_tbl_rows(sf_dir, "events"))
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Per-user union-of-intervals coverage (uptime view): same derived
+    [s, s+dur) intervals as interval_join; ONE hash(user) shard exchange,
+    vectorized gaps-and-islands inside the shard."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "ts", "user_id"],
+                            num_blocks=8)
+    return windows.interval_coverage(ev)
+
+
 def _q_tile_median(sf_dir: str):
     """Per-tile median of n_chars: the mergeable quantile sketch keyed
     by Morton cell (spatial x sketch composition; hash(cell) % 32
@@ -1915,6 +1928,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         "pricing_summary": _q_pricing_summary,
         "sample_per_group": _q_sample_per_group,
+        # wave 6: union-of-intervals coverage (gaps-and-islands) — born
+        # past-cap like the other continuation ops; its DuckDB hash
+        # check runs in the contract pytest every suite run
+        "interval_coverage": _q_interval_coverage,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2016,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
             synth.polygons_table(8, world=WORLD_2D)),
         "tile_median": oracle.tile_median_sql(DEPTH),
         "interval_join": oracle.interval_join_sql(),
+        "interval_coverage": oracle.interval_coverage_sql(),
         "geohash": oracle.geohash_sql(GEOHASH_LEN),
         "tile_topk": oracle.tile_topk_sql(DEPTH, TILE_TOPK_K),
         "stratified_sample": oracle.stratified_sample_sql(STRAT_RATES, 0.1),

@@ -1630,6 +1630,45 @@ WHERE a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
 """
 
 
+def interval_coverage_sql(table: str = "events") -> str:
+    """Union-of-intervals coverage twin (``windows.interval_coverage``):
+    the classic gaps-and-islands window pattern — running max end per
+    user with a 1-preceding frame flags island starts (s > prev frontier
+    merges touching half-open intervals), a running sum numbers islands,
+    and each island's union length is max(e) - min(s).  All int64 µs."""
+    from optimizing_ray.pipelines.windows import (
+        IVJ_DUR_MIN_US, IVJ_DUR_MULT, IVJ_DUR_SALT, IVJ_DUR_SPAN_US)
+    dur = (f"({IVJ_DUR_MIN_US} + ((event_id + {IVJ_DUR_SALT}) "
+           f"* {IVJ_DUR_MULT}) % {1 << 32} % {IVJ_DUR_SPAN_US})")
+    return f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {dur} AS e
+  FROM {table}),
+w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_cm
+  FROM iv),
+f AS (
+  SELECT *, CASE WHEN prev_cm IS NULL OR s > prev_cm THEN 1 ELSE 0 END
+           AS isl_start
+  FROM w),
+g AS (
+  SELECT *, SUM(isl_start) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM f),
+i AS (
+  SELECT user_id, isl, MIN(s) AS s0, MAX(e) AS e1, COUNT(*) AS cnt
+  FROM g GROUP BY user_id, isl)
+SELECT user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id
+"""
+
+
 def geohash_sql(length: int = 8, world: World = DRIVER_WORLD,
                 table: str = "documents") -> str:
     """Geohash twin: quantize, spread-interleave (x on the odd LSB

@@ -22,7 +22,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_stats", "event_transitions", "user_tile_visits",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
-           "interval_join"]
+           "interval_join", "interval_coverage"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -967,3 +967,77 @@ def od_matrix(events: rd.Dataset, *, depth: int, world, gap_s: int = 1800,
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(per_shard, batch_format="pandas")
             .groupby("_shard2").map_groups(merge, batch_format="pandas"))
+
+
+def interval_coverage(events: rd.Dataset, *, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      n_shards: int | None = None) -> rd.Dataset:
+    """Per-user union-of-intervals coverage — the utilization/uptime view
+    of the stream: each event owns the half-open interval [s, s + dur)
+    (``interval_durations``, the interval_join derivation), and one row
+    per user reports
+
+        n_intervals, n_islands (maximal runs of overlapping-or-touching
+        intervals), covered_us (total length of the union).
+
+    Semantics: intervals sorted by (s, e); an interval starts a new
+    island iff its s exceeds the running max end of all earlier
+    intervals (touching at s == prev_end merges — the half-open
+    convention).  Within an island the union is contiguous, so its
+    length is max(e) - min(s); all arithmetic is int64 microseconds —
+    exact on both engines (SQL twin ``oracle.interval_coverage_sql``:
+    max-over 1-preceding frame + island running sum).
+
+    Scale shape: ONE hash(user) shard exchange of slim (user, s, e)
+    rows; inside the shard a lexsort + pandas Cython cummax/shift per
+    user segment, then two vectorized groupbys (island, user).  Nothing
+    driver-side; shard width is cluster-derived (resolve_shards).
+    Reference streaming surface: SURVEY.md section 2.10."""
+    n_shards = resolve_shards(n_shards)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.int64()),
+                             "_e": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (t[ts_col].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": pa.array(key), "_s": pa.array(s),
+                         "_e": pa.array(s + interval_durations(eid)),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {"user_id": np.int64, "n_intervals": np.int64,
+                 "n_islands": np.int64, "covered_us": np.int64}
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in empty.items()})
+        u = g["user_id"].to_numpy()
+        s = g["_s"].to_numpy()
+        e = g["_e"].to_numpy()
+        order = np.lexsort((e, s, u))
+        df = pd.DataFrame({"u": u[order], "s": s[order], "e": e[order]})
+        # running max end per user, shifted one row back: the coverage
+        # frontier BEFORE each interval (NaN on each user's first row)
+        prev_cm = (df.groupby("u", sort=False)["e"].cummax()
+                   .groupby(df["u"], sort=False).shift(1))
+        new_island = prev_cm.isna() | (df["s"] > prev_cm)
+        df["isl"] = np.cumsum(new_island.to_numpy())
+        isl = df.groupby("isl", sort=False).agg(
+            u=("u", "first"), s0=("s", "min"), e1=("e", "max"),
+            cnt=("s", "size"))
+        agg = isl.assign(cov=isl["e1"] - isl["s0"]).groupby("u", sort=False).agg(
+            n_intervals=("cnt", "sum"), n_islands=("cnt", "size"),
+            covered_us=("cov", "sum")).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["u"].astype(np.int64),
+            "n_intervals": agg["n_intervals"].astype(np.int64),
+            "n_islands": agg["n_islands"].astype(np.int64),
+            "covered_us": agg["covered_us"].astype(np.int64)})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas"))

@@ -169,6 +169,9 @@ SQL_NAMES = [
     "pricing_summary",
     # round 4 wave 6: fixed-quota deterministic per-group sampling
     "sample_per_group",
+    # round 4 wave 6: per-user union-of-intervals coverage (the
+    # gaps-and-islands window pattern, int64-exact)
+    "interval_coverage",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

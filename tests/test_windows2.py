@@ -366,3 +366,54 @@ def test_od_matrix_counts_session_endpoints(ray_session):
     for k, v in want.items():
         merged[k] = merged.get(k, 0) + v
     assert got == merged
+
+
+def test_interval_coverage_matches_brute(ray_session):
+    """Engine islands/coverage vs a tiny per-user sweep oracle, on a
+    layout that exercises overlap, touching (merges), and gaps."""
+    import pyarrow as pa
+    import ray.data as rd
+    import numpy as np
+    from optimizing_ray.pipelines.windows import (interval_coverage,
+                                                  interval_durations)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    user = rng.integers(0, 12, n).astype(np.int64)
+    eid = np.arange(1, n + 1, dtype=np.int64)
+    ts = rng.integers(0, 3_000_000_000, n).astype(np.int64)  # us, dense
+    t = pa.table({"user_id": pa.array(user), "event_id": pa.array(eid),
+                  "ts": pa.array(ts).cast(pa.timestamp("us"))})
+    out = (interval_coverage(rd.from_arrow(t).repartition(4))
+           .to_pandas().set_index("user_id").sort_index())
+
+    s_all = ts
+    e_all = ts + interval_durations(eid)
+    for u in np.unique(user):
+        m = user == u
+        iv = sorted(zip(s_all[m].tolist(), e_all[m].tolist()))
+        islands, cur_s, cur_e = [], None, None
+        for s, e in iv:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        row = out.loc[u]
+        assert row["n_intervals"] == int(m.sum())
+        assert row["n_islands"] == len(islands)
+        assert row["covered_us"] == sum(e - s for s, e in islands)
+
+
+def test_interval_coverage_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.windows import interval_coverage
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64())}))
+    assert interval_coverage(ev).count() == 0
