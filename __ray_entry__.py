@@ -600,6 +600,15 @@ def _q_pricing_summary(sf_dir: str):
     return relational.pricing_summary(li)
 
 
+def _q_top_orders(sf_dir: str):
+    """TPC-H Q3 twin: broadcast customer-segment semi-join + per-batch
+    lineitem revenue partials + ONE hash(orderkey) shard exchange with
+    per-shard top-k; driver merges <= k rows per shard."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.top_orders(sf_dir)
+
+
 def _q_median_qty(sf_dir: str):
     from optimizing_ray.pipelines import sketches
     from optimizing_ray.sources import driver_tables
@@ -1932,6 +1941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past-cap like the other continuation ops; its DuckDB hash
         # check runs in the contract pytest every suite run
         "interval_coverage": _q_interval_coverage,
+        # wave 6: TPC-H Q3 twin (3-table join + per-shard top-k) — born
+        # past-cap, contract-pytest-oracled like the rest of the wave
+        "top_orders": _q_top_orders,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2073,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": oracle.top_docs_per_lang_sql(3),
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
+        "top_orders": oracle.top_orders_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3007,6 +3007,33 @@ FROM h
 """
 
 
+def top_orders_sql(segment: str = "BUILDING", cutoff: str = "1997-06-15",
+                   k: int = 10) -> str:
+    """TPC-H Q3 twin (relational.top_orders): integer revenue4 =
+    cents(price) * (100 - cents(discount)) summed per order; the LIMIT
+    is deterministic because the ORDER BY composite ends in the unique
+    o_orderkey."""
+    return f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '{cutoff} 00:00:00'),
+o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = '{segment}'
+    AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00')
+SELECT o.o_orderkey, o.o_orderdate_us,
+       CAST(SUM(li.rev) AS BIGINT) AS revenue4
+FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate_us
+ORDER BY revenue4 DESC, o.o_orderkey
+LIMIT {k}
+"""
+
+
 def pricing_summary_sql(cutoff: str = "1998-09-02",
                         table: str = "lineitem") -> str:
     """TPC-H Q1 twin (relational.pricing_summary): integer-cents fixed

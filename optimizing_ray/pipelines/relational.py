@@ -15,7 +15,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
-           "pricing_summary"]
+           "pricing_summary", "top_orders"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -277,3 +277,143 @@ def pricing_summary(li: rd.Dataset, *, cutoff: str = "1998-09-02") -> pa.Table:
         s = cols[src].to_numpy(zero_copy_only=False)
         cols[dst] = pa.array(s // n if len(agg) else np.array([], np.int64))
     return pa.table(cols)
+
+
+# --- TPC-H Q3 shipping-priority twin -----------------------------------------
+
+def top_orders(sf_dir: str, *, segment: str = "BUILDING",
+               cutoff: str = "1997-06-15", k: int = 10,
+               n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q3 twin: the ``k`` unshipped orders with the highest
+    outstanding revenue — customers in ``segment``, orders placed before
+    ``cutoff``, revenue from lineitems shipped after ``cutoff``.
+
+    Exactness: revenue4 = cents(extendedprice) * (100 - cents(discount))
+    is integer 1e-4 dollars (the pricing_summary discipline), so partial
+    sums are order-exact; the final order is (revenue4 DESC, o_orderkey)
+    — a deterministic composite, so the LIMIT is reproducible.
+
+    Plan (the 100-TB shape): customer is a broadcast dimension (segment
+    filter -> sorted custkey array via ray.put); orders prunes to three
+    columns at the read, date-filters, semi-joins against the broadcast
+    in-batch, and slims to (o_orderkey, o_orderdate_us); lineitem prunes
+    to four columns, date-filters, and PRE-AGGREGATES revenue per
+    orderkey inside each batch (lexsort+reduceat — ~4 lineitems/order
+    fold before the wire).  ONE hash(orderkey) shard exchange then sums
+    partials, inner-joins the order side, and keeps only the per-shard
+    top ``k`` (revenue ties cannot straddle the cut unseen: the
+    composite includes o_orderkey), so the driver merge is <= k rows per
+    shard.  Reference analogue: the relational aggregate-over-join
+    surface (SURVEY.md section 2.5); SQL twin ``oracle.top_orders_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    cut = np.datetime64(cutoff)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keep = np.asarray(cust["c_mktsegment"].to_numpy(zero_copy_only=False)
+                      == segment)
+    cust_keys = np.sort(cust["c_custkey"].to_numpy()[keep])
+    cust_ref = ray.put(cust_keys)
+
+    unified = pa.schema([("_side", pa.int8()), ("o_orderkey", pa.int64()),
+                         ("_rev4", pa.int64()), ("_odate", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        ck = cached(("q3_cust", cust_ref.hex()), lambda: ray.get(cust_ref))
+        odate = t["o_orderdate"].to_numpy()
+        m = odate < cut
+        custs = t["o_custkey"].to_numpy()
+        pos = np.searchsorted(ck, custs)
+        m &= (pos < len(ck)) & (ck[np.minimum(pos, max(0, len(ck) - 1))]
+                                == custs) if len(ck) else False
+        okey = t["o_orderkey"].to_numpy()[m]
+        n = len(okey)
+        return pa.table({
+            "_side": pa.array(np.full(n, 1, np.int8)),
+            "o_orderkey": pa.array(okey),
+            "_rev4": pa.array(np.zeros(n, np.int64)),
+            "_odate": pa.array(odate[m].astype("datetime64[us]")
+                               .astype(np.int64)),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        m = t["l_shipdate"].to_numpy() > cut
+        okey = t["l_orderkey"].to_numpy()[m]
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        uk, inv = np.unique(okey, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uk)))
+        n = len(uk)
+        return pa.table({
+            "_side": pa.array(np.full(n, 0, np.int8)),
+            "o_orderkey": pa.array(uk),
+            "_rev4": pa.array(np.add.reduceat(rev[order], starts)
+                              if n else np.zeros(0, np.int64)),
+            "_odate": pa.array(np.zeros(n, np.int64)),
+            "_shard": _shard(uk)}).cast(unified)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        lineitem_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": np.int64, "o_orderdate_us": np.int64,
+                "revenue4": np.int64}
+        empty = pd.DataFrame({c: pd.Series([], dtype=t)
+                              for c, t in cols.items()})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rev = lf.groupby("o_orderkey", sort=False)["_rev4"].sum()
+        rf = g[g["_side"] == 1]
+        out = rf[["o_orderkey", "_odate"]].merge(
+            rev.rename("revenue4"), on="o_orderkey", how="inner")
+        if len(out) == 0:
+            return empty
+        order = np.lexsort((out["o_orderkey"].to_numpy(),
+                            -out["revenue4"].to_numpy()))[:k]
+        out = out.iloc[order]
+        return pd.DataFrame({
+            "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate_us": out["_odate"].to_numpy(np.int64),
+            "revenue4": out["revenue4"].to_numpy(np.int64)})
+
+    tops = (orders.union(li).groupby("_shard")
+            .map_groups(shard_topk, batch_format="pandas")
+            .to_pandas())  # <= k rows per shard
+    if len(tops) == 0:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate_us": pa.array([], pa.int64()),
+                         "revenue4": pa.array([], pa.int64())})
+    order = np.lexsort((tops["o_orderkey"].to_numpy(),
+                        -tops["revenue4"].to_numpy()))[:k]
+    tops = tops.iloc[order]
+    return pa.table({"o_orderkey": pa.array(tops["o_orderkey"].to_numpy(np.int64)),
+                     "o_orderdate_us": pa.array(tops["o_orderdate_us"].to_numpy(np.int64)),
+                     "revenue4": pa.array(tops["revenue4"].to_numpy(np.int64))})

@@ -172,6 +172,9 @@ SQL_NAMES = [
     # round 4 wave 6: per-user union-of-intervals coverage (the
     # gaps-and-islands window pattern, int64-exact)
     "interval_coverage",
+    # round 4 wave 6: TPC-H Q3 twin — broadcast segment semi-join,
+    # per-batch revenue partials, per-shard top-k (integer revenue4)
+    "top_orders",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -312,3 +312,45 @@ def test_sample_per_group_quota_and_determinism(ray_session):
     small = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                       "source": pa.array(["s", "s"])})
     assert len(sample_per_group(rd.from_arrow(small), n=10).to_pandas()) == 2
+
+
+def test_top_orders_matches_pandas_brute(ray_session):
+    """Engine top-10 vs a pandas recomputation from raw parquet at
+    sf0.001 — segment filter, date windows, integer revenue4, composite
+    tie order."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import top_orders
+
+    sf = "/root/testdata/sf0.001"
+    out = top_orders(sf).to_pandas()
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    cut = pd.Timestamp("1997-06-15")
+    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    o = orders[(orders.o_orderdate < cut) & orders.o_custkey.isin(keys)]
+    l = li[li.l_shipdate > cut].copy()
+    pc = np.floor(l.l_extendedprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(l.l_discount.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    l["rev"] = pc * (100 - dc)
+    j = l.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                right_on="o_orderkey")
+    agg = j.groupby("o_orderkey").agg(
+        revenue4=("rev", "sum"),
+        o_orderdate=("o_orderdate", "first")).reset_index()
+    agg = agg.sort_values(["revenue4", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    assert list(out["o_orderkey"]) == list(agg["o_orderkey"])
+    assert list(out["revenue4"]) == list(agg["revenue4"])
+    assert list(out["o_orderdate_us"]) == [
+        int(t.value // 1000) for t in agg["o_orderdate"]]
+
+
+def test_top_orders_empty_segment(ray_session):
+    from optimizing_ray.pipelines.relational import top_orders
+
+    out = top_orders("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
+    assert out.num_rows == 0
+    assert out.column_names == ["o_orderkey", "o_orderdate_us", "revenue4"]
