@@ -1074,6 +1074,29 @@ def _q_interval_coverage(sf_dir: str):
     return windows.interval_coverage(ev)
 
 
+def _q_funnel(sf_dir: str):
+    """view -> click -> purchase conversion funnel over a deterministic
+    sparse subset (event_id % 16 < 3) so stage drop-off exists (the full
+    driver stream saturates all stages: ~67 events/user at sf0.01).
+    ONE hash(user) shard exchange, per-stage vectorized searchsorted."""
+    import pyarrow as _pa
+
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type"], num_blocks=8)
+
+    def sparse(t):
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return t
+        return t.filter(_pa.array(t["event_id"].to_numpy() % 16 < 3))
+
+    ev = ev.map_batches(sparse, batch_format="pyarrow", zero_copy_batch=True)
+    return windows.funnel(ev)
+
+
 def _q_tile_median(sf_dir: str):
     """Per-tile median of n_chars: the mergeable quantile sketch keyed
     by Morton cell (spatial x sketch composition; hash(cell) % 32
@@ -1944,6 +1967,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 6: TPC-H Q3 twin (3-table join + per-shard top-k) — born
         # past-cap, contract-pytest-oracled like the rest of the wave
         "top_orders": _q_top_orders,
+        # wave 7: funnel conversion (sequence match under the (ts,
+        # event_id) total order) — born past-cap, contract-pytest-oracled
+        "funnel": _q_funnel,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2086,6 +2112,8 @@ def oracle_sql() -> dict[str, str]:
         "sales_by_nation": oracle.sales_by_nation_sql(),
         "pricing_summary": oracle.pricing_summary_sql(),
         "top_orders": oracle.top_orders_sql(),
+        "funnel": oracle.funnel_sql(
+            table="(SELECT * FROM events WHERE event_id % 16 < 3)"),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3087,3 +3087,35 @@ FROM (
   FROM {table}
 ) s WHERE smp_rank <= {n}
 """
+
+def funnel_sql(stages: tuple = ("view", "click", "purchase"),
+               table: str = "events") -> str:
+    """windows.funnel twin: per stage k the lexicographically FIRST
+    (ts, event_id) stage-k event strictly after the user's stage-(k-1)
+    match (greedy earliest match — optimal for existence).  The
+    composite min is two plain aggregates: min ts, then min event_id
+    among rows at that ts."""
+    ctes = []
+    for k, s in enumerate(stages, start=1):
+        if k == 1:
+            ctes.append(
+                f"c1 AS (SELECT user_id, ts, event_id FROM {table} "
+                f"WHERE event_type = '{s}')")
+        else:
+            ctes.append(
+                f"c{k} AS (SELECT e.user_id, e.ts, e.event_id "
+                f"FROM {table} e JOIN s{k - 1}e p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{s}' "
+                f"AND (e.ts > p.t OR (e.ts = p.t AND e.event_id > p.i)))")
+        ctes.append(
+            f"s{k} AS (SELECT user_id, min(ts) AS t FROM c{k} "
+            f"GROUP BY user_id)")
+        ctes.append(
+            f"s{k}e AS (SELECT c.user_id, s.t, min(c.event_id) AS i "
+            f"FROM c{k} c JOIN s{k} s ON c.user_id = s.user_id "
+            f"AND c.ts = s.t GROUP BY c.user_id, s.t)")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS stage, '{s}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS users FROM s{k}e"
+        for k, s in enumerate(stages, start=1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY stage")

@@ -22,7 +22,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_stats", "event_transitions", "user_tile_visits",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
-           "interval_join", "interval_coverage"]
+           "interval_join", "interval_coverage", "funnel"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1041,3 +1041,99 @@ def interval_coverage(events: rd.Dataset, *, key_col: str = "user_id",
     return (events.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(per_shard, batch_format="pandas"))
+
+
+def funnel(events: rd.Dataset, *,
+           stages: tuple[str, ...] = ("view", "click", "purchase"),
+           key_col: str = "user_id", ts_col: str = "ts",
+           id_col: str = "event_id",
+           n_shards: int | None = None) -> pa.Table:
+    """Funnel conversion — the product-analytics sequence match: per
+    user, the EARLIEST strictly-increasing completion of the stage
+    sequence under the total event order (ts, event_id); output one row
+    per stage: (stage 1-based, event_type, users reached).
+
+    Semantics (shared with ``oracle.funnel_sql``): a user reaches stage
+    k+1 iff some stage-(k+1) event is strictly AFTER the composite
+    (ts, event_id) at which stage k was first reached — the greedy
+    earliest match, which is optimal for existence (matching stage k as
+    early as possible never loses a later completion).
+
+    Scale shape: per-batch filter to funnel event types only (slim
+    4-column rows leave the scan), ONE hash(user) shard exchange,
+    lexsort by (user, ts, event_id) inside the shard, then per-stage
+    vectorized searchsorted over the stage's row positions (no per-user
+    Python); each shard emits len(stages) count rows, so the driver
+    merge is bounded by stages x shards.  Reference analogue: the
+    stream-shaped window surface (SURVEY.md section 2.10)."""
+    n_shards = resolve_shards(n_shards)
+    n_stage = len(stages)
+    stage_of = {s: k for k, s in enumerate(stages)}
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "_ts": pa.array([], pa.int64()),
+                          "_eid": pa.array([], pa.int64()),
+                          "_stage": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        code = np.full(len(et), -1, np.int64)
+        for s, k in stage_of.items():
+            code[et == s] = k
+        m = code >= 0
+        if not m.any():
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({
+            "user_id": pa.array(key),
+            "_ts": pa.array(t[ts_col].cast(pa.int64()).to_numpy()[m]),
+            "_eid": pa.array(t[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]),
+            "_stage": pa.array(code[m]),
+            "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"stage": pd.Series([], dtype=np.int64),
+                                 "users": pd.Series([], dtype=np.int64)})
+        key = g["user_id"].to_numpy()
+        order = np.lexsort((g["_eid"].to_numpy(), g["_ts"].to_numpy(), key))
+        u = key[order]
+        st = g["_stage"].to_numpy()[order]
+        seg_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_end = np.r_[seg_start[1:], len(u)]
+        prev = seg_start - 1          # last consumed row index per user
+        reached = np.ones(len(seg_start), bool)
+        counts = np.zeros(n_stage, np.int64)
+        for k in range(n_stage):
+            pk = np.flatnonzero(st == k)
+            if len(pk) == 0:
+                break
+            lo = np.searchsorted(pk, prev + 1)
+            cand = pk[np.minimum(lo, len(pk) - 1)]
+            ok = reached & (lo < len(pk)) & (cand < seg_end)
+            prev = np.where(ok, cand, prev)
+            reached = ok
+            counts[k] = int(ok.sum())
+            if counts[k] == 0:
+                break
+        return pd.DataFrame({"stage": np.arange(1, n_stage + 1,
+                                                dtype=np.int64),
+                             "users": counts})
+
+    parts = (events.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+             .to_pandas())  # len(stages) rows per shard
+    if len(parts) == 0:
+        tot = np.zeros(n_stage, np.int64)
+    else:
+        tot = (parts.groupby("stage", sort=True)["users"].sum()
+               .reindex(np.arange(1, n_stage + 1), fill_value=0)
+               .to_numpy(np.int64))
+    return pa.table({"stage": pa.array(np.arange(1, n_stage + 1,
+                                                 dtype=np.int64)),
+                     "event_type": pa.array(list(stages)),
+                     "users": pa.array(tot)})

@@ -175,6 +175,9 @@ SQL_NAMES = [
     # round 4 wave 6: TPC-H Q3 twin — broadcast segment semi-join,
     # per-batch revenue partials, per-shard top-k (integer revenue4)
     "top_orders",
+    # round 4 wave 7: funnel conversion (sequence match under the
+    # (ts, event_id) total order; greedy earliest match)
+    "funnel",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

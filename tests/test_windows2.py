@@ -417,3 +417,59 @@ def test_interval_coverage_empty_input(ray_session):
         "ts": pa.array([], pa.timestamp("us")),
         "user_id": pa.array([], pa.int64())}))
     assert interval_coverage(ev).count() == 0
+
+
+def test_funnel_matches_brute(ray_session):
+    """Engine funnel vs a per-user greedy Python scan, on a stream with
+    ts ties (broken by event_id), skipped stages, and wrong-order
+    stages (purchase before view must NOT count)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    stages = ("view", "click", "purchase")
+    types = np.array(["signup", "view", "click", "purchase", "error"])
+    et = types[rng.integers(0, len(types), n)]
+    user = rng.integers(0, 40, n).astype(np.int64)
+    # coarse ts so same-(user, ts) ties are common
+    ts = rng.integers(0, 50, n).astype(np.int64) * 1_000_000
+    eid = rng.permutation(n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(user), "event_id": pa.array(eid),
+                  "ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "event_type": pa.array(et)})
+    out = (windows.funnel(rd.from_arrow(t).repartition(5), stages=stages)
+           .to_pandas().set_index("stage"))
+
+    want = np.zeros(len(stages), np.int64)
+    for u in np.unique(user):
+        m = user == u
+        order = np.lexsort((eid[m], ts[m]))
+        seq = et[m][order]
+        k = 0
+        for s in seq:
+            if k < len(stages) and s == stages[k]:
+                k += 1
+        for r in range(k):
+            want[r] += 1
+    for k, s in enumerate(stages, start=1):
+        assert out.loc[k, "event_type"] == s
+        assert out.loc[k, "users"] == want[k - 1], (k, s)
+
+
+def test_funnel_empty_and_missing_stage(ray_session):
+    import ray.data as rd
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "event_type": pa.array([], pa.string())})
+    out = windows.funnel(rd.from_arrow(empty)).to_pandas()
+    assert list(out["users"]) == [0, 0, 0]
+
+    # stage 2 type absent entirely: stage 1 counts, stages 2-3 zero
+    t = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                  "event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+                  "event_type": pa.array(["view", "purchase"])})
+    out = windows.funnel(rd.from_arrow(t)).to_pandas()
+    assert list(out["users"]) == [1, 0, 0]
