@@ -609,6 +609,25 @@ def _q_top_orders(sf_dir: str):
     return relational.top_orders(sf_dir)
 
 
+def _q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 twin: per-customer order-count distribution INCLUDING
+    zero-order customers (the left-join subtlety); per-batch count
+    partials, ONE hash(custkey) side-tag exchange, per-shard histograms
+    merged driver-side."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.customer_distribution(sf_dir, order_date_min="2000-06-01")
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 twin: integer-cents quantity sums per order with an
+    in-shard HAVING threshold, winner set broadcast back over orders,
+    customer names via the broadcast dimension lookup."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.large_orders(sf_dir)
+
+
 def _q_median_qty(sf_dir: str):
     from optimizing_ray.pipelines import sketches
     from optimizing_ray.sources import driver_tables
@@ -1970,6 +1989,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 7: funnel conversion (sequence match under the (ts,
         # event_id) total order) — born past-cap, contract-pytest-oracled
         "funnel": _q_funnel,
+        # wave 7: TPC-H Q13 (left-join count distribution) and Q18
+        # (HAVING-sum winners) twins — born past-cap like the rest
+        "customer_distribution": _q_customer_distribution,
+        "large_orders": _q_large_orders,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2114,6 +2137,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracle.top_orders_sql(),
         "funnel": oracle.funnel_sql(
             table="(SELECT * FROM events WHERE event_id % 16 < 3)"),
+        "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
+        "large_orders": oracle.large_orders_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

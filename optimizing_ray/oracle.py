@@ -3119,3 +3119,43 @@ def funnel_sql(stages: tuple = ("view", "click", "purchase"),
         f"CAST(count(*) AS BIGINT) AS users FROM s{k}e"
         for k, s in enumerate(stages, start=1))
     return ("WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY stage")
+
+def customer_distribution_sql(order_date_min: str | None = None) -> str:
+    """relational.customer_distribution twin (TPC-H Q13 shape): order
+    count per customer INCLUDING zero-order customers (left join), then
+    the histogram of those counts.  order_date_min stands in for Q13's
+    comment filter so the zero bucket exists on the driver fixture."""
+    osrc = ("orders" if order_date_min is None else
+            f"(SELECT * FROM orders WHERE o_orderdate >= "
+            f"TIMESTAMP '{order_date_min} 00:00:00')")
+    return f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN {osrc} o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def large_orders_sql(min_qty: float = 250.0) -> str:
+    """relational.large_orders twin (TPC-H Q18 shape): integer-cents
+    quantity sums (exact for 2-decimal TPC-H values), HAVING threshold
+    on the integer sum, customer name via plain joins."""
+    import math
+    min_qty_c = int(math.floor(min_qty * 100.0 + 0.5))
+    return f"""
+WITH w AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > {min_qty_c})
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_totalprice_c,
+       w.sum_qty_c
+FROM w JOIN orders o ON w.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice_c DESC, o.o_orderkey
+"""

@@ -15,7 +15,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
-           "pricing_summary", "top_orders"]
+           "pricing_summary", "top_orders", "customer_distribution",
+           "large_orders"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -417,3 +418,212 @@ def top_orders(sf_dir: str, *, segment: str = "BUILDING",
     return pa.table({"o_orderkey": pa.array(tops["o_orderkey"].to_numpy(np.int64)),
                      "o_orderdate_us": pa.array(tops["o_orderdate_us"].to_numpy(np.int64)),
                      "revenue4": pa.array(tops["revenue4"].to_numpy(np.int64))})
+
+# --- TPC-H Q13 customer-distribution twin ------------------------------------
+
+def customer_distribution(sf_dir: str, *, order_date_min: str | None = None,
+                          n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q13 twin: the distribution of per-customer order counts —
+    how many customers placed exactly c orders, INCLUDING the zero-order
+    customers (the left-join subtlety that breaks naive inner-join
+    plans).  ``order_date_min`` restricts the counted orders (Q13's
+    comment filter stand-in — the driver fixture gives every customer
+    an order, so the zero bucket only exists under a filter).  Output
+    (c_count, custdist), ordered (custdist DESC, c_count DESC).
+
+    Plan (the 100-TB shape): orders prunes to ONE column at the read
+    and pre-aggregates per-batch (custkey, n) partials (lexsort-free
+    np.unique — ~10 orders/customer fold before the wire); customer
+    prunes to its key.  ONE hash(custkey) side-tag exchange co-locates
+    each customer with its count partials; inside the shard the count
+    is summed per key and customers absent from orders take 0.  Each
+    shard then emits its LOCAL histogram (c_count, custdist) — bounded
+    by the distinct count values — so the driver merge is tiny.
+    Reference analogue: the relational aggregate-over-join surface
+    (SURVEY.md section 2.5); SQL twin ``oracle.customer_distribution_sql``."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    date_min = np.datetime64(order_date_min) if order_date_min else None
+    ocols = ["o_custkey"] + (["o_orderdate"] if order_date_min else [])
+    unified = pa.schema([("_side", pa.int8()), ("_key", pa.int64()),
+                         ("_n", pa.int64()), ("_shard", pa.int64())])
+
+    def orders_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return unified.empty_table()
+        if date_min is not None:
+            t = t.filter(pa.array(t["o_orderdate"].to_numpy() >= date_min))
+        uk, counts = np.unique(t["o_custkey"].to_numpy(), return_counts=True)
+        return pa.table({
+            "_side": pa.array(np.zeros(len(uk), np.int8)),
+            "_key": pa.array(uk),
+            "_n": pa.array(counts.astype(np.int64)),
+            "_shard": pa.array((uk % n_shards).astype(np.int64))}).cast(unified)
+
+    def customer_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return unified.empty_table()
+        ck = t["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "_side": pa.array(np.ones(len(ck), np.int8)),
+            "_key": pa.array(ck),
+            "_n": pa.array(np.zeros(len(ck), np.int64)),
+            "_shard": pa.array((ck % n_shards).astype(np.int64))}).cast(unified)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=ocols).map_batches(
+        orders_partial, batch_format="pyarrow", zero_copy_batch=True)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).map_batches(
+        customer_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                                 "custdist": pd.Series([], dtype=np.int64)})
+        of = g[g["_side"] == 0]
+        counts = of.groupby("_key", sort=False)["_n"].sum()
+        ck = g.loc[g["_side"] == 1, "_key"].to_numpy()
+        c_count = counts.reindex(ck, fill_value=0).to_numpy(np.int64)
+        uk, dist = np.unique(c_count, return_counts=True)
+        return pd.DataFrame({"c_count": uk.astype(np.int64),
+                             "custdist": dist.astype(np.int64)})
+
+    parts = (orders.union(cust).groupby("_shard")
+             .map_groups(shard_hist, batch_format="pandas")
+             .to_pandas())  # <= distinct-count rows per shard
+    if len(parts) == 0:
+        return pa.table({"c_count": pa.array([], pa.int64()),
+                         "custdist": pa.array([], pa.int64())})
+    agg = parts.groupby("c_count", sort=False)["custdist"].sum().reset_index()
+    order = np.lexsort((-agg["c_count"].to_numpy(),
+                        -agg["custdist"].to_numpy()))
+    agg = agg.iloc[order]
+    return pa.table({"c_count": pa.array(agg["c_count"].to_numpy(np.int64)),
+                     "custdist": pa.array(agg["custdist"].to_numpy(np.int64))})
+
+# --- TPC-H Q18 large-volume-customer twin ------------------------------------
+
+def large_orders(sf_dir: str, *, min_qty: float = 250.0,
+                 n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q18 twin: orders whose total lineitem quantity exceeds
+    ``min_qty``, with the customer name attached.  Output (c_name,
+    o_custkey, o_orderkey, o_orderdate_us, o_totalprice_c, sum_qty_c),
+    ordered (o_totalprice_c DESC, o_orderkey).
+
+    Exactness: quantities are 2-decimal, so floor(q*100+0.5) cents make
+    the HAVING-sum order-exact (pricing_summary discipline); the
+    threshold compares integers (min_qty scaled once driver-side).
+
+    Plan (the 100-TB shape): lineitem prunes to two columns and
+    pre-aggregates per-batch (orderkey, qty_c) partials (~4 rows/order
+    fold before the wire); ONE hash(orderkey) shard exchange sums the
+    partials and applies the threshold IN-SHARD, so only qualifying
+    orders — a tiny, selectivity-bounded set — reach the driver.  That
+    winner set broadcasts (ray.put) to a second pruned pass over orders
+    (searchsorted semi-join in-batch), and customer names attach via
+    the broadcast dimension lookup.  The final stitch of sum_qty onto
+    the <= |winners| order rows is a driver-side searchsorted.
+    Reference analogue: aggregate-over-join (SURVEY.md section 2.5);
+    SQL twin ``oracle.large_orders_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    min_qty_c = int(np.floor(min_qty * 100.0 + 0.5))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_key": pa.array([], pa.int64()),
+                          "_qty_c": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        okey = t["l_orderkey"].to_numpy()
+        qc = np.floor(t["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, qc)
+        return pa.table({"_key": pa.array(uk),
+                         "_qty_c": pa.array(sums),
+                         "_shard": pa.array((uk % n_shards).astype(np.int64))})
+
+    def shard_winners(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "sum_qty_c": pd.Series([], dtype=np.int64)})
+        sums = g.groupby("_key", sort=False)["_qty_c"].sum()
+        win = sums[sums > min_qty_c]
+        return pd.DataFrame({"o_orderkey": win.index.to_numpy(np.int64),
+                             "sum_qty_c": win.to_numpy(np.int64)})
+
+    winners = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+               .map_batches(li_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("_shard").map_groups(shard_winners,
+                                             batch_format="pandas")
+               .to_pandas())  # selectivity-bounded
+    empty_out = pa.table({"c_name": pa.array([], pa.string()),
+                          "o_custkey": pa.array([], pa.int64()),
+                          "o_orderkey": pa.array([], pa.int64()),
+                          "o_orderdate_us": pa.array([], pa.int64()),
+                          "o_totalprice_c": pa.array([], pa.int64()),
+                          "sum_qty_c": pa.array([], pa.int64())})
+    # all-empty groups can surface as a column-less frame (Ray Data
+    # empty-block schema gotcha) — short-circuit before the probe pass
+    if len(winners) == 0 or "o_orderkey" not in winners.columns:
+        return empty_out
+    wkeys = np.sort(winners["o_orderkey"].to_numpy(np.int64))
+    wq = winners.set_index("o_orderkey")["sum_qty_c"]
+    win_ref = ray.put(wkeys)
+
+    def orders_semi(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_custkey": pa.array([], pa.int64()),
+                          "o_orderdate_us": pa.array([], pa.int64()),
+                          "o_totalprice_c": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return empty
+        wk = cached(("q18_win", win_ref.hex()), lambda: ray.get(win_ref))
+        okey = t["o_orderkey"].to_numpy()
+        if len(wk) == 0:
+            return empty
+        pos = np.searchsorted(wk, okey)
+        hit = (pos < len(wk)) & (wk[np.minimum(pos, len(wk) - 1)] == okey)
+        if not hit.any():
+            return empty
+        return pa.table({
+            "o_orderkey": pa.array(okey[hit]),
+            "o_custkey": pa.array(t["o_custkey"].to_numpy()[hit]),
+            "o_orderdate_us": pa.array(
+                t["o_orderdate"].to_numpy()[hit]
+                .astype("datetime64[us]").astype(np.int64)),
+            "o_totalprice_c": pa.array(np.floor(
+                t["o_totalprice"].to_numpy()[hit] * 100.0
+                + 0.5).astype(np.int64))})
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    hits = broadcast_lookup(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+        .map_batches(orders_semi, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        cust, fact_key="o_custkey", dim_key="c_custkey",
+        value_cols=("c_name",)).to_pandas()  # <= |winners| rows
+    if len(hits) == 0:
+        return empty_out
+    hits["sum_qty_c"] = wq.reindex(hits["o_orderkey"].to_numpy()).to_numpy(np.int64)
+    order = np.lexsort((hits["o_orderkey"].to_numpy(),
+                        -hits["o_totalprice_c"].to_numpy()))
+    hits = hits.iloc[order]
+    return pa.table({"c_name": pa.array(hits["c_name"].astype(str)),
+                     "o_custkey": pa.array(hits["o_custkey"].to_numpy(np.int64)),
+                     "o_orderkey": pa.array(hits["o_orderkey"].to_numpy(np.int64)),
+                     "o_orderdate_us": pa.array(hits["o_orderdate_us"].to_numpy(np.int64)),
+                     "o_totalprice_c": pa.array(hits["o_totalprice_c"].to_numpy(np.int64)),
+                     "sum_qty_c": pa.array(hits["sum_qty_c"].to_numpy(np.int64))})

@@ -178,6 +178,9 @@ SQL_NAMES = [
     # round 4 wave 7: funnel conversion (sequence match under the
     # (ts, event_id) total order; greedy earliest match)
     "funnel",
+    # round 4 wave 7: TPC-H Q13 (left-join count distribution incl.
+    # the zero bucket) and Q18 (integer-cents HAVING winners) twins
+    "customer_distribution", "large_orders",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -354,3 +354,70 @@ def test_top_orders_empty_segment(ray_session):
     out = top_orders("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
     assert out.num_rows == 0
     assert out.column_names == ["o_orderkey", "o_orderdate_us", "revenue4"]
+
+
+def test_customer_distribution_matches_pandas_brute(ray_session):
+    """Q13 twin vs a pandas left-join recomputation at sf0.001 — the
+    zero-order customers must land in the c_count=0 bucket."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import customer_distribution
+
+    sf = "/root/testdata/sf0.001"
+    date_min = "2000-06-01"
+    out = customer_distribution(sf, order_date_min=date_min).to_pandas()
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    orders = orders[orders.o_orderdate >= pd.Timestamp(date_min)]
+    per_cust = orders.groupby("o_custkey").size()
+    c_count = per_cust.reindex(cust["c_custkey"], fill_value=0)
+    want = (c_count.value_counts().rename_axis("c_count")
+            .rename("custdist").reset_index()
+            .sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+    assert list(out["c_count"]) == list(want["c_count"])
+    assert list(out["custdist"]) == list(want["custdist"])
+    # the left-join subtlety is actually exercised
+    assert (want["c_count"] == 0).any(), "fixture has no zero-order customers"
+
+
+def test_large_orders_matches_pandas_brute(ray_session):
+    """Q18 twin vs a pandas recomputation at sf0.001 — integer-cents
+    HAVING threshold, name attach, (totalprice DESC, orderkey) order."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import large_orders
+
+    sf = "/root/testdata/sf0.001"
+    min_qty = 180.0
+    out = large_orders(sf, min_qty=min_qty).to_pandas()
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    qc = np.floor(li.l_quantity.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sums = pd.DataFrame({"k": li.l_orderkey, "q": qc}).groupby("k")["q"].sum()
+    win = sums[sums > int(min_qty * 100)]
+    assert len(win) > 0, "threshold too high for fixture"
+    j = orders[orders.o_orderkey.isin(win.index)].merge(
+        cust[["c_custkey", "c_name"]], left_on="o_custkey",
+        right_on="c_custkey")
+    j["sum_qty_c"] = win.reindex(j.o_orderkey).to_numpy()
+    j["o_totalprice_c"] = np.floor(
+        j.o_totalprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    j = j.sort_values(["o_totalprice_c", "o_orderkey"],
+                      ascending=[False, True])
+    assert list(out["o_orderkey"]) == list(j["o_orderkey"])
+    assert list(out["sum_qty_c"]) == list(j["sum_qty_c"])
+    assert list(out["c_name"]) == list(j["c_name"])
+
+
+def test_large_orders_empty_winner_set(ray_session):
+    from optimizing_ray.pipelines.relational import large_orders
+
+    out = large_orders("/root/testdata/sf0.001", min_qty=1e9)
+    assert out.num_rows == 0
+    assert out.column_names == ["c_name", "o_custkey", "o_orderkey",
+                                "o_orderdate_us", "o_totalprice_c",
+                                "sum_qty_c"]
