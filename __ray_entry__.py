@@ -683,6 +683,22 @@ def _q_range_join(sf_dir: str):
     return windows.range_join(events, bands)
 
 
+def _q_count_min(sf_dir: str):
+    """Count-min sketch frequency estimates for a fixed probe-key set.
+    Mergeable-sketch plan (the hll pattern): one d x w blob per batch,
+    driver sums, vectorized probe lookup; zero shuffles at any scale.
+    Deterministic splitmix64 row hashes, so the DuckDB oracle recomputes
+    the counter matrix and matches every estimate exactly."""
+    import numpy as np
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id"],
+                            num_blocks=8)
+    return sketches.count_min(ev, key_col="user_id",
+                              probe_keys=np.arange(0, 199, 3))
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """HLL distinct-count sketch.  Approximate by design but DETERMINISTIC
     (splitmix64 hash + exact-integer harmonic sum), so the DuckDB oracle
@@ -1884,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "hll_distinct_users": _q_hll_distinct_users,
+        "count_min": _q_count_min,
         "curate": _q_curate,
         "media_features": _q_media_features,
         "trace_first_hit": _q_trace_first_hit,
@@ -2185,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "ann_pq": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
+        "count_min": oracle.count_min_sql(),
         "user_median_sketch": oracle.user_median_sql(),
         "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),
         # round-3: the tracer's geometry kernels under the SQL gate

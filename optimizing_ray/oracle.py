@@ -3159,3 +3159,44 @@ FROM w JOIN orders o ON w.l_orderkey = o.o_orderkey
        JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o_totalprice_c DESC, o.o_orderkey
 """
+
+def count_min_sql(d: int = 4, w: int = 256, probe_start: int = 0,
+                  probe_stop: int = 198, probe_step: int = 3,
+                  key: str = "user_id", table: str = "events") -> str:
+    """sketches.count_min twin: recomputes the EXACT counter matrix —
+    bucket_j(u) = splitmix64((u + j*gamma) mod 2^64) mod w via the
+    HUGEINT splitmix chain (hll_distinct_sql pattern, generalized to d
+    seeded rows) — and the min-over-rows estimate for the same probe
+    keys; absent buckets contribute 0 via the LEFT JOIN coalesce."""
+    gamma = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def chain(prefix: str, src: str, keep: str) -> str:
+        # splitmix64 on column h of `src`, carrying `keep` columns along
+        return f"""{prefix}2 AS (SELECT {keep}, {_xorshift('h', 30)} AS h FROM {src}),
+{prefix}3 AS (SELECT {keep}, {_mulmod64('h', c1)} AS h FROM {prefix}2),
+{prefix}4 AS (SELECT {keep}, {_xorshift('h', 27)} AS h FROM {prefix}3),
+{prefix}5 AS (SELECT {keep}, {_mulmod64('h', c2)} AS h FROM {prefix}4),
+{prefix}f AS (SELECT {keep}, {_xorshift('h', 31)} AS h FROM {prefix}5)"""
+
+    start = (f"((u + (j + 1) * CAST('{gamma}' AS HUGEINT)) % {_M64})")
+    return f"""
+WITH js AS (SELECT unnest(generate_series(0, {d - 1})) AS j),
+ev AS (SELECT CAST({key} AS HUGEINT) AS u FROM {table}),
+e1 AS (SELECT j, {start} AS h FROM ev, js),
+{chain('e', 'e1', 'j')},
+cells AS (SELECT j, CAST(h % {w} AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ef GROUP BY j, b),
+pk AS (SELECT unnest(generate_series({probe_start}, {probe_stop},
+                                     {probe_step})) AS k),
+p1 AS (SELECT k, j, ((CAST(k AS HUGEINT) + (j + 1) *
+         CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h FROM pk, js),
+{chain('p', 'p1', 'k, j')},
+pb AS (SELECT k, j, CAST(h % {w} AS BIGINT) AS b FROM pf)
+SELECT pb.k AS {key},
+       CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_count
+FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.b = cells.b
+GROUP BY pb.k
+ORDER BY pb.k
+"""

@@ -26,7 +26,7 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["percentile_disc", "hll_distinct", "splitmix64",
-           "quantile_sketch", "grouped_quantile_sketch"]
+           "quantile_sketch", "grouped_quantile_sketch", "count_min"]
 
 
 def percentile_disc(ds: rd.Dataset, *, key_col: str, value_col: str,
@@ -255,3 +255,51 @@ def grouped_quantile_sketch(ds: rd.Dataset, *, key_col: str, value_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_shard").map_groups(finalize, batch_format="pandas"))
+
+
+def count_min(ds: rd.Dataset, *, key_col: str,
+              probe_keys: np.ndarray, d: int = 4, w: int = 256) -> pa.Table:
+    """Count-min sketch — frequency estimates under CONSTANT memory: a
+    d x w int64 counter matrix; key u increments cell (j, h_j(u)) for
+    each of the d rows; the estimate for u is the MIN over its d cells
+    (always >= the true count; collisions only inflate).  Row hashes are
+    splitmix64((u + j * gamma) mod 2^64) mod w — deterministic and
+    SQL-twinnable (``oracle.count_min_sql``).
+
+    Scale shape: the canonical mergeable-sketch plan (the hll_distinct
+    pattern): every batch emits ONE d*w-int64 blob row regardless of
+    batch size, the driver SUMS the blobs (counter matrices merge by
+    addition), and the probe evaluation is a vectorized lookup over the
+    caller's bounded ``probe_keys``.  Zero shuffles at any corpus size.
+    Output (key, cms_count) per probe key — absent keys report their
+    collision floor, exactly like a real CMS."""
+    d, w = int(d), int(w)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"cms": pa.array([], pa.binary())})
+        u = (t[key_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        m = np.zeros((d, w), np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(d):
+                b = (splitmix64(u + np.uint64(j) * _SM_GAMMA)
+                     % np.uint64(w)).astype(np.int64)
+                np.add.at(m[j], b, 1)
+        return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    m = np.zeros((d, w), np.int64)
+    for r in parts:
+        m += np.frombuffer(r["cms"], dtype=np.int64).reshape(d, w)
+
+    probes = np.asarray(probe_keys, np.int64)
+    est = np.full(len(probes), np.iinfo(np.int64).max)
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            b = (splitmix64(probes.view(np.uint64) + np.uint64(j) * _SM_GAMMA)
+                 % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, m[j, b])
+    return pa.table({key_col: pa.array(probes),
+                     "cms_count": pa.array(est.astype(np.int64))})

@@ -181,6 +181,9 @@ SQL_NAMES = [
     # round 4 wave 7: TPC-H Q13 (left-join count distribution incl.
     # the zero bucket) and Q18 (integer-cents HAVING winners) twins
     "customer_distribution", "large_orders",
+    # round 4 wave 7: count-min sketch (mergeable d x w counter blobs,
+    # deterministic splitmix64 row hashes, exact SQL twin)
+    "count_min",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

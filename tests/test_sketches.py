@@ -88,3 +88,45 @@ def test_grouped_quantile_sketch_exact_small_groups(ray_session):
         v = np.sort(g["v"].to_numpy())
         want = v[int(np.ceil(0.5 * len(v))) - 1]
         assert out.loc[out.k == key, "p50"].iloc[0] == want
+
+
+def test_count_min_overestimates_and_merges(ray_session):
+    """CMS estimates >= true counts always; exact for keys with no
+    collisions in some row; partition layout cannot change the sketch
+    (counter matrices merge by addition)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.sketches import count_min
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 300, 20000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys)})
+    probes = np.arange(0, 300, 7)
+    a = count_min(rd.from_arrow(t).repartition(6), key_col="k",
+                  probe_keys=probes, d=4, w=512).to_pandas()
+    b = count_min(rd.from_arrow(t), key_col="k",
+                  probe_keys=probes, d=4, w=512).to_pandas()
+    assert (a["cms_count"].to_numpy() == b["cms_count"].to_numpy()).all()
+    true = np.array([(keys == p).sum() for p in probes])
+    est = a["cms_count"].to_numpy()
+    assert (est >= true).all()
+    # wide matrix, 300 keys in 512 buckets x 4 rows: most probes exact
+    assert (est == true).mean() > 0.5
+    # absent keys report their collision floor, never negative
+    absent = count_min(rd.from_arrow(t), key_col="k",
+                       probe_keys=np.array([10_000, 10_001]),
+                       d=4, w=512).to_pandas()
+    assert (absent["cms_count"].to_numpy() >= 0).all()
+
+
+def test_count_min_empty_input(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.sketches import count_min
+
+    t = pa.table({"k": pa.array([], pa.int64())})
+    out = count_min(rd.from_arrow(t), key_col="k",
+                    probe_keys=np.array([1, 2, 3])).to_pandas()
+    assert list(out["cms_count"]) == [0, 0, 0]
