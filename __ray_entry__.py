@@ -699,6 +699,17 @@ def _q_count_min(sf_dir: str):
                               probe_keys=np.arange(0, 199, 3))
 
 
+def _q_random_projection(sf_dir: str):
+    """Signed random projection (JL dimensionality reduction in front of
+    ANN): integer GEMM against a splitmix64-parity +-1 matrix, one
+    streaming pass, zero shuffles; bit-exact SQL twin."""
+    from optimizing_ray.pipelines import ann
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", num_blocks=4)
+    return ann.random_projection(emb)
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """HLL distinct-count sketch.  Approximate by design but DETERMINISTIC
     (splitmix64 hash + exact-integer harmonic sum), so the DuckDB oracle
@@ -1901,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "hll_distinct_users": _q_hll_distinct_users,
         "count_min": _q_count_min,
+        "random_projection": _q_random_projection,
         "curate": _q_curate,
         "media_features": _q_media_features,
         "trace_first_hit": _q_trace_first_hit,
@@ -2203,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": oracle.ann_topk_sql(ANN_Q, ANN_K),
         "hll_distinct_users": oracle.hll_distinct_sql("user_id", "events"),
         "count_min": oracle.count_min_sql(),
+        "random_projection": oracle.random_projection_sql(),
         "user_median_sketch": oracle.user_median_sql(),
         "span_passthrough": oracle.span_passthrough_sql(N_BOX_QUERIES),
         # round-3: the tracer's geometry kernels under the SQL gate

@@ -3200,3 +3200,43 @@ FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.b = cells.b
 GROUP BY pb.k
 ORDER BY pb.k
 """
+
+def _splitmix_chain(prefix: str, src: str, keep: str) -> str:
+    """CTE text applying the splitmix64 mix steps to HUGEINT column h of
+    ``src`` (z = x + gamma must already be folded into h), carrying the
+    ``keep`` columns; final CTE is ``{prefix}f``."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""{prefix}2 AS (SELECT {keep}, {_xorshift('h', 30)} AS h FROM {src}),
+{prefix}3 AS (SELECT {keep}, {_mulmod64('h', c1)} AS h FROM {prefix}2),
+{prefix}4 AS (SELECT {keep}, {_xorshift('h', 27)} AS h FROM {prefix}3),
+{prefix}5 AS (SELECT {keep}, {_mulmod64('h', c2)} AS h FROM {prefix}4),
+{prefix}f AS (SELECT {keep}, {_xorshift('h', 31)} AS h FROM {prefix}5)"""
+
+
+def random_projection_sql(out_dim: int = 16, scale: int = 1024,
+                          table: str = "embeddings") -> str:
+    """ann.random_projection twin: the ±1 sign matrix is recomputed from
+    the same splitmix64((pos * 4096 + j)) parity over a tiny
+    (in_dim x out_dim) key grid, then y = sum(q * sgn) per (vec, j) —
+    all-integer, bit-exact."""
+    gamma = 0x9E3779B97F4A7C15
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}),
+js AS (SELECT unnest(generate_series(0, {out_dim - 1})) AS j),
+sk AS (SELECT pos, j,
+              ((CAST(pos * 4096 + j AS HUGEINT)
+                + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
+       FROM (SELECT DISTINCT pos FROM eq) p, js),
+{_splitmix_chain('s', 'sk', 'pos, j')},
+sgn AS (SELECT pos, j,
+               CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s FROM sf)
+SELECT e.vec_id, CAST(g.j AS BIGINT) AS out_dim,
+       CAST(SUM(e.q * g.s) AS BIGINT) AS y_q
+FROM eq e JOIN sgn g USING (pos)
+GROUP BY e.vec_id, g.j
+ORDER BY e.vec_id, g.j
+"""

@@ -18,7 +18,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["embedding_knn_graph", "embedding_knn_graph_ivf",
-           "knn_classify",
+           "knn_classify", "random_projection",
            "semantic_decontaminate",
            "brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
            "train_pq", "pq_encode", "pq_topk",
@@ -1091,4 +1091,47 @@ def knn_classify(emb: rd.Dataset, *, k: int = 5, holdout_mod: int = 5,
                          "n_votes": pa.array(cnt[first])})
 
     return emb.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def random_projection(emb: rd.Dataset, *, out_dim: int = 16,
+                      scale: int = 1024) -> rd.Dataset:
+    """Signed random projection — the dimensionality-reduction stage in
+    front of ANN at scale (Achlioptas ±1 projections preserve distances
+    within the JL bound at 1/sqrt(out_dim) distortion): y = Q @ S where
+    Q = floor(v * scale) (power-of-two scale — exact for float32) and
+    S[pos, j] = ±1 from splitmix64(pos * 4096 + j) parity, pos 1-based.
+    All-integer, so engine and SQL twin (``oracle.random_projection_sql``)
+    agree bit-for-bit; output long-format (vec_id, out_dim, y_q).
+
+    Scale shape: one streaming map_batches pass — the sign matrix is a
+    pure function of (in_dim, out_dim) recomputed from (in_dim * out_dim)
+    hashes per batch (microseconds; nothing to broadcast), the matmul is
+    one int64 GEMM per batch, zero shuffles at any corpus size."""
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    def project(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "out_dim": pa.array([], pa.int64()),
+                          "y_q": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return empty
+        M = _to_matrix(t["embedding"])
+        if M.size == 0:
+            return empty
+        q = np.floor(M * scale).astype(np.int64)
+        d_in = M.shape[1]
+        pos = np.arange(1, d_in + 1, dtype=np.uint64)
+        key = (pos[:, None] * np.uint64(4096)
+               + np.arange(out_dim, dtype=np.uint64)[None, :])
+        sgn = np.where(splitmix64(key) % np.uint64(2) == 0, 1, -1).astype(np.int64)
+        y = q @ sgn  # (n, out_dim) int64, exact
+        vid = t["vec_id"].to_numpy()
+        n = len(vid)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, out_dim)),
+            "out_dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+            "y_q": pa.array(y.ravel())})
+
+    return emb.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)

@@ -184,6 +184,9 @@ SQL_NAMES = [
     # round 4 wave 7: count-min sketch (mergeable d x w counter blobs,
     # deterministic splitmix64 row hashes, exact SQL twin)
     "count_min",
+    # round 4 wave 7: signed random projection (JL reduction, integer
+    # GEMM vs a splitmix-parity sign matrix, bit-exact twin)
+    "random_projection",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
