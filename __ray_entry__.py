@@ -609,6 +609,16 @@ def _q_top_orders(sf_dir: str):
     return relational.top_orders(sf_dir)
 
 
+def _q_regional_sales(sf_dir: str):
+    """TPC-H Q5 twin: same-nation customer/supplier revenue per region
+    nation — two broadcast key->nation maps, date+region filters at the
+    scan, ONE hash(orderkey) exchange with the equality decided
+    in-shard, bounded (nation, rev) partials."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.regional_sales(sf_dir)
+
+
 def _q_customer_distribution(sf_dir: str):
     """TPC-H Q13 twin: per-customer order-count distribution INCLUDING
     zero-order customers (the left-join subtlety); per-batch count
@@ -2022,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (HAVING-sum winners) twins — born past-cap like the rest
         "customer_distribution": _q_customer_distribution,
         "large_orders": _q_large_orders,
+        "regional_sales": _q_regional_sales,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2168,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT * FROM events WHERE event_id % 16 < 3)"),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
+        "regional_sales": oracle.regional_sales_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

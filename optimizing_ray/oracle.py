@@ -3240,3 +3240,28 @@ FROM eq e JOIN sgn g USING (pos)
 GROUP BY e.vec_id, g.j
 ORDER BY e.vec_id, g.j
 """
+
+def regional_sales_sql(region: str = "ASIA", date_from: str = "1996-01-01",
+                       date_to: str = "1997-01-01") -> str:
+    """relational.regional_sales twin (TPC-H Q5 shape): same-nation
+    customer/supplier revenue per nation of the region, integer
+    revenue4 (order-exact parallel sums)."""
+    return f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{date_to} 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue4 DESC
+"""

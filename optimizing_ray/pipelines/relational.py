@@ -16,7 +16,7 @@ import ray.data as rd
 
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "pricing_summary", "top_orders", "customer_distribution",
-           "large_orders"]
+           "large_orders", "regional_sales"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -627,3 +627,152 @@ def large_orders(sf_dir: str, *, min_qty: float = 250.0,
                      "o_orderdate_us": pa.array(hits["o_orderdate_us"].to_numpy(np.int64)),
                      "o_totalprice_c": pa.array(hits["o_totalprice_c"].to_numpy(np.int64)),
                      "sum_qty_c": pa.array(hits["sum_qty_c"].to_numpy(np.int64))})
+
+# --- TPC-H Q5 local-supplier-volume twin -------------------------------------
+
+def regional_sales(sf_dir: str, *, region: str = "ASIA",
+                   date_from: str = "1996-01-01",
+                   date_to: str = "1997-01-01",
+                   n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q5 twin: revenue per nation from lineitems where the
+    CUSTOMER and the SUPPLIER sit in the same nation of ``region``, for
+    orders placed in [date_from, date_to).  Output (n_name, revenue4,
+    n_items), revenue in integer 1e-4 dollars (pricing_summary
+    discipline — parallel partials order-exact), ordered revenue4 DESC.
+
+    Plan (the 100-TB shape): nation ⋈ region resolves driver-side to a
+    <= 25-entry nation set; supplier and customer key→nation maps ride
+    ray.put ONCE (sorted-key searchsorted — the small-side broadcast
+    rule).  Orders date-filters, attaches the customer nation in-batch
+    and drops non-region rows (slim 2-column survivors); lineitem
+    attaches the supplier nation in-batch, drops non-region rows, and
+    carries integer revenue4.  ONE hash(orderkey) side-tag exchange
+    then merges the two legs, applies the SAME-NATION equality
+    IN-SHARD, and emits bounded (nation, revenue4, n) partials — the
+    driver merge is <= 25 rows per shard.  At larger-than-memory dims,
+    swap the broadcasts for hash_shard_join legs (plan-gate by nrows —
+    the knn_join discipline).  SQL twin ``oracle.regional_sales_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    d0, d1 = np.datetime64(date_from), np.datetime64(date_to)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg["r_regionkey"].to_numpy()[
+        np.asarray(reg["r_name"].to_numpy(zero_copy_only=False)) == region]
+    nmask = np.isin(nation["n_regionkey"].to_numpy(), rkey)
+    nat_keys = nation["n_nationkey"].to_numpy()[nmask].astype(np.int64)
+    nat_names = np.asarray(
+        nation["n_name"].to_numpy(zero_copy_only=False))[nmask]
+    order_n = np.argsort(nat_keys)
+    nat_keys, nat_names = nat_keys[order_n], nat_names[order_n]
+
+    def _key_map(path: str, key: str, val: str) -> ray.ObjectRef:
+        t = pq.read_table(path, columns=[key, val])
+        k = t[key].to_numpy().astype(np.int64)
+        v = t[val].to_numpy().astype(np.int64)
+        o = np.argsort(k)
+        return ray.put((k[o], v[o]))
+
+    cust_ref = _key_map(f"{sf_dir}/customer.parquet", "c_custkey",
+                        "c_nationkey")
+    supp_ref = _key_map(f"{sf_dir}/supplier.parquet", "s_suppkey",
+                        "s_nationkey")
+    nat_set = np.sort(nat_keys)
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_nat", pa.int64()), ("_rev4", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def _lookup(ref, tag, keys: np.ndarray) -> np.ndarray:
+        k, v = cached(("q5_map", tag, ref.hex()), lambda: ray.get(ref))
+        pos = np.searchsorted(k, keys)
+        hit = (pos < len(k)) & (k[np.minimum(pos, max(0, len(k) - 1))] == keys)
+        out = np.where(hit, v[np.minimum(pos, max(0, len(k) - 1))], -1)
+        return out.astype(np.int64)
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        od = t["o_orderdate"].to_numpy()
+        m = (od >= d0) & (od < d1)
+        okey = t["o_orderkey"].to_numpy()[m]
+        nat = _lookup(cust_ref, "c", t["o_custkey"].to_numpy()[m])
+        keep = np.isin(nat, nat_set)
+        okey, nat = okey[keep], nat[keep]
+        n = len(okey)
+        return pa.table({"_side": pa.array(np.ones(n, np.int8)),
+                         "_okey": pa.array(okey),
+                         "_nat": pa.array(nat),
+                         "_rev4": pa.array(np.zeros(n, np.int64)),
+                         "_shard": pa.array((okey % n_shards))}).cast(unified)
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        nat = _lookup(supp_ref, "s", t["l_suppkey"].to_numpy())
+        keep = np.isin(nat, nat_set)
+        okey = t["l_orderkey"].to_numpy()[keep]
+        pc = np.floor(t["l_extendedprice"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        n = len(okey)
+        return pa.table({"_side": pa.array(np.zeros(n, np.int8)),
+                         "_okey": pa.array(okey),
+                         "_nat": pa.array(nat[keep]),
+                         "_rev4": pa.array(pc * (100 - dc)),
+                         "_shard": pa.array((okey % n_shards))}).cast(unified)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        li_slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_nat": pd.Series([], dtype=np.int64),
+                              "_rev4": pd.Series([], dtype=np.int64),
+                              "_n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        m = lf[["_okey", "_nat", "_rev4"]].merge(
+            rf[["_okey", "_nat"]], on="_okey", how="inner",
+            suffixes=("", "_c"))
+        m = m[m["_nat"] == m["_nat_c"]]
+        if len(m) == 0:
+            return empty
+        agg = m.groupby("_nat", sort=False).agg(
+            _rev4=("_rev4", "sum"), _n=("_rev4", "size")).reset_index()
+        return pd.DataFrame({"_nat": agg["_nat"].astype(np.int64),
+                             "_rev4": agg["_rev4"].astype(np.int64),
+                             "_n": agg["_n"].astype(np.int64)})
+
+    parts = (li.union(orders).groupby("_shard")
+             .map_groups(shard_partial, batch_format="pandas")
+             .to_pandas())  # <= |nations| rows per shard
+    if len(parts) == 0 or "_nat" not in parts.columns:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue4": pa.array([], pa.int64()),
+                         "n_items": pa.array([], pa.int64())})
+    agg = parts.groupby("_nat", sort=False).agg(
+        revenue4=("_rev4", "sum"), n_items=("_n", "sum")).reset_index()
+    pos = np.searchsorted(nat_keys, agg["_nat"].to_numpy(np.int64))
+    names = nat_names[pos]
+    order = np.argsort(-agg["revenue4"].to_numpy())
+    return pa.table({
+        "n_name": pa.array(names[order].astype(str)),
+        "revenue4": pa.array(agg["revenue4"].to_numpy(np.int64)[order]),
+        "n_items": pa.array(agg["n_items"].to_numpy(np.int64)[order])})

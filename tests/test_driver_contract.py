@@ -187,6 +187,9 @@ SQL_NAMES = [
     # round 4 wave 7: signed random projection (JL reduction, integer
     # GEMM vs a splitmix-parity sign matrix, bit-exact twin)
     "random_projection",
+    # round 4 wave 7: TPC-H Q5 twin (two broadcast dims + one
+    # hash(orderkey) exchange, same-nation equality in-shard)
+    "regional_sales",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -421,3 +421,52 @@ def test_large_orders_empty_winner_set(ray_session):
     assert out.column_names == ["c_name", "o_custkey", "o_orderkey",
                                 "o_orderdate_us", "o_totalprice_c",
                                 "sum_qty_c"]
+
+
+def test_regional_sales_matches_pandas_brute(ray_session):
+    """Q5 twin vs a pandas recomputation at sf0.001 — region filter,
+    date window, same-nation equality, integer revenue4."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import regional_sales
+
+    sf = "/root/testdata/sf0.001"
+    out = regional_sales(sf, region="EUROPE").to_pandas()
+
+    r = pq.read_table(f"{sf}/region.parquet").to_pandas()
+    n = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+    c = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    s = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    l = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    rk = r.loc[r.r_name == "EUROPE", "r_regionkey"]
+    nat = n[n.n_regionkey.isin(rk)]
+    j = (l.merge(o[["o_orderkey", "o_custkey", "o_orderdate"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey",
+                right_on="c_custkey")
+         .merge(s[["s_suppkey", "s_nationkey"]], left_on="l_suppkey",
+                right_on="s_suppkey")
+         .merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                right_on="n_nationkey"))
+    j = j[(j.s_nationkey == j.c_nationkey)
+          & (j.o_orderdate >= pd.Timestamp("1996-01-01"))
+          & (j.o_orderdate < pd.Timestamp("1997-01-01"))]
+    pc = np.floor(j.l_extendedprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(j.l_discount.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    j = j.assign(rev=pc * (100 - dc))
+    want = (j.groupby("n_name").agg(revenue4=("rev", "sum"),
+                                    n_items=("rev", "size"))
+            .reset_index().sort_values("revenue4", ascending=False))
+    assert len(want) > 0, "fixture has no qualifying rows"
+    assert list(out["n_name"]) == list(want["n_name"])
+    assert list(out["revenue4"]) == list(want["revenue4"])
+    assert list(out["n_items"]) == list(want["n_items"])
+
+
+def test_regional_sales_empty_region(ray_session):
+    from optimizing_ray.pipelines.relational import regional_sales
+
+    out = regional_sales("/root/testdata/sf0.001", region="NO_SUCH")
+    assert out.num_rows == 0
+    assert out.column_names == ["n_name", "revenue4", "n_items"]
