@@ -609,6 +609,17 @@ def _q_top_orders(sf_dir: str):
     return relational.top_orders(sf_dir)
 
 
+def _q_triangle_count(sf_dir: str):
+    """Triangle count over the exact embedding kNN graph — the MapReduce
+    node-iterator with min-vertex orientation (2 exchanges; wedge volume
+    bounded by k^2 per node on kNN graphs)."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", num_blocks=4)
+    return cluster.triangle_count(ann.embedding_knn_graph(emb, k=5))
+
+
 def _q_regional_sales(sf_dir: str):
     """TPC-H Q5 twin: same-nation customer/supplier revenue per region
     nation — two broadcast key->nation maps, date+region filters at the
@@ -2033,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": _q_customer_distribution,
         "large_orders": _q_large_orders,
         "regional_sales": _q_regional_sales,
+        "triangle_count": _q_triangle_count,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2180,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),
+        "triangle_count": oracle.triangle_count_sql(k=5),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

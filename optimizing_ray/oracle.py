@@ -3265,3 +3265,24 @@ WHERE s.s_nationkey = c.c_nationkey
 GROUP BY n.n_name
 ORDER BY revenue4 DESC
 """
+
+def triangle_count_sql(k: int = 5, scale: int = 1024,
+                       table: str = "embeddings") -> str:
+    """cluster.triangle_count twin over the kNN graph: symmetrize +
+    orient the embedding_knn_graph_sql edge set to a < b, count
+    same-min-vertex neighbor pairs (wedges) and those closed by an
+    edge (each triangle once, at its minimum vertex)."""
+    return f"""
+WITH g AS ({embedding_knn_graph_sql(k=k, scale=scale, table=table)}),
+e AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                      greatest(vec_id, neighbor_id) AS b
+      FROM g WHERE vec_id <> neighbor_id),
+w AS (SELECT e1.b AS x, e2.b AS y
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b),
+t AS (SELECT count(*) AS n_triangles
+      FROM w JOIN e ON e.a = w.x AND e.b = w.y)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM t
+"""

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 import ray
 import ray.data as rd
 
@@ -44,7 +45,7 @@ from optimizing_ray.pipelines.ann import _to_matrix
 
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
-           "cluster_top_terms"]
+           "cluster_top_terms", "triangle_count"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -426,3 +427,117 @@ def cluster_top_terms(emb: rd.Dataset, docs: rd.Dataset, seeds: np.ndarray, *,
     out["term_rank"] = (out.groupby("cluster", sort=False).cumcount()
                         + 1).astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def triangle_count(edges: rd.Dataset, *, src: str = "vec_id",
+                   dst: str = "neighbor_id",
+                   n_shards: int | None = None) -> pa.Table:
+    """Triangle count over an undirected graph given as (possibly
+    directed, possibly duplicated) edge rows — the classic graph-
+    analytics primitive (clustering coefficient, community density)
+    over e.g. the kNN graph.  Output ONE row (n_edges, n_wedges,
+    n_triangles); every triangle counts exactly once.
+
+    Plan (the MapReduce node-iterator with min-vertex orientation —
+    Suri & Vassilvitskii's MR triangle counting, 2 exchanges total):
+    (1) per batch orient every edge to (a, b) with a < b (drops self
+    loops) and shard on hash(a) — BOTH directions of a pair and all its
+    duplicates land in shard(a), so the per-node distinct-neighbor pass
+    inside the shard is also the global dedup; each node a with
+    out-neighborhood N+(a) = {b > a} emits its wedge rows (b, c),
+    b < c in N+(a), PLUS its deduped edge rows, side-tagged.  A
+    triangle {a<b<c} is claimed only at its minimum vertex, so wedge
+    volume is sum deg+^2 — bounded by k^2 per node on kNN graphs.
+    (2) ONE hash(b, c) exchange matches wedges against edges (sorted
+    composite searchsorted in-shard); per-shard counts merge
+    driver-side.  SQL twin ``oracle.triangle_count_sql``."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def orient(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_a": pa.array([], pa.int64()),
+                          "_b": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or src not in t.column_names:
+            return empty
+        u = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = u != v
+        u, v = u[m], v[m]
+        a, b = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"_a": pa.array(a), "_b": pa.array(b),
+                         "_shard": pa.array((a % n_shards).astype(np.int64))})
+
+    def _pair_shard(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (x.astype(np.uint64) * gold + y.astype(np.uint64))
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    def wedges_and_edges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_side": pd.Series([], dtype=np.int8),
+                              "_x": pd.Series([], dtype=np.int64),
+                              "_y": pd.Series([], dtype=np.int64),
+                              "_shard2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        ab = np.unique(np.stack([g["_a"].to_numpy(np.int64),
+                                 g["_b"].to_numpy(np.int64)], axis=1), axis=0)
+        a, b = ab[:, 0], ab[:, 1]
+        # wedge emission: per node a, all b < c pairs of its sorted
+        # neighbor run (np.unique already sorted lexicographically)
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[starts, len(a)])
+        # vectorized pair expansion per run: for run length L emit
+        # L*(L-1)/2 pairs via offset arithmetic
+        wx, wy = [], []
+        if lens.max(initial=0) > 1:
+            for L in np.unique(lens[lens > 1]):
+                runs = starts[lens == L]
+                nb = b[runs[:, None] + np.arange(L)[None, :]]  # (runs, L)
+                iu, ju = np.triu_indices(L, 1)
+                wx.append(nb[:, iu].ravel())
+                wy.append(nb[:, ju].ravel())
+        wx = np.concatenate(wx) if wx else np.empty(0, np.int64)
+        wy = np.concatenate(wy) if wy else np.empty(0, np.int64)
+        side = np.r_[np.zeros(len(a), np.int8), np.ones(len(wx), np.int8)]
+        x = np.r_[a, wx]
+        y = np.r_[b, wy]
+        return pd.DataFrame({"_side": side, "_x": x, "_y": y,
+                             "_shard2": _pair_shard(x, y)})
+
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"n_edges": pd.Series([], dtype=np.int64),
+                                 "n_wedges": pd.Series([], dtype=np.int64),
+                                 "n_triangles": pd.Series([], dtype=np.int64)})
+        e = g[g["_side"] == 0]
+        w = g[g["_side"] == 1]
+        ekey = np.unique(e["_x"].to_numpy(np.int64) << np.int64(32)
+                         | e["_y"].to_numpy(np.int64))
+        wkey = (w["_x"].to_numpy(np.int64) << np.int64(32)
+                | w["_y"].to_numpy(np.int64))
+        pos = np.searchsorted(ekey, wkey)
+        hit = ((pos < len(ekey))
+               & (ekey[np.minimum(pos, max(0, len(ekey) - 1))] == wkey)
+               if len(ekey) else np.zeros(len(wkey), bool))
+        return pd.DataFrame({"n_edges": [np.int64(len(ekey))],
+                             "n_wedges": [np.int64(len(wkey))],
+                             "n_triangles": [np.int64(hit.sum())]})
+
+    parts = (edges.map_batches(orient, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("_shard").map_groups(wedges_and_edges,
+                                           batch_format="pandas")
+             .groupby("_shard2").map_groups(close_wedges,
+                                            batch_format="pandas")
+             .to_pandas())  # one row per shard
+    if len(parts) == 0 or "n_triangles" not in parts.columns:
+        z = np.zeros(1, np.int64)
+        return pa.table({"n_edges": pa.array(z), "n_wedges": pa.array(z),
+                         "n_triangles": pa.array(z)})
+    return pa.table({
+        "n_edges": pa.array([np.int64(parts["n_edges"].sum())]),
+        "n_wedges": pa.array([np.int64(parts["n_wedges"].sum())]),
+        "n_triangles": pa.array([np.int64(parts["n_triangles"].sum())])})

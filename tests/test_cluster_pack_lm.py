@@ -427,3 +427,34 @@ def test_bigram_logprob_matches_brute(ray_session, plan_kw):
         s = sum(np.log(pc[p] + 1.0) - np.log(pv[p[0]] + V) for p in prs)
         want = np.floor(s / len(prs) * 1e6 + 0.5) / 1e6
         assert out.loc[i, "logprob"] == want
+
+
+def test_triangle_count_matches_adjacency_brute(ray_session):
+    """Engine count vs trace(A^3)/6 on a random graph fed as DIRECTED,
+    DUPLICATED edge rows (the orientation pass must dedup), plus a
+    planted triangle and the empty graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.cluster import triangle_count
+
+    rng = np.random.default_rng(17)
+    n = 60
+    A = (rng.random((n, n)) < 0.08)
+    A = np.triu(A, 1)
+    A = A | A.T
+    u, v = np.nonzero(A)  # both directions present
+    # duplicate a third of the rows to exercise the dedup
+    dup = rng.random(len(u)) < 0.33
+    uu = np.r_[u, u[dup]].astype(np.int64)
+    vv = np.r_[v, v[dup]].astype(np.int64)
+    t = pa.table({"vec_id": pa.array(uu), "neighbor_id": pa.array(vv)})
+    out = triangle_count(rd.from_arrow(t).repartition(4)).to_pandas()
+    want_tri = int(np.trace(np.linalg.matrix_power(A.astype(np.int64), 3)) // 6)
+    assert out["n_triangles"].iloc[0] == want_tri
+    assert out["n_edges"].iloc[0] == int(A.sum() // 2)
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64())})
+    z = triangle_count(rd.from_arrow(empty)).to_pandas()
+    assert list(z.iloc[0]) == [0, 0, 0]

@@ -190,6 +190,9 @@ SQL_NAMES = [
     # round 4 wave 7: TPC-H Q5 twin (two broadcast dims + one
     # hash(orderkey) exchange, same-nation equality in-shard)
     "regional_sales",
+    # round 4 wave 7: triangle count over the kNN graph (MR node-
+    # iterator, min-vertex orientation, 2 exchanges)
+    "triangle_count",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
