@@ -609,6 +609,15 @@ def _q_top_orders(sf_dir: str):
     return relational.top_orders(sf_dir)
 
 
+def _q_sales_rollup(sf_dir: str):
+    """ROLLUP(nation, year) in one scan: finest integer-cents partials
+    only; every coarser grouping-set level derives from the merged
+    finest driver-side."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.sales_rollup(sf_dir)
+
+
 def _q_triangle_count(sf_dir: str):
     """Triangle count over the exact embedding kNN graph — the MapReduce
     node-iterator with min-vertex orientation (2 exchanges; wedge volume
@@ -2045,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "regional_sales": _q_regional_sales,
         "triangle_count": _q_triangle_count,
+        "sales_rollup": _q_sales_rollup,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2193,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),
         "triangle_count": oracle.triangle_count_sql(k=5),
+        "sales_rollup": oracle.sales_rollup_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3286,3 +3286,27 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        CAST(t.n_triangles AS BIGINT) AS n_triangles
 FROM t
 """
+
+def sales_rollup_sql() -> str:
+    """relational.sales_rollup twin: ROLLUP(nation, year) expressed as
+    three sentinel-labelled GROUP BYs unioned ('ALL' / -1 instead of
+    ROLLUP NULLs, sidestepping NULL normalization), integer cents."""
+    base = """
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+    return f"""
+WITH b AS ({base})
+SELECT n_name, o_year, CAST(SUM(rev_c) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY n_name, o_year
+UNION ALL
+SELECT n_name, -1 AS o_year, CAST(SUM(rev_c) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM b GROUP BY n_name
+UNION ALL
+SELECT 'ALL' AS n_name, -1 AS o_year, CAST(SUM(rev_c) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM b
+"""

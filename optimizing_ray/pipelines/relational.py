@@ -16,7 +16,7 @@ import ray.data as rd
 
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "pricing_summary", "top_orders", "customer_distribution",
-           "large_orders", "regional_sales"]
+           "large_orders", "regional_sales", "sales_rollup"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -776,3 +776,94 @@ def regional_sales(sf_dir: str, *, region: str = "ASIA",
         "n_name": pa.array(names[order].astype(str)),
         "revenue4": pa.array(agg["revenue4"].to_numpy(np.int64)[order]),
         "n_items": pa.array(agg["n_items"].to_numpy(np.int64)[order])})
+
+# --- ROLLUP / grouping-sets over (nation, year) ------------------------------
+
+def sales_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(nation, year) revenue — the grouping-sets surface: order
+    revenue at (nation, year), (nation, ALL), (ALL, ALL), in ONE pass:
+    the finest level is the only thing computed from data (per-batch
+    integer-cents partials bounded by |nations| x |years| per block,
+    driver merge — the sales_by_nation shape), and every coarser level
+    DERIVES from the merged finest by re-aggregation — at 100 TB the
+    rollup costs exactly one scan no matter how many levels.
+
+    Sentinels: coarser levels use n_name = 'ALL' / o_year = -1 instead
+    of SQL's ROLLUP NULLs, so the twin (``oracle.sales_rollup_sql``,
+    three sentinel-labelled GROUP BYs unioned) compares exactly.
+    Output (n_name, o_year, revenue_c, n_orders)."""
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    nname = np.asarray(nation["n_name"].to_numpy(zero_copy_only=False))
+    norder = np.argsort(nk)
+    nk, nname = nk[norder], nname[norder]
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+    j = broadcast_lookup(orders, customer, fact_key="o_custkey",
+                         dim_key="c_custkey", value_cols=("c_nationkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_nat": pa.array([], pa.int64()),
+                          "_year": pa.array([], pa.int64()),
+                          "_rev_c": pa.array([], pa.int64()),
+                          "_n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return empty
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        year = (t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+                .astype(np.int64) + 1970)
+        rev = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                       + 0.5).astype(np.int64)
+        key = nat * 10_000 + year
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        cnts = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, rev)
+        np.add.at(cnts, inv, 1)
+        return pa.table({"_nat": pa.array(uk // 10_000),
+                         "_year": pa.array(uk % 10_000),
+                         "_rev_c": pa.array(sums), "_n": pa.array(cnts)})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "o_year": pa.array([], pa.int64()),
+                         "revenue_c": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    finest = (parts.groupby(["_nat", "_year"], sort=True)
+              .agg(revenue_c=("_rev_c", "sum"), n_orders=("_n", "sum"))
+              .reset_index())
+    by_nat = (finest.groupby("_nat", sort=True)
+              .agg(revenue_c=("revenue_c", "sum"),
+                   n_orders=("n_orders", "sum")).reset_index())
+    total = pd.DataFrame({
+        "revenue_c": [finest["revenue_c"].sum()],
+        "n_orders": [finest["n_orders"].sum()]})
+
+    def name_of(nat: np.ndarray) -> np.ndarray:
+        return nname[np.searchsorted(nk, nat)]
+
+    names = np.r_[name_of(finest["_nat"].to_numpy(np.int64)),
+                  name_of(by_nat["_nat"].to_numpy(np.int64)),
+                  np.array(["ALL"], dtype=object)]
+    years = np.r_[finest["_year"].to_numpy(np.int64),
+                  np.full(len(by_nat), -1, np.int64),
+                  np.array([-1], np.int64)]
+    revs = np.r_[finest["revenue_c"].to_numpy(np.int64),
+                 by_nat["revenue_c"].to_numpy(np.int64),
+                 total["revenue_c"].to_numpy(np.int64)]
+    ns = np.r_[finest["n_orders"].to_numpy(np.int64),
+               by_nat["n_orders"].to_numpy(np.int64),
+               total["n_orders"].to_numpy(np.int64)]
+    return pa.table({"n_name": pa.array(names.astype(str)),
+                     "o_year": pa.array(years),
+                     "revenue_c": pa.array(revs),
+                     "n_orders": pa.array(ns)})

@@ -193,6 +193,9 @@ SQL_NAMES = [
     # round 4 wave 7: triangle count over the kNN graph (MR node-
     # iterator, min-vertex orientation, 2 exchanges)
     "triangle_count",
+    # round 4 wave 7: ROLLUP(nation, year) — finest partials once,
+    # coarser levels derived; sentinel-labelled SQL twin
+    "sales_rollup",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

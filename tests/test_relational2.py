@@ -470,3 +470,28 @@ def test_regional_sales_empty_region(ray_session):
     out = regional_sales("/root/testdata/sf0.001", region="NO_SUCH")
     assert out.num_rows == 0
     assert out.column_names == ["n_name", "revenue4", "n_items"]
+
+
+def test_sales_rollup_levels_are_consistent(ray_session):
+    """The derived levels must re-aggregate the finest exactly: nation
+    rows sum their year rows, the ALL row sums the nation rows, and
+    the grand totals equal the raw table."""
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import sales_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out = sales_rollup(sf).to_pandas()
+    finest = out[(out.o_year >= 0)]
+    by_nat = out[(out.o_year == -1) & (out.n_name != "ALL")]
+    total = out[out.n_name == "ALL"]
+    assert len(total) == 1
+    for _, r in by_nat.iterrows():
+        f = finest[finest.n_name == r.n_name]
+        assert f["revenue_c"].sum() == r.revenue_c
+        assert f["n_orders"].sum() == r.n_orders
+    assert by_nat["revenue_c"].sum() == total["revenue_c"].iloc[0]
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    assert total["n_orders"].iloc[0] == len(orders)
+    want = int(np.floor(orders.o_totalprice.to_numpy() * 100.0
+                        + 0.5).astype(np.int64).sum())
+    assert total["revenue_c"].iloc[0] == want
