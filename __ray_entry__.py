@@ -1150,6 +1150,29 @@ def _q_interval_coverage(sf_dir: str):
     return windows.interval_coverage(ev)
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over a deterministic sparse subset
+    (event_id % 16 < 1 — the full driver stream keeps every user active
+    every week, one saturated cohort).  Per-batch (user, week) dedup,
+    ONE hash(user) exchange, bounded (cohort, offset) partials."""
+    import pyarrow as _pa
+
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "ts", "user_id"],
+                            num_blocks=8)
+
+    def sparse(t):
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return t
+        return t.filter(_pa.array(t["event_id"].to_numpy() % 16 < 1))
+
+    ev = ev.map_batches(sparse, batch_format="pyarrow", zero_copy_batch=True)
+    return windows.cohort_retention(ev)
+
+
 def _q_funnel(sf_dir: str):
     """view -> click -> purchase conversion funnel over a deterministic
     sparse subset (event_id % 16 < 3) so stage drop-off exists (the full
@@ -2048,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 7: funnel conversion (sequence match under the (ts,
         # event_id) total order) — born past-cap, contract-pytest-oracled
         "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         # wave 7: TPC-H Q13 (left-join count distribution) and Q18
         # (HAVING-sum winners) twins — born past-cap like the rest
         "customer_distribution": _q_customer_distribution,
@@ -2199,6 +2223,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracle.top_orders_sql(),
         "funnel": oracle.funnel_sql(
             table="(SELECT * FROM events WHERE event_id % 16 < 3)"),
+        "cohort_retention": oracle.cohort_retention_sql(
+            table="(SELECT * FROM events WHERE event_id % 16 < 1)"),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),

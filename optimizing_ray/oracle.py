@@ -3310,3 +3310,20 @@ SELECT 'ALL' AS n_name, -1 AS o_year, CAST(SUM(rev_c) AS BIGINT),
        CAST(COUNT(*) AS BIGINT)
 FROM b
 """
+
+def cohort_retention_sql(week_us: int = 7 * 86400 * 1_000_000,
+                         table: str = "events") -> str:
+    """windows.cohort_retention twin: integer epoch weeks (nonneg, so
+    plain integer division == floor), cohort = min week per user,
+    one row per (cohort, offset) with distinct-user counts."""
+    return f"""
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // {week_us} AS BIGINT) AS w
+            FROM {table}),
+c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+SELECT c.cw AS cohort_week, CAST(uw.w - c.cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY c.cw, uw.w - c.cw
+ORDER BY cohort_week, week_offset
+"""

@@ -22,7 +22,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_stats", "event_transitions", "user_tile_visits",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
-           "interval_join", "interval_coverage", "funnel"]
+           "interval_join", "interval_coverage", "funnel",
+           "cohort_retention"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1137,3 +1138,86 @@ def funnel(events: rd.Dataset, *,
                                                  dtype=np.int64)),
                      "event_type": pa.array(list(stages)),
                      "users": pa.array(tot)})
+
+
+def cohort_retention(events: rd.Dataset, *, week_us: int = 7 * 86400 * 1_000_000,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     n_shards: int | None = None) -> rd.Dataset:
+    """Cohort retention — the product-analytics matrix: each user's
+    cohort is their FIRST active week (epoch week of min event time);
+    for every (cohort_week, week_offset) count the users active in
+    cohort_week + offset.  Offset 0 row = cohort size.  Output
+    (cohort_week, week_offset, n_users).
+
+    Scale shape: per-batch pre-dedup to (user, week) pairs (the heavy
+    fold: ~k events/user/week leave the scan as one row), ONE hash(user)
+    shard exchange; in-shard per-user min week (cohort) + distinct-week
+    offsets, emitting (cohort, offset) PARTIAL counts bounded by
+    weeks^2 per shard, merged in the same map_groups output by a
+    bounded driver-side groupby downstream of the returned Dataset —
+    here folded by a second tiny hash(cohort,offset) merge so the
+    result is already final.  All-integer weeks (nonneg epoch), so the
+    SQL twin (``oracle.cohort_retention_sql``) is exact."""
+    n_shards = resolve_shards(n_shards)
+    wus = np.int64(week_us)
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "_week": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        week = t[ts_col].cast(pa.int64()).to_numpy() // wus
+        uw = np.unique(np.stack([key, week], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uw[:, 0]),
+                         "_week": pa.array(uw[:, 1]),
+                         "_shard": pa.array((uw[:, 0] % n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cohort_week": pd.Series([], dtype=np.int64),
+                              "week_offset": pd.Series([], dtype=np.int64),
+                              "n_users": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        w = g["_week"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        uu = np.unique(np.stack([u, w], axis=1), axis=0)  # cross-batch dedup
+        u, w = uu[:, 0], uu[:, 1]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cohort = np.repeat(w[starts], np.diff(np.r_[starts, len(u)]))
+        off = w - cohort
+        key = cohort * 100_000 + off
+        uk, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame({"cohort_week": (uk // 100_000).astype(np.int64),
+                             "week_offset": (uk % 100_000).astype(np.int64),
+                             "n_users": counts.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cohort_week": pd.Series([], dtype=np.int64),
+                                 "week_offset": pd.Series([], dtype=np.int64),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        agg = (g.groupby(["cohort_week", "week_offset"], sort=True)
+               ["n_users"].sum().reset_index())
+        return agg.astype(np.int64)
+
+    parts = (events.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("_shard").map_groups(per_shard, batch_format="pandas"))
+
+    def add_shard2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort_week" not in t.column_names:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64()),
+                             "_shard2": pa.array([], pa.int64())})
+        cw = t["cohort_week"].to_numpy()
+        return t.append_column("_shard2",
+                               pa.array((cw % n_shards).astype(np.int64)))
+
+    return (parts.map_batches(add_shard2, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("_shard2").map_groups(merge, batch_format="pandas"))

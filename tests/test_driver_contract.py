@@ -196,6 +196,9 @@ SQL_NAMES = [
     # round 4 wave 7: ROLLUP(nation, year) — finest partials once,
     # coarser levels derived; sentinel-labelled SQL twin
     "sales_rollup",
+    # round 4 wave 7: weekly cohort retention (per-batch (user, week)
+    # dedup, one hash(user) exchange, bounded matrix)
+    "cohort_retention",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -473,3 +473,34 @@ def test_funnel_empty_and_missing_stage(ray_session):
                   "event_type": pa.array(["view", "purchase"])})
     out = windows.funnel(rd.from_arrow(t)).to_pandas()
     assert list(out["users"]) == [1, 0, 0]
+
+
+def test_cohort_retention_matches_brute(ray_session):
+    """Engine matrix vs a per-user Python recomputation on a stream
+    where users join in different weeks and churn."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    week = 7 * 86400 * 1_000_000
+    user = rng.integers(0, 50, n).astype(np.int64)
+    # users start at week user%6 and are active in random later weeks
+    w = (user % 6) + rng.integers(0, 8, n)
+    ts = w * week + rng.integers(0, week, n)
+    t = pa.table({"user_id": pa.array(user),
+                  "ts": pa.array(ts).cast(pa.timestamp("us"))})
+    out = (windows.cohort_retention(rd.from_arrow(t).repartition(5))
+           .to_pandas())
+
+    want = {}
+    for u in np.unique(user):
+        weeks = np.unique(ts[user == u] // week)
+        c = weeks.min()
+        for wk in weeks:
+            want[(c, wk - c)] = want.get((c, wk - c), 0) + 1
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == want
+    # offset-0 cells are the cohort sizes and every user is in exactly
+    # one cohort
+    assert sum(v for (c, o), v in got.items() if o == 0) == len(np.unique(user))
