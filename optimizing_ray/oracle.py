@@ -3327,3 +3327,21 @@ FROM uw JOIN c USING (user_id)
 GROUP BY c.cw, uw.w - c.cw
 ORDER BY cohort_week, week_offset
 """
+
+def skyline_docs_sql(table: str = "documents") -> str:
+    """textops.skyline_docs twin: Pareto dominance by NOT EXISTS over
+    the integer (q6, n_tokens) plane from the text_analysis CTEs."""
+    return f"""
+WITH {text_analysis_ctes(table)},
+pts AS (SELECT doc_id,
+               CAST(floor(quality * 1e6 + 0.5) AS BIGINT) AS q6,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM ta)
+SELECT p.doc_id, p.q6, p.n_tokens
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts o
+  WHERE o.q6 >= p.q6 AND o.n_tokens >= p.n_tokens
+    AND (o.q6 > p.q6 OR o.n_tokens > p.n_tokens))
+ORDER BY p.q6 DESC, p.n_tokens DESC, p.doc_id
+"""

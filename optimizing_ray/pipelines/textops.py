@@ -25,7 +25,7 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "tfidf_top_terms", "dup_ngram_stats", "strip_dup_ngrams",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
-           "stratified_sample"]
+           "stratified_sample", "skyline_docs"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -1820,3 +1820,76 @@ def bigram_logprob(docs: rd.Dataset, *, id_col: str = "doc_id",
     return (partials.map_batches(add_dshard, batch_format="pyarrow",
                                  zero_copy_batch=True)
             .groupby("_dsh").map_groups(finalize, batch_format="pandas"))
+
+
+def _skyline_sweep(q6: np.ndarray, nt: np.ndarray) -> np.ndarray:
+    """Boolean survivors mask of the (q6, nt) maximal (skyline) set:
+    one lexsort, per-q-level max n vs the running best of strictly
+    higher q levels.  Ties at the level max all survive (equal points
+    never dominate each other)."""
+    order = np.lexsort((-nt, -q6))
+    qs, ns = q6[order], nt[order]
+    gstart = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    gmax = ns[gstart]  # n sorted desc within a q level
+    # running best n over STRICTLY higher q levels (exclusive)
+    prev_best = np.r_[np.int64(np.iinfo(np.int64).min),
+                      np.maximum.accumulate(gmax)[:-1]]
+    glive = gmax > prev_best
+    gid = np.cumsum(np.r_[0, np.diff(qs) != 0])
+    live = glive[gid] & (ns == gmax[gid])
+    mask = np.zeros(len(q6), bool)
+    mask[order[live]] = True
+    return mask
+
+
+def skyline_docs(docs: rd.Dataset, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """Pareto-front (skyline) curation selection: the documents not
+    DOMINATED on the (quality, n_tokens) plane — doc A dominates B iff
+    q6_A >= q6_B and n_A >= n_B with at least one strict; equal points
+    survive together.  The multi-objective "keep the frontier" selector
+    of a curation pipeline.  Output (doc_id, q6, n_tokens), frontier
+    order (q6 DESC, n_tokens DESC, doc_id).
+
+    Plan (the canonical distributed skyline): each batch reduces to its
+    LOCAL skyline — a point dominated within a batch is dominated
+    globally, so the filter is lossless — via one lexsort sweep (group
+    max per quality level vs the running best of strictly-higher
+    levels); the driver merges the union of local fronts with the same
+    sweep.  2-D fronts are tiny relative to the corpus (every survivor
+    must strictly improve n_tokens as q6 decreases), so the driver
+    merge is bounded; at adversarial front sizes shard the merge by q6
+    range.  SQL twin ``oracle.skyline_docs_sql`` (NOT EXISTS
+    dominance)."""
+    scored = analyze_text(docs.select_columns([id_col, text_col]))
+
+    def local_front(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "q6": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "quality" not in t.column_names:
+            return empty
+        q6 = np.floor(t["quality"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5).astype(np.int64)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline_sweep(q6, nt)
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "q6": pa.array(q6[keep]),
+                         "n_tokens": pa.array(nt[keep])})
+
+    fronts = (scored.map_batches(local_front, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas())
+    if len(fronts) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "q6": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    ids = fronts[id_col].to_numpy(np.int64)
+    q6 = fronts["q6"].to_numpy(np.int64)
+    nt = fronts["n_tokens"].to_numpy(np.int64)
+    keep = _skyline_sweep(q6, nt)
+    ids, q6, nt = ids[keep], q6[keep], nt[keep]
+    order = np.lexsort((ids, -nt, -q6))
+    return pa.table({id_col: pa.array(ids[order]),
+                     "q6": pa.array(q6[order]),
+                     "n_tokens": pa.array(nt[order])})

@@ -199,6 +199,9 @@ SQL_NAMES = [
     # round 4 wave 7: weekly cohort retention (per-batch (user, week)
     # dedup, one hash(user) exchange, bounded matrix)
     "cohort_retention",
+    # round 4 wave 7: Pareto-front (skyline) curation selection over
+    # the integer (quality, n_tokens) plane
+    "skyline_docs",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -495,3 +495,39 @@ def test_sales_rollup_levels_are_consistent(ray_session):
     want = int(np.floor(orders.o_totalprice.to_numpy() * 100.0
                         + 0.5).astype(np.int64).sum())
     assert total["revenue_c"].iloc[0] == want
+
+
+def test_skyline_sweep_matches_n2_brute():
+    """The skyline sweep kernel (the exact code skyline_docs runs per
+    batch AND for the driver merge) vs the O(n^2) dominance definition,
+    with planted duplicate points (equal points must survive together);
+    the local-fronts-then-merge composition must equal the global
+    front (local filtering is lossless)."""
+    from optimizing_ray.pipelines.textops import _skyline_sweep
+
+    rng = np.random.default_rng(41)
+    n = 400
+    q6 = rng.integers(0, 50, n).astype(np.int64) * 1000
+    nt = rng.integers(0, 60, n).astype(np.int64)
+    q6[10], nt[10] = q6[3], nt[3]  # planted duplicate pair
+    ids = np.arange(n, dtype=np.int64)
+
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        dominated[i] = bool(np.any(
+            (q6 >= q6[i]) & (nt >= nt[i]) & ((q6 > q6[i]) | (nt > nt[i]))))
+    want = set(ids[~dominated].tolist())
+
+    # one global sweep
+    assert set(ids[_skyline_sweep(q6, nt)].tolist()) == want
+
+    # local fronts on 4 arbitrary splits, then the merge sweep —
+    # exactly the plan skyline_docs composes
+    parts = []
+    for sl in np.array_split(np.arange(n), 4):
+        parts.append(sl[_skyline_sweep(q6[sl], nt[sl])])
+    cand = np.concatenate(parts)
+    got = set(ids[cand[_skyline_sweep(q6[cand], nt[cand])]].tolist())
+    assert got == want
+    # the duplicate pair lives or dies together
+    assert (3 in got) == (10 in got)
