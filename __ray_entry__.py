@@ -1150,6 +1150,21 @@ def _q_interval_coverage(sf_dir: str):
     return windows.interval_coverage(ev)
 
 
+def _q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the directed kNN graph: 3
+    unrolled damped iterations, exact int64 floor arithmetic on both
+    sides; nrows-gated driver plan (zero shuffles) with the 2-exchange
+    vertex-centric rounds as the at-scale path."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    nodes = driver_tables.read(sf_dir, "embeddings", columns=["vec_id"])
+    g = ann.embedding_knn_graph(emb, k=5)
+    return cluster.pagerank(g, nodes, nrows=_tbl_rows(sf_dir, "embeddings"))
+
+
 def _q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix over a deterministic sparse subset
     (event_id % 16 < 1 — the full driver stream keeps every user active
@@ -2093,6 +2108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "skyline_docs": _q_skyline_docs,
+        # wave 8: integer fixed-point PageRank over the kNN graph —
+        # born past-cap, contract-pytest-oracled like the rest
+        "pagerank": _q_pagerank,
         # wave 7: TPC-H Q13 (left-join count distribution) and Q18
         # (HAVING-sum winners) twins — born past-cap like the rest
         "customer_distribution": _q_customer_distribution,
@@ -2247,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oracle.cohort_retention_sql(
             table="(SELECT * FROM events WHERE event_id % 16 < 1)"),
         "skyline_docs": oracle.skyline_docs_sql(),
+        "pagerank": oracle.pagerank_sql(),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),

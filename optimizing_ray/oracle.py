@@ -3345,3 +3345,31 @@ WHERE NOT EXISTS (
     AND (o.q6 > p.q6 OR o.n_tokens > p.n_tokens))
 ORDER BY p.q6 DESC, p.n_tokens DESC, p.doc_id
 """
+
+def pagerank_sql(k: int = 5, iters: int = 3, r0: int = 10 ** 9,
+                 damp_num: int = 85, damp_den: int = 100,
+                 scale: int = 1024, table: str = "embeddings") -> str:
+    """cluster.pagerank twin over the directed kNN graph: the fixed-
+    iteration recurrence unrolled as a CTE chain.  All arithmetic is
+    integer: DuckDB ``//`` on the non-negative HUGEINT sums equals the
+    engine's int64 floor division (trunc == floor for non-negatives);
+    dangling mass leaks identically on both sides."""
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    ctes = [f"""WITH g AS ({embedding_knn_graph_sql(k=k, scale=scale, table=table)}),
+e AS (SELECT vec_id AS src, neighbor_id AS dst FROM g),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+n0 AS (SELECT vec_id FROM {table}),
+r0 AS (SELECT vec_id, CAST({r0} AS BIGINT) AS r FROM n0)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f""",
+s{i} AS (SELECT e.dst AS vec_id, SUM(r.r // deg.d) AS s
+         FROM e JOIN r{i - 1} r ON r.vec_id = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.vec_id,
+                CAST({base} + ({damp_num} * COALESCE(s.s, 0)) // {damp_den}
+                     AS BIGINT) AS r
+         FROM n0 n LEFT JOIN s{i} s USING (vec_id))""")
+    return "".join(ctes) + f"""
+SELECT vec_id, r AS rank_fp FROM r{iters} ORDER BY vec_id
+"""

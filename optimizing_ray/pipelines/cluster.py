@@ -45,7 +45,7 @@ from optimizing_ray.pipelines.ann import _to_matrix
 
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
-           "cluster_top_terms", "triangle_count"]
+           "cluster_top_terms", "triangle_count", "pagerank"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -541,3 +541,213 @@ def triangle_count(edges: rd.Dataset, *, src: str = "vec_id",
         "n_edges": pa.array([np.int64(parts["n_edges"].sum())]),
         "n_wedges": pa.array([np.int64(parts["n_wedges"].sum())]),
         "n_triangles": pa.array([np.int64(parts["n_triangles"].sum())])})
+
+
+def pagerank(edges: rd.Dataset, nodes: rd.Dataset, *,
+             src: str = "vec_id", dst: str = "neighbor_id",
+             node_col: str = "vec_id", iters: int = 3,
+             r0: int = 10 ** 9, damp_num: int = 85, damp_den: int = 100,
+             nrows: int | None = None,
+             n_shards: int | None = None) -> "pa.Table | rd.Dataset":
+    """Integer fixed-point PageRank over a directed edge list — the
+    graph-centrality primitive (e.g. authority scoring over the kNN
+    graph for curation / representative selection).  Exact and
+    SQL-twinnable: all arithmetic is int64 floor division on
+    NON-NEGATIVE values (numpy ``//`` == DuckDB ``//`` there; they
+    differ on negatives — trunc vs floor — which never occur here).
+
+        r_0(v)    = r0                       for every node
+        share(u)  = r_i(u) // outdeg(u)
+        r_{i+1}(v) = base + (damp_num * sum_{u->v} share(u)) // damp_den
+        base      = (r0 * (damp_den - damp_num)) // damp_den
+
+    Dangling nodes (no out-edges) simply leak their mass — the classic
+    simplification, deterministic on both sides.  Fixed ``iters`` keeps
+    the SQL twin a finite unrolled CTE chain (``oracle.pagerank_sql``).
+    Edge endpoints must be drawn from ``nodes``.
+
+    Plans (nrows = node-count hint, the dedup._plan_rows discipline):
+
+    * broadcast/driver (nrows <= 2_000_000): the slim (src, dst) edge
+      list and node-id column collect driver-side ONCE; iterations are
+      pure int64 numpy (searchsorted index, bincount degrees, sorted
+      reduceat partial sums).  Zero shuffles — right for graphs that
+      fit one machine (the CC driver-union-find precedent).
+    * distributed: ranks live as a Dataset co-sharded with the edges on
+      hash(node); per iteration ONE hash(src) side-tag exchange joins
+      ranks to out-edges and emits (dst, contribution) plus a per-node
+      presence row carrying outdeg, then ONE hash(dst) exchange sums
+      and damps — 2 exchanges per round, materialized per round
+      (iterative-pipeline discipline), never one Ray group per node.
+
+    Overflow guard: damp_num * total_mass must stay < 2^63; with the
+    defaults that holds to ~1e8 nodes (checked in the driver plan).
+    Output (node_col, rank_fp) — int64 fixed-point ranks, node order.
+    """
+    from optimizing_ray.config import resolve_shards
+
+    assert iters >= 1 and damp_den > damp_num > 0 and r0 > 0
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    gate = nrows if nrows is not None else (1 << 62)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def _slim_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"_s": pa.array([], pa.int64()),
+                             "_d": pa.array([], pa.int64())})
+        return pa.table({
+            "_s": t[src].cast(pa.int64()), "_d": t[dst].cast(pa.int64())})
+
+    if gate <= 2_000_000:
+        ed = (edges.map_batches(_slim_edges, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas())
+        nd = nodes.select_columns([node_col]).to_pandas()
+        ids = np.unique(nd[node_col].to_numpy(np.int64))
+        n = len(ids)
+        assert damp_num * r0 * max(n, 1) < (1 << 63), \
+            "fixed-point overflow: lower r0 or shard the mass"
+        # a fully-empty edge dataset yields ZERO blocks -> a column-less
+        # driver frame (the Ray empty-schema gotcha, working notes)
+        e_src = (ed["_s"].to_numpy(np.int64) if "_s" in ed.columns
+                 else np.empty(0, np.int64))
+        e_dst = (ed["_d"].to_numpy(np.int64) if "_d" in ed.columns
+                 else np.empty(0, np.int64))
+        es = np.searchsorted(ids, e_src)
+        edst = np.searchsorted(ids, e_dst)
+        deg = np.bincount(es, minlength=n).astype(np.int64)
+        # sort edges by dst once: per-iteration sums become reduceat
+        # over contiguous runs (no np.add.at scatter)
+        order = np.argsort(edst, kind="stable")
+        es, edst = es[order], edst[order]
+        runs = np.flatnonzero(np.r_[True, edst[1:] != edst[:-1]])
+        run_dst = edst[runs] if len(edst) else np.empty(0, np.int64)
+        r = np.full(n, r0, np.int64)
+        for _ in range(iters):
+            contrib = r[es] // deg[es] if len(es) else np.empty(0, np.int64)
+            s = np.zeros(n, np.int64)
+            if len(contrib):
+                s[run_dst] = np.add.reduceat(contrib, runs)
+            r = base + (damp_num * s) // damp_den
+        return pa.table({node_col: pa.array(ids),
+                         "rank_fp": pa.array(r)})
+
+    n_shards = resolve_shards(n_shards)
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = x.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    # side-tag schema: key / val / val2 / kind / _shard (same-typed
+    # payload columns — no null upcasts; working notes)
+    def edge_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64()),
+                          "val2": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or src not in t.column_names:
+            return empty
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s), "val": pa.array(d),
+                         "val2": pa.array(np.zeros(len(s), np.int64)),
+                         "kind": pa.array(np.ones(len(s), np.int8)),
+                         "_shard": pa.array(_shard(s))})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64()),
+                          "val2": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or node_col not in t.column_names:
+            return empty
+        v = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(v),
+                         "val": pa.array(np.zeros(len(v), np.int64)),
+                         "val2": pa.array(np.zeros(len(v), np.int64)),
+                         "kind": pa.array(np.zeros(len(v), np.int8)),
+                         "_shard": pa.array(_shard(v))})
+
+    edge_tagged = edges.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        nid = np.unique(g.loc[g["kind"] == 0, "key"].to_numpy(np.int64))
+        esrc = g.loc[g["kind"] == 1, "key"].to_numpy(np.int64)
+        deg = np.zeros(len(nid), np.int64)
+        if len(esrc):
+            idx = np.searchsorted(nid, esrc)
+            deg = np.bincount(idx, minlength=len(nid)).astype(np.int64)
+        return pd.DataFrame({"node": nid,
+                             "r": np.full(len(nid), r0, np.int64),
+                             "deg": deg})
+
+    ranks = (nodes.map_batches(node_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .union(edge_tagged)
+             .groupby("_shard").map_groups(init_ranks, batch_format="pandas")
+             .materialize())
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "val2": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        nid = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(nid),
+                         "val": t["r"].cast(pa.int64()),
+                         "val2": t["deg"].cast(pa.int64()),
+                         "kind": pa.array(np.zeros(len(nid), np.int8)),
+                         "_shard": pa.array(_shard(nid))})
+
+    def flow(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g[g["kind"] == 0]
+        eg = g[g["kind"] == 1]
+        nid = rk["key"].to_numpy(np.int64)
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        r_s = rk["val"].to_numpy(np.int64)[order]
+        d_s = rk["val2"].to_numpy(np.int64)[order]
+        esrc = eg["key"].to_numpy(np.int64)
+        edst = eg["val"].to_numpy(np.int64)
+        pos = np.searchsorted(nid_s, esrc)
+        contrib = (r_s[pos] // d_s[pos]) if len(esrc) else np.empty(0, np.int64)
+        # presence rows carry (outdeg) so the sum stage can rebuild the
+        # co-sharded rank table without a second lookup exchange
+        out_dst = np.concatenate([edst, nid_s])
+        out_c = np.concatenate([contrib, np.zeros(len(nid_s), np.int64)])
+        out_deg = np.concatenate([np.zeros(len(esrc), np.int64), d_s])
+        out_kind = np.concatenate([np.ones(len(esrc), np.int8),
+                                   np.zeros(len(nid_s), np.int8)])
+        return pd.DataFrame({"node": out_dst, "c": out_c, "dg": out_deg,
+                             "k": out_kind, "_shard2": _shard(out_dst)})
+
+    def damp_sum(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(np.int64)
+        nid = np.unique(g.loc[g["k"] == 0, "node"].to_numpy(np.int64))
+        idx = np.searchsorted(nid, node)
+        s = np.zeros(len(nid), np.int64)
+        np.add.at(s, idx, g["c"].to_numpy(np.int64))
+        deg = np.zeros(len(nid), np.int64)
+        pres = g["k"].to_numpy(np.int8) == 0
+        deg[idx[pres]] = g["dg"].to_numpy(np.int64)[pres]
+        return pd.DataFrame({"node": nid,
+                             "r": base + (damp_num * s) // damp_den,
+                             "deg": deg})
+
+    for _ in range(iters):
+        tagged = (ranks.map_batches(rank_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                  .union(edge_tagged)
+                  .groupby("_shard").map_groups(flow, batch_format="pandas"))
+        ranks = (tagged.groupby("_shard2")
+                 .map_groups(damp_sum, batch_format="pandas").materialize())
+
+    def out_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({node_col: df["node"], "rank_fp": df["r"]})
+
+    return ranks.map_batches(out_cols, batch_format="pandas")

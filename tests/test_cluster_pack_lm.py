@@ -458,3 +458,53 @@ def test_triangle_count_matches_adjacency_brute(ray_session):
                       "neighbor_id": pa.array([], pa.int64())})
     z = triangle_count(rd.from_arrow(empty)).to_pandas()
     assert list(z.iloc[0]) == [0, 0, 0]
+
+
+def test_pagerank_matches_iterative_brute_both_plans(ray_session):
+    """Integer PageRank vs a per-iteration numpy brute on a random
+    directed graph with a planted DANGLING node (mass leaks) and a
+    planted sink hub (no out-edges, high in-degree); the driver plan
+    and the 2-exchange distributed plan must agree bit-exactly."""
+    from optimizing_ray.pipelines.cluster import pagerank
+
+    rng = np.random.default_rng(23)
+    n = 80
+    # node 79 dangling+hub: no out-edges, many in-edges
+    src, dst = [], []
+    for u in range(n - 1):
+        outs = rng.choice(np.r_[np.arange(u), np.arange(u + 1, n)],
+                          size=rng.integers(1, 6), replace=False)
+        src += [u] * len(outs)
+        dst += list(outs)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+
+    r0, dn, dd, iters = 10 ** 9, 85, 100, 3
+    base = (r0 * (dd - dn)) // dd
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    r = np.full(n, r0, np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, np.int64)
+        np.add.at(s, dst, r[src] // np.maximum(deg[src], 1))
+        r = base + (dn * s) // dd
+    assert deg[n - 1] == 0  # the dangling node really is dangling
+
+    edges = rd.from_arrow(pa.table({
+        "vec_id": pa.array(src), "neighbor_id": pa.array(dst)})).repartition(4)
+    nodes = rd.from_arrow(pa.table({"vec_id": pa.array(
+        np.arange(n, dtype=np.int64))})).repartition(3)
+
+    got_b = pagerank(edges, nodes, iters=iters, nrows=n).to_pandas()
+    assert got_b["vec_id"].tolist() == list(range(n))
+    np.testing.assert_array_equal(got_b["rank_fp"].to_numpy(np.int64), r)
+
+    got_d = (pagerank(edges, nodes, iters=iters)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_array_equal(got_d["rank_fp"].to_numpy(np.int64), r)
+    assert got_d["vec_id"].tolist() == list(range(n))
+
+    # empty graph: every node keeps base mass after one damp of zero sum
+    e0 = rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64())}))
+    z = pagerank(e0, nodes, iters=1, nrows=n).to_pandas()
+    assert (z["rank_fp"].to_numpy(np.int64) == base).all()

@@ -202,6 +202,9 @@ SQL_NAMES = [
     # round 4 wave 7: Pareto-front (skyline) curation selection over
     # the integer (quality, n_tokens) plane
     "skyline_docs",
+    # round 4 wave 8: integer fixed-point PageRank over the kNN graph
+    # (unrolled damped iterations, exact floor arithmetic both sides)
+    "pagerank",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
