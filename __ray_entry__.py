@@ -1150,6 +1150,26 @@ def _q_interval_coverage(sf_dir: str):
     return windows.interval_coverage(ev)
 
 
+def _q_boolean_search(sf_dir: str):
+    """Inverted-index conjunctive retrieval: posting lists built into a
+    hash-prefix-partitioned store (one tokenize pass, in-batch tf fold,
+    one exchange), then an AND query that reads ONLY the parts its term
+    hashes name and moves only those postings through one hash(doc)
+    exchange."""
+    import re
+    import shutil
+
+    from optimizing_ray.pipelines import search
+    from optimizing_ray.sources import driver_tables
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    store = f"/tmp/graft_inv_idx_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    search.build_inverted_index(docs, store)
+    return search.boolean_search(store, ["hash", "window", "merge"])
+
+
 def _q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the directed kNN graph: 3
     unrolled damped iterations, exact int64 floor arithmetic on both
@@ -2111,6 +2131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 8: integer fixed-point PageRank over the kNN graph —
         # born past-cap, contract-pytest-oracled like the rest
         "pagerank": _q_pagerank,
+        # wave 8: inverted-index conjunctive retrieval (pruned part
+        # reads) — born past-cap, contract-pytest-oracled
+        "boolean_search": _q_boolean_search,
         # wave 7: TPC-H Q13 (left-join count distribution) and Q18
         # (HAVING-sum winners) twins — born past-cap like the rest
         "customer_distribution": _q_customer_distribution,
@@ -2266,6 +2289,8 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT * FROM events WHERE event_id % 16 < 1)"),
         "skyline_docs": oracle.skyline_docs_sql(),
         "pagerank": oracle.pagerank_sql(),
+        "boolean_search": oracle.boolean_search_sql(
+            ["hash", "window", "merge"]),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),

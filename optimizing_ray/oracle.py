@@ -3373,3 +3373,22 @@ r{i} AS (SELECT n.vec_id,
     return "".join(ctes) + f"""
 SELECT vec_id, r AS rank_fp FROM r{iters} ORDER BY vec_id
 """
+
+def boolean_search_sql(terms, table: str = "documents") -> str:
+    """search.boolean_search twin: AND-of-terms by string identity —
+    single-space tokenization (string_split lockstep with the engine's
+    token-hash identity), docs matching ALL distinct query terms, tf
+    ranked.  Terms must be SQL-literal-safe ASCII (the driver corpus)."""
+    uniq = sorted(set(terms))
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    return f"""
+WITH q(term) AS (VALUES {vals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM {table}),
+hits AS (SELECT t.doc_id, t.term FROM tok t JOIN q USING (term)),
+agg AS (SELECT doc_id, COUNT(DISTINCT term) AS nt, COUNT(*) AS tf_total
+        FROM hits GROUP BY doc_id)
+SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total
+FROM agg WHERE nt = {len(uniq)}
+ORDER BY tf_total DESC, doc_id
+"""

@@ -1,0 +1,196 @@
+"""Inverted index + conjunctive boolean search over the corpus.
+
+The retrieval half of a training-data pipeline (decontamination lookup,
+quality-slice pulls, eval-set mining): posting lists on disk, partitioned
+by term-hash prefix, queried with reads pruned to the partitions the
+query terms name.
+
+* ``build_inverted_index`` — one tokenize pass over the corpus (the
+  single-space split / 64-bit polynomial token hashes of
+  ``functions.text``, byte-lockstep with DuckDB ``string_split(text,
+  ' ')``), per-doc term frequencies folded IN-BATCH (lexsort + run
+  boundaries — the posting rows leaving the scan are (term, doc, tf),
+  one per distinct term per doc, not one per token), then ONE
+  hash-prefix exchange where each part sorts by (term, doc) and writes
+  its parquet under tmp + ``os.replace`` (the fingerprint-store shape:
+  rebuilds are idempotent, the corpus's postings never collect
+  driver-side).
+* ``boolean_search`` — AND-of-terms: reads ONLY the parts the query
+  term hashes name (``stats['parts_read'] < parts_total``), filters to
+  the query hashes at the scan, then ONE hash(doc) exchange counts
+  distinct matched terms per doc and keeps docs matching ALL terms
+  (tf_total = total query-term occurrences).  The exchange volume is
+  the m query terms' posting volume, never the corpus.  Ranked output
+  (tf_total DESC, doc_id).
+
+Token identity is the 64-bit polynomial hash (collision probability
+~2^-64 per distinct pair — the documented approximation of the whole
+word-token family, verified exact by the driver gate).  SQL twin
+``oracle.boolean_search_sql`` joins on token STRINGS.
+
+Reference twin: the reference's per-cell spatial index answering range
+probes (``WorldPartition.hpp:240``) transposed to the text domain —
+cited for parity of role, not ported.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from optimizing_ray.functions.text import token_hash, token_hashes_batch
+
+__all__ = ["build_inverted_index", "boolean_search"]
+
+
+def _part_shift(n_parts: int) -> np.uint64:
+    shift = np.uint64(64 - int(np.log2(n_parts)))
+    assert 1 << (64 - int(shift)) == n_parts, "n_parts must be a power of 2"
+    return shift
+
+
+def build_inverted_index(docs: rd.Dataset, store_dir: str, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_parts: int = 64) -> dict:
+    """Build the posting-list store.  Part files hold (h, doc_id, tf)
+    sorted by (h, doc_id); h is the int64 BIT PATTERN of the uint64
+    token hash (parquet has no uint64 — same convention as the
+    fingerprint store).  Returns {"parts", "rows"}."""
+    shift = _part_shift(n_parts)
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64()),
+                          "_part": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        th, doffs = token_hashes_batch(t[text_col])
+        counts = np.diff(doffs)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.lexsort((th, seg))
+        hs, ss = th[order], seg[order]
+        runs = np.flatnonzero(np.r_[True, (hs[1:] != hs[:-1])
+                                    | (ss[1:] != ss[:-1])])
+        tf = np.diff(np.r_[runs, len(hs)]).astype(np.int64)
+        h = hs[runs]
+        return pa.table({
+            "h": pa.array(h.view(np.int64)),
+            "doc": pa.array(ids[ss[runs]]),
+            "tf": pa.array(tf),
+            "_part": pa.array((h >> shift).astype(np.int64))})
+
+    os.makedirs(store_dir, exist_ok=True)
+
+    def write_part(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        p = int(t["_part"][0].as_py())
+        h = t["h"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        path = os.path.join(store_dir, f"part={p:04d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"h": pa.array(h[order]),
+                                 "doc": pa.array(doc[order]),
+                                 "tf": pa.array(tf[order])}), tmp)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    res = (docs.map_batches(postings, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_part").map_groups(write_part, batch_format="pyarrow")
+           .to_pandas())
+    n_rows = int(res["n"].sum()) if len(res) else 0
+    return {"parts": len([f for f in os.listdir(store_dir)
+                          if f.startswith("part=")
+                          and f.endswith(".parquet")]), "rows": n_rows}
+
+
+def boolean_search(store_dir: str, terms, *, n_parts: int = 64,
+                   n_shards: int | None = None,
+                   stats: dict | None = None) -> pa.Table:
+    """AND-retrieval: docs containing EVERY term in ``terms`` (duplicate
+    query terms collapse), with tf_total = total occurrences of the
+    query terms, ordered (tf_total DESC, doc_id).  Reads only the parts
+    the term hashes name; the doc-side exchange moves only the query
+    terms' postings.  The ranked result materializes driver-side —
+    bounded by the conjunctive match count; for stop-word-only queries
+    at open-web scale, cap with a per-shard top-k before the merge."""
+    from optimizing_ray.config import resolve_shards
+
+    shift = _part_shift(n_parts)
+    n_shards = resolve_shards(n_shards)
+    qh = np.unique(np.array([token_hash(t) for t in terms],
+                            dtype=np.uint64))
+    m = len(qh)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "tf_total": pa.array([], pa.int64())})
+    parts_total = len([f for f in os.listdir(store_dir)
+                       if f.startswith("part=") and f.endswith(".parquet")])
+    need = np.unique((qh >> shift).astype(np.int64))
+    paths = [os.path.join(store_dir, f"part={p:04d}.parquet")
+             for p in need.tolist()]
+    paths = [p for p in paths if os.path.exists(p)]
+    if stats is not None:
+        stats["parts_read"] = len(paths)
+        stats["parts_total"] = parts_total
+    if m == 0 or not paths:
+        return empty
+    qh_i64 = np.sort(qh.view(np.int64))
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def probe(t: pa.Table) -> pa.Table:
+        out_empty = pa.table({"doc": pa.array([], pa.int64()),
+                              "tf": pa.array([], pa.int64()),
+                              "nt": pa.array([], pa.int64()),
+                              "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return out_empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(qh_i64, h)
+        hit = (pos < m) & (qh_i64[np.minimum(pos, m - 1)] == h)
+        if not hit.any():
+            return out_empty
+        doc = t["doc"].to_numpy(zero_copy_only=False)[hit]
+        tf = t["tf"].to_numpy(zero_copy_only=False)[hit]
+        with np.errstate(over="ignore"):
+            sh = ((doc.astype(np.uint64) * gold) >> np.uint64(33))
+        return pa.table({"doc": pa.array(doc), "tf": pa.array(tf),
+                         "nt": pa.array(np.ones(len(doc), np.int64)),
+                         "_shard": pa.array(
+                             (sh % np.uint64(n_shards)).astype(np.int64))})
+
+    def conjoin(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].to_numpy(np.int64)
+        order = np.argsort(doc, kind="stable")
+        d = doc[order]
+        runs = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        # the store holds ONE row per (term, doc): distinct-term count
+        # per doc == run length
+        nt = np.diff(np.r_[runs, len(d)])
+        keep = nt == m
+        tf = np.add.reduceat(g["tf"].to_numpy(np.int64)[order], runs)
+        return pd.DataFrame({"doc_id": d[runs[keep]],
+                             "tf_total": tf[keep].astype(np.int64)})
+
+    hits = (rd.read_parquet(paths)
+            .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_shard").map_groups(conjoin, batch_format="pandas")
+            .to_pandas())
+    if len(hits) == 0 or "doc_id" not in hits.columns:
+        return empty
+    doc = hits["doc_id"].to_numpy(np.int64)
+    tf = hits["tf_total"].to_numpy(np.int64)
+    order = np.lexsort((doc, -tf))
+    return pa.table({"doc_id": pa.array(doc[order]),
+                     "tf_total": pa.array(tf[order])})

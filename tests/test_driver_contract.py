@@ -205,6 +205,9 @@ SQL_NAMES = [
     # round 4 wave 8: integer fixed-point PageRank over the kNN graph
     # (unrolled damped iterations, exact floor arithmetic both sides)
     "pagerank",
+    # round 4 wave 8: inverted-index conjunctive retrieval (pruned
+    # posting-part reads, one hash(doc) exchange)
+    "boolean_search",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
