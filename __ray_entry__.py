@@ -1150,6 +1150,23 @@ def _q_interval_coverage(sf_dir: str):
     return windows.interval_coverage(ev)
 
 
+def _q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 twin: EXISTS semi-join (per-batch unique returned-line
+    orderkeys), ONE hash(orderkey) exchange, priority-bounded partials."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.order_priority_check(sf_dir)
+
+
+def _q_churned_high_balance(sf_dir: str):
+    """TPC-H Q22 twin: division-free above-average balance gate (integer
+    cents cross-multiply), anti-join against recent-order custkeys in
+    ONE hash(custkey) exchange, nation-bounded partials."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.churned_high_balance(sf_dir)
+
+
 def _q_boolean_search(sf_dir: str):
     """Inverted-index conjunctive retrieval: posting lists built into a
     hash-prefix-partitioned store (one tokenize pass, in-batch tf fold,
@@ -2134,6 +2151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 8: inverted-index conjunctive retrieval (pruned part
         # reads) — born past-cap, contract-pytest-oracled
         "boolean_search": _q_boolean_search,
+        # wave 8: TPC-H Q4 (EXISTS semi-join) and Q22 (global scalar
+        # gate + anti-join) twins — born past-cap like the rest
+        "order_priority_check": _q_order_priority_check,
+        "churned_high_balance": _q_churned_high_balance,
         # wave 7: TPC-H Q13 (left-join count distribution) and Q18
         # (HAVING-sum winners) twins — born past-cap like the rest
         "customer_distribution": _q_customer_distribution,
@@ -2291,6 +2312,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.pagerank_sql(),
         "boolean_search": oracle.boolean_search_sql(
             ["hash", "window", "merge"]),
+        "order_priority_check": oracle.order_priority_check_sql(),
+        "churned_high_balance": oracle.churned_high_balance_sql(),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),
         "large_orders": oracle.large_orders_sql(),
         "regional_sales": oracle.regional_sales_sql(),

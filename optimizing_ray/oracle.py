@@ -3392,3 +3392,46 @@ SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total
 FROM agg WHERE nt = {len(uniq)}
 ORDER BY tf_total DESC, doc_id
 """
+
+def order_priority_check_sql(date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01",
+                             returnflag: str = "R") -> str:
+    """relational.order_priority_check twin (TPC-H Q4 shape): EXISTS
+    semi-join against returned lineitems, counts per priority."""
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '{date_lo}'
+  AND o.o_orderdate <  DATE '{date_hi}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = '{returnflag}')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+def churned_high_balance_sql(nations=(1, 3, 5, 8, 13, 17, 21),
+                             cutoff: str = "2000-06-01") -> str:
+    """relational.churned_high_balance twin (TPC-H Q22 shape): the
+    above-average gate is the division-free cross-multiply over integer
+    cents; the anti-join is NOT EXISTS on recent orders."""
+    nat = ", ".join(str(int(n)) for n in nations)
+    return f"""
+WITH pos AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN ({nat})),
+avg_ AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pos WHERE bal_c > 0),
+sel AS (
+  SELECT p.c_nationkey, p.bal_c
+  FROM pos p, avg_
+  WHERE p.bal_c * avg_.n > avg_.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= DATE '{cutoff}'))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+FROM sel GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -16,7 +16,8 @@ import ray.data as rd
 
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "pricing_summary", "top_orders", "customer_distribution",
-           "large_orders", "regional_sales", "sales_rollup"]
+           "large_orders", "regional_sales", "sales_rollup",
+           "order_priority_check", "churned_high_balance"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -867,3 +868,235 @@ def sales_rollup(sf_dir: str) -> pa.Table:
                      "o_year": pa.array(years),
                      "revenue_c": pa.array(revs),
                      "n_orders": pa.array(ns)})
+
+
+# --- TPC-H Q4 order-priority-check twin --------------------------------------
+
+def order_priority_check(sf_dir: str, *, date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         returnflag: str = "R",
+                         n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q4 twin: orders placed in [date_lo, date_hi) with at least
+    one lineitem flagged ``returnflag`` (the driver lineitem has no
+    commit/receipt dates, so the 'late line' EXISTS predicate becomes a
+    'returned line' EXISTS — same semi-join shape), counted per
+    o_orderpriority.
+
+    Plan: both scans prune to 2-3 columns and filter AT THE READ;
+    the lineitem side collapses to per-batch UNIQUE orderkeys (the
+    EXISTS only needs membership — ~4 lines/order fold before the
+    wire); ONE hash(orderkey) side-tag exchange decides the semi-join
+    by sorted membership in-shard and reduces to (priority, n) partials
+    — bounded by the 5 priority classes per shard, tiny driver merge.
+    SQL twin ``oracle.order_priority_check_sql``."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_prio", pa.string()), ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        od = t["o_orderdate"].to_numpy()
+        m = (od >= lo) & (od < hi)
+        okey = t["o_orderkey"].to_numpy()[m]
+        return pa.table({
+            "_side": pa.array(np.ones(len(okey), np.int8)),
+            "_okey": pa.array(okey),
+            "_prio": t["o_orderpriority"].filter(pa.array(m)),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        m = (t["l_returnflag"].to_numpy(zero_copy_only=False)
+             == returnflag)
+        okey = np.unique(t["l_orderkey"].to_numpy()[m])
+        n = len(okey)
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_okey": pa.array(okey),
+            "_prio": pa.array([""] * n, pa.string()),
+            "_shard": _shard(okey)}).cast(unified)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(li_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        keys = np.unique(g.loc[g["_side"] == 0, "_okey"].to_numpy(np.int64))
+        o = g[g["_side"] == 1]
+        if len(o) == 0 or len(keys) == 0:
+            return empty
+        ok = o["_okey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, ok)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ok)
+        vc = o.loc[hit, "_prio"].value_counts()
+        return pd.DataFrame({"o_orderpriority": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = (orders.union(li).groupby("_shard")
+             .map_groups(semi_count, batch_format="pandas").to_pandas())
+    if len(parts) == 0 or "o_orderpriority" not in parts.columns:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "order_count": pa.array([], pa.int64())})
+    agg = (parts.groupby("o_orderpriority", sort=True)["n"].sum()
+           .astype(np.int64))
+    return pa.table({"o_orderpriority": pa.array(agg.index.to_numpy(object),
+                                                 pa.string()),
+                     "order_count": pa.array(agg.to_numpy(np.int64))})
+
+
+# --- TPC-H Q22 churned-high-balance twin --------------------------------------
+
+def churned_high_balance(sf_dir: str, *,
+                         nations: tuple = (1, 3, 5, 8, 13, 17, 21),
+                         cutoff: str = "2000-06-01",
+                         n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q22 twin: customers in ``nations`` whose balance exceeds
+    the average POSITIVE balance of that nation group, with NO orders
+    on/after ``cutoff`` (the driver fixture's customers all have
+    lifetime orders, so Q22's never-ordered anti-join becomes a
+    churned-since anti-join — same shape), aggregated per nation.
+    Output (c_nationkey, numcust, totbal_c), nation order.
+
+    Exactness: balances ride integer cents; the above-average gate is
+    the division-free cross-multiply bal_c * n_pos > sum_pos_c (the
+    integer-cosine-gate discipline), so no float average exists on
+    either side.
+
+    Plan: pass 1 reduces customer to per-batch (sum, count) partials of
+    positive balances (2 ints per batch, driver-added — the global
+    scalar subquery); pass 2 side-tags gated customer rows against
+    per-batch UNIQUE recent-order custkeys in ONE hash(custkey)
+    exchange, anti-joins by sorted membership in-shard, and emits
+    (nation, numcust, totbal_c) partials bounded by the nation list.
+    SQL twin ``oracle.churned_high_balance_sql``."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    cut = np.datetime64(cutoff)
+    nat = np.sort(np.asarray(nations, np.int64))
+
+    def bal_cents(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        nk = t["c_nationkey"].to_numpy()
+        inn = np.isin(nk, nat)
+        bal = np.floor(t["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return nk, np.where(inn, bal, np.int64(0)), inn
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        _, bal, inn = bal_cents(t)
+        m = inn & (bal > 0)
+        return pa.table({"s": pa.array([np.int64(bal[m].sum())]),
+                         "n": pa.array([np.int64(m.sum())])})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    partials = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_nationkey", "c_acctbal"])
+                .map_batches(pos_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+    sum_pos = np.int64(partials["s"].sum()) if len(partials) else np.int64(0)
+    n_pos = np.int64(partials["n"].sum()) if len(partials) else np.int64(0)
+
+    unified = pa.schema([("_side", pa.int8()), ("_ck", pa.int64()),
+                         ("_nat", pa.int64()), ("_bal", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return unified.empty_table()
+        nk, bal, inn = bal_cents(t)
+        # division-free above-average gate (sum/count never divided)
+        m = inn & (bal * n_pos > sum_pos)
+        ck = t["c_custkey"].to_numpy()[m]
+        return pa.table({
+            "_side": pa.array(np.ones(len(ck), np.int8)),
+            "_ck": pa.array(ck),
+            "_nat": pa.array(nk[m].astype(np.int64)),
+            "_bal": pa.array(bal[m]),
+            "_shard": _shard(ck)}).cast(unified)
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return unified.empty_table()
+        m = t["o_orderdate"].to_numpy() >= cut
+        ck = np.unique(t["o_custkey"].to_numpy()[m])
+        n = len(ck)
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_ck": pa.array(ck), "_nat": pa.array(z), "_bal": pa.array(z),
+            "_shard": _shard(ck)}).cast(unified)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=cust_cols).map_batches(
+        cust_slim, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"]
+                             ).map_batches(
+        recent_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def anti_agg(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int64),
+                              "numcust": pd.Series([], dtype=np.int64),
+                              "totbal_c": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        keys = np.unique(g.loc[g["_side"] == 0, "_ck"].to_numpy(np.int64))
+        c = g[g["_side"] == 1]
+        if len(c) == 0:
+            return empty
+        ck = c["_ck"].to_numpy(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ck)
+            hit = ((pos < len(keys))
+                   & (keys[np.minimum(pos, len(keys) - 1)] == ck))
+        else:
+            hit = np.zeros(len(ck), bool)
+        c = c[~hit]
+        if len(c) == 0:
+            return empty
+        gg = c.groupby("_nat", sort=True)
+        return pd.DataFrame({
+            "c_nationkey": gg.size().index.to_numpy(np.int64),
+            "numcust": gg.size().to_numpy(np.int64),
+            "totbal_c": gg["_bal"].sum().to_numpy(np.int64)})
+
+    parts = (cust.union(orders).groupby("_shard")
+             .map_groups(anti_agg, batch_format="pandas").to_pandas())
+    if len(parts) == 0 or "c_nationkey" not in parts.columns:
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "numcust": pa.array([], pa.int64()),
+                         "totbal_c": pa.array([], pa.int64())})
+    agg = parts.groupby("c_nationkey", sort=True).sum()
+    return pa.table({
+        "c_nationkey": pa.array(agg.index.to_numpy(np.int64)),
+        "numcust": pa.array(agg["numcust"].to_numpy(np.int64)),
+        "totbal_c": pa.array(agg["totbal_c"].to_numpy(np.int64))})

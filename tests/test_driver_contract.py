@@ -208,6 +208,10 @@ SQL_NAMES = [
     # round 4 wave 8: inverted-index conjunctive retrieval (pruned
     # posting-part reads, one hash(doc) exchange)
     "boolean_search",
+    # round 4 wave 8: TPC-H Q4 (EXISTS semi-join per priority) and
+    # Q22 (division-free above-average gate + recent-order anti-join)
+    "order_priority_check",
+    "churned_high_balance",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

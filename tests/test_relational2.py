@@ -531,3 +531,64 @@ def test_skyline_sweep_matches_n2_brute():
     assert got == want
     # the duplicate pair lives or dies together
     assert (3 in got) == (10 in got)
+
+
+def test_order_priority_check_matches_pandas_brute(ray_session):
+    """Q4 twin vs a pandas EXISTS brute at sf0.001, plus an
+    impossible-window empty result with a stable schema."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import order_priority_check
+
+    sfd = "/root/testdata/sf0.001"
+    got = order_priority_check(sfd).to_pandas()
+
+    orders = pq.read_table(sfd + "/orders.parquet").to_pandas()
+    li = pq.read_table(sfd + "/lineitem.parquet").to_pandas()
+    rk = set(li.loc[li.l_returnflag == "R", "l_orderkey"])
+    m = ((orders.o_orderdate >= pd.Timestamp("1996-01-01"))
+         & (orders.o_orderdate < pd.Timestamp("1997-01-01"))
+         & orders.o_orderkey.isin(rk))
+    want = (orders[m].groupby("o_orderpriority").size()
+            .sort_index())
+    assert got["o_orderpriority"].tolist() == want.index.tolist()
+    assert got["order_count"].tolist() == want.tolist()
+
+    z = order_priority_check(sfd, date_lo="1888-01-01",
+                             date_hi="1888-01-02").to_pandas()
+    assert len(z) == 0
+    assert list(z.columns) == ["o_orderpriority", "order_count"]
+
+
+def test_churned_high_balance_matches_pandas_brute(ray_session):
+    """Q22 twin vs a pandas brute: the above-average gate must use the
+    POSITIVE-balance average of the nation group (cross-multiplied, no
+    division) and the anti-join must use the recent-order custkeys."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines.relational import churned_high_balance
+
+    sfd = "/root/testdata/sf0.001"
+    nations = (1, 3, 5, 8, 13, 17, 21)
+    cutoff = pd.Timestamp("2000-06-01")
+    got = churned_high_balance(sfd).to_pandas()
+
+    cust = pq.read_table(sfd + "/customer.parquet").to_pandas()
+    orders = pq.read_table(sfd + "/orders.parquet").to_pandas()
+    cust = cust[cust.c_nationkey.isin(nations)].copy()
+    cust["bal_c"] = np.floor(cust.c_acctbal.to_numpy() * 100.0
+                             + 0.5).astype(np.int64)
+    pos = cust[cust.bal_c > 0]
+    s, n = int(pos.bal_c.sum()), len(pos)
+    recent = set(orders.loc[orders.o_orderdate >= cutoff, "o_custkey"])
+    sel = cust[(cust.bal_c * n > s) & ~cust.c_custkey.isin(recent)]
+    want = sel.groupby("c_nationkey").agg(
+        numcust=("bal_c", "size"), totbal_c=("bal_c", "sum")).sort_index()
+    assert got["c_nationkey"].tolist() == want.index.tolist()
+    assert got["numcust"].tolist() == want.numcust.tolist()
+    assert got["totbal_c"].tolist() == want.totbal_c.tolist()
+
+    # empty nation set: stable empty schema
+    z = churned_high_balance(sfd, nations=(24,), cutoff="1900-01-01"
+                             ).to_pandas()
+    assert list(z.columns) == ["c_nationkey", "numcust", "totbal_c"]
