@@ -1462,6 +1462,18 @@ def _q_source_quality_gate(sf_dir: str):
     return textops.source_quality_gate(docs, tau=0.7)
 
 
+def _q_robust_quality_stats(sf_dir: str):
+    """Robust per-source quality stats (lower median / MAD / trimmed
+    sum+count on the integer q6 plane): one hash(source) exchange of
+    slim rows, every statistic an in-shard lexsort + run offsets."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "source", "text"])
+    return textops.robust_quality_stats(docs)
+
+
 def _q_span_kind_rollup(sf_dir: str):
     """Per-kind rollup over the interleaved span column (the input_hint
     payload): per-batch partials, driver combine, zero shuffles."""
@@ -2162,6 +2174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_sales": _q_regional_sales,
         "triangle_count": _q_triangle_count,
         "sales_rollup": _q_sales_rollup,
+        # wave 9: robust per-source quality stats (median/MAD/trimmed
+        # over q6) — born past-cap, contract-pytest-oracled like the rest
+        "robust_quality_stats": _q_robust_quality_stats,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2319,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_sales": oracle.regional_sales_sql(),
         "triangle_count": oracle.triangle_count_sql(k=5),
         "sales_rollup": oracle.sales_rollup_sql(),
+        "robust_quality_stats": oracle.robust_quality_stats_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3435,3 +3435,36 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
        CAST(SUM(bal_c) AS BIGINT) AS totbal_c
 FROM sel GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+def robust_quality_stats_sql(trim_denom: int = 10,
+                             table: str = "documents") -> str:
+    """textops.robust_quality_stats twin: lower-median / MAD / trimmed
+    sum-and-count per source via row_number order statistics over the
+    integer q6 plane — (n+1)//2 picks the LOWER median (never averaged),
+    trim drops n//trim_denom ranks from each end (boundary ties are
+    value-identical so the kept multiset is tie-order invariant)."""
+    return f"""
+WITH {text_analysis_ctes(table)},
+q AS (SELECT d.source,
+             CAST(floor(ta.quality * 1e6 + 0.5) AS BIGINT) AS q6
+      FROM ta JOIN {table} d USING (doc_id)),
+r AS (SELECT source, q6,
+             row_number() OVER (PARTITION BY source ORDER BY q6) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q),
+med AS (SELECT source, CAST(n AS BIGINT) AS n, q6 AS med_q6
+        FROM r WHERE rn = (n + 1) // 2),
+dev AS (SELECT r.source, abs(r.q6 - m.med_q6) AS dv, r.n
+        FROM r JOIN med m USING (source)),
+dr AS (SELECT source, dv, n,
+              row_number() OVER (PARTITION BY source ORDER BY dv) AS rn
+       FROM dev),
+mad AS (SELECT source, dv AS mad_q6 FROM dr WHERE rn = (n + 1) // 2),
+tr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS trim_n,
+              CAST(SUM(q6) AS BIGINT) AS trim_sum_q6
+       FROM r WHERE rn > n // {trim_denom} AND rn <= n - n // {trim_denom}
+       GROUP BY source)
+SELECT m.source, m.n, m.med_q6, mad.mad_q6, tr.trim_n, tr.trim_sum_q6
+FROM med m JOIN mad USING (source) JOIN tr USING (source)
+ORDER BY m.source
+"""

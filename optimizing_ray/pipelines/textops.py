@@ -25,7 +25,7 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "tfidf_top_terms", "dup_ngram_stats", "strip_dup_ngrams",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
-           "stratified_sample", "skyline_docs"]
+           "stratified_sample", "skyline_docs", "robust_quality_stats"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -1893,3 +1893,104 @@ def skyline_docs(docs: rd.Dataset, *, id_col: str = "doc_id",
     return pa.table({id_col: pa.array(ids[order]),
                      "q6": pa.array(q6[order]),
                      "n_tokens": pa.array(nt[order])})
+
+
+def robust_quality_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
+                         source_col: str = "source", text_col: str = "text",
+                         trim_denom: int = 10,
+                         n_shards: int | None = None) -> pa.Table:
+    """Robust per-source quality statistics over the integer q6 plane —
+    the outlier-resistant twin of the mean-based ``source_quality_gate``
+    (one spam page cannot drag a domain's mean; the median/MAD/trimmed
+    views are what a curation dashboard actually wants):
+
+    * ``med_q6``  — the LOWER median (order statistic at 1-based rank
+      (n+1)//2), integer, never averaged, so both engines agree on ties
+      and even group sizes;
+    * ``mad_q6``  — lower median of |q6 - med_q6| (median absolute
+      deviation, the robust spread);
+    * ``trim_n`` / ``trim_sum_q6`` — count and sum of the central slice
+      after dropping n // trim_denom values from EACH end (the trimmed
+      mean's exact numerator/denominator — no division on either side).
+      Boundary ties are value-identical, so the kept multiset (hence
+      the sum) is tie-order invariant.
+
+    Plan: ONE hash(source) exchange of slim (source, q6) rows; a
+    source's docs co-locate, so every statistic is one in-shard lexsort
+    + run-offset arithmetic (meds by index, trimmed sums by cumsum
+    diffs, MAD by a second lexsort on deviations) — per-group output is
+    ONE row, driver merge bounded by the source count.  SQL twin
+    ``oracle.robust_quality_stats_sql`` (row_number order statistics).
+    """
+    import pandas as pd
+
+    n_shards = resolve_shards(n_shards)
+    scored = analyze_text(docs.select_columns([id_col, source_col, text_col]))
+
+    s_empty = pa.table({"source": pa.array([], pa.string()),
+                        "q6": pa.array([], pa.int64()),
+                        "_shard": pa.array([], pa.int64())})
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "quality" not in t.column_names:
+            return s_empty
+        q6 = np.floor(t["quality"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5).astype(np.int64)
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(src), index=False).to_numpy()
+        return pa.table({"source": t[source_col], "q6": pa.array(q6),
+                         "_shard": pa.array(
+                             (h % np.uint64(n_shards)).astype(np.int64))})
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "med_q6": pd.Series([], dtype=np.int64),
+            "mad_q6": pd.Series([], dtype=np.int64),
+            "trim_n": pd.Series([], dtype=np.int64),
+            "trim_sum_q6": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        codes, uniques = pd.factorize(g["source"], sort=True)
+        q6 = g["q6"].to_numpy(np.int64)
+        order = np.lexsort((q6, codes))
+        qs, cs = q6[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        lens = np.diff(np.r_[starts, len(cs)])
+        med = qs[starts + (lens - 1) // 2]
+        lo = lens // trim_denom
+        cum = np.r_[np.int64(0), np.cumsum(qs)]
+        trim_sum = cum[starts + lens - lo] - cum[starts + lo]
+        trim_n = lens - 2 * lo
+        gid = np.cumsum(np.r_[0, np.diff(cs) != 0])
+        dev = np.abs(qs - med[gid])
+        dorder = np.lexsort((dev, cs))
+        mad = dev[dorder][starts + (lens - 1) // 2]
+        return pd.DataFrame({
+            "source": uniques.to_numpy(object)[cs[starts]],
+            "n": lens.astype(np.int64),
+            "med_q6": med.astype(np.int64),
+            "mad_q6": mad.astype(np.int64),
+            "trim_n": trim_n.astype(np.int64),
+            "trim_sum_q6": trim_sum.astype(np.int64)})
+
+    out = (scored.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(stats, batch_format="pandas")
+           .to_pandas())  # one row per source
+    if len(out) == 0 or "source" not in out.columns:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "med_q6": pa.array([], pa.int64()),
+                         "mad_q6": pa.array([], pa.int64()),
+                         "trim_n": pa.array([], pa.int64()),
+                         "trim_sum_q6": pa.array([], pa.int64())})
+    out = out.sort_values("source", kind="stable")
+    return pa.table({
+        "source": pa.array(out["source"].to_numpy(object), pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "med_q6": pa.array(out["med_q6"].to_numpy(np.int64)),
+        "mad_q6": pa.array(out["mad_q6"].to_numpy(np.int64)),
+        "trim_n": pa.array(out["trim_n"].to_numpy(np.int64)),
+        "trim_sum_q6": pa.array(out["trim_sum_q6"].to_numpy(np.int64))})

@@ -212,6 +212,10 @@ SQL_NAMES = [
     # Q22 (division-free above-average gate + recent-order anti-join)
     "order_priority_check",
     "churned_high_balance",
+    # round 4 wave 9: robust per-source quality stats — lower median,
+    # MAD, trimmed sum+count on the integer q6 plane (order statistics
+    # are tie-order invariant, so both engines agree exactly)
+    "robust_quality_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

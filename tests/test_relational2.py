@@ -592,3 +592,38 @@ def test_churned_high_balance_matches_pandas_brute(ray_session):
     z = churned_high_balance(sfd, nations=(24,), cutoff="1900-01-01"
                              ).to_pandas()
     assert list(z.columns) == ["c_nationkey", "numcust", "totbal_c"]
+
+
+def test_robust_quality_stats_matches_brute(ray_session):
+    """robust_quality_stats vs a per-group numpy brute force (sorted
+    order statistics) on the real documents table: lower median, MAD,
+    trimmed count/sum must agree group by group, including groups whose
+    size makes the trim slice degenerate."""
+    import ray.data as rd
+    from optimizing_ray.pipelines.textops import (analyze_text,
+                                                  robust_quality_stats)
+
+    sfd = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sfd}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    got = robust_quality_stats(docs).to_pandas()
+
+    df = analyze_text(
+        rd.read_parquet(f"{sfd}/documents.parquet",
+                        columns=["doc_id", "source", "text"])).to_pandas()
+    df["q6"] = np.floor(df["quality"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+
+    assert len(got) == df["source"].nunique()
+    by_src = got.set_index("source")
+    for src, g in df.groupby("source"):
+        q = np.sort(g["q6"].to_numpy(np.int64))
+        n = len(q)
+        row = by_src.loc[src]
+        assert row["n"] == n
+        med = q[(n - 1) // 2]
+        assert row["med_q6"] == med
+        assert row["mad_q6"] == np.sort(np.abs(q - med))[(n - 1) // 2]
+        lo = n // 10
+        kept = q[lo:n - lo]
+        assert row["trim_n"] == len(kept)
+        assert row["trim_sum_q6"] == kept.sum()
