@@ -1167,6 +1167,31 @@ def _q_churned_high_balance(sf_dir: str):
     return relational.churned_high_balance(sf_dir)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 twin: broadcast promo-partkey set, ONE integer partial
+    row per lineitem batch, driver floor-division share — zero shuffles."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.promo_revenue(sf_dir)
+
+
+def _q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 twin: per-part bracket bitmask broadcast (brand+size
+    decided once per part), per-line qty-bracket intersect on integer
+    cents, one partial row per batch — zero shuffles."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.bracket_revenue(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 twin: per-batch (suppkey, rev4) partials bounded by
+    supplier cardinality, scalar-max equality keeps revenue ties."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.top_supplier(sf_dir)
+
+
 def _q_boolean_search(sf_dir: str):
     """Inverted-index conjunctive retrieval: posting lists built into a
     hash-prefix-partitioned store (one tokenize pass, in-batch tf fold,
@@ -2177,6 +2202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 9: robust per-source quality stats (median/MAD/trimmed
         # over q6) — born past-cap, contract-pytest-oracled like the rest
         "robust_quality_stats": _q_robust_quality_stats,
+        # wave 10: TPC-H Q14/Q19/Q15 twins — zero-shuffle broadcast +
+        # bounded-partial plans; born past-cap, contract-pytest-oracled
+        "promo_revenue": _q_promo_revenue,
+        "bracket_revenue": _q_bracket_revenue,
+        "top_supplier": _q_top_supplier,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2335,6 +2365,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oracle.triangle_count_sql(k=5),
         "sales_rollup": oracle.sales_rollup_sql(),
         "robust_quality_stats": oracle.robust_quality_stats_sql(),
+        "promo_revenue": oracle.promo_revenue_sql(),
+        "bracket_revenue": oracle.bracket_revenue_sql(),
+        "top_supplier": oracle.top_supplier_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

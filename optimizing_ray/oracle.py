@@ -3468,3 +3468,75 @@ SELECT m.source, m.n, m.med_q6, mad.mad_q6, tr.trim_n, tr.trim_sum_q6
 FROM med m JOIN mad USING (source) JOIN tr USING (source)
 ORDER BY m.source
 """
+
+def promo_revenue_sql(date_from: str = "1997-09-01",
+                      date_to: str = "1997-10-01",
+                      promo_type: str = "PROMO") -> str:
+    """relational.promo_revenue twin (TPC-H Q14 shape): integer rev4
+    sums to HUGEINT; the share is the divisible-subtraction floor of
+    promo*1e6/total (all operands nonnegative), CASE-guarded for the
+    empty window."""
+    return f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'),
+s AS (
+  SELECT COALESCE(SUM(CASE WHEN p_type = '{promo_type}'
+                           THEN rev4 ELSE 0 END), 0) AS p4,
+         COALESCE(SUM(rev4), 0) AS t4
+  FROM li JOIN part ON p_partkey = l_partkey)
+SELECT CAST(p4 AS BIGINT) AS promo_rev4, CAST(t4 AS BIGINT) AS total_rev4,
+       CAST(CASE WHEN t4 = 0 THEN 0
+            ELSE (p4 * 1000000 - ((p4 * 1000000) % t4)) / t4 END
+            AS BIGINT) AS promo_share6
+FROM s
+"""
+
+
+def bracket_revenue_sql(brackets: tuple = (("Brand#12", 1, 5, 1, 11),
+                                           ("Brand#23", 1, 10, 10, 20),
+                                           ("Brand#24", 1, 15, 20, 30))
+                        ) -> str:
+    """relational.bracket_revenue twin (TPC-H Q19 shape): the literal
+    disjunctive form — one OR bracket per (brand, size, qty) tuple,
+    quantity compared on integer cents exactly as the engine does."""
+    ors = "\n   OR ".join(
+        f"""(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi}
+        AND CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+            BETWEEN {qlo * 100} AND {qhi * 100})"""
+        for br, slo, shi, qlo, qhi in brackets)
+    return f"""
+SELECT CAST(COALESCE(SUM(
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))), 0)
+       AS BIGINT) AS revenue4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+def top_supplier_sql(date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01") -> str:
+    """relational.top_supplier twin (TPC-H Q15 shape): revenue ties all
+    survive the scalar-max equality — exact because rev4 is integer."""
+    return f"""
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+           AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+  GROUP BY l_suppkey),
+m AS (SELECT max(total) AS mt FROM r)
+SELECT s_suppkey, s_name, CAST(total AS BIGINT) AS total_rev4
+FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN m
+WHERE total = mt
+ORDER BY s_suppkey
+"""

@@ -17,7 +17,8 @@ import ray.data as rd
 __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "pricing_summary", "top_orders", "customer_distribution",
            "large_orders", "regional_sales", "sales_rollup",
-           "order_priority_check", "churned_high_balance"]
+           "order_priority_check", "churned_high_balance",
+           "promo_revenue", "bracket_revenue", "top_supplier"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -1100,3 +1101,227 @@ def churned_high_balance(sf_dir: str, *,
         "c_nationkey": pa.array(agg.index.to_numpy(np.int64)),
         "numcust": pa.array(agg["numcust"].to_numpy(np.int64)),
         "totbal_c": pa.array(agg["totbal_c"].to_numpy(np.int64))})
+
+
+# --- TPC-H Q14 promo-revenue twin ---------------------------------------------
+
+def promo_revenue(sf_dir: str, *, date_from: str = "1997-09-01",
+                  date_to: str = "1997-10-01",
+                  promo_type: str = "PROMO") -> pa.Table:
+    """TPC-H Q14 twin: the share of revenue earned by ``promo_type``
+    parts among lineitems shipped in [date_from, date_to).  One row:
+    (promo_rev4, total_rev4, promo_share6).
+
+    Exactness: revenue4 is the integer 1e-4-dollar discipline
+    (pricing_summary), so both sums are order-exact; the share is ONE
+    floor division promo*1e6 // total computed in arbitrary-precision
+    Python ints on the driver (DuckDB twin sums to HUGEINT and uses the
+    divisible-subtraction floor) — no float ratio on either side.
+
+    Plan (the 100-TB shape): part collapses to a broadcast sorted
+    promo-partkey array plus the sorted all-partkey array (inner-join
+    semantics: lines with unknown parts drop on both engines); lineitem
+    prunes to four columns, date-filters, and reduces each batch to ONE
+    (promo_rev4, total_rev4) partial row — zero shuffles, driver adds
+    O(blocks) pairs.  SQL twin ``oracle.promo_revenue_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    promo = (part["p_type"].to_numpy(zero_copy_only=False)
+             == promo_type)[order]
+    ref = ray.put({"pk": pk[order], "promo": promo})
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p4": pa.array([], pa.int64()),
+                          "t4": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "l_shipdate" not in t.column_names:
+            return empty
+        sd = t["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        if not m.any():
+            return empty
+        d = cached(("q14_part", ref.hex()), lambda: ray.get(ref))
+        lk = t["l_partkey"].to_numpy()[m]
+        pos = np.searchsorted(d["pk"], lk)
+        hit = ((pos < len(d["pk"]))
+               & (d["pk"][np.minimum(pos, max(0, len(d["pk"]) - 1))] == lk)
+               if len(d["pk"]) else np.zeros(len(lk), bool))
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m][hit] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[m][hit] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        isp = d["promo"][pos[hit]]
+        return pa.table({"p4": pa.array([np.int64(rev[isp].sum())]),
+                         "t4": pa.array([np.int64(rev.sum())])})
+
+    parts = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    p4 = int(parts["p4"].sum()) if len(parts) else 0
+    t4 = int(parts["t4"].sum()) if len(parts) else 0
+    share6 = (p4 * 1_000_000) // t4 if t4 else 0
+    return pa.table({"promo_rev4": pa.array([p4], pa.int64()),
+                     "total_rev4": pa.array([t4], pa.int64()),
+                     "promo_share6": pa.array([share6], pa.int64())})
+
+
+# --- TPC-H Q19 disjunctive-bracket revenue twin --------------------------------
+
+DEFAULT_BRACKETS = (("Brand#12", 1, 5, 1, 11),
+                    ("Brand#23", 1, 10, 10, 20),
+                    ("Brand#24", 1, 15, 20, 30))
+
+
+def bracket_revenue(sf_dir: str,
+                    brackets: tuple = DEFAULT_BRACKETS) -> pa.Table:
+    """TPC-H Q19 twin: revenue from lineitems matching ANY of the
+    (brand, size_lo..size_hi, qty_lo..qty_hi) brackets — the canonical
+    disjunctive multi-table predicate (the driver part table has no
+    container column, so the container list becomes the size range).
+    One row: (revenue4, n_lines).
+
+    Plan: part collapses to a broadcast sorted partkey array plus a
+    per-part uint8 bracket BITMASK (brand+size are part-side — decided
+    once per part, not per line); each lineitem batch looks the mask up
+    by searchsorted, tests the qty range per bracket on integer cents,
+    and keeps rows where mask AND qty-bracket intersect; ONE
+    (revenue4, n) partial row per batch, zero shuffles.  SQL twin
+    ``oracle.bracket_revenue_sql`` (the literal OR form)."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[order]
+    size = part["p_size"].to_numpy()[order]
+    mask = np.zeros(len(pk), np.uint8)
+    for b, (br, slo, shi, _, _) in enumerate(brackets):
+        mask |= np.where((brand == br) & (size >= slo) & (size <= shi),
+                         np.uint8(1 << b), np.uint8(0))
+    ref = ray.put({"pk": pk[order], "mask": mask})
+    qlo = np.array([b[3] * 100 for b in brackets], np.int64)
+    qhi = np.array([b[4] * 100 for b in brackets], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"r4": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return empty
+        d = cached(("q19_part", ref.hex()), lambda: ray.get(ref))
+        lk = t["l_partkey"].to_numpy()
+        pos = np.searchsorted(d["pk"], lk)
+        hit = ((pos < len(d["pk"]))
+               & (d["pk"][np.minimum(pos, max(0, len(d["pk"]) - 1))] == lk)
+               if len(d["pk"]) else np.zeros(len(lk), bool))
+        m = d["mask"][np.minimum(pos, max(0, len(d["pk"]) - 1))]
+        m = np.where(hit, m, np.uint8(0))
+        qc = np.floor(t["l_quantity"].to_numpy() * 100.0
+                      + 0.5).astype(np.int64)
+        qin = (qc[:, None] >= qlo[None, :]) & (qc[:, None] <= qhi[None, :])
+        bits = (m[:, None] >> np.arange(len(brackets), dtype=np.uint8)) & 1
+        keep = (qin & bits.astype(bool)).any(axis=1)
+        if not keep.any():
+            return empty
+        pc = np.floor(t["l_extendedprice"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        return pa.table({"r4": pa.array([np.int64(rev.sum())]),
+                         "n": pa.array([np.int64(keep.sum())])})
+
+    parts = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_quantity",
+                                      "l_extendedprice", "l_discount"])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    r4 = int(parts["r4"].sum()) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return pa.table({"revenue4": pa.array([r4], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+# --- TPC-H Q15 top-supplier twin ------------------------------------------------
+
+def top_supplier(sf_dir: str, *, date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01") -> pa.Table:
+    """TPC-H Q15 twin: the supplier(s) with the maximum revenue from
+    lineitems shipped in [date_from, date_to) — Q15's view + scalar-max
+    equality, so REVENUE TIES ALL SURVIVE (integer revenue4 makes the
+    tie test exact; no float max anywhere).
+
+    Plan: lineitem prunes to four columns, date-filters, and reduces
+    each batch to (suppkey, rev4) partials via lexsort+reduceat —
+    bounded by the distinct suppliers per batch; the driver merge is
+    O(blocks x suppliers-per-batch) and the supplier name attach is a
+    local read of the tiny dimension.  At a supplier cardinality where
+    the driver merge matters, the same partials feed ONE hash(suppkey)
+    exchange with per-shard (max + ties) before a <= ties-per-shard
+    merge — shape documented, not needed at TPC-H supplier scale
+    (10k x sf).  SQL twin ``oracle.top_supplier_sql``."""
+    import pyarrow.parquet as pq
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sk": pa.array([], pa.int64()),
+                          "r4": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "l_shipdate" not in t.column_names:
+            return empty
+        sd = t["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        if not m.any():
+            return empty
+        sk = t["l_suppkey"].to_numpy()[m]
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        uk, inv = np.unique(sk, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uk)))
+        return pa.table({"sk": pa.array(uk),
+                         "r4": pa.array(np.add.reduceat(rev[order], starts)
+                                        if len(uk) else np.zeros(0, np.int64))})
+
+    parts = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_suppkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_rev4": pa.array([], pa.int64())})
+    if len(parts) == 0:
+        return empty
+    tot = parts.groupby("sk", sort=True)["r4"].sum()
+    mt = tot.max()
+    win = tot[tot == mt]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    skey = supp["s_suppkey"].to_numpy()
+    order = np.argsort(skey)
+    skey, snames = skey[order], supp["s_name"].to_numpy(
+        zero_copy_only=False)[order]
+    wk = win.index.to_numpy(np.int64)
+    pos = np.searchsorted(skey, wk)
+    hit = ((pos < len(skey))
+           & (skey[np.minimum(pos, max(0, len(skey) - 1))] == wk)
+           if len(skey) else np.zeros(len(wk), bool))
+    wk, wv = wk[hit], win.to_numpy(np.int64)[hit]
+    return pa.table({"s_suppkey": pa.array(wk),
+                     "s_name": pa.array(snames[pos[hit]], pa.string()),
+                     "total_rev4": pa.array(wv)})

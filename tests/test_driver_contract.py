@@ -216,6 +216,11 @@ SQL_NAMES = [
     # MAD, trimmed sum+count on the integer q6 plane (order statistics
     # are tie-order invariant, so both engines agree exactly)
     "robust_quality_stats",
+    # round 4 wave 10: TPC-H Q14/Q19/Q15 twins (promo share, disjunctive
+    # brackets, top supplier with ties) — integer rev4 exact on both sides
+    "promo_revenue",
+    "bracket_revenue",
+    "top_supplier",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -2,6 +2,7 @@
 runs in test_driver_contract)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -627,3 +628,92 @@ def test_robust_quality_stats_matches_brute(ray_session):
         kept = q[lo:n - lo]
         assert row["trim_n"] == len(kept)
         assert row["trim_sum_q6"] == kept.sum()
+
+
+def test_promo_revenue_matches_pandas_brute(ray_session):
+    """Q14 twin vs a pandas integer brute force, plus the empty-window
+    schema edge."""
+    from optimizing_ray.pipelines.relational import promo_revenue
+
+    sfd = "/root/testdata/sf0.001"
+    got = promo_revenue(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    lo, hi = np.datetime64("1997-09-01"), np.datetime64("1997-10-01")
+    m = (li["l_shipdate"].to_numpy() >= lo) & (li["l_shipdate"].to_numpy() < hi)
+    j = li[m].merge(part, left_on="l_partkey", right_on="p_partkey")
+    pc = np.floor(j["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rev = pc * (100 - dc)
+    p4 = int(rev[(j["p_type"] == "PROMO").to_numpy()].sum())
+    t4 = int(rev.sum())
+    assert got["promo_rev4"].iloc[0] == p4
+    assert got["total_rev4"].iloc[0] == t4
+    assert got["promo_share6"].iloc[0] == (p4 * 1_000_000) // t4
+
+    z = promo_revenue(sfd, date_from="1900-01-01",
+                      date_to="1900-01-02").to_pandas()
+    assert (z["promo_rev4"].iloc[0], z["total_rev4"].iloc[0],
+            z["promo_share6"].iloc[0]) == (0, 0, 0)
+
+
+def test_bracket_revenue_matches_pandas_brute(ray_session):
+    """Q19 twin vs a pandas OR-bracket brute force; a bracket set that
+    matches nothing returns the zero row."""
+    from optimizing_ray.pipelines.relational import (DEFAULT_BRACKETS,
+                                                     bracket_revenue)
+
+    sfd = "/root/testdata/sf0.001"
+    got = bracket_revenue(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    qc = np.floor(j["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    keep = np.zeros(len(j), bool)
+    for br, slo, shi, qlo, qhi in DEFAULT_BRACKETS:
+        keep |= ((j["p_brand"] == br).to_numpy()
+                 & (j["p_size"].to_numpy() >= slo)
+                 & (j["p_size"].to_numpy() <= shi)
+                 & (qc >= qlo * 100) & (qc <= qhi * 100))
+    pc = np.floor(j["l_extendedprice"].to_numpy()[keep] * 100.0
+                  + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy()[keep] * 100.0
+                  + 0.5).astype(np.int64)
+    assert got["revenue4"].iloc[0] == int((pc * (100 - dc)).sum())
+    assert got["n_lines"].iloc[0] == int(keep.sum())
+    assert got["n_lines"].iloc[0] > 0  # parameters actually select rows
+
+    z = bracket_revenue(sfd, brackets=(("Brand#999", 1, 1, 1, 1),)
+                        ).to_pandas()
+    assert (z["revenue4"].iloc[0], z["n_lines"].iloc[0]) == (0, 0)
+
+
+def test_top_supplier_matches_pandas_brute(ray_session):
+    """Q15 twin vs a pandas brute force, including the all-ties property
+    (every returned supplier carries the global max) and the empty
+    window."""
+    from optimizing_ray.pipelines.relational import top_supplier
+
+    sfd = "/root/testdata/sf0.001"
+    got = top_supplier(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    m = (li["l_shipdate"].to_numpy() >= lo) & (li["l_shipdate"].to_numpy() < hi)
+    li = li[m]
+    pc = np.floor(li["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(li["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    tot = pd.DataFrame({"sk": li["l_suppkey"].to_numpy(),
+                        "r": pc * (100 - dc)}).groupby("sk")["r"].sum()
+    mt = tot.max()
+    want = np.sort(tot[tot == mt].index.to_numpy(np.int64))
+    assert list(got["s_suppkey"]) == list(want)
+    assert (got["total_rev4"] == mt).all()
+    supp = pd.read_parquet(f"{sfd}/supplier.parquet").set_index("s_suppkey")
+    assert list(got["s_name"]) == list(supp.loc[want, "s_name"])
+
+    z = top_supplier(sfd, date_from="1900-01-01", date_to="1900-01-02")
+    assert z.num_rows == 0
+    assert z.column_names == ["s_suppkey", "s_name", "total_rev4"]
