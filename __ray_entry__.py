@@ -1192,6 +1192,31 @@ def _q_top_supplier(sf_dir: str):
     return relational.top_supplier(sf_dir)
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 twin: broadcast eligible partkeys, ONE hash(partkey)
+    exchange, division-free correlated-average gate in-shard."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.small_qty_revenue(sf_dir)
+
+
+def _q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10 twin: orderkey-join exchange re-keyed into a custkey
+    top-k exchange; driver merge <= k rows per shard + local dim attach."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.returned_top_customers(sf_dir)
+
+
+def _q_nation_volume(sf_dir: str):
+    """TPC-H Q7 twin: broadcast supplier/customer nation maps, in-batch
+    (orderkey, nation, year) rev4 partials, ONE side-tag exchange with
+    the cross-pair predicate in-shard."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.nation_volume(sf_dir)
+
+
 def _q_boolean_search(sf_dir: str):
     """Inverted-index conjunctive retrieval: posting lists built into a
     hash-prefix-partitioned store (one tokenize pass, in-batch tf fold,
@@ -2207,6 +2232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "bracket_revenue": _q_bracket_revenue,
         "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "returned_top_customers": _q_returned_top_customers,
+        "nation_volume": _q_nation_volume,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2368,6 +2396,9 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": oracle.promo_revenue_sql(),
         "bracket_revenue": oracle.bracket_revenue_sql(),
         "top_supplier": oracle.top_supplier_sql(),
+        "small_qty_revenue": oracle.small_qty_revenue_sql(),
+        "returned_top_customers": oracle.returned_top_customers_sql(),
+        "nation_volume": oracle.nation_volume_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3540,3 +3540,76 @@ FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN m
 WHERE total = mt
 ORDER BY s_suppkey
 """
+
+def small_qty_revenue_sql(brand: str = "Brand#12", max_size: int = 25,
+                          frac_den: int = 5) -> str:
+    """relational.small_qty_revenue twin (TPC-H Q17 shape): the
+    correlated average gate as the division-free cross-multiply
+    frac_den*qc*n < sum(qc); /7 is one divisible-subtraction floor."""
+    return f"""
+WITH el AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{brand}' AND p_size <= {max_size}),
+s AS (SELECT l_partkey, SUM(qc) AS sq, COUNT(*) AS n
+      FROM el GROUP BY l_partkey),
+q AS (SELECT COALESCE(SUM(pc), 0) AS sp, COUNT(*) AS nl
+      FROM el JOIN s USING (l_partkey)
+      WHERE {frac_den} * qc * n < sq)
+SELECT CAST(sp AS BIGINT) AS sum_price_c, CAST(nl AS BIGINT) AS n_lines,
+       CAST((sp - (sp % 7)) / 7 AS BIGINT) AS avg_yearly_c
+FROM q
+"""
+
+
+def returned_top_customers_sql(date_from: str = "1997-01-01",
+                               date_to: str = "1997-04-01",
+                               returnflag: str = "R",
+                               k: int = 20) -> str:
+    """relational.returned_top_customers twin (TPC-H Q10 shape): the
+    LIMIT is deterministic on (revenue4 DESC, c_custkey)."""
+    return f"""
+WITH r AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+           AS revenue4
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+    AND l_returnflag = '{returnflag}'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, CAST(revenue4 AS BIGINT) AS revenue4,
+       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_acctbal_c,
+       n_name
+FROM r JOIN customer ON c_custkey = o_custkey
+       JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue4 DESC, c_custkey
+LIMIT {k}
+"""
+
+
+def nation_volume_sql(nat_a: int = 2, nat_b: int = 3,
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1998-01-01") -> str:
+    """relational.nation_volume twin (TPC-H Q7 shape): both directions
+    of the nation pair, revenue per ship year, integer rev4."""
+    return f"""
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(c_nationkey AS BIGINT) AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue4
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+     JOIN supplier ON s_suppkey = l_suppkey
+     JOIN customer ON c_custkey = o_custkey
+WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+  AND ((s_nationkey = {nat_a} AND c_nationkey = {nat_b})
+       OR (s_nationkey = {nat_b} AND c_nationkey = {nat_a}))
+GROUP BY s_nationkey, c_nationkey, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""

@@ -18,7 +18,8 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "pricing_summary", "top_orders", "customer_distribution",
            "large_orders", "regional_sales", "sales_rollup",
            "order_priority_check", "churned_high_balance",
-           "promo_revenue", "bracket_revenue", "top_supplier"]
+           "promo_revenue", "bracket_revenue", "top_supplier",
+           "small_qty_revenue", "returned_top_customers", "nation_volume"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -1325,3 +1326,404 @@ def top_supplier(sf_dir: str, *, date_from: str = "1996-01-01",
     return pa.table({"s_suppkey": pa.array(wk),
                      "s_name": pa.array(snames[pos[hit]], pa.string()),
                      "total_rev4": pa.array(wv)})
+
+
+# --- TPC-H Q17 small-quantity revenue twin --------------------------------------
+
+def small_qty_revenue(sf_dir: str, *, brand: str = "Brand#12",
+                      max_size: int = 25, frac_den: int = 5,
+                      n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q17 twin: revenue from lineitems of ``brand`` parts (size
+    <= ``max_size`` stands in for the container list) whose quantity is
+    below 1/``frac_den`` of that part's average quantity — the
+    correlated per-group scalar-subquery shape.  One row:
+    (sum_price_c, n_lines, avg_yearly_c = sum_price_c // 7).
+
+    Exactness: the gate qty < avg/frac_den is the division-free integer
+    cross-multiply frac_den * qty_c * n < sum_qty_c (strict — no float
+    average on either side); the /7 is ONE floor division of a
+    nonnegative driver-side total.
+
+    Plan: part collapses to a broadcast sorted eligible-partkey array;
+    lineitem filters to eligible parts AT THE BATCH (selectivity
+    ~1/brand-count before any wire) and slims to (partkey, qty_c,
+    price_c); ONE hash(partkey) exchange co-locates each part's lines,
+    the in-shard gate is a lexsort + reduceat (per-part sum/count,
+    gather back by group id), and each shard emits ONE (sum, n) partial.
+    SQL twin ``oracle.small_qty_revenue_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    el = ((part["p_brand"].to_numpy(zero_copy_only=False) == brand)
+          & (part["p_size"].to_numpy() <= max_size))
+    keys = np.sort(part["p_partkey"].to_numpy()[el])
+    ref = ray.put(keys)
+
+    slim_schema = pa.schema([("_pk", pa.int64()), ("_qc", pa.int64()),
+                             ("_pc", pa.int64()), ("_shard", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return slim_schema.empty_table()
+        ek = cached(("q17_part", ref.hex()), lambda: ray.get(ref))
+        lk = t["l_partkey"].to_numpy()
+        pos = np.searchsorted(ek, lk)
+        m = ((pos < len(ek))
+             & (ek[np.minimum(pos, max(0, len(ek) - 1))] == lk)
+             if len(ek) else np.zeros(len(lk), bool))
+        if not m.any():
+            return slim_schema.empty_table()
+        pk = lk[m]
+        qc = np.floor(t["l_quantity"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = pk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({"_pk": pa.array(pk), "_qc": pa.array(qc),
+                         "_pc": pa.array(pc),
+                         "_shard": pa.array(((h >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        pk = g["_pk"].to_numpy(np.int64)
+        qc = g["_qc"].to_numpy(np.int64)
+        pc = g["_pc"].to_numpy(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, qc, pc = pk[order], qc[order], pc[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        lens = np.diff(np.r_[starts, len(pk)])
+        sums = np.add.reduceat(qc, starts)
+        gid = np.cumsum(np.r_[0, pk[1:] != pk[:-1]])
+        keep = frac_den * qc * lens[gid] < sums[gid]
+        return pd.DataFrame({"s": [np.int64(pc[keep].sum())],
+                             "n": [np.int64(keep.sum())]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"]).map_batches(
+        slim, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (li.groupby("_shard").map_groups(gate, batch_format="pandas")
+             .to_pandas())
+    s = int(parts["s"].sum()) if len(parts) and "s" in parts.columns else 0
+    n = int(parts["n"].sum()) if len(parts) and "n" in parts.columns else 0
+    return pa.table({"sum_price_c": pa.array([s], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64()),
+                     "avg_yearly_c": pa.array([s // 7], pa.int64())})
+
+
+# --- TPC-H Q10 returned-item top-customers twin -----------------------------------
+
+def returned_top_customers(sf_dir: str, *, date_from: str = "1997-01-01",
+                           date_to: str = "1997-04-01",
+                           returnflag: str = "R", k: int = 20,
+                           n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q10 twin: the ``k`` customers who lost the most revenue to
+    returned lines among orders placed in [date_from, date_to), with
+    name / balance / nation attached.  Order (revenue4 DESC, c_custkey)
+    — deterministic, so the LIMIT is reproducible.
+
+    Plan (the re-key shape Q3 doesn't exercise): orders date-filters at
+    the scan and slims to (orderkey, custkey); lineitem filters to
+    ``returnflag`` and PRE-AGGREGATES rev4 per orderkey in-batch; ONE
+    hash(orderkey) side-tag exchange joins them into (custkey, rev4)
+    partials; a SECOND hash(custkey) exchange sums per customer and
+    keeps the per-shard top ``k`` on the composite — the driver merges
+    <= k rows per shard and attaches the customer/nation attributes
+    with one local dimension read (k rows).  SQL twin
+    ``oracle.returned_top_customers_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_val", pa.int64()), ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        od = t["o_orderdate"].to_numpy()
+        m = (od >= lo) & (od < hi)
+        okey = t["o_orderkey"].to_numpy()[m]
+        return pa.table({
+            "_side": pa.array(np.ones(len(okey), np.int8)),
+            "_okey": pa.array(okey),
+            "_val": pa.array(t["o_custkey"].to_numpy()[m].astype(np.int64)),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        m = (t["l_returnflag"].to_numpy(zero_copy_only=False) == returnflag)
+        okey = t["l_orderkey"].to_numpy()[m]
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        uk, inv = np.unique(okey, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uk)))
+        return pa.table({
+            "_side": pa.array(np.zeros(len(uk), np.int8)),
+            "_okey": pa.array(uk),
+            "_val": pa.array(np.add.reduceat(rev[order], starts)
+                             if len(uk) else np.zeros(0, np.int64)),
+            "_shard": _shard(uk)}).cast(unified)
+
+    def join_rekey(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_ck": pd.Series([], dtype=np.int64),
+                              "_rev": pd.Series([], dtype=np.int64),
+                              "_shard2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        j = rf[["_okey", "_val"]].merge(
+            lf[["_okey", "_val"]].rename(columns={"_val": "_rev"}),
+            on="_okey", how="inner")
+        if len(j) == 0:
+            return empty
+        ck = j["_val"].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            h = ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pd.DataFrame({
+            "_ck": ck, "_rev": j["_rev"].to_numpy(np.int64),
+            "_shard2": ((h >> np.uint64(33)) % np.uint64(n_shards))
+            .astype(np.int64)})
+
+    def cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                              "revenue4": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        tot = g.groupby("_ck", sort=False)["_rev"].sum()
+        ck = tot.index.to_numpy(np.int64)
+        rv = tot.to_numpy(np.int64)
+        order = np.lexsort((ck, -rv))[:k]
+        return pd.DataFrame({"c_custkey": ck[order],
+                             "revenue4": rv[order]})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"]
+                         ).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    tops = (orders.union(li)
+            .groupby("_shard").map_groups(join_rekey,
+                                          batch_format="pandas")
+            .groupby("_shard2").map_groups(cust_topk,
+                                           batch_format="pandas")
+            .to_pandas())  # <= k rows per shard
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "revenue4": pa.array([], pa.int64()),
+                      "c_acctbal_c": pa.array([], pa.int64()),
+                      "n_name": pa.array([], pa.string())})
+    if len(tops) == 0 or "c_custkey" not in tops.columns:
+        return empty
+    order = np.lexsort((tops["c_custkey"].to_numpy(np.int64),
+                        -tops["revenue4"].to_numpy(np.int64)))[:k]
+    tops = tops.iloc[order]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (tops.merge(cust, on="c_custkey", how="inner")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    order = np.lexsort((out["c_custkey"].to_numpy(np.int64),
+                        -out["revenue4"].to_numpy(np.int64)))
+    out = out.iloc[order]
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+        "c_name": pa.array(out["c_name"].to_numpy(object), pa.string()),
+        "revenue4": pa.array(out["revenue4"].to_numpy(np.int64)),
+        "c_acctbal_c": pa.array(np.floor(out["c_acctbal"].to_numpy()
+                                         * 100.0 + 0.5).astype(np.int64)),
+        "n_name": pa.array(out["n_name"].to_numpy(object), pa.string())})
+
+
+# --- TPC-H Q7 nation-pair volume twin ----------------------------------------------
+
+def nation_volume(sf_dir: str, *, nat_a: int = 2, nat_b: int = 3,
+                  date_from: str = "1996-01-01",
+                  date_to: str = "1998-01-01",
+                  n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q7 twin: shipping volume between supplier nation and
+    customer nation for the (nat_a, nat_b) pair, both directions, per
+    ship year.  Output (supp_nation, cust_nation, l_year, revenue4)
+    ordered by the three keys.
+
+    Plan: supplier and customer key→nationkey maps ride ray.put once
+    (the regional_sales discipline); lineitem date-filters at the scan,
+    keeps supplier-nation ∈ {a,b} rows only, and PRE-AGGREGATES rev4
+    per (orderkey, snat, year) in-batch; orders slims to
+    (orderkey, cnat ∈ {a,b}); ONE hash(orderkey) side-tag exchange
+    joins them, applies the cross-pair predicate (snat != cnat) in-
+    shard, and reduces to (snat, cnat, year, rev4) partials bounded by
+    2 x years per shard — tiny driver merge.  SQL twin
+    ``oracle.nation_volume_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    pair = {nat_a, nat_b}
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    co = np.argsort(cust["c_custkey"].to_numpy())
+    ref = ray.put({
+        "sk": supp["s_suppkey"].to_numpy()[so],
+        "sn": supp["s_nationkey"].to_numpy()[so].astype(np.int64),
+        "ck": cust["c_custkey"].to_numpy()[co],
+        "cn": cust["c_nationkey"].to_numpy()[co].astype(np.int64)})
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_nat", pa.int64()), ("_year", pa.int64()),
+                         ("_rev", pa.int64()), ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def _lookup(keys: np.ndarray, sk: np.ndarray,
+                sv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(sk, keys)
+        hit = ((pos < len(sk))
+               & (sk[np.minimum(pos, max(0, len(sk) - 1))] == keys)
+               if len(sk) else np.zeros(len(keys), bool))
+        return hit, sv[np.minimum(pos, max(0, len(sk) - 1))]
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        d = cached(("q7_dims", ref.hex()), lambda: ray.get(ref))
+        sd = t["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        hit, sn = _lookup(t["l_suppkey"].to_numpy(), d["sk"], d["sn"])
+        m &= hit & np.isin(sn, list(pair))
+        if not m.any():
+            return unified.empty_table()
+        okey = t["l_orderkey"].to_numpy()[m]
+        sn = sn[m]
+        yr = sd[m].astype("datetime64[Y]").astype(np.int64) + 1970
+        pc = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[m] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc * (100 - dc)
+        key = np.stack([okey, sn, yr])
+        order = np.lexsort(key)
+        okey, sn, yr, rev = okey[order], sn[order], yr[order], rev[order]
+        new = np.r_[True, (okey[1:] != okey[:-1]) | (sn[1:] != sn[:-1])
+                    | (yr[1:] != yr[:-1])]
+        starts = np.flatnonzero(new)
+        n = len(starts)
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_okey": pa.array(okey[starts]),
+            "_nat": pa.array(sn[starts]),
+            "_year": pa.array(yr[starts]),
+            "_rev": pa.array(np.add.reduceat(rev, starts)),
+            "_shard": _shard(okey[starts])}).cast(unified)
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        d = cached(("q7_dims", ref.hex()), lambda: ray.get(ref))
+        hit, cn = _lookup(t["o_custkey"].to_numpy(), d["ck"], d["cn"])
+        m = hit & np.isin(cn, list(pair))
+        okey = t["o_orderkey"].to_numpy()[m]
+        n = len(okey)
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_okey": pa.array(okey), "_nat": pa.array(cn[m]),
+            "_year": pa.array(z), "_rev": pa.array(z),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def join_agg(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"supp_nation": pd.Series([], dtype=np.int64),
+                              "cust_nation": pd.Series([], dtype=np.int64),
+                              "l_year": pd.Series([], dtype=np.int64),
+                              "revenue4": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        j = lf[["_okey", "_nat", "_year", "_rev"]].merge(
+            rf[["_okey", "_nat"]].rename(columns={"_nat": "_cnat"}),
+            on="_okey", how="inner")
+        j = j[j["_nat"].to_numpy() != j["_cnat"].to_numpy()]
+        if len(j) == 0:
+            return empty
+        gg = j.groupby(["_nat", "_cnat", "_year"], sort=True)["_rev"].sum()
+        idx = gg.index.to_frame(index=False)
+        return pd.DataFrame({
+            "supp_nation": idx["_nat"].to_numpy(np.int64),
+            "cust_nation": idx["_cnat"].to_numpy(np.int64),
+            "l_year": idx["_year"].to_numpy(np.int64),
+            "revenue4": gg.to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]
+                         ).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]
+                             ).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (li.union(orders).groupby("_shard")
+             .map_groups(join_agg, batch_format="pandas").to_pandas())
+    if len(parts) == 0 or "supp_nation" not in parts.columns:
+        return pa.table({"supp_nation": pa.array([], pa.int64()),
+                         "cust_nation": pa.array([], pa.int64()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue4": pa.array([], pa.int64())})
+    agg = (parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                         sort=True)["revenue4"].sum())
+    idx = agg.index.to_frame(index=False)
+    return pa.table({
+        "supp_nation": pa.array(idx["supp_nation"].to_numpy(np.int64)),
+        "cust_nation": pa.array(idx["cust_nation"].to_numpy(np.int64)),
+        "l_year": pa.array(idx["l_year"].to_numpy(np.int64)),
+        "revenue4": pa.array(agg.to_numpy(np.int64))})

@@ -221,6 +221,11 @@ SQL_NAMES = [
     "promo_revenue",
     "bracket_revenue",
     "top_supplier",
+    # round 4 wave 10b: Q17 correlated-average gate, Q10 re-keyed top-k,
+    # Q7 nation-pair volume — all integer-exact both sides
+    "small_qty_revenue",
+    "returned_top_customers",
+    "nation_volume",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

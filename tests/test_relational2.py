@@ -717,3 +717,111 @@ def test_top_supplier_matches_pandas_brute(ray_session):
     z = top_supplier(sfd, date_from="1900-01-01", date_to="1900-01-02")
     assert z.num_rows == 0
     assert z.column_names == ["s_suppkey", "s_name", "total_rev4"]
+
+
+def test_small_qty_revenue_matches_pandas_brute(ray_session):
+    """Q17 twin vs a pandas per-part brute force (float-free gate), and
+    the no-eligible-parts edge returns zeros."""
+    from optimizing_ray.pipelines.relational import small_qty_revenue
+
+    sfd = "/root/testdata/sf0.001"
+    got = small_qty_revenue(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    el = part[(part["p_brand"] == "Brand#12") & (part["p_size"] <= 25)]
+    j = li.merge(el[["p_partkey"]], left_on="l_partkey",
+                 right_on="p_partkey")
+    qc = np.floor(j["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    pc = np.floor(j["l_extendedprice"].to_numpy() * 100.0
+                  + 0.5).astype(np.int64)
+    j = j.assign(qc=qc, pc=pc)
+    s, n = 0, 0
+    for _, g in j.groupby("l_partkey"):
+        sq, cnt = int(g["qc"].sum()), len(g)
+        keep = 5 * g["qc"].to_numpy() * cnt < sq
+        s += int(g["pc"].to_numpy()[keep].sum())
+        n += int(keep.sum())
+    assert n > 0  # parameters actually select rows
+    assert got["sum_price_c"].iloc[0] == s
+    assert got["n_lines"].iloc[0] == n
+    assert got["avg_yearly_c"].iloc[0] == s // 7
+
+    z = small_qty_revenue(sfd, brand="Brand#999").to_pandas()
+    assert (z["sum_price_c"].iloc[0], z["n_lines"].iloc[0]) == (0, 0)
+
+
+def test_returned_top_customers_matches_pandas_brute(ray_session):
+    """Q10 twin vs a pandas brute force on the full (rev DESC, custkey)
+    composite; the empty-window edge keeps the schema."""
+    from optimizing_ray.pipelines.relational import returned_top_customers
+
+    sfd = "/root/testdata/sf0.001"
+    k = 20
+    got = returned_top_customers(sfd, k=k).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    o = pd.read_parquet(f"{sfd}/orders.parquet")
+    lo, hi = np.datetime64("1997-01-01"), np.datetime64("1997-04-01")
+    o = o[(o["o_orderdate"].to_numpy() >= lo)
+          & (o["o_orderdate"].to_numpy() < hi)]
+    j = o.merge(li[li["l_returnflag"] == "R"], left_on="o_orderkey",
+                right_on="l_orderkey")
+    pc = np.floor(j["l_extendedprice"].to_numpy() * 100.0
+                  + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    tot = (j.assign(rev=pc * (100 - dc)).groupby("o_custkey")["rev"].sum()
+           .reset_index())
+    order = np.lexsort((tot["o_custkey"].to_numpy(),
+                        -tot["rev"].to_numpy()))[:k]
+    want = tot.iloc[order]
+    assert list(got["c_custkey"]) == list(want["o_custkey"])
+    assert list(got["revenue4"]) == list(want["rev"])
+    cust = pd.read_parquet(f"{sfd}/customer.parquet").set_index("c_custkey")
+    assert list(got["c_name"]) == list(cust.loc[want["o_custkey"], "c_name"])
+
+    z = returned_top_customers(sfd, date_from="1900-01-01",
+                               date_to="1900-01-02")
+    assert z.num_rows == 0
+    assert z.column_names == ["c_custkey", "c_name", "revenue4",
+                              "c_acctbal_c", "n_name"]
+
+
+def test_nation_volume_matches_pandas_brute(ray_session):
+    """Q7 twin vs a pandas 4-table brute force, both directions of the
+    pair present at sf0.01; the impossible pair returns empty schema."""
+    from optimizing_ray.pipelines.relational import nation_volume
+
+    sfd = "/root/testdata/sf0.01"
+    got = nation_volume(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    o = pd.read_parquet(f"{sfd}/orders.parquet")
+    su = pd.read_parquet(f"{sfd}/supplier.parquet")
+    cu = pd.read_parquet(f"{sfd}/customer.parquet")
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    li = li[(li["l_shipdate"].to_numpy() >= lo)
+            & (li["l_shipdate"].to_numpy() < hi)]
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey"))
+    sn = j["s_nationkey"].to_numpy()
+    cn = j["c_nationkey"].to_numpy()
+    m = ((sn == 2) & (cn == 3)) | ((sn == 3) & (cn == 2))
+    j = j[m]
+    pc = np.floor(j["l_extendedprice"].to_numpy() * 100.0
+                  + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = (j.assign(rev=pc * (100 - dc),
+                     yr=j["l_shipdate"].dt.year.astype(np.int64))
+            .groupby(["s_nationkey", "c_nationkey", "yr"], sort=True)["rev"]
+            .sum().reset_index())
+    assert len(got) == len(want) > 0
+    assert set(got["supp_nation"]) == {2, 3}  # both directions exist
+    assert list(got["revenue4"]) == list(want["rev"])
+    assert list(got["l_year"]) == list(want["yr"])
+
+    z = nation_volume(sfd, nat_a=98, nat_b=99)
+    assert z.num_rows == 0
+    assert z.column_names == ["supp_nation", "cust_nation", "l_year",
+                              "revenue4"]
