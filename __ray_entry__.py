@@ -1192,6 +1192,17 @@ def _q_top_supplier(sf_dir: str):
     return relational.top_supplier(sf_dir)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: rightmost-min k-gram
+    hash per w-window, pure per-batch transform, zero shuffles."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return textops.winnow_fingerprints(docs)
+
+
 def _q_small_qty_revenue(sf_dir: str):
     """TPC-H Q17 twin: broadcast eligible partkeys, ONE hash(partkey)
     exchange, division-free correlated-average gate in-shard."""
@@ -2235,6 +2246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "returned_top_customers": _q_returned_top_customers,
         "nation_volume": _q_nation_volume,
+        # wave 11: winnowing (MOSS) document fingerprints
+        "winnow_fingerprints": _q_winnow_fingerprints,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2399,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": oracle.small_qty_revenue_sql(),
         "returned_top_customers": oracle.returned_top_customers_sql(),
         "nation_volume": oracle.nation_volume_sql(),
+        "winnow_fingerprints": oracle.winnow_fingerprints_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

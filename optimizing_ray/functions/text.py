@@ -577,3 +577,65 @@ class TextAnalyzer:
             "quality": np.asarray(quals),
             "n_tokens": token_count(texts),
         }
+
+
+def winnow_batch(texts, k: int = 8, w: int = 4
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): over each doc's k-gram Rabin-Karp hashes (base 1000003
+    mod 2^64 — the ``fingerprint64`` recurrence), every window of ``w``
+    consecutive k-grams selects its RIGHTMOST minimal hash; the selected
+    set is deduplicated (adjacent windows usually agree).  Docs shorter
+    than ``k`` bytes yield nothing; docs with 1 <= n < w k-grams form
+    ONE clipped window (the whole doc).
+
+    Returns (doc_idx int64, pos int64 0-based k-gram byte offset,
+    fp int64 — the uint64 hash's signed bit pattern).  Guarantee: any
+    substring match of length >= k + w - 1 shares at least one selected
+    fingerprint (the winnowing covering property).
+
+    Fully vectorized across the batch: one blob rolling hash, one
+    reversed-blob sliding-window argmin for the full windows (first-min
+    over the reversed view IS the rightmost-min forward), one lexsort
+    for the clipped docs — no per-doc Python.
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+    arr = _as_string_array(texts)
+    if len(arr) == 0:
+        return empty
+    data, offs = _utf8_blob(arr)
+    lens = np.diff(offs)
+    n_i = np.maximum(lens - k + 1, 0)
+    voffs = np.zeros(len(n_i) + 1, np.int64)
+    np.cumsum(n_i, out=voffs[1:])
+    V = int(voffs[-1])
+    if V == 0:
+        return empty
+    idx = (np.arange(V, dtype=np.int64)
+           + np.repeat(offs[:-1] - voffs[:-1], n_i))
+    vh = _rolling_hash(data, k)[idx]  # gather immediately (scratch view)
+    doc_of = np.repeat(np.arange(len(n_i), dtype=np.int64), n_i)
+
+    picks = []
+    if V >= w:
+        # full windows: argmin over the REVERSED flat array — its
+        # first-min is the forward rightmost-min; cross-doc windows
+        # are dropped by the same-doc mask.
+        rev = vh[::-1]
+        a = np.lib.stride_tricks.sliding_window_view(rev, w).argmin(axis=1)
+        s = np.arange(V - w + 1, dtype=np.int64)
+        f = V - w - s                       # forward window starts
+        sel = f + w - 1 - a                 # rightmost-min flat position
+        valid = doc_of[f] == doc_of[f + w - 1]
+        picks.append(sel[valid])
+    cmask = n_i[doc_of] < w                 # clipped docs: one window each
+    if cmask.any():
+        p = np.flatnonzero(cmask)
+        d, v = doc_of[p], vh[p]
+        order = np.lexsort((-p, v, d))      # per doc: min value, max pos
+        _, first = np.unique(d[order], return_index=True)
+        picks.append(p[order[first]])
+    sel = np.unique(np.concatenate(picks)) if picks else np.zeros(0, np.int64)
+    d = doc_of[sel]
+    return d, sel - voffs[d], vh[sel].view(np.int64)

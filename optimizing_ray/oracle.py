@@ -3613,3 +3613,45 @@ WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
 GROUP BY s_nationkey, c_nationkey, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 4,
+                            table: str = "documents") -> str:
+    """textops.winnow_fingerprints twin: per-position Horner mod-2^64
+    k-gram hashes (unicode(substr) == byte for the ASCII driver corpus),
+    window min over ROWS BETWEEN CURRENT AND w-1 FOLLOWING evaluated at
+    the window starts i <= greatest(1, n-w+1) (the frame self-truncates
+    for docs with fewer than w k-grams — the clipped single window),
+    rightmost selection via max(position) among in-window minima, then
+    DISTINCT.  HUGEINT headroom: h*B + byte < 2^84, one mod per step."""
+    B = 1000003
+    expr = f"CAST(unicode(substr(text, i, 1)) AS HUGEINT)"
+    for j in range(1, k):
+        expr = (f"(({expr}) * {B} "
+                f"+ CAST(unicode(substr(text, i + {j}, 1)) AS HUGEINT)) "
+                f"% {_M64}")
+    return f"""
+WITH pos AS (
+  SELECT doc_id, i, length(text) - {k - 1} AS n, ({expr}) AS h
+  FROM {table},
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {k - 1}))
+                AS i) g
+),
+wm AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+  FROM pos
+),
+ws AS (SELECT doc_id, i AS wstart, mh FROM wm
+       WHERE i <= greatest(1, n - {w - 1})),
+sel AS (
+  SELECT ws.doc_id, max(p.i) AS pi
+  FROM ws JOIN pos p ON p.doc_id = ws.doc_id
+       AND p.i BETWEEN ws.wstart AND ws.wstart + {w - 1}
+       AND p.h = ws.mh
+  GROUP BY ws.doc_id, ws.wstart)
+SELECT DISTINCT s.doc_id AS doc_id, CAST(s.pi - 1 AS BIGINT) AS pos,
+       {_u64_to_i64('p.h')} AS fp
+FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.i = s.pi
+ORDER BY s.doc_id, pos
+"""

@@ -25,7 +25,8 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "tfidf_top_terms", "dup_ngram_stats", "strip_dup_ngrams",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
-           "stratified_sample", "skyline_docs", "robust_quality_stats"]
+           "stratified_sample", "skyline_docs", "robust_quality_stats",
+           "winnow_fingerprints"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -1994,3 +1995,40 @@ def robust_quality_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
         "mad_q6": pa.array(out["mad_q6"].to_numpy(np.int64)),
         "trim_n": pa.array(out["trim_n"].to_numpy(np.int64)),
         "trim_sum_q6": pa.array(out["trim_sum_q6"].to_numpy(np.int64))})
+
+
+def winnow_fingerprints(docs: rd.Dataset, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (the MOSS plagiarism-detection
+    scheme): per doc, the rightmost minimal k-gram hash of every window
+    of ``w`` consecutive k-grams — a LOCAL fingerprint set with the
+    covering guarantee that any shared substring of length >= k + w - 1
+    shares a selected fingerprint.  The standard sparse fingerprint for
+    overlap detection at corpus scale (density ~2/(w+1)).
+
+    Output rows (id_col, pos, fp): 0-based k-gram byte offset and the
+    uint64 hash's signed-int64 bit pattern.
+
+    Plan: a PURE per-batch transform (``functions.text.winnow_batch`` —
+    one blob rolling hash + one reversed sliding-window argmin, no
+    per-doc Python), zero shuffles; downstream overlap joins shard on
+    hash(fp) exactly like the minhash band exchange.  SQL twin
+    ``oracle.winnow_fingerprints_sql`` (window-min + rightmost-max join
+    over Horner mod-2^64 position hashes; exact for the ASCII driver
+    corpus)."""
+    from optimizing_ray.functions.text import winnow_batch
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
+                            ("fp", pa.int64())])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return out_schema.empty_table()
+        d, pos, fp = winnow_batch(t[text_col], k=k, w=w)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[d]
+        return pa.table({id_col: pa.array(ids.astype(np.int64)),
+                         "pos": pa.array(pos), "fp": pa.array(fp)})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

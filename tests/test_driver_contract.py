@@ -226,6 +226,9 @@ SQL_NAMES = [
     "small_qty_revenue",
     "returned_top_customers",
     "nation_volume",
+    # round 4 wave 11: winnowing (MOSS) fingerprints — rightmost-min
+    # k-gram selection, byte-exact on the ASCII corpus
+    "winnow_fingerprints",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -261,3 +261,68 @@ def test_token_kernels_match_scalar_on_random_unicode():
             assert p["top_count"][i] == max(c.values())
 
     check()
+
+
+def test_winnow_batch_matches_scalar_brute():
+    """winnow_batch vs a pure-Python winnower over edge-heavy docs:
+    all-equal hashes (rightmost tie rule), len < k (no output), len == k
+    (one gram), 1 <= n < w (clipped single window), empty string."""
+    from optimizing_ray.functions.text import winnow_batch
+
+    def brute(texts, k=8, w=4):
+        out = []
+        for di, t in enumerate(texts):
+            b = t.encode()
+            n = len(b) - k + 1
+            if n <= 0:
+                continue
+            h = []
+            for i in range(n):
+                x = 0
+                for c in b[i:i + k]:
+                    x = (x * 1000003 + c) % (1 << 64)
+                h.append(x)
+            seen = set()
+            for i in range(max(1, n - w + 1)):
+                win = range(i, min(i + w, n))
+                mv = min(h[q] for q in win)
+                seen.add(max(q for q in win if h[q] == mv))
+            for j in sorted(seen):
+                fp = h[j]
+                out.append((di, j, fp - (1 << 64) if fp >= (1 << 63) else fp))
+        return out
+
+    texts = ["abcdefghijabcdefghijklm", "aaaaaaaaaaaaaa", "short",
+             "abcdefgh", "abcdefghi", "abcdefghij",
+             "the quick brown fox jumps over the lazy dog", ""]
+    d, pos, fp = winnow_batch(texts, 8, 4)
+    got = sorted(zip(d.tolist(), pos.tolist(), fp.tolist()))
+    assert got == sorted(brute(texts))
+
+
+def test_winnow_fingerprints_covering_property(ray_session):
+    """The winnowing guarantee on the pipeline surface: two docs sharing
+    a substring of length >= k + w - 1 share at least one selected
+    fingerprint VALUE; results are invariant to block layout."""
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import winnow_fingerprints
+
+    shared = "zqxwvutsrqponmlk"          # 16 >= 8 + 4 - 1
+    texts = ["AAA " + shared + " BBBBBBBB",
+             "CCCCCCCCCC " + shared + " DD",
+             "totally unrelated content here"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(texts)})
+    outs = []
+    for nb in (1, 3):
+        out = (winnow_fingerprints(rd.from_arrow(t).repartition(nb))
+               .to_pandas().sort_values(["doc_id", "pos"])
+               .reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    f1 = set(outs[0][outs[0].doc_id == 1]["fp"])
+    f2 = set(outs[0][outs[0].doc_id == 2]["fp"])
+    f3 = set(outs[0][outs[0].doc_id == 3]["fp"])
+    assert f1 & f2                       # covering property
+    assert not (f1 & f3) and not (f2 & f3)
