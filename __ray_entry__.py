@@ -1203,6 +1203,20 @@ def _q_winnow_fingerprints(sf_dir: str):
     return textops.winnow_fingerprints(docs)
 
 
+def _q_set_similarity_join(sf_dir: str):
+    """EXACT Jaccard-threshold self-join over token sets via prefix
+    filtering (PPJoin family) — the exact sibling of minhash_pairs; the
+    SQL oracle is the unfiltered brute, so a green row proves the prefix
+    filter lossless."""
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return dedup.set_similarity_join(docs,
+                                     nrows=_tbl_rows(sf_dir, "documents"))
+
+
 def _q_small_qty_revenue(sf_dir: str):
     """TPC-H Q17 twin: broadcast eligible partkeys, ONE hash(partkey)
     exchange, division-free correlated-average gate in-shard."""
@@ -2246,8 +2260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "returned_top_customers": _q_returned_top_customers,
         "nation_volume": _q_nation_volume,
-        # wave 11: winnowing (MOSS) document fingerprints
+        # wave 11: winnowing (MOSS) document fingerprints + exact
+        # prefix-filtered set-similarity join
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "set_similarity_join": _q_set_similarity_join,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2413,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "returned_top_customers": oracle.returned_top_customers_sql(),
         "nation_volume": oracle.nation_volume_sql(),
         "winnow_fingerprints": oracle.winnow_fingerprints_sql(),
+        "set_similarity_join": oracle.set_similarity_join_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

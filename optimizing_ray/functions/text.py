@@ -639,3 +639,58 @@ def winnow_batch(texts, k: int = 8, w: int = 4
     sel = np.unique(np.concatenate(picks)) if picks else np.zeros(0, np.int64)
     d = doc_of[sel]
     return d, sel - voffs[d], vh[sel].view(np.int64)
+
+
+def unique_token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 SORTED-UNIQUE token hashes per doc, int64 per-doc
+    offsets) for the single-space tokenization — the SET view that
+    set-similarity joins compare.  One lexsort across the batch (token
+    axis AND doc axis vectorized); consecutive-duplicate mask gives the
+    per-doc unique sets already sorted for searchsorted kernels."""
+    th, doffs = token_hashes_batch(texts)
+    n_docs = len(doffs) - 1
+    if len(th) == 0:
+        return th, doffs.copy()
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(doffs))
+    order = np.lexsort((th, doc))
+    d, h = doc[order], th[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    d, h = d[keep], h[keep]
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d, minlength=n_docs).astype(np.int64),
+              out=offs[1:])
+    return h, offs
+
+
+def inter_pairs_grouped(ids_a: np.ndarray, ids_b: np.ndarray,
+                        sh) -> np.ndarray:
+    """Exact INTERSECTION SIZE for a batch of candidate pairs — the
+    integer sibling of ``jaccard_pairs_grouped`` (same per-left-doc
+    grouped searchsorted; returns int64 counts so threshold gates can be
+    division-free cross-multiplies).  ``sh(id)`` -> sorted-unique uint64
+    hashes (callers memoize)."""
+    n = len(ids_a)
+    out_al = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out_al
+    order = np.argsort(ids_a, kind="stable")
+    sa, sb = ids_a[order], ids_b[order]
+    run_starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+    run_ends = np.r_[run_starts[1:], n]
+    out = np.empty(n, dtype=np.int64)
+    for s, e in zip(run_starts, run_ends):
+        A = sh(sa[s])
+        bs = [sh(x) for x in sb[s:e]]
+        lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=e - s)
+        if len(A) == 0 or not lens.any():
+            out[s:e] = 0
+            continue
+        X = np.concatenate(bs)
+        pos = np.searchsorted(A, X)
+        pos[pos == len(A)] = len(A) - 1
+        match = A[pos] == X
+        cs = np.r_[0, np.cumsum(match)]
+        ends = np.cumsum(lens)
+        out[s:e] = cs[ends] - cs[ends - lens]
+    out_al[order] = out
+    return out_al

@@ -3655,3 +3655,46 @@ SELECT DISTINCT s.doc_id AS doc_id, CAST(s.pi - 1 AS BIGINT) AS pos,
 FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.i = s.pi
 ORDER BY s.doc_id, pos
 """
+
+def set_similarity_join_sql(theta_num: int = 19, theta_den: int = 20,
+                            max_token_len: int = 32,
+                            table: str = "documents") -> str:
+    """dedup.set_similarity_join twin: the UNFILTERED brute self-join on
+    the same polynomial token hashes (importance_weights powers-table
+    pattern; empty tokens hash to 0 via the LEFT JOIN coalesce), DISTINCT
+    per doc = the token SET, gate = division-free den*inter >=
+    num*(na+nb-inter), jaccard6 one divisible-subtraction floor.  The
+    engine's prefix filter must lose nothing against this brute."""
+    base = 1000003
+    mod = 1 << 64
+    powers = ", ".join(f"({e}, {pow(base, e, mod)})"
+                       for e in range(max_token_len))
+    return f"""
+WITH powers(e, p) AS (VALUES {powers}),
+lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, i AS tpos, l[i] AS tok
+         FROM lists,
+              LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+chars AS (SELECT doc_id, tpos, length(tok) - ci AS e,
+                 ord(substring(tok, ci, 1)) AS byte
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, length(tok)))
+                        AS ci) h),
+th AS (SELECT doc_id, tpos,
+              CAST(sum(CAST(byte AS HUGEINT) * p) % {mod} AS HUGEINT) AS h
+       FROM chars JOIN powers USING (e) GROUP BY doc_id, tpos),
+uth AS (SELECT DISTINCT t.doc_id, coalesce(th.h, 0) AS h
+        FROM toks t LEFT JOIN th ON th.doc_id = t.doc_id
+                                AND th.tpos = t.tpos),
+sz AS (SELECT doc_id, count(*) AS n FROM uth GROUP BY doc_id),
+ipair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM uth a JOIN uth b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+gated AS (SELECT doc_a, doc_b, i, sa.n + sb.n - i AS u
+          FROM ipair JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b
+          WHERE {theta_den} * i >= {theta_num} * (sa.n + sb.n - i))
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter, CAST(u AS BIGINT) AS union_n,
+       CAST((i * 1000000 - ((i * 1000000) % u)) / u AS BIGINT) AS jaccard6
+FROM gated ORDER BY doc_a, doc_b
+"""

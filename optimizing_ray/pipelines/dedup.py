@@ -39,7 +39,8 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "simhash_pairs", "embedding_near_dup_pairs", "connected_components",
            "connected_components_distributed", "cluster_reps",
            "near_dedup_keep", "build_fingerprint_store",
-           "filter_new_against_store", "append_to_fingerprint_store"]
+           "filter_new_against_store", "append_to_fingerprint_store",
+           "set_similarity_join"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1380,3 +1381,183 @@ def append_to_fingerprint_store(new_docs: rd.Dataset, store_dir: str, *,
         os.replace(tmp, path)
         touched += 1
     return {"parts_touched": touched, "rows_added": int(len(h1))}
+
+
+# --- exact set-similarity self-join (prefix filtering, PPJoin family) ---------
+
+def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
+                        id_col: str = "doc_id", theta_num: int = 19,
+                        theta_den: int = 20, plan: str = "auto",
+                        broadcast_threshold: int = 200_000,
+                        nrows: int | None = None,
+                        n_shards: int | None = None,
+                        verify_chunks: int = 32) -> rd.Dataset:
+    """EXACT Jaccard-threshold self-join over single-space token SETS —
+    the exact-answer sibling of ``minhash_lsh_pairs`` (no probabilistic
+    recall): every pair with J(a, b) >= theta_num/theta_den, verified by
+    integer intersection counts.  Output (doc_a, doc_b, inter, union_n,
+    jaccard6) with doc_a < doc_b and jaccard6 = inter*1e6 // union.
+
+    Candidate generation is the PREFIX FILTER (Chaudhuri et al. SSJoin /
+    Xiao et al. PPJoin): under any global token order, two sets with
+    |∩| >= t must share a token among each set's first n - t + 1 tokens;
+    J >= θ implies |∩| >= ceil(θ·max(na, nb)) >= ceil(θ·n) per side, so
+    emitting only each doc's first n - ceil(θ·n) + 1 SORTED-UNIQUE token
+    hashes (the hash order IS the global order — no frequency pass
+    needed for correctness) loses no qualifying pair.  The verify gate
+    is the division-free cross-multiply den*inter >= num*(na+nb-inter).
+
+    Plans (the minhash_lsh_pairs discipline):
+
+    * broadcast (nrows <= broadcast_threshold): ONE corpus leg computes
+      per-doc sorted-unique token sets; the driver self-merges prefix
+      rows into candidates (the corpus state collects driver-side in
+      this plan regardless) and a parallel verify leg probes the
+      broadcast token map — zero shuffles.
+    * sharded (default without an nrows hint): prefix rows ride
+      ``_pairs_from_buckets`` (hash(token)-sharded pandas self-merge +
+      pairs-only dedup exchange), texts re-attach via
+      ``_attach_payload`` bucket merges, verify re-tokenizes each
+      DISTINCT doc per batch — the corpus is never collected.
+
+    SQL twin ``oracle.set_similarity_join_sql`` is the UNFILTERED brute
+    self-join on the same polynomial token hashes, so the oracle check
+    proves the prefix filter lossless end-to-end."""
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.functions.text import (inter_pairs_grouped,
+                                               unique_token_hashes_batch)
+
+    num, den = int(theta_num), int(theta_den)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_n": pa.array([], pa.int64()),
+                      "jaccard6": pa.array([], pa.int64())})
+
+    def _verify_table(ids_a, ids_b, sh) -> pa.Table:
+        inter = inter_pairs_grouped(ids_a, ids_b, sh)
+        na = np.fromiter((len(sh(x)) for x in ids_a), np.int64,
+                         count=len(ids_a))
+        nb = np.fromiter((len(sh(x)) for x in ids_b), np.int64,
+                         count=len(ids_b))
+        union = na + nb - inter
+        keep = (den * inter >= num * union) & (union > 0)
+        ia, ib = ids_a[keep], ids_b[keep]
+        it, un = inter[keep], union[keep]
+        return pa.table({"doc_a": pa.array(ia.astype(np.int64)),
+                         "doc_b": pa.array(ib.astype(np.int64)),
+                         "inter": pa.array(it),
+                         "union_n": pa.array(un),
+                         "jaccard6": pa.array(it * 1_000_000 // un)})
+
+    if plan == "auto":
+        plan = ("broadcast" if _plan_rows(nrows) <= broadcast_threshold
+                else "sharded")
+
+    if plan == "broadcast":
+        def doc_state(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "_sh": pa.array([], pa.list_(pa.int64()))})
+            flat, offs = unique_token_hashes_batch(t[text_col])
+            return pa.table({
+                id_col: t[id_col],
+                "_sh": pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32)),
+                    pa.array(flat.view(np.int64)))})
+
+        parts = [p for p in ray.get(
+            docs.select_columns([id_col, text_col])
+            .map_batches(doc_state, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=2048)
+            .to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        tab = pa.concat_tables(parts).combine_chunks()
+        ids = tab[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sh_col = tab["_sh"].chunk(0)
+        flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        offs = np.asarray(sh_col.offsets, dtype=np.int64)
+        starts, ends = offs[:-1][order], offs[1:][order]
+        n_tok = ends - starts
+
+        # prefix rows: first n - ceil(θn) + 1 sorted-unique hashes per doc
+        t_req = (num * n_tok + den - 1) // den  # ceil, nonneg ints
+        plen = np.maximum(n_tok - t_req + 1, 0)
+        doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), plen)
+        tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
+                   + np.repeat(starts - np.r_[np.int64(0),
+                                              np.cumsum(plen)[:-1]], plen))
+        pdf = pd.DataFrame({"h": flat[tok_idx], "i": doc_pos})
+        m = pdf.merge(pdf, on="h")
+        key = (m["i_x"].to_numpy() * np.int64(len(ids))
+               + m["i_y"].to_numpy())
+        key = np.unique(key[m["i_x"].to_numpy() < m["i_y"].to_numpy()])
+        if not len(key):
+            return rd.from_arrow(empty)
+        ia, ib = key // len(ids), key % len(ids)
+
+        sm_ref = ray.put((ids, starts, ends, flat))
+        _no = np.empty(0, dtype=np.uint64)
+
+        def _build_map():
+            mids, s, e, f = ray.get(sm_ref)
+            return {mids[i]: f[s[i]:e[i]] for i in range(len(mids))}
+
+        def check(t: pa.Table) -> pa.Table:
+            sm = cached(("simjoin_sh", sm_ref.hex()), _build_map)
+            return _verify_table(
+                t["doc_a"].to_numpy(zero_copy_only=False),
+                t["doc_b"].to_numpy(zero_copy_only=False),
+                lambda k: sm.get(k, _no))
+
+        ptab = pa.table({"doc_a": pa.array(ids[ia]),
+                         "doc_b": pa.array(ids[ib])})
+        step = max(1, -(-len(ia) // verify_chunks))
+        chunks = [ptab.slice(s, step) for s in range(0, len(ia), step)]
+        return rd.from_arrow(chunks).map_batches(
+            check, batch_format="pyarrow", zero_copy_batch=True)
+
+    # sharded plan: prefix rows -> bucket pair machinery -> joined verify
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return _empty_band_table()
+        flat, offs = unique_token_hashes_batch(t[text_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n_tok = np.diff(offs)
+        t_req = (num * n_tok + den - 1) // den
+        plen = np.maximum(n_tok - t_req + 1, 0)
+        tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
+                   + np.repeat(offs[:-1] - np.r_[np.int64(0),
+                                                 np.cumsum(plen)[:-1]], plen))
+        return pa.table({
+            "band": pa.array(np.zeros(len(tok_idx), np.int32)),
+            "bucket": pa.array(flat[tok_idx].view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, plen).astype(np.int64))})
+
+    bucketed = docs.map_batches(prefix_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cand = _pairs_from_buckets(bucketed, n_shards, with_bh=False)
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
+                           src_col=text_col, out_col="_text_a")
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_b",
+                           src_col=text_col, out_col="_text_b")
+
+    def check_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return empty
+        ids_a = t["doc_a"].to_numpy(zero_copy_only=False)
+        ids_b = t["doc_b"].to_numpy(zero_copy_only=False)
+        texts = dict(zip(ids_a, t["_text_a"].to_numpy(zero_copy_only=False)))
+        texts.update(zip(ids_b, t["_text_b"].to_numpy(zero_copy_only=False)))
+        uids = list(texts)
+        flat, offs = unique_token_hashes_batch(
+            [texts[u] or "" for u in uids])
+        shmap = {u: flat[offs[i]:offs[i + 1]] for i, u in enumerate(uids)}
+        _no = np.empty(0, dtype=np.uint64)
+        return _verify_table(ids_a, ids_b, lambda k: shmap.get(k, _no))
+
+    return cand.map_batches(check_joined, batch_format="pyarrow",
+                            zero_copy_batch=True)

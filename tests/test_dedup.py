@@ -398,3 +398,48 @@ def test_fingerprint_store_append_merges_increment(ray_session, tmp_path):
     out = dedup.filter_new_against_store(rd.from_arrow(probe),
                                          store).to_pandas()
     assert list(out["doc_id"]) == [3]
+
+
+def test_set_similarity_join_plans_agree_and_match_brute(ray_session):
+    """Both set_similarity_join plans (broadcast prefix self-merge and
+    sharded bucket exchange) return the IDENTICAL exact result, equal to
+    an O(n^2) token-set brute force; the prefix filter loses nothing
+    (planted exact duplicate + near-duplicate pairs must all appear)."""
+    import ray.data as rd
+
+    from optimizing_ray.functions.text import unique_token_hashes_batch
+    from optimizing_ray.pipelines.dedup import set_similarity_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base,                              # 0: planted dup of 1
+             base,                              # 1
+             base + " extra",                   # 2: J = 10/11 vs 0/1
+             "totally different words here now",
+             "alpha beta unrelated tail words",
+             ""]                                # empty doc: set {h('')}
+    t = pa.table({"doc_id": pa.array(list(range(6)), pa.int64()),
+                  "text": pa.array(texts)})
+    num, den = 4, 5
+
+    flat, offs = unique_token_hashes_batch(texts)
+    sets = [flat[offs[i]:offs[i + 1]] for i in range(len(texts))]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(np.intersect1d(sets[i], sets[j]))
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and den * inter >= num * union:
+                want.append((i, j, inter, union, inter * 10**6 // union))
+    assert (0, 1) in [(a, b) for a, b, *_ in want]     # planted dup found
+    assert (0, 2) in [(a, b) for a, b, *_ in want]     # near-dup found
+
+    outs = []
+    for plan in ("broadcast", "sharded"):
+        out = (set_similarity_join(rd.from_arrow(t).repartition(3),
+                                   theta_num=num, theta_den=den, plan=plan)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = [tuple(r) for r in outs[0].itertuples(index=False)]
+    assert got == sorted(want)

@@ -229,6 +229,9 @@ SQL_NAMES = [
     # round 4 wave 11: winnowing (MOSS) fingerprints — rightmost-min
     # k-gram selection, byte-exact on the ASCII corpus
     "winnow_fingerprints",
+    # exact prefix-filtered set-similarity join vs the unfiltered SQL
+    # brute: a green row proves the prefix filter lossless
+    "set_similarity_join",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
