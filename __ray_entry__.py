@@ -1217,6 +1217,16 @@ def _q_set_similarity_join(sf_dir: str):
                                      nrows=_tbl_rows(sf_dir, "documents"))
 
 
+def _q_mutual_knn(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs over the exact kNN graph: ONE
+    hash(pair) exchange, in-shard run-length-2 gate."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", num_blocks=4)
+    return cluster.mutual_knn_pairs(ann.embedding_knn_graph(emb, k=5))
+
+
 def _q_small_qty_revenue(sf_dir: str):
     """TPC-H Q17 twin: broadcast eligible partkeys, ONE hash(partkey)
     exchange, division-free correlated-average gate in-shard."""
@@ -2264,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix-filtered set-similarity join
         "winnow_fingerprints": _q_winnow_fingerprints,
         "set_similarity_join": _q_set_similarity_join,
+        "mutual_knn": _q_mutual_knn,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2430,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_volume": oracle.nation_volume_sql(),
         "winnow_fingerprints": oracle.winnow_fingerprints_sql(),
         "set_similarity_join": oracle.set_similarity_join_sql(),
+        "mutual_knn": oracle.mutual_knn_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3698,3 +3698,17 @@ SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter, CAST(u AS BIGINT) AS union_n,
        CAST((i * 1000000 - ((i * 1000000) % u)) / u AS BIGINT) AS jaccard6
 FROM gated ORDER BY doc_a, doc_b
 """
+
+def mutual_knn_sql(k: int = 5, scale: int = 1024,
+                   table: str = "embeddings") -> str:
+    """cluster.mutual_knn_pairs twin: distinct directed kNN edges
+    self-joined on the reversed pair, kept once at a < b."""
+    return f"""
+WITH g AS ({embedding_knn_graph_sql(k=k, scale=scale, table=table)}),
+d AS (SELECT DISTINCT vec_id AS a, neighbor_id AS b
+      FROM g WHERE vec_id <> neighbor_id)
+SELECT CAST(d1.a AS BIGINT) AS vec_a, CAST(d1.b AS BIGINT) AS vec_b
+FROM d d1 JOIN d d2 ON d2.a = d1.b AND d2.b = d1.a
+WHERE d1.a < d1.b
+ORDER BY vec_a, vec_b
+"""

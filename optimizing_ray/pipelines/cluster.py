@@ -45,7 +45,8 @@ from optimizing_ray.pipelines.ann import _to_matrix
 
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
-           "cluster_top_terms", "triangle_count", "pagerank"]
+           "cluster_top_terms", "triangle_count", "pagerank",
+           "mutual_knn_pairs"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -751,3 +752,83 @@ def pagerank(edges: rd.Dataset, nodes: rd.Dataset, *,
         return pd.DataFrame({node_col: df["node"], "rank_fp": df["r"]})
 
     return ranks.map_batches(out_cols, batch_format="pandas")
+
+
+def mutual_knn_pairs(edges: rd.Dataset, *, src: str = "vec_id",
+                     dst: str = "neighbor_id",
+                     n_shards: int | None = None) -> pa.Table:
+    """Reciprocal nearest-neighbor pairs over a DIRECTED kNN graph:
+    (a, b) with a < b where BOTH a→b and b→a edges exist — the classic
+    mutual-kNN gate (reciprocal pairs are the high-precision core of
+    embedding dedup/clustering; one-directional hits are often hubness
+    artifacts).  Output (vec_a, vec_b) sorted.
+
+    Plan: per batch drop self loops, orient to (lo, hi) + direction
+    bit, pre-fold in-batch distinct; ONE hash(lo, hi) exchange
+    co-locates both directions, the in-shard gate is one lexsort + a
+    run-length == 2 mask (each (lo, hi, dir) is distinct after the
+    fold, so a run of 2 means both directions); per-shard output is
+    bounded by the mutual pairs.  SQL twin ``oracle.mutual_knn_sql``
+    (distinct directed edges self-joined on the reversed pair)."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    g1 = np.uint64(0x9E3779B97F4A7C15)
+    g2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    unified = pa.schema([("_lo", pa.int64()), ("_hi", pa.int64()),
+                         ("_dir", pa.int8()), ("_shard", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return unified.empty_table()
+        u = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = u != v
+        u, v = u[m], v[m]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        d = (u > v).astype(np.int8)
+        key = np.stack([lo, hi, d.astype(np.int64)])
+        order = np.lexsort(key)
+        lo, hi, d = lo[order], hi[order], d[order]
+        keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+                     | (d[1:] != d[:-1])]
+        lo, hi, d = lo[keep], hi[keep], d[keep]
+        with np.errstate(over="ignore"):
+            h = lo.astype(np.uint64) * g1 + hi.astype(np.uint64) * g2
+        return pa.table({"_lo": pa.array(lo), "_hi": pa.array(hi),
+                         "_dir": pa.array(d),
+                         "_shard": pa.array(((h >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))}
+                        ).cast(unified)
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                              "vec_b": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lo = g["_lo"].to_numpy(np.int64)
+        hi = g["_hi"].to_numpy(np.int64)
+        d = g["_dir"].to_numpy(np.int8).astype(np.int64)
+        order = np.lexsort((d, hi, lo))
+        lo, hi, d = lo[order], hi[order], d[order]
+        keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+                     | (d[1:] != d[:-1])]       # cross-batch dup fold
+        lo, hi, d = lo[keep], hi[keep], d[keep]
+        same = (lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])
+        first = np.flatnonzero(np.r_[same, False])  # run of 2 => mutual
+        return pd.DataFrame({"vec_a": lo[first], "vec_b": hi[first]})
+
+    out = (edges.map_batches(orient, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("_shard").map_groups(mutual, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "vec_a" not in out.columns:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
+    order = np.lexsort((out["vec_b"].to_numpy(np.int64),
+                        out["vec_a"].to_numpy(np.int64)))
+    return pa.table({
+        "vec_a": pa.array(out["vec_a"].to_numpy(np.int64)[order]),
+        "vec_b": pa.array(out["vec_b"].to_numpy(np.int64)[order])})

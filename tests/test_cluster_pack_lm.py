@@ -508,3 +508,27 @@ def test_pagerank_matches_iterative_brute_both_plans(ray_session):
                                  "neighbor_id": pa.array([], pa.int64())}))
     z = pagerank(e0, nodes, iters=1, nrows=n).to_pandas()
     assert (z["rank_fp"].to_numpy(np.int64) == base).all()
+
+
+def test_mutual_knn_pairs_matches_brute(ray_session):
+    """mutual_knn_pairs vs a dict brute force on a small directed graph
+    with duplicates, self loops, and one-directional edges; invariant to
+    block layout."""
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.cluster import mutual_knn_pairs
+
+    src = [1, 2, 2, 3, 4, 5, 5, 1, 7, 7]
+    dst = [2, 1, 3, 2, 5, 4, 4, 1, 8, 9]   # (1,2) + (2,3) + (4,5) mutual,
+    t = pa.table({"vec_id": pa.array(src, pa.int64()),   # (1,1) self,
+                  "neighbor_id": pa.array(dst, pa.int64())})  # 7->8/9 one-way
+    edges = set(zip(src, dst))
+    want = sorted({(min(a, b), max(a, b)) for a, b in edges
+                   if a != b and (b, a) in edges})
+    for nb in (1, 4):
+        got = mutual_knn_pairs(rd.from_arrow(t).repartition(nb)).to_pandas()
+        assert list(zip(got["vec_a"], got["vec_b"])) == want
+    assert want == [(1, 2), (2, 3), (4, 5)]
+
+    z = mutual_knn_pairs(rd.from_arrow(t.slice(0, 0)))
+    assert z.num_rows == 0 and z.column_names == ["vec_a", "vec_b"]

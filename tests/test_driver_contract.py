@@ -232,6 +232,8 @@ SQL_NAMES = [
     # exact prefix-filtered set-similarity join vs the unfiltered SQL
     # brute: a green row proves the prefix filter lossless
     "set_similarity_join",
+    # reciprocal kNN pairs over the exact embedding kNN graph
+    "mutual_knn",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
