@@ -1217,6 +1217,18 @@ def _q_set_similarity_join(sf_dir: str):
                                      nrows=_tbl_rows(sf_dir, "documents"))
 
 
+def _q_winnow_overlap(sf_dir: str):
+    """MOSS overlap detector over winnowed fingerprints: 3 pair-bounded
+    exchanges (fp -> pair-partials -> per-doc rollup); SQL twin is the
+    unfiltered fps self-join brute."""
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return dedup.winnow_overlap_stats(docs)
+
+
 def _q_mutual_knn(sf_dir: str):
     """Reciprocal nearest-neighbor pairs over the exact kNN graph: ONE
     hash(pair) exchange, in-shard run-length-2 gate."""
@@ -2275,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "set_similarity_join": _q_set_similarity_join,
         "mutual_knn": _q_mutual_knn,
+        "winnow_overlap": _q_winnow_overlap,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2442,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": oracle.winnow_fingerprints_sql(),
         "set_similarity_join": oracle.set_similarity_join_sql(),
         "mutual_knn": oracle.mutual_knn_sql(),
+        "winnow_overlap": oracle.winnow_overlap_stats_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

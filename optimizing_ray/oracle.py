@@ -3712,3 +3712,22 @@ FROM d d1 JOIN d d2 ON d2.a = d1.b AND d2.b = d1.a
 WHERE d1.a < d1.b
 ORDER BY vec_a, vec_b
 """
+
+def winnow_overlap_stats_sql(k: int = 8, w: int = 4, min_shared: int = 8,
+                             table: str = "documents") -> str:
+    """dedup.winnow_overlap_stats twin: distinct (doc, fp) from the
+    winnow CTE, unfiltered self-join pair counts, gate, both-side
+    per-doc rollup."""
+    return f"""
+WITH win AS ({winnow_fingerprints_sql(k=k, w=w, table=table)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM win),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+g AS (SELECT da, db, s FROM p WHERE s >= {min_shared}),
+sides AS (SELECT da AS doc_id, s FROM g
+          UNION ALL SELECT db AS doc_id, s FROM g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       CAST(max(s) AS BIGINT) AS max_shared
+FROM sides GROUP BY doc_id ORDER BY doc_id
+"""

@@ -40,7 +40,7 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "connected_components_distributed", "cluster_reps",
            "near_dedup_keep", "build_fingerprint_store",
            "filter_new_against_store", "append_to_fingerprint_store",
-           "set_similarity_join"]
+           "set_similarity_join", "winnow_overlap_stats"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1561,3 +1561,118 @@ def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
 
     return cand.map_batches(check_joined, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def winnow_overlap_stats(docs: rd.Dataset, *, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8, w: int = 4,
+                         min_shared: int = 8,
+                         n_shards: int | None = None) -> pa.Table:
+    """MOSS-style overlap detection over winnowed fingerprints: per doc,
+    how many partner docs share >= ``min_shared`` DISTINCT selected
+    fingerprints, and the maximum shared count — the winnowing covering
+    property makes this a guaranteed detector for copied passages of
+    length >= k + w - 1 (each shared passage contributes its selected
+    grams).  Output (id_col, n_partners, max_shared) for docs with at
+    least one partner, sorted by id.
+
+    Plan (3 exchanges, all pair-bounded after the first):
+    (1) winnow per batch (``functions.text.winnow_batch``), fold to
+    DISTINCT (doc, fp) in-batch, exchange on hash(fp); per-fp pandas
+    self-merge emits per-shard PARTIAL pair counts (a pair's fps span
+    fp-shards).  (2) exchange on hash(doc_a) sums pair counts, gates
+    >= min_shared, and emits both side rows pre-sharded by hash(doc).
+    (3) exchange on hash(doc) folds per-doc partner count + max —
+    one row per doc with partners, tiny driver merge.  SQL twin
+    ``oracle.winnow_overlap_stats_sql`` (the unfiltered fps self-join
+    brute)."""
+    from optimizing_ray.config import resolve_shards
+    from optimizing_ray.functions.text import winnow_batch
+
+    n_shards = resolve_shards(n_shards)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def _shard_of(v: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = v.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    fp_schema = pa.schema([("_doc", pa.int64()), ("_fp", pa.int64()),
+                           ("_shard", pa.int64())])
+
+    def fps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return fp_schema.empty_table()
+        d, _, fp = winnow_batch(t[text_col], k=k, w=w)
+        ids = (t[id_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64)[d])
+        order = np.lexsort((fp, ids))
+        ids, fp = ids[order], fp[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (fp[1:] != fp[:-1])]
+        ids, fp = ids[keep], fp[keep]
+        return pa.table({"_doc": pa.array(ids), "_fp": pa.array(fp),
+                         "_shard": pa.array(_shard_of(fp))}).cast(fp_schema)
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_a": pd.Series([], dtype=np.int64),
+                              "_b": pd.Series([], dtype=np.int64),
+                              "_s": pd.Series([], dtype=np.int64),
+                              "_shard2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        f = g[["_fp", "_doc"]]
+        m = f.merge(f, on="_fp")
+        m = m[m["_doc_x"].to_numpy() < m["_doc_y"].to_numpy()]
+        if not len(m):
+            return empty
+        s = (m.groupby(["_doc_x", "_doc_y"], sort=False).size()
+             .reset_index(name="_s"))
+        a = s["_doc_x"].to_numpy(np.int64)
+        return pd.DataFrame({"_a": a, "_b": s["_doc_y"].to_numpy(np.int64),
+                             "_s": s["_s"].to_numpy(np.int64),
+                             "_shard2": _shard_of(a)})
+
+    def gate_sides(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_doc": pd.Series([], dtype=np.int64),
+                              "_s": pd.Series([], dtype=np.int64),
+                              "_shard3": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        s = (g.groupby(["_a", "_b"], sort=False)["_s"].sum()
+             .reset_index())
+        s = s[s["_s"].to_numpy() >= min_shared]
+        if not len(s):
+            return empty
+        doc = np.r_[s["_a"].to_numpy(np.int64), s["_b"].to_numpy(np.int64)]
+        sh = np.r_[s["_s"].to_numpy(np.int64), s["_s"].to_numpy(np.int64)]
+        return pd.DataFrame({"_doc": doc, "_s": sh,
+                             "_shard3": _shard_of(doc)})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                              "n_partners": pd.Series([], dtype=np.int64),
+                              "max_shared": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        gg = g.groupby("_doc", sort=True)["_s"]
+        return pd.DataFrame({id_col: gg.size().index.to_numpy(np.int64),
+                             "n_partners": gg.size().to_numpy(np.int64),
+                             "max_shared": gg.max().to_numpy(np.int64)})
+
+    out = (docs.map_batches(fps, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_shard").map_groups(pair_partials,
+                                         batch_format="pandas")
+           .groupby("_shard2").map_groups(gate_sides,
+                                          batch_format="pandas")
+           .groupby("_shard3").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or id_col not in out.columns:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_partners": pa.array([], pa.int64()),
+                         "max_shared": pa.array([], pa.int64())})
+    out = out.sort_values(id_col)
+    return pa.table({id_col: pa.array(out[id_col].to_numpy(np.int64)),
+                     "n_partners": pa.array(out["n_partners"]
+                                            .to_numpy(np.int64)),
+                     "max_shared": pa.array(out["max_shared"]
+                                            .to_numpy(np.int64))})

@@ -443,3 +443,42 @@ def test_set_similarity_join_plans_agree_and_match_brute(ray_session):
     assert outs[0].equals(outs[1])
     got = [tuple(r) for r in outs[0].itertuples(index=False)]
     assert got == sorted(want)
+
+
+def test_winnow_overlap_stats_detects_planted_copy(ray_session):
+    """A planted copied passage (>= k + w - 1 chars) is guaranteed to
+    share winnowed fingerprints (covering property); per-doc stats match
+    a brute-force recount and are invariant to block layout."""
+    import ray.data as rd
+
+    from optimizing_ray.functions.text import winnow_batch
+    from optimizing_ray.pipelines.dedup import winnow_overlap_stats
+
+    passage = ("the same long copied paragraph body that winnowing "
+               "must fingerprint identically in both documents")
+    texts = ["INTRO " + passage + " OUTRO-A",
+             "DIFFERENT-LEAD " + passage,
+             "completely unrelated filler content with other words",
+             "more unrelated text that shares nothing at all herein"]
+    t = pa.table({"doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+                  "text": pa.array(texts)})
+
+    d, _, fp = winnow_batch(texts, 8, 4)
+    sets = [set(fp[d == i].tolist()) for i in range(4)]
+    want = {}
+    m = 8
+    for i in range(4):
+        for j in range(i + 1, 4):
+            s = len(sets[i] & sets[j])
+            if s >= m:
+                for x in (10 * (i + 1), 10 * (j + 1)):
+                    n, mx = want.get(x, (0, 0))
+                    want[x] = (n + 1, max(mx, s))
+    assert 10 in want and 20 in want          # the planted pair survives
+
+    for nb in (1, 3):
+        got = winnow_overlap_stats(rd.from_arrow(t).repartition(nb),
+                                   min_shared=m).to_pandas()
+        have = {int(r.doc_id): (int(r.n_partners), int(r.max_shared))
+                for r in got.itertuples()}
+        assert have == want

@@ -234,6 +234,8 @@ SQL_NAMES = [
     "set_similarity_join",
     # reciprocal kNN pairs over the exact embedding kNN graph
     "mutual_knn",
+    # MOSS overlap rollup over winnowed fingerprints
+    "winnow_overlap",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
