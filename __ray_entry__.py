@@ -1217,6 +1217,15 @@ def _q_set_similarity_join(sf_dir: str):
                                      nrows=_tbl_rows(sf_dir, "documents"))
 
 
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 twin: broadcast part-cost + supplier-nation maps,
+    in-batch (orderkey, nation) profit4 partials, ONE orderkey exchange
+    for the order year."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.product_profit(sf_dir)
+
+
 def _q_winnow_overlap(sf_dir: str):
     """MOSS overlap detector over winnowed fingerprints: 3 pair-bounded
     exchanges (fp -> pair-partials -> per-doc rollup); SQL twin is the
@@ -2288,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_similarity_join": _q_set_similarity_join,
         "mutual_knn": _q_mutual_knn,
         "winnow_overlap": _q_winnow_overlap,
+        "product_profit": _q_product_profit,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2456,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "set_similarity_join": oracle.set_similarity_join_sql(),
         "mutual_knn": oracle.mutual_knn_sql(),
         "winnow_overlap": oracle.winnow_overlap_stats_sql(),
+        "product_profit": oracle.product_profit_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3731,3 +3731,23 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
        CAST(max(s) AS BIGINT) AS max_shared
 FROM sides GROUP BY doc_id ORDER BY doc_id
 """
+
+def product_profit_sql(name_substr: str = "red") -> str:
+    """relational.product_profit twin (TPC-H Q9 shape): profit4 =
+    pc*(100-dc) - retail_c*qty_c, integer 1e-4 dollars (p_retailprice
+    stands in for the absent ps_supplycost)."""
+    return f"""
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+                - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS profit4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+     JOIN supplier ON s_suppkey = l_suppkey
+     JOIN orders ON o_orderkey = l_orderkey
+WHERE contains(p_name, '{name_substr}')
+GROUP BY s_nationkey, o_year
+ORDER BY s_nationkey, o_year
+"""

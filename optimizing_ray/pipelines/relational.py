@@ -19,7 +19,8 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "large_orders", "regional_sales", "sales_rollup",
            "order_priority_check", "churned_high_balance",
            "promo_revenue", "bracket_revenue", "top_supplier",
-           "small_qty_revenue", "returned_top_customers", "nation_volume"]
+           "small_qty_revenue", "returned_top_customers", "nation_volume",
+           "product_profit"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -1623,11 +1624,12 @@ def nation_volume(sf_dir: str, *, nat_a: int = 2, nat_b: int = 3,
 
     def _lookup(keys: np.ndarray, sk: np.ndarray,
                 sv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(sk) == 0:
+            return (np.zeros(len(keys), bool),
+                    np.zeros(len(keys), sv.dtype))
         pos = np.searchsorted(sk, keys)
-        hit = ((pos < len(sk))
-               & (sk[np.minimum(pos, max(0, len(sk) - 1))] == keys)
-               if len(sk) else np.zeros(len(keys), bool))
-        return hit, sv[np.minimum(pos, max(0, len(sk) - 1))]
+        hit = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == keys)
+        return hit, sv[np.minimum(pos, len(sk) - 1)]
 
     def li_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "l_orderkey" not in t.column_names:
@@ -1727,3 +1729,151 @@ def nation_volume(sf_dir: str, *, nat_a: int = 2, nat_b: int = 3,
         "cust_nation": pa.array(idx["cust_nation"].to_numpy(np.int64)),
         "l_year": pa.array(idx["l_year"].to_numpy(np.int64)),
         "revenue4": pa.array(agg.to_numpy(np.int64))})
+
+
+# --- TPC-H Q9 product-profit twin ----------------------------------------------
+
+def product_profit(sf_dir: str, *, name_substr: str = "red",
+                   n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q9 twin: profit per (supplier nation, order year) from
+    lineitems of parts whose name contains ``name_substr`` — profit4 =
+    extendedprice*(1-discount) - retailprice*quantity in integer 1e-4
+    dollars (the driver schema has no partsupp, so p_retailprice stands
+    in for ps_supplycost; same join tree shape otherwise).
+
+    Plan: part filters driver-side to a broadcast (partkey -> cost
+    basis) map and supplier to (suppkey -> nation); lineitem prunes to
+    six columns, keeps matching parts AT THE BATCH, and PRE-AGGREGATES
+    profit4 per (orderkey, nation) in-batch; orders slims to
+    (orderkey, year); ONE hash(orderkey) side-tag exchange joins them
+    into (nation, year, profit4) partials bounded by nations x years —
+    tiny driver merge.  SQL twin ``oracle.product_profit_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    import pyarrow.compute as pc
+    m = pc.match_substring(part["p_name"], name_substr).to_numpy(
+        zero_copy_only=False)
+    pk = part["p_partkey"].to_numpy()[m]
+    order = np.argsort(pk)
+    rpc = np.floor(part["p_retailprice"].to_numpy()[m][order] * 100.0
+                   + 0.5).astype(np.int64)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    ref = ray.put({"pk": pk[order], "rpc": rpc,
+                   "sk": supp["s_suppkey"].to_numpy()[so],
+                   "sn": supp["s_nationkey"].to_numpy()[so]
+                   .astype(np.int64)})
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_nat", pa.int64()), ("_p4", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def _lk(keys, sk, sv):
+        if len(sk) == 0:
+            return (np.zeros(len(keys), bool),
+                    np.zeros(len(keys), sv.dtype))
+        pos = np.searchsorted(sk, keys)
+        hit = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == keys)
+        return hit, sv[np.minimum(pos, len(sk) - 1)]
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        d = cached(("q9_dims", ref.hex()), lambda: ray.get(ref))
+        hit, cost = _lk(t["l_partkey"].to_numpy(), d["pk"], d["rpc"])
+        if not hit.any():
+            return unified.empty_table()
+        shit, sn = _lk(t["l_suppkey"].to_numpy()[hit], d["sk"], d["sn"])
+        keep = np.flatnonzero(hit)[shit]
+        cost, sn = cost[hit][shit], sn[shit]
+        okey = t["l_orderkey"].to_numpy()[keep]
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[keep] * 100.0
+                       + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        qc = np.floor(t["l_quantity"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        p4 = pc_ * (100 - dc) - cost * qc
+        key = np.stack([okey, sn])
+        o = np.lexsort(key)
+        okey, sn, p4 = okey[o], sn[o], p4[o]
+        new = np.r_[True, (okey[1:] != okey[:-1]) | (sn[1:] != sn[:-1])]
+        starts = np.flatnonzero(new)
+        n = len(starts)
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_okey": pa.array(okey[starts]),
+            "_nat": pa.array(sn[starts]),
+            "_p4": pa.array(np.add.reduceat(p4, starts)),
+            "_shard": _shard(okey[starts])}).cast(unified)
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        okey = t["o_orderkey"].to_numpy()
+        yr = (t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({
+            "_side": pa.array(np.ones(len(okey), np.int8)),
+            "_okey": pa.array(okey), "_nat": pa.array(yr),
+            "_p4": pa.array(np.zeros(len(okey), np.int64)),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def join_agg(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s_nationkey": pd.Series([], dtype=np.int64),
+                              "o_year": pd.Series([], dtype=np.int64),
+                              "profit4": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        j = lf[["_okey", "_nat", "_p4"]].merge(
+            rf[["_okey", "_nat"]].rename(columns={"_nat": "_yr"}),
+            on="_okey", how="inner")
+        if len(j) == 0:
+            return empty
+        gg = j.groupby(["_nat", "_yr"], sort=True)["_p4"].sum()
+        idx = gg.index.to_frame(index=False)
+        return pd.DataFrame({"s_nationkey": idx["_nat"].to_numpy(np.int64),
+                             "o_year": idx["_yr"].to_numpy(np.int64),
+                             "profit4": gg.to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"]
+                             ).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (li.union(orders).groupby("_shard")
+             .map_groups(join_agg, batch_format="pandas").to_pandas())
+    if len(parts) == 0 or "s_nationkey" not in parts.columns:
+        return pa.table({"s_nationkey": pa.array([], pa.int64()),
+                         "o_year": pa.array([], pa.int64()),
+                         "profit4": pa.array([], pa.int64())})
+    agg = (parts.groupby(["s_nationkey", "o_year"], sort=True)["profit4"]
+           .sum())
+    idx = agg.index.to_frame(index=False)
+    return pa.table({
+        "s_nationkey": pa.array(idx["s_nationkey"].to_numpy(np.int64)),
+        "o_year": pa.array(idx["o_year"].to_numpy(np.int64)),
+        "profit4": pa.array(agg.to_numpy(np.int64))})

@@ -236,6 +236,8 @@ SQL_NAMES = [
     "mutual_knn",
     # MOSS overlap rollup over winnowed fingerprints
     "winnow_overlap",
+    # TPC-H Q9 twin (retailprice stands in for ps_supplycost)
+    "product_profit",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -825,3 +825,37 @@ def test_nation_volume_matches_pandas_brute(ray_session):
     assert z.num_rows == 0
     assert z.column_names == ["supp_nation", "cust_nation", "l_year",
                               "revenue4"]
+
+
+def test_product_profit_matches_pandas_brute(ray_session):
+    """Q9 twin vs a pandas 4-table integer brute force; negative profits
+    must appear (the retailprice cost basis exceeds discounted revenue
+    for deep discounts), and the no-matching-parts edge returns empty."""
+    from optimizing_ray.pipelines.relational import product_profit
+
+    sfd = "/root/testdata/sf0.001"
+    got = product_profit(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    su = pd.read_parquet(f"{sfd}/supplier.parquet")
+    o = pd.read_parquet(f"{sfd}/orders.parquet")
+    j = (li.merge(part[part["p_name"].str.contains("red")],
+                  left_on="l_partkey", right_on="p_partkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey"))
+    pc_ = np.floor(j["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    qc = np.floor(j["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rc = np.floor(j["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = (j.assign(p4=pc_ * (100 - dc) - rc * qc,
+                     yr=j["o_orderdate"].dt.year.astype(np.int64))
+            .groupby(["s_nationkey", "yr"], sort=True)["p4"].sum()
+            .reset_index())
+    assert len(got) == len(want) > 0
+    assert list(got["profit4"]) == list(want["p4"])
+    assert list(got["o_year"]) == list(want["yr"])
+
+    z = product_profit(sfd, name_substr="zzznope")
+    assert z.num_rows == 0
+    assert z.column_names == ["s_nationkey", "o_year", "profit4"]
