@@ -1226,6 +1226,15 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 twin: three broadcast flag maps, in-batch (orderkey,
+    target-flag) rev4 partials, ONE orderkey exchange, per-year
+    integer share."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.market_share(sf_dir)
+
+
 def _q_winnow_overlap(sf_dir: str):
     """MOSS overlap detector over winnowed fingerprints: 3 pair-bounded
     exchanges (fp -> pair-partials -> per-doc rollup); SQL twin is the
@@ -2298,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn": _q_mutual_knn,
         "winnow_overlap": _q_winnow_overlap,
         "product_profit": _q_product_profit,
+        "market_share": _q_market_share,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2467,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn": oracle.mutual_knn_sql(),
         "winnow_overlap": oracle.winnow_overlap_stats_sql(),
         "product_profit": oracle.product_profit_sql(),
+        "market_share": oracle.market_share_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

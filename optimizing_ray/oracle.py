@@ -3751,3 +3751,30 @@ WHERE contains(p_name, '{name_substr}')
 GROUP BY s_nationkey, o_year
 ORDER BY s_nationkey, o_year
 """
+
+def market_share_sql(target_nation: int = 3, region: str = "ASIA",
+                     part_type: str = "ECONOMY") -> str:
+    """relational.market_share twin (TPC-H Q8 shape): per-year integer
+    totals + HUGEINT divisible-subtraction floor share."""
+    return f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS rev4,
+         CASE WHEN s_nationkey = {target_nation} THEN 1 ELSE 0 END AS tgt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation ON n_nationkey = c_nationkey
+       JOIN region ON r_regionkey = n_regionkey
+  WHERE p_type = '{part_type}' AND r_name = '{region}'),
+s AS (SELECT o_year, SUM(rev4) AS t4, SUM(tgt * rev4) AS n4
+      FROM j GROUP BY o_year)
+SELECT o_year, CAST(t4 AS BIGINT) AS total_rev4,
+       CAST(n4 AS BIGINT) AS nation_rev4,
+       CAST(CASE WHEN t4 = 0 THEN 0
+            ELSE (n4 * 1000000 - ((n4 * 1000000) % t4)) / t4 END
+            AS BIGINT) AS share6
+FROM s ORDER BY o_year
+"""

@@ -20,7 +20,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "order_priority_check", "churned_high_balance",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
-           "product_profit"]
+           "product_profit", "market_share"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -1877,3 +1877,163 @@ def product_profit(sf_dir: str, *, name_substr: str = "red",
         "s_nationkey": pa.array(idx["s_nationkey"].to_numpy(np.int64)),
         "o_year": pa.array(idx["o_year"].to_numpy(np.int64)),
         "profit4": pa.array(agg.to_numpy(np.int64))})
+
+
+# --- TPC-H Q8 market-share twin --------------------------------------------------
+
+def market_share(sf_dir: str, *, target_nation: int = 3,
+                 region: str = "ASIA", part_type: str = "ECONOMY",
+                 n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q8 twin: the ``target_nation`` suppliers' share of
+    ``part_type`` revenue sold to ``region`` customers, per order year.
+    Output (o_year, total_rev4, nation_rev4, share6) — the share is ONE
+    floor division nation*1e6 // total per year in arbitrary-precision
+    driver ints (HUGEINT divisible-subtraction twin); both revenue
+    columns stay integer so the numerator/denominator are order-exact.
+
+    Plan: three broadcast maps (matching partkeys; suppkey -> is-target
+    flag; custkey -> is-in-region flag, nation⋈region resolved
+    driver-side over <= 25 keys); lineitem filters parts at the batch
+    and pre-aggregates (orderkey, flag) rev4 partials; orders slims to
+    (orderkey, year) for in-region customers; ONE hash(orderkey)
+    side-tag exchange joins them into per-year (total, nation) partials
+    bounded by the year count.  SQL twin ``oracle.market_share_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pm = (part["p_type"].to_numpy(zero_copy_only=False) == part_type)
+    pk = np.sort(part["p_partkey"].to_numpy()[pm])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = reg["r_regionkey"].to_numpy()[
+        reg["r_name"].to_numpy(zero_copy_only=False) == region]
+    in_reg_nat = np.sort(nat["n_nationkey"].to_numpy()[
+        np.isin(nat["n_regionkey"].to_numpy(), rkeys)])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cm = np.isin(cust["c_nationkey"].to_numpy(), in_reg_nat)
+    ck = np.sort(cust["c_custkey"].to_numpy()[cm])
+    ref = ray.put({"pk": pk,
+                   "sk": supp["s_suppkey"].to_numpy()[so],
+                   "st": (supp["s_nationkey"].to_numpy()[so]
+                          == target_nation),
+                   "ck": ck})
+
+    unified = pa.schema([("_side", pa.int8()), ("_okey", pa.int64()),
+                         ("_flag", pa.int64()), ("_rev", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def _shard(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                        .astype(np.int64))
+
+    def _member(keys, sk):
+        if len(sk) == 0:
+            return np.zeros(len(keys), bool), np.zeros(len(keys), np.int64)
+        pos = np.searchsorted(sk, keys)
+        safe = np.minimum(pos, len(sk) - 1)
+        return (pos < len(sk)) & (sk[safe] == keys), safe
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return unified.empty_table()
+        d = cached(("q8_dims", ref.hex()), lambda: ray.get(ref))
+        hit, _ = _member(t["l_partkey"].to_numpy(), d["pk"])
+        if not hit.any():
+            return unified.empty_table()
+        shit, spos = _member(t["l_suppkey"].to_numpy()[hit], d["sk"])
+        keep = np.flatnonzero(hit)[shit]
+        flag = d["st"][spos[shit]].astype(np.int64)
+        okey = t["l_orderkey"].to_numpy()[keep]
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[keep] * 100.0
+                       + 0.5).astype(np.int64)
+        dc = np.floor(t["l_discount"].to_numpy()[keep] * 100.0
+                      + 0.5).astype(np.int64)
+        rev = pc_ * (100 - dc)
+        o = np.lexsort(np.stack([okey, flag]))
+        okey, flag, rev = okey[o], flag[o], rev[o]
+        new = np.r_[True, (okey[1:] != okey[:-1]) | (flag[1:] != flag[:-1])]
+        starts = np.flatnonzero(new)
+        n = len(starts)
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_okey": pa.array(okey[starts]),
+            "_flag": pa.array(flag[starts]),
+            "_rev": pa.array(np.add.reduceat(rev, starts)),
+            "_shard": _shard(okey[starts])}).cast(unified)
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return unified.empty_table()
+        d = cached(("q8_dims", ref.hex()), lambda: ray.get(ref))
+        hit, _ = _member(t["o_custkey"].to_numpy(), d["ck"])
+        okey = t["o_orderkey"].to_numpy()[hit]
+        yr = (t["o_orderdate"].to_numpy()[hit].astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        n = len(okey)
+        return pa.table({
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_okey": pa.array(okey), "_flag": pa.array(yr),
+            "_rev": pa.array(np.zeros(n, np.int64)),
+            "_shard": _shard(okey)}).cast(unified)
+
+    def join_agg(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                              "total_rev4": pd.Series([], dtype=np.int64),
+                              "nation_rev4": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        j = lf[["_okey", "_flag", "_rev"]].merge(
+            rf[["_okey", "_flag"]].rename(columns={"_flag": "_yr"}),
+            on="_okey", how="inner")
+        if len(j) == 0:
+            return empty
+        tot = j.groupby("_yr", sort=True)["_rev"].sum()
+        ntv = (j[j["_flag"] == 1].groupby("_yr", sort=True)["_rev"].sum()
+               .reindex(tot.index, fill_value=0))
+        return pd.DataFrame({"o_year": tot.index.to_numpy(np.int64),
+                             "total_rev4": tot.to_numpy(np.int64),
+                             "nation_rev4": ntv.to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]
+                         ).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]).map_batches(
+        orders_slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (li.union(orders).groupby("_shard")
+             .map_groups(join_agg, batch_format="pandas").to_pandas())
+    if len(parts) == 0 or "o_year" not in parts.columns:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "total_rev4": pa.array([], pa.int64()),
+                         "nation_rev4": pa.array([], pa.int64()),
+                         "share6": pa.array([], pa.int64())})
+    agg = parts.groupby("o_year", sort=True).sum()
+    tot = [int(x) for x in agg["total_rev4"]]
+    ntv = [int(x) for x in agg["nation_rev4"]]
+    share = [(n * 1_000_000) // t if t else 0 for n, t in zip(ntv, tot)]
+    return pa.table({"o_year": pa.array(agg.index.to_numpy(np.int64)),
+                     "total_rev4": pa.array(tot, pa.int64()),
+                     "nation_rev4": pa.array(ntv, pa.int64()),
+                     "share6": pa.array(share, pa.int64())})

@@ -238,6 +238,8 @@ SQL_NAMES = [
     "winnow_overlap",
     # TPC-H Q9 twin (retailprice stands in for ps_supplycost)
     "product_profit",
+    # TPC-H Q8 twin: per-year integer market share
+    "market_share",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

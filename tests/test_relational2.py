@@ -859,3 +859,46 @@ def test_product_profit_matches_pandas_brute(ray_session):
     z = product_profit(sfd, name_substr="zzznope")
     assert z.num_rows == 0
     assert z.column_names == ["s_nationkey", "o_year", "profit4"]
+
+
+def test_market_share_matches_pandas_brute(ray_session):
+    """Q8 twin vs a pandas 6-table integer brute force; years with no
+    target-nation sales keep nation_rev4 = 0 rows; the impossible region
+    returns empty."""
+    from optimizing_ray.pipelines.relational import market_share
+
+    sfd = "/root/testdata/sf0.001"
+    got = market_share(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    su = pd.read_parquet(f"{sfd}/supplier.parquet")
+    o = pd.read_parquet(f"{sfd}/orders.parquet")
+    cu = pd.read_parquet(f"{sfd}/customer.parquet")
+    na = pd.read_parquet(f"{sfd}/nation.parquet")
+    re_ = pd.read_parquet(f"{sfd}/region.parquet")
+    j = (li.merge(part[part["p_type"] == "ECONOMY"], left_on="l_partkey",
+                  right_on="p_partkey")
+         .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(re_[re_["r_name"] == "ASIA"], left_on="n_regionkey",
+                right_on="r_regionkey"))
+    pc_ = np.floor(j["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    dc = np.floor(j["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    j = j.assign(rev=pc_ * (100 - dc),
+                 yr=j["o_orderdate"].dt.year.astype(np.int64),
+                 tgt=(j["s_nationkey"] == 3).astype(np.int64))
+    tot = j.groupby("yr", sort=True)["rev"].sum()
+    ntv = (j.assign(nr=j["rev"] * j["tgt"]).groupby("yr", sort=True)["nr"]
+           .sum())
+    assert len(got) == len(tot) > 0
+    assert list(got["total_rev4"]) == [int(x) for x in tot]
+    assert list(got["nation_rev4"]) == [int(x) for x in ntv]
+    assert list(got["share6"]) == [
+        (int(n) * 10**6) // int(t) for n, t in zip(ntv, tot)]
+    z = market_share(sfd, region="NOWHERE")
+    assert z.num_rows == 0
+    assert z.column_names == ["o_year", "total_rev4", "nation_rev4",
+                              "share6"]
