@@ -3714,13 +3714,18 @@ ORDER BY vec_a, vec_b
 """
 
 def winnow_overlap_stats_sql(k: int = 8, w: int = 4, min_shared: int = 8,
+                             max_df: int = 64,
                              table: str = "documents") -> str:
     """dedup.winnow_overlap_stats twin: distinct (doc, fp) from the
-    winnow CTE, unfiltered self-join pair counts, gate, both-side
+    winnow CTE, boilerplate fps (df > max_df) masked exactly as the
+    engine's in-shard gate, self-join pair counts, gate, both-side
     per-doc rollup."""
     return f"""
 WITH win AS ({winnow_fingerprints_sql(k=k, w=w, table=table)}),
-fps AS (SELECT DISTINCT doc_id, fp FROM win),
+fps0 AS (SELECT DISTINCT doc_id, fp FROM win),
+keepfp AS (SELECT fp FROM fps0 GROUP BY fp
+           HAVING count(*) <= {max_df}),
+fps AS (SELECT doc_id, fp FROM fps0 JOIN keepfp USING (fp)),
 p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),

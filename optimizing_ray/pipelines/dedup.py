@@ -1490,11 +1490,29 @@ def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
         tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
                    + np.repeat(starts - np.r_[np.int64(0),
                                               np.cumsum(plen)[:-1]], plen))
-        pdf = pd.DataFrame({"h": flat[tok_idx], "i": doc_pos})
-        m = pdf.merge(pdf, on="h")
-        key = (m["i_x"].to_numpy() * np.int64(len(ids))
-               + m["i_y"].to_numpy())
-        key = np.unique(key[m["i_x"].to_numpy() < m["i_y"].to_numpy()])
+        # candidates: per shared prefix token, pair each doc only with
+        # docs whose size fits the LENGTH FILTER den*min >= num*max (a
+        # J >= θ necessity) — a BAND search over the token run sorted by
+        # size, so the unfiltered pair explosion on hot tokens is never
+        # materialized (one composite-key searchsorted, output-bounded)
+        eh, ei = flat[tok_idx], doc_pos
+        en = n_tok[ei]
+        eorder = np.lexsort((ei, en, eh))   # runs of h, sizes ascending
+        eh, ei, en = eh[eorder], ei[eorder], en[eorder]
+        gid = np.cumsum(np.r_[0, eh[1:] != eh[:-1]]).astype(np.int64)
+        span = np.int64(int(en.max()) + 2) if len(en) else np.int64(1)
+        big = gid * span + en
+        thr = np.minimum((en * den) // num, span - 2)
+        hi = np.searchsorted(big, gid * span + thr, side="right")
+        cnt = hi - np.arange(len(eh), dtype=np.int64) - 1
+        cnt = np.maximum(cnt, 0)
+        lidx = np.repeat(np.arange(len(eh), dtype=np.int64), cnt)
+        ridx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                + np.repeat(np.arange(len(eh), dtype=np.int64) + 1
+                            - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt))
+        pa_, pb_ = ei[lidx], ei[ridx]
+        lo, hi_ = np.minimum(pa_, pb_), np.maximum(pa_, pb_)
+        key = np.unique(lo * np.int64(len(ids)) + hi_)
         if not len(key):
             return rd.from_arrow(empty)
         ia, ib = key // len(ids), key % len(ids)
@@ -1565,7 +1583,7 @@ def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
 
 def winnow_overlap_stats(docs: rd.Dataset, *, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8, w: int = 4,
-                         min_shared: int = 8,
+                         min_shared: int = 8, max_df: int = 64,
                          n_shards: int | None = None) -> pa.Table:
     """MOSS-style overlap detection over winnowed fingerprints: per doc,
     how many partner docs share >= ``min_shared`` DISTINCT selected
@@ -1576,10 +1594,17 @@ def winnow_overlap_stats(docs: rd.Dataset, *, text_col: str = "text",
     least one partner, sorted by id.
 
     Plan (3 exchanges, all pair-bounded after the first):
+    Fingerprints appearing in more than ``max_df`` docs are DROPPED
+    before pairing (the MOSS common-substring mask: a gram shared by
+    hundreds of docs is boilerplate, not evidence of copying — and its
+    pair expansion is quadratic in df).  df is decided exactly and
+    locally: all rows of an fp land in one fp-shard, so the cap costs
+    no extra exchange; the SQL twin applies the identical HAVING gate.
+
     (1) winnow per batch (``functions.text.winnow_batch``), fold to
-    DISTINCT (doc, fp) in-batch, exchange on hash(fp); per-fp pandas
-    self-merge emits per-shard PARTIAL pair counts (a pair's fps span
-    fp-shards).  (2) exchange on hash(doc_a) sums pair counts, gates
+    DISTINCT (doc, fp) in-batch, exchange on hash(fp); per-fp df gate +
+    pandas self-merge emits per-shard PARTIAL pair counts (a pair's fps
+    span fp-shards).  (2) exchange on hash(doc_a) sums pair counts, gates
     >= min_shared, and emits both side rows pre-sharded by hash(doc).
     (3) exchange on hash(doc) folds per-doc partner count + max —
     one row per doc with partners, tiny driver merge.  SQL twin
@@ -1620,6 +1645,10 @@ def winnow_overlap_stats(docs: rd.Dataset, *, text_col: str = "text",
         if len(g) == 0:
             return empty
         f = g[["_fp", "_doc"]]
+        df = f.groupby("_fp", sort=False)["_doc"].transform("size")
+        f = f[df.to_numpy() <= max_df]      # boilerplate-fp mask (exact:
+        if not len(f):                      # an fp lives in ONE shard)
+            return empty
         m = f.merge(f, on="_fp")
         m = m[m["_doc_x"].to_numpy() < m["_doc_y"].to_numpy()]
         if not len(m):

@@ -23,7 +23,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
-           "cohort_retention"]
+           "cohort_retention", "windowed_topk_types"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1221,3 +1221,94 @@ def cohort_retention(events: rd.Dataset, *, week_us: int = 7 * 86400 * 1_000_000
     return (parts.map_batches(add_shard2, batch_format="pyarrow",
                               zero_copy_batch=True)
             .groupby("_shard2").map_groups(merge, batch_format="pandas"))
+
+
+def windowed_topk_types(events: rd.Dataset, *, window_s: int = 3600,
+                        k: int = 3, ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        n_shards: int | None = None) -> pa.Table:
+    """Per tumbling window, the top ``k`` event types by count — the
+    streaming-analytics "trending now" primitive (windowed heavy
+    hitters), deterministic under the (count DESC, type) composite so
+    the cut is reproducible.  Output (window_start_us, event_type, n,
+    rank) sorted by (window, rank).
+
+    Plan: per-batch (window, type) count partials via one lexsort +
+    reduceat (bounded by windows x types per batch — the heavy fold
+    happens before any wire); ONE hash(window) exchange sums partials
+    and keeps the per-window top-k in-shard (a window lives in exactly
+    one shard, so the cut is final there); driver merge <= k rows per
+    window.  SQL twin ``oracle.windowed_topk_sql`` (row_number over
+    grouped counts)."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    w_us = np.int64(window_s) * 1_000_000
+
+    part_schema = pa.schema([("_w", pa.int64()), ("_ty", pa.string()),
+                             ("_n", pa.int64()), ("_shard", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or ts_col not in t.column_names:
+            return part_schema.empty_table()
+        us = t[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = (us // w_us) * w_us
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        uty, tyc = np.unique(ty, return_inverse=True)
+        order = np.lexsort((tyc, w))
+        ws, cs = w[order], tyc[order]
+        new = np.r_[True, (ws[1:] != ws[:-1]) | (cs[1:] != cs[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ws)]).astype(np.int64)
+        wk = ws[starts]
+        with np.errstate(over="ignore"):
+            h = wk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({
+            "_w": pa.array(wk),
+            "_ty": pa.array(uty[cs[starts]], pa.string()),
+            "_n": pa.array(n),
+            "_shard": pa.array(((h >> np.uint64(33)) % np.uint64(n_shards))
+                               .astype(np.int64))}).cast(part_schema)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "window_start_us": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        s = (g.groupby(["_w", "_ty"], sort=False)["_n"].sum()
+             .reset_index())
+        w = s["_w"].to_numpy(np.int64)
+        n = s["_n"].to_numpy(np.int64)
+        ty = s["_ty"].to_numpy(object)
+        order = np.lexsort((ty, -n, w))    # per window: count DESC, type
+        w, n, ty = w[order], n[order], ty[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        gid = np.cumsum(np.r_[0, w[1:] != w[:-1]])
+        rank = np.arange(len(w), dtype=np.int64) - starts[gid] + 1
+        keep = rank <= k
+        return pd.DataFrame({"window_start_us": w[keep],
+                             "event_type": ty[keep],
+                             "n": n[keep], "rank": rank[keep]})
+
+    out = (events.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(topk, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "window_start_us" not in out.columns:
+        return pa.table({"window_start_us": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    order = np.lexsort((out["rank"].to_numpy(np.int64),
+                        out["window_start_us"].to_numpy(np.int64)))
+    out = out.iloc[order]
+    return pa.table({
+        "window_start_us": pa.array(out["window_start_us"]
+                                    .to_numpy(np.int64)),
+        "event_type": pa.array(out["event_type"].to_numpy(object),
+                               pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "rank": pa.array(out["rank"].to_numpy(np.int64))})
