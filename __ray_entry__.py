@@ -1226,6 +1226,17 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_windowed_topk(sf_dir: str):
+    """Windowed heavy hitters: per tumbling hour the top event types;
+    per-batch count partials, ONE hash(window) exchange with the final
+    per-window cut in-shard."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["ts", "event_type"])
+    return windows.windowed_topk_types(ev)
+
+
 def _q_market_share(sf_dir: str):
     """TPC-H Q8 twin: three broadcast flag maps, in-batch (orderkey,
     target-flag) rev4 partials, ONE orderkey exchange, per-year
@@ -2308,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": _q_winnow_overlap,
         "product_profit": _q_product_profit,
         "market_share": _q_market_share,
+        "windowed_topk": _q_windowed_topk,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2478,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": oracle.winnow_overlap_stats_sql(),
         "product_profit": oracle.product_profit_sql(),
         "market_share": oracle.market_share_sql(),
+        "windowed_topk": oracle.windowed_topk_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3783,3 +3783,23 @@ SELECT o_year, CAST(t4 AS BIGINT) AS total_rev4,
             AS BIGINT) AS share6
 FROM s ORDER BY o_year
 """
+
+def windowed_topk_sql(window_s: int = 3600, k: int = 3,
+                      table: str = "events") -> str:
+    """windows.windowed_topk_types twin: row_number over grouped counts
+    under the (count DESC, type) composite — deterministic cut."""
+    w_us = window_s * 1_000_000
+    return f"""
+WITH c AS (
+  SELECT CAST((epoch_us(ts) // {w_us}) * {w_us} AS BIGINT)
+           AS window_start_us,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2),
+r AS (SELECT window_start_us, event_type, n,
+             row_number() OVER (PARTITION BY window_start_us
+                                ORDER BY n DESC, event_type) AS rank
+      FROM c)
+SELECT window_start_us, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+ORDER BY window_start_us, rank
+"""

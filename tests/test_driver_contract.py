@@ -240,6 +240,8 @@ SQL_NAMES = [
     "product_profit",
     # TPC-H Q8 twin: per-year integer market share
     "market_share",
+    # windowed heavy hitters (per-hour top event types)
+    "windowed_topk",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -504,3 +504,26 @@ def test_cohort_retention_matches_brute(ray_session):
     # offset-0 cells are the cohort sizes and every user is in exactly
     # one cohort
     assert sum(v for (c, o), v in got.items() if o == 0) == len(np.unique(user))
+
+
+def test_windowed_topk_types_matches_brute(ray_session):
+    """windowed_topk_types vs a pandas brute on a synthetic stream with
+    per-window count ties (the (count DESC, type) composite decides);
+    invariant to block layout."""
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.windows import windowed_topk_types
+
+    w = 3600 * 1_000_000
+    # window 0: a x3, b x3 (tie), c x1; window 1: c x2, a x1
+    ts = np.array([10, 20, 30, 40, 50, 60, 70,
+                   w + 10, w + 20, w + 30], dtype=np.int64)
+    ty = ["a", "a", "a", "b", "b", "b", "c", "c", "c", "a"]
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "event_type": pa.array(ty)})
+    for nb in (1, 3):
+        got = windowed_topk_types(rd.from_arrow(t).repartition(nb),
+                                  k=2).to_pandas()
+        rows = [tuple(r) for r in got.itertuples(index=False)]
+        assert rows == [(0, "a", 3, 1), (0, "b", 3, 2),
+                        (w, "c", 2, 1), (w, "a", 1, 2)]
