@@ -1226,6 +1226,14 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped nested semi-join: correlated per-part totals and
+    the division-free share gate resolve in ONE hash(partkey) exchange."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.dominant_suppliers(sf_dir)
+
+
 def _q_windowed_topk(sf_dir: str):
     """Windowed heavy hitters: per tumbling hour the top event types;
     per-batch count partials, ONE hash(window) exchange with the final
@@ -2320,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "market_share": _q_market_share,
         "windowed_topk": _q_windowed_topk,
+        "dominant_suppliers": _q_dominant_suppliers,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2491,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "product_profit": oracle.product_profit_sql(),
         "market_share": oracle.market_share_sql(),
         "windowed_topk": oracle.windowed_topk_sql(),
+        "dominant_suppliers": oracle.dominant_suppliers_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

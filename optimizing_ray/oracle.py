@@ -3803,3 +3803,25 @@ SELECT window_start_us, event_type, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 ORDER BY window_start_us, rank
 """
+
+def dominant_suppliers_sql(name_substr: str = "red", share_num: int = 3,
+                           share_den: int = 20) -> str:
+    """relational.dominant_suppliers twin (TPC-H Q20 shape): the
+    correlated inner total + division-free share gate."""
+    return f"""
+WITH el AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE contains(p_name, '{name_substr}')),
+ps AS (SELECT l_partkey, l_suppkey, SUM(qc) AS s FROM el
+       GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, SUM(qc) AS tot FROM el GROUP BY l_partkey),
+win AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+        FROM ps JOIN pt USING (l_partkey)
+        WHERE {share_den} * s > {share_num} * tot
+        GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_parts
+FROM win JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY s_suppkey
+"""

@@ -20,7 +20,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "order_priority_check", "churned_high_balance",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
-           "product_profit", "market_share"]
+           "product_profit", "market_share", "dominant_suppliers"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2037,3 +2037,106 @@ def market_share(sf_dir: str, *, target_nation: int = 3,
                      "total_rev4": pa.array(tot, pa.int64()),
                      "nation_rev4": pa.array(ntv, pa.int64()),
                      "share6": pa.array(share, pa.int64())})
+
+
+# --- TPC-H Q20-flavored dominant-suppliers twin ------------------------------------
+
+def dominant_suppliers(sf_dir: str, *, name_substr: str = "red",
+                       share_num: int = 3, share_den: int = 20,
+                       n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q20-shaped nested semi-join (no partsupp in the driver
+    schema, so availability becomes VOLUME SHARE): suppliers who shipped
+    more than share_num/share_den of some ``name_substr`` part's total
+    quantity, with how many such parts.  Output (s_suppkey, s_name,
+    n_parts) ordered by supplier.
+
+    The correlated inner aggregate (each part's total across ALL
+    suppliers) and the outer per-(part, supplier) sum resolve in the
+    SAME exchange: a part's rows co-locate under hash(partkey), so the
+    share gate is the division-free cross-multiply den*s > num*total
+    in-shard, and only (suppkey, n_parts) partials leave the shard —
+    bounded by suppliers per shard.  Lineitem pre-aggregates
+    (partkey, suppkey) quantities per batch before the wire.  SQL twin
+    ``oracle.dominant_suppliers_sql``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    m = pc.match_substring(part["p_name"], name_substr).to_numpy(
+        zero_copy_only=False)
+    pk = np.sort(part["p_partkey"].to_numpy()[m])
+    ref = ray.put(pk)
+
+    slim_schema = pa.schema([("_pk", pa.int64()), ("_sk", pa.int64()),
+                             ("_qc", pa.int64()), ("_shard", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return slim_schema.empty_table()
+        ek = cached(("q20_parts", ref.hex()), lambda: ray.get(ref))
+        lk = t["l_partkey"].to_numpy()
+        if len(ek) == 0:
+            return slim_schema.empty_table()
+        pos = np.searchsorted(ek, lk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == lk)
+        if not hit.any():
+            return slim_schema.empty_table()
+        pkv = lk[hit]
+        sk = t["l_suppkey"].to_numpy()[hit]
+        qc = np.floor(t["l_quantity"].to_numpy()[hit] * 100.0
+                      + 0.5).astype(np.int64)
+        o = np.lexsort((sk, pkv))
+        pkv, sk, qc = pkv[o], sk[o], qc[o]
+        new = np.r_[True, (pkv[1:] != pkv[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(new)
+        pkv, sk = pkv[starts], sk[starts]
+        with np.errstate(over="ignore"):
+            h = pkv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({"_pk": pa.array(pkv), "_sk": pa.array(sk),
+                         "_qc": pa.array(np.add.reduceat(qc, starts)),
+                         "_shard": pa.array(((h >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_sk": pd.Series([], dtype=np.int64),
+                              "_np": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        ps = (g.groupby(["_pk", "_sk"], sort=False)["_qc"].sum()
+              .reset_index())
+        tot = ps.groupby("_pk", sort=False)["_qc"].transform("sum")
+        keep = (share_den * ps["_qc"].to_numpy()
+                > share_num * tot.to_numpy())
+        if not keep.any():
+            return empty
+        vc = ps.loc[keep, "_sk"].value_counts()
+        return pd.DataFrame({"_sk": vc.index.to_numpy(np.int64),
+                             "_np": vc.to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"]
+                         ).map_batches(slim, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    parts = (li.groupby("_shard").map_groups(gate, batch_format="pandas")
+             .to_pandas())
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_parts": pa.array([], pa.int64())})
+    if len(parts) == 0 or "_sk" not in parts.columns:
+        return empty
+    agg = parts.groupby("_sk", sort=True)["_np"].sum()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = (agg.rename("n_parts").reset_index()
+           .merge(supp, left_on="_sk", right_on="s_suppkey", how="inner")
+           .sort_values("s_suppkey"))
+    return pa.table({
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(out["s_name"].to_numpy(object), pa.string()),
+        "n_parts": pa.array(out["n_parts"].to_numpy(np.int64))})

@@ -242,6 +242,8 @@ SQL_NAMES = [
     "market_share",
     # windowed heavy hitters (per-hour top event types)
     "windowed_topk",
+    # TPC-H Q20-shaped nested semi-join (volume-share gate)
+    "dominant_suppliers",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

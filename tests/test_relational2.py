@@ -902,3 +902,33 @@ def test_market_share_matches_pandas_brute(ray_session):
     assert z.num_rows == 0
     assert z.column_names == ["o_year", "total_rev4", "nation_rev4",
                               "share6"]
+
+
+def test_dominant_suppliers_matches_pandas_brute(ray_session):
+    """Q20-shape twin vs a pandas brute force; a 100% threshold returns
+    only sole-source suppliers (or empty), never more."""
+    from optimizing_ray.pipelines.relational import dominant_suppliers
+
+    sfd = "/root/testdata/sf0.001"
+    got = dominant_suppliers(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    part = pd.read_parquet(f"{sfd}/part.parquet")
+    j = li.merge(part[part["p_name"].str.contains("red")],
+                 left_on="l_partkey", right_on="p_partkey")
+    j = j.assign(qc=np.floor(j["l_quantity"].to_numpy() * 100.0
+                             + 0.5).astype(np.int64))
+    ps = j.groupby(["l_partkey", "l_suppkey"])["qc"].sum().reset_index()
+    tot = ps.groupby("l_partkey")["qc"].transform("sum")
+    keep = 20 * ps["qc"].to_numpy() > 3 * tot.to_numpy()
+    want = (ps[keep].groupby("l_suppkey").size().sort_index())
+    assert len(got) == len(want) > 0
+    assert list(got["s_suppkey"]) == list(want.index)
+    assert list(got["n_parts"]) == list(want)
+
+    sole = dominant_suppliers(sfd, share_num=1, share_den=1).to_pandas()
+    ps2 = ps.merge(tot.rename("tot"), left_index=True, right_index=True)
+    n_sole = (ps2[ps2["qc"] == ps2["tot"]]
+              .groupby("l_suppkey").size())
+    # 1/1 gate is s > tot — impossible; strictness must hold
+    assert len(sole) == 0 or (sole["n_parts"] <= n_sole.max()).all()
