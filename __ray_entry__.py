@@ -1226,6 +1226,14 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_balance_deciles(sf_dir: str):
+    """NTILE twin: exact global rank (sample + count + ONE range
+    exchange), integer bucket label, k-bounded partials."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.balance_deciles(sf_dir)
+
+
 def _q_dominant_suppliers(sf_dir: str):
     """TPC-H Q20-shaped nested semi-join: correlated per-part totals and
     the division-free share gate resolve in ONE hash(partkey) exchange."""
@@ -2329,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "windowed_topk": _q_windowed_topk,
         "dominant_suppliers": _q_dominant_suppliers,
+        "balance_deciles": _q_balance_deciles,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2501,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": oracle.market_share_sql(),
         "windowed_topk": oracle.windowed_topk_sql(),
         "dominant_suppliers": oracle.dominant_suppliers_sql(),
+        "balance_deciles": oracle.balance_deciles_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3825,3 +3825,24 @@ SELECT s_suppkey, s_name, n_parts
 FROM win JOIN supplier ON s_suppkey = l_suppkey
 ORDER BY s_suppkey
 """
+
+def balance_deciles_sql(k: int = 10) -> str:
+    """relational.balance_deciles twin: row_number under the same
+    (bal_c, custkey) composite, the same integer bucket formula
+    (NOT the builtin NTILE remainder rule), grouped summary."""
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c,
+         c_custkey
+  FROM customer),
+r AS (SELECT bal_c,
+             row_number() OVER (ORDER BY bal_c, c_custkey) AS rn,
+             (SELECT count(*) FROM b) AS n
+      FROM b)
+SELECT CAST((rn - 1) * {k} // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(MAX(bal_c) AS BIGINT) AS max_bal_c
+FROM r GROUP BY 1 ORDER BY 1
+"""

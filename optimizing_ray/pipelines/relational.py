@@ -20,7 +20,8 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "order_priority_check", "churned_high_balance",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
-           "product_profit", "market_share", "dominant_suppliers"]
+           "product_profit", "market_share", "dominant_suppliers",
+           "balance_deciles"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2140,3 +2141,79 @@ def dominant_suppliers(sf_dir: str, *, name_substr: str = "red",
         "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
         "s_name": pa.array(out["s_name"].to_numpy(object), pa.string()),
         "n_parts": pa.array(out["n_parts"].to_numpy(np.int64))})
+
+
+# --- NTILE-style decile summary ------------------------------------------------
+
+def balance_deciles(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """Customer balance decile summary — the NTILE window-function twin:
+    rank every customer by (balance cents asc, custkey asc), bucket
+    d = (rank-1)*k // n (0-based, the exact-quantile split both engines
+    compute identically in integers — NOT the builtin NTILE remainder
+    rule), and summarize each bucket.  Output (decile, n_cust,
+    sum_bal_c, min_bal_c, max_bal_c).
+
+    Plan: ``sort.global_rank`` supplies the exact global rank (sample
+    boundaries + count pass + ONE range exchange); the bucket label is
+    then a pure function of (rank, n), so the summary is per-batch
+    partials bounded by k x blocks and a tiny driver merge — no second
+    shuffle.  SQL twin ``oracle.balance_deciles_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.pipelines.sort import global_rank
+
+    n_total = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_total == 0:
+        return pa.table({"decile": pa.array([], pa.int64()),
+                         "n_cust": pa.array([], pa.int64()),
+                         "sum_bal_c": pa.array([], pa.int64()),
+                         "min_bal_c": pa.array([], pa.int64()),
+                         "max_bal_c": pa.array([], pa.int64())})
+
+    def bal_c(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return pa.table({"bal_c": pa.array([], pa.int64()),
+                             "c_custkey": pa.array([], pa.int64())})
+        return pa.table({
+            "bal_c": pa.array(np.floor(t["c_acctbal"].to_numpy() * 100.0
+                                       + 0.5).astype(np.int64)),
+            "c_custkey": pa.array(t["c_custkey"].to_numpy())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]).map_batches(
+        bal_c, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = global_rank(cust, key_col="bal_c", id_col="c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "n_cust": pa.array([], pa.int64()),
+                          "sum_bal_c": pa.array([], pa.int64()),
+                          "min_bal_c": pa.array([], pa.int64()),
+                          "max_bal_c": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "global_rank" not in t.column_names:
+            return empty
+        r = t["global_rank"].to_numpy()
+        b = t["bal_c"].to_numpy()
+        d = (r - 1) * np.int64(k) // np.int64(n_total)
+        order = np.argsort(d, kind="stable")
+        d, b = d[order], b[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        lens = np.diff(np.r_[starts, len(d)]).astype(np.int64)
+        return pa.table({
+            "decile": pa.array(d[starts]),
+            "n_cust": pa.array(lens),
+            "sum_bal_c": pa.array(np.add.reduceat(b, starts)),
+            "min_bal_c": pa.array(np.minimum.reduceat(b, starts)),
+            "max_bal_c": pa.array(np.maximum.reduceat(b, starts))})
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("decile", sort=True).agg(
+        n_cust=("n_cust", "sum"), sum_bal_c=("sum_bal_c", "sum"),
+        min_bal_c=("min_bal_c", "min"), max_bal_c=("max_bal_c", "max"))
+    return pa.table({
+        "decile": pa.array(agg.index.to_numpy(np.int64)),
+        "n_cust": pa.array(agg["n_cust"].to_numpy(np.int64)),
+        "sum_bal_c": pa.array(agg["sum_bal_c"].to_numpy(np.int64)),
+        "min_bal_c": pa.array(agg["min_bal_c"].to_numpy(np.int64)),
+        "max_bal_c": pa.array(agg["max_bal_c"].to_numpy(np.int64))})

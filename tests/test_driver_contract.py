@@ -244,6 +244,8 @@ SQL_NAMES = [
     "windowed_topk",
     # TPC-H Q20-shaped nested semi-join (volume-share gate)
     "dominant_suppliers",
+    # NTILE-style decile summary over the exact global rank
+    "balance_deciles",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

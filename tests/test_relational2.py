@@ -932,3 +932,29 @@ def test_dominant_suppliers_matches_pandas_brute(ray_session):
               .groupby("l_suppkey").size())
     # 1/1 gate is s > tot — impossible; strictness must hold
     assert len(sole) == 0 or (sole["n_parts"] <= n_sole.max()).all()
+
+
+def test_balance_deciles_matches_numpy_brute(ray_session):
+    """Decile summary vs a numpy sort brute: bucket populations follow
+    the (rank-1)*k//n split exactly, sums/mins/maxes per bucket agree,
+    and populations differ by at most 1."""
+    from optimizing_ray.pipelines.relational import balance_deciles
+
+    sfd = "/root/testdata/sf0.001"
+    got = balance_deciles(sfd).to_pandas()
+
+    cu = pd.read_parquet(f"{sfd}/customer.parquet")
+    bal = np.floor(cu["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    order = np.lexsort((cu["c_custkey"].to_numpy(), bal))
+    bal = bal[order]
+    n = len(bal)
+    d = np.arange(n, dtype=np.int64) * 10 // n
+    assert list(got["decile"]) == list(range(10))
+    for i in range(10):
+        seg = bal[d == i]
+        row = got.iloc[i]
+        assert row["n_cust"] == len(seg)
+        assert row["sum_bal_c"] == seg.sum()
+        assert row["min_bal_c"] == seg.min()
+        assert row["max_bal_c"] == seg.max()
+    assert got["n_cust"].max() - got["n_cust"].min() <= 1
