@@ -1226,6 +1226,19 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_trajectory_similarity(sf_dir: str):
+    """Geo x set-similarity fusion: users whose visited-tile sets have
+    exact Jaccard >= 1/5 — ONE (user, tile) exchange, then the shared
+    prefix-filter + length-band candidate core and parallel integer
+    verify."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events")
+    return windows.trajectory_similarity(ev, depth=DEPTH, world=WORLD_2D)
+
+
 def _q_balance_deciles(sf_dir: str):
     """NTILE twin: exact global rank (sample + count + ONE range
     exchange), integer bucket label, k-bounded partials."""
@@ -2338,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk": _q_windowed_topk,
         "dominant_suppliers": _q_dominant_suppliers,
         "balance_deciles": _q_balance_deciles,
+        "trajectory_similarity": _q_trajectory_similarity,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2511,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_topk": oracle.windowed_topk_sql(),
         "dominant_suppliers": oracle.dominant_suppliers_sql(),
         "balance_deciles": oracle.balance_deciles_sql(),
+        "trajectory_similarity": oracle.trajectory_similarity_sql(DEPTH),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3846,3 +3846,27 @@ SELECT CAST((rn - 1) * {k} // n AS BIGINT) AS decile,
        CAST(MAX(bal_c) AS BIGINT) AS max_bal_c
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+def trajectory_similarity_sql(depth: int, theta_num: int = 1,
+                              theta_den: int = 5,
+                              world: World = DRIVER_WORLD,
+                              table: str = "events") -> str:
+    """windows.trajectory_similarity twin: distinct (user, tile) from
+    the user_tile_visits CTE, unfiltered brute self-join, division-free
+    Jaccard gate, one divisible-subtraction floor for jaccard6."""
+    return f"""
+WITH utv AS ({user_tile_visits_sql(depth, world=world, table=table)}),
+ut AS (SELECT DISTINCT user_id, tile FROM utv),
+s AS (SELECT user_id, count(*) AS n FROM ut GROUP BY user_id),
+i AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS it
+      FROM ut a JOIN ut b ON a.tile = b.tile AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id),
+g AS (SELECT ua, ub, it, sa.n + sb.n - it AS un
+      FROM i JOIN s sa ON sa.user_id = ua JOIN s sb ON sb.user_id = ub
+      WHERE {theta_den} * it >= {theta_num} * (sa.n + sb.n - it))
+SELECT ua AS user_a, ub AS user_b, CAST(it AS BIGINT) AS inter,
+       CAST(un AS BIGINT) AS union_n,
+       CAST((it * 1000000 - ((it * 1000000) % un)) / un AS BIGINT)
+         AS jaccard6
+FROM g ORDER BY user_a, user_b
+"""

@@ -40,7 +40,8 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "connected_components_distributed", "cluster_reps",
            "near_dedup_keep", "build_fingerprint_store",
            "filter_new_against_store", "append_to_fingerprint_store",
-           "set_similarity_join", "winnow_overlap_stats"]
+           "set_similarity_join", "winnow_overlap_stats",
+           "exact_set_join_sets"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1385,6 +1386,96 @@ def append_to_fingerprint_store(new_docs: rd.Dataset, store_dir: str, *,
 
 # --- exact set-similarity self-join (prefix filtering, PPJoin family) ---------
 
+def exact_set_join_sets(ids: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray, flat: np.ndarray, *,
+                        theta_num: int, theta_den: int,
+                        out_a: str = "doc_a", out_b: str = "doc_b",
+                        verify_chunks: int = 32) -> rd.Dataset:
+    """Exact Jaccard-threshold self-join over ALREADY-BUILT sorted-unique
+    uint64 sets (ids ascending; set i = flat[starts[i]:ends[i]]) — the
+    generic broadcast-plan core shared by ``set_similarity_join`` (token
+    sets) and ``windows.trajectory_similarity`` (visited-tile sets).
+
+    Candidates ride the prefix filter + per-element BAND SEARCH under
+    the PPJoin length filter (den*min >= num*max is necessary for
+    J >= θ, so both filters are lossless; the unfiltered hot-element
+    pair explosion is never materialized); the verify is a parallel leg
+    probing the broadcast set map with integer intersection counts.
+    Output (out_a, out_b, inter, union_n, jaccard6)."""
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.functions.text import inter_pairs_grouped
+
+    num, den = int(theta_num), int(theta_den)
+    empty = pa.table({out_a: pa.array([], pa.int64()),
+                      out_b: pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_n": pa.array([], pa.int64()),
+                      "jaccard6": pa.array([], pa.int64())})
+    if len(ids) == 0:
+        return rd.from_arrow(empty)
+    n_tok = ends - starts
+
+    # prefix rows: first n - ceil(θn) + 1 sorted-unique hashes per set
+    t_req = (num * n_tok + den - 1) // den  # ceil, nonneg ints
+    plen = np.maximum(n_tok - t_req + 1, 0)
+    doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), plen)
+    tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
+               + np.repeat(starts - np.r_[np.int64(0),
+                                          np.cumsum(plen)[:-1]], plen))
+    eh, ei = flat[tok_idx], doc_pos
+    en = n_tok[ei]
+    eorder = np.lexsort((ei, en, eh))   # runs of h, sizes ascending
+    eh, ei, en = eh[eorder], ei[eorder], en[eorder]
+    gid = np.cumsum(np.r_[0, eh[1:] != eh[:-1]]).astype(np.int64)
+    span = np.int64(int(en.max()) + 2) if len(en) else np.int64(1)
+    big = gid * span + en
+    thr = np.minimum((en * den) // num, span - 2)
+    hi = np.searchsorted(big, gid * span + thr, side="right")
+    cnt = np.maximum(hi - np.arange(len(eh), dtype=np.int64) - 1, 0)
+    lidx = np.repeat(np.arange(len(eh), dtype=np.int64), cnt)
+    ridx = (np.arange(int(cnt.sum()), dtype=np.int64)
+            + np.repeat(np.arange(len(eh), dtype=np.int64) + 1
+                        - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt))
+    pa_, pb_ = ei[lidx], ei[ridx]
+    lo, hi_ = np.minimum(pa_, pb_), np.maximum(pa_, pb_)
+    key = np.unique(lo * np.int64(len(ids)) + hi_)
+    if not len(key):
+        return rd.from_arrow(empty)
+    ia, ib = key // len(ids), key % len(ids)
+
+    sm_ref = ray.put((ids, starts, ends, flat))
+    _no = np.empty(0, dtype=np.uint64)
+
+    def _build_map():
+        mids, s, e, f = ray.get(sm_ref)
+        return {mids[i]: f[s[i]:e[i]] for i in range(len(mids))}
+
+    def check(t: pa.Table) -> pa.Table:
+        sm = cached(("setjoin_sh", sm_ref.hex()), _build_map)
+        sh = lambda k: sm.get(k, _no)  # noqa: E731
+        ids_a = t[out_a].to_numpy(zero_copy_only=False)
+        ids_b = t[out_b].to_numpy(zero_copy_only=False)
+        inter = inter_pairs_grouped(ids_a, ids_b, sh)
+        na = np.fromiter((len(sh(x)) for x in ids_a), np.int64,
+                         count=len(ids_a))
+        nb = np.fromiter((len(sh(x)) for x in ids_b), np.int64,
+                         count=len(ids_b))
+        union = na + nb - inter
+        keep = (den * inter >= num * union) & (union > 0)
+        it, un = inter[keep], union[keep]
+        return pa.table({out_a: pa.array(ids_a[keep].astype(np.int64)),
+                         out_b: pa.array(ids_b[keep].astype(np.int64)),
+                         "inter": pa.array(it),
+                         "union_n": pa.array(un),
+                         "jaccard6": pa.array(it * 1_000_000 // un)})
+
+    ptab = pa.table({out_a: pa.array(ids[ia]), out_b: pa.array(ids[ib])})
+    step = max(1, -(-len(ia) // verify_chunks))
+    chunks = [ptab.slice(s, step) for s in range(0, len(ia), step)]
+    return rd.from_arrow(chunks).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", theta_num: int = 19,
                         theta_den: int = 20, plan: str = "auto",
@@ -1481,62 +1572,9 @@ def set_similarity_join(docs: rd.Dataset, *, text_col: str = "text",
         flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
         offs = np.asarray(sh_col.offsets, dtype=np.int64)
         starts, ends = offs[:-1][order], offs[1:][order]
-        n_tok = ends - starts
-
-        # prefix rows: first n - ceil(θn) + 1 sorted-unique hashes per doc
-        t_req = (num * n_tok + den - 1) // den  # ceil, nonneg ints
-        plen = np.maximum(n_tok - t_req + 1, 0)
-        doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), plen)
-        tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
-                   + np.repeat(starts - np.r_[np.int64(0),
-                                              np.cumsum(plen)[:-1]], plen))
-        # candidates: per shared prefix token, pair each doc only with
-        # docs whose size fits the LENGTH FILTER den*min >= num*max (a
-        # J >= θ necessity) — a BAND search over the token run sorted by
-        # size, so the unfiltered pair explosion on hot tokens is never
-        # materialized (one composite-key searchsorted, output-bounded)
-        eh, ei = flat[tok_idx], doc_pos
-        en = n_tok[ei]
-        eorder = np.lexsort((ei, en, eh))   # runs of h, sizes ascending
-        eh, ei, en = eh[eorder], ei[eorder], en[eorder]
-        gid = np.cumsum(np.r_[0, eh[1:] != eh[:-1]]).astype(np.int64)
-        span = np.int64(int(en.max()) + 2) if len(en) else np.int64(1)
-        big = gid * span + en
-        thr = np.minimum((en * den) // num, span - 2)
-        hi = np.searchsorted(big, gid * span + thr, side="right")
-        cnt = hi - np.arange(len(eh), dtype=np.int64) - 1
-        cnt = np.maximum(cnt, 0)
-        lidx = np.repeat(np.arange(len(eh), dtype=np.int64), cnt)
-        ridx = (np.arange(int(cnt.sum()), dtype=np.int64)
-                + np.repeat(np.arange(len(eh), dtype=np.int64) + 1
-                            - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt))
-        pa_, pb_ = ei[lidx], ei[ridx]
-        lo, hi_ = np.minimum(pa_, pb_), np.maximum(pa_, pb_)
-        key = np.unique(lo * np.int64(len(ids)) + hi_)
-        if not len(key):
-            return rd.from_arrow(empty)
-        ia, ib = key // len(ids), key % len(ids)
-
-        sm_ref = ray.put((ids, starts, ends, flat))
-        _no = np.empty(0, dtype=np.uint64)
-
-        def _build_map():
-            mids, s, e, f = ray.get(sm_ref)
-            return {mids[i]: f[s[i]:e[i]] for i in range(len(mids))}
-
-        def check(t: pa.Table) -> pa.Table:
-            sm = cached(("simjoin_sh", sm_ref.hex()), _build_map)
-            return _verify_table(
-                t["doc_a"].to_numpy(zero_copy_only=False),
-                t["doc_b"].to_numpy(zero_copy_only=False),
-                lambda k: sm.get(k, _no))
-
-        ptab = pa.table({"doc_a": pa.array(ids[ia]),
-                         "doc_b": pa.array(ids[ib])})
-        step = max(1, -(-len(ia) // verify_chunks))
-        chunks = [ptab.slice(s, step) for s in range(0, len(ia), step)]
-        return rd.from_arrow(chunks).map_batches(
-            check, batch_format="pyarrow", zero_copy_batch=True)
+        return exact_set_join_sets(ids, starts, ends, flat,
+                                   theta_num=num, theta_den=den,
+                                   verify_chunks=verify_chunks)
 
     # sharded plan: prefix rows -> bucket pair machinery -> joined verify
     def prefix_rows(t: pa.Table) -> pa.Table:

@@ -23,7 +23,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
-           "cohort_retention", "windowed_topk_types"]
+           "cohort_retention", "windowed_topk_types",
+           "trajectory_similarity"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1312,3 +1313,91 @@ def windowed_topk_types(events: rd.Dataset, *, window_s: int = 3600,
                                pa.string()),
         "n": pa.array(out["n"].to_numpy(np.int64)),
         "rank": pa.array(out["rank"].to_numpy(np.int64))})
+
+
+def trajectory_similarity(events: rd.Dataset, *, depth: int, world,
+                          theta_num: int = 1, theta_den: int = 5,
+                          key_col: str = "user_id", id_col: str = "event_id",
+                          n_shards: int | None = None) -> rd.Dataset:
+    """Movement-footprint similarity — the geo x set-similarity fusion:
+    users whose visited-TILE sets (Morton keys at ``depth``, the
+    user_tile_visits geometry) have Jaccard >= theta_num/theta_den,
+    EXACT.  Output (user_a, user_b, inter, union_n, jaccard6).
+
+    Plan: per-batch distinct (user, tile) fold (the heavy reduction —
+    at most one row per batch x user x tile leaves the scan), ONE
+    hash(user) exchange folds each user's sorted-unique tile set; the
+    bounded per-user state (<= 4^depth tiles/user) feeds
+    ``dedup.exact_set_join_sets`` — the shared prefix-filter +
+    length-band candidate core and parallel integer verify.  SQL twin
+    ``oracle.trajectory_similarity_sql`` (unfiltered brute over the
+    user_tile_visits CTE)."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.pipelines.dedup import exact_set_join_sets
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def pairs_slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_u": pa.array([], pa.int64()),
+                          "_tile": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        tile = point_cell2(x, y, world, depth).astype(np.int64)
+        order = np.lexsort((tile, key))
+        k2, t2 = key[order], tile[order]
+        keep = np.r_[True, (k2[1:] != k2[:-1]) | (t2[1:] != t2[:-1])]
+        k2, t2 = k2[keep], t2[keep]
+        with np.errstate(over="ignore"):
+            h = k2.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({"_u": pa.array(k2), "_tile": pa.array(t2),
+                         "_shard": pa.array(((h >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def fold_sets(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_u": pd.Series([], dtype=np.int64),
+                              "_tiles": pd.Series([], dtype=object)})
+        if len(g) == 0:
+            return empty
+        u = g["_u"].to_numpy(np.int64)
+        tl = g["_tile"].to_numpy(np.int64)
+        order = np.lexsort((tl, u))
+        u, tl = u[order], tl[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (tl[1:] != tl[:-1])]
+        u, tl = u[keep], tl[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        return pd.DataFrame({
+            "_u": u[starts],
+            "_tiles": [tl[s:e] for s, e in zip(starts, ends)]})
+
+    per_user = (events.map_batches(pairs_slim, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("_shard").map_groups(fold_sets,
+                                              batch_format="pandas")
+                .to_pandas())
+    if len(per_user) == 0 or "_u" not in per_user.columns:
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "union_n": pa.array([], pa.int64()),
+            "jaccard6": pa.array([], pa.int64())}))
+    per_user = per_user.sort_values("_u")
+    ids = per_user["_u"].to_numpy(np.int64)
+    sets = list(per_user["_tiles"])
+    lens = np.fromiter((len(s) for s in sets), np.int64, count=len(sets))
+    offs = np.zeros(len(sets) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = (np.concatenate(sets) if len(sets) else
+            np.zeros(0, np.int64)).astype(np.uint64)
+    return exact_set_join_sets(ids, offs[:-1], offs[1:], flat,
+                               theta_num=theta_num, theta_den=theta_den,
+                               out_a="user_a", out_b="user_b")

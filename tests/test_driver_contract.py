@@ -246,6 +246,8 @@ SQL_NAMES = [
     "dominant_suppliers",
     # NTILE-style decile summary over the exact global rank
     "balance_deciles",
+    # geo x set-similarity fusion: exact Jaccard over visited-tile sets
+    "trajectory_similarity",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -527,3 +527,41 @@ def test_windowed_topk_types_matches_brute(ray_session):
         rows = [tuple(r) for r in got.itertuples(index=False)]
         assert rows == [(0, "a", 3, 1), (0, "b", 3, 2),
                         (w, "c", 2, 1), (w, "a", 1, 2)]
+
+
+def test_trajectory_similarity_matches_brute(ray_session):
+    """trajectory_similarity vs a per-user set brute over the real
+    events table at sf0.001 — exact Jaccard on tile sets, layout
+    invariant."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.windows import trajectory_similarity
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    sfd = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sfd}/events.parquet")
+    eid = ev["event_id"].to_numpy(np.int64)
+    wx, wy, _ = WORLD_2D.size
+    x = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    tile = point_cell2(x, y, WORLD_2D, 4).astype(np.int64)
+    sets = {u: set(tile[(ev["user_id"] == u).to_numpy()].tolist())
+            for u in ev["user_id"].unique()}
+    want = []
+    us = sorted(sets)
+    for i, a in enumerate(us):
+        for b in us[i + 1:]:
+            it = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if un and 5 * it >= un:
+                want.append((a, b, it, un, it * 10**6 // un))
+    assert len(want) > 0
+
+    for nb in (1, 4):
+        got = (trajectory_similarity(
+            rd.read_parquet(f"{sfd}/events.parquet").repartition(nb),
+            depth=4, world=WORLD_2D).to_pandas()
+            .sort_values(["user_a", "user_b"]).reset_index(drop=True))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
