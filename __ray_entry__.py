@@ -1226,6 +1226,14 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_slow_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped blame counts: unique latest shipper of
+    multi-supplier orders, ONE orderkey exchange."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.slow_suppliers(sf_dir)
+
+
 def _q_trajectory_similarity(sf_dir: str):
     """Geo x set-similarity fusion: users whose visited-tile sets have
     exact Jaccard >= 1/5 — ONE (user, tile) exchange, then the shared
@@ -2352,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_suppliers": _q_dominant_suppliers,
         "balance_deciles": _q_balance_deciles,
         "trajectory_similarity": _q_trajectory_similarity,
+        "slow_suppliers": _q_slow_suppliers,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2526,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_suppliers": oracle.dominant_suppliers_sql(),
         "balance_deciles": oracle.balance_deciles_sql(),
         "trajectory_similarity": oracle.trajectory_similarity_sql(DEPTH),
+        "slow_suppliers": oracle.slow_suppliers_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

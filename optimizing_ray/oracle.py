@@ -3870,3 +3870,23 @@ SELECT ua AS user_a, ub AS user_b, CAST(it AS BIGINT) AS inter,
          AS jaccard6
 FROM g ORDER BY user_a, user_b
 """
+
+def slow_suppliers_sql() -> str:
+    """relational.slow_suppliers twin (TPC-H Q21 shape): per-order
+    distinct-supplier count, the strict unique-max-shipdate achiever,
+    counted per supplier."""
+    return """
+WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+            FROM lineitem GROUP BY l_orderkey, l_suppkey),
+o AS (SELECT l_orderkey, count(*) AS ns, max(sd) AS mx
+      FROM ps GROUP BY l_orderkey),
+w AS (SELECT ps.l_orderkey, ps.l_suppkey
+      FROM ps JOIN o ON o.l_orderkey = ps.l_orderkey AND ps.sd = o.mx
+      WHERE o.ns >= 2),
+u AS (SELECT l_orderkey FROM w GROUP BY l_orderkey HAVING count(*) = 1),
+n AS (SELECT w.l_suppkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM w JOIN u USING (l_orderkey) GROUP BY w.l_suppkey)
+SELECT s_suppkey, s_name, n_orders
+FROM n JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY s_suppkey
+"""

@@ -21,7 +21,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
-           "balance_deciles"]
+           "balance_deciles", "slow_suppliers"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2217,3 +2217,95 @@ def balance_deciles(sf_dir: str, *, k: int = 10) -> pa.Table:
         "sum_bal_c": pa.array(agg["sum_bal_c"].to_numpy(np.int64)),
         "min_bal_c": pa.array(agg["min_bal_c"].to_numpy(np.int64)),
         "max_bal_c": pa.array(agg["max_bal_c"].to_numpy(np.int64))})
+
+
+# --- TPC-H Q21-flavored last-shipper twin --------------------------------------
+
+def slow_suppliers(sf_dir: str, *, n_shards: int | None = None) -> pa.Table:
+    """TPC-H Q21-shaped blame assignment (the driver lineitem has no
+    commit/receipt dates, so 'kept the order waiting' becomes 'was the
+    UNIQUE latest shipper of a multi-supplier order'): per supplier,
+    how many orders with >= 2 distinct suppliers they closed strictly
+    last — a max-shipdate tie means nobody is solely to blame, exactly
+    Q21's exists/not-exists pair.  Output (s_suppkey, s_name, n_orders)
+    ordered by supplier.
+
+    Plan: lineitem pre-aggregates (orderkey, suppkey) -> max shipdate
+    per batch (lines fold before the wire); ONE hash(orderkey) exchange
+    co-locates each order, where one lexsort finds per-order supplier
+    count, the order max, and the uniqueness of its achiever; only
+    (suppkey, n) partials leave — bounded by suppliers per shard.
+    SQL twin ``oracle.slow_suppliers_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+
+    slim_schema = pa.schema([("_ok", pa.int64()), ("_sk", pa.int64()),
+                             ("_sd", pa.int64()), ("_shard", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return slim_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        sd = (t["l_shipdate"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        o = np.lexsort((sd, sk, ok))
+        ok, sk, sd = ok[o], sk[o], sd[o]
+        last = np.r_[(ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1]), True]
+        ok, sk, sd = ok[last], sk[last], sd[last]   # per (okey,supp) max
+        with np.errstate(over="ignore"):
+            h = ok.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({"_ok": pa.array(ok), "_sk": pa.array(sk),
+                         "_sd": pa.array(sd),
+                         "_shard": pa.array(((h >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_sk": pd.Series([], dtype=np.int64),
+                              "_n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        s = (g.groupby(["_ok", "_sk"], sort=False)["_sd"].max()
+             .reset_index())
+        ok = s["_ok"].to_numpy(np.int64)
+        sk = s["_sk"].to_numpy(np.int64)
+        sd = s["_sd"].to_numpy(np.int64)
+        o = np.lexsort((sd, ok))
+        ok, sk, sd = ok[o], sk[o], sd[o]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        last = starts + lens - 1                     # per-order max row
+        # unique max: the runner-up (if any) is strictly earlier
+        runner = sd[np.maximum(last - 1, starts)]
+        keep = (lens >= 2) & (runner < sd[last])
+        if not keep.any():
+            return empty
+        vc = pd.Series(sk[last[keep]]).value_counts()
+        return pd.DataFrame({"_sk": vc.index.to_numpy(np.int64),
+                             "_n": vc.to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+                         ).map_batches(slim, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    parts = (li.groupby("_shard").map_groups(blame, batch_format="pandas")
+             .to_pandas())
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64())})
+    if len(parts) == 0 or "_sk" not in parts.columns:
+        return empty
+    agg = parts.groupby("_sk", sort=True)["_n"].sum()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = (agg.rename("n_orders").reset_index()
+           .merge(supp, left_on="_sk", right_on="s_suppkey", how="inner")
+           .sort_values("s_suppkey"))
+    return pa.table({
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(out["s_name"].to_numpy(object), pa.string()),
+        "n_orders": pa.array(out["n_orders"].to_numpy(np.int64))})

@@ -248,6 +248,8 @@ SQL_NAMES = [
     "balance_deciles",
     # geo x set-similarity fusion: exact Jaccard over visited-tile sets
     "trajectory_similarity",
+    # TPC-H Q21-shaped unique-last-shipper blame counts
+    "slow_suppliers",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

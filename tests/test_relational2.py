@@ -958,3 +958,28 @@ def test_balance_deciles_matches_numpy_brute(ray_session):
         assert row["min_bal_c"] == seg.min()
         assert row["max_bal_c"] == seg.max()
     assert got["n_cust"].max() - got["n_cust"].min() <= 1
+
+
+def test_slow_suppliers_matches_pandas_brute(ray_session):
+    """Q21-shape twin vs a pandas brute: unique-max semantics (shipdate
+    ties disqualify the order), single-supplier orders excluded."""
+    from optimizing_ray.pipelines.relational import slow_suppliers
+
+    sfd = "/root/testdata/sf0.001"
+    got = slow_suppliers(sfd).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    ps = (li.groupby(["l_orderkey", "l_suppkey"])["l_shipdate"].max()
+          .reset_index())
+    want = {}
+    for ok, g in ps.groupby("l_orderkey"):
+        if len(g) < 2:
+            continue
+        mx = g["l_shipdate"].max()
+        winners = g[g["l_shipdate"] == mx]
+        if len(winners) == 1:
+            sk = int(winners["l_suppkey"].iloc[0])
+            want[sk] = want.get(sk, 0) + 1
+    assert len(want) > 0
+    have = dict(zip(got["s_suppkey"], got["n_orders"]))
+    assert have == want
