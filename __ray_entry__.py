@@ -1226,6 +1226,13 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 twin: one filtered integer sum, zero shuffles."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.forecast_revenue(sf_dir)
+
+
 def _q_slow_suppliers(sf_dir: str):
     """TPC-H Q21-shaped blame counts: unique latest shipper of
     multi-supplier orders, ONE orderkey exchange."""
@@ -2361,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_deciles": _q_balance_deciles,
         "trajectory_similarity": _q_trajectory_similarity,
         "slow_suppliers": _q_slow_suppliers,
+        "forecast_revenue": _q_forecast_revenue,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2536,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "balance_deciles": oracle.balance_deciles_sql(),
         "trajectory_similarity": oracle.trajectory_similarity_sql(DEPTH),
         "slow_suppliers": oracle.slow_suppliers_sql(),
+        "forecast_revenue": oracle.forecast_revenue_sql(),
         "sample_per_group": oracle.sample_per_group_sql(5),
         "source_cap": oracle.source_cap_sql(k=20),
         "running_total": oracle.running_total_sql(),

@@ -3890,3 +3890,22 @@ SELECT s_suppkey, s_name, n_orders
 FROM n JOIN supplier ON s_suppkey = l_suppkey
 ORDER BY s_suppkey
 """
+
+def forecast_revenue_sql(date_from: str = "1997-01-01",
+                         date_to: str = "1998-01-01", disc_lo: int = 5,
+                         disc_hi: int = 7, max_qty: int = 24) -> str:
+    """relational.forecast_revenue twin (TPC-H Q6): one filtered
+    integer sum, discount band on cents."""
+    return f"""
+SELECT CAST(COALESCE(SUM(
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)), 0)
+       AS BIGINT) AS revenue6,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+  AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+      BETWEEN {disc_lo} AND {disc_hi}
+  AND CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) < {max_qty * 100}
+"""

@@ -21,7 +21,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
-           "balance_deciles", "slow_suppliers"]
+           "balance_deciles", "slow_suppliers", "forecast_revenue"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2309,3 +2309,49 @@ def slow_suppliers(sf_dir: str, *, n_shards: int | None = None) -> pa.Table:
         "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
         "s_name": pa.array(out["s_name"].to_numpy(object), pa.string()),
         "n_orders": pa.array(out["n_orders"].to_numpy(np.int64))})
+
+
+# --- TPC-H Q6 forecast-revenue twin ---------------------------------------------
+
+def forecast_revenue(sf_dir: str, *, date_from: str = "1997-01-01",
+                     date_to: str = "1998-01-01", disc_lo: int = 5,
+                     disc_hi: int = 7, max_qty: int = 24) -> pa.Table:
+    """TPC-H Q6 twin: revenue increase from discount removal — ONE
+    filtered integer sum (rev6 = price_c * disc_c, 1e-6 dollars), with
+    the discount band on integer cents [disc_lo, disc_hi] and quantity
+    strictly below ``max_qty``.  One row (revenue6, n_lines).
+
+    Plan: the minimal aggregate-over-scan — column-pruned read, one
+    (sum, n) partial per batch, zero shuffles.  Exists mostly to close
+    the TPC-H family: every query expressible over the driver schema
+    now has a twin.  SQL twin ``oracle.forecast_revenue_sql``."""
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"r6": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "l_shipdate" not in t.column_names:
+            return empty
+        sd = t["l_shipdate"].to_numpy()
+        dc = np.floor(t["l_discount"].to_numpy() * 100.0
+                      + 0.5).astype(np.int64)
+        qc = np.floor(t["l_quantity"].to_numpy() * 100.0
+                      + 0.5).astype(np.int64)
+        m = ((sd >= lo) & (sd < hi) & (dc >= disc_lo) & (dc <= disc_hi)
+             & (qc < max_qty * 100))
+        if not m.any():
+            return empty
+        pc_ = np.floor(t["l_extendedprice"].to_numpy()[m] * 100.0
+                       + 0.5).astype(np.int64)
+        return pa.table({"r6": pa.array([np.int64((pc_ * dc[m]).sum())]),
+                         "n": pa.array([np.int64(m.sum())])})
+
+    parts = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_shipdate", "l_discount",
+                                      "l_quantity", "l_extendedprice"])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    r6 = int(parts["r6"].sum()) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return pa.table({"revenue6": pa.array([r6], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})

@@ -250,6 +250,8 @@ SQL_NAMES = [
     "trajectory_similarity",
     # TPC-H Q21-shaped unique-last-shipper blame counts
     "slow_suppliers",
+    # TPC-H Q6: one filtered integer sum
+    "forecast_revenue",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -983,3 +983,25 @@ def test_slow_suppliers_matches_pandas_brute(ray_session):
     assert len(want) > 0
     have = dict(zip(got["s_suppkey"], got["n_orders"]))
     assert have == want
+
+
+def test_forecast_revenue_brute_and_empty(ray_session):
+    """Q6 twin vs pandas; empty window returns the zero row."""
+    from optimizing_ray.pipelines.relational import forecast_revenue
+
+    sfd = "/root/testdata/sf0.001"
+    got = forecast_revenue(sfd).to_pandas()
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    sd = li["l_shipdate"].to_numpy()
+    dc = np.floor(li["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    qc = np.floor(li["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    m = ((sd >= np.datetime64("1997-01-01")) & (sd < np.datetime64("1998-01-01"))
+         & (dc >= 5) & (dc <= 7) & (qc < 2400))
+    pc_ = np.floor(li["l_extendedprice"].to_numpy()[m] * 100.0
+                   + 0.5).astype(np.int64)
+    assert got["revenue6"].iloc[0] == int((pc_ * dc[m]).sum())
+    assert got["n_lines"].iloc[0] == int(m.sum()) > 0
+
+    z = forecast_revenue(sfd, date_from="1900-01-01",
+                         date_to="1900-01-02").to_pandas()
+    assert (z["revenue6"].iloc[0], z["n_lines"].iloc[0]) == (0, 0)
