@@ -1656,6 +1656,19 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+def _q_span_dedup_stats(sf_dir: str):
+    """Span-granular exact-dup signal over the interleaved span column:
+    per doc, how many distinct text-span values recur in other docs.
+    Two bounded exchanges (hash(span value), then hash(doc))."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = (driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(driver_tables.derive_spans_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return textops.span_dedup_stats(docs)
+
+
 BLOOM_PRIORITY = "1-URGENT"
 
 
@@ -2369,6 +2382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_similarity": _q_trajectory_similarity,
         "slow_suppliers": _q_slow_suppliers,
         "forecast_revenue": _q_forecast_revenue,
+        # wave 13: span-level cross-doc dedup over the interleaved span
+        # column — born past-cap, contract-pytest-oracled; promote r5
+        "span_dedup_stats": _q_span_dedup_stats,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2498,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": oracle.bigram_logprob_sql(),
         "knn_classify": oracle.knn_classify_sql(),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
+        "span_dedup_stats": oracle.span_dedup_stats_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

@@ -3909,3 +3909,34 @@ WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
       BETWEEN {disc_lo} AND {disc_hi}
   AND CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) < {max_qty * 100}
 """
+
+def span_dedup_stats_sql(table: str = "documents") -> str:
+    """textops.span_dedup_stats twin: derive the interleaved spans (same
+    CTE arithmetic as ``span_kind_rollup_sql``), keep kind = text, fold
+    to DISTINCT (doc, span text), count each span value's doc frequency,
+    and roll up per doc.  The oracle counts on the RAW span texts while
+    the engine counts on 64-bit polynomial hashes — equal counts prove
+    the hashing injective on the observed span-value set."""
+    from optimizing_ray.sources.driver_tables import SPAN_MULTS, SPAN_SALT
+    toks = "[" + ", ".join(f"'{t}'" for t in SPAN_TOKENS) + "]"
+    ntok = len(SPAN_TOKENS)
+    skey = "(doc_id * 16 + ord)"
+    return f"""
+WITH ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t1'])} * {ntok}) AS BIGINT) AS t1,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['t2'])} * {ntok}) AS BIGINT) AS t2
+        FROM sp),
+d AS (SELECT DISTINCT doc_id, {toks}[t1 + 1] || ' ' || {toks}[t2 + 1] AS txt
+      FROM fld WHERE kind_i = 0),
+f AS (SELECT txt, count(*) AS df FROM d GROUP BY txt)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_text_spans,
+  CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_shared
+FROM d JOIN f USING (txt) GROUP BY d.doc_id ORDER BY d.doc_id
+"""

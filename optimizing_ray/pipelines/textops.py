@@ -26,7 +26,7 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
            "stratified_sample", "skyline_docs", "robust_quality_stats",
-           "winnow_fingerprints"]
+           "winnow_fingerprints", "span_dedup_stats"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -2032,3 +2032,112 @@ def winnow_fingerprints(docs: rd.Dataset, *, id_col: str = "doc_id",
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def span_dedup_stats(docs_with_spans: rd.Dataset, *,
+                     id_col: str = "doc_id", spans_col: str = "spans",
+                     n_shards: int | None = None) -> pa.Table:
+    """Span-level cross-document dedup over the interleaved span column
+    (list<struct<kind,text,media_ref,offset>>): per doc, how many of
+    its DISTINCT text-span values also appear verbatim in at least one
+    OTHER doc — the span-granular exact-dup signal a multimodal
+    curation pass gates on (a doc built from recycled spans is
+    boilerplate even when no whole-doc duplicate exists).  Output
+    (id_col, n_text_spans, n_shared) sorted by id; docs with no text
+    spans are absent.
+
+    Plan: per batch flatten the list column, keep kind == 'text',
+    polynomial-hash the span texts off one UTF-8 blob
+    (``functions.text._segment_hashes``), fold to DISTINCT (hash, doc);
+    exchange 1 on hash(span) decides each span value's doc frequency
+    exactly in-shard and emits one (doc, is_shared) row per distinct
+    (doc, span); exchange 2 on hash(doc) folds the two per-doc counts —
+    rows are bounded by distinct spans per doc (<= 8 on the driver
+    tables).  SQL twin ``oracle.span_dedup_stats_sql`` counts on the
+    raw span TEXTS (no hashing): equality of counts proves the engine's
+    64-bit hashing injective on the observed span-value set."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from optimizing_ray.functions.text import _segment_hashes, _utf8_blob
+
+    n_shards = resolve_shards(n_shards)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    slim_schema = pa.schema([("_doc", pa.int64()), ("_h", pa.int64()),
+                             ("_shard", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or spans_col not in t.column_names:
+            return slim_schema.empty_table()
+        ls = t[spans_col]
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        flat = pc.list_flatten(ls)
+        counts = pc.list_value_length(ls).to_numpy().astype(np.int64)
+        doc = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), counts)
+        is_text = (flat.field("kind").to_numpy(zero_copy_only=False)
+                   == "text")
+        if not is_text.any():
+            return slim_schema.empty_table()
+        txt = flat.field("text").filter(pa.array(is_text))
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        data, offs = _utf8_blob(txt)
+        h = _segment_hashes(data, offs).view(np.int64)
+        doc = doc[is_text]
+        order = np.lexsort((h, doc))
+        doc, h = doc[order], h[order]
+        keep = np.r_[True, (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])]
+        doc, h = doc[keep], h[keep]
+        with np.errstate(over="ignore"):
+            sh = h.astype(np.uint64) * gold
+        return pa.table({"_doc": pa.array(doc), "_h": pa.array(h),
+                         "_shard": pa.array(((sh >> np.uint64(33))
+                                             % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def df_gate(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_doc": pd.Series([], dtype=np.int64),
+                              "_sh2": pd.Series([], dtype=np.int64),
+                              "_shared": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        u = g.drop_duplicates(["_doc", "_h"])    # cross-batch fold
+        df = u.groupby("_h", sort=False)["_doc"].transform("size")
+        doc = u["_doc"].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            sh = doc.astype(np.uint64) * gold
+        return pd.DataFrame({
+            "_doc": doc,
+            "_sh2": ((sh >> np.uint64(33)) % np.uint64(n_shards))
+            .astype(np.int64),
+            "_shared": (df.to_numpy() >= 2).astype(np.int64)})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n_text_spans": pd.Series([], dtype=np.int64),
+                              "n_shared": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        gg = g.groupby("_doc", sort=True)
+        return pd.DataFrame({
+            "doc_id": gg.size().index.to_numpy(np.int64),
+            "n_text_spans": gg.size().to_numpy(np.int64),
+            "n_shared": gg["_shared"].sum().to_numpy(np.int64)})
+
+    out = (docs_with_spans.map_batches(slim, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+           .groupby("_shard").map_groups(df_gate, batch_format="pandas")
+           .groupby("_sh2").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "doc_id" not in out.columns:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_text_spans": pa.array([], pa.int64()),
+                         "n_shared": pa.array([], pa.int64())})
+    out = out.sort_values("doc_id")
+    return pa.table({
+        id_col: pa.array(out["doc_id"].to_numpy(np.int64)),
+        "n_text_spans": pa.array(out["n_text_spans"].to_numpy(np.int64)),
+        "n_shared": pa.array(out["n_shared"].to_numpy(np.int64))})

@@ -252,6 +252,9 @@ SQL_NAMES = [
     "slow_suppliers",
     # TPC-H Q6: one filtered integer sum
     "forecast_revenue",
+    # round 4 wave 13: span-level cross-doc dedup over the interleaved
+    # span column (raw-text SQL counts vs engine 64-bit hash counts)
+    "span_dedup_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

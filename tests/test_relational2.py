@@ -1005,3 +1005,31 @@ def test_forecast_revenue_brute_and_empty(ray_session):
     z = forecast_revenue(sfd, date_from="1900-01-01",
                          date_to="1900-01-02").to_pandas()
     assert (z["revenue6"].iloc[0], z["n_lines"].iloc[0]) == (0, 0)
+
+
+def test_span_dedup_stats_counts(ray_session):
+    """Hand-built spans: within-doc repeats fold to one distinct value,
+    sharing is cross-DOC only, docs with no text spans are absent."""
+    from optimizing_ray.pipelines.textops import span_dedup_stats
+    spans_t = pa.list_(pa.struct([("kind", pa.string()),
+                                  ("text", pa.string()),
+                                  ("media_ref", pa.string()),
+                                  ("offset", pa.int32())]))
+
+    def txt(s, o):
+        return {"kind": "text", "text": s, "media_ref": "", "offset": o}
+
+    rows = [
+        # doc 1: "aa" twice (distinct once), "bb" unique to this doc
+        [txt("aa", 0), txt("aa", 2), txt("bb", 4)],
+        # doc 2: shares "aa"; "cc" unique
+        [txt("aa", 0), txt("cc", 2)],
+        # doc 3: media only -> absent from the output
+        [{"kind": "image", "text": "", "media_ref": "m://3", "offset": 0}],
+    ]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "spans": pa.array(rows, spans_t)})
+    out = span_dedup_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_text_spans"] == 2 and out.loc[1, "n_shared"] == 1
+    assert out.loc[2, "n_text_spans"] == 2 and out.loc[2, "n_shared"] == 1
