@@ -1656,6 +1656,20 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+BPE_N_MERGES = 6
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training: learn the first merges from corpus word
+    counts — one word-count exchange, then the nrows-gated merge loop
+    (vocab here is tiny => driver-side vectorized rounds)."""
+    from optimizing_ray.pipelines import bpe
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["text"])
+    return bpe.bpe_merges(docs, n_merges=BPE_N_MERGES)
+
+
 def _q_span_dedup_stats(sf_dir: str):
     """Span-granular exact-dup signal over the interleaved span column:
     per doc, how many distinct text-span values recur in other docs.
@@ -2385,6 +2399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 13: span-level cross-doc dedup over the interleaved span
         # column — born past-cap, contract-pytest-oracled; promote r5
         "span_dedup_stats": _q_span_dedup_stats,
+        # wave 14: BPE tokenizer training (merge-table learning) —
+        # born past-cap, contract-pytest-oracled; promote r5
+        "bpe_merges": _q_bpe_merges,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2515,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": oracle.knn_classify_sql(),
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "span_dedup_stats": oracle.span_dedup_stats_sql(),
+        "bpe_merges": oracle.bpe_merges_sql(BPE_N_MERGES),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

@@ -3940,3 +3940,43 @@ SELECT d.doc_id,
   CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_shared
 FROM d JOIN f USING (txt) GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+def bpe_merges_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """pipelines.bpe.bpe_merges twin: word counts once, then one CTE
+    block per merge round — pair census from the guard-wrapped streams
+    (range-lateral over the '><' split), argmax under (count DESC, pair
+    byte-order ASC), merge applied with plain replace() (guards make one
+    left-to-right pass exactly the canonical BPE sweep; see bpe.py).
+    A green row proves every pair count, tie-break, and merge
+    application byte-identical for the whole horizon."""
+    blocks = [f"""
+WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table}) t
+       WHERE w <> '' GROUP BY w),
+ci AS (SELECT word, cnt,
+       unnest(generate_series(0, length(word) - 1)) AS i FROM wc),
+ch AS (SELECT word, cnt, i,
+       substring(word, CAST(i + 1 AS INT), 1) AS c2 FROM ci),
+s0 AS (SELECT word, cnt, string_agg('<' || c2 || '>', '' ORDER BY i) AS s
+       FROM ch GROUP BY word, cnt)"""]
+    for r in range(n_merges):
+        blocks.append(f"""
+tk{r} AS (SELECT cnt,
+          string_split(substring(s, 2, length(s) - 2), '><') AS l
+          FROM s{r}),
+ti{r} AS (SELECT cnt, l,
+          unnest(generate_series(0, len(l) - 2)) AS i FROM tk{r}),
+pc{r} AS (SELECT l[i + 1] AS u, l[i + 2] AS v, SUM(cnt) AS c
+          FROM ti{r} GROUP BY u, v),
+m{r} AS (SELECT u, v, c FROM pc{r} ORDER BY c DESC, u ASC, v ASC LIMIT 1),
+s{r + 1} AS (SELECT cnt,
+    replace(s, COALESCE((SELECT '<' || u || '><' || v || '>' FROM m{r}),
+                        chr(1)),
+               COALESCE((SELECT '<' || u || v || '>' FROM m{r}),
+                        chr(1))) AS s
+    FROM s{r})""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, u AS lhs, v AS rhs,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(n_merges))
+    return ",".join(blocks) + "\n" + final + "\nORDER BY merge_rank"

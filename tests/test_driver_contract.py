@@ -255,6 +255,9 @@ SQL_NAMES = [
     # round 4 wave 13: span-level cross-doc dedup over the interleaved
     # span column (raw-text SQL counts vs engine 64-bit hash counts)
     "span_dedup_stats",
+    # round 4 wave 14: BPE tokenizer training — chained-CTE SQL twin
+    # replays every pair census, tie-break, and merge application
+    "bpe_merges",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
