@@ -1656,6 +1656,22 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+KMV_K = 64
+
+
+def _q_kmv_overlap(sf_dir: str):
+    """Theta/KMV distinct set operations: per event-type PAIR, the
+    estimated distinct-user cardinalities, union, and intersection
+    from mergeable k-minimum-value sketches — one hash(type) exchange,
+    raw ids never shuffled."""
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_type", "user_id"])
+    return sketches.kmv_overlap(ev, k=KMV_K)
+
+
 BPE_N_MERGES = 6
 
 
@@ -2402,6 +2418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14: BPE tokenizer training (merge-table learning) —
         # born past-cap, contract-pytest-oracled; promote r5
         "bpe_merges": _q_bpe_merges,
+        # wave 14: theta/KMV distinct set ops (union/intersection
+        # estimates) — born past-cap, contract-pytest-oracled; promote r5
+        "kmv_overlap": _q_kmv_overlap,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2533,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "span_dedup_stats": oracle.span_dedup_stats_sql(),
         "bpe_merges": oracle.bpe_merges_sql(BPE_N_MERGES),
+        "kmv_overlap": oracle.kmv_overlap_sql(KMV_K),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

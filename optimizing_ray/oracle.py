@@ -3980,3 +3980,54 @@ s{r + 1} AS (SELECT cnt,
         f" CAST(c AS BIGINT) AS pair_count FROM m{r}"
         for r in range(n_merges))
     return ",".join(blocks) + "\n" + final + "\nORDER BY merge_rank"
+
+def kmv_overlap_sql(k: int = 64, key_col: str = "event_type",
+                    id_col: str = "user_id", table: str = "events") -> str:
+    """sketches.kmv_overlap twin: recompute the k-minimum splitmix64
+    values per key (row_number window), the merged per-pair sketch, and
+    the integer estimators — exact counts while a sketch is not full,
+    else floor((k-1)*2^64 / h_k) and the merged-sketch Jaccard, all in
+    HUGEINT (approximate BY DESIGN, deterministically verifiable)."""
+    gamma = 0x9E3779B97F4A7C15
+    km1_64 = (k - 1) << 64
+    return f"""
+WITH du AS (SELECT DISTINCT {key_col} AS ky,
+         CAST(CASE WHEN {id_col} < 0 THEN CAST({id_col} AS HUGEINT) + {_M64}
+              ELSE CAST({id_col} AS HUGEINT) END AS HUGEINT) AS u
+       FROM {table}),
+k0 AS (SELECT ky, ((u + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h FROM du),
+{_splitmix_chain('q', 'k0', 'ky')},
+rk AS (SELECT ky, h, row_number() OVER (PARTITION BY ky ORDER BY h) AS r
+       FROM qf),
+sk AS (SELECT ky, h FROM rk WHERE r <= {k}),
+tst AS (SELECT ky, count(*) AS n, max(h) AS hk FROM sk GROUP BY ky),
+tes AS (SELECT ky, CASE WHEN n < {k} THEN CAST(n AS HUGEINT)
+                   ELSE CAST('{km1_64}' AS HUGEINT) // hk END AS est
+        FROM tst),
+pr AS (SELECT a.ky AS ka, b.ky AS kb FROM tst a, tst b WHERE a.ky < b.ky),
+mh AS (SELECT pr.ka, pr.kb, s.h FROM pr
+       JOIN sk s ON s.ky = pr.ka OR s.ky = pr.kb
+       GROUP BY pr.ka, pr.kb, s.h),
+mr AS (SELECT ka, kb, h,
+       row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS r FROM mh),
+mg AS (SELECT ka, kb, h FROM mr WHERE r <= {k}),
+ma AS (SELECT ka, kb, count(*) AS nm, max(h) AS hkm FROM mg
+       GROUP BY ka, kb),
+xx AS (SELECT mg.ka, mg.kb, count(*) AS x FROM mg
+       JOIN sk sa ON sa.ky = mg.ka AND sa.h = mg.h
+       JOIN sk sb ON sb.ky = mg.kb AND sb.h = mg.h
+       GROUP BY mg.ka, mg.kb),
+ue AS (SELECT ka, kb, nm,
+       CASE WHEN nm < {k} THEN CAST(nm AS HUGEINT)
+            ELSE CAST('{km1_64}' AS HUGEINT) // hkm END AS est_u
+       FROM ma)
+SELECT ue.ka AS type_a, ue.kb AS type_b,
+  CAST(ea.est AS BIGINT) AS est_a, CAST(eb.est AS BIGINT) AS est_b,
+  CAST(ue.est_u AS BIGINT) AS est_union,
+  CAST(CASE WHEN ue.nm < {k} THEN CAST(COALESCE(xx.x, 0) AS HUGEINT)
+       ELSE (CAST(COALESCE(xx.x, 0) AS HUGEINT) * ue.est_u) // {k}
+       END AS BIGINT) AS est_inter
+FROM ue JOIN tes ea ON ea.ky = ue.ka JOIN tes eb ON eb.ky = ue.kb
+LEFT JOIN xx ON xx.ka = ue.ka AND xx.kb = ue.kb
+ORDER BY type_a, type_b
+"""

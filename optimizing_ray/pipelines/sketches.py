@@ -25,7 +25,7 @@ import ray.data as rd
 
 from optimizing_ray.config import resolve_shards
 
-__all__ = ["percentile_disc", "hll_distinct", "splitmix64",
+__all__ = ["percentile_disc", "hll_distinct", "splitmix64", "kmv_overlap",
            "quantile_sketch", "grouped_quantile_sketch", "count_min"]
 
 
@@ -303,3 +303,111 @@ def count_min(ds: rd.Dataset, *, key_col: str,
             est = np.minimum(est, m[j, b])
     return pa.table({key_col: pa.array(probes),
                      "cms_count": pa.array(est.astype(np.int64))})
+
+
+def _kmv_fold(keys: np.ndarray, hs: np.ndarray, k: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Per key: k smallest DISTINCT uint64 hashes (one lexsort +
+    adjacent-unique + rank mask; no per-key loop)."""
+    codes, uniq = pd.factorize(keys)
+    order = np.lexsort((hs, codes))
+    c, h = codes[order], hs[order]
+    keep = np.r_[True, (c[1:] != c[:-1]) | (h[1:] != h[:-1])]
+    c, h = c[keep], h[keep]
+    starts = np.r_[True, c[1:] != c[:-1]]
+    grp = np.cumsum(starts) - 1
+    rank = np.arange(len(c)) - np.repeat(np.flatnonzero(starts),
+                                         np.diff(np.r_[np.flatnonzero(starts),
+                                                       len(c)]))
+    m = rank < k
+    return uniq[c[m]], h[m]
+
+
+def _kmv_est(n: int, hk: int, k: int) -> int:
+    """KMV cardinality estimate: exact count while the sketch is not
+    full, else floor((k-1) * 2^64 / h_k) — plain integer math (Python
+    ints; the SQL twin uses HUGEINT // )."""
+    if n < k:
+        return n
+    return ((k - 1) << 64) // hk
+
+
+def kmv_overlap(ds: rd.Dataset, *, key_col: str = "event_type",
+                id_col: str = "user_id", k: int = 64,
+                n_shards: int | None = None) -> pa.Table:
+    """Theta/KMV-sketch distinct set operations: per key, the k
+    minimum splitmix64 values of the id column; per key PAIR, the
+    estimated distinct-id cardinalities, union, and intersection —
+    the "how many distinct users do two sources share" question at
+    100 TB without ever shuffling raw ids (Beyer et al. 2007, the
+    DataSketches theta family).  Output (type_a, type_b, est_a,
+    est_b, est_union, est_inter), pairs a < b in byte order.
+
+    Exactness discipline: a not-full sketch holds EVERY hash of its
+    key, so counts are exact; full sketches use the (k-1)/h_k
+    estimator and the merged-sketch Jaccard, all in integer
+    arithmetic (Python int / HUGEINT), so the SQL twin
+    ``oracle.kmv_overlap_sql`` is bit-identical — approximate BY
+    DESIGN yet deterministically verifiable.
+
+    Plan: per-batch distinct (key, id) -> splitmix64 -> per-key
+    k-smallest partial (mergeable), ONE hash(key) exchange folds
+    partials, driver combines the <= n_keys * k survivors pairwise
+    (keys are assumed sketch-table-small; pairs are O(n_keys^2))."""
+    n_shards = resolve_shards(n_shards)
+    part_schema = pa.schema([("_ky", pa.string()), ("_h", pa.uint64()),
+                             ("_shard", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if (t.num_rows == 0 or key_col not in t.column_names
+                or id_col not in t.column_names):
+            return part_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(str)
+        ids = t[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        ky, h = _kmv_fold(keys, splitmix64(ids), k)
+        sh = pd.util.hash_pandas_object(pd.Series(ky),
+                                        index=False).to_numpy()
+        return pa.table({"_ky": pa.array(ky.astype(str)),
+                         "_h": pa.array(h),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"_ky": pd.Series([], dtype=str),
+                                 "_h": pd.Series([], dtype=np.uint64)})
+        ky, h = _kmv_fold(g["_ky"].to_numpy(), g["_h"].to_numpy(), k)
+        return pd.DataFrame({"_ky": ky.astype(str), "_h": h})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_shard").map_groups(shard_fold,
+                                          batch_format="pandas")
+            .to_pandas())
+    out = {"type_a": [], "type_b": [], "est_a": [], "est_b": [],
+           "est_union": [], "est_inter": []}
+    if len(rows) and "_ky" in rows.columns:
+        sk = {ky: sorted(int(v) for v in g["_h"].to_numpy())
+              for ky, g in rows.groupby("_ky", sort=True)}
+        names = sorted(sk)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                sa, sb = sk[a], sk[b]
+                merged = sorted(set(sa) | set(sb))[:k]
+                nm = len(merged)
+                est_u = _kmv_est(nm, merged[-1] if merged else 1, k)
+                both = set(sa) & set(sb)
+                x = sum(1 for h in merged if h in both)
+                est_i = x if nm < k else (x * est_u) // k
+                out["type_a"].append(a)
+                out["type_b"].append(b)
+                out["est_a"].append(_kmv_est(len(sa), sa[-1] if sa else 1, k))
+                out["est_b"].append(_kmv_est(len(sb), sb[-1] if sb else 1, k))
+                out["est_union"].append(est_u)
+                out["est_inter"].append(est_i)
+    return pa.table({"type_a": pa.array(out["type_a"], pa.string()),
+                     "type_b": pa.array(out["type_b"], pa.string()),
+                     "est_a": pa.array(out["est_a"], pa.int64()),
+                     "est_b": pa.array(out["est_b"], pa.int64()),
+                     "est_union": pa.array(out["est_union"], pa.int64()),
+                     "est_inter": pa.array(out["est_inter"], pa.int64())})

@@ -258,6 +258,9 @@ SQL_NAMES = [
     # round 4 wave 14: BPE tokenizer training — chained-CTE SQL twin
     # replays every pair census, tie-break, and merge application
     "bpe_merges",
+    # round 4 wave 14: theta/KMV distinct set operations — integer
+    # estimators recomputed in HUGEINT, bit-identical by construction
+    "kmv_overlap",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -130,3 +130,45 @@ def test_count_min_empty_input(ray_session):
     out = count_min(rd.from_arrow(t), key_col="k",
                     probe_keys=np.array([1, 2, 3])).to_pandas()
     assert list(out["cms_count"]) == [0, 0, 0]
+
+
+def test_kmv_overlap_exact_when_not_full(ray_session):
+    """Sketches below k hold every hash -> counts are EXACT set sizes."""
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.sketches import kmv_overlap
+
+    # a: users 0..19; b: users 10..29 (overlap 10); c: disjoint 100..104
+    rows = ([("a", u) for u in range(20)] + [("b", u) for u in range(10, 30)]
+            + [("c", u) for u in range(100, 105)]) * 3   # repeats collapse
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "user_id": pa.array([r[1] for r in rows], pa.int64())})
+    out = (kmv_overlap(rd.from_arrow(t), k=64).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    ab = out.loc[("a", "b")]
+    assert (ab.est_a, ab.est_b, ab.est_union, ab.est_inter) == (20, 20, 30, 10)
+    ac = out.loc[("a", "c")]
+    assert (ac.est_union, ac.est_inter) == (25, 0)
+
+
+def test_kmv_overlap_full_sketch_estimates(ray_session):
+    """Above k the estimator kicks in: within ~25% of truth at k=64 and
+    identical across batch layouts (mergeable partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.sketches import kmv_overlap
+
+    na, shared = 1200, 600
+    a = [("a", u) for u in range(na)]
+    b = [("b", u) for u in range(na - shared, 2 * na - shared)]
+    rows = a + b
+    t = pa.table({"event_type": pa.array([r[0] for r in rows]),
+                  "user_id": pa.array([r[1] for r in rows], pa.int64())})
+    out = kmv_overlap(rd.from_arrow(t), k=64).to_pandas().iloc[0]
+    assert abs(out.est_a - na) / na < 0.25
+    assert abs(out.est_union - (2 * na - shared)) / (2 * na - shared) < 0.25
+    assert abs(out.est_inter - shared) / shared < 0.5
+    # layout invariance: one block vs many small blocks
+    out2 = kmv_overlap(rd.from_arrow(t).repartition(7), k=64).to_pandas()
+    assert out2.iloc[0].equals(out)
