@@ -1656,6 +1656,18 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+def _q_resample_interpolate(sf_dir: str):
+    """Per-user time-series gap fill: step-aligned grid instants with
+    exact int64 linear interpolation — one hash(user) exchange, then
+    segment-local grid emission."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id", "value"])
+    return windows.resample_interpolate(ev)
+
+
 KMV_K = 64
 
 
@@ -2421,6 +2433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14: theta/KMV distinct set ops (union/intersection
         # estimates) — born past-cap, contract-pytest-oracled; promote r5
         "kmv_overlap": _q_kmv_overlap,
+        # wave 14: time-series resample + exact linear interpolation —
+        # born past-cap, contract-pytest-oracled; promote r5
+        "resample_interpolate": _q_resample_interpolate,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2553,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_stats": oracle.span_dedup_stats_sql(),
         "bpe_merges": oracle.bpe_merges_sql(BPE_N_MERGES),
         "kmv_overlap": oracle.kmv_overlap_sql(KMV_K),
+        "resample_interpolate": oracle.resample_interpolate_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

@@ -4031,3 +4031,37 @@ FROM ue JOIN tes ea ON ea.ky = ue.ka JOIN tes eb ON eb.ky = ue.kb
 LEFT JOIN xx ON xx.ka = ue.ka AND xx.kb = ue.kb
 ORDER BY type_a, type_b
 """
+
+def resample_interpolate_sql(step_s: int = 3600,
+                             table: str = "events") -> str:
+    """windows.resample_interpolate twin: second-truncated timestamps,
+    last-writer-wins collapse per (user, second), lead() segments, grid
+    instants via generate_series per segment, and the int64 interpolant
+    with the mod-adjust FLOOR division (DuckDB // truncates; numpy //
+    floors — repo notes)."""
+    s = step_s
+    return f"""
+WITH e0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6, event_id
+            FROM {table}),
+e1 AS (SELECT user_id, t, v6, row_number() OVER
+         (PARTITION BY user_id, t ORDER BY event_id DESC) AS rn FROM e0),
+e AS (SELECT user_id, t, v6 FROM e1 WHERE rn = 1),
+l AS (SELECT user_id, t, v6,
+      lead(t) OVER (PARTITION BY user_id ORDER BY t) AS tn,
+      lead(v6) OVER (PARTITION BY user_id ORDER BY t) AS vn FROM e),
+s0 AS (SELECT user_id, t, v6, tn, vn,
+       ((t + {s - 1}) // {s}) * {s} AS g0 FROM l),
+s1 AS (SELECT user_id, t, v6, tn, vn, g0,
+       CASE WHEN tn IS NOT NULL THEN ((tn - 1) // {s}) * {s}
+            WHEN t % {s} = 0 THEN t ELSE g0 - {s} END AS g1 FROM s0),
+gp AS (SELECT user_id, t, v6, tn, vn,
+       unnest(generate_series(g0, g1, {s})) AS gts
+       FROM s1 WHERE g1 >= g0)
+SELECT user_id, gts,
+  CAST(v6 + CASE WHEN tn IS NULL THEN 0 ELSE
+    ((vn - v6) * (gts - t)
+     - ((((vn - v6) * (gts - t)) % (tn - t) + (tn - t)) % (tn - t)))
+    // (tn - t) END AS BIGINT) AS v6_interp
+FROM gp ORDER BY user_id, gts
+"""

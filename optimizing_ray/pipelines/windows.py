@@ -23,7 +23,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "late_events", "geofence_transitions", "od_matrix",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
-           "cohort_retention", "windowed_topk_types",
+           "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
@@ -1401,3 +1401,96 @@ def trajectory_similarity(events: rd.Dataset, *, depth: int, world,
     return exact_set_join_sets(ids, offs[:-1], offs[1:], flat,
                                theta_num=theta_num, theta_den=theta_den,
                                out_a="user_a", out_b="user_b")
+
+
+def resample_interpolate(events: rd.Dataset, *, key_col: str = "user_id",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         value_col: str = "value", step_s: int = 3600,
+                         n_shards: int | None = None) -> rd.Dataset:
+    """Per-key time-series resampling with linear interpolation — the
+    sensor gap-fill / feature-grid op: for every key, emit the value at
+    each step_s-aligned grid instant inside the key's observed span,
+    linearly interpolated between the surrounding observations.
+
+    Exactness discipline: timestamps truncate to whole seconds and
+    values quantize to fixed-point millionths (v6); duplicate (key,
+    second) observations collapse last-writer-wins (max event_id); the
+    interpolant v6p + floor((v6n - v6p) * (g - tp) / (tn - tp)) is pure
+    int64 (products bounded by v6-range * span_s), so the SQL twin
+    ``oracle.resample_interpolate_sql`` matches bit-for-bit (numpy //
+    floors; DuckDB // truncates, the oracle uses the mod-adjust floor
+    formula from the repo notes).
+
+    Plan: slim (key, t, v6, eid) rows with in-batch last-writer
+    pre-collapse, ONE hash(key) exchange, then SEGMENT-LOCAL grid
+    emission per shard (consecutive-observation pairs own their grid
+    points: no search structure, no per-key Python, output rows are
+    never joined back).  Output (user_id, gts, v6_interp) — gts is the
+    epoch-second grid instant."""
+    n_shards = resolve_shards(n_shards)
+    step = np.int64(step_s)
+
+    slim_schema = pa.schema([("user_id", pa.int64()), ("_t", pa.int64()),
+                             ("_v6", pa.int64()), ("_eid", pa.int64()),
+                             ("_shard", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return slim_schema.empty_table()
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = ts // np.int64(1_000_000)
+        v6 = np.floor(t[value_col].to_numpy(zero_copy_only=False)
+                      * 1e6 + 0.5).astype(np.int64)
+        # in-batch last-writer pre-collapse on (key, second)
+        order = np.lexsort((eid, sec, key))
+        key, sec, v6, eid = key[order], sec[order], v6[order], eid[order]
+        last = np.r_[(key[1:] != key[:-1]) | (sec[1:] != sec[:-1]), True]
+        key, sec, v6, eid = key[last], sec[last], v6[last], eid[last]
+        return pa.table({"user_id": pa.array(key), "_t": pa.array(sec),
+                         "_v6": pa.array(v6), "_eid": pa.array(eid),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    out_cols = [("user_id", np.int64), ("gts", np.int64),
+                ("v6_interp", np.int64)]
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in out_cols})
+        key = g["user_id"].to_numpy()
+        t = g["_t"].to_numpy()
+        v6 = g["_v6"].to_numpy()
+        eid = g["_eid"].to_numpy()
+        order = np.lexsort((eid, t, key))
+        key, t, v6 = key[order], t[order], v6[order]
+        last = np.r_[(key[1:] != key[:-1]) | (t[1:] != t[:-1]), True]
+        key, t, v6 = key[last], t[last], v6[last]
+        # consecutive-pair segments (within key) own [ceil(t), tn)
+        pair = np.r_[key[1:] == key[:-1], False]
+        tn = np.r_[t[1:], 0]
+        vn = np.r_[v6[1:], 0]
+        g0 = ((t + step - 1) // step) * step
+        g1 = np.where(pair, ((tn - 1) // step) * step,
+                      np.where(t % step == 0, t, g0 - step))
+        counts = np.maximum((g1 - g0) // step + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in out_cols})
+        rep = np.repeat(np.arange(len(t)), counts)
+        k = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(counts) - counts, counts))
+        gt = g0[rep] + k * step
+        den = np.where(pair[rep], tn[rep] - t[rep], 1)
+        num = np.where(pair[rep], (vn[rep] - v6[rep]) * (gt - t[rep]), 0)
+        return pd.DataFrame({"user_id": key[rep].astype(np.int64),
+                             "gts": gt.astype(np.int64),
+                             "v6_interp": (v6[rep] + num // den)
+                             .astype(np.int64)})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(per_shard,
+                                          batch_format="pandas"))

@@ -261,6 +261,9 @@ SQL_NAMES = [
     # round 4 wave 14: theta/KMV distinct set operations — integer
     # estimators recomputed in HUGEINT, bit-identical by construction
     "kmv_overlap",
+    # round 4 wave 14: per-key resample + exact int64 linear
+    # interpolation (segment-local grid emission)
+    "resample_interpolate",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -565,3 +565,54 @@ def test_trajectory_similarity_matches_brute(ray_session):
             depth=4, world=WORLD_2D).to_pandas()
             .sort_values(["user_a", "user_b"]).reset_index(drop=True))
         assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_resample_interpolate_hand_cases(ray_session):
+    """Edge cases: duplicate-second last-writer-wins, negative-slope
+    FLOOR (not truncate), aligned/unaligned single events, exact grid
+    hits, gaps spanning multiple steps."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.windows import resample_interpolate
+
+    us = 1_000_000
+    rows = [
+        # user 1: v 0 -> 30 over [0, 3h]; grid at 0/1h/2h/3h exact thirds
+        (1, 0, 0.0, 10), (1, 10800, 30.0, 11),
+        # user 2: NEGATIVE slope 10 -> 9.999997 over [0, 2h]:
+        # at 1h the exact interpolant is -1.5e-6 below 10 -> floor
+        (2, 0, 10.0, 20), (2, 7200, 9.999997, 21),
+        # user 3: duplicate second 3600 -- event_id 31 then 32: 32 wins
+        (3, 3600, 1.0, 31), (3, 3600, 5.0, 32),
+        # user 4: single unaligned event -> no grid rows
+        (4, 5000, 7.0, 40),
+        # user 5: gap > step: 0 -> 4 over [1800, 9000]; grid 3600, 7200
+        (5, 1800, 0.0, 50), (5, 9000, 4.0, 51),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * us for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = (resample_interpolate(rd.from_arrow(t)).to_pandas()
+           .sort_values(["user_id", "gts"]).reset_index(drop=True))
+    exp = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 3, 5, 5],
+        "gts": [0, 3600, 7200, 10800, 0, 3600, 7200, 3600, 3600, 7200],
+        "v6_interp": [0, 10_000_000, 20_000_000, 30_000_000,
+                      10_000_000, 9_999_998, 9_999_997,  # floor(-1.5)=-2
+                      5_000_000, 1_000_000, 3_000_000]})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_resample_interpolate_layout_invariance(ray_session):
+    import ray.data as rd
+    from optimizing_ray.pipelines.windows import resample_interpolate
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    a = (resample_interpolate(ds).to_pandas()
+         .sort_values(["user_id", "gts"]).reset_index(drop=True))
+    b = (resample_interpolate(ds.repartition(7)).to_pandas()
+         .sort_values(["user_id", "gts"]).reset_index(drop=True))
+    assert a.equals(b)
