@@ -1656,6 +1656,14 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+def _q_revenue_trend(sf_dir: str):
+    """Integer-exact OLS revenue trend per nation (regr_slope as an
+    exact rational): broadcast dims, bounded partials, driver fold."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.revenue_trend(sf_dir)
+
+
 def _q_resample_interpolate(sf_dir: str):
     """Per-user time-series gap fill: step-aligned grid instants with
     exact int64 linear interpolation — one hash(user) exchange, then
@@ -2436,6 +2444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14: time-series resample + exact linear interpolation —
         # born past-cap, contract-pytest-oracled; promote r5
         "resample_interpolate": _q_resample_interpolate,
+        # wave 14: integer-exact OLS revenue trend (regr_slope as an
+        # exact rational) — born past-cap, contract-pytest-oracled
+        "revenue_trend": _q_revenue_trend,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2569,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": oracle.bpe_merges_sql(BPE_N_MERGES),
         "kmv_overlap": oracle.kmv_overlap_sql(KMV_K),
         "resample_interpolate": oracle.resample_interpolate_sql(),
+        "revenue_trend": oracle.revenue_trend_sql(),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

@@ -4065,3 +4065,23 @@ SELECT user_id, gts,
     // (tn - t) END AS BIGINT) AS v6_interp
 FROM gp ORDER BY user_id, gts
 """
+
+def revenue_trend_sql() -> str:
+    """relational.revenue_trend twin: yearly revenue cents per nation,
+    centered years, HUGEINT OLS sums, exact rational slope."""
+    return """
+WITH o AS (SELECT o_custkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+        CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+cn AS (SELECT c_custkey, n_name FROM customer
+       JOIN nation ON n_nationkey = c_nationkey),
+j AS (SELECT n_name, yr, pc FROM o JOIN cn ON c_custkey = o_custkey),
+a AS (SELECT n_name, yr - (SELECT min(yr) FROM j) AS x, SUM(pc) AS y
+      FROM j GROUP BY n_name, yr),
+t AS (SELECT n_name, count(*) AS ny, SUM(x) AS sx, SUM(x * x) AS sxx,
+      SUM(y) AS sy, SUM(x * y) AS sxy FROM a GROUP BY n_name)
+SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
+  CAST(ny * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(ny * sxx - sx * sx AS BIGINT) AS slope_den
+FROM t ORDER BY nation
+"""

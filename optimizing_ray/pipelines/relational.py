@@ -21,7 +21,8 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "promo_revenue", "bracket_revenue", "top_supplier",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
-           "balance_deciles", "slow_suppliers", "forecast_revenue"]
+           "balance_deciles", "slow_suppliers", "forecast_revenue",
+           "revenue_trend"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2355,3 +2356,73 @@ def forecast_revenue(sf_dir: str, *, date_from: str = "1997-01-01",
     n = int(parts["n"].sum()) if len(parts) else 0
     return pa.table({"revenue6": pa.array([r6], pa.int64()),
                      "n_lines": pa.array([n], pa.int64())})
+
+
+def revenue_trend(sf_dir: str) -> pa.Table:
+    """Integer-exact OLS revenue trend per customer nation: yearly
+    order-revenue cents y over centered years x = year - min(year),
+    slope reported as the EXACT rational (slope_num, slope_den) =
+    (n*Sxy - Sx*Sy, n*Sxx - Sx*Sx) — the regr_slope aggregate without
+    the float (parallel float sums would be order-ambiguous; integers
+    make the trend hash-verifiable).  n counts the nation's years WITH
+    data.  Output (nation, n_years, slope_num, slope_den) by nation.
+
+    Plan: the sales_by_nation shape — broadcast customer/nation dims,
+    per-batch (nation, year, cents) partials bounded by 25 x years per
+    block, driver OLS fold over the tiny partial table.  SQL twin
+    ``oracle.revenue_trend_sql``."""
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+    j = broadcast_lookup(orders, customer, fact_key="o_custkey",
+                         dim_key="c_custkey", value_cols=("c_nationkey",))
+    j = broadcast_lookup(j, nation, fact_key="c_nationkey",
+                         dim_key="n_nationkey", value_cols=("n_name",))
+
+    part_schema = pa.schema([("nation", pa.string()), ("yr", pa.int64()),
+                             ("s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_name" not in t.column_names:
+            return part_schema.empty_table()
+        yr = (t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        pc = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({"nation": t["n_name"].to_numpy(
+            zero_copy_only=False), "yr": yr, "s": pc})
+        agg = df.groupby(["nation", "yr"], sort=False)["s"] \
+            .sum().reset_index()
+        return pa.table({"nation": pa.array(agg["nation"].astype(str)),
+                         "yr": pa.array(agg["yr"].to_numpy(np.int64)),
+                         "s": pa.array(agg["s"].to_numpy(np.int64))})
+
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    if len(parts) == 0 or "nation" not in parts.columns:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "n_years": pa.array([], pa.int64()),
+                         "slope_num": pa.array([], pa.int64()),
+                         "slope_den": pa.array([], pa.int64())})
+    agg = parts.groupby(["nation", "yr"], sort=True)["s"].sum().reset_index()
+    x = (agg["yr"] - int(agg["yr"].min())).to_numpy(np.int64)
+    y = agg["s"].to_numpy(np.int64)
+    agg["x"], agg["xy"], agg["xx"] = x, x * y, x * x
+    g = agg.groupby("nation", sort=True).agg(
+        ny=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"),
+        sy=("s", "sum"), sxy=("xy", "sum")).reset_index()
+    ny = g["ny"].to_numpy(np.int64)
+    return pa.table({
+        "nation": pa.array(g["nation"].astype(str)),
+        "n_years": pa.array(ny),
+        "slope_num": pa.array(ny * g["sxy"].to_numpy(np.int64)
+                              - g["sx"].to_numpy(np.int64)
+                              * g["sy"].to_numpy(np.int64)),
+        "slope_den": pa.array(ny * g["sxx"].to_numpy(np.int64)
+                              - g["sx"].to_numpy(np.int64) ** 2)})

@@ -264,6 +264,9 @@ SQL_NAMES = [
     # round 4 wave 14: per-key resample + exact int64 linear
     # interpolation (segment-local grid emission)
     "resample_interpolate",
+    # round 4 wave 14: integer-exact OLS slope per nation (regr_slope
+    # as an exact rational; HUGEINT sums in the oracle)
+    "revenue_trend",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1033,3 +1033,35 @@ def test_span_dedup_stats_counts(ray_session):
     assert list(out.index) == [1, 2]
     assert out.loc[1, "n_text_spans"] == 2 and out.loc[1, "n_shared"] == 1
     assert out.loc[2, "n_text_spans"] == 2 and out.loc[2, "n_shared"] == 1
+
+
+def test_revenue_trend_brute(ray_session):
+    import duckdb
+    import numpy as np
+    from optimizing_ray.pipelines.relational import revenue_trend
+
+    sf = "/root/testdata/sf0.001"
+    out = revenue_trend(sf).to_pandas()
+    con = duckdb.connect()
+    b = con.execute(f"""
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS y
+      FROM read_parquet('{sf}/orders.parquet') o
+      JOIN read_parquet('{sf}/customer.parquet') c ON c_custkey = o_custkey
+      JOIN read_parquet('{sf}/nation.parquet') n
+        ON n_nationkey = c_nationkey
+      GROUP BY 1, 2""").df()
+    y0 = int(b["yr"].min())
+    for _, r in out.iterrows():
+        g = b[b["n_name"] == r["nation"]]
+        x = (g["yr"] - y0).to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = len(g)
+        assert r["n_years"] == n
+        assert r["slope_num"] == n * (x * y).sum() - x.sum() * y.sum()
+        assert r["slope_den"] == n * (x * x).sum() - x.sum() ** 2
+        # a real trend: the rational evaluates to the float regr_slope
+        if r["slope_den"]:
+            assert abs(r["slope_num"] / r["slope_den"]
+                       - np.polyfit(x, y.astype(float), 1)[0]) < 1e-3 * max(
+                           1.0, abs(r["slope_num"] / r["slope_den"]))
