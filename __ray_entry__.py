@@ -1656,6 +1656,20 @@ def _q_span_kind_rollup(sf_dir: str):
     return textops.span_kind_rollup(docs)
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style sampling over the exact kNN graph:
+    counter-based neighbor choice (pure function of (start, step)),
+    nrows-gated driver gather vs per-step shard-join rounds."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    g = ann.embedding_knn_graph(emb, k=5)
+    return cluster.random_walks(
+        g, walk_len=4, nrows=5 * _tbl_rows(sf_dir, "embeddings"))
+
+
 def _q_revenue_trend(sf_dir: str):
     """Integer-exact OLS revenue trend per nation (regr_slope as an
     exact rational): broadcast dims, bounded partials, driver fold."""
@@ -2447,6 +2461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14: integer-exact OLS revenue trend (regr_slope as an
         # exact rational) — born past-cap, contract-pytest-oracled
         "revenue_trend": _q_revenue_trend,
+        # wave 14: deterministic random-walk sampling over the kNN
+        # graph — born past-cap, contract-pytest-oracled
+        "random_walks": _q_random_walks,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2581,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": oracle.kmv_overlap_sql(KMV_K),
         "resample_interpolate": oracle.resample_interpolate_sql(),
         "revenue_trend": oracle.revenue_trend_sql(),
+        "random_walks": oracle.random_walks_sql(4, 5),
         "image_resize": oracle.image_resize_sql(RESIZE_W, RESIZE_H),
         "events_window": oracle.events_window_sql(3600),
         "sliding_window": oracle.sliding_window_sql(3600, 900),

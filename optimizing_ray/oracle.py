@@ -4085,3 +4085,43 @@ SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
   CAST(ny * sxx - sx * sx AS BIGINT) AS slope_den
 FROM t ORDER BY nation
 """
+
+def random_walks_sql(walk_len: int = 4, k: int = 5, scale: int = 1024,
+                     table: str = "embeddings") -> str:
+    """cluster.random_walks twin over the exact embedding kNN graph:
+    the embedding_knn_graph CTEs build the ranked adjacency, then one
+    splitmix64 block per step replays the counter-based neighbor choice
+    rank = 1 + (splitmix64(start*16 + s) mod outdeg)."""
+    gamma = 0x9E3779B97F4A7C15
+    head = f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}),
+dd AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             sum((a.q - b.q) * (a.q - b.q)) AS d2
+      FROM eq a JOIN eq b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+rr AS (SELECT va, vb,
+             row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rn
+      FROM dd),
+g AS (SELECT va, vb, rn FROM rr WHERE rn <= {k}),
+dg AS (SELECT va, count(*) AS deg FROM g GROUP BY va),
+w0 AS (SELECT va AS st, va AS cur FROM dg)"""
+    blocks = [head]
+    for s in range(walk_len):
+        blocks.append(f"""
+h{s}0 AS (SELECT st, cur,
+  ((CAST(st AS HUGEINT) * 16 + {s} + CAST('{gamma}' AS HUGEINT)) % {_M64})
+  AS h FROM w{s}),
+{_splitmix_chain(f'z{s}', f'h{s}0', 'st, cur')},
+w{s + 1} AS (SELECT z.st, g.vb AS cur
+  FROM z{s}f z
+  JOIN dg ON dg.va = z.cur
+  JOIN g ON g.va = z.cur
+   AND g.rn = 1 + CAST(z.h % CAST(dg.deg AS HUGEINT) AS BIGINT))""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT st AS start_id, CAST({s} AS BIGINT) AS step,"
+        f" cur AS node_id FROM w{s}" for s in range(walk_len + 1))
+    return ",".join(blocks) + "\n" + final + "\nORDER BY start_id, step"

@@ -46,7 +46,7 @@ from optimizing_ray.pipelines.ann import _to_matrix
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
            "cluster_top_terms", "triangle_count", "pagerank",
-           "mutual_knn_pairs"]
+           "mutual_knn_pairs", "random_walks"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -832,3 +832,190 @@ def mutual_knn_pairs(edges: rd.Dataset, *, src: str = "vec_id",
     return pa.table({
         "vec_a": pa.array(out["vec_a"].to_numpy(np.int64)[order]),
         "vec_b": pa.array(out["vec_b"].to_numpy(np.int64)[order])})
+
+
+def random_walks(edges: rd.Dataset, *, src: str = "vec_id",
+                 dst: str = "neighbor_id", rank_col: str = "knn_rank",
+                 walk_len: int = 4, nrows: int | None = None,
+                 n_shards: int | None = None) -> "pa.Table | rd.Dataset":
+    """Deterministic random walks over a ranked edge list — the
+    DeepWalk/node2vec SAMPLING stage (walk corpora feed skip-gram
+    embedding training; over the kNN graph the walks are also a
+    diversity probe for curation).  One walk starts at every distinct
+    source node; at step s the walker at node u moves to u's neighbor
+    with rank 1 + (splitmix64(start*16 + s) mod outdeg(u)) — counter-
+    based pseudo-randomness (no sequential RNG), a pure function of
+    (start, step), so walks are reproducible at any parallelism AND
+    SQL-replayable (``oracle.random_walks_sql`` chains one splitmix
+    block per step).  Walks stop early at dangling nodes.  Output
+    (start_id, step, node_id), step 0..walk_len, ordered.
+
+    Plans (nrows = edge-count hint, the pagerank discipline):
+
+    * broadcast/driver (nrows <= 2_000_000): slim (src, rank, dst)
+      collects once; per step ONE vectorized gather
+      (searchsorted + offset indexing) over all live walks.
+    * distributed: the frontier (start, cur) is a Dataset; per step ONE
+      hash(cur)=hash(src) ``hash_shard_join`` exchange picks the ranked
+      neighbor in-shard, materialized per round (iterative-pipeline
+      discipline); per-step outputs union side-tagged.
+
+    ``walk_len`` must stay <= 16 (the start*16 + s key packing)."""
+    from optimizing_ray.config import resolve_shards
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    assert 0 <= walk_len <= 16
+    gate = nrows if nrows is not None else (1 << 62)
+    n_shards = resolve_shards(n_shards)
+
+    slim_schema = pa.schema([("_s", pa.int64()), ("_r", pa.int64()),
+                             ("_d", pa.int64())])
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return slim_schema.empty_table()
+        return pa.table({"_s": t[src].cast(pa.int64()),
+                         "_r": t[rank_col].cast(pa.int64()),
+                         "_d": t[dst].cast(pa.int64())})
+
+    slim = edges.map_batches(_slim, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    out_schema = pa.schema([("start_id", pa.int64()), ("step", pa.int64()),
+                            ("node_id", pa.int64())])
+
+    if gate <= 2_000_000:
+        et = pa.Table.from_pandas(slim.to_pandas(), preserve_index=False)
+        if et.num_rows == 0 or "_s" not in et.column_names:
+            return out_schema.empty_table()
+        s = et["_s"].to_numpy()
+        r = et["_r"].to_numpy()
+        d = et["_d"].to_numpy()
+        order = np.lexsort((r, s))
+        s, d = s[order], d[order]
+        starts_idx = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        uids = s[starts_idx]
+        deg = np.diff(np.r_[starts_idx, len(s)])
+        walks_start = uids.copy()
+        cur = uids.copy()
+        rows_s, rows_t, rows_n = [walks_start], [np.zeros(len(cur),
+                                                          np.int64)], [cur]
+        for st in range(walk_len):
+            ws, wc = walks_start, cur
+            pos = np.searchsorted(uids, wc)
+            ok = (pos < len(uids)) & (uids[np.minimum(pos, len(uids) - 1)]
+                                      == wc)
+            pos = pos[ok]
+            ws, wc = ws[ok], wc[ok]
+            h = splitmix64((ws * 16 + st).view(np.uint64))
+            nxt = d[starts_idx[pos]
+                    + (h % deg[pos].astype(np.uint64)).astype(np.int64)]
+            rows_s.append(ws)
+            rows_t.append(np.full(len(ws), st + 1, np.int64))
+            rows_n.append(nxt)
+            # dangling walks drop out of the live set here
+            walks_start, cur = ws, nxt
+        out = pa.table({"start_id": pa.array(np.concatenate(rows_s)),
+                        "step": pa.array(np.concatenate(rows_t)),
+                        "node_id": pa.array(np.concatenate(rows_n))})
+        idx = np.lexsort((out["step"].to_numpy(),
+                          out["start_id"].to_numpy()))
+        return out.take(idx)
+
+    # distributed rounds: one shard-join exchange per step
+    from optimizing_ray.pipelines.shard_join import hash_shard_join
+
+    def _edge_deg(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"_s": pd.Series([], dtype=np.int64),
+                                 "_r": pd.Series([], dtype=np.int64),
+                                 "_d": pd.Series([], dtype=np.int64),
+                                 "_deg": pd.Series([], dtype=np.int64)})
+        g = g.copy()
+        g["_deg"] = g.groupby("_s")["_s"].transform("size") \
+            .astype(np.int64)
+        return g[["_s", "_r", "_d", "_deg"]]
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def _eshard(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = t["_s"].to_numpy().view(np.uint64) * gold
+        return t.append_column("_shard", pa.array(
+            ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)))
+
+    edge_deg_schema = pa.schema([("_s", pa.int64()), ("_r", pa.int64()),
+                                 ("_d", pa.int64()), ("_deg", pa.int64())])
+    ed = (slim.map_batches(_eshard, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .groupby("_shard").map_groups(_edge_deg, batch_format="pandas")
+          ).materialize()
+
+    # starts = every node with out-edges, derived exchange-free from
+    # the rank-1 rows of the already-sharded edge-deg table
+    def _rank1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_s" not in t.column_names:
+            return pa.table({"start_id": pa.array([], pa.int64()),
+                             "_cur": pa.array([], pa.int64())})
+        m = pa.array(t["_r"].to_numpy() == 1)
+        u = t["_s"].filter(m).to_numpy(zero_copy_only=False)
+        return pa.table({"start_id": pa.array(u.astype(np.int64)),
+                         "_cur": pa.array(u.astype(np.int64))})
+
+    frontier = ed.map_batches(_rank1, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    frontier_schema = pa.schema([("start_id", pa.int64()),
+                                 ("_cur", pa.int64())])
+
+    def _tag(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "start_id" not in t.column_names:
+                return out_schema.empty_table()
+            return pa.table({"start_id": t["start_id"],
+                             "step": pa.array(np.full(t.num_rows, step,
+                                                      np.int64)),
+                             "node_id": t["_cur"]})
+        return fn
+
+    outs = [frontier.map_batches(_tag(0), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    for st in range(walk_len):
+        # hash_shard_join needs matching key names; rename edge side
+        def _ekey(t: pa.Table, _st=st) -> pa.Table:
+            if t.num_rows == 0 or "_s" not in t.column_names:
+                return pa.table({"_cur": pa.array([], pa.int64()),
+                                 "_r": pa.array([], pa.int64()),
+                                 "_d": pa.array([], pa.int64()),
+                                 "_deg": pa.array([], pa.int64())})
+            return pa.table({"_cur": t["_s"], "_r": t["_r"],
+                             "_d": t["_d"], "_deg": t["_deg"]})
+        ek = ed.map_batches(_ekey, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        j = hash_shard_join(
+            frontier, ek, on="_cur", lschema=frontier_schema,
+            rschema=pa.schema([("_cur", pa.int64()), ("_r", pa.int64()),
+                               ("_d", pa.int64()), ("_deg", pa.int64())]),
+            n_shards=n_shards)
+
+        def _pick(t: pa.Table, _st=st) -> pa.Table:
+            if t.num_rows == 0 or "start_id" not in t.column_names:
+                return frontier_schema.empty_table()
+            ws = t["start_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            h = splitmix64((ws * 16 + _st).view(np.uint64))
+            want = 1 + (h % t["_deg"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)).astype(np.int64)
+            m = pa.array(t["_r"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64) == want)
+            return pa.table({"start_id": pa.array(ws[np.asarray(m)]),
+                             "_cur": t["_d"].filter(m).cast(pa.int64())})
+
+        frontier = j.map_batches(_pick, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+        outs.append(frontier.map_batches(_tag(st + 1),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

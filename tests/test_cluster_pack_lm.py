@@ -532,3 +532,46 @@ def test_mutual_knn_pairs_matches_brute(ray_session):
 
     z = mutual_knn_pairs(rd.from_arrow(t.slice(0, 0)))
     assert z.num_rows == 0 and z.column_names == ["vec_a", "vec_b"]
+
+
+def test_random_walks_plans_and_brute(ray_session):
+    """Both plans replay the brute per-walk loop exactly; dangling
+    nodes stop their walk early."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from optimizing_ray.pipelines.cluster import random_walks
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    # ranked adjacency: node 1 -> [2, 3]; 2 -> [3]; 3 dangling
+    edges = pa.table({
+        "vec_id": pa.array([1, 1, 2], pa.int64()),
+        "neighbor_id": pa.array([2, 3, 3], pa.int64()),
+        "knn_rank": pa.array([1, 2, 1], pa.int64())})
+
+    def brute(L):
+        adj = {1: [2, 3], 2: [3]}
+        rows = []
+        for st0 in sorted(adj):
+            cur = st0
+            rows.append((st0, 0, cur))
+            for s in range(L):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                h = int(splitmix64(np.array([st0 * 16 + s],
+                                            np.uint64))[0])
+                cur = nb[h % len(nb)]
+                rows.append((st0, s + 1, cur))
+        return pd.DataFrame(rows, columns=["start_id", "step", "node_id"])
+
+    exp = brute(4)
+    loc = random_walks(rd.from_arrow(edges), walk_len=4,
+                       nrows=0).to_pandas()
+    pd.testing.assert_frame_equal(loc.reset_index(drop=True), exp,
+                                  check_dtype=False)
+    dist = (random_walks(rd.from_arrow(edges), walk_len=4,
+                         nrows=3_000_000).to_pandas()
+            .sort_values(["start_id", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, exp, check_dtype=False)

@@ -267,6 +267,9 @@ SQL_NAMES = [
     # round 4 wave 14: integer-exact OLS slope per nation (regr_slope
     # as an exact rational; HUGEINT sums in the oracle)
     "revenue_trend",
+    # round 4 wave 14: deterministic random walks over the kNN graph
+    # (counter-based neighbor choice, splitmix block per step)
+    "random_walks",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
