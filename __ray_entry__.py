@@ -1357,6 +1357,30 @@ def _q_boolean_search(sf_dir: str):
     return search.boolean_search(store, ["hash", "window", "merge"])
 
 
+RANKED_QUERIES = [["hash", "window", "merge"], ["spark", "vector"],
+                  ["the", "batch", "slow", "zzz_not_a_token"]]
+
+
+def _q_ranked_search(sf_dir: str):
+    """Ranked OR-retrieval over the same posting store: exact-integer
+    TF-IDF (BM25-idf numerator shape, floor arithmetic) with df computed
+    from pruned part reads only, scores summed through ONE hash(doc)
+    exchange with per-shard top-k cuts (shards hold disjoint docs)."""
+    import re
+    import shutil
+
+    from optimizing_ray.pipelines import search
+    from optimizing_ray.sources import driver_tables
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    store = f"/tmp/graft_inv_idx_rs_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    search.build_inverted_index(docs, store)
+    return search.ranked_search(store, RANKED_QUERIES,
+                                n_docs=_tbl_rows(sf_dir, "documents"), k=10)
+
+
 def _q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the directed kNN graph: 3
     unrolled damped iterations, exact int64 floor arithmetic on both
@@ -2464,6 +2488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14: deterministic random-walk sampling over the kNN
         # graph — born past-cap, contract-pytest-oracled
         "random_walks": _q_random_walks,
+        # wave 15: ranked TF-IDF retrieval over the inverted-index
+        # store — born past-cap, contract-pytest-oracled; promote r5
+        "ranked_search": _q_ranked_search,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2620,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.pagerank_sql(),
         "boolean_search": oracle.boolean_search_sql(
             ["hash", "window", "merge"]),
+        "ranked_search": oracle.ranked_search_sql(RANKED_QUERIES, k=10),
         "order_priority_check": oracle.order_priority_check_sql(),
         "churned_high_balance": oracle.churned_high_balance_sql(),
         "customer_distribution": oracle.customer_distribution_sql("2000-06-01"),

@@ -4125,3 +4125,32 @@ w{s + 1} AS (SELECT z.st, g.vb AS cur
         f"SELECT st AS start_id, CAST({s} AS BIGINT) AS step,"
         f" cur AS node_id FROM w{s}" for s in range(walk_len + 1))
     return ",".join(blocks) + "\n" + final + "\nORDER BY start_id, step"
+
+def ranked_search_sql(queries, k: int = 10, scale: int = 1000,
+                      table: str = "documents") -> str:
+    """search.ranked_search twin: term-string TF/DF over the single-
+    space split, the integer BM25-idf weight
+    (scale*(2*(N-df)+1)) // (2*df+1) (positive operands: DuckDB trunc
+    // == floor), score sum per (query, doc), row_number cut at k under
+    (score DESC, doc_id).  ``queries`` is a list of term lists."""
+    vals = ", ".join(f"({qi}, '" + t.replace("'", "''") + "')"
+                     for qi, q in enumerate(queries) for t in sorted(set(q)))
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM {table}),
+tfm AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+nn AS (SELECT count(*) AS n FROM {table}),
+w AS (SELECT term,
+      ({scale} * (2 * ((SELECT n FROM nn) - df) + 1)) // (2 * df + 1) AS w
+      FROM dfm),
+sc AS (SELECT q.query_id, t.doc_id, SUM(t.tf * w.w) AS score
+       FROM q JOIN tfm t USING (term) JOIN w USING (term)
+       GROUP BY q.query_id, t.doc_id),
+r AS (SELECT query_id, doc_id, score, row_number() OVER
+      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS ret_rank,
+       doc_id, CAST(score AS BIGINT) AS score
+FROM r WHERE rk <= {k} ORDER BY query_id, ret_rank
+"""

@@ -44,7 +44,7 @@ import ray.data as rd
 
 from optimizing_ray.functions.text import token_hash, token_hashes_batch
 
-__all__ = ["build_inverted_index", "boolean_search"]
+__all__ = ["build_inverted_index", "boolean_search", "ranked_search"]
 
 
 def _part_shift(n_parts: int) -> np.uint64:
@@ -194,3 +194,166 @@ def boolean_search(store_dir: str, terms, *, n_parts: int = 64,
     order = np.lexsort((doc, -tf))
     return pa.table({"doc_id": pa.array(doc[order]),
                      "tf_total": pa.array(tf[order])})
+
+
+def ranked_search(store_dir: str, queries, *, n_docs: int, k: int = 10,
+                  n_parts: int = 64, scale: int = 1000,
+                  n_shards: int | None = None,
+                  stats: dict | None = None) -> pa.Table:
+    """Ranked OR-retrieval over the posting store: per query, the top-k
+    docs by the exact-integer TF-IDF score
+
+        score(q, d) = sum over matched terms t of  tf(t, d) * w(t)
+        w(t)        = (scale * (2*(N - df) + 1)) // (2*df + 1)
+
+    — the BM25 idf numerator shape in pure integer floor arithmetic
+    (positive operands, so numpy // == DuckDB //), rank ties broken by
+    doc_id: bit-identical to the SQL twin ``oracle.ranked_search_sql``.
+    ``queries`` is a list of term lists; duplicate terms collapse.
+
+    Plan: df needs NO exchange — a term hash lives in exactly ONE part
+    and the store holds one row per (term, doc), so per-block partial
+    counts of the PRUNED scan sum driver-side (m terms x blocks rows).
+    The scoring pass re-reads the same pruned parts, maps each posting
+    to its queries via a CSR hash->query expansion, and ONE hash(doc)
+    exchange sums per (query, doc) and takes the per-shard top-k
+    (shards hold disjoint docs, so per-shard cuts are globally safe);
+    the driver merges <= shards * k rows per query.  Output
+    (query_id, ret_rank, doc_id, score)."""
+    from optimizing_ray.config import resolve_shards
+
+    shift = _part_shift(n_parts)
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("ret_rank", pa.int64()),
+                            ("doc_id", pa.int64()), ("score", pa.int64())])
+    qsets = [np.unique(np.array([token_hash(t) for t in q],
+                                dtype=np.uint64)) for q in queries]
+    all_h = np.unique(np.concatenate([q for q in qsets if len(q)])
+                      if any(len(q) for q in qsets)
+                      else np.array([], np.uint64))
+    if len(all_h) == 0:
+        return out_schema.empty_table()
+    # CSR expansion: sorted unique hash -> the queries containing it
+    pairs = sorted({(int(h), qi) for qi, qs in enumerate(qsets)
+                    for h in qs})
+    ph = np.array([p[0] for p in pairs], dtype=np.uint64)
+    pq_ = np.array([p[1] for p in pairs], dtype=np.int64)
+    uh, ustart = np.unique(ph, return_index=True)
+    ucnt = np.diff(np.r_[ustart, len(ph)])
+    # store h is the int64 BIT PATTERN; searchsorted needs the run
+    # descriptors sorted in int64 order (uint64 order differs when a
+    # hash crosses 2^63) — ustart/ucnt still index the original pq_
+    uh_i64 = uh.view(np.int64)
+    i64_order = np.argsort(uh_i64)
+    uh_i64 = uh_i64[i64_order]
+    ustart = ustart[i64_order]
+    ucnt = ucnt[i64_order]
+
+    need = np.unique((all_h >> shift).astype(np.int64))
+    paths = [os.path.join(store_dir, f"part={p:04d}.parquet")
+             for p in need.tolist()]
+    paths = [p for p in paths if os.path.exists(p)]
+    if stats is not None:
+        stats["parts_read"] = len(paths)
+        stats["parts_total"] = len(
+            [f for f in os.listdir(store_dir)
+             if f.startswith("part=") and f.endswith(".parquet")])
+    if not paths:
+        return out_schema.empty_table()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uh_i64, h)
+        hit = (pos < len(uh_i64)) & (uh_i64[np.minimum(pos, len(uh_i64) - 1)]
+                                     == h)
+        if not hit.any():
+            return empty
+        hh, cc = np.unique(h[hit], return_counts=True)
+        return pa.table({"h": pa.array(hh), "c": pa.array(cc.astype(
+            np.int64))})
+
+    dfp = (rd.read_parquet(paths, columns=["h"])
+           .map_batches(df_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas())
+    w_by_h = np.zeros(len(uh_i64), dtype=np.int64)
+    if len(dfp) and "h" in dfp.columns:
+        agg = dfp.groupby("h")["c"].sum()
+        pos = np.searchsorted(uh_i64, agg.index.to_numpy(np.int64))
+        df = agg.to_numpy(np.int64)
+        w_by_h[pos] = (scale * (2 * (n_docs - df) + 1)) // (2 * df + 1)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"q": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uh_i64, h)
+        hit = (pos < len(uh_i64)) & (uh_i64[np.minimum(pos, len(uh_i64) - 1)]
+                                     == h)
+        if not hit.any():
+            return empty
+        pos = pos[hit]
+        doc = t["doc"].to_numpy(zero_copy_only=False)[hit]
+        contrib = (t["tf"].to_numpy(zero_copy_only=False)[hit]
+                   * w_by_h[pos])
+        rep = ucnt[pos]
+        qi = pq_[np.repeat(ustart[pos], rep)
+                 + (np.arange(int(rep.sum())) -
+                    np.repeat(np.cumsum(rep) - rep, rep))]
+        doc = np.repeat(doc, rep)
+        contrib = np.repeat(contrib, rep)
+        with np.errstate(over="ignore"):
+            sh = (doc.astype(np.uint64) * gold) >> np.uint64(33)
+        return pa.table({"q": pa.array(qi), "doc": pa.array(doc),
+                         "s": pa.array(contrib.astype(np.int64)),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q": pd.Series([], dtype=np.int64),
+                              "doc": pd.Series([], dtype=np.int64),
+                              "s": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        agg = g.groupby(["q", "doc"], sort=False)["s"].sum().reset_index()
+        q = agg["q"].to_numpy(np.int64)
+        doc = agg["doc"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        order = np.lexsort((doc, -s, q))
+        q, doc, s = q[order], doc[order], s[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rk = np.arange(len(q)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(q)]))
+        m = rk < k
+        return pd.DataFrame({"q": q[m], "doc": doc[m], "s": s[m]})
+
+    hits = (rd.read_parquet(paths)
+            .map_batches(score_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_shard").map_groups(shard_topk,
+                                          batch_format="pandas")
+            .to_pandas())
+    if len(hits) == 0 or "q" not in hits.columns:
+        return out_schema.empty_table()
+    q = hits["q"].to_numpy(np.int64)
+    doc = hits["doc"].to_numpy(np.int64)
+    s = hits["s"].to_numpy(np.int64)
+    order = np.lexsort((doc, -s, q))
+    q, doc, s = q[order], doc[order], s[order]
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    rk = (np.arange(len(q)) - np.repeat(starts, np.diff(
+        np.r_[starts, len(q)])) + 1)
+    m = rk <= k
+    return pa.table({"query_id": pa.array(q[m]),
+                     "ret_rank": pa.array(rk[m].astype(np.int64)),
+                     "doc_id": pa.array(doc[m]),
+                     "score": pa.array(s[m])})

@@ -270,6 +270,9 @@ SQL_NAMES = [
     # round 4 wave 14: deterministic random walks over the kNN graph
     # (counter-based neighbor choice, splitmix block per step)
     "random_walks",
+    # round 4 wave 15: ranked TF-IDF retrieval over the posting store
+    # (integer BM25-idf weights, per-shard top-k over disjoint docs)
+    "ranked_search",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -85,6 +85,61 @@ def test_empty_token_is_searchable(store):
     assert got["doc_id"].tolist() == [4]
 
 
+def _brute_ranked(queries, k=10, scale=1000):
+    n = len(DOCS)
+    dfm = collections.Counter()
+    tfs = {}
+    for doc_id, text in DOCS:
+        c = collections.Counter(text.split(" "))
+        tfs[doc_id] = c
+        for t in c:
+            dfm[t] += 1
+    out = []
+    for qi, q in enumerate(queries):
+        scores = collections.Counter()
+        for t in sorted(set(q)):
+            if dfm[t] == 0:
+                continue
+            w = (scale * (2 * (n - dfm[t]) + 1)) // (2 * dfm[t] + 1)
+            for doc_id, c in tfs.items():
+                if c[t] > 0:
+                    scores[doc_id] += c[t] * w
+        ranked = sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:k]
+        out += [(qi, rk + 1, d, s) for rk, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_ranked_matches_brute(store):
+    queries = [["fox"], ["quick", "dog"], ["the", "fox", "zzz_not_a_tok"],
+               ["dog", "dog", "lazy"], []]
+    stats = {}
+    got = search.ranked_search(store, queries, n_docs=len(DOCS), k=3,
+                               n_parts=16, stats=stats).to_pandas()
+    want = _brute_ranked(queries, k=3)
+    assert list(zip(got["query_id"], got["ret_rank"], got["doc_id"],
+                    got["score"])) == want
+    assert stats["parts_read"] <= len(
+        {t for q in queries for t in q})
+    assert stats["parts_total"] >= stats["parts_read"]
+
+
+def test_ranked_no_hits_and_empty(store):
+    got = search.ranked_search(store, [["zzz"], []], n_docs=len(DOCS),
+                               n_parts=16).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["query_id", "ret_rank", "doc_id", "score"]
+
+
+def test_ranked_k_cuts_with_doc_id_ties(store):
+    # 'the' appears in docs 0 and 5 with different tf; 'fox' in 0,1,3,7
+    got = search.ranked_search(store, [["fox", "the"]], n_docs=len(DOCS),
+                               k=2, n_parts=16).to_pandas()
+    want = _brute_ranked([["fox", "the"]], k=2)
+    assert list(zip(got["query_id"], got["ret_rank"], got["doc_id"],
+                    got["score"])) == want
+    assert len(got) == 2
+
+
 def test_rebuild_is_idempotent(store, ray_session):
     docs = rd.from_arrow(pa.table({
         "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
