@@ -1744,6 +1744,19 @@ def _q_bpe_merges(sf_dir: str):
     return bpe.bpe_merges(docs, n_merges=BPE_N_MERGES)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Train-then-apply tokenization: the learned merge table applied
+    to the distinct-word streams (free from the learning sweep), then
+    one corpus pass folds per-doc post-BPE token counts against the
+    broadcast (word, ntok) map — zero extra exchanges."""
+    from optimizing_ray.pipelines import bpe
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return bpe.bpe_encode(docs, n_merges=BPE_N_MERGES)
+
+
 def _q_span_dedup_stats(sf_dir: str):
     """Span-granular exact-dup signal over the interleaved span column:
     per doc, how many distinct text-span values recur in other docs.
@@ -2491,6 +2504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: ranked TF-IDF retrieval over the inverted-index
         # store — born past-cap, contract-pytest-oracled; promote r5
         "ranked_search": _q_ranked_search,
+        # wave 15: BPE train-then-apply tokenization (per-doc post-merge
+        # token counts) — born past-cap, contract-pytest-oracled
+        "bpe_encode": _q_bpe_encode,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2622,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_rollup": oracle.span_kind_rollup_sql(),
         "span_dedup_stats": oracle.span_dedup_stats_sql(),
         "bpe_merges": oracle.bpe_merges_sql(BPE_N_MERGES),
+        "bpe_encode": oracle.bpe_encode_sql(BPE_N_MERGES),
         "kmv_overlap": oracle.kmv_overlap_sql(KMV_K),
         "resample_interpolate": oracle.resample_interpolate_sql(),
         "revenue_trend": oracle.revenue_trend_sql(),

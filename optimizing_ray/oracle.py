@@ -3981,6 +3981,51 @@ s{r + 1} AS (SELECT cnt,
         for r in range(n_merges))
     return ",".join(blocks) + "\n" + final + "\nORDER BY merge_rank"
 
+def bpe_encode_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """pipelines.bpe.bpe_encode twin: the bpe_merges_sql chain with
+    ``word`` carried through every replace round, then per-word token
+    count = count of '>' in the final stream, joined back to the doc's
+    non-empty words.  Output (doc_id, n_words, n_tokens) per doc with
+    >= 1 word."""
+    blocks = [f"""
+WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table}) t
+       WHERE w <> '' GROUP BY w),
+ci AS (SELECT word, cnt,
+       unnest(generate_series(0, length(word) - 1)) AS i FROM wc),
+ch AS (SELECT word, cnt, i,
+       substring(word, CAST(i + 1 AS INT), 1) AS c2 FROM ci),
+s0 AS (SELECT word, cnt, string_agg('<' || c2 || '>', '' ORDER BY i) AS s
+       FROM ch GROUP BY word, cnt)"""]
+    for r in range(n_merges):
+        blocks.append(f"""
+tk{r} AS (SELECT cnt,
+          string_split(substring(s, 2, length(s) - 2), '><') AS l
+          FROM s{r}),
+ti{r} AS (SELECT cnt, l,
+          unnest(generate_series(0, len(l) - 2)) AS i FROM tk{r}),
+pc{r} AS (SELECT l[i + 1] AS u, l[i + 2] AS v, SUM(cnt) AS c
+          FROM ti{r} GROUP BY u, v),
+m{r} AS (SELECT u, v, c FROM pc{r} ORDER BY c DESC, u ASC, v ASC LIMIT 1),
+s{r + 1} AS (SELECT word, cnt,
+    replace(s, COALESCE((SELECT '<' || u || '><' || v || '>' FROM m{r}),
+                        chr(1)),
+               COALESCE((SELECT '<' || u || v || '>' FROM m{r}),
+                        chr(1))) AS s
+    FROM s{r})""")
+    blocks.append(f"""
+wt AS (SELECT word, CAST(length(s) - length(replace(s, '>', ''))
+                         AS BIGINT) AS ntok FROM s{n_merges}),
+dw AS (SELECT doc_id, w AS word
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM {table}) t WHERE w <> '')""")
+    return ",".join(blocks) + f"""
+SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.ntok) AS BIGINT) AS n_tokens
+FROM dw JOIN wt USING (word)
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+
+
 def kmv_overlap_sql(k: int = 64, key_col: str = "event_type",
                     id_col: str = "user_id", table: str = "events") -> str:
     """sketches.kmv_overlap twin: recompute the k-minimum splitmix64

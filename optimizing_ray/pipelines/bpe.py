@@ -47,7 +47,7 @@ import ray.data as rd
 
 from optimizing_ray.config import resolve_shards
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_merges", "bpe_encode"]
 
 _MERGE_SCHEMA = pa.schema([
     ("merge_rank", pa.int64()), ("lhs", pa.string()),
@@ -155,7 +155,9 @@ def _word_count_ds(docs: rd.Dataset, text_col: str,
 
 
 def _merge_loop_local(words: pa.Array, cnts: np.ndarray,
-                      n_merges: int) -> pa.Table:
+                      n_merges: int) -> tuple[pa.Table, pa.Array]:
+    """Returns (merge table, final per-word streams) — the learning
+    sweep's last replace pass already encodes the vocabulary."""
     streams = _streams_from_words(words)
     ranks, lhs, rhs, pcnt = [], [], [], []
     for r in range(n_merges):
@@ -171,20 +173,26 @@ def _merge_loop_local(words: pa.Array, cnts: np.ndarray,
             streams, pattern=f"<{u}><{v}>", replacement=f"<{u}{v}>")
         if isinstance(streams, pa.ChunkedArray):
             streams = streams.combine_chunks()
-    return pa.table({"merge_rank": pa.array(ranks, pa.int64()),
-                     "lhs": pa.array(lhs, pa.string()),
-                     "rhs": pa.array(rhs, pa.string()),
-                     "pair_count": pa.array(pcnt, pa.int64())})
+    table = pa.table({"merge_rank": pa.array(ranks, pa.int64()),
+                      "lhs": pa.array(lhs, pa.string()),
+                      "rhs": pa.array(rhs, pa.string()),
+                      "pair_count": pa.array(pcnt, pa.int64())})
+    return table, streams
 
 
 def _merge_loop_distributed(vocab: rd.Dataset, n_merges: int,
-                            n_shards: int) -> pa.Table:
-    stream_schema = pa.schema([("s", pa.string()), ("cnt", pa.int64())])
+                            n_shards: int) -> tuple[pa.Table, rd.Dataset]:
+    """Returns (merge table, final (word, s, cnt) streams Dataset) —
+    the per-round broadcast replace leaves the encoded vocabulary
+    materialized for free."""
+    stream_schema = pa.schema([("word", pa.string()), ("s", pa.string()),
+                               ("cnt", pa.int64())])
 
     def to_streams(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "word" not in t.column_names:
             return stream_schema.empty_table()
-        return pa.table({"s": _streams_from_words(t["word"]),
+        return pa.table({"word": t["word"],
+                         "s": _streams_from_words(t["word"]),
                          "cnt": t["cnt"]})
 
     streams = vocab.map_batches(to_streams, batch_format="pyarrow",
@@ -250,14 +258,15 @@ def _merge_loop_distributed(vocab: rd.Dataset, n_merges: int,
             if t.num_rows == 0 or "s" not in t.column_names:
                 return stream_schema.empty_table()
             s = pc.replace_substring(t["s"], pattern=pat, replacement=rep)
-            return pa.table({"s": s, "cnt": t["cnt"]})
+            return pa.table({"word": t["word"], "s": s, "cnt": t["cnt"]})
 
         streams = streams.map_batches(apply_merge, batch_format="pyarrow",
                                       zero_copy_batch=True).materialize()
-    return pa.table({"merge_rank": pa.array(ranks, pa.int64()),
-                     "lhs": pa.array(lhs, pa.string()),
-                     "rhs": pa.array(rhs, pa.string()),
-                     "pair_count": pa.array(pcnt, pa.int64())})
+    table = pa.table({"merge_rank": pa.array(ranks, pa.int64()),
+                      "lhs": pa.array(lhs, pa.string()),
+                      "rhs": pa.array(rhs, pa.string()),
+                      "pair_count": pa.array(pcnt, pa.int64())})
+    return table, streams
 
 
 def bpe_merges(docs: rd.Dataset, *, text_col: str = "text",
@@ -278,5 +287,197 @@ def bpe_merges(docs: rd.Dataset, *, text_col: str = "text",
         words = (words.combine_chunks()
                  if isinstance(words, pa.ChunkedArray) else words)
         return _merge_loop_local(words.cast(pa.string()),
-                                 vt["cnt"].to_numpy(), n_merges)
-    return _merge_loop_distributed(vocab, n_merges, n_shards)
+                                 vt["cnt"].to_numpy(), n_merges)[0]
+    return _merge_loop_distributed(vocab, n_merges, n_shards)[0]
+
+
+def _stream_tok_counts(streams: pa.Array) -> np.ndarray:
+    """Tokens per guard-wrapped stream = count of '>' (0 for '')."""
+    return pc.count_substring(streams, ">").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
+_ENC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                         ("n_tokens", pa.int64())])
+
+
+def bpe_encode(docs: rd.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id", n_merges: int = 6,
+               n_shards: int | None = None,
+               broadcast_threshold: int = 2_000_000) -> pa.Table:
+    """Train-then-apply: learn ``n_merges`` BPE merges from the corpus
+    (exactly ``bpe_merges``), then tokenize every document with the
+    learned table.  Output per doc with >= 1 non-empty word:
+    (doc_id, n_words, n_tokens) where n_tokens is the post-merge token
+    count — the real-tokenizer sequence-length estimator of a
+    pack/mix/curriculum pipeline.
+
+    The encode pass never re-touches corpus bytes: merges apply to the
+    DISTINCT-WORD streams the learning sweep already encoded, and docs
+    need only a word -> token-count lookup.  Plans: vocabulary within
+    ``broadcast_threshold`` -> broadcast a sorted (word, ntok) map and
+    fold per doc in one corpus pass (zero extra exchanges); above it ->
+    (doc, word) occurrence partials meet the encoded vocab on ONE
+    hash(word) exchange, then ONE hash(doc) exchange sums.  SQL twin
+    ``oracle.bpe_encode_sql`` replays the merge chain per distinct word
+    and joins docs back on the word string."""
+    n_shards = resolve_shards(n_shards)
+    vocab = _word_count_ds(docs, text_col, n_shards).materialize()
+    occ_schema = pa.schema([("word", pa.string()), ("doc", pa.int64()),
+                            ("occ", pa.int64()), ("_shard", pa.int64())])
+
+    def doc_word_occ(t: pa.Table) -> pa.Table:
+        """(word, doc, occurrence count) in-batch fold (postings shape)."""
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return occ_schema.empty_table()
+        ls = pc.split_pattern(t[text_col], " ")
+        ls = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+        flat = pc.list_flatten(ls)
+        words = flat.to_numpy(zero_copy_only=False)
+        offs = np.asarray(ls.offsets, dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64),
+                        np.diff(offs))
+        keep = words != ""
+        words, seg = words[keep], seg[keep]
+        if len(words) == 0:
+            return occ_schema.empty_table()
+        order = np.lexsort((words, seg))
+        ws, ss = words[order], seg[order]
+        runs = np.flatnonzero(np.r_[True, (ws[1:] != ws[:-1])
+                                    | (ss[1:] != ss[:-1])])
+        occ = np.diff(np.r_[runs, len(ws)]).astype(np.int64)
+        uw = ws[runs]
+        h = pd.util.hash_pandas_object(pd.Series(uw), index=False).to_numpy()
+        return pa.table({"word": pa.array(uw.astype(str)),
+                         "doc": pa.array(ids[ss[runs]]),
+                         "occ": pa.array(occ),
+                         "_shard": pa.array((h % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    if vocab.count() <= broadcast_threshold:
+        vt = pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False)
+        if vt.num_rows == 0 or "word" not in vt.column_names:
+            return _ENC_SCHEMA.empty_table()
+        words = vt["word"]
+        words = (words.combine_chunks()
+                 if isinstance(words, pa.ChunkedArray) else words)
+        words = words.cast(pa.string())
+        _, streams = _merge_loop_local(words, vt["cnt"].to_numpy(),
+                                       n_merges)
+        warr = words.to_numpy(zero_copy_only=False)
+        order = np.argsort(warr)
+        wsorted = warr[order]
+        ntok = _stream_tok_counts(streams)[order]
+        import ray
+
+        ref = ray.put((wsorted, ntok))
+
+        def fold_docs(t: pa.Table) -> pa.Table:
+            from optimizing_ray.broadcast import cached
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return _ENC_SCHEMA.empty_table()
+            ws, nt = cached(("bpe_enc", ref.hex()), lambda: ray.get(ref))
+            lt = doc_word_occ(t)
+            if lt.num_rows == 0:
+                return _ENC_SCHEMA.empty_table()
+            w = lt["word"].to_numpy(zero_copy_only=False)
+            doc = lt["doc"].to_numpy(zero_copy_only=False)
+            occ = lt["occ"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ws, w)  # every corpus word is in vocab
+            toks = occ * nt[pos]
+            runs = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+            return pa.table({
+                "doc_id": pa.array(doc[runs]),
+                "n_words": pa.array(np.add.reduceat(occ, runs)),
+                "n_tokens": pa.array(np.add.reduceat(toks, runs))})
+
+        out = (docs.map_batches(fold_docs, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas())
+        if len(out) == 0:
+            return _ENC_SCHEMA.empty_table()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=_ENC_SCHEMA)
+
+    _, streams = _merge_loop_distributed(vocab, n_merges, n_shards)
+    side_schema = pa.schema([("word", pa.string()), ("doc", pa.int64()),
+                             ("occ", pa.int64()), ("ntok", pa.int64()),
+                             ("_shard", pa.int64())])
+
+    def occ_leg(t: pa.Table) -> pa.Table:
+        lt = doc_word_occ(t)
+        return pa.table({"word": lt["word"], "doc": lt["doc"],
+                         "occ": lt["occ"],
+                         "ntok": pa.array(
+                             np.full(lt.num_rows, -1, np.int64)),
+                         "_shard": lt["_shard"]})
+
+    def vocab_leg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "word" not in t.column_names:
+            return side_schema.empty_table()
+        s = t["s"]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        ntok = _stream_tok_counts(s)
+        w = t["word"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(pd.Series(w), index=False).to_numpy()
+        return pa.table({"word": t["word"],
+                         "doc": pa.array(np.full(len(w), -1, np.int64)),
+                         "occ": pa.array(np.zeros(len(w), np.int64)),
+                         "ntok": pa.array(ntok),
+                         "_shard": pa.array((h % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.int64),
+            "tk": pd.Series([], dtype=np.int64),
+            "_s2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        vm = g[g["ntok"] >= 0]
+        oc = g[g["ntok"] < 0]
+        if len(vm) == 0 or len(oc) == 0:
+            return empty
+        m = oc.merge(vm[["word", "ntok"]], on="word", how="inner",
+                     suffixes=("", "_v"))
+        if len(m) == 0:
+            return empty
+        doc = m["doc"].to_numpy(np.int64)
+        occ = m["occ"].to_numpy(np.int64)
+        toks = occ * m["ntok_v"].to_numpy(np.int64)
+        agg = pd.DataFrame({"doc": doc, "w": occ, "tk": toks}).groupby(
+            "doc", sort=False).sum().reset_index()
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            sh = (agg["doc"].to_numpy(np.int64).astype(np.uint64)
+                  * gold) >> np.uint64(33)
+        agg["_s2"] = (sh % np.uint64(n_shards)).astype(np.int64)
+        return agg
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_words": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        agg = g.groupby("doc", sort=False)[["w", "tk"]].sum().reset_index()
+        return pd.DataFrame({"doc_id": agg["doc"].astype(np.int64),
+                             "n_words": agg["w"].astype(np.int64),
+                             "n_tokens": agg["tk"].astype(np.int64)})
+
+    occ_ds = docs.map_batches(occ_leg, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    voc_ds = streams.map_batches(vocab_leg, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = (occ_ds.union(voc_ds)
+           .groupby("_shard").map_groups(join_shard, batch_format="pandas")
+           .groupby("_s2").map_groups(doc_fold, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "doc_id" not in out.columns:
+        return _ENC_SCHEMA.empty_table()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=_ENC_SCHEMA)

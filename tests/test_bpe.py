@@ -11,7 +11,7 @@ import ray.data as rd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from optimizing_ray.pipelines.bpe import bpe_merges
+from optimizing_ray.pipelines.bpe import bpe_encode, bpe_merges
 
 
 def brute_bpe(texts, n_merges):
@@ -84,3 +84,60 @@ def test_bpe_plans_agree(ray_session):
     assert loc.equals(dist)
     assert list(loc.itertuples(index=False, name=None)) == \
         brute_bpe(texts, 5)
+
+
+def brute_encode(texts, n_merges):
+    """Apply brute_bpe's learned merges: per doc (doc_id, n_words,
+    n_tokens) over non-empty words; docs with no words absent."""
+    merges = brute_bpe(texts, n_merges)
+    out = []
+    for doc_id, text in enumerate(texts):
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            continue
+        n_tok = 0
+        for w in words:
+            t = list(w)
+            for _, u, v, _c in merges:
+                nt, i = [], 0
+                while i < len(t):
+                    if i < len(t) - 1 and t[i] == u and t[i + 1] == v:
+                        nt.append(u + v)
+                        i += 2
+                    else:
+                        nt.append(t[i])
+                        i += 1
+                t = nt
+            n_tok += len(t)
+        out.append((doc_id, len(words), n_tok))
+    return out
+
+
+def test_bpe_encode_matches_brute(ray_session):
+    for texts in CASES + [["", "ab ab", ""]]:
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = list(bpe_encode(rd.from_arrow(t), n_merges=6).to_pandas()
+                   .itertuples(index=False, name=None))
+        assert got == brute_encode(texts, 6), texts
+
+
+def test_bpe_encode_plans_agree(ray_session):
+    texts = ["abab abab aaa xyz xy", "aaaaa abab ra low lower",
+             "low low newest widest"] * 30
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}).combine_chunks()
+    ds = rd.from_arrow(t).repartition(3)
+    loc = bpe_encode(ds, n_merges=5).to_pandas()
+    dist = bpe_encode(ds, n_merges=5, broadcast_threshold=0).to_pandas()
+    assert loc.equals(dist)
+    assert list(loc.itertuples(index=False, name=None)) == \
+        brute_encode(texts, 5)
+
+
+def test_bpe_encode_empty_corpus(ray_session):
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([""])})
+    out = bpe_encode(rd.from_arrow(t), n_merges=3).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_words", "n_tokens"]

@@ -273,6 +273,9 @@ SQL_NAMES = [
     # round 4 wave 15: ranked TF-IDF retrieval over the posting store
     # (integer BM25-idf weights, per-shard top-k over disjoint docs)
     "ranked_search",
+    # round 4 wave 15: BPE train-then-apply tokenization (per-doc
+    # post-merge token counts; SQL replays the merge chain per word)
+    "bpe_encode",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
