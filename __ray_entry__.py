@@ -2266,6 +2266,27 @@ def _q_embedding_knn_graph_ivf(sf_dir: str):
     return ann.embedding_knn_graph_ivf(emb, seeds, k=5, n_probe=KMEANS_K)
 
 
+def _q_ann_recall(sf_dir: str):
+    """ANN quality gate: recall@k histogram of the PRUNED-probe IVF kNN
+    graph (n_probe=2 of 8 cells — genuinely approximate) against the
+    exact graph; both cut sets deterministic under the (d2, id) order,
+    so the SQL replay verifies the approximate op exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    seeds = cluster.quantize_embeddings(qt["embedding"].take(pa.array(order)))
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    return ann.ivf_recall(emb, seeds, k=5, n_probe=2)
+
+
 def _q_image_dhash(sf_dir: str):
     """Perceptual difference-hash per image span (the image-dedup
     primitive): real PNG decode -> 9x8 integer-gray grid -> 64
@@ -2507,6 +2528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: BPE train-then-apply tokenization (per-doc post-merge
         # token counts) — born past-cap, contract-pytest-oracled
         "bpe_encode": _q_bpe_encode,
+        # wave 15: pruned-probe IVF recall@k audit vs the exact graph —
+        # born past-cap, contract-pytest-oracled
+        "ann_recall": _q_ann_recall,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2719,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": oracle.semantic_decontaminate_sql(
             PLANT_MOD, plant_offset=PLANT_OFFSET),
         "embedding_knn_graph_ivf": oracle.embedding_knn_graph_sql(5),
+        "ann_recall": oracle.ann_recall_sql(5, 2, KMEANS_K),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -2642,6 +2642,64 @@ FROM r WHERE rn <= {k}
 """
 
 
+def ann_recall_sql(k: int = 5, n_probe: int = 2, n_seeds: int = 8,
+                   scale: int = 1024, table: str = "embeddings") -> str:
+    """ann.ivf_recall twin: replay the one-step kmeans centroids
+    (assign-to-seed argmin under (d2, seed), per-cluster floor-division
+    means via the mod-adjust), the engine's own-cell / probe-cell
+    selection ((d2, cell) row_number), the pruned-candidate top-k cut,
+    the exact top-k cut, and the per-vector intersection histogram —
+    every step integer-exact, so the approximate-by-design IVF recall
+    is deterministically verifiable."""
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+           AS q
+  FROM {table}),
+sd AS (SELECT vec_id AS c, pos, q FROM eq WHERE vec_id < {n_seeds}),
+ad AS (SELECT e.vec_id AS v, s.c AS c,
+              sum((e.q - s.q) * (e.q - s.q)) AS d2
+       FROM eq e JOIN sd s ON s.pos = e.pos
+       GROUP BY e.vec_id, s.c),
+a0 AS (SELECT v, c FROM (SELECT v, c, row_number() OVER
+         (PARTITION BY v ORDER BY d2, c) AS rn FROM ad) WHERE rn = 1),
+cn AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a0 GROUP BY c),
+cs AS (SELECT a0.c AS c, e.pos AS pos, sum(e.q) AS s
+       FROM a0 JOIN eq e ON e.vec_id = a0.v GROUP BY a0.c, e.pos),
+ct AS (SELECT cs.c AS c, cs.pos AS pos,
+              CAST((cs.s - (((cs.s % cn.n) + cn.n) % cn.n)) / cn.n
+                   AS BIGINT) AS cq
+       FROM cs JOIN cn ON cn.c = cs.c),
+vc AS (SELECT e.vec_id AS v, ct.c AS c,
+              sum((e.q - ct.cq) * (e.q - ct.cq)) AS d2
+       FROM eq e JOIN ct ON ct.pos = e.pos
+       GROUP BY e.vec_id, ct.c),
+vr AS (SELECT v, c, row_number() OVER
+         (PARTITION BY v ORDER BY d2, c) AS rn FROM vc),
+own AS (SELECT v, c FROM vr WHERE rn = 1),
+prb AS (SELECT v, c FROM vr WHERE rn <= {n_probe}),
+dall AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                sum((a.q - b.q) * (a.q - b.q)) AS d2
+         FROM eq a JOIN eq b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+cand AS (SELECT d.va, d.vb, d.d2 FROM dall d
+         JOIN prb p ON p.v = d.va
+         JOIN own o ON o.v = d.vb AND o.c = p.c),
+appr AS (SELECT va, vb FROM (SELECT va, vb, row_number() OVER
+           (PARTITION BY va ORDER BY d2, vb) AS rn FROM cand)
+         WHERE rn <= {k}),
+exct AS (SELECT va, vb FROM (SELECT va, vb, row_number() OVER
+           (PARTITION BY va ORDER BY d2, vb) AS rn FROM dall)
+         WHERE rn <= {k}),
+hv AS (SELECT x.va AS v, count(a.vb) AS h
+       FROM exct x LEFT JOIN appr a ON a.va = x.va AND a.vb = x.vb
+       GROUP BY x.va)
+SELECT CAST(h AS BIGINT) AS n_hits, CAST(count(*) AS BIGINT) AS n_vectors
+FROM hv GROUP BY h ORDER BY n_hits"""
+
+
 def knn_classify_sql(k: int = 5, holdout_mod: int = 5,
                      holdout_rem: int = 0, scale: int = 1024,
                      table: str = "embeddings") -> str:

@@ -18,6 +18,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["embedding_knn_graph", "embedding_knn_graph_ivf",
+           "ivf_recall",
            "knn_classify", "random_projection",
            "semantic_decontaminate",
            "brute_topk", "ivf_topk", "build_ivf_index", "query_ivf_index",
@@ -1135,3 +1136,95 @@ def random_projection(emb: rd.Dataset, *, out_dim: int = 16,
 
     return emb.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def ivf_recall(emb: rd.Dataset, seeds: np.ndarray, *, k: int = 5,
+               n_probe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 1024,
+               n_shards: int | None = None) -> pa.Table:
+    """Recall@k audit of the pruned-probe IVF kNN graph against the
+    exact graph — the ANN quality gate a similarity-search deployment
+    runs before trusting an index: per vector, how many of its k TRUE
+    nearest neighbors (``embedding_knn_graph``) the approximate
+    ``embedding_knn_graph_ivf`` at ``n_probe`` probes recovered.
+    Output the bounded histogram (n_hits, n_vectors), n_hits in
+    [0, k], ordered by n_hits — only occurring values emitted.
+
+    Both graphs use the quantized-int64 (d2, neighbor_id) total order,
+    so the rank <= k cut sets are deterministic and the histogram is
+    bit-identical to the SQL twin ``oracle.ann_recall_sql`` (which
+    replays the kmeans_step centroids, the (d2, cell) own/probe
+    selection, and both row_number cuts).  Plan: side-tag the two
+    graphs' (vec, neighbor) edges onto ONE hash(vec) exchange (a
+    vector's exact and approximate edge sets co-locate), fold the
+    per-shard intersection counts into k+1-row partial histograms,
+    and sum <= shards x (k+1) rows driver-side."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    exact = embedding_knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col,
+                                scale=scale)
+    approx = embedding_knn_graph_ivf(emb, seeds, k=k, n_probe=n_probe,
+                                     id_col=id_col, vec_col=vec_col,
+                                     scale=scale)
+    leg_schema = pa.schema([("v", pa.int64()), ("nb", pa.int64()),
+                            ("side", pa.int8()), ("_shard", pa.int64())])
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or id_col not in t.column_names:
+                return leg_schema.empty_table()
+            v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = t["neighbor_id"].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                sh = (v.astype(np.uint64) * gold) >> np.uint64(33)
+            return pa.table({
+                "v": pa.array(v), "nb": pa.array(nb.astype(np.int64)),
+                "side": pa.array(np.full(len(v), side, np.int8)),
+                "_shard": pa.array((sh % np.uint64(n_shards))
+                                   .astype(np.int64))})
+        return f
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"n_hits": pd.Series([], dtype=np.int64),
+                              "n_vectors": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        v = g["v"].to_numpy(np.int64)
+        nb = g["nb"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        order = np.lexsort((side, nb, v))
+        v, nb, side = v[order], nb[order], side[order]
+        # edge sets are duplicate-free per side, so an intersected pair
+        # is exactly two adjacent rows with sides (0, 1)
+        hit = (v[:-1] == v[1:]) & (nb[:-1] == nb[1:]) \
+            & (side[:-1] == 0) & (side[1:] == 1)
+        uv = np.unique(v[side == 0])
+        hits_per = np.zeros(len(uv), dtype=np.int64)
+        if hit.any():
+            hv, hc = np.unique(v[:-1][hit], return_counts=True)
+            hits_per[np.searchsorted(uv, hv)] = hc
+        counts = np.bincount(hits_per, minlength=k + 1)
+        occ = np.flatnonzero(counts)
+        return pd.DataFrame({"n_hits": occ.astype(np.int64),
+                             "n_vectors": counts[occ].astype(np.int64)})
+
+    parts = (exact.map_batches(tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .union(approx.map_batches(tag(1), batch_format="pyarrow",
+                                       zero_copy_batch=True))
+             .groupby("_shard").map_groups(shard_hist,
+                                           batch_format="pandas")
+             .to_pandas())
+    out_schema = pa.schema([("n_hits", pa.int64()),
+                            ("n_vectors", pa.int64())])
+    if len(parts) == 0 or "n_hits" not in parts.columns:
+        return out_schema.empty_table()
+    agg = (parts.groupby("n_hits", sort=True)["n_vectors"].sum()
+           .reset_index())
+    return pa.table({"n_hits": pa.array(agg["n_hits"].to_numpy(np.int64)),
+                     "n_vectors": pa.array(
+                         agg["n_vectors"].to_numpy(np.int64))})

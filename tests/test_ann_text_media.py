@@ -327,6 +327,39 @@ def test_embedding_knn_graph_ivf_full_probe_equals_brute(ray_session):
     assert len(bset & oset) / len(bset) > 0.6
 
 
+def test_ivf_recall_histogram(ray_session):
+    """The recall histogram equals the driver-side intersection of the
+    two (independently brute-verified) graphs; full probe puts every
+    vector at n_hits=k; counts total the corpus."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import ann as A
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(scale=0.4, size=(120, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    seeds = np.floor(vecs[:6].astype(np.float64) * 1024).astype(np.int64)
+    k = 4
+
+    got = A.ivf_recall(rd.from_arrow(t), seeds, k=k,
+                       n_probe=2).to_pandas()
+    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=k)
+             .to_pandas())
+    appr = (A.embedding_knn_graph_ivf(rd.from_arrow(t), seeds, k=k,
+                                      n_probe=2).to_pandas())
+    bset = set(map(tuple, brute[["vec_id", "neighbor_id"]].values))
+    aset = set(map(tuple, appr[["vec_id", "neighbor_id"]].values))
+    from collections import Counter
+    per_vec = Counter(v for v, _ in bset & aset)
+    want = Counter(per_vec.get(v, 0) for v in range(120))
+    assert dict(zip(got["n_hits"], got["n_vectors"])) == dict(want)
+    assert got["n_vectors"].sum() == 120
+
+    full = A.ivf_recall(rd.from_arrow(t), seeds, k=k,
+                        n_probe=6).to_pandas()
+    assert list(full.itertuples(index=False, name=None)) == [(k, 120)]
+
+
 def test_knn_classify_majority_and_ties(ray_session):
     """Planted geometry: queries sit on top of known-label clusters;
     a vote tie breaks to the smallest label."""

@@ -276,6 +276,9 @@ SQL_NAMES = [
     # round 4 wave 15: BPE train-then-apply tokenization (per-doc
     # post-merge token counts; SQL replays the merge chain per word)
     "bpe_encode",
+    # round 4 wave 15: pruned-probe IVF recall@k audit — the SQL replay
+    # of centroids + probe selection makes the approximate op exact
+    "ann_recall",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
