@@ -2266,6 +2266,18 @@ def _q_embedding_knn_graph_ivf(sf_dir: str):
     return ann.embedding_knn_graph_ivf(emb, seeds, k=5, n_probe=KMEANS_K)
 
 
+def _q_focal_stats(sf_dir: str):
+    """3x3 focal (neighborhood) tile statistics — the raster hotspot
+    primitive: per occupied tile its count, the in-grid Chebyshev-1
+    neighborhood count sum, and the geometric neighborhood size; ONE
+    hash(target) stencil exchange (partials stencil before totalling
+    — focal sums are linear)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.raster import focal_stats
+
+    return focal_stats(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
 def _q_ann_recall(sf_dir: str):
     """ANN quality gate: recall@k histogram of the PRUNED-probe IVF kNN
     graph (n_probe=2 of 8 cells — genuinely approximate) against the
@@ -2531,6 +2543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: pruned-probe IVF recall@k audit vs the exact graph —
         # born past-cap, contract-pytest-oracled
         "ann_recall": _q_ann_recall,
+        # wave 15: 3x3 focal tile statistics (raster hotspot stencil) —
+        # born past-cap, contract-pytest-oracled
+        "focal_stats": _q_focal_stats,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2744,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
             PLANT_MOD, plant_offset=PLANT_OFFSET),
         "embedding_knn_graph_ivf": oracle.embedding_knn_graph_sql(5),
         "ann_recall": oracle.ann_recall_sql(5, 2, KMEANS_K),
+        "focal_stats": oracle.focal_stats_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

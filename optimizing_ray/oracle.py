@@ -101,6 +101,43 @@ GROUP BY mkey
 """
 
 
+def focal_stats_sql(depth: int, world: World = DRIVER_WORLD,
+                    table: str = "documents") -> str:
+    """raster.focal_stats twin: per-cell counts, a 9-offset cross join
+    with the bounds filter in WHERE (precomputed jx/jy CTE — the
+    range-join-assertion-safe shape), COALESCE'd neighbor sum (self
+    always matches, so never NULL), n_cells = count of in-grid
+    offsets, Morton key attached to the center cell."""
+    wx, wy, _ = world.size
+    n = 1 << depth
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1))
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+        FROM cellidx GROUP BY ix, iy),
+off AS (SELECT * FROM (VALUES {offs}) t(dx, dy)),
+ce AS (SELECT c.ix, c.iy, c.n, c.ix + o.dx AS jx, c.iy + o.dy AS jy
+       FROM cnt c, off o),
+cef AS (SELECT * FROM ce
+        WHERE jx BETWEEN 0 AND {n - 1} AND jy BETWEEN 0 AND {n - 1}),
+fc AS (SELECT cef.ix AS ix, cef.iy AS iy, cef.n AS n,
+              COALESCE(SUM(nb.n), 0) AS focal,
+              CAST(count(*) AS BIGINT) AS ncells
+       FROM cef LEFT JOIN cnt nb ON nb.ix = cef.jx AND nb.iy = cef.jy
+       GROUP BY cef.ix, cef.iy, cef.n),
+{morton_ctes('fc', depth, carry='n, focal, ncells')}
+SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs,
+       CAST(focal AS BIGINT) AS focal_docs, ncells AS n_cells
+FROM mz ORDER BY cell_key"""
+
+
 def driver_queries_cte(nq: int, world: World = DRIVER_WORLD) -> str:
     """SQL twin of ``driver_tables.driver_queries``."""
     wx, wy, _ = world.size

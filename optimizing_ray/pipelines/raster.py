@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid"]
+           "shade", "idw_grid", "focal_stats"]
 
 
 class _NearestDoc:
@@ -328,3 +328,108 @@ def shade(pixel_rays: rd.Dataset | pa.Table, scene: dict, *,
 
     return pixel_rays.map_batches(shade_batch, batch_format="pyarrow",
                                   zero_copy_batch=True)
+
+
+def focal_stats(docs, *, depth: int, world: World,
+                x_col: str = "x", y_col: str = "y",
+                n_shards: int | None = None) -> pa.Table:
+    """3x3 focal (neighborhood) statistics over the Morton tile grid —
+    the raster hotspot/smoothing primitive (the Getis-Ord Gi* integer
+    numerator): per OCCUPIED tile, its own point count, the sum of
+    counts over the in-grid Chebyshev-1 neighborhood (incl. self), and
+    the neighborhood's geometric cell count (9 interior, 6 edge, 4
+    corner) — all integer-exact.
+
+    Plan: assign points to tiles, fold per-batch partial counts, then
+    each partial EMITS itself to its <= 9 in-grid neighbor targets
+    (the MR stencil: focal sums are linear, so partials stencil before
+    totalling) plus one occupancy row to itself — ONE hash(target)
+    exchange folds (n, focal) per target; per-shard output is complete
+    (a target's contributions co-locate) and the driver concat is
+    bounded by occupied cells <= 4^depth.  SQL twin
+    ``oracle.focal_stats_sql`` (offsets cross join + equi LEFT join,
+    the range-join-assertion-safe shape).
+
+    Reference parity: the neighborhood load of
+    ``WorldPartition.hpp:196-212`` (ring-1 cell gather) turned into an
+    aggregate — cited for role, not ported."""
+    import pandas as pd
+
+    from optimizing_ray.cells import decode2, encode2
+    from optimizing_ray.config import resolve_shards
+    from optimizing_ray.stages.assign import assign_tiles
+
+    n_shards = resolve_shards(n_shards)
+    n = 1 << depth
+    ds = assign_tiles(docs, depth, world, x_col, y_col)
+    emit_schema = pa.schema([("tgt", pa.int64()), ("v", pa.int64()),
+                             ("side", pa.int8()), ("_shard", pa.int64())])
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell_key" not in t.column_names:
+            return emit_schema.empty_table()
+        uk, cnt = np.unique(t["cell_key"].to_numpy(), return_counts=True)
+        cnt = cnt.astype(np.int64)
+        _, ix, iy = decode2(uk.astype(np.uint64))
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        tgts = [uk.astype(np.int64)]
+        vals = [cnt]
+        sides = [np.zeros(len(uk), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = ix + dx, iy + dy
+                m = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                if not m.any():
+                    continue
+                k2 = encode2(nx[m].astype(np.uint64),
+                             ny[m].astype(np.uint64), depth)
+                tgts.append(k2.astype(np.int64))
+                vals.append(cnt[m])
+                sides.append(np.ones(int(m.sum()), np.int8))
+        tgt = np.concatenate(tgts)
+        with np.errstate(over="ignore"):
+            sh = (tgt.astype(np.uint64) * gold) >> np.uint64(33)
+        return pa.table({"tgt": pa.array(tgt),
+                         "v": pa.array(np.concatenate(vals)),
+                         "side": pa.array(np.concatenate(sides)),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cell_key": pd.Series([], dtype=np.int64),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "focal_docs": pd.Series([], dtype=np.int64),
+            "n_cells": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        tgt = g["tgt"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        ut, inv = np.unique(tgt, return_inverse=True)
+        own = np.zeros(len(ut), dtype=np.int64)
+        foc = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(own, inv[side == 0], v[side == 0])
+        np.add.at(foc, inv[side == 1], v[side == 1])
+        keep = own > 0  # occupied tiles only
+        ut, own, foc = ut[keep], own[keep], foc[keep]
+        _, ix, iy = decode2(ut.astype(np.uint64))
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        ncells = ((1 + (ix > 0) + (ix < n - 1))
+                  * (1 + (iy > 0) + (iy < n - 1))).astype(np.int64)
+        return pd.DataFrame({"cell_key": ut, "n_docs": own,
+                             "focal_docs": foc, "n_cells": ncells})
+
+    out = (ds.map_batches(emit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("_shard").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("focal_docs", pa.int64()), ("n_cells", pa.int64())])
+    if len(out) == 0 or "cell_key" not in out.columns:
+        return schema.empty_table()
+    out = out.sort_values("cell_key").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False, schema=schema)

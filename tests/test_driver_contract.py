@@ -279,6 +279,9 @@ SQL_NAMES = [
     # round 4 wave 15: pruned-probe IVF recall@k audit — the SQL replay
     # of centroids + probe selection makes the approximate op exact
     "ann_recall",
+    # round 4 wave 15: 3x3 focal tile statistics (the raster hotspot
+    # stencil; partials stencil before totalling)
+    "focal_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -181,3 +181,42 @@ def test_idw_grid_matches_brute(ray_session):
         n, ws, idw = rows[(r.px, r.py)]
         assert (r.n_docs, r.wsum) == (n, ws)
         assert r.idw == idw
+
+
+def test_focal_stats_matches_brute(ray_session):
+    """Stencil sums, border neighborhood sizes, occupied-only output —
+    against a direct numpy grid replay."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+
+    rng = np.random.default_rng(7)
+    depth = 3
+    n = 1 << depth
+    # cluster points into a few cells incl. corners and edges
+    xs = np.concatenate([rng.uniform(0, 100_000, 300),
+                         np.full(20, 10.0),            # corner (0, 0)
+                         np.full(15, 99_999.0)])       # corner (n-1, n-1)
+    ys = np.concatenate([rng.uniform(0, 100_000, 300),
+                         np.full(20, 10.0),
+                         np.full(15, 99_999.0)])
+    t = pa.table({"x": pa.array(xs), "y": pa.array(ys)})
+    got = raster.focal_stats(rd.from_arrow(t).repartition(4),
+                             depth=depth, world=WORLD_2D).to_pandas()
+
+    ix = np.clip((xs / 100_000.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip((ys / 100_000.0 * n).astype(np.int64), 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    _, gix, giy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    for row, cx, cy in zip(got.itertuples(index=False),
+                           gix.astype(np.int64).tolist(),
+                           giy.astype(np.int64).tolist()):
+        assert grid[cx, cy] == row.n_docs > 0
+        x0, x1 = max(0, cx - 1), min(n - 1, cx + 1)
+        y0, y1 = max(0, cy - 1), min(n - 1, cy + 1)
+        assert row.focal_docs == grid[x0:x1 + 1, y0:y1 + 1].sum()
+        assert row.n_cells == (x1 - x0 + 1) * (y1 - y0 + 1)
+    # every occupied cell is present
+    assert len(got) == (grid > 0).sum()
+    assert got["n_docs"].sum() == len(xs)
