@@ -2278,6 +2278,20 @@ def _q_focal_stats(sf_dir: str):
     return focal_stats(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_polygon_stats(sf_dir: str):
+    """ST_Area / ST_Centroid over the per-doc pentagons: shoelace
+    crosses and centroid numerators in ONE fixed float op order on
+    both sides (the geometry-derivation lockstep rule), micro-rounded
+    to integers.  Zero shuffles — a pure streaming map."""
+    from optimizing_ray.pipelines import poly_join
+    from optimizing_ray.sources import driver_tables
+
+    docs = _docs(sf_dir).map_batches(
+        driver_tables.derive_doc_polygons_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return poly_join.polygon_stats(docs)
+
+
 def _q_ann_recall(sf_dir: str):
     """ANN quality gate: recall@k histogram of the PRUNED-probe IVF kNN
     graph (n_probe=2 of 8 cells — genuinely approximate) against the
@@ -2546,6 +2560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: 3x3 focal tile statistics (raster hotspot stencil) —
         # born past-cap, contract-pytest-oracled
         "focal_stats": _q_focal_stats,
+        # wave 15: polygon shoelace area + centroid (float-lockstep
+        # micro-rounded) — born past-cap, contract-pytest-oracled
+        "polygon_stats": _q_polygon_stats,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2760,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_graph_ivf": oracle.embedding_knn_graph_sql(5),
         "ann_recall": oracle.ann_recall_sql(5, 2, KMEANS_K),
         "focal_stats": oracle.focal_stats_sql(DEPTH),
+        "polygon_stats": oracle.polygon_stats_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

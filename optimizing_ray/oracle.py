@@ -1541,6 +1541,41 @@ FROM yidx, LATERAL (SELECT unnest(generate_series(iylo, iyhi)) AS iy) u
 """
 
 
+def polygon_stats_sql(world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """poly_join.polygon_stats twin: the shoelace crosses, the
+    left-associated 5-term sums, the (xj + xj1) * cross_j centroid
+    numerators, and the nx / (3.0 * a2) division — every float op in
+    the exact engine order, micro-rounded with floor(v*1e6 + 0.5)."""
+    from optimizing_ray.sources.driver_tables import (
+        PENT_UX, PENT_UY, doc_polygon_scale_sql)
+    sc = doc_polygon_scale_sql()
+    vcols = ", ".join(
+        f"(x + sx * {PENT_UX[j]!r}) AS x{j}, "
+        f"(y + sy * {PENT_UY[j]!r}) AS y{j}" for j in range(5))
+    ccols = ", ".join(
+        f"(x{j} * y{(j + 1) % 5} - x{(j + 1) % 5} * y{j}) AS c{j}"
+        for j in range(5))
+    a2 = "((((c0 + c1) + c2) + c3) + c4)"
+    tx = [f"((x{j} + x{(j + 1) % 5}) * c{j})" for j in range(5)]
+    ty = [f"((y{j} + y{(j + 1) % 5}) * c{j})" for j in range(5)]
+    nx = f"(((({tx[0]} + {tx[1]}) + {tx[2]}) + {tx[3]}) + {tx[4]})"
+    ny = f"(((({ty[0]} + {ty[1]}) + {ty[2]}) + {ty[3]}) + {ty[4]})"
+    return f"""
+WITH {geo_cte(table, world)},
+geo2 AS (SELECT doc_id, x, y, {sc['sx']} AS sx, {sc['sy']} AS sy FROM geo),
+v AS (SELECT doc_id, {vcols} FROM geo2),
+c AS (SELECT *, {ccols} FROM v),
+a AS (SELECT doc_id, {a2} AS a2, {nx} AS nx, {ny} AS ny FROM c)
+SELECT doc_id,
+       CAST(floor(a2 * 1000000.0 + 0.5) AS BIGINT) AS area2_micro,
+       CAST(floor((nx / (3.0 * a2)) * 1000000.0 + 0.5) AS BIGINT)
+         AS cx_micro,
+       CAST(floor((ny / (3.0 * a2)) * 1000000.0 + 0.5) AS BIGINT)
+         AS cy_micro
+FROM a ORDER BY doc_id"""
+
+
 def poly_overlap_join_sql(zones, world: World = DRIVER_WORLD,
                           table: str = "documents") -> str:
     """Convex polygon-polygon join twin (separating-axis theorem over

@@ -27,7 +27,60 @@ import ray.data as rd
 from optimizing_ray.pipelines.pip import compile_polygons
 from optimizing_ray.sources.driver_tables import PENT_UX, PENT_UY
 
-__all__ = ["poly_overlap_join", "polygon_cover", "polygon_cover_arrays"]
+__all__ = ["poly_overlap_join", "polygon_cover", "polygon_cover_arrays",
+           "polygon_stats"]
+
+
+def polygon_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
+                  micro: float = 1e6) -> rd.Dataset:
+    """Per-polygon shoelace area and area centroid — the vector-layer
+    measurement primitive (ST_Area / ST_Centroid over the per-doc
+    pentagons).  Output (doc_id, area2_micro, cx_micro, cy_micro):
+    twice the signed area (positive: the unit pentagon is CCW and
+    sx, sy > 0 preserve orientation) and the polygon centroid
+    Cx = sum (xj + xj1) * cross_j / (3 * A2), all micro-rounded with
+    floor(v * 1e6 + 0.5).
+
+    Float discipline: every term is evaluated in ONE FIXED op order
+    (left-associated sums over the 5 fixed vertices), identical to the
+    SQL expression of ``oracle.polygon_stats_sql`` — same IEEE ops in
+    the same order produce bit-identical float64, so the micro-rounded
+    integers match exactly (the geometry-derivation lockstep rule).
+    Zero shuffles: a pure streaming map over the corpus."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "area2_micro": pa.array([], pa.int64()),
+                          "cx_micro": pa.array([], pa.int64()),
+                          "cy_micro": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "sx" not in t.column_names:
+            return empty
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        vx = [x + sx * np.float64(u) for u in PENT_UX]
+        vy = [y + sy * np.float64(u) for u in PENT_UY]
+        cr = [vx[j] * vy[(j + 1) % 5] - vx[(j + 1) % 5] * vy[j]
+              for j in range(5)]
+        a2 = ((((cr[0] + cr[1]) + cr[2]) + cr[3]) + cr[4])
+        tx = [(vx[j] + vx[(j + 1) % 5]) * cr[j] for j in range(5)]
+        ty = [(vy[j] + vy[(j + 1) % 5]) * cr[j] for j in range(5)]
+        nx = ((((tx[0] + tx[1]) + tx[2]) + tx[3]) + tx[4])
+        ny = ((((ty[0] + ty[1]) + ty[2]) + ty[3]) + ty[4])
+        cx = nx / (3.0 * a2)
+        cy = ny / (3.0 * a2)
+        return pa.table({
+            id_col: t[id_col],
+            "area2_micro": pa.array(np.floor(a2 * micro + 0.5)
+                                    .astype(np.int64)),
+            "cx_micro": pa.array(np.floor(cx * micro + 0.5)
+                                 .astype(np.int64)),
+            "cy_micro": pa.array(np.floor(cy * micro + 0.5)
+                                 .astype(np.int64))})
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _sat_hits(vx: np.ndarray, vy: np.ndarray, zx: np.ndarray,

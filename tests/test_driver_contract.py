@@ -282,6 +282,9 @@ SQL_NAMES = [
     # round 4 wave 15: 3x3 focal tile statistics (the raster hotspot
     # stencil; partials stencil before totalling)
     "focal_stats",
+    # round 4 wave 15: polygon shoelace area + centroid (fixed-order
+    # float lockstep, micro-rounded)
+    "polygon_stats",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -73,3 +73,58 @@ def test_sat_join_containment_is_hit(ray_session):
                   "sx": pa.array([1.0]), "sy": pa.array([1.0])})
     got = poly_join.poly_overlap_join(rd.from_arrow(t), zones).to_pandas()
     assert (pid, 7) in set(map(tuple, got.values))
+
+
+def test_polygon_stats_area_and_centroid(ray_session):
+    """Shoelace math: area2 of the affinely scaled pentagon equals
+    sx*sy*unit_area2 (mathematical identity, checked at tolerance);
+    the centroid lies strictly inside the convex pentagon; integer
+    outputs replicate a fixed-order pure-Python float replay exactly."""
+    import math
+
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.poly_join import polygon_stats
+    from optimizing_ray.sources.driver_tables import (
+        PENT_UX, PENT_UY, derive_doc_polygons_batch)
+
+    rng = np.random.default_rng(11)
+    n = 64
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(rng.uniform(0, 100_000, n)),
+                  "y": pa.array(rng.uniform(0, 100_000, n))})
+    t = derive_doc_polygons_batch(t)
+    got = (polygon_stats(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    ua2 = sum(PENT_UX[j] * PENT_UY[(j + 1) % 5]
+              - PENT_UX[(j + 1) % 5] * PENT_UY[j] for j in range(5))
+    assert ua2 > 0  # unit pentagon is CCW
+    sx = t["sx"].to_numpy()
+    sy = t["sy"].to_numpy()
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    np.testing.assert_allclose(got["area2_micro"].to_numpy() / 1e6,
+                               sx * sy * ua2, rtol=1e-9)
+
+    # pure-Python fixed-order replay must match the integers exactly
+    for i in (0, 7, 63):
+        vx = [x[i] + sx[i] * u for u in PENT_UX]
+        vy = [y[i] + sy[i] * u for u in PENT_UY]
+        cr = [vx[j] * vy[(j + 1) % 5] - vx[(j + 1) % 5] * vy[j]
+              for j in range(5)]
+        a2 = ((((cr[0] + cr[1]) + cr[2]) + cr[3]) + cr[4])
+        tx = [(vx[j] + vx[(j + 1) % 5]) * cr[j] for j in range(5)]
+        ty = [(vy[j] + vy[(j + 1) % 5]) * cr[j] for j in range(5)]
+        nx = ((((tx[0] + tx[1]) + tx[2]) + tx[3]) + tx[4])
+        ny = ((((ty[0] + ty[1]) + ty[2]) + ty[3]) + ty[4])
+        assert got["area2_micro"][i] == math.floor(a2 * 1e6 + 0.5)
+        assert got["cx_micro"][i] == math.floor(nx / (3.0 * a2) * 1e6 + 0.5)
+        assert got["cy_micro"][i] == math.floor(ny / (3.0 * a2) * 1e6 + 0.5)
+        # centroid strictly inside the convex polygon: on the inner
+        # side of every CCW edge
+        cx, cy = nx / (3.0 * a2), ny / (3.0 * a2)
+        for j in range(5):
+            jx, jy = vx[j], vy[j]
+            kx, ky = vx[(j + 1) % 5], vy[(j + 1) % 5]
+            assert (kx - jx) * (cy - jy) - (ky - jy) * (cx - jx) > 0
