@@ -2278,6 +2278,20 @@ def _q_focal_stats(sf_dir: str):
     return focal_stats(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_hilbert_assign(sf_dir: str):
+    """Hilbert-curve cell keys (the locality-preserving layout
+    alternative to Morton — consecutive keys are always 4-adjacent
+    cells): per-bit rotate/reflect transform, vectorized over the
+    batch; zero shuffles."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.stages.assign import assign_hilbert_batch
+
+    return _docs(sf_dir).map_batches(
+        lambda t: assign_hilbert_batch(t, DEPTH, WORLD_2D)
+        .select(["doc_id", "cell_ix", "cell_iy", "hkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_polygon_stats(sf_dir: str):
     """ST_Area / ST_Centroid over the per-doc pentagons: shoelace
     crosses and centroid numerators in ONE fixed float op order on
@@ -2563,6 +2577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: polygon shoelace area + centroid (float-lockstep
         # micro-rounded) — born past-cap, contract-pytest-oracled
         "polygon_stats": _q_polygon_stats,
+        # wave 15: Hilbert-curve cell keys (fourth cell family) — born
+        # past-cap, contract-pytest-oracled
+        "hilbert_assign": _q_hilbert_assign,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2778,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": oracle.ann_recall_sql(5, 2, KMEANS_K),
         "focal_stats": oracle.focal_stats_sql(DEPTH),
         "polygon_stats": oracle.polygon_stats_sql(),
+        "hilbert_assign": oracle.hilbert_assign_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -384,6 +384,38 @@ def geohash(x, y, world: World, length: int = 8) -> np.ndarray:
     return out.view(f"S{length}").ravel().astype(str).reshape(code.shape)
 
 
+def hilbert_d(ix, iy, depth: int) -> np.ndarray:
+    """Hilbert-curve index of grid cell (ix, iy) on the 2^depth grid —
+    the locality-preserving alternative to Morton for range scans
+    (adjacent indices are ALWAYS 4-adjacent cells; Morton jumps).
+    The standard xy->d bit transform (one rotate/reflect step per bit,
+    MSB first), vectorized over the bit axis in pure integer
+    arithmetic — the quadrant digit is a CASE on (rx, ry), no XOR, so
+    the SQL twin (``oracle.hilbert_ctes``) unrolls the identical
+    steps."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(depth - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        # quadrant digit: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+        q = np.where(rx == 0, np.where(ry == 0, 0, 1),
+                     np.where(ry == 0, 3, 2)).astype(np.int64)
+        d += s * s * q
+        # keep only the sub-quadrant bits, rotated/reflected into the
+        # canonical orientation (masking first keeps s-1-x in range)
+        xl = x & (s - 1)
+        yl = y & (s - 1)
+        flip = (ry == 0) & (rx == 1)
+        nx = np.where(ry == 0, np.where(flip, s - 1 - yl, yl), xl)
+        ny = np.where(ry == 0, np.where(flip, s - 1 - xl, xl), yl)
+        x, y = nx, ny
+        s >>= 1
+    return d
+
+
 def grid_cell(x, z, cell_x: float = 255.0, cell_z: float = 255.0):
     """The reference's uniform world-partition grid key:
     ``(int(pos.x / size.x), int(pos.z / size.z))`` with C-style truncation

@@ -101,6 +101,50 @@ GROUP BY mkey
 """
 
 
+def hilbert_ctes(src_cte: str, depth: int, carry: str = "doc_id",
+                 ix: str = "ix", iy: str = "iy") -> str:
+    """CTE chain replaying ``cells.hilbert_d`` bit by bit (MSB first):
+    quadrant digit as a CASE on the two bit tests (no XOR), then the
+    masked rotate/reflect — final CTE ``hz`` carries ``hkey``."""
+    parts = [f"h0 AS (SELECT {carry}, CAST(0 AS BIGINT) AS hd, "
+             f"{ix} AS hx, {iy} AS hy FROM {src_cte})"]
+    prev = "h0"
+    for t, b in enumerate(range(depth - 1, -1, -1), start=1):
+        s = 1 << b
+        m = s - 1
+        parts.append(f"""h{t} AS (SELECT {carry},
+  hd + {s * s} * (CASE WHEN (hx & {s}) = 0 AND (hy & {s}) = 0 THEN 0
+                  WHEN (hx & {s}) = 0 THEN 1
+                  WHEN (hy & {s}) = 0 THEN 3 ELSE 2 END) AS hd,
+  CASE WHEN (hy & {s}) > 0 THEN (hx & {m})
+       WHEN (hx & {s}) > 0 THEN {m} - (hy & {m})
+       ELSE (hy & {m}) END AS hx,
+  CASE WHEN (hy & {s}) > 0 THEN (hy & {m})
+       WHEN (hx & {s}) > 0 THEN {m} - (hx & {m})
+       ELSE (hx & {m}) END AS hy
+  FROM {prev})""")
+        prev = f"h{t}"
+    parts.append(f"hz AS (SELECT {carry}, hd AS hkey FROM {prev})")
+    return ", ".join(parts)
+
+
+def hilbert_assign_sql(depth: int, world: World = DRIVER_WORLD,
+                       table: str = "documents") -> str:
+    """stages.assign.assign_hilbert_batch twin."""
+    wx, wy, _ = world.size
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+{hilbert_ctes('cellidx', depth, carry='doc_id, ix, iy')}
+SELECT doc_id, ix AS cell_ix, iy AS cell_iy, hkey
+FROM hz ORDER BY doc_id"""
+
+
 def focal_stats_sql(depth: int, world: World = DRIVER_WORLD,
                     table: str = "documents") -> str:
     """raster.focal_stats twin: per-cell counts, a 9-offset cross join

@@ -45,6 +45,30 @@ def assign_point_cells_batch(t: pa.Table, depth: int, world: World,
     return t.append_column(out_col, pa.array(key.astype(np.int64)))
 
 
+def assign_hilbert_batch(t: pa.Table, depth: int, world: World,
+                         x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Append (cell_ix, cell_iy, hkey): grid indices (the point_cell2
+    quantization) plus the Hilbert-curve index — the locality-
+    preserving layout key for range scans (``cells.hilbert_d``;
+    consecutive hkey are always 4-adjacent cells, unlike Morton).
+    SQL twin: ``oracle.hilbert_assign_sql`` unrolls the identical
+    per-bit rotate/reflect steps."""
+    if t.num_rows == 0 or x_col not in t.column_names:
+        t = t.append_column("cell_ix", pa.array([], pa.int64()))
+        t = t.append_column("cell_iy", pa.array([], pa.int64()))
+        return t.append_column("hkey", pa.array([], pa.int64()))
+    n = 1 << depth
+    wx, wy, _ = world.size
+    fx = (t[x_col].to_numpy(zero_copy_only=False) - world.min_x) / wx
+    fy = (t[y_col].to_numpy(zero_copy_only=False) - world.min_y) / wy
+    ix = np.clip((fx * n).astype(np.int64), 0, n - 1)
+    iy = np.clip((fy * n).astype(np.int64), 0, n - 1)
+    t = t.append_column("cell_ix", pa.array(ix))
+    t = t.append_column("cell_iy", pa.array(iy))
+    return t.append_column("hkey", pa.array(
+        cells.hilbert_d(ix, iy, depth)))
+
+
 def assign_tiles(ds: rd.Dataset, depth: int, world: World,
                  x_col: str = "x", y_col: str = "y",
                  out_col: str = "cell_key") -> rd.Dataset:

@@ -218,3 +218,40 @@ def test_geohash_known_bits():
                       np.asarray([0.0, 99_999.999]), WORLD_2D, 8)
     assert g[0] == "00000000"
     assert g[1] == "zzzzzzzz"
+
+
+def test_hilbert_d_matches_canonical_and_locality():
+    """hilbert_d equals the canonical per-bit xy2d transform, is a
+    bijection onto [0, 4^depth), and consecutive indices are always
+    4-adjacent cells (the locality property Morton lacks)."""
+    from optimizing_ray.cells import hilbert_d
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        got = hilbert_d(xs.ravel(), ys.ravel(), depth)
+        want = np.array([xy2d(n, int(x), int(y))
+                         for x, y in zip(xs.ravel(), ys.ravel())])
+        np.testing.assert_array_equal(got, want)
+        order = np.argsort(got)
+        np.testing.assert_array_equal(np.sort(got), np.arange(n * n))
+        dx = np.abs(np.diff(xs.ravel()[order]))
+        dy = np.abs(np.diff(ys.ravel()[order]))
+        assert ((dx + dy) == 1).all()

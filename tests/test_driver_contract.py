@@ -285,6 +285,9 @@ SQL_NAMES = [
     # round 4 wave 15: polygon shoelace area + centroid (fixed-order
     # float lockstep, micro-rounded)
     "polygon_stats",
+    # round 4 wave 15: Hilbert-curve cell keys (per-bit rotate/reflect
+    # unrolled in SQL)
+    "hilbert_assign",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
