@@ -2278,6 +2278,18 @@ def _q_focal_stats(sf_dir: str):
     return focal_stats(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_collocations(sf_dir: str):
+    """Collocation (phrase) mining: top-k adjacent word pairs by the
+    integer Dice score — two attach exchanges (hash(u) then hash(v))
+    with the min_count prune in-shard, per-shard top-k cuts, bounded
+    driver merge."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["text"])
+    return textops.collocations(docs, k=20, min_count=2)
+
+
 def _q_hilbert_assign(sf_dir: str):
     """Hilbert-curve cell keys (the locality-preserving layout
     alternative to Morton — consecutive keys are always 4-adjacent
@@ -2580,6 +2592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: Hilbert-curve cell keys (fourth cell family) — born
         # past-cap, contract-pytest-oracled
         "hilbert_assign": _q_hilbert_assign,
+        # wave 15: Dice-score collocation mining (tokenizer-prep phrase
+        # detection) — born past-cap, contract-pytest-oracled
+        "collocations": _q_collocations,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2796,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": oracle.focal_stats_sql(DEPTH),
         "polygon_stats": oracle.polygon_stats_sql(),
         "hilbert_assign": oracle.hilbert_assign_sql(DEPTH),
+        "collocations": oracle.collocations_sql(20, 2),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -2338,6 +2338,37 @@ FROM per
 """
 
 
+def collocations_sql(k: int = 20, min_count: int = 2,
+                     scale: int = 1_000_000,
+                     table: str = "documents") -> str:
+    """textops.collocations twin: adjacent pairs via the lag window
+    (raw single-space split, the bigram_logprob lockstep), corpus
+    unigram counts, the integer Dice score
+    (2*c_uv*scale) // (c_u + c_v), row_number cut at k under
+    (score DESC, c_uv DESC, u, v)."""
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p,
+                unnest(l) AS tok
+         FROM lists),
+pairs AS (SELECT doc_id, p, lag(tok) OVER (PARTITION BY doc_id ORDER BY p)
+                 AS prev, tok
+          FROM toks),
+pr AS (SELECT prev AS u, tok AS v FROM pairs WHERE prev IS NOT NULL),
+pc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv FROM pr
+       GROUP BY u, v HAVING count(*) >= {min_count}),
+uc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM toks
+       GROUP BY tok),
+sc AS (SELECT pc.u, pc.v, pc.c_uv, cu.c AS c_u, cv.c AS c_v,
+              CAST((2 * pc.c_uv * {scale}) // (cu.c + cv.c) AS BIGINT)
+                AS score_micro
+       FROM pc JOIN uc cu ON cu.w = pc.u JOIN uc cv ON cv.w = pc.v),
+r AS (SELECT *, row_number() OVER
+        (ORDER BY score_micro DESC, c_uv DESC, u, v) AS rk FROM sc)
+SELECT CAST(rk AS BIGINT) AS coll_rank, u, v, c_uv, c_u, c_v, score_micro
+FROM r WHERE rk <= {k} ORDER BY coll_rank"""
+
+
 def bigram_logprob_sql(vocab_size: int = 4096,
                        table: str = "documents") -> str:
     """Bigram-LM quality-score twin (``textops.bigram_logprob``): pair

@@ -26,7 +26,7 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
            "stratified_sample", "skyline_docs", "robust_quality_stats",
-           "winnow_fingerprints", "span_dedup_stats"]
+           "winnow_fingerprints", "span_dedup_stats", "collocations"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -2141,3 +2141,166 @@ def span_dedup_stats(docs_with_spans: rd.Dataset, *,
         id_col: pa.array(out["doc_id"].to_numpy(np.int64)),
         "n_text_spans": pa.array(out["n_text_spans"].to_numpy(np.int64)),
         "n_shared": pa.array(out["n_shared"].to_numpy(np.int64))})
+
+
+def collocations(docs: rd.Dataset, *, text_col: str = "text", k: int = 20,
+                 min_count: int = 2, scale: int = 1_000_000,
+                 n_shards: int | None = None) -> pa.Table:
+    """Collocation (phrase) mining over adjacent word pairs — the
+    tokenizer-prep companion of ``build_vocab``/``bpe_merges``: the
+    top-``k`` bigrams by the integer Dice score
+
+        score_micro = (2 * c_uv * scale) // (c_u + c_v)
+
+    with c_uv the corpus count of the ADJACENT pair and c_u/c_v the
+    corpus unigram counts (token identity = the raw single-space split,
+    the bigram_logprob lockstep).  Rank order (score DESC, c_uv DESC,
+    u ASC, v ASC); pairs below ``min_count`` pruned.  All-integer, so
+    bit-identical to ``oracle.collocations_sql``.
+
+    Plan (two attach exchanges + bounded driver merge): per-batch polars
+    pair partials and numpy unigram partials; exchange 1 on hash(u)
+    totals both and attaches c_u (a pair and its left unigram co-locate)
+    with the min_count prune IN-SHARD; exchange 2 on hash(v) attaches
+    c_v, scores, and cuts a per-shard top-k (any global winner is in
+    its shard's top-k); the driver merges <= shards * k rows.  Raw text
+    never leaves the first pass — only (string pair, counts) rows
+    shuffle, pruned by min_count before the second exchange."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+
+    n_shards = resolve_shards(n_shards)
+    leg1 = pa.schema([("u", pa.string()), ("v", pa.string()),
+                      ("c", pa.int64()), ("side", pa.int8()),
+                      ("_shard", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return leg1.empty_table()
+        ls = pc.split_pattern(t[text_col], " ")
+        ls = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+        flat = pc.list_flatten(ls).to_numpy(zero_copy_only=False)
+        offs = np.asarray(ls.offsets, dtype=np.int64)
+        # unigram partials (all tokens, incl. '' — the raw-split family)
+        uw, ucnt = np.unique(flat, return_counts=True)
+        # adjacent pairs: positions whose successor is in the same doc
+        n_tok = np.diff(offs)
+        keep = np.ones(len(flat), dtype=bool)
+        if len(flat):
+            keep[offs[1:] - 1] = False  # last token of each doc
+        li = np.flatnonzero(keep)
+        us, vs = flat[li], flat[li + 1]
+        parts = [pa.table({"u": pa.array(uw.astype(str)),
+                           "v": pa.array(np.full(len(uw), "", object)
+                                         .astype(str)),
+                           "c": pa.array(ucnt.astype(np.int64)),
+                           "side": pa.array(np.ones(len(uw), np.int8)),
+                           "_shard": pa.array(
+                               pd.util.hash_pandas_object(
+                                   pd.Series(uw), index=False).to_numpy()
+                               % np.uint64(n_shards))})]
+        if len(us):
+            agg = (pl.DataFrame({"u": us.astype(str), "v": vs.astype(str)})
+                   .group_by(["u", "v"]).agg(pl.len().alias("c")))
+            ua = agg["u"].to_numpy().astype(str)
+            parts.append(pa.table({
+                "u": pa.array(ua),
+                "v": pa.array(agg["v"].to_numpy().astype(str)),
+                "c": pa.array(agg["c"].to_numpy().astype(np.int64)),
+                "side": pa.array(np.zeros(len(ua), np.int8)),
+                "_shard": pa.array(
+                    pd.util.hash_pandas_object(
+                        pd.Series(ua), index=False).to_numpy()
+                    % np.uint64(n_shards))}))
+        out = pa.concat_tables(parts)
+        return out.set_column(
+            4, "_shard", pa.array(out["_shard"].to_numpy(
+                zero_copy_only=False).astype(np.int64)))
+
+    def attach_u(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "u": pd.Series([], dtype=str), "v": pd.Series([], dtype=str),
+            "c_uv": pd.Series([], dtype=np.int64),
+            "c_u": pd.Series([], dtype=np.int64),
+            "side": pd.Series([], dtype=np.int8),
+            "_s2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        uni = (g[g["side"] == 1].groupby("u", sort=False)["c"].sum())
+        pr = g[g["side"] == 0]
+        outs = []
+        if len(pr):
+            agg = (pr.groupby(["u", "v"], sort=False)["c"].sum()
+                   .reset_index())
+            agg = agg[agg["c"] >= min_count]
+            if len(agg):
+                cu = uni.reindex(agg["u"]).to_numpy(np.int64)
+                h = pd.util.hash_pandas_object(agg["v"],
+                                               index=False).to_numpy()
+                outs.append(pd.DataFrame({
+                    "u": agg["u"].to_numpy(), "v": agg["v"].to_numpy(),
+                    "c_uv": agg["c"].to_numpy(np.int64), "c_u": cu,
+                    "side": np.zeros(len(agg), np.int8),
+                    "_s2": (h % np.uint64(n_shards)).astype(np.int64)}))
+        if len(uni):
+            # re-emit the unigram totals keyed for the v-attach
+            h = pd.util.hash_pandas_object(pd.Series(uni.index),
+                                           index=False).to_numpy()
+            outs.append(pd.DataFrame({
+                "u": uni.index.to_numpy(), "v": np.full(len(uni), ""),
+                "c_uv": uni.to_numpy(np.int64),
+                "c_u": np.zeros(len(uni), np.int64),
+                "side": np.ones(len(uni), np.int8),
+                "_s2": (h % np.uint64(n_shards)).astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def attach_v(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "u": pd.Series([], dtype=str), "v": pd.Series([], dtype=str),
+            "c_uv": pd.Series([], dtype=np.int64),
+            "c_u": pd.Series([], dtype=np.int64),
+            "c_v": pd.Series([], dtype=np.int64),
+            "score_micro": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        uni = g[g["side"] == 1].set_index("u")["c_uv"]
+        pr = g[g["side"] == 0]
+        if len(pr) == 0 or len(uni) == 0:
+            return empty
+        cv = uni.reindex(pr["v"]).to_numpy(np.int64)
+        c_uv = pr["c_uv"].to_numpy(np.int64)
+        c_u = pr["c_u"].to_numpy(np.int64)
+        score = (2 * c_uv * np.int64(scale)) // (c_u + cv)
+        out = pd.DataFrame({"u": pr["u"].to_numpy(),
+                            "v": pr["v"].to_numpy(),
+                            "c_uv": c_uv, "c_u": c_u, "c_v": cv,
+                            "score_micro": score})
+        out = out.sort_values(["score_micro", "c_uv", "u", "v"],
+                              ascending=[False, False, True, True],
+                              kind="stable").head(k)
+        return out.reset_index(drop=True)
+
+    hits = (docs.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("_shard").map_groups(attach_u, batch_format="pandas")
+            .groupby("_s2").map_groups(attach_v, batch_format="pandas")
+            .to_pandas())
+    schema = pa.schema([("coll_rank", pa.int64()), ("u", pa.string()),
+                        ("v", pa.string()), ("c_uv", pa.int64()),
+                        ("c_u", pa.int64()), ("c_v", pa.int64()),
+                        ("score_micro", pa.int64())])
+    if len(hits) == 0 or "u" not in hits.columns:
+        return schema.empty_table()
+    hits = hits.sort_values(["score_micro", "c_uv", "u", "v"],
+                            ascending=[False, False, True, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    return pa.table({"coll_rank": pa.array(
+                         np.arange(1, len(hits) + 1, dtype=np.int64)),
+                     "u": pa.array(hits["u"].astype(str)),
+                     "v": pa.array(hits["v"].astype(str)),
+                     "c_uv": pa.array(hits["c_uv"].to_numpy(np.int64)),
+                     "c_u": pa.array(hits["c_u"].to_numpy(np.int64)),
+                     "c_v": pa.array(hits["c_v"].to_numpy(np.int64)),
+                     "score_micro": pa.array(
+                         hits["score_micro"].to_numpy(np.int64))})

@@ -575,3 +575,35 @@ def test_random_walks_plans_and_brute(ray_session):
                          nrows=3_000_000).to_pandas()
             .sort_values(["start_id", "step"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(dist, exp, check_dtype=False)
+
+
+def test_collocations_matches_brute(ray_session):
+    """Dice score, min_count prune, tie order, and both plans' exchange
+    path against a Counter brute (raw-split pair adjacency)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import collocations
+
+    texts = ["new york is big", "new york new york", "big apple",
+             "is big is big is", "york new york", "a b a b a b",
+             ""]  # empty text: one '' token, no pairs
+    t = pa.table({"text": pa.array(texts)})
+    k, min_count, scale = 6, 2, 1_000_000
+    got = collocations(rd.from_arrow(t).repartition(3), k=k,
+                       min_count=min_count).to_pandas()
+
+    uc = Counter(w for s in texts for w in s.split(" "))
+    pc = Counter((ws[i], ws[i + 1]) for s in texts
+                 for ws in [s.split(" ")] for i in range(len(ws) - 1))
+    rows = []
+    for (u, v), c in pc.items():
+        if c < min_count:
+            continue
+        rows.append((u, v, c, uc[u], uc[v],
+                     (2 * c * scale) // (uc[u] + uc[v])))
+    rows.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+    want = [(i + 1, *r) for i, r in enumerate(rows[:k])]
+    assert list(got.itertuples(index=False, name=None)) == want

@@ -288,6 +288,9 @@ SQL_NAMES = [
     # round 4 wave 15: Hilbert-curve cell keys (per-bit rotate/reflect
     # unrolled in SQL)
     "hilbert_assign",
+    # round 4 wave 15: Dice-score collocation mining (integer score,
+    # two attach exchanges, per-shard top-k)
+    "collocations",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
