@@ -2278,6 +2278,22 @@ def _q_focal_stats(sf_dir: str):
     return focal_stats(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_segment_intersections(sf_dir: str):
+    """ST_Intersects for local trip segments: quantized-integer strict
+    orientation predicate, bbox-cell candidate co-location (monotone
+    integer cell rule guarantees crossing pairs share a cell), one
+    hash(cell) exchange + one hash(pair) dedup exchange."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import poly_join
+    from optimizing_ray.sources import driver_tables
+
+    docs = _docs(sf_dir).map_batches(
+        driver_tables.derive_short_segments_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+    return poly_join.segment_intersection_join(docs, depth=DEPTH,
+                                               world=WORLD_2D)
+
+
 def _q_collocations(sf_dir: str):
     """Collocation (phrase) mining: top-k adjacent word pairs by the
     integer Dice score — two attach exchanges (hash(u) then hash(v))
@@ -2595,6 +2611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: Dice-score collocation mining (tokenizer-prep phrase
         # detection) — born past-cap, contract-pytest-oracled
         "collocations": _q_collocations,
+        # wave 15: segment-segment proper-intersection join (integer
+        # orientation predicate) — born past-cap, contract-pytest-oracled
+        "segment_intersections": _q_segment_intersections,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2812,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_stats": oracle.polygon_stats_sql(),
         "hilbert_assign": oracle.hilbert_assign_sql(DEPTH),
         "collocations": oracle.collocations_sql(20, 2),
+        "segment_intersections": oracle.segment_intersections_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

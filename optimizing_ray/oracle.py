@@ -1533,6 +1533,40 @@ FROM r WHERE rank <= {k}
 """
 
 
+def segment_intersections_sql(scale: int = 16, world: World = DRIVER_WORLD,
+                              table: str = "documents") -> str:
+    """poly_join.segment_intersection_join twin: the UNBUCKETED brute
+    — all doc pairs, the same quantized integer orientation predicate
+    (strict proper crossing: opposite strict signs pairwise).  A green
+    row proves the cell-bucket candidate generation lossless."""
+    from optimizing_ray.sources.driver_tables import (
+        short_segment_endpoint_sql)
+    ep = short_segment_endpoint_sql()
+    return f"""
+WITH {geo_cte(table, world)},
+sg AS (SELECT doc_id, x, y, {ep['x1']} AS x1, {ep['y1']} AS y1 FROM geo),
+q AS (SELECT doc_id,
+             CAST(floor(x * {float(scale)!r}) AS BIGINT) AS ax0,
+             CAST(floor(y * {float(scale)!r}) AS BIGINT) AS ay0,
+             CAST(floor(x1 * {float(scale)!r}) AS BIGINT) AS ax1,
+             CAST(floor(y1 * {float(scale)!r}) AS BIGINT) AS ay1
+      FROM sg),
+d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (b.ax1 - b.ax0) * (a.ay0 - b.ay0)
+               - (b.ay1 - b.ay0) * (a.ax0 - b.ax0) AS d1,
+             (b.ax1 - b.ax0) * (a.ay1 - b.ay0)
+               - (b.ay1 - b.ay0) * (a.ax1 - b.ax0) AS d2,
+             (a.ax1 - a.ax0) * (b.ay0 - a.ay0)
+               - (a.ay1 - a.ay0) * (b.ax0 - a.ax0) AS d3,
+             (a.ax1 - a.ax0) * (b.ay1 - a.ay0)
+               - (a.ay1 - a.ay0) * (b.ax1 - a.ax0) AS d4
+      FROM q a JOIN q b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+ORDER BY doc_a, doc_b"""
+
+
 def segment_cover_sql(depth: int, world: World = DRIVER_WORLD,
                       table: str = "documents") -> str:
     """Segment->tile supercover twin (column sweep).  Every float

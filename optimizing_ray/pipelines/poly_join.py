@@ -28,7 +28,7 @@ from optimizing_ray.pipelines.pip import compile_polygons
 from optimizing_ray.sources.driver_tables import PENT_UX, PENT_UY
 
 __all__ = ["poly_overlap_join", "polygon_cover", "polygon_cover_arrays",
-           "polygon_stats"]
+           "polygon_stats", "segment_intersection_join"]
 
 
 def polygon_stats(docs: rd.Dataset, *, id_col: str = "doc_id",
@@ -281,3 +281,151 @@ def polygon_cover(docs: rd.Dataset, *, max_depth: int = 7,
 
     return docs.map_batches(cover, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def segment_intersection_join(docs: rd.Dataset, *, depth: int, world,
+                              id_col: str = "doc_id", scale: int = 16,
+                              n_shards: int | None = None) -> pa.Table:
+    """Segment-segment proper-intersection self-join (ST_Intersects for
+    local trip linestrings): every pair of docs whose QUANTIZED
+    segments (floor(v*scale), power-of-two scale — the kmeans quantize
+    discipline) strictly cross: the four orientation cross products
+    have opposite strict signs pairwise.  All-integer predicate —
+    bit-identical to the brute SQL twin
+    ``oracle.segment_intersections_sql``.  Output (doc_a, doc_b),
+    a < b, sorted.
+
+    Plan: each segment emits its <= 4 bbox cover cells IN INTEGER cell
+    arithmetic (cell = clip(floor(q*n / WQ)) over the quantized coords
+    — the same monotone rule both endpoints use, so two crossing
+    segments always share the intersection point's cell); candidates
+    meet on ONE hash(cell) exchange (per-cell vectorized all-pairs
+    orientation tests, cells are Chebyshev-local so membership is
+    bounded); duplicate pair emissions from shared cells dedup on a
+    second hash(pair) exchange; the driver concat is the result set."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    n = 1 << depth
+    wx, wy, _ = world.size
+    wqx = int(round(wx * scale))
+    wqy = int(round(wy * scale))
+    minqx = int(round(world.min_x * scale))
+    minqy = int(round(world.min_y * scale))
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    emit_schema = pa.schema([
+        ("cell", pa.int64()), ("doc", pa.int64()),
+        ("ax0", pa.int64()), ("ay0", pa.int64()),
+        ("ax1", pa.int64()), ("ay1", pa.int64()),
+        ("_shard", pa.int64())])
+
+    def cell_of(q: np.ndarray, minq: int, wq: int) -> np.ndarray:
+        return np.clip(((q - minq) * n) // wq, 0, n - 1)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x1" not in t.column_names:
+            return emit_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = {}
+        for c in ("x", "y", "x1", "y1"):
+            q[c] = np.floor(t[c].to_numpy(zero_copy_only=False)
+                            * float(scale)).astype(np.int64)
+        cx0 = cell_of(np.minimum(q["x"], q["x1"]), minqx, wqx)
+        cx1 = cell_of(np.maximum(q["x"], q["x1"]), minqx, wqx)
+        cy0 = cell_of(np.minimum(q["y"], q["y1"]), minqy, wqy)
+        cy1 = cell_of(np.maximum(q["y"], q["y1"]), minqy, wqy)
+        reps = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        total = int(reps.sum())
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+        nxs = np.repeat(cx1 - cx0 + 1, reps)
+        px = np.repeat(cx0, reps) + local % nxs
+        py = np.repeat(cy0, reps) + local // nxs
+        cell = px * n + py
+        with np.errstate(over="ignore"):
+            sh = (cell.astype(np.uint64) * gold) >> np.uint64(33)
+        return pa.table({
+            "cell": pa.array(cell), "doc": pa.array(ids[row]),
+            "ax0": pa.array(q["x"][row]), "ay0": pa.array(q["y"][row]),
+            "ax1": pa.array(q["x1"][row]), "ay1": pa.array(q["y1"][row]),
+            "_shard": pa.array((sh % np.uint64(n_shards))
+                               .astype(np.int64))})
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "_s2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy(np.int64)
+        order = np.argsort(cell, kind="stable")
+        g = g.iloc[order]
+        cell = cell[order]
+        doc = g["doc"].to_numpy(np.int64)
+        P = {c: g[c].to_numpy(np.int64)
+             for c in ("ax0", "ay0", "ax1", "ay1")}
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, iv = np.triu_indices(m, 1)
+            iu += s
+            iv += s
+            bx = P["ax1"][iv] - P["ax0"][iv]
+            by = P["ay1"][iv] - P["ay0"][iv]
+            d1 = (bx * (P["ay0"][iu] - P["ay0"][iv])
+                  - by * (P["ax0"][iu] - P["ax0"][iv]))
+            d2 = (bx * (P["ay1"][iu] - P["ay0"][iv])
+                  - by * (P["ax1"][iu] - P["ax0"][iv]))
+            ax = P["ax1"][iu] - P["ax0"][iu]
+            ay = P["ay1"][iu] - P["ay0"][iu]
+            d3 = (ax * (P["ay0"][iv] - P["ay0"][iu])
+                  - ay * (P["ax0"][iv] - P["ax0"][iu]))
+            d4 = (ax * (P["ay1"][iv] - P["ay0"][iu])
+                  - ay * (P["ax1"][iv] - P["ax0"][iu]))
+            hit = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+            if hit.any():
+                da, db = doc[iu[hit]], doc[iv[hit]]
+                out_a.append(np.minimum(da, db))
+                out_b.append(np.maximum(da, db))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        with np.errstate(over="ignore"):
+            sh = ((a.astype(np.uint64) * gold)
+                  ^ (b.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))) \
+                >> np.uint64(33)
+        return pd.DataFrame({"a": a, "b": b,
+                             "_s2": (sh % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+
+    out = (docs.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_cell, batch_format="pandas")
+           .groupby("_s2").map_groups(dedup, batch_format="pandas")
+           .to_pandas())
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    if len(out) == 0 or "doc_a" not in out.columns:
+        return schema.empty_table()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False, schema=schema)

@@ -173,6 +173,46 @@ def segment_endpoint_sql(world: World = DRIVER_WORLD) -> dict[str, str]:
     }
 
 
+# --- deterministic SHORT (local-trip) segments (SQL-twinned) ---------------
+#
+# The world-spanning SEG segments above make pairwise crossings inherently
+# quadratic; the segment-intersection join needs LOCAL segments (bounded
+# delta) so crossings stay sparse — the od_matrix-style trip shape.
+
+SEG2_MULTS = {"dx": 2_246_822_519, "dy": 3_432_918_353}
+SEG2_SALT = 104_729
+SEG2_MAX = 3_000.0
+
+
+def derive_short_segments_batch(batch: pa.Table,
+                                world: World = DRIVER_WORLD) -> pa.Table:
+    """Append bounded-delta endpoints (x1, y1) = (x, y) + delta with
+    delta in [-SEG2_MAX, SEG2_MAX) per axis (may leave the world; the
+    intersection predicate is unbounded and cell covers clamp)."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        batch = batch.append_column("x1", pa.array([], pa.float64()))
+        return batch.append_column("y1", pa.array([], pa.float64()))
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    h = doc_id + np.int64(SEG2_SALT)
+    span = 2.0 * SEG2_MAX
+    x = batch["x"].to_numpy(zero_copy_only=False)
+    y = batch["y"].to_numpy(zero_copy_only=False)
+    batch = batch.append_column(
+        "x1", pa.array(x + (_frac(h, SEG2_MULTS["dx"]) - 0.5) * span))
+    return batch.append_column(
+        "y1", pa.array(y + (_frac(h, SEG2_MULTS["dy"]) - 0.5) * span))
+
+
+def short_segment_endpoint_sql() -> dict[str, str]:
+    """SQL twin of ``derive_short_segments_batch`` (needs x, y in scope)."""
+    h = f"(doc_id + {SEG2_SALT})"
+    span = 2.0 * SEG2_MAX
+    return {
+        "x1": f"(x + ({frac_sql(h, SEG2_MULTS['dx'])} - 0.5) * {span!r})",
+        "y1": f"(y + ({frac_sql(h, SEG2_MULTS['dy'])} - 0.5) * {span!r})",
+    }
+
+
 # --- deterministic per-doc convex polygons (SQL-twinned) ------------------
 #
 # Each doc gets a convex pentagon: a FIXED unit shape (constant vertex

@@ -291,6 +291,9 @@ SQL_NAMES = [
     # round 4 wave 15: Dice-score collocation mining (integer score,
     # two attach exchanges, per-shard top-k)
     "collocations",
+    # round 4 wave 15: segment-segment proper-intersection join (the
+    # bucketed plan vs the unbucketed SQL brute)
+    "segment_intersections",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -128,3 +128,57 @@ def test_polygon_stats_area_and_centroid(ray_session):
             jx, jy = vx[j], vy[j]
             kx, ky = vx[(j + 1) % 5], vy[(j + 1) % 5]
             assert (kx - jx) * (cy - jy) - (ky - jy) * (cx - jx) > 0
+
+
+def test_segment_intersections_matches_brute(ray_session):
+    """Bucketed plan vs a brute all-pairs replay of the quantized
+    strict-crossing predicate: proper crossings found, endpoint
+    touching and collinear overlap excluded, cross-cell pairs dedup."""
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.poly_join import segment_intersection_join
+
+    rng = np.random.default_rng(13)
+    n = 120
+    xs = rng.uniform(0, 100_000, n)
+    ys = rng.uniform(0, 100_000, n)
+    x1 = xs + rng.uniform(-3_000, 3_000, n)
+    y1 = ys + rng.uniform(-3_000, 3_000, n)
+    # planted: 100/101 proper X-crossing; 102/103 touch at an endpoint
+    # (excluded); 104/105 collinear overlap (excluded); plant a crossing
+    # pair spanning a cell boundary (6250 at depth 4)
+    xs[100], ys[100], x1[100], y1[100] = 50_000, 50_000, 51_000, 51_000
+    xs[101], ys[101], x1[101], y1[101] = 50_000, 51_000, 51_000, 50_000
+    xs[102], ys[102], x1[102], y1[102] = 10_000, 10_000, 11_000, 10_000
+    xs[103], ys[103], x1[103], y1[103] = 11_000, 10_000, 11_000, 12_000
+    xs[104], ys[104], x1[104], y1[104] = 20_000, 20_000, 22_000, 20_000
+    xs[105], ys[105], x1[105], y1[105] = 21_000, 20_000, 23_000, 20_000
+    xs[106], ys[106], x1[106], y1[106] = 6_200, 6_200, 6_300, 6_300
+    xs[107], ys[107], x1[107], y1[107] = 6_200, 6_300, 6_300, 6_200
+
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(xs), "y": pa.array(ys),
+                  "x1": pa.array(x1), "y1": pa.array(y1)})
+    got = segment_intersection_join(rd.from_arrow(t).repartition(4),
+                                    depth=4, world=WORLD_2D).to_pandas()
+
+    q = {c: np.floor(arr * 16.0).astype(np.int64)
+         for c, arr in (("ax0", xs), ("ay0", ys), ("ax1", x1), ("ay1", y1))}
+
+    def d(i, j):
+        bx = q["ax1"][j] - q["ax0"][j]
+        by = q["ay1"][j] - q["ay0"][j]
+        d1 = bx * (q["ay0"][i] - q["ay0"][j]) - by * (q["ax0"][i] - q["ax0"][j])
+        d2 = bx * (q["ay1"][i] - q["ay0"][j]) - by * (q["ax1"][i] - q["ax0"][j])
+        ax = q["ax1"][i] - q["ax0"][i]
+        ay = q["ay1"][i] - q["ay0"][i]
+        d3 = ax * (q["ay0"][j] - q["ay0"][i]) - ay * (q["ax0"][j] - q["ax0"][i])
+        d4 = ax * (q["ay1"][j] - q["ay0"][i]) - ay * (q["ax1"][j] - q["ax0"][i])
+        return (((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+                and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)))
+
+    want = [(i, j) for i in range(n) for j in range(i + 1, n) if d(i, j)]
+    assert list(zip(got["doc_a"], got["doc_b"])) == want
+    assert (100, 101) in want and (106, 107) in want
+    assert (102, 103) not in want and (104, 105) not in want
