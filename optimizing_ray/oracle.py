@@ -3246,6 +3246,45 @@ FROM h
 """
 
 
+def audio_resample_sql(m: int = 48, table: str = "documents") -> str:
+    """media.audio_resample twin: the fixture sample formula at the
+    precomputed (j, i0, i1, r) interpolation grid (inlined VALUES —
+    pure functions of j), v = x(i0) + floor((x(i1) - x(i0)) * r / den)
+    with the negative-safe mod-adjust floor division."""
+    from optimizing_ray.stages.codecs import N_SAMPLES, PIX_MOD
+    den = m - 1
+    rows = []
+    for j in range(m):
+        num = j * (N_SAMPLES - 1)
+        i0, r = num // den, num % den
+        i1 = min(i0 + 1, N_SAMPLES - 1)
+        rows.append(f"({j}, {i0}, {i1}, {r})")
+    skey = "(doc_id * 16 + ord)"
+    return f"""
+WITH jm(j, i0, i1, r) AS (VALUES {", ".join(rows)}),
+ns AS (SELECT doc_id,
+         1 + CAST(floor({frac_sql(f'(doc_id + {SPAN_SALT})', SPAN_MULTS['n'])} * 8) AS BIGINT) AS n_spans
+       FROM {table}),
+sp AS (SELECT doc_id,
+         unnest(generate_series(0, n_spans - 1)) AS ord FROM ns),
+fld AS (SELECT doc_id, ord,
+         CAST(floor({frac_sql(skey, SPAN_MULTS['kind'])} * 3) AS BIGINT) AS kind_i
+        FROM sp),
+aud AS (SELECT doc_id, ord,
+         (doc_id * 16 + ord) % {PIX_MOD} AS base
+        FROM fld WHERE kind_i = 2),
+v0 AS (SELECT doc_id, ord, jm.j,
+         ((base * (jm.i0 + 1) + jm.i0 * jm.i0 * 7) % 4096 - 2048) AS xa,
+         (((base * (jm.i1 + 1) + jm.i1 * jm.i1 * 7) % 4096 - 2048)
+          - ((base * (jm.i0 + 1) + jm.i0 * jm.i0 * 7) % 4096 - 2048))
+           * jm.r AS s
+       FROM aud, jm)
+SELECT doc_id, ord, CAST(j AS BIGINT) AS out_i,
+       CAST(xa + (s - (((s % {den}) + {den}) % {den})) / {den} AS BIGINT)
+         AS v
+FROM v0 ORDER BY doc_id, ord, out_i"""
+
+
 def top_orders_sql(segment: str = "BUILDING", cutoff: str = "1997-06-15",
                    k: int = 10) -> str:
     """TPC-H Q3 twin (relational.top_orders): integer revenue4 =

@@ -35,7 +35,8 @@ from optimizing_ray.stages.codecs import (IMG_H, IMG_W, N_SAMPLES, _PNG_MAGIC,
                                           fetch_fixture)
 
 __all__ = ["MediaFeaturizer", "extract_media_features", "sample_frames",
-           "N_FEATURES", "ImageResizer", "resize_images"]
+           "N_FEATURES", "ImageResizer", "resize_images",
+           "audio_resample", "N_RESAMPLE"]
 
 N_FEATURES = 8
 
@@ -425,4 +426,70 @@ def audio_fingerprint(docs: rd.Dataset, *, fetch=None) -> rd.Dataset:
     """Dataset wrapper for the per-span audio difference fingerprint."""
     f = fetch or fetch_fixture
     return docs.map_batches(lambda t: _audio_fp_batch(t, f),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+N_RESAMPLE = 48  # resample target length (64 -> 48, a 4:3 downsample)
+
+
+def _audio_resample_batch(batch: pa.Table, fetch, m: int) -> pa.Table:
+    """Exact int64 linear-interpolation resample of each audio span's
+    decoded WAV to ``m`` samples (the resample_interpolate fixed-point
+    discipline applied to the media family): output index j maps to
+    source position num/den with num = j*(N-1), den = m-1;
+    v = x[i0] + floor((x[i1] - x[i0]) * r / den) with i0 = num // den,
+    r = num % den, i1 = min(i0+1, N-1) — floor division is negative-
+    safe on both sides (numpy // vs the SQL mod-adjust).  The decode
+    loop is per media span (the established media path); the
+    interpolation is one vectorized gather over all spans."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ord": pa.array([], pa.int64()),
+                      "out_i": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    if batch.num_rows == 0 or "spans" not in batch.column_names:
+        return empty
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) \
+        else spans
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    ref = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+    is_media = (kind != "text") & (ref != "")
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    n_spans = np.diff(offs)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_span = np.repeat(ids, n_spans)
+    ord_of_span = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(offs[:-1], n_spans))
+    xs, docs_o, ords_o = [], [], []
+    for j in np.flatnonzero(is_media):
+        data = fetch(ref[j], kind[j])
+        if data[:8] == _PNG_MAGIC:
+            continue  # audio op; image spans pass
+        xs.append(decode_wav(data).astype(np.int64))
+        docs_o.append(int(doc_of_span[j]))
+        ords_o.append(int(ord_of_span[j]))
+    if not xs:
+        return empty
+    X = np.stack(xs)                      # (k, N_SAMPLES)
+    den = m - 1
+    num = np.arange(m, dtype=np.int64) * (N_SAMPLES - 1)
+    i0 = num // den
+    r = num % den
+    i1 = np.minimum(i0 + 1, N_SAMPLES - 1)
+    V = X[:, i0] + ((X[:, i1] - X[:, i0]) * r) // den   # (k, m)
+    k = len(xs)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(np.array(docs_o, np.int64), m)),
+        "ord": pa.array(np.repeat(np.array(ords_o, np.int64), m)),
+        "out_i": pa.array(np.tile(np.arange(m, dtype=np.int64), k)),
+        "v": pa.array(V.reshape(-1))})
+
+
+def audio_resample(docs: rd.Dataset, *, m: int = N_RESAMPLE,
+                   fetch=None) -> rd.Dataset:
+    """Dataset wrapper for the per-span exact WAV resample."""
+    f = fetch or fetch_fixture
+    return docs.map_batches(lambda t: _audio_resample_batch(t, f, m),
                             batch_format="pyarrow", zero_copy_batch=True)

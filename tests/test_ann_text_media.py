@@ -443,3 +443,35 @@ def test_random_projection_empty(ray_session):
     # empty-block gotcha); rows must be zero either way
     assert len(out) == 0
     assert list(out.columns) in ([], ["vec_id", "out_dim", "y_q"])
+
+
+def test_audio_resample_exact(ray_session):
+    """Resampled values replay a per-sample integer brute over the
+    fixture audio; endpoints are preserved exactly; floor division
+    handles negative slopes (x alternates signs)."""
+    import ray.data as rd
+
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import codecs, media
+
+    docs = (rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64))}))
+        .map_batches(driver_tables.derive_spans_batch,
+                     batch_format="pyarrow", zero_copy_batch=True))
+    m = media.N_RESAMPLE
+    got = (media.audio_resample(docs).to_pandas()
+           .sort_values(["doc_id", "ord", "out_i"]).reset_index(drop=True))
+    assert len(got) % m == 0 and len(got) > 0
+
+    N = codecs.N_SAMPLES
+    den = m - 1
+    for (d, o), grp in got.groupby(["doc_id", "ord"]):
+        x = codecs.audio_samples(int(d) * 16 + int(o)).astype(np.int64)
+        vals = grp.sort_values("out_i")["v"].to_numpy(np.int64)
+        assert vals[0] == x[0] and vals[-1] == x[N - 1]
+        for j in range(m):
+            num = j * (N - 1)
+            i0, r = num // den, num % den
+            i1 = min(i0 + 1, N - 1)
+            want = int(x[i0]) + ((int(x[i1]) - int(x[i0])) * r) // den
+            assert vals[j] == want, (d, o, j)

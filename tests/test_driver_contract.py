@@ -294,6 +294,9 @@ SQL_NAMES = [
     # round 4 wave 15: segment-segment proper-intersection join (the
     # bucketed plan vs the unbucketed SQL brute)
     "segment_intersections",
+    # round 4 wave 15: exact int64 WAV resample (the SQL recomputes
+    # from the fixture formula, proving the decode + interpolation)
+    "audio_resample",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
