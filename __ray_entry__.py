@@ -1337,6 +1337,27 @@ def _q_nation_volume(sf_dir: str):
     return relational.nation_volume(sf_dir)
 
 
+def _q_kcore(sf_dir: str):
+    """k-core peeling over the MUTUAL kNN graph (reciprocal edges are
+    degree-irregular, so the peel is non-trivial — the full closure's
+    uniform degrees make every k all-or-nothing): fixed synchronous
+    rounds (alive-restricted degree >= k), nrows-gated driver plan vs
+    the 2-exchanges-per-round vertex-centric path."""
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    nodes = driver_tables.read(sf_dir, "embeddings", columns=["vec_id"])
+    g = ann.embedding_knn_graph(emb, k=5)
+    pairs = cluster.mutual_knn_pairs(g)
+    return cluster.kcore(rd.from_arrow(pairs), nodes, src="vec_a",
+                         dst="vec_b", k=2, rounds=4,
+                         nrows=_tbl_rows(sf_dir, "embeddings"))
+
+
 def _q_boolean_search(sf_dir: str):
     """Inverted-index conjunctive retrieval: posting lists built into a
     hash-prefix-partitioned store (one tokenize pass, in-batch tf fold,
@@ -2631,6 +2652,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: exact WAV resample over the real decode path — born
         # past-cap, contract-pytest-oracled
         "audio_resample": _q_audio_resample,
+        # wave 15: k-core peeling over the kNN graph — born past-cap,
+        # contract-pytest-oracled
+        "kcore": _q_kcore,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2850,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": oracle.collocations_sql(20, 2),
         "segment_intersections": oracle.segment_intersections_sql(),
         "audio_resample": oracle.audio_resample_sql(48),
+        "kcore": oracle.kcore_sql(5, 2, 4),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -2881,6 +2881,46 @@ SELECT CAST(h AS BIGINT) AS n_hits, CAST(count(*) AS BIGINT) AS n_vectors
 FROM hv GROUP BY h ORDER BY n_hits"""
 
 
+def kcore_sql(k_nn: int = 5, k_core: int = 2, rounds: int = 4,
+              scale: int = 1024, table: str = "embeddings") -> str:
+    """cluster.kcore twin over the MUTUAL kNN graph (reciprocal edges
+    — already symmetric, and degree-irregular so the peel is
+    non-trivial): one CTE pair per peeling round (alive-restricted
+    degree, >= k filter), final LEFT-JOINed degree so zero-degree
+    survivors keep their row."""
+    blocks = [f"""
+WITH eq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+           AS q
+  FROM {table}),
+dd AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              sum((a.q - b.q) * (a.q - b.q)) AS d2
+       FROM eq a JOIN eq b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+       GROUP BY a.vec_id, b.vec_id),
+rr AS (SELECT va, vb, row_number() OVER
+         (PARTITION BY va ORDER BY d2, vb) AS rn FROM dd),
+g AS (SELECT va, vb FROM rr WHERE rn <= {k_nn}),
+ed AS (SELECT DISTINCT g1.va AS a, g1.vb AS b FROM g g1
+       JOIN g g2 ON g2.va = g1.vb AND g2.vb = g1.va),
+a0 AS (SELECT DISTINCT vec_id AS v FROM {table})"""]
+    for t in range(1, rounds + 1):
+        blocks.append(f"""
+d{t} AS (SELECT e.a AS v, count(*) AS dg FROM ed e
+         JOIN a{t - 1} x ON x.v = e.a JOIN a{t - 1} y ON y.v = e.b
+         GROUP BY e.a),
+a{t} AS (SELECT v FROM d{t} WHERE dg >= {k_core})""")
+    blocks.append(f"""
+df AS (SELECT e.a AS v, count(*) AS dg FROM ed e
+       JOIN a{rounds} x ON x.v = e.a JOIN a{rounds} y ON y.v = e.b
+       GROUP BY e.a)""")
+    return ",".join(blocks) + f"""
+SELECT x.v AS node, CAST(COALESCE(df.dg, 0) AS BIGINT) AS deg
+FROM a{rounds} x LEFT JOIN df ON df.v = x.v
+ORDER BY node"""
+
+
 def knn_classify_sql(k: int = 5, holdout_mod: int = 5,
                      holdout_rem: int = 0, scale: int = 1024,
                      table: str = "embeddings") -> str:

@@ -46,7 +46,7 @@ from optimizing_ray.pipelines.ann import _to_matrix
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
            "cluster_top_terms", "triangle_count", "pagerank",
-           "mutual_knn_pairs", "random_walks"]
+           "mutual_knn_pairs", "random_walks", "kcore"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -1019,3 +1019,231 @@ def random_walks(edges: rd.Dataset, *, src: str = "vec_id",
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def kcore(edges: rd.Dataset, nodes: rd.Dataset, *,
+          src: str = "vec_id", dst: str = "neighbor_id",
+          node_col: str = "vec_id", k: int = 7, rounds: int = 6,
+          nrows: int | None = None,
+          n_shards: int | None = None) -> pa.Table:
+    """``rounds`` synchronous peeling rounds of k-core decomposition
+    over the UNDIRECTED closure of a directed edge list (the graph-
+    robustness primitive: dense-community membership over the kNN
+    graph).  Round t: alive_t = nodes whose degree among alive_{t-1}
+    (both endpoints alive) is >= k.  Output every node alive after
+    round ``rounds`` with its alive-restricted degree — (node, deg),
+    node order.  A FIXED round count keeps the SQL twin a finite CTE
+    chain (``oracle.kcore_sql``); peeling cascades converge within a
+    few rounds on bounded-degree graphs (pytest pins a 2-round
+    cascade), exactly like the pagerank/BPE iterative discipline.
+
+    Plans (the pagerank nrows gate):
+    * driver (nrows <= 2_000_000): slim symmetrized edge list +
+      node ids collect once; rounds are numpy bincounts over an alive
+      mask.  Zero shuffles.
+    * distributed: symmetrized edges materialize once; each round is
+      TWO side-tag exchanges — hash(b) drops edges with a dead far
+      endpoint, hash(a) counts surviving incident edges per alive node
+      and filters — alive sets stay Datasets (never a corpus-sized
+      broadcast), materialized per round."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    assert k >= 1 and rounds >= 0
+    gate = nrows if nrows is not None else (1 << 62)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    out_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"_s": pa.array([], pa.int64()),
+                             "_d": pa.array([], pa.int64())})
+        return pa.table({"_s": t[src].cast(pa.int64()),
+                         "_d": t[dst].cast(pa.int64())})
+
+    if gate <= 2_000_000:
+        ed = (edges.map_batches(_slim, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas())
+        nd = nodes.select_columns([node_col]).to_pandas()
+        ids = np.unique(nd[node_col].to_numpy(np.int64))
+        n = len(ids)
+        e_s = (ed["_s"].to_numpy(np.int64) if "_s" in ed.columns
+               else np.empty(0, np.int64))
+        e_d = (ed["_d"].to_numpy(np.int64) if "_d" in ed.columns
+               else np.empty(0, np.int64))
+        a = np.searchsorted(ids, np.concatenate([e_s, e_d]))
+        b = np.searchsorted(ids, np.concatenate([e_d, e_s]))
+        und = np.unique(a.astype(np.int64) * np.int64(n) + b)
+        a, b = und // n, und % n
+        alive = np.ones(n, dtype=bool)
+        for _ in range(rounds):
+            m = alive[a] & alive[b]
+            deg = np.bincount(a[m], minlength=n).astype(np.int64)
+            alive = alive & (deg >= k)
+        m = alive[a] & alive[b]
+        deg = np.bincount(a[m], minlength=n).astype(np.int64)
+        keep = np.flatnonzero(alive)
+        return pa.table({"node": pa.array(ids[keep]),
+                         "deg": pa.array(deg[keep])})
+
+    n_shards = resolve_shards(n_shards)
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = x.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    # symmetrize + dedup once: rows (a, b) both directions, sharded on
+    # hash(a) after a hash(a,b)-keyed dedup exchange
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "_shard": pa.array(_shard(a))})
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    und = (edges.map_batches(both_dirs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("_shard").map_groups(dedup_edges,
+                                         batch_format="pandas")
+           .materialize())
+
+    def node_leg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or node_col not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "oth": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        v = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(v),
+                         "oth": pa.array(np.zeros(len(v), np.int64)),
+                         "kind": pa.array(np.zeros(len(v), np.int8)),
+                         "_shard": pa.array(_shard(v))})
+
+    alive = (nodes.map_batches(node_leg, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("_shard")
+             .map_groups(lambda g: pd.DataFrame(
+                 {"node": np.unique(g["key"].to_numpy(np.int64))})
+                 if len(g) else pd.DataFrame(
+                     {"node": pd.Series([], dtype=np.int64)}),
+                 batch_format="pandas")
+             .materialize())
+
+    def alive_leg_keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "oth": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(v),
+                         "oth": pa.array(np.zeros(len(v), np.int64)),
+                         "kind": pa.array(np.zeros(len(v), np.int8)),
+                         "_shard": pa.array(_shard(v))})
+
+    def edge_leg_by_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "oth": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(b), "oth": pa.array(a),
+                         "kind": pa.array(np.ones(len(a), np.int8)),
+                         "_shard": pa.array(_shard(b))})
+
+    def drop_dead_b(g: pd.DataFrame) -> pd.DataFrame:
+        """Keep edges whose far endpoint (key=b) is alive; re-key by a."""
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "oth": pd.Series([], dtype=np.int64),
+                              "kind": pd.Series([], dtype=np.int8),
+                              "_s2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        av = np.unique(g.loc[g["kind"] == 0, "key"].to_numpy(np.int64))
+        eg = g[g["kind"] == 1]
+        if len(eg) == 0 or len(av) == 0:
+            return empty
+        b = eg["key"].to_numpy(np.int64)
+        a = eg["oth"].to_numpy(np.int64)
+        pos = np.searchsorted(av, b)
+        ok = (pos < len(av)) & (av[np.minimum(pos, len(av) - 1)] == b)
+        a, b = a[ok], b[ok]
+        return pd.DataFrame({"key": a, "oth": b,
+                             "kind": np.ones(len(a), np.int8),
+                             "_s2": _shard(a)})
+
+    def count_and_filter(keep_filter: bool):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                  "deg": pd.Series([], dtype=np.int64)})
+            if len(g) == 0:
+                return empty
+            av = np.unique(g.loc[g["kind"] == 0, "key"]
+                           .to_numpy(np.int64))
+            if len(av) == 0:
+                return empty
+            a = g.loc[g["kind"] == 1, "key"].to_numpy(np.int64)
+            pos = np.searchsorted(av, a)
+            ok = (pos < len(av)) & (av[np.minimum(pos, len(av) - 1)] == a)
+            deg = np.bincount(pos[ok], minlength=len(av)).astype(np.int64)
+            if keep_filter:
+                m = deg >= k
+                return pd.DataFrame({"node": av[m], "deg": deg[m]})
+            return pd.DataFrame({"node": av, "deg": deg})
+        return f
+
+    for rnd in range(rounds + 1):
+        last = rnd == rounds
+        flow = (alive.map_batches(alive_leg_keyed, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .union(und.map_batches(edge_leg_by_b,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True))
+                .groupby("_shard").map_groups(drop_dead_b,
+                                              batch_format="pandas"))
+
+        def rekey(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return pa.table({"key": pa.array([], pa.int64()),
+                                 "oth": pa.array([], pa.int64()),
+                                 "kind": pa.array([], pa.int8()),
+                                 "_shard": pa.array([], pa.int64())})
+            return pa.table({"key": t["key"], "oth": t["oth"],
+                             "kind": t["kind"],
+                             "_shard": t["_s2"].cast(pa.int64())})
+
+        alive = (alive.map_batches(alive_leg_keyed, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .union(flow.map_batches(rekey, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+                 .groupby("_shard")
+                 .map_groups(count_and_filter(not last),
+                             batch_format="pandas")
+                 .materialize())
+
+    out = alive.to_pandas()
+    if len(out) == 0 or "node" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["node", "deg"]], preserve_index=False,
+                                schema=out_schema)

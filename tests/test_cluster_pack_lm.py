@@ -607,3 +607,52 @@ def test_collocations_matches_brute(ray_session):
     rows.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
     want = [(i + 1, *r) for i, r in enumerate(rows[:k])]
     assert list(got.itertuples(index=False, name=None)) == want
+
+
+def test_kcore_peeling_matches_brute(ray_session):
+    """Planted graph with a 2-round cascade: a clique core survives,
+    a pendant chain peels over successive rounds; both plans agree
+    with a pure-Python peel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.cluster import kcore
+
+    # clique K5 (nodes 0-4, degree 4 each), chain 5-6-7 hanging off 0,
+    # isolated 8
+    base = [(a, b) for a in range(5) for b in range(5) if a != b]
+    extra = [(0, 5), (5, 6), (6, 7)]
+    ed = base + extra  # directed; kcore symmetrizes
+    edges = pa.table({
+        "vec_id": pa.array([a for a, _ in ed], pa.int64()),
+        "neighbor_id": pa.array([b for _, b in ed], pa.int64())})
+    nodes = pa.table({"vec_id": pa.array(range(9), pa.int64())})
+
+    def brute(k, rounds):
+        und = set()
+        for a, b in ed:
+            und.add((a, b))
+            und.add((b, a))
+        alive = set(range(9))
+        for _ in range(rounds):
+            deg = {v: sum(1 for a, b in und
+                          if a == v and b in alive and a in alive)
+                   for v in alive}
+            alive = {v for v in alive if deg.get(v, 0) >= k}
+        return sorted((v, sum(1 for a, b in und
+                              if a == v and b in alive))
+                      for v in alive)
+
+    for k, rounds in ((2, 4), (4, 3), (5, 2)):
+        want = brute(k, rounds)
+        loc = kcore(rd.from_arrow(edges), rd.from_arrow(nodes), k=k,
+                    rounds=rounds, nrows=9).to_pandas()
+        dist = kcore(rd.from_arrow(edges).repartition(3),
+                     rd.from_arrow(nodes), k=k, rounds=rounds,
+                     nrows=3_000_000).to_pandas()
+        assert list(loc.itertuples(index=False, name=None)) == want, (k, rounds)
+        assert list(dist.itertuples(index=False, name=None)) == want, (k, rounds)
+    # k=2 cascade: 7 (deg 1) peels round 1, 6 round 2, 5 round 3 —
+    # only the clique survives, node 0 back at degree 4
+    assert brute(2, 4) == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+    assert brute(2, 2) == [(0, 5), (1, 4), (2, 4), (3, 4), (4, 4), (5, 1)]

@@ -297,6 +297,9 @@ SQL_NAMES = [
     # round 4 wave 15: exact int64 WAV resample (the SQL recomputes
     # from the fixture formula, proving the decode + interpolation)
     "audio_resample",
+    # round 4 wave 15: k-core peeling over the kNN graph (fixed-round
+    # CTE chain, alive-restricted degrees)
+    "kcore",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
