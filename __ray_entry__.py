@@ -1337,6 +1337,16 @@ def _q_nation_volume(sf_dir: str):
     return relational.nation_volume(sf_dir)
 
 
+def _q_theil_sen(sf_dir: str):
+    """Theil–Sen robust revenue trend per nation: pairwise yearly
+    slopes made exactly integer by the common-denominator trick (year
+    gaps divide lcm(1..10)), lower median — the outlier-resistant
+    companion of revenue_trend; bounded partials, driver fold."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.theil_sen(sf_dir)
+
+
 def _q_kcore(sf_dir: str):
     """k-core peeling over the MUTUAL kNN graph (reciprocal edges are
     degree-irregular, so the peel is non-trivial — the full closure's
@@ -2655,6 +2665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: k-core peeling over the kNN graph — born past-cap,
         # contract-pytest-oracled
         "kcore": _q_kcore,
+        # wave 15: Theil–Sen robust trend (integer pairwise-slope
+        # median) — born past-cap, contract-pytest-oracled
+        "theil_sen": _q_theil_sen,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2875,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_intersections": oracle.segment_intersections_sql(),
         "audio_resample": oracle.audio_resample_sql(48),
         "kcore": oracle.kcore_sql(5, 2, 4),
+        "theil_sen": oracle.theil_sen_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

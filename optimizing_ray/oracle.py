@@ -4449,6 +4449,33 @@ SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
 FROM t ORDER BY nation
 """
 
+def theil_sen_sql(L: int = 2520) -> str:
+    """relational.theil_sen twin: pairwise yearly slopes made integer
+    by the common-denominator trick (every year gap divides L), lower
+    median by row_number at (m-1)//2 + 1."""
+    return f"""
+WITH o AS (SELECT o_custkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+        CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+cn AS (SELECT c_custkey, n_name FROM customer
+       JOIN nation ON n_nationkey = c_nationkey),
+j AS (SELECT n_name, yr, pc FROM o JOIN cn ON c_custkey = o_custkey),
+a AS (SELECT n_name, yr, CAST(SUM(pc) AS BIGINT) AS y
+      FROM j GROUP BY n_name, yr),
+pr AS (SELECT x.n_name, (z.y - x.y) * ({L} // (z.yr - x.yr)) AS s
+       FROM a x JOIN a z ON z.n_name = x.n_name AND z.yr > x.yr),
+md AS (SELECT n_name, s,
+              row_number() OVER (PARTITION BY n_name ORDER BY s) AS rk,
+              count(*) OVER (PARTITION BY n_name) AS m FROM pr),
+ny AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_years
+       FROM a GROUP BY n_name)
+SELECT md.n_name AS nation, ny.n_years, CAST(md.m AS BIGINT) AS n_pairs,
+       CAST(md.s AS BIGINT) AS slope_scaled
+FROM md JOIN ny ON ny.n_name = md.n_name
+WHERE md.rk = (md.m - 1) // 2 + 1
+ORDER BY nation"""
+
+
 def random_walks_sql(walk_len: int = 4, k: int = 5, scale: int = 1024,
                      table: str = "embeddings") -> str:
     """cluster.random_walks twin over the exact embedding kNN graph:

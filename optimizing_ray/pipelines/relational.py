@@ -22,7 +22,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
            "balance_deciles", "slow_suppliers", "forecast_revenue",
-           "revenue_trend"]
+           "revenue_trend", "theil_sen"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2426,3 +2426,84 @@ def revenue_trend(sf_dir: str) -> pa.Table:
                               * g["sy"].to_numpy(np.int64)),
         "slope_den": pa.array(ny * g["sxx"].to_numpy(np.int64)
                               - g["sx"].to_numpy(np.int64) ** 2)})
+
+
+THEIL_L = 2520  # lcm(1..10): every observed year gap divides it
+
+
+def theil_sen(sf_dir: str) -> pa.Table:
+    """Theil–Sen robust revenue trend per customer nation — the
+    outlier-resistant companion of ``revenue_trend``: the LOWER MEDIAN
+    of the pairwise yearly slopes.  Every slope is made EXACTLY integer
+    by the common-denominator trick: year gaps dx all divide
+    ``THEIL_L`` (lcm(1..10); the corpus spans 7 years), so
+    slope_scaled = (y_j - y_i) * (THEIL_L // dx) is the slope in
+    cents/year scaled by THEIL_L — median selection over integers is
+    order-exact and hash-verifiable (the robust_quality_stats lower-
+    median discipline).  Output (nation, n_years, n_pairs,
+    slope_scaled), nations with >= 2 data years, nation order.
+
+    Plan: identical to revenue_trend — broadcast dims, bounded
+    (nation, year, cents) per-batch partials, driver fold over the
+    <= 25 x years partial table (pairs are <= C(years, 2) per nation).
+    SQL twin ``oracle.theil_sen_sql``."""
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+    j = broadcast_lookup(orders, customer, fact_key="o_custkey",
+                         dim_key="c_custkey", value_cols=("c_nationkey",))
+    j = broadcast_lookup(j, nation, fact_key="c_nationkey",
+                         dim_key="n_nationkey", value_cols=("n_name",))
+
+    part_schema = pa.schema([("nation", pa.string()), ("yr", pa.int64()),
+                             ("s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_name" not in t.column_names:
+            return part_schema.empty_table()
+        yr = (t["o_orderdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        pc = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({"nation": t["n_name"].to_numpy(
+            zero_copy_only=False), "yr": yr, "s": pc})
+        agg = df.groupby(["nation", "yr"], sort=False)["s"] \
+            .sum().reset_index()
+        return pa.table({"nation": pa.array(agg["nation"].astype(str)),
+                         "yr": pa.array(agg["yr"].to_numpy(np.int64)),
+                         "s": pa.array(agg["s"].to_numpy(np.int64))})
+
+    out_schema = pa.schema([("nation", pa.string()),
+                            ("n_years", pa.int64()),
+                            ("n_pairs", pa.int64()),
+                            ("slope_scaled", pa.int64())])
+    parts = (j.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    if len(parts) == 0 or "nation" not in parts.columns:
+        return out_schema.empty_table()
+    agg = parts.groupby(["nation", "yr"], sort=True)["s"].sum().reset_index()
+    rows = []
+    for nat, g in agg.groupby("nation", sort=True):
+        yrs = g["yr"].to_numpy(np.int64)
+        ys = g["s"].to_numpy(np.int64)
+        if len(yrs) < 2:
+            continue
+        iu, iv = np.triu_indices(len(yrs), 1)
+        dx = yrs[iv] - yrs[iu]
+        assert int(dx.max()) <= 10, "year gap exceeds THEIL_L coverage"
+        sl = (ys[iv] - ys[iu]) * (THEIL_L // dx)
+        sl.sort()
+        rows.append((nat, len(yrs), len(sl), int(sl[(len(sl) - 1) // 2])))
+    if not rows:
+        return out_schema.empty_table()
+    n_, ny_, np_, s_ = zip(*rows)
+    return pa.table({"nation": pa.array(list(n_), pa.string()),
+                     "n_years": pa.array(list(ny_), pa.int64()),
+                     "n_pairs": pa.array(list(np_), pa.int64()),
+                     "slope_scaled": pa.array(list(s_), pa.int64())})

@@ -300,6 +300,9 @@ SQL_NAMES = [
     # round 4 wave 15: k-core peeling over the kNN graph (fixed-round
     # CTE chain, alive-restricted degrees)
     "kcore",
+    # round 4 wave 15: Theil–Sen robust trend (integer pairwise-slope
+    # lower median via the common-denominator trick)
+    "theil_sen",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

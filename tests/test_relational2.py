@@ -1065,3 +1065,38 @@ def test_revenue_trend_brute(ray_session):
             assert abs(r["slope_num"] / r["slope_den"]
                        - np.polyfit(x, y.astype(float), 1)[0]) < 1e-3 * max(
                            1.0, abs(r["slope_num"] / r["slope_den"]))
+
+
+def test_theil_sen_matches_brute(ray_session):
+    """Lower median of integer-scaled pairwise slopes vs a pandas brute
+    over the same yearly cents table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.pipelines.relational import THEIL_L, theil_sen
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = theil_sen(sf_dir).to_pandas()
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    j["yr"] = pd.to_datetime(j["o_orderdate"]).dt.year.astype(np.int64)
+    j["pc"] = np.floor(j["o_totalprice"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    a = j.groupby(["n_name", "yr"])["pc"].sum().reset_index()
+    rows = []
+    for nation, g in a.groupby("n_name"):
+        yrs = g["yr"].to_numpy(np.int64)
+        ys = g["pc"].to_numpy(np.int64)
+        if len(yrs) < 2:
+            continue
+        sl = sorted((int(ys[jx]) - int(ys[ix])) * (THEIL_L // int(yrs[jx] - yrs[ix]))
+                    for ix in range(len(yrs)) for jx in range(ix + 1, len(yrs)))
+        rows.append((nation, len(yrs), len(sl), sl[(len(sl) - 1) // 2]))
+    rows.sort()
+    assert list(got.itertuples(index=False, name=None)) == rows
+    assert len(got) > 0
