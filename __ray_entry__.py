@@ -1337,6 +1337,32 @@ def _q_nation_volume(sf_dir: str):
     return relational.nation_volume(sf_dir)
 
 
+def _q_priority_sample(sf_dir: str):
+    """Priority sampling (Duffield–Lund–Thorup): length-weighted
+    corpus subsample with an exact-integer mergeable selection rule —
+    per-batch partial top-k under the tie-free (priority, id) order,
+    bounded driver merge, zero shuffles."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return textops.priority_sample(docs, k=32)
+
+
+def _q_rendezvous_assign(sf_dir: str):
+    """Rendezvous (highest-random-weight) placement: the consistent-
+    ownership rule — removing a bucket reassigns only its own keys.
+    Pure splitmix64 argmax per doc; zero shuffles."""
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages.assign import rendezvous_assign_batch
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(
+        lambda t: rendezvous_assign_batch(t, 16),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_theil_sen(sf_dir: str):
     """Theil–Sen robust revenue trend per nation: pairwise yearly
     slopes made exactly integer by the common-denominator trick (year
@@ -2668,6 +2694,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: Theil–Sen robust trend (integer pairwise-slope
         # median) — born past-cap, contract-pytest-oracled
         "theil_sen": _q_theil_sen,
+        # wave 15: priority sampling + rendezvous placement (both pure
+        # splitmix64 integer rules) — born past-cap, contract-oracled
+        "priority_sample": _q_priority_sample,
+        "rendezvous_assign": _q_rendezvous_assign,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2889,6 +2919,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": oracle.audio_resample_sql(48),
         "kcore": oracle.kcore_sql(5, 2, 4),
         "theil_sen": oracle.theil_sen_sql(),
+        "priority_sample": oracle.priority_sample_sql(32),
+        "rendezvous_assign": oracle.rendezvous_sql(16),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

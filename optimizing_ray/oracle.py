@@ -4449,6 +4449,44 @@ SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
 FROM t ORDER BY nation
 """
 
+def priority_sample_sql(k: int = 32, table: str = "documents") -> str:
+    """textops.priority_sample twin: splitmix64(doc_id) low 32 bits,
+    q = (w * 2^32) // (u + 1), row_number cut under (q DESC, doc_id)."""
+    gamma = 0x9E3779B97F4A7C15
+    return f"""
+WITH w0 AS (SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w
+            FROM {table}),
+k0 AS (SELECT doc_id, w,
+       ((CAST(doc_id AS HUGEINT) + CAST('{gamma}' AS HUGEINT)) % {_M64})
+         AS h FROM w0),
+{_splitmix_chain('p', 'k0', 'doc_id, w')},
+q AS (SELECT doc_id, w,
+      CAST((w * 4294967296) // CAST((h % 4294967296) + 1 AS BIGINT)
+           AS BIGINT) AS priority
+      FROM pf),
+r AS (SELECT doc_id, w, priority, row_number() OVER
+        (ORDER BY priority DESC, doc_id) AS rk FROM q)
+SELECT CAST(rk AS BIGINT) AS samp_rank, doc_id, w, priority
+FROM r WHERE rk <= {k} ORDER BY samp_rank"""
+
+
+def rendezvous_sql(n_buckets: int = 16, table: str = "documents") -> str:
+    """stages.assign.rendezvous_assign_batch twin: splitmix64 over
+    (doc_id * B + b) per bucket, owner = row_number (h DESC, b) = 1."""
+    gamma = 0x9E3779B97F4A7C15
+    return f"""
+WITH bk AS (SELECT doc_id, b.b AS b FROM {table},
+            range({n_buckets}) b(b)),
+k0 AS (SELECT doc_id, b,
+       ((CAST(doc_id AS HUGEINT) * {n_buckets} + b
+         + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h FROM bk),
+{_splitmix_chain('v', 'k0', 'doc_id, b')},
+r AS (SELECT doc_id, b, row_number() OVER
+        (PARTITION BY doc_id ORDER BY h DESC, b) AS rk FROM vf)
+SELECT doc_id, CAST(b AS BIGINT) AS owner
+FROM r WHERE rk = 1 ORDER BY doc_id"""
+
+
 def theil_sen_sql(L: int = 2520) -> str:
     """relational.theil_sen twin: pairwise yearly slopes made integer
     by the common-denominator trick (every year gap divides L), lower

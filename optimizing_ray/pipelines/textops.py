@@ -26,7 +26,8 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "span_kind_rollup",
            "source_cap", "top_k_per_group", "train_split",
            "stratified_sample", "skyline_docs", "robust_quality_stats",
-           "winnow_fingerprints", "span_dedup_stats", "collocations"]
+           "winnow_fingerprints", "span_dedup_stats", "collocations",
+           "priority_sample"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -2304,3 +2305,60 @@ def collocations(docs: rd.Dataset, *, text_col: str = "text", k: int = 20,
                      "c_v": pa.array(hits["c_v"].to_numpy(np.int64)),
                      "score_micro": pa.array(
                          hits["score_micro"].to_numpy(np.int64))})
+
+
+def priority_sample(docs: rd.Dataset, *, k: int = 32,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield–Lund–Thorup): weight w = length(text) + 1, the
+    doc's priority is the exact integer
+
+        q = (w << 32) // (splitmix64(doc_id) % 2^32 + 1)
+
+    and the sample is the top-``k`` under (q DESC, doc_id ASC) — the
+    length-weighted corpus subsample with a mergeable, hash-verifiable
+    selection rule (every arithmetic step mod-2^64/int64, so the SQL
+    twin ``oracle.priority_sample_sql`` is bit-identical).  Output
+    (samp_rank, doc_id, w, priority).
+
+    Plan: each batch keeps only its own top-k under the total order
+    (the ann partial-top-k shape — (q, id) is tie-free), the driver
+    merges <= blocks x k rows.  Zero shuffles."""
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    out_schema = pa.schema([("samp_rank", pa.int64()),
+                            ("doc_id", pa.int64()), ("w", pa.int64()),
+                            ("priority", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "priority": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+             .astype(np.int64) + 1)
+        u = (splitmix64(ids.astype(np.uint64))
+             % np.uint64(1 << 32)).astype(np.int64)
+        q = (w << np.int64(32)) // (u + 1)
+        order = np.lexsort((ids, -q))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "w": pa.array(w[order]),
+                         "priority": pa.array(q[order])})
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas())
+    if len(parts) == 0 or "doc_id" not in parts.columns:
+        return out_schema.empty_table()
+    ids = parts["doc_id"].to_numpy(np.int64)
+    w = parts["w"].to_numpy(np.int64)
+    q = parts["priority"].to_numpy(np.int64)
+    order = np.lexsort((ids, -q))[:k]
+    return pa.table({"samp_rank": pa.array(
+                         np.arange(1, len(order) + 1, dtype=np.int64)),
+                     "doc_id": pa.array(ids[order]),
+                     "w": pa.array(w[order]),
+                     "priority": pa.array(q[order])})

@@ -69,6 +69,27 @@ def assign_hilbert_batch(t: pa.Table, depth: int, world: World,
         cells.hilbert_d(ix, iy, depth)))
 
 
+def rendezvous_assign_batch(t: pa.Table, n_buckets: int = 16,
+                            id_col: str = "doc_id") -> pa.Table:
+    """Append ``owner``: rendezvous (highest-random-weight) placement —
+    owner(id) = argmax over b < n_buckets of splitmix64(id*B + b),
+    ties to the lowest b (argmax first-max == the SQL (h DESC, b)
+    row_number).  The consistent-placement primitive: removing a
+    bucket reassigns ONLY that bucket's keys (no global reshuffle) —
+    the shard-ownership rule a serving tier or incremental store uses.
+    Pure mod-2^64 arithmetic, SQL twin ``oracle.rendezvous_sql``."""
+    from optimizing_ray.pipelines.sketches import splitmix64
+    if t.num_rows == 0 or id_col not in t.column_names:
+        return t.append_column("owner", pa.array([], pa.int64()))
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        keys = (ids[:, None] * np.uint64(n_buckets)
+                + np.arange(n_buckets, dtype=np.uint64)[None, :])
+    h = splitmix64(keys.reshape(-1)).reshape(len(ids), n_buckets)
+    return t.append_column("owner",
+                           pa.array(h.argmax(axis=1).astype(np.int64)))
+
+
 def assign_tiles(ds: rd.Dataset, depth: int, world: World,
                  x_col: str = "x", y_col: str = "y",
                  out_col: str = "cell_key") -> rd.Dataset:

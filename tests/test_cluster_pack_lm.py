@@ -656,3 +656,46 @@ def test_kcore_peeling_matches_brute(ray_session):
     # only the clique survives, node 0 back at degree 4
     assert brute(2, 4) == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
     assert brute(2, 2) == [(0, 5), (1, 4), (2, 4), (3, 4), (4, 4), (5, 1)]
+
+
+def test_priority_sample_and_rendezvous(ray_session):
+    """Priority sample equals the brute top-k under the exact integer
+    rule (layout-invariant: per-batch cuts can't drop a winner);
+    rendezvous ownership is stable under bucket removal (only the
+    removed bucket's keys move)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.sketches import splitmix64
+    from optimizing_ray.pipelines.textops import priority_sample
+    from optimizing_ray.stages.assign import rendezvous_assign_batch
+
+    n = 300
+    texts = [("x" * ((i * 37) % 257 + 1)) for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = priority_sample(rd.from_arrow(t).repartition(5),
+                          k=10).to_pandas()
+    w = np.array([len(s) + 1 for s in texts], dtype=np.int64)
+    u = (splitmix64(np.arange(n, dtype=np.uint64))
+         % np.uint64(1 << 32)).astype(np.int64)
+    q = (w << np.int64(32)) // (u + 1)
+    order = np.lexsort((np.arange(n), -q))[:10]
+    want = [(r + 1, int(i), int(w[i]), int(q[i]))
+            for r, i in enumerate(order)]
+    assert list(got.itertuples(index=False, name=None)) == want
+
+    own16 = rendezvous_assign_batch(t.select(["doc_id"]), 16)
+    o16 = own16["owner"].to_numpy()
+    assert set(np.unique(o16)) <= set(range(16))
+    # balance: no bucket is empty or hoards (16 buckets over 300 keys)
+    cnt = np.bincount(o16, minlength=16)
+    assert cnt.min() > 0 and cnt.max() < 3 * cnt.mean()
+    # consistency: dropping bucket 15 moves ONLY its keys
+    keys = np.arange(n, dtype=np.uint64)
+    h = splitmix64((keys[:, None] * np.uint64(16)
+                    + np.arange(16, dtype=np.uint64)[None, :]).reshape(-1)
+                   ).reshape(n, 16)
+    o15 = h[:, :15].argmax(axis=1)
+    moved = np.flatnonzero(o16 != o15)
+    assert set(o16[moved]) == {15}

@@ -303,6 +303,10 @@ SQL_NAMES = [
     # round 4 wave 15: Theil–Sen robust trend (integer pairwise-slope
     # lower median via the common-denominator trick)
     "theil_sen",
+    # round 4 wave 15: priority sampling (exact-integer DLT weights)
+    # and rendezvous placement (splitmix64 argmax)
+    "priority_sample",
+    "rendezvous_assign",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
