@@ -1337,6 +1337,18 @@ def _q_nation_volume(sf_dir: str):
     return relational.nation_volume(sf_dir)
 
 
+def _q_typo_pairs(sf_dir: str):
+    """SymSpell typo/variant pairs: vocabulary words within Levenshtein
+    distance 2 — deletion-neighborhood candidates (three vocabulary-
+    sized exchanges), exact vectorized DP verify; the SQL brute proves
+    the candidate generation lossless."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents", columns=["text"])
+    return textops.typo_pairs(docs, max_dist=2)
+
+
 def _q_priority_sample(sf_dir: str):
     """Priority sampling (Duffield–Lund–Thorup): length-weighted
     corpus subsample with an exact-integer mergeable selection rule —
@@ -2698,6 +2710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # splitmix64 integer rules) — born past-cap, contract-oracled
         "priority_sample": _q_priority_sample,
         "rendezvous_assign": _q_rendezvous_assign,
+        # wave 15: SymSpell edit-distance-2 vocabulary pairs — born
+        # past-cap, contract-pytest-oracled
+        "typo_pairs": _q_typo_pairs,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2921,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": oracle.theil_sen_sql(),
         "priority_sample": oracle.priority_sample_sql(32),
         "rendezvous_assign": oracle.rendezvous_sql(16),
+        "typo_pairs": oracle.typo_pairs_sql(2),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -4449,6 +4449,20 @@ SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
 FROM t ORDER BY nation
 """
 
+def typo_pairs_sql(max_dist: int = 2, table: str = "documents") -> str:
+    """textops.typo_pairs twin: the unbucketed brute — every distinct
+    word pair under DuckDB levenshtein <= max_dist.  A green row
+    proves the SymSpell deletion-neighborhood candidates lossless."""
+    return f"""
+WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+           FROM {table})
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM w a JOIN w b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= {max_dist}
+ORDER BY word_a, word_b"""
+
+
 def priority_sample_sql(k: int = 32, table: str = "documents") -> str:
     """textops.priority_sample twin: splitmix64(doc_id) low 32 bits,
     q = (w * 2^32) // (u + 1), row_number cut under (q DESC, doc_id)."""

@@ -27,7 +27,7 @@ __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
            "source_cap", "top_k_per_group", "train_split",
            "stratified_sample", "skyline_docs", "robust_quality_stats",
            "winnow_fingerprints", "span_dedup_stats", "collocations",
-           "priority_sample"]
+           "priority_sample", "typo_pairs"]
 
 
 def analyze_text(docs: rd.Dataset, *, text_col: str = "text",
@@ -2362,3 +2362,189 @@ def priority_sample(docs: rd.Dataset, *, k: int = 32,
                      "doc_id": pa.array(ids[order]),
                      "w": pa.array(w[order]),
                      "priority": pa.array(q[order])})
+
+
+def typo_pairs(docs: rd.Dataset, *, text_col: str = "text",
+               max_dist: int = 2, n_shards: int | None = None) -> pa.Table:
+    """SymSpell-style typo/variant detection over the corpus
+    vocabulary: every DISTINCT word pair within Levenshtein distance
+    ``max_dist`` (unit insert/delete/substitute — DuckDB
+    ``levenshtein`` semantics).  Output (word_a, word_b, dist),
+    a < b byte order, sorted.
+
+    Plan (the SymSpell deletion-neighborhood theorem: ed(u, v) <= d
+    implies u and v share a variant reachable by <= d deletions from
+    each): one hash(word) exchange builds the distinct vocabulary;
+    each vocab word emits its <= d-deletion variants (vocab-bounded —
+    the bpe driver-loop budget class); candidates meet on ONE
+    hash(variant) exchange (pairs within a variant bucket, a < b);
+    a hash(pair) exchange dedups multi-variant collisions and runs
+    the exact DP verify VECTORIZED across pairs grouped by the
+    (len_u, len_v) shape.  The corpus is touched once; everything
+    after is vocabulary-sized.  SQL twin ``oracle.typo_pairs_sql`` is
+    the unbucketed levenshtein brute — a green row proves the
+    deletion-neighborhood candidates lossless."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([("word_a", pa.string()),
+                            ("word_b", pa.string()),
+                            ("dist", pa.int64())])
+
+    # --- stage 1: distinct vocabulary (one hash(word) exchange) -----
+    def word_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], pa.string()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        uw = np.unique(toks.to_numpy(zero_copy_only=False))
+        h = pd.util.hash_pandas_object(pd.Series(uw), index=False).to_numpy()
+        return pa.table({"word": pa.array(uw.astype(str)),
+                         "_shard": pa.array((h % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def vocab_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=str)})
+        return pd.DataFrame({"word": np.unique(g["word"].to_numpy())})
+
+    vocab = (docs.map_batches(word_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("_shard").map_groups(vocab_fold,
+                                           batch_format="pandas"))
+
+    # --- stage 2: deletion variants -> hash(variant) exchange -------
+    def variants(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"var": pd.Series([], dtype=str),
+                              "word": pd.Series([], dtype=str),
+                              "_sv": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        vs, ws = [], []
+        for w in g["word"].to_numpy():
+            seen = {w}
+            frontier = {w}
+            for _ in range(max_dist):
+                nxt = set()
+                for s in frontier:
+                    for i in range(len(s)):
+                        nxt.add(s[:i] + s[i + 1:])
+                frontier = nxt - seen
+                seen |= nxt
+            vs.extend(seen)
+            ws.extend([w] * len(seen))
+        h = pd.util.hash_pandas_object(pd.Series(vs), index=False).to_numpy()
+        return pd.DataFrame({"var": vs, "word": ws,
+                             "_sv": (h % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=str),
+                              "b": pd.Series([], dtype=str),
+                              "_sp": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        df = g[["var", "word"]].drop_duplicates()
+        df = df.sort_values(["var", "word"], kind="stable")
+        v = df["var"].to_numpy()
+        w = df["word"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        ends = np.r_[starts[1:], len(v)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, iv = np.triu_indices(m, 1)
+            out_a.append(w[s + iu])
+            out_b.append(w[s + iv])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        key = pd.Series(a) + "\x00" + pd.Series(b)
+        keep = ~key.duplicated()
+        a, b, key = a[keep.to_numpy()], b[keep.to_numpy()], key[keep]
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        return pd.DataFrame({"a": a, "b": b,
+                             "_sp": (h % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    # --- stage 3: dedup + vectorized DP verify -----------------------
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"word_a": pd.Series([], dtype=str),
+                              "word_b": pd.Series([], dtype=str),
+                              "dist": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        df = g[["a", "b"]].drop_duplicates()
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        la = np.array([len(x) for x in a])
+        lb = np.array([len(x) for x in b])
+        band = np.abs(la - lb) <= max_dist
+        a, b, la, lb = a[band], b[band], la[band], lb[band]
+        # ASCII fast path below reshapes on byte == char length; route
+        # multibyte pairs through a scalar DP (corpus is ASCII — this
+        # is the non-ASCII fallback of the batch text kernels)
+        wide = np.array([len(x.encode()) != len(x)
+                         or len(y.encode()) != len(y)
+                         for x, y in zip(a, b)])
+        out_a, out_b, out_d = [], [], []
+        if wide.any():
+            for x, y in zip(a[wide], b[wide]):
+                pv = list(range(len(y) + 1))
+                for i in range(1, len(x) + 1):
+                    cu = [i] + [0] * len(y)
+                    for j in range(1, len(y) + 1):
+                        cu[j] = min(pv[j] + 1, cu[j - 1] + 1,
+                                    pv[j - 1] + (x[i - 1] != y[j - 1]))
+                    pv = cu
+                if pv[len(y)] <= max_dist:
+                    out_a.append(np.array([x], dtype=object))
+                    out_b.append(np.array([y], dtype=object))
+                    out_d.append(np.array([pv[len(y)]], dtype=np.int64))
+            a, b, la, lb = a[~wide], b[~wide], la[~wide], lb[~wide]
+        for (lu, lv) in set(zip(la.tolist(), lb.tolist())):
+            m = (la == lu) & (lb == lv)
+            au = a[m]
+            bu = b[m]
+            n = len(au)
+            A = (np.frombuffer("".join(au).encode("utf-8"), np.uint8)
+                 .reshape(n, lu) if lu else np.zeros((n, 0), np.uint8))
+            B = (np.frombuffer("".join(bu).encode("utf-8"), np.uint8)
+                 .reshape(n, lv) if lv else np.zeros((n, 0), np.uint8))
+            prev = np.tile(np.arange(lv + 1, dtype=np.int64), (n, 1))
+            for i in range(1, lu + 1):
+                cur = np.empty_like(prev)
+                cur[:, 0] = i
+                for j in range(1, lv + 1):
+                    sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+                    cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                                      cur[:, j - 1] + 1),
+                                           sub)
+                prev = cur
+            d = prev[:, lv]
+            hit = d <= max_dist
+            out_a.append(au[hit])
+            out_b.append(bu[hit])
+            out_d.append(d[hit])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"word_a": np.concatenate(out_a),
+                             "word_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)
+                             .astype(np.int64)})
+
+    out = (vocab.map_batches(variants, batch_format="pandas")
+           .groupby("_sv").map_groups(bucket_pairs, batch_format="pandas")
+           .groupby("_sp").map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "word_a" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["word_a", "word_b"]).reset_index(drop=True)
+    return pa.table({"word_a": pa.array(out["word_a"].astype(str)),
+                     "word_b": pa.array(out["word_b"].astype(str)),
+                     "dist": pa.array(out["dist"].to_numpy(np.int64))})

@@ -307,6 +307,9 @@ SQL_NAMES = [
     # and rendezvous placement (splitmix64 argmax)
     "priority_sample",
     "rendezvous_assign",
+    # round 4 wave 15: SymSpell edit-distance-2 vocabulary pairs vs
+    # the unbucketed levenshtein brute
+    "typo_pairs",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -326,3 +326,45 @@ def test_winnow_fingerprints_covering_property(ray_session):
     f3 = set(outs[0][outs[0].doc_id == 3]["fp"])
     assert f1 & f2                       # covering property
     assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_typo_pairs_matches_brute(ray_session):
+    """SymSpell candidates + vectorized DP verify vs a brute all-pairs
+    Levenshtein: substitutions, deletions, transposition costs 2 (no
+    Damerau), distance-3 excluded, non-ASCII fallback path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import typo_pairs
+
+    texts = ["kitten sitting kiten mitten",
+             "hash hsah cash dash dashes",
+             "abc acb", "a ab abx", "café cafe coffee",
+             "zzzz yyyy"]
+    t = pa.table({"text": pa.array(texts)})
+    got = typo_pairs(rd.from_arrow(t).repartition(3),
+                     max_dist=2).to_pandas()
+
+    def lev(x, y):
+        pv = list(range(len(y) + 1))
+        for i in range(1, len(x) + 1):
+            cu = [i] + [0] * len(y)
+            for j in range(1, len(y) + 1):
+                cu[j] = min(pv[j] + 1, cu[j - 1] + 1,
+                            pv[j - 1] + (x[i - 1] != y[j - 1]))
+            pv = cu
+        return pv[len(y)]
+
+    vocab = sorted({w for s in texts for w in s.split(" ")})
+    want = [(a, b, lev(a, b)) for i, a in enumerate(vocab)
+            for b in vocab[i + 1:] if lev(a, b) <= 2]
+    want.sort()
+    assert list(got.itertuples(index=False, name=None)) == want
+    d = {(a, b): c for a, b, c in want}
+    assert d[("cash", "dash")] == 1          # substitution
+    assert d[("kiten", "kitten")] == 1       # deletion
+    assert d[("abc", "acb")] == 2            # transposition costs 2
+    assert d[("cafe", "café")] == 1     # non-ASCII fallback
+    assert ("kitten", "sitting") not in d    # distance 3 excluded
+    assert ("yyyy", "zzzz") not in d
