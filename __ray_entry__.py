@@ -1337,6 +1337,18 @@ def _q_nation_volume(sf_dir: str):
     return relational.nation_volume(sf_dir)
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-type outlier listing: |v_cents - lower median| >
+    3 * MAD — order statistics in ONE hash(type) exchange, only the
+    outliers leave the shard; integer end to end."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "event_type", "value"])
+    return windows.mad_outliers(ev, k=3)
+
+
 def _q_typo_pairs(sf_dir: str):
     """SymSpell typo/variant pairs: vocabulary words within Levenshtein
     distance 2 — deletion-neighborhood candidates (three vocabulary-
@@ -2713,6 +2725,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: SymSpell edit-distance-2 vocabulary pairs — born
         # past-cap, contract-pytest-oracled
         "typo_pairs": _q_typo_pairs,
+        # wave 15: robust per-type MAD outlier listing — born past-cap,
+        # contract-pytest-oracled
+        "mad_outliers": _q_mad_outliers,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2937,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": oracle.priority_sample_sql(32),
         "rendezvous_assign": oracle.rendezvous_sql(16),
         "typo_pairs": oracle.typo_pairs_sql(2),
+        "mad_outliers": oracle.mad_outliers_sql(3),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -4449,6 +4449,31 @@ SELECT n_name AS nation, CAST(ny AS BIGINT) AS n_years,
 FROM t ORDER BY nation
 """
 
+def mad_outliers_sql(k: int = 3, key_col: str = "event_type",
+                     table: str = "events") -> str:
+    """windows.mad_outliers twin: lower-median and MAD order statistics
+    via row_number at rank (n+1)//2, integer filter |v - med| > k*MAD."""
+    return f"""
+WITH e AS (SELECT event_id, {key_col} AS key,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+           FROM {table}),
+mr AS (SELECT key, v, row_number() OVER
+         (PARTITION BY key ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY key) AS n FROM e),
+m AS (SELECT key, v AS med FROM mr WHERE rn = (n + 1) // 2),
+d AS (SELECT e.key, abs(e.v - m.med) AS av FROM e
+      JOIN m ON m.key = e.key),
+dr AS (SELECT key, av, row_number() OVER
+         (PARTITION BY key ORDER BY av) AS rn,
+         count(*) OVER (PARTITION BY key) AS n FROM d),
+md AS (SELECT key, av AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT e.event_id, e.key, e.v AS v_cents, m.med AS med_cents,
+       md.mad AS mad_cents, abs(e.v - m.med) AS dev
+FROM e JOIN m ON m.key = e.key JOIN md ON md.key = e.key
+WHERE abs(e.v - m.med) > {k} * md.mad
+ORDER BY event_id"""
+
+
 def typo_pairs_sql(max_dist: int = 2, table: str = "documents") -> str:
     """textops.typo_pairs twin: the unbucketed brute — every distinct
     word pair under DuckDB levenshtein <= max_dist.  A green row

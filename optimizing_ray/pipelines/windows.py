@@ -24,7 +24,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
-           "trajectory_similarity"]
+           "trajectory_similarity", "mad_outliers"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1494,3 +1494,89 @@ def resample_interpolate(events: rd.Dataset, *, key_col: str = "user_id",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(per_shard,
                                           batch_format="pandas"))
+
+
+def mad_outliers(events: rd.Dataset, *, key_col: str = "event_type",
+                 id_col: str = "event_id", value_col: str = "value",
+                 k: int = 3, n_shards: int | None = None) -> pa.Table:
+    """Robust per-key outlier listing — the streaming-quality audit
+    (sensor/metric anomaly flags): events whose cents-quantized value
+    deviates from the key's LOWER MEDIAN by more than ``k`` times the
+    key's MAD (lower median of absolute deviations) — the
+    robust_quality_stats order statistics turned into a row filter,
+    integer end to end (no sigma, no sqrt, no float compare).  Output
+    (event_id, key, v_cents, med_cents, mad_cents, dev), event order.
+
+    Plan: ONE hash(key) exchange of slim (key, id, v_cents) rows; a
+    key's events co-locate, so median, MAD and the filter are in-shard
+    lexsorts + gathers; only the outliers leave the shard.  SQL twin
+    ``oracle.mad_outliers_sql`` (row_number order statistics)."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("key", pa.string()),
+        ("v_cents", pa.int64()), ("med_cents", pa.int64()),
+        ("mad_cents", pa.int64()), ("dev", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "id": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        v = np.floor(t[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        h = pd.util.hash_pandas_object(pd.Series(key),
+                                       index=False).to_numpy()
+        return pa.table({
+            "key": pa.array(key.astype(str)),
+            "id": t[id_col].cast(pa.int64()),
+            "v": pa.array(v),
+            "_shard": pa.array((h % np.uint64(n_shards))
+                               .astype(np.int64))})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=str),
+            "v_cents": pd.Series([], dtype=np.int64),
+            "med_cents": pd.Series([], dtype=np.int64),
+            "mad_cents": pd.Series([], dtype=np.int64),
+            "dev": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        key = g["key"].to_numpy()
+        ids = g["id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, key))
+        key, ids, v = key[order], ids[order], v[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        # lower median per key: 1-based rank (n+1)//2 within the run
+        med = v[starts + (lens + 1) // 2 - 1]
+        med_of = np.repeat(med, lens)
+        av = np.abs(v - med_of)
+        # MAD: lower median of deviations, second in-run sort
+        order2 = np.lexsort((av, key))
+        av_s = av[order2]
+        mad = av_s[starts + (lens + 1) // 2 - 1]
+        mad_of = np.repeat(mad, lens)
+        hit = av > k * mad_of
+        return pd.DataFrame({"event_id": ids[hit], "key": key[hit],
+                             "v_cents": v[hit], "med_cents": med_of[hit],
+                             "mad_cents": mad_of[hit], "dev": av[hit]})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "event_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)

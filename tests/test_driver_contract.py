@@ -310,6 +310,9 @@ SQL_NAMES = [
     # round 4 wave 15: SymSpell edit-distance-2 vocabulary pairs vs
     # the unbucketed levenshtein brute
     "typo_pairs",
+    # round 4 wave 15: robust per-type MAD outlier listing (integer
+    # order statistics, one exchange)
+    "mad_outliers",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -616,3 +616,46 @@ def test_resample_interpolate_layout_invariance(ray_session):
     b = (resample_interpolate(ds.repartition(7)).to_pandas()
          .sort_values(["user_id", "gts"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_mad_outliers_matches_brute(ray_session):
+    """Lower median + MAD per key vs a pandas brute; planted spike
+    flagged; MAD = 0 key flags every deviating event; layout
+    invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.windows import mad_outliers
+
+    rng = np.random.default_rng(17)
+    n = 400
+    key = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    v = rng.normal(10.0, 1.0, n)
+    v[5] = 1000.0            # planted spike in whatever key 5 has
+    key[100:120] = "z"       # constant key -> MAD 0
+    v[100:120] = 7.0
+    v[119] = 7.01            # deviates from the constant -> flagged
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "event_type": pa.array(key.astype(str)),
+                  "value": pa.array(v)})
+    got = mad_outliers(rd.from_arrow(t).repartition(4), k=3).to_pandas()
+
+    df = pd.DataFrame({"id": np.arange(n), "key": key,
+                       "v": np.floor(v * 100.0 + 0.5).astype(np.int64)})
+    rows = []
+    for kk, g in df.groupby("key"):
+        vs = np.sort(g["v"].to_numpy())
+        med = vs[(len(vs) + 1) // 2 - 1]
+        av = np.sort(np.abs(g["v"].to_numpy() - med))
+        mad = av[(len(av) + 1) // 2 - 1]
+        for _, r in g.iterrows():
+            d = abs(int(r["v"]) - int(med))
+            if d > 3 * mad:
+                rows.append((int(r["id"]), kk, int(r["v"]), int(med),
+                             int(mad), d))
+    rows.sort()
+    assert list(got.itertuples(index=False, name=None)) == rows
+    assert 5 in set(got["event_id"])
+    assert 119 in set(got["event_id"])
