@@ -1247,3 +1247,193 @@ def kcore(edges: rd.Dataset, nodes: rd.Dataset, *,
     out = out.sort_values("node").reset_index(drop=True)
     return pa.Table.from_pandas(out[["node", "deg"]], preserve_index=False,
                                 schema=out_schema)
+
+
+def bfs_hops(edges: rd.Dataset, seeds, *, src: str = "vec_id",
+             dst: str = "neighbor_id", rounds: int = 4,
+             nrows: int | None = None,
+             n_shards: int | None = None) -> pa.Table:
+    """Multi-source directed BFS layers: for every node reachable from
+    ``seeds`` within ``rounds`` forward hops, its hop distance (seeds
+    at 0; first-reach wins — synchronous layers make that well
+    defined).  Output (node, hops), node order.  Fixed rounds keep the
+    SQL twin a finite CTE chain (``oracle.bfs_hops_sql``) — the
+    pagerank/kcore iterative discipline.
+
+    Plans (the pagerank nrows gate):
+    * driver (nrows <= 2_000_000): slim edges collect once; BFS is a
+      per-round numpy membership pass.  Zero shuffles.
+    * distributed: edges materialize sharded once; each round is ONE
+      hash(src) side-tag exchange (frontier meets out-edges) plus ONE
+      hash(node) exchange (dedup against visited, first-reach keeps
+      the smallest hop) — frontier and visited stay Datasets."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    gate = nrows if nrows is not None else (1 << 62)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    out_schema = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"_s": pa.array([], pa.int64()),
+                             "_d": pa.array([], pa.int64())})
+        return pa.table({"_s": t[src].cast(pa.int64()),
+                         "_d": t[dst].cast(pa.int64())})
+
+    if gate <= 2_000_000:
+        ed = (edges.map_batches(_slim, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas())
+        e_s = (ed["_s"].to_numpy(np.int64) if "_s" in ed.columns
+               else np.empty(0, np.int64))
+        e_d = (ed["_d"].to_numpy(np.int64) if "_d" in ed.columns
+               else np.empty(0, np.int64))
+        order = np.argsort(e_s, kind="stable")
+        e_s, e_d = e_s[order], e_d[order]
+        visited = {int(v): 0 for v in seeds}
+        frontier = seeds
+        for t_ in range(1, rounds + 1):
+            lo = np.searchsorted(e_s, frontier, side="left")
+            hi = np.searchsorted(e_s, frontier, side="right")
+            if len(frontier) == 0:
+                break
+            nxt = np.unique(np.concatenate(
+                [e_d[a:b] for a, b in zip(lo, hi)] or
+                [np.empty(0, np.int64)]))
+            nxt = np.array([v for v in nxt.tolist()
+                            if v not in visited], dtype=np.int64)
+            for v in nxt.tolist():
+                visited[v] = t_
+            frontier = nxt
+        if not visited:
+            return out_schema.empty_table()
+        items = sorted(visited.items())
+        return pa.table({"node": pa.array([a for a, _ in items],
+                                          pa.int64()),
+                         "hops": pa.array([b for _, b in items],
+                                          pa.int64())})
+
+    n_shards = resolve_shards(n_shards)
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = x.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    def edge_leg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "oth": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s), "oth": pa.array(d),
+                         "kind": pa.array(np.ones(len(s), np.int8)),
+                         "_shard": pa.array(_shard(s))})
+
+    edge_tagged = edges.map_batches(edge_leg, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array(seeds),
+        "hops": pa.array(np.zeros(len(seeds), np.int64))}))
+    frontier = visited
+
+    def visited_leg(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table({"key": pa.array([], pa.int64()),
+                                 "oth": pa.array([], pa.int64()),
+                                 "kind": pa.array([], pa.int8()),
+                                 "_shard": pa.array([], pa.int64())})
+            v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hp = t["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"key": pa.array(v), "oth": pa.array(hp),
+                             "kind": pa.array(np.full(len(v), kind,
+                                                      np.int8)),
+                             "_shard": pa.array(_shard(v))})
+        return f
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        """Frontier (kind 0) meets out-edges (kind 1): emit dst rows."""
+        empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "_s2": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        fr = np.unique(g.loc[g["kind"] == 0, "key"].to_numpy(np.int64))
+        eg = g[g["kind"] == 1]
+        if len(fr) == 0 or len(eg) == 0:
+            return empty
+        s = eg["key"].to_numpy(np.int64)
+        d = eg["oth"].to_numpy(np.int64)
+        pos = np.searchsorted(fr, s)
+        ok = (pos < len(fr)) & (fr[np.minimum(pos, len(fr) - 1)] == s)
+        nd = np.unique(d[ok])
+        return pd.DataFrame({"node": nd, "_s2": _shard(nd)})
+
+    for t_ in range(1, rounds + 1):
+        cand = (frontier.map_batches(visited_leg(0),
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                .union(edge_tagged)
+                .groupby("_shard").map_groups(expand,
+                                              batch_format="pandas"))
+
+        def cand_leg(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table({"key": pa.array([], pa.int64()),
+                                 "oth": pa.array([], pa.int64()),
+                                 "kind": pa.array([], pa.int8()),
+                                 "_shard": pa.array([], pa.int64())})
+            v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"key": pa.array(v),
+                             "oth": pa.array(np.full(len(v), t_,
+                                                     np.int64)),
+                             "kind": pa.array(np.full(len(v), 2,
+                                                      np.int8)),
+                             "_shard": pa.array(_shard(v))})
+
+        def settle(g: pd.DataFrame) -> pd.DataFrame:
+            """Visited rows (kind 0, hops in oth) + candidates (kind 2):
+            keep visited; add candidates not already visited."""
+            empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                  "hops": pd.Series([], dtype=np.int64),
+                                  "new": pd.Series([], dtype=np.int8)})
+            if len(g) == 0:
+                return empty
+            vis = g[g["kind"] == 0]
+            vn = vis["key"].to_numpy(np.int64)
+            vh = vis["oth"].to_numpy(np.int64)
+            cd = np.unique(g.loc[g["kind"] == 2, "key"]
+                           .to_numpy(np.int64))
+            vs = np.sort(vn)
+            pos = np.searchsorted(vs, cd)
+            fresh = cd[(pos >= len(vs))
+                       | (vs[np.minimum(pos, len(vs) - 1)] != cd)]
+            return pd.DataFrame({
+                "node": np.concatenate([vn, fresh]),
+                "hops": np.concatenate([vh, np.full(len(fresh), t_,
+                                                    np.int64)]),
+                "new": np.concatenate([np.zeros(len(vn), np.int8),
+                                       np.ones(len(fresh), np.int8)])})
+
+        merged = (visited.map_batches(visited_leg(0),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                  .union(cand.map_batches(cand_leg, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+                  .groupby("_shard").map_groups(settle,
+                                                batch_format="pandas")
+                  .materialize())
+        visited = merged.drop_columns(["new"]).materialize()
+        frontier = merged.filter(lambda r: r["new"] == 1) \
+            .drop_columns(["new"]).materialize()
+
+    out = visited.to_pandas()
+    if len(out) == 0 or "node" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["node", "hops"]],
+                                preserve_index=False, schema=out_schema)
