@@ -1349,6 +1349,27 @@ def _q_mad_outliers(sf_dir: str):
     return windows.mad_outliers(ev, k=3)
 
 
+def _q_activity_streaks(sf_dir: str):
+    """Gap-and-islands retention profile: per user the distinct active
+    days and the longest consecutive-day streak (earliest tie-break) —
+    ONE hash(user) exchange, islands split by a vectorized day diff."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id", "ts"])
+    return windows.activity_streaks(ev)
+
+
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair mining: part pairs co-occurring in >= 2
+    distinct orders, with exact single-part supports attached — two
+    bounded exchanges (hash(order) basket expansion + in-shard partial
+    fold, hash(pair) full-count gate), integer end to end."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.copurchase_pairs(sf_dir, min_support=2)
+
+
 def _q_typo_pairs(sf_dir: str):
     """SymSpell typo/variant pairs: vocabulary words within Levenshtein
     distance 2 — deletion-neighborhood candidates (three vocabulary-
@@ -2728,6 +2749,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: robust per-type MAD outlier listing — born past-cap,
         # contract-pytest-oracled
         "mad_outliers": _q_mad_outliers,
+        # wave 16: market-basket pair mining — born past-cap,
+        # contract-pytest-oracled
+        "copurchase_pairs": _q_copurchase_pairs,
+        # wave 16: gap-and-islands activity streaks — born past-cap,
+        # contract-pytest-oracled
+        "activity_streaks": _q_activity_streaks,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2953,6 +2980,8 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_assign": oracle.rendezvous_sql(16),
         "typo_pairs": oracle.typo_pairs_sql(2),
         "mad_outliers": oracle.mad_outliers_sql(3),
+        "copurchase_pairs": oracle.copurchase_pairs_sql(2),
+        "activity_streaks": oracle.activity_streaks_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

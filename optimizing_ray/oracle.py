@@ -4621,3 +4621,49 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS ret_rank,
        doc_id, CAST(score AS BIGINT) AS score
 FROM r WHERE rk <= {k} ORDER BY query_id, ret_rank
 """
+
+
+def copurchase_pairs_sql(min_support: int = 2,
+                         table: str = "lineitem") -> str:
+    """relational.copurchase_pairs twin: distinct (order, part) rows,
+    self-join on orderkey with part_a < part_b, pair counts gated at
+    min_support, single-part distinct-order supports attached."""
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM {table}),
+pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk),
+sup AS (SELECT pk, count(*) AS s FROM op GROUP BY pk)
+SELECT pairs.pa AS part_a, pairs.pb AS part_b,
+       CAST(pairs.c AS BIGINT) AS pair_support,
+       CAST(sa.s AS BIGINT) AS support_a,
+       CAST(sb.s AS BIGINT) AS support_b
+FROM pairs JOIN sup sa ON sa.pk = pairs.pa
+           JOIN sup sb ON sb.pk = pairs.pb
+WHERE pairs.c >= {min_support}
+ORDER BY part_a, part_b
+"""
+
+
+def activity_streaks_sql(table: str = "events") -> str:
+    """windows.activity_streaks twin: the row_number-difference
+    gap-and-islands grouping, longest run per user with ties toward
+    the earliest run end."""
+    return f"""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {table}),
+g AS (SELECT user_id, day,
+        (day - DATE '1970-01-01')
+        - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d),
+s AS (SELECT user_id, count(*) AS len, max(day) AS send
+      FROM g GROUP BY user_id, grp),
+r AS (SELECT user_id, len, send, row_number() OVER
+        (PARTITION BY user_id ORDER BY len DESC, send) AS rk FROM s),
+n AS (SELECT user_id, count(*) AS nd FROM d GROUP BY user_id)
+SELECT r.user_id, CAST(n.nd AS BIGINT) AS n_active_days,
+       CAST(r.len AS BIGINT) AS longest_streak,
+       CAST(r.send - DATE '1970-01-01' AS BIGINT) AS streak_end_day
+FROM r JOIN n ON n.user_id = r.user_id
+WHERE r.rk = 1 ORDER BY r.user_id
+"""

@@ -22,7 +22,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
            "balance_deciles", "slow_suppliers", "forecast_revenue",
-           "revenue_trend", "theil_sen"]
+           "revenue_trend", "theil_sen", "copurchase_pairs"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2507,3 +2507,144 @@ def theil_sen(sf_dir: str) -> pa.Table:
                      "n_years": pa.array(list(ny_), pa.int64()),
                      "n_pairs": pa.array(list(np_), pa.int64()),
                      "slope_scaled": pa.array(list(s_), pa.int64())})
+
+
+def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
+                     n_shards: int | None = None) -> pa.Table:
+    """Market-basket pair mining over lineitem — the frequent-itemset
+    (k=2) primitive: unordered part pairs co-occurring in at least
+    ``min_support`` distinct orders, with both single-part supports
+    attached (support counts = distinct orders containing the part, so
+    confidence/lift gates are exact integer ratios downstream).  Output
+    (part_a, part_b, pair_support, support_a, support_b) with
+    part_a < part_b, (part_a, part_b) order.  All counts are distinct-
+    order counts — repeated lines of the same part in one order fold.
+
+    Plan: TWO bounded exchanges, no driver blowup.  Exchange 1 co-
+    locates an order's lines on hash(orderkey); in-shard lexsort folds
+    duplicate (order, part) rows, a vectorized run expansion emits each
+    order's C(L,2) pairs (L = basket size, small by construction), and
+    an in-shard (pa, pb) run-length fold emits pair PARTIALS plus
+    per-part distinct-order partials (side-tagged with pb = -1).
+    Exchange 2 co-locates partials on hash(pa, pb); full pair counts
+    filter to >= min_support IN-SHARD, so only survivors plus the
+    (bounded by part cardinality) support rows reach the driver merge.
+    SQL twin ``oracle.copurchase_pairs_sql`` (distinct self-join).
+
+    Reference parity note: the reference engine has no mining family;
+    this extends the curation toolbox (basket co-occurrence is the
+    tabular twin of the text collocation op, textops.collocations)."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([
+        ("part_a", pa.int64()), ("part_b", pa.int64()),
+        ("pair_support", pa.int64()), ("support_a", pa.int64()),
+        ("support_b", pa.int64())])
+    part_empty = pa.table({"pa": pa.array([], pa.int64()),
+                           "pb": pa.array([], pa.int64()),
+                           "c": pa.array([], pa.int64()),
+                           "_shard": pa.array([], pa.int64())})
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "pk": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"ok": pa.array(ok),
+                         "pk": t["l_partkey"].cast(pa.int64()),
+                         "_shard": pa.array(
+                             (_splitmix64(ok.astype(np.uint64))
+                              % np.uint64(n_shards)).astype(np.int64))})
+
+    def per_order_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("pa", "pb", "c", "_shard")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        ok = g["ok"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]  # distinct (order, part)
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        # vectorized all-pairs within each order run: row i pairs with
+        # the (run_end - i - 1) rows after it
+        run_end = np.repeat(starts + lens, lens)
+        cnt = run_end - np.arange(len(ok)) - 1
+        li = np.repeat(np.arange(len(ok)), cnt)
+        cum = np.r_[0, np.cumsum(cnt)]
+        rj = np.arange(int(cum[-1])) - cum[li] + li + 1
+        a, b = pk[li], pk[rj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # in-shard partial fold of pair counts
+        po = np.lexsort((hi, lo))
+        lo, hi = lo[po], hi[po]
+        new = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        ps = np.flatnonzero(new)
+        pc = np.diff(np.r_[ps, len(lo)])
+        pairs_a, pairs_b = lo[ps], hi[ps]
+        # per-part distinct-order partials, side-tagged pb = -1
+        so = np.sort(pk)
+        ss = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+        sc = np.diff(np.r_[ss, len(so)])
+        pa_all = np.r_[pairs_a, so[ss]]
+        pb_all = np.r_[pairs_b, np.full(len(ss), -1, np.int64)]
+        c_all = np.r_[pc, sc]
+        h = (_splitmix64(pa_all.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ _splitmix64(pb_all.astype(np.uint64)))
+        return pd.DataFrame({"pa": pa_all, "pb": pb_all, "c": c_all,
+                             "_shard": (h % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    def per_pair_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("pa", "pb", "c")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        pa_ = g["pa"].to_numpy(np.int64)
+        pb_ = g["pb"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((pb_, pa_))
+        pa_, pb_, c = pa_[order], pb_[order], c[order]
+        new = np.r_[True, (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])]
+        gid = np.cumsum(new) - 1
+        tot = np.zeros(int(gid[-1]) + 1, np.int64)
+        np.add.at(tot, gid, c)
+        starts = np.flatnonzero(new)
+        pa_, pb_ = pa_[starts], pb_[starts]
+        keep = (pb_ == -1) | (tot >= min_support)
+        return pd.DataFrame({"pa": pa_[keep], "pb": pb_[keep],
+                             "c": tot[keep]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    out = (li.map_batches(slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_order_shard,
+                                         batch_format="pandas")
+           .groupby("_shard").map_groups(per_pair_shard,
+                                         batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "pa" not in out.columns:
+        return out_schema.empty_table()
+    sup = out[out["pb"] == -1]
+    sup_key = sup["pa"].to_numpy(np.int64)
+    sup_cnt = sup["c"].to_numpy(np.int64)
+    so = np.argsort(sup_key)
+    sup_key, sup_cnt = sup_key[so], sup_cnt[so]
+    pairs = out[out["pb"] != -1]
+    if len(pairs) == 0:
+        return out_schema.empty_table()
+    pairs = pairs.sort_values(["pa", "pb"]).reset_index(drop=True)
+    a = pairs["pa"].to_numpy(np.int64)
+    b = pairs["pb"].to_numpy(np.int64)
+    sa = sup_cnt[np.searchsorted(sup_key, a)]
+    sb = sup_cnt[np.searchsorted(sup_key, b)]
+    return pa.table({"part_a": pa.array(a), "part_b": pa.array(b),
+                     "pair_support": pa.array(
+                         pairs["c"].to_numpy(np.int64)),
+                     "support_a": pa.array(sa), "support_b": pa.array(sb)})

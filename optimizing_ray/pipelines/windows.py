@@ -24,7 +24,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
-           "trajectory_similarity", "mad_outliers"]
+           "trajectory_similarity", "mad_outliers", "activity_streaks"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1578,5 +1578,87 @@ def mad_outliers(events: rd.Dataset, *, key_col: str = "event_type",
     if len(out) == 0 or "event_id" not in out.columns:
         return out_schema.empty_table()
     out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def activity_streaks(events: rd.Dataset, *, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     n_shards: int | None = None) -> pa.Table:
+    """Gap-and-islands engagement profile — per user: the number of
+    distinct active days and the LONGEST run of consecutive active
+    days (ties broken toward the earliest run).  The classic retention
+    feature (daily-active streaks) as one integer exchange.  Output
+    (user_id, n_active_days, longest_streak, streak_end_day) with the
+    day as int64 days-since-epoch, user order.
+
+    Plan: slim (user, day) rows, ONE hash(user) exchange; in-shard a
+    single lexsort dedups days, splits islands (day step != 1 or user
+    change), and reduceats run lengths — the SQL row_number-difference
+    trick becomes a vectorized diff.  Only one row per user leaves the
+    shard.  SQL twin ``oracle.activity_streaks_sql``."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_active_days", pa.int64()),
+        ("longest_streak", pa.int64()), ("streak_end_day", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or ts_col not in t.column_names:
+            return empty
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (t[ts_col].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        return pa.table({"u": pa.array(u), "d": pa.array(d),
+                         "_shard": pa.array((h % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_active_days", "longest_streak",
+                "streak_end_day")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]  # distinct (user, day)
+        # island break: user change or day step != 1
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)]
+        rs = np.flatnonzero(brk)
+        rlen = np.diff(np.r_[rs, len(u)])
+        ru = u[rs]
+        rend = d[rs + rlen - 1]
+        # per-user fold over runs (runs are user-then-day ordered)
+        gs = np.flatnonzero(np.r_[True, ru[1:] != ru[:-1]])
+        gid = np.cumsum(np.r_[False, ru[1:] != ru[:-1]])
+        maxlen = np.maximum.reduceat(rlen, gs)
+        ndays = np.add.reduceat(rlen, gs)
+        cand = np.flatnonzero(rlen == maxlen[gid])
+        cg = gid[cand]
+        firsts = cand[np.r_[True, cg[1:] != cg[:-1]]]
+        return pd.DataFrame({"user_id": ru[gs],
+                             "n_active_days": ndays,
+                             "longest_streak": rlen[firsts],
+                             "streak_end_day": rend[firsts]})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard,
+                                         batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)

@@ -313,6 +313,11 @@ SQL_NAMES = [
     # round 4 wave 15: robust per-type MAD outlier listing (integer
     # order statistics, one exchange)
     "mad_outliers",
+    # round 4 wave 16: market-basket pair mining (distinct-order pair
+    # supports, two bounded exchanges)
+    "copurchase_pairs",
+    # round 4 wave 16: gap-and-islands longest consecutive-day streaks
+    "activity_streaks",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1100,3 +1100,38 @@ def test_theil_sen_matches_brute(ray_session):
     rows.sort()
     assert list(got.itertuples(index=False, name=None)) == rows
     assert len(got) > 0
+
+
+def test_copurchase_pairs_matches_brute(ray_session):
+    """Market-basket pair mining vs an itertools brute over sf0.001:
+    pair supports are distinct-order counts, single supports attach
+    correctly, and a higher min_support strictly filters."""
+    from itertools import combinations
+
+    from optimizing_ray.pipelines.relational import copurchase_pairs
+
+    sfd = "/root/testdata/sf0.001"
+    got = copurchase_pairs(sfd, min_support=2).to_pandas()
+
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].agg(
+        lambda s: sorted(set(s)))
+    pair_cnt: dict = {}
+    item_cnt: dict = {}
+    for parts in baskets:
+        for p in parts:
+            item_cnt[p] = item_cnt.get(p, 0) + 1
+        for a, b in combinations(parts, 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    want = sorted((a, b, c) for (a, b), c in pair_cnt.items() if c >= 2)
+    assert len(got) == len(want)
+    assert list(map(tuple, got[["part_a", "part_b",
+                                "pair_support"]].to_numpy())) == want
+    for _, r in got.head(50).iterrows():
+        assert r["support_a"] == item_cnt[r["part_a"]]
+        assert r["support_b"] == item_cnt[r["part_b"]]
+
+    got3 = copurchase_pairs(sfd, min_support=3).to_pandas()
+    want3 = {(a, b) for (a, b), c in pair_cnt.items() if c >= 3}
+    assert set(map(tuple, got3[["part_a", "part_b"]].to_numpy())) == want3
+    assert (got3["pair_support"] >= 3).all()

@@ -659,3 +659,53 @@ def test_mad_outliers_matches_brute(ray_session):
     assert list(got.itertuples(index=False, name=None)) == rows
     assert 5 in set(got["event_id"])
     assert 119 in set(got["event_id"])
+
+
+def test_activity_streaks_matches_brute(ray_session):
+    """Planted streaks + a python brute over random days: longest run,
+    earliest tie-break, distinct-day fold of repeated same-day events,
+    and layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.windows import activity_streaks
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # user 1: two equal-length streaks (days 10-12 and 20-22) -> the
+    # earlier end day 12 wins the tie
+    for d in (10, 11, 12, 20, 21, 22):
+        rows.append((1, d))
+    # user 2: one day, repeated events the same day fold to one
+    rows += [(2, 40), (2, 40), (2, 40)]
+    # random users
+    for u in range(3, 40):
+        days = rng.choice(200, size=rng.integers(1, 30), replace=False)
+        rows += [(u, int(d)) for d in days]
+    df = pd.DataFrame(rows, columns=["user_id", "day"])
+    df["ts"] = (pd.Timestamp("1995-01-01")
+                + pd.to_timedelta(df["day"], unit="D")
+                + pd.to_timedelta(rng.integers(0, 86400, len(df)),
+                                  unit="s"))
+    ds = rd.from_pandas(df[["user_id", "ts"]]).repartition(5)
+    got = activity_streaks(ds).to_pandas()
+
+    base = int(np.datetime64("1995-01-01").astype("datetime64[D]")
+               .astype(np.int64))
+    want = {}
+    for u, g in df.groupby("user_id"):
+        days = sorted(set(g["day"]))
+        best_len, best_end, cur = 1, days[0], 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            if cur > best_len:
+                best_len, best_end = cur, b
+        want[u] = (len(days), best_len, base + best_end)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert (r["n_active_days"], r["longest_streak"],
+                r["streak_end_day"]) == want[r["user_id"]]
+
+    again = activity_streaks(ds.repartition(11)).to_pandas()
+    assert got.equals(again)
