@@ -1360,6 +1360,19 @@ def _q_activity_streaks(sf_dir: str):
     return windows.activity_streaks(ev)
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Sweep-line load profile: per event type the peak number of
+    simultaneously open sessions (end = start + f(value), half-open)
+    and the earliest peak instant — endpoint deltas, ONE hash(key)
+    exchange, cumsum step function in-shard."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_type", "ts", "value"])
+    return windows.peak_concurrency(ev)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket pair mining: part pairs co-occurring in >= 2
     distinct orders, with exact single-part supports attached — two
@@ -2755,6 +2768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: gap-and-islands activity streaks — born past-cap,
         # contract-pytest-oracled
         "activity_streaks": _q_activity_streaks,
+        # wave 16: sweep-line peak session concurrency — born past-cap,
+        # contract-pytest-oracled
+        "peak_concurrency": _q_peak_concurrency,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2982,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": oracle.mad_outliers_sql(3),
         "copurchase_pairs": oracle.copurchase_pairs_sql(2),
         "activity_streaks": oracle.activity_streaks_sql(),
+        "peak_concurrency": oracle.peak_concurrency_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

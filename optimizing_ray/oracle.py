@@ -4667,3 +4667,32 @@ SELECT r.user_id, CAST(n.nd AS BIGINT) AS n_active_days,
 FROM r JOIN n ON n.user_id = r.user_id
 WHERE r.rk = 1 ORDER BY r.user_id
 """
+
+
+def peak_concurrency_sql(base_s: int = 60, span_s: int = 3600,
+                         table: str = "events") -> str:
+    """windows.peak_concurrency twin: endpoint +1/-1 deltas folded per
+    (key, point), window cumulative sum, max + earliest argmax."""
+    return f"""
+WITH e AS (SELECT event_type AS key,
+                  CAST(epoch_us(ts) AS BIGINT) AS s,
+                  CAST(epoch_us(ts) AS BIGINT)
+                  + ({base_s} + abs(CAST(floor(value * 100.0 + 0.5)
+                                         AS BIGINT)) % {span_s})
+                    * 1000000 AS t
+           FROM {table}),
+pts AS (SELECT key, s AS pt, 1 AS delta FROM e
+        UNION ALL SELECT key, t, -1 FROM e),
+c AS (SELECT key, pt, sum(delta) AS d FROM pts GROUP BY key, pt),
+r AS (SELECT key, pt, sum(d) OVER
+        (PARTITION BY key ORDER BY pt) AS conc FROM c),
+m AS (SELECT key, max(conc) AS mx FROM r GROUP BY key),
+n AS (SELECT key, count(*) AS nev FROM e GROUP BY key)
+SELECT m.key, CAST(n.nev AS BIGINT) AS n_events,
+       CAST(m.mx AS BIGINT) AS peak,
+       CAST(min(r.pt) AS BIGINT) AS peak_ts_us
+FROM m JOIN r ON r.key = m.key AND r.conc = m.mx
+       JOIN n ON n.key = m.key
+GROUP BY m.key, n.nev, m.mx
+ORDER BY m.key
+"""

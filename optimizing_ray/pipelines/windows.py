@@ -24,7 +24,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "with_prev_value", "running_total", "asof_join", "range_join",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
-           "trajectory_similarity", "mad_outliers", "activity_streaks"]
+           "trajectory_similarity", "mad_outliers", "activity_streaks",
+           "peak_concurrency"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1660,5 +1661,101 @@ def activity_streaks(events: rd.Dataset, *, key_col: str = "user_id",
     if len(out) == 0 or "user_id" not in out.columns:
         return out_schema.empty_table()
     out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def peak_concurrency(events: rd.Dataset, *, key_col: str = "event_type",
+                     ts_col: str = "ts", value_col: str = "value",
+                     base_s: int = 60, span_s: int = 3600,
+                     n_shards: int | None = None) -> pa.Table:
+    """Sweep-line load profile — per key: the PEAK number of
+    simultaneously open sessions and the earliest microsecond it is
+    reached (half-open intervals [start, end)).  Session length is a
+    deterministic pure function of the row so both engines derive it
+    identically: end = start + (base_s + |v_cents| % span_s) seconds.
+    Output (key, n_events, peak, peak_ts_us), key order.
+
+    Plan: per-batch endpoint expansion (+1 start / -1 end rows), ONE
+    hash(key) exchange; in-shard a single lexsort + equal-timestamp
+    delta fold + cumsum gives the concurrency step function — each
+    key's deltas sum to zero, so the global cumsum restarts at 0 at
+    every key boundary and needs no per-key offset.  Only one row per
+    key leaves the shard.  SQL twin ``oracle.peak_concurrency_sql``
+    (window cumulative sum over the folded endpoint deltas)."""
+    import pandas as pd
+
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([
+        ("key", pa.string()), ("n_events", pa.int64()),
+        ("peak", pa.int64()), ("peak_ts_us", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "pt": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or ts_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(str)
+        s = t[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.abs(np.floor(t[value_col].to_numpy(zero_copy_only=False)
+                            * 100.0 + 0.5).astype(np.int64))
+        e = s + (base_s + v % span_s) * 1_000_000
+        k2 = np.r_[key, key]
+        h = pd.util.hash_pandas_object(pd.Series(k2),
+                                       index=False).to_numpy()
+        return pa.table({
+            "key": pa.array(k2),
+            "pt": pa.array(np.r_[s, e]),
+            "delta": pa.array(np.r_[np.ones(len(s), np.int64),
+                                    -np.ones(len(s), np.int64)]),
+            "_shard": pa.array((h % np.uint64(n_shards))
+                               .astype(np.int64))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("key", "n_events", "peak", "peak_ts_us")
+        if len(g) == 0:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype=str),
+                "n_events": pd.Series([], dtype=np.int64),
+                "peak": pd.Series([], dtype=np.int64),
+                "peak_ts_us": pd.Series([], dtype=np.int64)})
+        key = g["key"].to_numpy()
+        pt = g["pt"].to_numpy(np.int64)
+        delta = g["delta"].to_numpy(np.int64)
+        order = np.lexsort((pt, key))
+        key, pt, delta = key[order], pt[order], delta[order]
+        n_starts = np.where(delta > 0, delta, 0)
+        # fold equal (key, pt) points: net delta per distinct point
+        new = np.r_[True, (key[1:] != key[:-1]) | (pt[1:] != pt[:-1])]
+        pid = np.cumsum(new) - 1
+        nd = np.zeros(int(pid[-1]) + 1, np.int64)
+        np.add.at(nd, pid, delta)
+        ns = np.zeros_like(nd)
+        np.add.at(ns, pid, n_starts)
+        ps = np.flatnonzero(new)
+        key, pt = key[ps], pt[ps]
+        conc = np.cumsum(nd)  # restarts at 0 per key (deltas sum to 0)
+        gs = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        gid = np.cumsum(np.r_[False, key[1:] != key[:-1]])
+        mx = np.maximum.reduceat(conc, gs)
+        nev = np.add.reduceat(ns, gs)
+        cand = np.flatnonzero(conc == mx[gid])
+        cg = gid[cand]
+        firsts = cand[np.r_[True, cg[1:] != cg[:-1]]]
+        return pd.DataFrame({"key": key[gs], "n_events": nev,
+                             "peak": mx, "peak_ts_us": pt[firsts]})
+
+    out = (events.map_batches(endpoints, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard,
+                                         batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "key" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("key").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)

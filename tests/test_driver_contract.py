@@ -318,6 +318,8 @@ SQL_NAMES = [
     "copurchase_pairs",
     # round 4 wave 16: gap-and-islands longest consecutive-day streaks
     "activity_streaks",
+    # round 4 wave 16: sweep-line peak session concurrency
+    "peak_concurrency",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

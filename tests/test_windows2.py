@@ -709,3 +709,54 @@ def test_activity_streaks_matches_brute(ray_session):
 
     again = activity_streaks(ds.repartition(11)).to_pandas()
     assert got.equals(again)
+
+
+def test_peak_concurrency_matches_brute(ray_session):
+    """Half-open sweep vs a python brute: an interval ending exactly
+    when another starts does NOT overlap it; earliest peak instant;
+    layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.windows import peak_concurrency
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": (pd.Timestamp("1996-03-01")
+               + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")),
+        "value": rng.uniform(-50, 50, n).round(2),
+    })
+    # planted half-open touch for key "touch": [0, 60) then [60, 120)
+    # (value 0 -> duration exactly base_s = 60) -> peak must be 1
+    t0 = pd.Timestamp("1996-04-01")
+    df = pd.concat([df, pd.DataFrame({
+        "event_type": ["touch", "touch"],
+        "ts": [t0, t0 + pd.Timedelta(seconds=60)],
+        "value": [0.0, 0.0]})], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(5)
+    got = peak_concurrency(ds).to_pandas()
+
+    s = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    v = np.abs(np.floor(df["value"].to_numpy() * 100.0 + 0.5)
+               .astype(np.int64))
+    e = s + (60 + v % 3600) * 1_000_000
+    for key, grp in pd.DataFrame({"k": df["event_type"], "s": s,
+                                  "e": e}).groupby("k"):
+        pts = sorted(set(grp["s"]) | set(grp["e"]))
+        best, best_pt = -1, None
+        for p in pts:
+            c = int(((grp["s"].to_numpy() <= p)
+                     & (p < grp["e"].to_numpy())).sum())
+            if c > best:
+                best, best_pt = c, p
+        row = got[got["key"] == key].iloc[0]
+        assert row["peak"] == best
+        assert row["peak_ts_us"] == best_pt
+        assert row["n_events"] == len(grp)
+    assert got[got["key"] == "touch"]["peak"].iloc[0] == 1
+
+    again = peak_concurrency(ds.repartition(9)).to_pandas()
+    assert got.equals(again)
