@@ -1360,6 +1360,23 @@ def _q_activity_streaks(sf_dir: str):
     return windows.activity_streaks(ev)
 
 
+PHRASES = ["order fast", "data slow", "table scan merge",
+           "batch batch batch"]
+
+
+def _q_phrase_search(sf_dir: str):
+    """Boundary-aware exact phrase retrieval: consecutive-token matches
+    (overlapping counted) with first 1-based token index — K shifted
+    equality ANDs over one shared token-hash pass per batch, zero
+    shuffles."""
+    from optimizing_ray.pipelines import search
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return search.phrase_search(docs, PHRASES)
+
+
 def _q_peak_concurrency(sf_dir: str):
     """Sweep-line load profile: per event type the peak number of
     simultaneously open sessions (end = start + f(value), half-open)
@@ -2771,6 +2788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: sweep-line peak session concurrency — born past-cap,
         # contract-pytest-oracled
         "peak_concurrency": _q_peak_concurrency,
+        # wave 16: exact phrase retrieval — born past-cap,
+        # contract-pytest-oracled
+        "phrase_search": _q_phrase_search,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -2999,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": oracle.copurchase_pairs_sql(2),
         "activity_streaks": oracle.activity_streaks_sql(),
         "peak_concurrency": oracle.peak_concurrency_sql(),
+        "phrase_search": oracle.phrase_search_sql(PHRASES),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

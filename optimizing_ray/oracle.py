@@ -4696,3 +4696,33 @@ FROM m JOIN r ON r.key = m.key AND r.conc = m.mx
 GROUP BY m.key, n.nev, m.mx
 ORDER BY m.key
 """
+
+
+def phrase_search_sql(phrases, table: str = "documents") -> str:
+    """search.phrase_search twin: zipped-unnest token positions, K-way
+    self-join on consecutive indices matching token STRINGS (so a green
+    row proves the engine's 64-bit token hashing injective here)."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    legs = []
+    for qi, p in enumerate(phrases):
+        toks = p.split(" ")
+        joins, conds = [], [f"t0.tok = '{esc(toks[0])}'"]
+        for j in range(1, len(toks)):
+            joins.append(f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id "
+                         f"AND t{j}.i = t0.i + {j}")
+            conds.append(f"t{j}.tok = '{esc(toks[j])}'")
+        legs.append(
+            f"SELECT {qi} AS phrase_id, t0.doc_id, count(*) AS c, "
+            f"min(t0.i) AS f FROM toks t0 {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)} GROUP BY t0.doc_id")
+    body = " UNION ALL ".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     unnest(range(1, len(string_split(text, ' ')) + 1))
+                     AS i FROM {table})
+SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+       CAST(c AS BIGINT) AS n_matches, CAST(f AS BIGINT) AS first_tok
+FROM ({body}) ORDER BY phrase_id, doc_id
+"""

@@ -44,7 +44,8 @@ import ray.data as rd
 
 from optimizing_ray.functions.text import token_hash, token_hashes_batch
 
-__all__ = ["build_inverted_index", "boolean_search", "ranked_search"]
+__all__ = ["build_inverted_index", "boolean_search", "ranked_search",
+           "phrase_search"]
 
 
 def _part_shift(n_parts: int) -> np.uint64:
@@ -357,3 +358,75 @@ def ranked_search(store_dir: str, queries, *, n_docs: int, k: int = 10,
                      "ret_rank": pa.array(rk[m].astype(np.int64)),
                      "doc_id": pa.array(doc[m]),
                      "score": pa.array(s[m])})
+
+
+def phrase_search(docs: rd.Dataset, phrases) -> pa.Table:
+    """Boundary-aware exact PHRASE retrieval — the decontamination /
+    quote-mining primitive the term-level index can't answer: for each
+    query phrase (a single-space-joined token sequence), every doc
+    containing the phrase as CONSECUTIVE tokens, with the match count
+    (overlapping counted) and the first match's 1-based token index.
+    Output (phrase_id, doc_id, n_matches, first_tok), (phrase, doc)
+    order.
+
+    Plan: zero shuffles.  Docs are rows, so each doc's matches resolve
+    entirely inside its batch: one ``token_hashes_batch`` pass per
+    batch, then for a K-token phrase the candidate mask is K shifted
+    equality ANDs over the flat token-hash array, clipped to windows
+    that stay inside one doc — no per-row loop, no re-tokenize per
+    phrase (the hash array is shared across phrases).  Only matching
+    (phrase, doc) partials leave the batch; the driver collect is
+    bounded by the hit count.  Token identity is the 64-bit polynomial
+    hash (the word-token family's documented approximation; the SQL
+    twin ``oracle.phrase_search_sql`` matches token STRINGS via zipped
+    unnest + K-way self-join, so a green row proves injectivity)."""
+    from optimizing_ray.functions.text import token_hash, token_hashes_batch
+
+    qhash = [np.array([token_hash(t) for t in p.split(" ")], np.uint64)
+             for p in phrases]
+    out_schema = pa.schema([
+        ("phrase_id", pa.int64()), ("doc_id", pa.int64()),
+        ("n_matches", pa.int64()), ("first_tok", pa.int64())])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return out_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        th, doffs = token_hashes_batch(t["text"])
+        n = len(th)
+        tok_doc = np.searchsorted(doffs, np.arange(n), "right") - 1
+        out_p, out_d, out_c, out_f = [], [], [], []
+        for qi, qh in enumerate(qhash):
+            k = len(qh)
+            if n < k:
+                continue
+            m = th[:n - k + 1] == qh[0]
+            for j in range(1, k):
+                m &= th[j:n - k + 1 + j] == qh[j]
+            # window must not cross a doc boundary
+            idx = np.flatnonzero(m)
+            idx = idx[tok_doc[idx] == tok_doc[idx + k - 1]]
+            if len(idx) == 0:
+                continue
+            d = tok_doc[idx]
+            gs = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            cnt = np.diff(np.r_[gs, len(d)])
+            first = idx[gs] - doffs[d[gs]] + 1
+            out_p.append(np.full(len(gs), qi, np.int64))
+            out_d.append(ids[d[gs]])
+            out_c.append(cnt.astype(np.int64))
+            out_f.append(first.astype(np.int64))
+        if not out_p:
+            return out_schema.empty_table()
+        return pa.table({"phrase_id": pa.array(np.concatenate(out_p)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "n_matches": pa.array(np.concatenate(out_c)),
+                         "first_tok": pa.array(np.concatenate(out_f))})
+
+    out = (docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    if len(out) == 0 or "phrase_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)

@@ -320,6 +320,8 @@ SQL_NAMES = [
     "activity_streaks",
     # round 4 wave 16: sweep-line peak session concurrency
     "peak_concurrency",
+    # round 4 wave 16: boundary-aware exact phrase retrieval
+    "phrase_search",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -153,3 +153,37 @@ def test_rebuild_is_idempotent(store, ray_session):
     assert list(zip(got["doc_id"], got["tf_total"])) == _brute(
         ["quick", "dog"])
     assert info["rows"] == sum(len(set(t.split(" "))) for _, t in DOCS)
+
+
+def test_phrase_search_matches_brute(ray_session):
+    """Consecutive-token phrase matches vs a python brute: overlapping
+    occurrences count ('x x x' holds TWO 'x x' matches), boundary
+    tokens don't match substrings ('scan' != 'scanner'), doc-edge
+    windows, multi-phrase over one shared tokenize pass."""
+    texts = [
+        "x x x y",                  # two overlapping "x x", one "x y"
+        "scanner scan a scan b",    # "scan a scan" once; no substring hit
+        "y x",                      # no "x x"
+        "x x",                      # exact doc == phrase
+        "solo",
+    ]
+    docs = rd.from_items([{"doc_id": i, "text": t}
+                          for i, t in enumerate(texts)]).repartition(3)
+    phrases = ["x x", "scan a scan", "x", "missing phrase"]
+    got = search.phrase_search(docs, phrases).to_pandas()
+
+    def brute(p, t):
+        pt, wt = p.split(" "), t.split(" ")
+        hits = [i for i in range(len(wt) - len(pt) + 1)
+                if wt[i:i + len(pt)] == pt]
+        return (len(hits), hits[0] + 1) if hits else None
+
+    want = []
+    for qi, p in enumerate(phrases):
+        for di, t in enumerate(texts):
+            r = brute(p, t)
+            if r:
+                want.append((qi, di, r[0], r[1]))
+    assert list(map(tuple, got.to_numpy())) == sorted(want)
+    assert (0, 0, 2, 1) in want          # overlap counted
+    assert not any(q == 3 for q, *_ in want)   # missing phrase empty
