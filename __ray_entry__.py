@@ -1360,6 +1360,18 @@ def _q_activity_streaks(sf_dir: str):
     return windows.activity_streaks(ev)
 
 
+def _q_link_prediction(sf_dir: str):
+    """Resource-allocation link prediction over the mutual kNN graph:
+    wedge expansion weighted floor(1e9/deg(center)) — exact-integer
+    partial sums, adjacent pairs dropped via zero-weight edge tags."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", num_blocks=4)
+    pairs = cluster.mutual_knn_pairs(ann.embedding_knn_graph(emb, k=5))
+    return cluster.link_prediction(pairs)
+
+
 PHRASES = ["order fast", "data slow", "table scan merge",
            "batch batch batch"]
 
@@ -2791,6 +2803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: exact phrase retrieval — born past-cap,
         # contract-pytest-oracled
         "phrase_search": _q_phrase_search,
+        # wave 16: RA-index link prediction — born past-cap,
+        # contract-pytest-oracled
+        "link_prediction": _q_link_prediction,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3020,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_streaks": oracle.activity_streaks_sql(),
         "peak_concurrency": oracle.peak_concurrency_sql(),
         "phrase_search": oracle.phrase_search_sql(PHRASES),
+        "link_prediction": oracle.link_prediction_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

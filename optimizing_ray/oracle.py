@@ -4726,3 +4726,27 @@ SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
        CAST(c AS BIGINT) AS n_matches, CAST(f AS BIGINT) AS first_tok
 FROM ({body}) ORDER BY phrase_id, doc_id
 """
+
+
+def link_prediction_sql(k: int = 5, scale: int = 1024,
+                        table: str = "embeddings") -> str:
+    """cluster.link_prediction twin over the mutual kNN graph:
+    undirected wedge self-join, RA weight floor(1e9 / deg(center))
+    (positive // == floor in DuckDB), anti-join on the edge set."""
+    return f"""
+WITH m AS ({mutual_knn_sql(k=k, scale=scale, table=table)}),
+und AS (SELECT vec_a AS u, vec_b AS v FROM m
+        UNION ALL SELECT vec_b, vec_a FROM m),
+deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+wed AS (SELECT a.u AS w, a.v AS x, b.v AS y
+        FROM und a JOIN und b ON b.u = a.u AND a.v < b.v),
+sc AS (SELECT wed.x AS pa, wed.y AS pb, count(*) AS nc,
+              sum(1000000000 // deg.dg) AS ra
+       FROM wed JOIN deg ON deg.u = wed.w GROUP BY wed.x, wed.y)
+SELECT sc.pa AS vec_a, sc.pb AS vec_b,
+       CAST(sc.nc AS BIGINT) AS n_common,
+       CAST(sc.ra AS BIGINT) AS ra_score
+FROM sc LEFT JOIN m ON m.vec_a = sc.pa AND m.vec_b = sc.pb
+WHERE m.vec_a IS NULL
+ORDER BY vec_a, vec_b
+"""

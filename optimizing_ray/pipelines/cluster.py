@@ -46,7 +46,8 @@ from optimizing_ray.pipelines.ann import _to_matrix
 __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
            "cluster_top_terms", "triangle_count", "pagerank",
-           "mutual_knn_pairs", "random_walks", "kcore"]
+           "mutual_knn_pairs", "random_walks", "kcore",
+           "link_prediction"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -1437,3 +1438,172 @@ def bfs_hops(edges: rd.Dataset, seeds, *, src: str = "vec_id",
     out = out.sort_values("node").reset_index(drop=True)
     return pa.Table.from_pandas(out[["node", "hops"]],
                                 preserve_index=False, schema=out_schema)
+
+
+def _ra_wedges(u: np.ndarray, v: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Wedge expansion over an undirected adjacency given as BOTH
+    directed rows (u -> v): for every center u, every neighbor pair
+    (x < y), weighted floor(1e9 / deg(u)).  Returns (x, y, w) flat
+    arrays; the caller folds per (x, y)."""
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, len(u)])
+    wgt = np.int64(1_000_000_000) // lens          # per-center weight
+    run_end = np.repeat(starts + lens, lens)
+    cnt = run_end - np.arange(len(u)) - 1
+    li = np.repeat(np.arange(len(u)), cnt)
+    cum = np.r_[0, np.cumsum(cnt)]
+    rj = np.arange(int(cum[-1])) - cum[li] + li + 1
+    x, y = v[li], v[rj]                            # neighbors sorted
+    w = np.repeat(np.repeat(wgt, lens), cnt)
+    return x, y, w
+
+
+def _ra_fold(x: np.ndarray, y: np.ndarray, w: np.ndarray,
+             flag: np.ndarray
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fold wedge rows per (x, y): (pairs_x, pairs_y, n_common,
+    ra_score), dropping pairs carrying any flag (existing edges).
+    flag rows have w = 0 so they never contribute to the score."""
+    order = np.lexsort((y, x))
+    x, y, w, flag = x[order], y[order], w[order], flag[order]
+    new = np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1])]
+    gid = np.cumsum(new) - 1
+    n = int(gid[-1]) + 1 if len(gid) else 0
+    tot = np.zeros(n, np.int64)
+    np.add.at(tot, gid, w)
+    cnt = np.zeros(n, np.int64)
+    np.add.at(cnt, gid, (~flag).astype(np.int64))
+    edged = np.zeros(n, bool)
+    np.logical_or.at(edged, gid, flag)
+    starts = np.flatnonzero(new)
+    keep = ~edged
+    return x[starts][keep], y[starts][keep], cnt[keep], tot[keep]
+
+
+def link_prediction(pairs: pa.Table, *, nrows: int | None = None,
+                    n_shards: int | None = None) -> pa.Table:
+    """Resource-allocation link prediction over an undirected graph
+    (Zhou/Lü/Zhang's RA index — the common-neighbor score that beats
+    plain counts by discounting hub neighbors): for every NON-adjacent
+    pair (x, y) with >= 1 common neighbor, score = sum over common
+    neighbors w of floor(1e9 / deg(w)) — exact integer, so parallel
+    partial sums are order-exact (the idw_grid fixed-point
+    discipline).  Input: (vec_a < vec_b) undirected edge table (the
+    ``mutual_knn_pairs`` output).  Output (vec_a, vec_b, n_common,
+    ra_score), pair order.
+
+    Plans (the pagerank nrows gate; default broadcast — the mutual
+    edge table is k-bounded per node and reaches the driver already):
+
+    * driver (nrows <= 2_000_000): one lexsort wedge expansion + one
+      fold, no Ray round-trip.
+    * sharded: exchange 1 on hash(center) emits per-center weighted
+      neighbor pairs (degree = run length, wedges bounded by k^2 per
+      node); exchange 2 on hash(x, y) folds scores and drops adjacent
+      pairs via side-tagged zero-weight edge rows.
+
+    SQL twin ``oracle.link_prediction_sql`` (undirected self-join +
+    integer floor division, anti-join on the edge set)."""
+    from optimizing_ray.config import resolve_shards
+
+    a = pairs["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_schema = pa.schema([
+        ("vec_a", pa.int64()), ("vec_b", pa.int64()),
+        ("n_common", pa.int64()), ("ra_score", pa.int64())])
+    gate = nrows if nrows is not None else len(a)
+
+    if gate <= 2_000_000:
+        u = np.r_[a, b]
+        v = np.r_[b, a]
+        x, y, w = _ra_wedges(u, v)
+        flag = np.zeros(len(x) + len(a), bool)
+        flag[len(x):] = True
+        x = np.r_[x, a]
+        y = np.r_[y, b]
+        w = np.r_[w, np.zeros(len(a), np.int64)]
+        px, py, cnt, tot = _ra_fold(x, y, w, flag)
+        return pa.table({"vec_a": pa.array(px), "vec_b": pa.array(py),
+                         "n_common": pa.array(cnt),
+                         "ra_score": pa.array(tot)})
+
+    n_shards = resolve_shards(n_shards)
+    g1 = np.uint64(0x9E3779B97F4A7C15)
+    und = pa.table({"u": pa.array(np.r_[a, b]),
+                    "v": pa.array(np.r_[b, a])})
+
+    def shard_center(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = u.astype(np.uint64) * g1
+        return t.append_column("_shard", pa.array(
+            ((h >> np.uint64(33)) % np.uint64(n_shards))
+            .astype(np.int64)))
+
+    def wedges(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        cols = ("x", "y", "w", "flag", "_shard")
+        if len(g) == 0:
+            return pd.DataFrame({
+                "x": pd.Series([], dtype=np.int64),
+                "y": pd.Series([], dtype=np.int64),
+                "w": pd.Series([], dtype=np.int64),
+                "flag": pd.Series([], dtype=bool),
+                "_shard": pd.Series([], dtype=np.int64)})
+        x, y, w = _ra_wedges(g["u"].to_numpy(np.int64),
+                             g["v"].to_numpy(np.int64))
+        with np.errstate(over="ignore"):
+            h = (x.astype(np.uint64) * g1
+                 ^ (y.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pd.DataFrame({"x": x, "y": y, "w": w,
+                             "flag": np.zeros(len(x), bool),
+                             "_shard": ((h >> np.uint64(33))
+                                        % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "n_common": pd.Series([], dtype=np.int64),
+                "ra_score": pd.Series([], dtype=np.int64)})
+        px, py, cnt, tot = _ra_fold(g["x"].to_numpy(np.int64),
+                                    g["y"].to_numpy(np.int64),
+                                    g["w"].to_numpy(np.int64),
+                                    g["flag"].to_numpy(bool))
+        return pd.DataFrame({"vec_a": px, "vec_b": py,
+                             "n_common": cnt, "ra_score": tot})
+
+    with np.errstate(over="ignore"):
+        eh = (a.astype(np.uint64) * g1
+              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+    edge_rows = pa.table({
+        "x": pa.array(a), "y": pa.array(b),
+        "w": pa.array(np.zeros(len(a), np.int64)),
+        "flag": pa.array(np.ones(len(a), bool)),
+        "_shard": pa.array(((eh >> np.uint64(33)) % np.uint64(n_shards))
+                           .astype(np.int64))})
+    wedge_ds = (rd.from_arrow(und)
+                .map_batches(shard_center, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("_shard").map_groups(wedges,
+                                              batch_format="pandas"))
+    out = (wedge_ds.union(rd.from_arrow(edge_rows)
+                          .map_batches(lambda t: t.to_pandas(),
+                                       batch_format="pyarrow"))
+           .groupby("_shard").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "vec_a" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)

@@ -699,3 +699,40 @@ def test_priority_sample_and_rendezvous(ray_session):
     o15 = h[:, :15].argmax(axis=1)
     moved = np.flatnonzero(o16 != o15)
     assert set(o16[moved]) == {15}
+
+
+def test_link_prediction_matches_brute(ray_session):
+    """RA index vs a python brute on a hand+random graph: adjacent
+    pairs excluded, weights floor(1e9/deg), both plans identical."""
+    rng = np.random.default_rng(41)
+    edges = {(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)}
+    while len(edges) < 60:
+        a, b = rng.integers(0, 25, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ed = sorted(edges)
+    pairs = pa.table({"vec_a": pa.array([a for a, _ in ed], pa.int64()),
+                      "vec_b": pa.array([b for _, b in ed], pa.int64())})
+
+    adj: dict = {}
+    for a, b in ed:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                want[(x, y)] = (len(common),
+                                sum(10**9 // len(adj[w]) for w in common))
+
+    got = cluster.link_prediction(pairs).to_pandas()
+    assert {(r.vec_a, r.vec_b): (r.n_common, r.ra_score)
+            for r in got.itertuples()} == want
+    assert list(got["vec_a"]) == sorted(got["vec_a"])  # pair order
+
+    sharded = cluster.link_prediction(pairs, nrows=1 << 61).to_pandas()
+    assert sharded.equals(got)

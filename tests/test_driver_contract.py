@@ -322,6 +322,9 @@ SQL_NAMES = [
     "peak_concurrency",
     # round 4 wave 16: boundary-aware exact phrase retrieval
     "phrase_search",
+    # round 4 wave 16: resource-allocation link prediction over the
+    # mutual kNN graph
+    "link_prediction",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
