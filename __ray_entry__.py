@@ -1360,6 +1360,18 @@ def _q_activity_streaks(sf_dir: str):
     return windows.activity_streaks(ev)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc byte-distribution Shannon entropy (micro-rounded nats):
+    one combined-key bincount per batch, zero shuffles — the
+    gibberish/boilerplate quality gate."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return textops.char_entropy(docs)
+
+
 def _q_link_prediction(sf_dir: str):
     """Resource-allocation link prediction over the mutual kNN graph:
     wedge expansion weighted floor(1e9/deg(center)) — exact-integer
@@ -2806,6 +2818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: RA-index link prediction — born past-cap,
         # contract-pytest-oracled
         "link_prediction": _q_link_prediction,
+        # wave 16: per-doc char-entropy quality gate — born past-cap,
+        # contract-pytest-oracled
+        "char_entropy": _q_char_entropy,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3036,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": oracle.peak_concurrency_sql(),
         "phrase_search": oracle.phrase_search_sql(PHRASES),
         "link_prediction": oracle.link_prediction_sql(),
+        "char_entropy": oracle.char_entropy_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -4750,3 +4750,22 @@ FROM sc LEFT JOIN m ON m.vec_a = sc.pa AND m.vec_b = sc.pb
 WHERE m.vec_a IS NULL
 ORDER BY vec_a, vec_b
 """
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """textops.char_entropy twin: char unnest + per-(doc, char) counts,
+    H = ln(n) - sum(k*ln(k))/n, micro-rounded to int64 1e-6 (the
+    unigram_logprob float-ln lockstep discipline)."""
+    return f"""
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM {table} WHERE len(text) > 0),
+k AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+agg AS (SELECT doc_id, sum(k) AS n, count(*) AS nd,
+               sum(k * ln(CAST(k AS DOUBLE))) AS s
+        FROM k GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_e,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(floor((ln(CAST(n AS DOUBLE)) - s / n) * 1e6 + 0.5)
+            AS BIGINT) AS entropy6
+FROM agg ORDER BY doc_id
+"""

@@ -17,7 +17,7 @@ from optimizing_ray.config import resolve_shards
 from optimizing_ray.functions.text import TextAnalyzer, fingerprint64, token_count
 
 __all__ = ["pack_sequences", "unigram_logprob", "bigram_logprob",
-           "chunk_docs", "mix_corpus",
+           "chunk_docs", "mix_corpus", "char_entropy",
            "dsir_sample", "source_quality_gate",
            "build_vocab", "importance_weights", "lang_confusion",
            "analyze_text", "doc_stats", "fingerprints", "heavy_hitters",
@@ -2548,3 +2548,57 @@ def typo_pairs(docs: rd.Dataset, *, text_col: str = "text",
     return pa.table({"word_a": pa.array(out["word_a"].astype(str)),
                      "word_b": pa.array(out["word_b"].astype(str)),
                      "dist": pa.array(out["dist"].to_numpy(np.int64))})
+
+
+def char_entropy(docs: rd.Dataset, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> rd.Dataset:
+    """Per-doc character-distribution Shannon entropy (nats, micro-
+    rounded to int64 1e-6) — the classic gibberish/boilerplate quality
+    gate: near-zero entropy = one repeated symbol, high = uniform
+    noise; natural text sits in a narrow band.  BYTE entropy — equal to
+    character entropy on the (pure-ASCII) driver corpus, documented as
+    the multibyte approximation otherwise.  Output columns (doc_id,
+    n_chars_e, n_distinct, entropy6); empty docs are dropped (SQL twin
+    has no char rows for them).
+
+    Pure streaming map, zero shuffles: per batch ONE blob pass — a
+    (doc, byte) combined-key bincount gives every doc's histogram at
+    once, k*ln(k) folds per doc with one scatter-add; H = ln(n) - s/n.
+    SQL twin ``oracle.char_entropy_sql`` (char unnest + group counts;
+    float ln lockstep under 1e-6 rounding, the unigram_logprob
+    discipline)."""
+    from optimizing_ray.functions.text import _as_string_array, _utf8_blob
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars_e", pa.int64()),
+        ("n_distinct", pa.int64()), ("entropy6", pa.int64())])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return out_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = _as_string_array(t[text_col])
+        data, offs = _utf8_blob(arr)
+        lens = np.diff(offs)
+        n_docs = len(lens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        combined = doc_of * 256 + data
+        counts = np.bincount(combined, minlength=n_docs * 256)
+        nz = np.flatnonzero(counts)
+        k = counts[nz].astype(np.float64)
+        dz = nz >> 8
+        s = np.zeros(n_docs, np.float64)
+        np.add.at(s, dz, k * np.log(k))
+        nd = np.bincount(dz, minlength=n_docs)
+        keep = lens > 0
+        n = lens[keep].astype(np.float64)
+        ent = np.log(n) - s[keep] / n
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_chars_e": pa.array(lens[keep].astype(np.int64)),
+            "n_distinct": pa.array(nd[keep].astype(np.int64)),
+            "entropy6": pa.array(np.floor(ent * 1e6 + 0.5)
+                                 .astype(np.int64))})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

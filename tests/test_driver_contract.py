@@ -325,6 +325,8 @@ SQL_NAMES = [
     # round 4 wave 16: resource-allocation link prediction over the
     # mutual kNN graph
     "link_prediction",
+    # round 4 wave 16: per-doc char-entropy quality gate
+    "char_entropy",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -368,3 +368,39 @@ def test_typo_pairs_matches_brute(ray_session):
     assert d[("cafe", "café")] == 1     # non-ASCII fallback
     assert ("kitten", "sitting") not in d    # distance 3 excluded
     assert ("yyyy", "zzzz") not in d
+
+
+def test_char_entropy_matches_scalar(ray_session):
+    """Hand values: constant string -> 0 nats, 'ab' -> ln 2, uniform
+    4-symbol -> ln 4; empty docs dropped; brute collections.Counter
+    cross-check on random ASCII."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.textops import char_entropy
+
+    rng = np.random.default_rng(7)
+    rand_texts = ["".join(rng.choice(list("abcdef ghij"), size=int(n)))
+                  for n in rng.integers(1, 120, 20)]
+    texts = ["aaaa", "ab", "abcdabcd", ""] + rand_texts
+    docs = rd.from_items([{"doc_id": i, "text": t}
+                          for i, t in enumerate(texts)]).repartition(3)
+    got = (char_entropy(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert 3 not in set(got["doc_id"])          # empty doc dropped
+
+    def brute(t):
+        c = Counter(t.encode())
+        n = len(t)
+        h = math.log(n) - sum(k * math.log(k) for k in c.values()) / n
+        return len(c), int(math.floor(h * 1e6 + 0.5))
+
+    for _, r in got.iterrows():
+        nd, e6 = brute(texts[r["doc_id"]])
+        assert (r["n_distinct"], r["entropy6"]) == (nd, e6)
+        assert r["n_chars_e"] == len(texts[r["doc_id"]])
+    assert got[got["doc_id"] == 0]["entropy6"].iloc[0] == 0
+    assert got[got["doc_id"] == 1]["entropy6"].iloc[0] == int(
+        math.floor(math.log(2) * 1e6 + 0.5))
