@@ -1537,6 +1537,26 @@ def _q_ranked_search(sf_dir: str):
                                 n_docs=_tbl_rows(sf_dir, "documents"), k=10)
 
 
+def _q_bm25_search(sf_dir: str):
+    """Full BM25 (k1=6/5, b=3/4 cleared to exact integers) over the
+    posting store: pruned part reads, broadcast doc-length table, ONE
+    hash(doc) exchange with per-shard top-k."""
+    import re
+    import shutil
+
+    from optimizing_ray.pipelines import search
+    from optimizing_ray.sources import driver_tables
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    store = f"/tmp/graft_inv_idx_bm_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    search.build_inverted_index(docs, store)
+    return search.bm25_search(store, RANKED_QUERIES, docs,
+                              n_docs=_tbl_rows(sf_dir, "documents"), k=10)
+
+
 def _q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the directed kNN graph: 3
     unrolled damped iterations, exact int64 floor arithmetic on both
@@ -2821,6 +2841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: per-doc char-entropy quality gate — born past-cap,
         # contract-pytest-oracled
         "char_entropy": _q_char_entropy,
+        # wave 16: exact-integer full BM25 — born past-cap,
+        # contract-pytest-oracled
+        "bm25_search": _q_bm25_search,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3052,6 +3075,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": oracle.phrase_search_sql(PHRASES),
         "link_prediction": oracle.link_prediction_sql(),
         "char_entropy": oracle.char_entropy_sql(),
+        "bm25_search": oracle.bm25_search_sql(RANKED_QUERIES),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -4769,3 +4769,42 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars_e,
             AS BIGINT) AS entropy6
 FROM agg ORDER BY doc_id
 """
+
+
+def bm25_search_sql(queries, k: int = 10, scale: int = 1000,
+                    table: str = "documents") -> str:
+    """search.bm25_search twin: full BM25 with k1 = 6/5, b = 3/4
+    cleared to the exact integer contribution
+    (w*22*tf*T) // (10*T*tf + 3*T + 9*dl*N) — DuckDB sums land in
+    HUGEINT, positive // == floor, bit-identical to the engine."""
+    vals = ", ".join(f"({qi}, '" + t.replace("'", "''") + "')"
+                     for qi, q in enumerate(queries)
+                     for t in sorted(set(q)))
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM {table}),
+tfm AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+nn AS (SELECT count(*) AS n FROM {table}),
+tt AS (SELECT sum(dl) AS t FROM dl),
+dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+w AS (SELECT term,
+      ({scale} * (2 * ((SELECT n FROM nn) - df) + 1)) // (2 * df + 1)
+      AS w FROM dfm),
+sc AS (SELECT q.query_id, t.doc_id,
+       SUM((w.w * 22 * t.tf * (SELECT t FROM tt))
+           // (10 * (SELECT t FROM tt) * t.tf
+               + 3 * (SELECT t FROM tt)
+               + 9 * dl.dl * (SELECT n FROM nn))) AS score
+       FROM q JOIN tfm t USING (term) JOIN w USING (term)
+            JOIN dl ON dl.doc_id = t.doc_id
+       GROUP BY q.query_id, t.doc_id),
+r AS (SELECT query_id, doc_id, score, row_number() OVER
+      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rk AS BIGINT) AS ret_rank, doc_id,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rk <= {k} ORDER BY query_id, ret_rank
+"""

@@ -40,12 +40,13 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from optimizing_ray.functions.text import token_hash, token_hashes_batch
 
 __all__ = ["build_inverted_index", "boolean_search", "ranked_search",
-           "phrase_search"]
+           "phrase_search", "bm25_search", "doc_lengths"]
 
 
 def _part_shift(n_parts: int) -> np.uint64:
@@ -430,3 +431,193 @@ def phrase_search(docs: rd.Dataset, phrases) -> pa.Table:
     out = out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)
+
+
+def doc_lengths(docs: rd.Dataset, *, id_col: str = "doc_id",
+                text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc ids, single-space token counts) for the corpus — the
+    BM25 length-normalization side table, one streaming pass; bounded
+    by corpus cardinality (the balance_deciles driver-collect class).
+    dl == len(string_split(text, ' ')), i.e. spaces + 1 (empty doc ->
+    1), byte-lockstep with the store's tokenizer."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        dl = pc.add(pc.count_substring(t[text_col], " "), 1)
+        return pa.table({"doc": t[id_col].cast(pa.int64()),
+                         "dl": dl.cast(pa.int64())})
+
+    out = docs.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    ids = out["doc"].to_numpy(np.int64)
+    dl = out["dl"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    return ids[order], dl[order]
+
+
+def bm25_search(store_dir: str, queries, docs: rd.Dataset, *,
+                n_docs: int, k: int = 10, n_parts: int = 64,
+                scale: int = 1000, n_shards: int | None = None) -> pa.Table:
+    """Full BM25 (k1 = 1.2, b = 0.75) top-k retrieval over the posting
+    store — ``ranked_search`` plus document-length normalization, in
+    EXACT integer arithmetic: with T = total corpus tokens and N docs,
+    k1 = 6/5 and b = 3/4 clear denominators to
+
+        contrib(t, d) = (w(t) * 22 * tf * T)
+                        // (10*T*tf + 3*T + 9*dl(d)*N)
+
+    (w(t) = the ranked_search integer idf), so per-term floors sum
+    order-exactly across parallel batches and the DuckDB twin
+    ``oracle.bm25_search_sql`` reproduces every bit.  Output
+    (query_id, ret_rank, doc_id, score), ties (score DESC, doc_id).
+
+    Plan: ONE streaming pass folds per-doc lengths driver-side
+    (bounded by corpus cardinality) and ships them back via ray.put;
+    df comes from the PRUNED part reads exactly as ranked_search; the
+    scoring pass maps postings through the broadcast dl lookup + CSR
+    query expansion, ONE hash(doc) exchange sums + per-shard top-k
+    (shards hold disjoint docs).  Raises if the integer product could
+    exceed int64 (scale the ``scale`` down for extreme corpora)."""
+    from optimizing_ray.config import resolve_shards
+
+    shift = _part_shift(n_parts)
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("ret_rank", pa.int64()),
+                            ("doc_id", pa.int64()), ("score", pa.int64())])
+    qsets = [np.unique(np.array([token_hash(t) for t in q],
+                                dtype=np.uint64)) for q in queries]
+    if not any(len(q) for q in qsets):
+        return out_schema.empty_table()
+    all_h = np.unique(np.concatenate([q for q in qsets if len(q)]))
+    pairs = sorted({(int(h), qi) for qi, qs in enumerate(qsets)
+                    for h in qs})
+    ph = np.array([p[0] for p in pairs], dtype=np.uint64)
+    pq_ = np.array([p[1] for p in pairs], dtype=np.int64)
+    uh, ustart = np.unique(ph, return_index=True)
+    ucnt = np.diff(np.r_[ustart, len(ph)])
+    uh_i64 = uh.view(np.int64)
+    i64_order = np.argsort(uh_i64)
+    uh_i64 = uh_i64[i64_order]
+    ustart, ucnt = ustart[i64_order], ucnt[i64_order]
+
+    need = np.unique((all_h >> shift).astype(np.int64))
+    paths = [os.path.join(store_dir, f"part={p:04d}.parquet")
+             for p in need.tolist()]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return out_schema.empty_table()
+
+    dl_ids, dl_vals = doc_lengths(docs)
+    T = int(dl_vals.sum())
+    N = int(n_docs)
+    dl_ref = ray.put((dl_ids, dl_vals))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uh_i64, h)
+        hit = (pos < len(uh_i64)) & (uh_i64[np.minimum(pos, len(uh_i64)
+                                                       - 1)] == h)
+        if not hit.any():
+            return empty
+        hh, cc = np.unique(h[hit], return_counts=True)
+        return pa.table({"h": pa.array(hh),
+                         "c": pa.array(cc.astype(np.int64))})
+
+    dfp = (rd.read_parquet(paths, columns=["h"])
+           .map_batches(df_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas())
+    w_by_h = np.zeros(len(uh_i64), dtype=np.int64)
+    if len(dfp) and "h" in dfp.columns:
+        agg = dfp.groupby("h")["c"].sum()
+        pos = np.searchsorted(uh_i64, agg.index.to_numpy(np.int64))
+        df = agg.to_numpy(np.int64)
+        w_by_h[pos] = (scale * (2 * (N - df) + 1)) // (2 * df + 1)
+    # int64 overflow guard on w * 22 * tf * T: tf <= dl_max
+    wmax = int(w_by_h.max(initial=0))
+    if wmax and wmax * 22 * int(dl_vals.max(initial=1)) * T >= 2**63:
+        raise OverflowError("bm25_search: reduce `scale` — the exact "
+                            "integer numerator would exceed int64")
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"q": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uh_i64, h)
+        hit = (pos < len(uh_i64)) & (uh_i64[np.minimum(pos, len(uh_i64)
+                                                       - 1)] == h)
+        if not hit.any():
+            return empty
+        pos = pos[hit]
+        doc = t["doc"].to_numpy(zero_copy_only=False)[hit]
+        tf = t["tf"].to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        ids, dls = ray.get(dl_ref)
+        dp = np.searchsorted(ids, doc)
+        dl = dls[np.minimum(dp, len(ids) - 1)]
+        w = w_by_h[pos]
+        contrib = (w * 22 * tf * T) // (10 * T * tf + 3 * T + 9 * dl * N)
+        rep = ucnt[pos]
+        qi = pq_[np.repeat(ustart[pos], rep)
+                 + (np.arange(int(rep.sum()))
+                    - np.repeat(np.cumsum(rep) - rep, rep))]
+        doc = np.repeat(doc, rep)
+        contrib = np.repeat(contrib, rep)
+        with np.errstate(over="ignore"):
+            sh = (doc.astype(np.uint64) * gold) >> np.uint64(33)
+        return pa.table({"q": pa.array(qi), "doc": pa.array(doc),
+                         "s": pa.array(contrib),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def shard_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        empty = pd.DataFrame({"q": pd.Series([], dtype=np.int64),
+                              "doc": pd.Series([], dtype=np.int64),
+                              "s": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        agg = g.groupby(["q", "doc"], sort=False)["s"].sum().reset_index()
+        q = agg["q"].to_numpy(np.int64)
+        doc = agg["doc"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        order = np.lexsort((doc, -s, q))
+        q, doc, s = q[order], doc[order], s[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rk = np.arange(len(q)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(q)]))
+        m = rk < k
+        return pd.DataFrame({"q": q[m], "doc": doc[m], "s": s[m]})
+
+    hits = (rd.read_parquet(paths)
+            .map_batches(score_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_shard").map_groups(shard_topk,
+                                          batch_format="pandas")
+            .to_pandas())
+    if len(hits) == 0 or "q" not in hits.columns:
+        return out_schema.empty_table()
+    q = hits["q"].to_numpy(np.int64)
+    doc = hits["doc"].to_numpy(np.int64)
+    s = hits["s"].to_numpy(np.int64)
+    order = np.lexsort((doc, -s, q))
+    q, doc, s = q[order], doc[order], s[order]
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    rk = (np.arange(len(q)) - np.repeat(starts, np.diff(
+        np.r_[starts, len(q)])) + 1)
+    m = rk <= k
+    return pa.table({"query_id": pa.array(q[m]),
+                     "ret_rank": pa.array(rk[m].astype(np.int64)),
+                     "doc_id": pa.array(doc[m]),
+                     "score": pa.array(s[m])})

@@ -327,6 +327,8 @@ SQL_NAMES = [
     "link_prediction",
     # round 4 wave 16: per-doc char-entropy quality gate
     "char_entropy",
+    # round 4 wave 16: exact-integer full BM25 retrieval
+    "bm25_search",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -187,3 +187,55 @@ def test_phrase_search_matches_brute(ray_session):
     assert list(map(tuple, got.to_numpy())) == sorted(want)
     assert (0, 0, 2, 1) in want          # overlap counted
     assert not any(q == 3 for q, *_ in want)   # missing phrase empty
+
+
+def test_bm25_matches_float_reference(ray_session, tmp_path):
+    """Integer BM25 vs the textbook float formula (same idf weight):
+    identical ranking on the fixture corpus, exact per-term integer
+    contributions, and length normalization actually demotes the long
+    doc relative to raw tf scoring."""
+    import math
+
+    d = str(tmp_path / "bm")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS], pa.string()),
+    })).repartition(3)
+    search.build_inverted_index(docs, d, n_parts=16)
+    queries = [["quick", "dog"], ["fox"]]
+    got = search.bm25_search(d, queries, docs, n_docs=len(DOCS), k=8,
+                             n_parts=16)
+    got = got.to_pandas()
+
+    dl = {i: len(t.split(" ")) for i, t in DOCS}
+    T = sum(dl.values())
+    N = len(DOCS)
+    tf = {i: collections.Counter(t.split(" ")) for i, t in DOCS}
+    df = collections.Counter(t for _, x in DOCS for t in set(x.split(" ")))
+
+    def w(t):
+        return (1000 * (2 * (N - df[t]) + 1)) // (2 * df[t] + 1)
+
+    for qi, q in enumerate(queries):
+        # exact integer scores
+        want = {}
+        for i, _ in DOCS:
+            s = sum((w(t) * 22 * tf[i][t] * T)
+                    // (10 * T * tf[i][t] + 3 * T + 9 * dl[i] * N)
+                    for t in set(q) if tf[i][t] > 0)
+            if s > 0:
+                want[i] = s
+        rows = got[got["query_id"] == qi]
+        assert {r.doc_id: r.score for r in rows.itertuples()} == want
+        # ranking == float BM25 ranking with the same integer idf
+        def fscore(i):
+            s = 0.0
+            for t in set(q):
+                if tf[i][t] == 0:
+                    continue
+                norm = tf[i][t] * 2.2 / (tf[i][t] + 1.2 *
+                                         (0.25 + 0.75 * dl[i] / (T / N)))
+                s += w(t) * norm
+            return s
+        frank = sorted(want, key=lambda i: (-fscore(i), i))
+        assert list(rows.sort_values("ret_rank")["doc_id"]) == frank
