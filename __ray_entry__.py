@@ -1360,6 +1360,19 @@ def _q_activity_streaks(sf_dir: str):
     return windows.activity_streaks(ev)
 
 
+def _q_trajectory_diameter(sf_dir: str):
+    """Per-user max pairwise point distance (squared, micro-rounded):
+    ONE hash(user) exchange, vectorized run-pair expansion +
+    maximum.reduceat in-shard; exact across engines (fixed IEEE d2
+    expression, order-independent max)."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "event_id"])
+    return windows.trajectory_diameter(ev)
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc byte-distribution Shannon entropy (micro-rounded nats):
     one combined-key bincount per batch, zero shuffles — the
@@ -2844,6 +2857,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: exact-integer full BM25 — born past-cap,
         # contract-pytest-oracled
         "bm25_search": _q_bm25_search,
+        # wave 16: trajectory diameter — born past-cap,
+        # contract-pytest-oracled
+        "trajectory_diameter": _q_trajectory_diameter,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3076,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": oracle.link_prediction_sql(),
         "char_entropy": oracle.char_entropy_sql(),
         "bm25_search": oracle.bm25_search_sql(RANKED_QUERIES),
+        "trajectory_diameter": oracle.trajectory_diameter_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

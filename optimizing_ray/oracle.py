@@ -4808,3 +4808,28 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(score AS BIGINT) AS score
 FROM r WHERE rk <= {k} ORDER BY query_id, ret_rank
 """
+
+
+def trajectory_diameter_sql(world: World = DRIVER_WORLD,
+                            table: str = "events") -> str:
+    """windows.trajectory_diameter twin: shared-geometry points, brute
+    self-join max pairwise squared distance per user (each pair's d2 is
+    a fixed IEEE expression; max is order-independent), micro-rounded
+    int64; single-point users report 0."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT user_id, event_id, {x} AS x, {y} AS y FROM {table}),
+d AS (SELECT a.user_id,
+             max((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) AS d2
+      FROM pts a JOIN pts b
+        ON b.user_id = a.user_id AND a.event_id < b.event_id
+      GROUP BY a.user_id),
+n AS (SELECT user_id, count(*) AS np FROM pts GROUP BY user_id)
+SELECT n.user_id, CAST(n.np AS BIGINT) AS n_points,
+       CAST(floor(coalesce(d.d2, 0.0) * 1e6 + 0.5) AS BIGINT) AS diam2_6
+FROM n LEFT JOIN d ON d.user_id = n.user_id
+ORDER BY n.user_id
+"""

@@ -25,7 +25,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
-           "peak_concurrency"]
+           "peak_concurrency", "trajectory_diameter"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1757,5 +1757,93 @@ def peak_concurrency(events: rd.Dataset, *, key_col: str = "event_type",
     if len(out) == 0 or "key" not in out.columns:
         return out_schema.empty_table()
     out = out.sort_values("key").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def trajectory_diameter(events: rd.Dataset, *, key_col: str = "user_id",
+                        id_col: str = "event_id",
+                        n_shards: int | None = None) -> pa.Table:
+    """Per-user trajectory DIAMETER — the max pairwise point distance
+    (squared, micro-rounded): the roaming-range feature bounding boxes
+    overstate (a diagonal cloud fills a bbox its diameter doesn't).
+    Points derive from event_id by the shared driver-table formula, so
+    both engines see identical doubles; each pair's d2 = dx*dx + dy*dy
+    is a fixed three-op IEEE expression (no accumulation), and max is
+    order-independent — exact across engines, rounded only for repr.
+    Output (user_id, n_points, diam2_6 = floor(max d2 * 1e6 + 0.5)),
+    user order; single-point users report 0.
+
+    Plan: ONE hash(user) exchange of slim (user, x, y) rows; in-shard
+    the all-pairs expansion is the vectorized run-pair gather (the
+    copurchase/link-prediction kernel shape) + one maximum.reduceat —
+    no per-user Python.  O(m^2) per user by construction: the
+    documented partitioning assumption is bounded per-key trajectory
+    length (pre-aggregate to per-tile visit sets first when keys are
+    unbounded).  SQL twin ``oracle.trajectory_diameter_sql``."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_points", pa.int64()),
+        ("diam2_6", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        return pa.table({"u": pa.array(u), "x": pa.array(x),
+                         "y": pa.array(y),
+                         "_shard": pa.array(_shard_of_keys(u, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_points": pd.Series([], dtype=np.int64),
+                "diam2_6": pd.Series([], dtype=np.int64)})
+        u = g["u"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        order = np.argsort(u, kind="stable")
+        u, x, y = u[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        run_end = np.repeat(starts + lens, lens)
+        cnt = run_end - np.arange(len(u)) - 1
+        li = np.repeat(np.arange(len(u)), cnt)
+        cum = np.r_[0, np.cumsum(cnt)]
+        rj = np.arange(int(cum[-1])) - cum[li] + li + 1
+        dx = x[li] - x[rj]
+        dy = y[li] - y[rj]
+        d2 = dx * dx + dy * dy
+        # per-user max over its contiguous pair block
+        pair_user_starts = cum[starts]
+        diam = np.zeros(len(starts), np.float64)
+        has = lens > 1
+        if has.any():
+            ps = pair_user_starts[has].astype(np.int64)
+            seg_max = np.maximum.reduceat(d2, ps)
+            diam[has] = seg_max
+        return pd.DataFrame({
+            "user_id": u[starts], "n_points": lens.astype(np.int64),
+            "diam2_6": np.floor(diam * 1e6 + 0.5).astype(np.int64)})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard,
+                                         batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)

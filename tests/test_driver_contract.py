@@ -329,6 +329,8 @@ SQL_NAMES = [
     "char_entropy",
     # round 4 wave 16: exact-integer full BM25 retrieval
     "bm25_search",
+    # round 4 wave 16: per-user trajectory diameter
+    "trajectory_diameter",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -760,3 +760,42 @@ def test_peak_concurrency_matches_brute(ray_session):
 
     again = peak_concurrency(ds.repartition(9)).to_pandas()
     assert got.equals(again)
+
+
+def test_trajectory_diameter_matches_brute(ray_session):
+    """Max pairwise d2 per user vs an itertools brute over real sf
+    events; single-point users report 0; layout invariance."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.windows import trajectory_diameter
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    sfd = "/root/testdata/sf0.001"
+    ev = driver_tables.read(sfd, "events", columns=["user_id", "event_id"])
+    got = trajectory_diameter(ev).to_pandas()
+    again = trajectory_diameter(ev.repartition(7)).to_pandas()
+    assert got.equals(again)
+
+    df = pd.read_parquet(f"{sfd}/events.parquet",
+                         columns=["user_id", "event_id"])
+    eid = df["event_id"].to_numpy(np.int64)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    df["x"] = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    df["y"] = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    for u, g in df.groupby("user_id"):
+        pts = list(zip(g["x"], g["y"]))
+        best = max(((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                    for a, b in combinations(pts, 2)), default=0.0)
+        row = got[got["user_id"] == u].iloc[0]
+        assert row["n_points"] == len(pts)
+        assert row["diam2_6"] == int(np.floor(best * 1e6 + 0.5))
+
+    one = rd.from_items([{"user_id": 1, "event_id": 42}])
+    solo = trajectory_diameter(one).to_pandas()
+    assert (solo["n_points"].iloc[0], solo["diam2_6"].iloc[0]) == (1, 0)
