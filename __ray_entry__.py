@@ -1385,6 +1385,28 @@ def _q_char_entropy(sf_dir: str):
     return textops.char_entropy(docs)
 
 
+def _q_morans_i(sf_dir: str):
+    """Global Moran's I of per-tile doc counts (rook weights, occupied
+    tiles): exact-integer scaled deviations z = N*n - S for numerator/
+    denominator, fixed three-op double ratio micro-rounded; ONE
+    streaming count pass, 4^depth-bounded driver fold."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
+def _q_grid_bfs(sf_dir: str):
+    """Multi-source BFS hop distance over occupied tiles (cost-distance
+    / isochrone): seeds = tiles holding a doc_id % 101 == 0 doc, capped
+    waves so the recursive-CTE oracle is depth-bounded; counts + seed
+    flags fold in ONE exchange, waves are dense stencil shifts."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.grid_bfs(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
 def _q_link_prediction(sf_dir: str):
     """Resource-allocation link prediction over the mutual kNN graph:
     wedge expansion weighted floor(1e9/deg(center)) — exact-integer
@@ -2860,6 +2882,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 16: trajectory diameter — born past-cap,
         # contract-pytest-oracled
         "trajectory_diameter": _q_trajectory_diameter,
+        # wave 17: Moran's I spatial autocorrelation — born past-cap,
+        # contract-pytest-oracled
+        "morans_i": _q_morans_i,
+        # wave 17: multi-source grid BFS cost-distance — born past-cap,
+        # contract-pytest-oracled
+        "grid_bfs": _q_grid_bfs,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3093,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": oracle.char_entropy_sql(),
         "bm25_search": oracle.bm25_search_sql(RANKED_QUERIES),
         "trajectory_diameter": oracle.trajectory_diameter_sql(),
+        "morans_i": oracle.morans_i_sql(DEPTH),
+        "grid_bfs": oracle.grid_bfs_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -4833,3 +4833,85 @@ SELECT n.user_id, CAST(n.np AS BIGINT) AS n_points,
 FROM n LEFT JOIN d ON d.user_id = n.user_id
 ORDER BY n.user_id
 """
+
+
+def morans_i_sql(depth: int, world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """raster.morans_i twin: per-cell counts, integer-scaled deviations
+    z = N*n - S, rook-pair numerator via the precomputed-offset equi
+    join (focal_stats shape), HUGEINT sums CAST back to BIGINT, and the
+    fixed three-op double ratio (num/den)*N/W micro-rounded."""
+    wx, wy, _ = world.size
+    offs = "(1, 0), (-1, 0), (0, 1), (0, -1)"
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+        FROM cellidx GROUP BY ix, iy),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(COALESCE(sum(n), 0) AS BIGINT) AS tot FROM cnt),
+z AS (SELECT ix, iy, s.nc * cnt.n - s.tot AS z FROM cnt, s),
+ce AS (SELECT a.z AS za, a.ix + o.dx AS jx, a.iy + o.dy AS jy
+       FROM z a, (VALUES {offs}) o(dx, dy)),
+pr AS (SELECT CAST(COALESCE(SUM(CAST(ce.za AS HUGEINT) * b.z), 0)
+              AS BIGINT) AS num,
+              CAST(count(*) AS BIGINT) AS w
+       FROM ce JOIN z b ON b.ix = ce.jx AND b.iy = ce.jy),
+dn AS (SELECT CAST(COALESCE(SUM(CAST(z AS HUGEINT) * z), 0)
+              AS BIGINT) AS den FROM z)
+SELECT s.nc AS n_cells, pr.w AS w_pairs, pr.num AS num, dn.den AS den,
+       CASE WHEN dn.den = 0 OR pr.w = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(((CAST(pr.num AS DOUBLE) / CAST(dn.den AS DOUBLE))
+                             * CAST(s.nc AS DOUBLE) / CAST(pr.w AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT)
+       END AS morans_i_6
+FROM s, pr, dn
+"""
+
+
+def grid_bfs_sql(depth: int, world: World = DRIVER_WORLD,
+                 table: str = "documents", seed_mod: int = 101,
+                 cap: int = 63) -> str:
+    """raster.grid_bfs twin: occupied-cell counts with per-cell seed
+    presence, then a depth-capped recursive-CTE wave (UNION dedups
+    (ix, iy, d) rows; d <= cap bounds rows at occupied*cap), min(d) per
+    cell, unreached -> -1, Morton-keyed output.  Neighbor step
+    precomputes jx/jy in a derived table (the range-join-assertion-safe
+    shape)."""
+    wx, wy, _ = world.size
+    offs = "(1, 0), (-1, 0), (0, 1), (0, -1)"
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN doc_id % {seed_mod} = 0 THEN 1 ELSE 0 END)
+                 AS seeded
+        FROM cellidx GROUP BY ix, iy),
+reach(ix, iy, d) AS (
+    SELECT ix, iy, 0 FROM cnt WHERE seeded = 1
+  UNION
+    SELECT c.ix, c.iy, e.d + 1
+    FROM (SELECT r.ix + o.dx AS jx, r.iy + o.dy AS jy, r.d
+          FROM reach r, (VALUES {offs}) o(dx, dy)
+          WHERE r.d < {cap}) e
+    JOIN cnt c ON c.ix = e.jx AND c.iy = e.jy
+),
+dist AS (SELECT ix, iy, min(d) AS hops FROM reach GROUP BY ix, iy),
+j AS (SELECT cnt.ix, cnt.iy, cnt.n,
+             COALESCE(dist.hops, -1) AS hops
+      FROM cnt LEFT JOIN dist ON dist.ix = cnt.ix AND dist.iy = cnt.iy),
+{morton_ctes('j', depth, carry='n, hops')}
+SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs,
+       CAST(hops AS BIGINT) AS hops
+FROM mz ORDER BY cell_key
+"""

@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs"]
 
 
 class _NearestDoc:
@@ -433,3 +433,188 @@ def focal_stats(docs, *, depth: int, world: World,
         return schema.empty_table()
     out = out.sort_values("cell_key").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False, schema=schema)
+
+
+def _cell_partials(docs: rd.Dataset, *, depth: int, world: World,
+                   x_col: str = "x", y_col: str = "y",
+                   seed_mod: int | None = None,
+                   id_col: str = "doc_id") -> tuple[np.ndarray, ...]:
+    """Distributed per-cell (count, seed-presence) partials with a
+    BOUNDED driver merge: each batch folds to at most 4^depth (cell,
+    n[, seeded]) rows, so the driver-side concat+unique is O(occupied
+    cells) regardless of corpus size — the ``tile_counts`` plan.  At
+    depths where 4^depth itself is large, swap the tail for one sharded
+    exchange (the ``focal_stats`` stencil shape); the grid statistics
+    below keep the fixed small-depth driver plan and document it.
+
+    Returns (ix, iy, n[, seeded]) int64 arrays sorted by linear index.
+    """
+    from optimizing_ray.cells import decode2
+    from optimizing_ray.stages.assign import assign_tiles
+
+    ds = assign_tiles(docs, depth, world, x_col, y_col)
+    want_seed = seed_mod is not None
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell_key" not in t.column_names:
+            cols = {"k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64())}
+            if want_seed:
+                cols["s"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        k = t["cell_key"].to_numpy()
+        uk, inv, cnt = np.unique(k, return_inverse=True,
+                                 return_counts=True)
+        cols = {"k": pa.array(uk.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64))}
+        if want_seed:
+            seed = (t[id_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) % seed_mod) == 0
+            s = np.zeros(len(uk), dtype=np.int64)
+            np.maximum.at(s, inv, seed.astype(np.int64))
+            cols["s"] = pa.array(s)
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        z = np.zeros(0, np.int64)
+        return (z, z, z, z) if want_seed else (z, z, z)
+    keys = np.concatenate([t["k"].to_numpy() for t in tabs])
+    ns = np.concatenate([t["n"].to_numpy() for t in tabs])
+    uk, inv = np.unique(keys, return_inverse=True)
+    agg = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(agg, inv, ns)
+    _, ix, iy = decode2(uk.astype(np.uint64))
+    out = [ix.astype(np.int64), iy.astype(np.int64), agg]
+    if want_seed:
+        ss = np.concatenate([t["s"].to_numpy() for t in tabs])
+        sagg = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(sagg, inv, ss)
+        out.append(sagg)
+    return tuple(out)
+
+
+def morans_i(docs: rd.Dataset, *, depth: int, world: World,
+             x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Global Moran's I spatial autocorrelation of per-tile point counts
+    over the OCCUPIED Morton tiles with binary rook (4-neighbour)
+    weights — the standard lattice clustering statistic (Moran 1950),
+    the scalar complement to the ``focal_stats`` hotspot stencil.
+
+    Exactness: with N occupied cells and total count S, the deviation
+    is scaled to the integer z_i = N*n_i - S, so the numerator
+    sum(w_ij * z_i * z_j) and denominator sum(z_i^2) are exact int64
+    (both engines sum the same integers; DuckDB auto-widens to
+    HUGEINT).  The final ratio is THREE IEEE ops in a fixed order —
+    (num/den) * N / W — micro-rounded to 1e-6, the idw_grid one-shared-
+    division discipline.  Magnitude guard: |z| <= N * S, so depth 4-5
+    grids hold to corpus sizes ~2^31 / 4^depth; asserted below.
+
+    Plan: ONE streaming partial-count pass with a 4^depth-bounded
+    driver merge (see ``_cell_partials``); the O(occupied) rook-pair
+    fold is a driver-side searchsorted on linear indices — no shuffle
+    at all.  SQL twin ``oracle.morans_i_sql``."""
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("n_cells", pa.int64()), ("w_pairs", pa.int64()),
+                        ("num", pa.int64()), ("den", pa.int64()),
+                        ("morans_i_6", pa.int64())])
+    nc = len(ix)
+    if nc == 0:
+        return pa.table({"n_cells": [0], "w_pairs": [0], "num": [0],
+                         "den": [0], "morans_i_6": [0]}, schema=schema)
+    tot = int(cnt.sum())
+    # int64 fast path holds while W * (N*S)^2 < 2^63 (W <= 4N); beyond
+    # that the BOUNDED (<= 4^depth) driver arrays switch to exact
+    # Python-int dot products — the oracle sums in HUGEINT regardless.
+    if 4 * nc * (nc * tot) ** 2 < (1 << 63):
+        z = nc * cnt - tot
+    else:
+        z = nc * cnt.astype(object) - tot
+    lin = ix * n + iy  # unique-sorted already (Morton unique -> but
+    # linear order differs from Morton order; sort for searchsorted)
+    order = np.argsort(lin)
+    lin_s, z_s = lin[order], z[order]
+    num = 0
+    w_pairs = 0
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        jx, jy = ix + dx, iy + dy
+        m = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+        tgt = jx[m] * n + jy[m]
+        pos = np.searchsorted(lin_s, tgt)
+        pos = np.minimum(pos, len(lin_s) - 1)
+        hit = lin_s[pos] == tgt
+        num += int(np.dot(z[m][hit], z_s[pos[hit]]))
+        w_pairs += int(hit.sum())
+    den = int(np.dot(z, z))
+    if den == 0 or w_pairs == 0:
+        mi6 = 0
+    else:
+        r = np.float64(num) / np.float64(den)
+        r = r * np.float64(nc) / np.float64(w_pairs)
+        mi6 = int(np.floor(r * 1e6 + 0.5))
+    return pa.table({"n_cells": [nc], "w_pairs": [w_pairs], "num": [num],
+                     "den": [den], "morans_i_6": [mi6]}, schema=schema)
+
+
+def grid_bfs(docs: rd.Dataset, *, depth: int, world: World,
+             seed_mod: int = 101, cap: int = 63,
+             x_col: str = "x", y_col: str = "y",
+             id_col: str = "doc_id") -> pa.Table:
+    """Multi-source BFS hop distance over the OCCUPIED-tile grid — the
+    cost-distance / isochrone primitive: per occupied tile, the fewest
+    4-connected steps (through occupied tiles only) to the nearest SEED
+    tile (one containing a doc with doc_id % seed_mod == 0); tiles
+    farther than ``cap`` hops (or unreachable) report -1.  The cap is
+    part of the operator contract so the recursive-CTE oracle is depth-
+    bounded (``oracle.grid_bfs_sql``).
+
+    Plan: the same single-pass 4^depth-bounded partial merge as
+    ``morans_i`` (counts + per-cell seed presence fold in the SAME
+    exchange), then the wave expansion is O(cap) dense boolean stencil
+    shifts on an n x n grid driver-side — integer hops, no floats, no
+    per-cell Python.  At depths where the dense grid is too big, the
+    frontier exchange is the distributed-CC pattern
+    (``dedup.connected_components``); this operator pins the bounded-
+    depth driver plan.
+
+    Reference parity: neighborhood walk semantics of the ring gather in
+    ``WorldPartition.hpp:196-212`` iterated to a distance field —
+    cited for role, not ported."""
+    n = 1 << depth
+    from optimizing_ray.cells import encode2
+
+    ix, iy, cnt, seeded = _cell_partials(
+        docs, depth=depth, world=world, x_col=x_col, y_col=y_col,
+        seed_mod=seed_mod, id_col=id_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("hops", pa.int64())])
+    if len(ix) == 0:
+        return schema.empty_table()
+    occ = np.zeros((n, n), dtype=bool)
+    occ[ix, iy] = True
+    dist = np.full((n, n), -1, dtype=np.int64)
+    frontier = np.zeros((n, n), dtype=bool)
+    frontier[ix[seeded > 0], iy[seeded > 0]] = True
+    dist[frontier] = 0
+    for d in range(1, cap + 1):
+        if not frontier.any():
+            break
+        nxt = np.zeros((n, n), dtype=bool)
+        nxt[1:, :] |= frontier[:-1, :]
+        nxt[:-1, :] |= frontier[1:, :]
+        nxt[:, 1:] |= frontier[:, :-1]
+        nxt[:, :-1] |= frontier[:, 1:]
+        nxt &= occ & (dist < 0)
+        dist[nxt] = d
+        frontier = nxt
+    key = encode2(ix.astype(np.uint64), iy.astype(np.uint64),
+                  depth).astype(np.int64)
+    order = np.argsort(key)
+    return pa.table({"cell_key": pa.array(key[order]),
+                     "n_docs": pa.array(cnt[order]),
+                     "hops": pa.array(dist[ix, iy][order])},
+                    schema=schema)

@@ -331,6 +331,9 @@ SQL_NAMES = [
     "bm25_search",
     # round 4 wave 16: per-user trajectory diameter
     "trajectory_diameter",
+    # round 4 wave 17: Moran's I + multi-source grid BFS
+    "morans_i",
+    "grid_bfs",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -220,3 +220,111 @@ def test_focal_stats_matches_brute(ray_session):
     # every occupied cell is present
     assert len(got) == (grid > 0).sum()
     assert got["n_docs"].sum() == len(xs)
+
+
+def test_morans_i_matches_brute(ray_session):
+    """Integer numerator/denominator and the micro-rounded ratio vs a
+    direct dense-grid replay; checkerboard -> strongly negative,
+    half/half split -> positive."""
+    import ray.data as rd
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+
+    def run(ix, iy):
+        xs = (ix + 0.5) * cw
+        ys = (iy + 0.5) * cw
+        t = pa.table({"x": pa.array(xs), "y": pa.array(ys)})
+        return raster.morans_i(rd.from_arrow(t).repartition(3),
+                               depth=depth, world=WORLD_2D).to_pandas()
+
+    # checkerboard counts 1/3 alternating over the full grid
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    reps = np.where((gx + gy) % 2 == 0, 1, 3).ravel()
+    ix = np.repeat(gx.ravel(), reps).astype(np.float64)
+    iy = np.repeat(gy.ravel(), reps).astype(np.float64)
+    got = run(ix, iy)
+    nc = n * n
+    tot = int(reps.sum())
+    z = (nc * reps - tot).reshape(n, n)
+    num = int((z[1:, :] * z[:-1, :]).sum() * 2
+              + (z[:, 1:] * z[:, :-1]).sum() * 2)
+    den = int((z * z).sum())
+    w = 2 * (2 * n * (n - 1))
+    assert got["n_cells"].iloc[0] == nc
+    assert got["w_pairs"].iloc[0] == w
+    assert got["num"].iloc[0] == num
+    assert got["den"].iloc[0] == den
+    r = (np.float64(num) / np.float64(den)) * np.float64(nc) / np.float64(w)
+    assert got["morans_i_6"].iloc[0] == int(np.floor(r * 1e6 + 0.5))
+    assert got["morans_i_6"].iloc[0] < -500_000  # strongly negative
+
+    # left-half heavy, right-half light -> positive autocorrelation
+    reps2 = np.where(gx < n // 2, 5, 1).ravel()
+    got2 = run(np.repeat(gx.ravel(), reps2).astype(np.float64),
+               np.repeat(gy.ravel(), reps2).astype(np.float64))
+    assert got2["morans_i_6"].iloc[0] > 500_000
+
+    # uniform counts -> den == 0 -> defined 0
+    got3 = run(gx.ravel().astype(np.float64), gy.ravel().astype(np.float64))
+    assert got3["den"].iloc[0] == 0
+    assert got3["morans_i_6"].iloc[0] == 0
+
+
+def test_grid_bfs_matches_brute(ray_session):
+    """Hop distances vs a driver BFS replay on an obstacle course:
+    occupied corridor, isolated island (-1), seed at one end."""
+    from collections import deque
+
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    # L-shaped corridor cells + a 2-cell island; ids chosen so exactly
+    # cell (0,0) holds a seed (doc_id 101 % 101 == 0)
+    corridor = [(0, k) for k in range(n)] + [(k, n - 1) for k in range(1, n)]
+    island = [(4, 2), (5, 2)]
+    cells = corridor + island
+    xs = np.array([(cx + 0.5) * cw for cx, _ in cells])
+    ys = np.array([(cy + 0.5) * cw for _, cy in cells])
+    ids = np.arange(1, len(cells) + 1, dtype=np.int64) * 103 + 5
+    ids[0] = 101  # seed doc in cell (0, 0)
+    assert not np.any(ids[1:] % 101 == 0)
+    t = pa.table({"doc_id": pa.array(ids), "x": pa.array(xs),
+                  "y": pa.array(ys)})
+    got = raster.grid_bfs(rd.from_arrow(t).repartition(3),
+                          depth=depth, world=WORLD_2D).to_pandas()
+
+    occ = set(cells)
+    dist = {(0, 0): 0}
+    dq = deque([(0, 0)])
+    while dq:
+        cx, cy = dq.popleft()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb in occ and nb not in dist:
+                dist[nb] = dist[(cx, cy)] + 1
+                dq.append(nb)
+    _, gix, giy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    assert len(got) == len(occ)
+    for row, cx, cy in zip(got.itertuples(index=False),
+                           gix.astype(np.int64).tolist(),
+                           giy.astype(np.int64).tolist()):
+        assert row.hops == dist.get((cx, cy), -1)
+        assert row.n_docs == 1
+    assert (got["hops"] == -1).sum() == 2  # the island
+    assert got["hops"].max() == 2 * (n - 1)  # corridor far end
+
+    # cap clamps: same course with cap 3 -> farther cells report -1
+    capped = raster.grid_bfs(rd.from_arrow(t), depth=depth,
+                             world=WORLD_2D, cap=3).to_pandas()
+    _, cxs, cys = decode2(capped["cell_key"].to_numpy().astype(np.uint64))
+    for row, cx, cy in zip(capped.itertuples(index=False),
+                           cxs.astype(np.int64).tolist(),
+                           cys.astype(np.int64).tolist()):
+        d = dist.get((cx, cy), -1)
+        assert row.hops == (d if 0 <= d <= 3 else -1)
