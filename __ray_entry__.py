@@ -1385,6 +1385,19 @@ def _q_char_entropy(sf_dir: str):
     return textops.char_entropy(docs)
 
 
+def _q_cusum(sf_dir: str):
+    """One-sided CUSUM drift alarms per user (Page 1954): cents
+    quantization + integer scaled deviations d = n*v - S; the
+    sequential max(0,...) fold collapses to two prefix scans
+    (cumsum + cummin) — ONE hash(user) exchange, summary row per user."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id", "value"])
+    return windows.cusum_alarms(ev)
+
+
 def _q_morans_i(sf_dir: str):
     """Global Moran's I of per-tile doc counts (rook weights, occupied
     tiles): exact-integer scaled deviations z = N*n - S for numerator/
@@ -2888,6 +2901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: multi-source grid BFS cost-distance — born past-cap,
         # contract-pytest-oracled
         "grid_bfs": _q_grid_bfs,
+        # wave 17: CUSUM changepoint alarms — born past-cap,
+        # contract-pytest-oracled
+        "cusum": _q_cusum,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3123,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_diameter": oracle.trajectory_diameter_sql(),
         "morans_i": oracle.morans_i_sql(DEPTH),
         "grid_bfs": oracle.grid_bfs_sql(DEPTH),
+        "cusum": oracle.cusum_alarms_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

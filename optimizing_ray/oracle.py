@@ -4915,3 +4915,39 @@ SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs,
        CAST(hops AS BIGINT) AS hops
 FROM mz ORDER BY cell_key
 """
+
+
+def cusum_alarms_sql(h_cents: int = 30_000, table: str = "events") -> str:
+    """windows.cusum_alarms twin: cents quantization, integer scaled
+    deviations d = n*v - S, then the max(0,...) fold stated as the two
+    prefix scans s_t = P_t - LEAST(0, running MIN(P)) in window
+    functions — all BIGINT, the alarm compare st >= h*n integer."""
+    return f"""
+WITH v AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM {table}),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM v GROUP BY user_id),
+d AS (SELECT v.user_id, v.ts, v.event_id, a.n, a.n * v.v - a.s AS d
+      FROM v JOIN a ON a.user_id = v.user_id),
+p AS (SELECT user_id, ts, event_id, n,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS seq
+      FROM d),
+s AS (SELECT user_id, n, seq,
+             pt - LEAST(0, MIN(pt) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)) AS st
+      FROM p)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(COALESCE(sum(CASE WHEN st >= {h_cents} * n THEN 1 END), 0)
+            AS BIGINT) AS n_alarms,
+       CAST(COALESCE(min(CASE WHEN st >= {h_cents} * n THEN seq END), -1)
+            AS BIGINT) AS first_alarm_seq,
+       CAST(max(st) AS BIGINT) AS max_s
+FROM s GROUP BY user_id ORDER BY user_id
+"""

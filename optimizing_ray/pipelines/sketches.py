@@ -26,7 +26,8 @@ import ray.data as rd
 from optimizing_ray.config import resolve_shards
 
 __all__ = ["percentile_disc", "hll_distinct", "splitmix64", "kmv_overlap",
-           "quantile_sketch", "grouped_quantile_sketch", "count_min"]
+           "quantile_sketch", "grouped_quantile_sketch", "count_min",
+           "ams_f2"]
 
 
 def percentile_disc(ds: rd.Dataset, *, key_col: str, value_col: str,

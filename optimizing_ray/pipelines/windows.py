@@ -25,7 +25,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
-           "peak_concurrency", "trajectory_diameter"]
+           "peak_concurrency", "trajectory_diameter", "cusum_alarms"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1841,6 +1841,100 @@ def trajectory_diameter(events: rd.Dataset, *, key_col: str = "user_id",
                               zero_copy_batch=True)
            .groupby("_shard").map_groups(per_shard,
                                          batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def cusum_alarms(events: rd.Dataset, *, key_col: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value", h_cents: int = 30_000,
+                 n_shards: int | None = None) -> pa.Table:
+    """One-sided CUSUM changepoint detection per key — the classic
+    sequential drift monitor (Page 1954): over the key's time-ordered
+    cents-quantized values, s_t = max(0, s_{t-1} + (v_t - mean)) and an
+    alarm fires when s_t >= h.  Integer-exact end to end: deviations
+    scale to d_t = n*v_t - S (the morans_i z trick), which scales s and
+    the threshold by n too — alarms compare s_t >= h_cents * n, all
+    int64, no float anywhere.
+
+    The recursion is NOT computed sequentially: with P_t = sum(d_1..t),
+    the max(0, ...) fold collapses to s_t = P_t - min(0, min_{j<=t}
+    P_j) — two vectorized prefix scans (cumsum + cummin), the same
+    shape the SQL twin states in window functions
+    (``oracle.cusum_alarms_sql``).
+
+    Output per key: (user_id, n_events, n_alarms, first_alarm_seq
+    [1-based position in the key's (ts, id) order, -1 if none],
+    max_s), key order.
+
+    Plan: ONE hash(key) exchange of slim (key, ts, id, v) rows; a
+    key's events co-locate, so both scans are in-shard pandas
+    groupby.cumsum/cummin (C kernels); only one summary row per key
+    leaves the shard."""
+    n_shards = resolve_shards(n_shards)
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("n_alarms", pa.int64()), ("first_alarm_seq", pa.int64()),
+        ("max_s", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy()
+        v = np.floor(t[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts": pa.array(ts),
+            "id": t[id_col].cast(pa.int64()),
+            "v": pa.array(v),
+            "_shard": pa.array(_shard_of_keys(u, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "n_alarms": pd.Series([], dtype=np.int64),
+            "first_alarm_seq": pd.Series([], dtype=np.int64),
+            "max_s": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["u", "ts", "id"], kind="stable")
+        grp = g.groupby("u", sort=True)
+        n = grp["v"].transform("size").to_numpy(np.int64)
+        tot = grp["v"].transform("sum").to_numpy(np.int64)
+        g["d"] = n * g["v"].to_numpy(np.int64) - tot
+        p = grp["d"].cumsum()
+        g["p"] = p
+        runmin = g.groupby("u", sort=True)["p"].cummin().to_numpy(np.int64)
+        s = p.to_numpy(np.int64) - np.minimum(0, runmin)
+        alarm = s >= h_cents * n
+        u = g["u"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        seq = np.arange(len(u), dtype=np.int64) - np.repeat(starts, lens) + 1
+        uids = u[starts]
+        n_alarms = np.add.reduceat(alarm.astype(np.int64), starts)
+        first = np.where(alarm, seq, np.int64(1) << 60)
+        first_min = np.minimum.reduceat(first, starts)
+        first_min = np.where(n_alarms > 0, first_min, -1)
+        max_s = np.maximum.reduceat(s, starts)
+        return pd.DataFrame({
+            "user_id": uids, "n_events": lens.astype(np.int64),
+            "n_alarms": n_alarms, "first_alarm_seq": first_min,
+            "max_s": max_s})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
            .to_pandas())
     if len(out) == 0 or "user_id" not in out.columns:
         return out_schema.empty_table()

@@ -334,6 +334,8 @@ SQL_NAMES = [
     # round 4 wave 17: Moran's I + multi-source grid BFS
     "morans_i",
     "grid_bfs",
+    # round 4 wave 17: CUSUM changepoint alarms
+    "cusum",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

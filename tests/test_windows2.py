@@ -799,3 +799,44 @@ def test_trajectory_diameter_matches_brute(ray_session):
     one = rd.from_items([{"user_id": 1, "event_id": 42}])
     solo = trajectory_diameter(one).to_pandas()
     assert (solo["n_points"].iloc[0], solo["diam2_6"].iloc[0]) == (1, 0)
+
+
+def test_cusum_alarms_matches_sequential_brute(ray_session):
+    """The two-scan fold vs the literal s = max(0, s + d) recursion
+    over real sf events; alarm count, first alarm position, max stat;
+    layout invariance."""
+    import numpy as np
+    import pandas as pd
+
+    from optimizing_ray.pipelines.windows import cusum_alarms
+    from optimizing_ray.sources import driver_tables
+
+    sfd = "/root/testdata/sf0.001"
+    h = 30_000
+    ev = driver_tables.read(sfd, "events",
+                            columns=["user_id", "ts", "event_id", "value"])
+    got = cusum_alarms(ev, h_cents=h).to_pandas()
+    again = cusum_alarms(ev.repartition(7), h_cents=h).to_pandas()
+    assert got.equals(again)
+    assert (got["n_alarms"] > 0).any() and (got["n_alarms"] == 0).any()
+
+    df = pd.read_parquet(f"{sfd}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    df["v"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        v = g["v"].to_numpy(np.int64)
+        n = len(v)
+        d = n * v - v.sum()
+        s = 0
+        n_alarms, first, max_s = 0, -1, 0
+        for i, di in enumerate(d, start=1):
+            s = max(0, s + int(di))
+            max_s = max(max_s, s)
+            if s >= h * n:
+                n_alarms += 1
+                if first < 0:
+                    first = i
+        row = got[got["user_id"] == u].iloc[0]
+        assert (row["n_events"], row["n_alarms"],
+                row["first_alarm_seq"], row["max_s"]) == (n, n_alarms,
+                                                          first, max_s)
