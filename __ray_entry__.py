@@ -1398,6 +1398,18 @@ def _q_cusum(sf_dir: str):
     return windows.cusum_alarms(ev)
 
 
+def _q_ams_f2(sf_dir: str):
+    """AMS tug-of-war F2 sketch over event user_ids + exact F2 audit:
+    shuffle-free register partials (32 splitmix-seeded signs per unique
+    key per batch), one hash(key) exchange for the exact leg; estimate
+    = exact integer floor mean of squared registers."""
+    from optimizing_ray.pipelines import sketches
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["user_id"])
+    return sketches.ams_f2(ev)
+
+
 def _q_morans_i(sf_dir: str):
     """Global Moran's I of per-tile doc counts (rook weights, occupied
     tiles): exact-integer scaled deviations z = N*n - S for numerator/
@@ -2904,6 +2916,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: CUSUM changepoint alarms — born past-cap,
         # contract-pytest-oracled
         "cusum": _q_cusum,
+        # wave 17: AMS F2 tug-of-war sketch — born past-cap,
+        # contract-pytest-oracled
+        "ams_f2": _q_ams_f2,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3140,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": oracle.morans_i_sql(DEPTH),
         "grid_bfs": oracle.grid_bfs_sql(DEPTH),
         "cusum": oracle.cusum_alarms_sql(),
+        "ams_f2": oracle.ams_f2_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

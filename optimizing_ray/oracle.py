@@ -4951,3 +4951,33 @@ SELECT user_id,
        CAST(max(st) AS BIGINT) AS max_s
 FROM s GROUP BY user_id ORDER BY user_id
 """
+
+
+def ams_f2_sql(n_registers: int = 32, key: str = "user_id",
+               table: str = "events") -> str:
+    """sketches.ams_f2 twin: per (row, register) the count_min splitmix
+    seeding (u + (j+1)*gamma mod 2^64), sign from hash parity, register
+    sums / sum of squares in HUGEINT CAST back to BIGINT, estimate as
+    the exact non-negative floor division, exact F2 side-by-side."""
+    gamma = 0x9E3779B97F4A7C15
+    r = n_registers
+    return f"""
+WITH js AS (SELECT unnest(generate_series(0, {r - 1})) AS j),
+ev AS (SELECT CAST({key} AS HUGEINT) AS u FROM {table}),
+e1 AS (SELECT j, ((u + (j + 1) * CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
+       FROM ev, js),
+{_splitmix_chain('e', 'e1', 'j')},
+regs AS (SELECT j, CAST(COALESCE(SUM(CASE WHEN h % 2 = 0 THEN 1
+                                          ELSE -1 END), 0) AS BIGINT) AS s
+         FROM ef GROUP BY j),
+sq AS (SELECT CAST(COALESCE(SUM(CAST(s AS HUGEINT) * s), 0) AS BIGINT)
+              AS sum_sq FROM regs),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM {table}),
+fx AS (SELECT CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS BIGINT)
+              AS f2_exact
+       FROM (SELECT count(*) AS c FROM {table} GROUP BY {key}) t)
+SELECT nr.n_rows, CAST({r} AS BIGINT) AS n_registers, sq.sum_sq,
+       CAST((sq.sum_sq - (sq.sum_sq % {r})) / {r} AS BIGINT) AS f2_est,
+       fx.f2_exact
+FROM nr, sq, fx
+"""

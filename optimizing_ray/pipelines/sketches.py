@@ -412,3 +412,95 @@ def kmv_overlap(ds: rd.Dataset, *, key_col: str = "event_type",
                      "est_b": pa.array(out["est_b"], pa.int64()),
                      "est_union": pa.array(out["est_union"], pa.int64()),
                      "est_inter": pa.array(out["est_inter"], pa.int64())})
+
+
+def ams_f2(ds: rd.Dataset, *, key_col: str = "user_id",
+           n_registers: int = 32, n_shards: int | None = None) -> pa.Table:
+    """AMS tug-of-war sketch of the second frequency moment F2 =
+    sum_u f_u^2 (Alon-Matias-Szegedy 1996) over the key column, plus
+    the exact F2 for side-by-side error audit.  Register j holds
+    S_j = sum over ROWS of sign_j(key), sign_j from the parity of
+    splitmix64((key + (j+1)*gamma) mod 2^64) — the count_min seeding
+    scheme, so the SQL twin (``oracle.ams_f2_sql``) reproduces every
+    register bit-for-bit; E[S_j^2] = F2.  The estimate is the exact
+    integer floor mean sum(S_j^2) // R — approximate BY DESIGN,
+    deterministically verifiable (the HLL/KMV discipline).
+
+    Output ONE row: (n_rows, n_registers, sum_sq, f2_est, f2_exact).
+
+    Plan: sketch leg is shuffle-FREE — each batch folds unique keys
+    once, mixes R seeded hashes per unique key (vectorized over the
+    key axis), and emits R partial-register rows; the driver sums
+    blocks x R ints.  The exact-F2 leg is ONE hash(key) exchange of
+    per-batch (key, count) partials; each shard emits a single
+    sum-of-squares over its complete keys, the driver adds n_shards
+    ints — no unbounded collect anywhere."""
+    from optimizing_ray.pipelines.windows import _shard_of_keys
+
+    n_shards = resolve_shards(n_shards)
+    R = n_registers
+    out_schema = pa.schema([
+        ("n_rows", pa.int64()), ("n_registers", pa.int64()),
+        ("sum_sq", pa.int64()), ("f2_est", pa.int64()),
+        ("f2_exact", pa.int64())])
+    # splitmix64 adds one gamma internally, so seed j*gamma lines up with
+    # the SQL chain's (u + (j+1)*gamma) start (the count_min convention)
+    seeds = (np.arange(R, dtype=np.uint64) * _SM_GAMMA)
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        s = np.empty(R, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(R):
+                h = splitmix64(uu.view(np.uint64) + seeds[j])
+                sign = 1 - 2 * (h & np.uint64(1)).astype(np.int64)
+                s[j] = int(np.dot(sign, cnt))
+        return pa.table({"j": pa.array(np.arange(R, dtype=np.int64)),
+                         "s": pa.array(s),
+                         "n": pa.array(np.full(R, len(u),
+                                               dtype=np.int64))})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({"u": pa.array(uu.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "_shard": pa.array(_shard_of_keys(
+                             uu.astype(np.int64), n_shards))})
+
+    def shard_sq(g) -> "pd.DataFrame":
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({"sq": pd.Series([], dtype=np.int64)})
+        tot = g.groupby("u")["c"].sum().to_numpy(np.int64)
+        return pd.DataFrame({"sq": [int(np.dot(tot, tot))]})
+
+    sk = (ds.map_batches(sketch_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+    n_rows = 0
+    S = np.zeros(R, dtype=np.int64)
+    if len(sk) and "j" in sk.columns:
+        import pandas as pd
+        byj = sk.groupby("j").agg(s=("s", "sum"))
+        S[byj.index.to_numpy(np.int64)] = byj["s"].to_numpy(np.int64)
+        # n was emitted once per register row; divide by R per batch
+        n_rows = int(sk["n"].sum()) // R
+    ex = (ds.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("_shard").map_groups(shard_sq, batch_format="pandas")
+          .to_pandas())
+    f2_exact = int(ex["sq"].sum()) if len(ex) and "sq" in ex.columns else 0
+    sum_sq = int(np.dot(S, S))
+    return pa.table({"n_rows": [n_rows], "n_registers": [R],
+                     "sum_sq": [sum_sq], "f2_est": [sum_sq // R],
+                     "f2_exact": [f2_exact]}, schema=out_schema)

@@ -336,6 +336,8 @@ SQL_NAMES = [
     "grid_bfs",
     # round 4 wave 17: CUSUM changepoint alarms
     "cusum",
+    # round 4 wave 17: AMS F2 tug-of-war sketch (exact-register twin)
+    "ams_f2",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

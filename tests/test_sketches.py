@@ -172,3 +172,38 @@ def test_kmv_overlap_full_sketch_estimates(ray_session):
     # layout invariance: one block vs many small blocks
     out2 = kmv_overlap(rd.from_arrow(t).repartition(7), k=64).to_pandas()
     assert out2.iloc[0].equals(out)
+
+
+def test_ams_f2_registers_match_replay(ray_session):
+    """Register sums, squared-sum estimate and exact F2 vs a direct
+    numpy replay over real sf events; layout invariance; the estimator
+    lands within the 3-sigma AMS band on this data."""
+    import numpy as np
+    import pandas as pd
+
+    from optimizing_ray.pipelines.sketches import _SM_GAMMA, ams_f2, splitmix64
+    from optimizing_ray.sources import driver_tables
+
+    sfd = "/root/testdata/sf0.001"
+    ev = driver_tables.read(sfd, "events", columns=["user_id"])
+    got = ams_f2(ev).to_pandas().iloc[0]
+    again = ams_f2(ev.repartition(7)).to_pandas().iloc[0]
+    assert got.equals(again)
+
+    u = pd.read_parquet(f"{sfd}/events.parquet",
+                        columns=["user_id"])["user_id"].to_numpy(np.int64)
+    R = 32
+    sum_sq = 0
+    for j in range(R):
+        h = splitmix64(u.view(np.uint64) + np.uint64(j) * _SM_GAMMA)
+        s = int((1 - 2 * (h & np.uint64(1)).astype(np.int64)).sum())
+        sum_sq += s * s
+    counts = pd.Series(u).value_counts().to_numpy(np.int64)
+    f2 = int(np.dot(counts, counts))
+    assert got["n_rows"] == len(u)
+    assert got["sum_sq"] == sum_sq
+    assert got["f2_est"] == sum_sq // R
+    assert got["f2_exact"] == f2
+    # E[est] = F2, std = sqrt(2/R)*F2: deterministic hash, but assert
+    # the realized draw sits inside the 3-sigma design band
+    assert abs(got["f2_est"] - f2) <= 3 * (2.0 / R) ** 0.5 * f2
