@@ -1398,6 +1398,32 @@ def _q_cusum(sf_dir: str):
     return windows.cusum_alarms(ev)
 
 
+def _q_stay_points(sf_dir: str):
+    """Trajectory stay-point (dwell) windows per user: maximal prefix
+    within radius of each anchor (first-violation bound), fixed-IEEE
+    d2 comparisons, integer microsecond durations — ONE hash(user)
+    exchange, vectorized run-pair kernel in-shard."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id"])
+    return windows.stay_points(ev)
+
+
+def _q_douglas_peucker(sf_dir: str):
+    """Douglas-Peucker trajectory simplification per user (line-distance
+    variant): exact cross-product split test cross^2 > eps^2*len2,
+    breadth-first over ALL keys' segments at once (reduceat argmax per
+    round) — ONE hash(user) exchange."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id"])
+    return windows.douglas_peucker(ev)
+
+
 def _q_ams_f2(sf_dir: str):
     """AMS tug-of-war F2 sketch over event user_ids + exact F2 audit:
     shuffle-free register partials (32 splitmix-seeded signs per unique
@@ -2919,6 +2945,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: AMS F2 tug-of-war sketch — born past-cap,
         # contract-pytest-oracled
         "ams_f2": _q_ams_f2,
+        # wave 17: trajectory stay-point dwell windows — born past-cap,
+        # contract-pytest-oracled
+        "stay_points": _q_stay_points,
+        # wave 17: Douglas-Peucker trajectory simplification — born
+        # past-cap, contract-pytest-oracled
+        "douglas_peucker": _q_douglas_peucker,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3156,6 +3188,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_bfs": oracle.grid_bfs_sql(DEPTH),
         "cusum": oracle.cusum_alarms_sql(),
         "ams_f2": oracle.ams_f2_sql(),
+        "stay_points": oracle.stay_points_sql(),
+        "douglas_peucker": oracle.douglas_peucker_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

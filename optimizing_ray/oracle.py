@@ -4981,3 +4981,103 @@ SELECT nr.n_rows, CAST({r} AS BIGINT) AS n_registers, sq.sum_sq,
        fx.f2_exact
 FROM nr, sq, fx
 """
+
+
+def stay_points_sql(radius: float = 30_000.0, min_points: int = 2,
+                    min_dur_us: int = 0, world: World = DRIVER_WORLD,
+                    table: str = "events") -> str:
+    """windows.stay_points twin: shared-geometry points in (ts, id)
+    row_number order; per anchor, the first in-order partner whose
+    fixed-IEEE d2 exceeds radius^2 bounds the window (min(seq) over
+    violations), else the key's last point; duration in integer
+    epoch microseconds."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    r2 = radius * radius
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts, {x} AS x, {y} AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM {table}),
+fv AS (SELECT a.user_id, a.seq AS i, min(b.seq) AS fvj
+       FROM pts a JOIN pts b
+         ON b.user_id = a.user_id AND b.seq > a.seq
+       WHERE (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) > {r2!r}
+       GROUP BY a.user_id, a.seq),
+mx AS (SELECT user_id, max(seq) AS mseq FROM pts GROUP BY user_id),
+w AS (SELECT p.user_id, p.event_id, p.seq, p.ts,
+             COALESCE(f.fvj - 1, m.mseq) AS jmax
+      FROM pts p
+      JOIN mx m ON m.user_id = p.user_id
+      LEFT JOIN fv f ON f.user_id = p.user_id AND f.i = p.seq),
+res AS (SELECT w.user_id, w.event_id AS anchor_event_id,
+               CAST(w.jmax - w.seq + 1 AS BIGINT) AS n_in_window,
+               CAST(epoch_us(pj.ts) - epoch_us(w.ts) AS BIGINT) AS dur_us
+        FROM w JOIN pts pj
+          ON pj.user_id = w.user_id AND pj.seq = w.jmax)
+SELECT user_id, anchor_event_id, n_in_window, dur_us
+FROM res
+WHERE n_in_window >= {min_points} AND dur_us >= {min_dur_us}
+ORDER BY user_id, anchor_event_id
+"""
+
+
+def douglas_peucker_sql(eps: float = 20_000.0, world: World = DRIVER_WORLD,
+                        table: str = "events") -> str:
+    """windows.douglas_peucker twin: recursive-CTE segment closure;
+    per segment the interior argmax of the fixed-IEEE cross^2 (ties ->
+    lowest seq, stated as NOT EXISTS over the base points), split while
+    cross^2 > eps^2 * len2; kept set = closure endpoints union (equals
+    the engine's endpoint + split-point marks).  DISTINCT on the final
+    select: DuckDB 1.0 drops the dedup of later branches in a >2-way
+    UNION chain that follows a recursive CTE (minimal repro in
+    CLAUDE.md oracle gotchas)."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    eps2 = eps * eps
+    cr = ("((pj.x - pi.x) * ({K}.y - pi.y) "
+          "- (pj.y - pi.y) * ({K}.x - pi.x))")
+    c2k = f"({cr.format(K='k')} * {cr.format(K='k')})"
+    c2k2 = f"({cr.format(K='k2')} * {cr.format(K='k2')})"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, {x} AS x, {y} AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM {table}),
+mx AS (SELECT user_id, max(seq) AS mseq FROM pts GROUP BY user_id),
+segs(user_id, i, j) AS (
+    SELECT user_id, 1, mseq FROM mx WHERE mseq >= 2
+  UNION
+    SELECT s.user_id,
+           CASE w.which WHEN 0 THEN s.i ELSE k.seq END,
+           CASE w.which WHEN 0 THEN k.seq ELSE s.j END
+    FROM segs s
+    JOIN pts pi ON pi.user_id = s.user_id AND pi.seq = s.i
+    JOIN pts pj ON pj.user_id = s.user_id AND pj.seq = s.j
+    JOIN pts k  ON k.user_id = s.user_id
+               AND k.seq > s.i AND k.seq < s.j
+    CROSS JOIN (VALUES (0), (1)) w(which)
+    WHERE {c2k} > {eps2!r} * ((pj.x - pi.x) * (pj.x - pi.x)
+                              + (pj.y - pi.y) * (pj.y - pi.y))
+      AND NOT EXISTS (
+        SELECT 1 FROM pts k2
+        WHERE k2.user_id = s.user_id
+          AND k2.seq > s.i AND k2.seq < s.j AND k2.seq <> k.seq
+          AND ({c2k2} > {c2k}
+               OR ({c2k2} = {c2k} AND k2.seq < k.seq)))
+),
+kept AS (
+  SELECT user_id, i AS seq FROM segs
+  UNION SELECT user_id, j AS seq FROM segs
+  UNION SELECT user_id, 1 AS seq FROM mx
+  UNION SELECT user_id, mseq AS seq FROM mx
+)
+SELECT DISTINCT p.user_id, p.event_id, CAST(p.seq AS BIGINT) AS seq
+FROM kept JOIN pts p ON p.user_id = kept.user_id AND p.seq = kept.seq
+ORDER BY p.user_id, p.seq
+"""

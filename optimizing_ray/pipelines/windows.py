@@ -25,7 +25,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "interval_join", "interval_coverage", "funnel",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
-           "peak_concurrency", "trajectory_diameter", "cusum_alarms"]
+           "peak_concurrency", "trajectory_diameter", "cusum_alarms",
+           "stay_points", "douglas_peucker"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -1939,5 +1940,215 @@ def cusum_alarms(events: rd.Dataset, *, key_col: str = "user_id",
     if len(out) == 0 or "user_id" not in out.columns:
         return out_schema.empty_table()
     out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def stay_points(events: rd.Dataset, *, radius: float = 30_000.0,
+                min_points: int = 2, min_dur_us: int = 0,
+                key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                n_shards: int | None = None) -> pa.Table:
+    """Trajectory stay-point (dwell) detection — the Li/Zheng mobility
+    primitive: per key, for each ANCHOR point i in (ts, id) order, the
+    window [i..jmax] where every subsequent point through jmax stays
+    within ``radius`` of the anchor (jmax = the point before the FIRST
+    violation, maximal prefix semantics — well-defined and closed-form,
+    unlike the classic advance-i heuristic).  Emits anchors whose
+    window holds >= min_points points and spans >= min_dur_us
+    microseconds.  Output (user_id, anchor_event_id, n_in_window,
+    dur_us), (user, anchor) order.
+
+    Exactness: points derive from event ids by the shared driver-table
+    formula; each pair's d2 is the fixed three-op IEEE expression
+    compared to radius^2 (one multiply) — identical violation sets
+    across engines; durations are integer microseconds.
+
+    Plan: ONE hash(key) exchange of slim (key, ts, id, x, y) rows;
+    in-shard the O(m^2)-per-key pair expansion is the vectorized
+    run-pair gather (trajectory_diameter kernel) and the first
+    violation per anchor is a masked minimum.reduceat — no per-row
+    Python.  Documented partitioning assumption: bounded per-key
+    trajectory length.  SQL twin ``oracle.stay_points_sql``."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    r2 = radius * radius
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("anchor_event_id", pa.int64()),
+        ("n_in_window", pa.int64()), ("dur_us", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "ts": t[ts_col].cast(pa.int64()),
+            "id": pa.array(eid),
+            "x": pa.array(WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx),
+            "y": pa.array(WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy),
+            "_shard": pa.array(_shard_of_keys(u, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "anchor_event_id": pd.Series([], dtype=np.int64),
+            "n_in_window": pd.Series([], dtype=np.int64),
+            "dur_us": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["u", "ts", "id"], kind="stable")
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        m = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, m])
+        run_end = np.repeat(starts + lens, lens)  # one-past-end per row
+        cnt = run_end - np.arange(m) - 1          # pairs per anchor
+        li = np.repeat(np.arange(m), cnt)
+        cum = np.r_[0, np.cumsum(cnt)]
+        rj = np.arange(int(cum[-1])) - cum[li] + li + 1
+        dx = x[li] - x[rj]
+        dy = y[li] - y[rj]
+        viol = (dx * dx + dy * dy) > r2
+        # first violating partner index per anchor (global row index)
+        cand = np.where(viol, rj, m + 1)
+        first = np.full(m, m + 1, dtype=np.int64)
+        has = cnt > 0
+        if has.any():
+            first[has] = np.minimum.reduceat(cand, cum[:-1][has])
+        jmax = np.where(first <= m, first - 1, run_end - 1)
+        n_in = jmax - np.arange(m) + 1
+        dur = ts[jmax] - ts
+        keep = (n_in >= min_points) & (dur >= min_dur_us)
+        return pd.DataFrame({
+            "user_id": u[keep], "anchor_event_id": ids[keep],
+            "n_in_window": n_in[keep].astype(np.int64),
+            "dur_us": dur[keep].astype(np.int64)})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["user_id", "anchor_event_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def douglas_peucker(events: rd.Dataset, *, eps: float = 20_000.0,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    n_shards: int | None = None) -> pa.Table:
+    """Douglas-Peucker polyline simplification per key — THE classic
+    cartographic line-generalization operator: keep a trajectory's
+    endpoints; recursively keep the interior point farthest from the
+    current segment's LINE while that distance exceeds ``eps``
+    (line-distance variant, so the split test is the exact
+    cross-product inequality cross^2 > eps^2 * len2 — three fixed IEEE
+    expressions, no sqrt, no division; ties at the max go to the
+    lowest sequence position).  Output the kept points
+    (user_id, event_id, seq), (user, seq) order; single-point keys
+    keep their point.
+
+    Plan: ONE hash(key) exchange; in-shard the recursion runs
+    BREADTH-FIRST over ALL keys' active segments at once — each round
+    concatenates every segment's interior range (the run-pair gather
+    shape), computes cross^2 in one vector, and picks per-segment
+    argmax via maximum.reduceat + masked minimum.reduceat — rounds =
+    recursion depth (O(log m) typical), no per-point Python.  SQL twin
+    ``oracle.douglas_peucker_sql`` (recursive CTE; kept set = all
+    endpoint closure members, which equals the split-point union)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    eps2 = eps * eps
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("seq", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "ts": t[ts_col].cast(pa.int64()),
+            "id": pa.array(eid),
+            "x": pa.array(WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx),
+            "y": pa.array(WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy),
+            "_shard": pa.array(_shard_of_keys(u, n_shards))})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "event_id": pd.Series([], dtype=np.int64),
+            "seq": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["u", "ts", "id"], kind="stable")
+        u = g["u"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        m = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, m])
+        seq = np.arange(m, dtype=np.int64) - np.repeat(starts, lens) + 1
+        kept = np.zeros(m, dtype=bool)
+        kept[starts] = True
+        kept[starts + lens - 1] = True
+        s = starts[lens >= 3]
+        e = (starts + lens - 1)[lens >= 3]
+        while len(s):
+            cnt = e - s - 1
+            segi = np.repeat(np.arange(len(s)), cnt)
+            cum = np.r_[0, np.cumsum(cnt)]
+            ki = np.arange(int(cum[-1])) - cum[segi] + s[segi] + 1
+            dxs = x[e] - x[s]
+            dys = y[e] - y[s]
+            cross = (dxs[segi] * (y[ki] - y[s][segi])
+                     - dys[segi] * (x[ki] - x[s][segi]))
+            c2 = cross * cross
+            maxc2 = np.maximum.reduceat(c2, cum[:-1])
+            cand = np.where(c2 == maxc2[segi], ki, m + 1)
+            kstar = np.minimum.reduceat(cand, cum[:-1])
+            split = maxc2 > eps2 * (dxs * dxs + dys * dys)
+            ks = kstar[split]
+            kept[ks] = True
+            ls, le = s[split], e[split]
+            s = np.concatenate([ls[ks - ls >= 2], ks[le - ks >= 2]])
+            e = np.concatenate([ks[ks - ls >= 2], le[le - ks >= 2]])
+        return pd.DataFrame({"user_id": u[kept], "event_id": ids[kept],
+                             "seq": seq[kept]})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["user_id", "seq"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)

@@ -338,6 +338,10 @@ SQL_NAMES = [
     "cusum",
     # round 4 wave 17: AMS F2 tug-of-war sketch (exact-register twin)
     "ams_f2",
+    # round 4 wave 17: trajectory stay-point dwell windows
+    "stay_points",
+    # round 4 wave 17: Douglas-Peucker trajectory simplification
+    "douglas_peucker",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

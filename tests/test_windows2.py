@@ -840,3 +840,104 @@ def test_cusum_alarms_matches_sequential_brute(ray_session):
         assert (row["n_events"], row["n_alarms"],
                 row["first_alarm_seq"], row["max_s"]) == (n, n_alarms,
                                                           first, max_s)
+
+
+def test_stay_points_matches_sequential_brute(ray_session):
+    """Window bound = point before the first in-order violation — vs a
+    literal per-anchor scan over real sf events; layout invariance;
+    duration and filter semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.windows import stay_points
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    sfd = "/root/testdata/sf0.001"
+    r = 30_000.0
+    ev = driver_tables.read(sfd, "events",
+                            columns=["user_id", "ts", "event_id"])
+    got = stay_points(ev, radius=r).to_pandas()
+    again = stay_points(ev.repartition(7), radius=r).to_pandas()
+    assert got.equals(again)
+    assert len(got) > 0 and (got["n_in_window"] >= 2).all()
+
+    df = pd.read_parquet(f"{sfd}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    eid = df["event_id"].to_numpy(np.int64)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    df["x"] = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    df["y"] = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    df["tsi"] = df["ts"].astype("int64")
+    rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        ts, ids = g["tsi"].to_numpy(np.int64), g["event_id"].to_numpy(np.int64)
+        for i in range(len(x)):
+            j = i
+            while j + 1 < len(x) and ((x[i] - x[j + 1]) ** 2
+                                      + (y[i] - y[j + 1]) ** 2) <= r * r:
+                j += 1
+            if j - i + 1 >= 2:
+                rows.append((u, ids[i], j - i + 1, ts[j] - ts[i]))
+    brute = pd.DataFrame(rows, columns=["user_id", "anchor_event_id",
+                                        "n_in_window", "dur_us"])
+    brute = brute.sort_values(["user_id", "anchor_event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, brute.astype("int64"))
+
+
+def test_douglas_peucker_matches_recursive_brute(ray_session):
+    """Breadth-first reduceat recursion vs the literal recursive DP
+    (line-distance variant, lowest-seq tie break) over real sf events;
+    layout invariance; endpoints always kept."""
+    import numpy as np
+    import pandas as pd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.windows import douglas_peucker
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    sfd = "/root/testdata/sf0.001"
+    eps = 20_000.0
+    ev = driver_tables.read(sfd, "events",
+                            columns=["user_id", "ts", "event_id"])
+    got = douglas_peucker(ev, eps=eps).to_pandas()
+    again = douglas_peucker(ev.repartition(7), eps=eps).to_pandas()
+    assert got.equals(again)
+    assert 0 < len(got)
+
+    df = pd.read_parquet(f"{sfd}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    eid = df["event_id"].to_numpy(np.int64)
+    wx, wy = WORLD_2D.size[0], WORLD_2D.size[1]
+    df["x"] = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    df["y"] = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    rows = []
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        ids = g["event_id"].to_numpy(np.int64)
+        kept = {0, len(x) - 1}
+
+        def rec(i, j):
+            if j - i < 2:
+                return
+            best, bk = -1.0, -1
+            for k in range(i + 1, j):
+                c = ((x[j] - x[i]) * (y[k] - y[i])
+                     - (y[j] - y[i]) * (x[k] - x[i]))
+                if c * c > best:
+                    best, bk = c * c, k
+            if best > eps * eps * ((x[j] - x[i]) ** 2 + (y[j] - y[i]) ** 2):
+                kept.add(bk)
+                rec(i, bk)
+                rec(bk, j)
+
+        rec(0, len(x) - 1)
+        for k in sorted(kept):
+            rows.append((u, ids[k], k + 1))
+    brute = pd.DataFrame(rows, columns=["user_id", "event_id", "seq"])
+    pd.testing.assert_frame_equal(
+        got, brute.sort_values(["user_id", "seq"])
+                  .reset_index(drop=True).astype("int64"))
