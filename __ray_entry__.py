@@ -1447,6 +1447,18 @@ def _q_morans_i(sf_dir: str):
     return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation over the tile grid (hydrology raster pair):
+    deterministic splitmix elevation, strictly-lower min-neighbour
+    routing (acyclic under ties), doc-count rain accumulated downstream
+    — one bounded count pass + O(4^depth) driver routing."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.flow_accumulation(_docs(sf_dir), depth=DEPTH,
+                                    world=WORLD_2D)
+
+
 def _q_grid_bfs(sf_dir: str):
     """Multi-source BFS hop distance over occupied tiles (cost-distance
     / isochrone): seeds = tiles holding a doc_id % 101 == 0 doc, capped
@@ -2951,6 +2963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: Douglas-Peucker trajectory simplification — born
         # past-cap, contract-pytest-oracled
         "douglas_peucker": _q_douglas_peucker,
+        # wave 17: D8 flow accumulation — born past-cap,
+        # contract-pytest-oracled
+        "flow_accumulation": _q_flow_accumulation,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3190,6 +3205,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2": oracle.ams_f2_sql(),
         "stay_points": oracle.stay_points_sql(),
         "douglas_peucker": oracle.douglas_peucker_sql(),
+        "flow_accumulation": oracle.flow_accumulation_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

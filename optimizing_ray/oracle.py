@@ -5081,3 +5081,62 @@ SELECT DISTINCT p.user_id, p.event_id, CAST(p.seq AS BIGINT) AS seq
 FROM kept JOIN pts p ON p.user_id = kept.user_id AND p.seq = kept.seq
 ORDER BY p.user_id, p.seq
 """
+
+
+def flow_accumulation_sql(depth: int, world: World = DRIVER_WORLD,
+                          table: str = "documents") -> str:
+    """raster.flow_accumulation twin: elevation = splitmix64(lin) >> 1
+    over the dense grid (HUGEINT chain, floor-halved into BIGINT), D8
+    target = row_number-1 over (nelev, nlin) when strictly lower, rain
+    from per-cell doc counts, recursive-CTE downstream closure from
+    rain cells, SUM(rain) per reached cell."""
+    gamma = 0x9E3779B97F4A7C15
+    wx, wy, _ = world.size
+    n = 1 << depth
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
+         FROM cellidx GROUP BY ix * {n} + iy),
+l0 AS (SELECT i AS lin,
+              ((CAST(i AS HUGEINT) + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
+       FROM generate_series(0, {n * n - 1}) t(i)),
+{_splitmix_chain('l', 'l0', 'lin')},
+cells AS (SELECT lin, CAST(h // 2 AS BIGINT) AS elev,
+                 lin // {n} AS ix, lin % {n} AS iy
+          FROM lf),
+ce AS (SELECT c.lin, c.elev, c.ix + o.dx AS jx, c.iy + o.dy AS jy
+       FROM cells c, (VALUES {offs}) o(dx, dy)),
+rk AS (SELECT ce.lin, ce.elev, b.elev AS nelev, b.lin AS nlin,
+              ROW_NUMBER() OVER (PARTITION BY ce.lin
+                                 ORDER BY b.elev, b.lin) AS rn
+       FROM ce JOIN cells b ON b.ix = ce.jx AND b.iy = ce.jy),
+fl AS (SELECT lin,
+              CASE WHEN nelev < elev THEN nlin ELSE -1 END AS tgt
+       FROM rk WHERE rn = 1),
+paths(src, cur) AS (
+    SELECT lin, lin FROM rain
+  UNION
+    SELECT p.src, f.tgt FROM paths p JOIN fl f ON f.lin = p.cur
+    WHERE f.tgt >= 0
+),
+acc AS (SELECT p.cur AS lin, CAST(SUM(r.r) AS BIGINT) AS acc
+        FROM paths p JOIN rain r ON r.lin = p.src GROUP BY p.cur),
+outc AS (SELECT a.lin, COALESCE(r.r, 0) AS n_docs, a.acc,
+                CASE WHEN f.tgt < 0 THEN 1 ELSE 0 END AS sink,
+                a.lin // {n} AS ix, a.lin % {n} AS iy
+         FROM acc a
+         LEFT JOIN rain r ON r.lin = a.lin
+         JOIN fl f ON f.lin = a.lin),
+{morton_ctes('outc', depth, carry='n_docs, acc, sink')}
+SELECT mkey AS cell_key, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(acc AS BIGINT) AS acc, CAST(sink AS BIGINT) AS sink
+FROM mz ORDER BY cell_key
+"""

@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation"]
 
 
 class _NearestDoc:
@@ -618,3 +618,82 @@ def grid_bfs(docs: rd.Dataset, *, depth: int, world: World,
                      "n_docs": pa.array(cnt[order]),
                      "hops": pa.array(dist[ix, iy][order])},
                     schema=schema)
+
+
+def flow_accumulation(docs: rd.Dataset, *, depth: int, world: World,
+                      x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """D8 flow accumulation over the tile grid — the classic hydrology
+    raster pair (O'Callaghan-Mark 1984): a deterministic ELEVATION
+    field derives from each cell's linear index via splitmix64 (>> 1,
+    int64-safe, SQL-twinnable); every cell flows to its strictly-lower
+    minimum-elevation 8-neighbour (ties -> lowest neighbour linear
+    index; no lower neighbour = sink), and each cell accumulates the
+    doc-count "rain" of every upstream cell (its own included).
+    Output cells with acc > 0: (cell_key, n_docs, acc, sink), key
+    order.
+
+    Strictly-lower flow makes the routing graph acyclic even under
+    elevation ties, so the downstream walk terminates on both engines.
+
+    Plan: the same single-pass 4^depth-bounded partial merge as
+    ``morans_i`` for the rain field; routing is a dense vectorized
+    8-neighbour argmin (offsets scanned in (dx, dy) lex order, which IS
+    neighbour-linear-index order, so numpy first-min = the contract's
+    tiebreak); accumulation visits cells once in elevation-descending
+    order — O(4^depth) driver-side, bounded by construction (the
+    at-scale path tiles the grid and iterates boundary flows, the
+    grid_bfs note).  SQL twin ``oracle.flow_accumulation_sql``
+    (recursive-CTE downstream closure from occupied cells)."""
+    from optimizing_ray.cells import encode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("acc", pa.int64()), ("sink", pa.int64())])
+    if len(ix) == 0:
+        return schema.empty_table()
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(1)).astype(np.int64)
+    eg = elev.reshape(n, n)
+    rain = np.zeros((n, n), dtype=np.int64)
+    rain[ix, iy] = cnt
+    big = np.iinfo(np.int64).max
+    best = np.full((n, n), big, dtype=np.int64)
+    tgt = np.full((n, n), -1, dtype=np.int64)
+    for dx in (-1, 0, 1):          # lex (dx, dy) == neighbour lin order
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            sx = slice(max(0, -dx), n - max(0, dx))
+            tx = slice(max(0, dx), n + min(0, dx))
+            sy = slice(max(0, -dy), n - max(0, dy))
+            ty = slice(max(0, dy), n + min(0, dy))
+            ne = eg[tx, ty]
+            upd = ne < best[sx, sy]   # strict: first-min keeps lowest lin
+            b = best[sx, sy]
+            t = tgt[sx, sy]
+            b[upd] = ne[upd]
+            nlin = (lin.reshape(n, n))[tx, ty]
+            t[upd] = nlin[upd]
+            best[sx, sy] = b
+            tgt[sx, sy] = t
+    flow = np.where(best < eg, tgt, -1).ravel()
+    acc = rain.ravel().copy()
+    order = np.argsort(-elev, kind="stable")
+    fo = flow[order]
+    for i, f in zip(order.tolist(), fo.tolist()):
+        if f >= 0 and acc[i]:
+            acc[f] += acc[i]
+    keep = acc > 0
+    klin = lin[keep]
+    key = encode2((klin // n).astype(np.uint64),
+                  (klin % n).astype(np.uint64), depth).astype(np.int64)
+    order2 = np.argsort(key)
+    return pa.table({
+        "cell_key": pa.array(key[order2]),
+        "n_docs": pa.array(rain.ravel()[keep][order2]),
+        "acc": pa.array(acc[keep][order2]),
+        "sink": pa.array((flow[keep][order2] < 0).astype(np.int64))},
+        schema=schema)

@@ -342,6 +342,8 @@ SQL_NAMES = [
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification
     "douglas_peucker",
+    # round 4 wave 17: D8 flow accumulation over the tile grid
+    "flow_accumulation",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -328,3 +328,61 @@ def test_grid_bfs_matches_brute(ray_session):
                            cys.astype(np.int64).tolist()):
         d = dist.get((cx, cy), -1)
         assert row.hops == (d if 0 <= d <= 3 else -1)
+
+
+def test_flow_accumulation_matches_walk_brute(ray_session):
+    """Routing and accumulation vs a literal per-cell downstream walk
+    (strictly-lower min 8-neighbour, lowest-linear-index tie) on a
+    depth-3 grid; mass conservation into sinks."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, n, 400)
+    iy = rng.integers(0, n, 400)
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.flow_accumulation(rd.from_arrow(t).repartition(4),
+                                   depth=depth, world=WORLD_2D).to_pandas()
+
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(1)).astype(np.int64)
+    rain = np.zeros(n * n, dtype=np.int64)
+    np.add.at(rain, ix * n + iy, 1)
+
+    def target(c):
+        ci, cj = divmod(int(c), n)
+        best = None
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == dj == 0:
+                    continue
+                ni, nj = ci + di, cj + dj
+                if 0 <= ni < n and 0 <= nj < n:
+                    nl = ni * n + nj
+                    k = (int(elev[nl]), nl)
+                    if best is None or k < best:
+                        best = k
+        return best[1] if best and best[0] < int(elev[c]) else -1
+
+    acc = np.zeros(n * n, dtype=np.int64)
+    for c in np.flatnonzero(rain):
+        cur = int(c)
+        while cur >= 0:
+            acc[cur] += rain[c]
+            cur = target(cur)
+    _, gix, giy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    gl = gix.astype(np.int64) * n + giy.astype(np.int64)
+    assert len(got) == int((acc > 0).sum())
+    assert (got["acc"].to_numpy() == acc[gl]).all()
+    assert (got["n_docs"].to_numpy() == rain[gl]).all()
+    assert (got["sink"].to_numpy()
+            == np.array([target(c) < 0 for c in gl], np.int64)).all()
+    # mass conservation: every unit of rain lands in exactly one sink
+    sinks = got[got["sink"] == 1]
+    assert int(sinks["acc"].sum()) == int(rain.sum()) == 400
