@@ -1447,6 +1447,18 @@ def _q_morans_i(sf_dir: str):
     return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the exact kNN graph
+    (Watts-Strogatz): min-vertex wedges credit all three triangle
+    corners, cc micro-round in exact integers — three bounded
+    exchanges."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    emb = driver_tables.read(sf_dir, "embeddings", num_blocks=4)
+    return cluster.clustering_coeff(ann.embedding_knn_graph(emb, k=5))
+
+
 def _q_flow_accumulation(sf_dir: str):
     """D8 flow accumulation over the tile grid (hydrology raster pair):
     deterministic splitmix elevation, strictly-lower min-neighbour
@@ -2966,6 +2978,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: D8 flow accumulation — born past-cap,
         # contract-pytest-oracled
         "flow_accumulation": _q_flow_accumulation,
+        # wave 17: local clustering coefficient — born past-cap,
+        # contract-pytest-oracled
+        "clustering_coeff": _q_clustering_coeff,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3206,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": oracle.stay_points_sql(),
         "douglas_peucker": oracle.douglas_peucker_sql(),
         "flow_accumulation": oracle.flow_accumulation_sql(DEPTH),
+        "clustering_coeff": oracle.clustering_coeff_sql(k=5),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -5140,3 +5140,35 @@ SELECT mkey AS cell_key, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(acc AS BIGINT) AS acc, CAST(sink AS BIGINT) AS sink
 FROM mz ORDER BY cell_key
 """
+
+
+def clustering_coeff_sql(k: int = 5, scale: int = 1024,
+                         table: str = "embeddings") -> str:
+    """cluster.clustering_coeff twin over the kNN graph: dedup-oriented
+    edges, both-endpoint degrees, min-vertex wedges closed by an edge
+    credit all three corners; cc micro-round as the exact integer
+    (4*T*1e6 + D) // (2*D)."""
+    return f"""
+WITH g AS ({embedding_knn_graph_sql(k=k, scale=scale, table=table)}),
+e AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                      greatest(vec_id, neighbor_id) AS b
+      FROM g WHERE vec_id <> neighbor_id),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+        GROUP BY node),
+w AS (SELECT e1.a AS apex, e1.b AS x, e2.b AS y
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b),
+tr AS (SELECT apex, x, y FROM w JOIN e ON e.a = w.x AND e.b = w.y),
+tri AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        FROM (SELECT apex AS node FROM tr
+              UNION ALL SELECT x AS node FROM tr
+              UNION ALL SELECT y AS node FROM tr) u
+        GROUP BY node)
+SELECT d.node AS vec_id, d.deg, COALESCE(tri.tri, 0) AS tri,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (4 * COALESCE(tri.tri, 0) * 1000000
+                       + d.deg * (d.deg - 1)) // (2 * d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS cc_6
+FROM deg d LEFT JOIN tri ON tri.node = d.node
+ORDER BY vec_id
+"""

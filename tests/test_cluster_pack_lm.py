@@ -736,3 +736,41 @@ def test_link_prediction_matches_brute(ray_session):
 
     sharded = cluster.link_prediction(pairs, nrows=1 << 61).to_pandas()
     assert sharded.equals(got)
+
+
+def test_clustering_coeff_matches_brute(ray_session):
+    """Per-node triangles/degree/cc vs a dense adjacency brute on a
+    crafted graph: a clique (cc=1), a star hub (cc=0), a bridge."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.cluster import clustering_coeff
+
+    # 0-1-2-3 clique; 10 hub with leaves 11..14; bridge 3-10; dupes+both
+    # directions in the input must not change anything
+    und = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+           + [(10, x) for x in (11, 12, 13, 14)] + [(3, 10)])
+    edges = und + [(b, a) for a, b in und] + und[:3] + [(5, 5)]
+    ds = rd.from_items([{"vec_id": a, "neighbor_id": b} for a, b in edges])
+    got = clustering_coeff(ds).to_pandas().set_index("vec_id")
+
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes:
+        deg = len(adj[n])
+        tri = sum(1 for u in adj[n] for v in adj[n]
+                  if u < v and v in adj[u])
+        row = got.loc[n]
+        assert (row["deg"], row["tri"]) == (deg, tri)
+        want = ((4 * tri * 1_000_000 + deg * (deg - 1))
+                // (2 * deg * (deg - 1)) if deg >= 2 else 0)
+        assert row["cc_6"] == want
+    assert got.loc[0, "cc_6"] == 1_000_000      # clique corner
+    assert got.loc[10, "cc_6"] == 0             # star hub
+    assert 5 not in got.index                   # self-loop-only node drops
+    again = clustering_coeff(ds.repartition(5)).to_pandas()
+    assert got.reset_index().equals(again)

@@ -344,6 +344,8 @@ SQL_NAMES = [
     "douglas_peucker",
     # round 4 wave 17: D8 flow accumulation over the tile grid
     "flow_accumulation",
+    # round 4 wave 17: per-node local clustering coefficient
+    "clustering_coeff",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
