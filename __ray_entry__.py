@@ -1447,6 +1447,29 @@ def _q_morans_i(sf_dir: str):
     return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_local_morans(sf_dir: str):
+    """Local Moran's I (LISA) per occupied tile: rook-lag deviation
+    products under the morans_i integer scaling, fixed three-op double
+    ratio micro-rounded — hotspot/outlier classification."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.local_morans(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
+def _q_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic over doc points (no edge
+    correction): exact pair counts per radius via the dwithin ownership
+    trick with a COUNT-only chunked kernel (pair rows never
+    materialize), exact integer floor normalization."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.documents_with_geometry(sf_dir)
+    return dwithin.ripley_k(docs, world=WORLD_2D)
+
+
 def _q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient over the exact kNN graph
     (Watts-Strogatz): min-vertex wedges credit all three triangle
@@ -2981,6 +3004,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: local clustering coefficient — born past-cap,
         # contract-pytest-oracled
         "clustering_coeff": _q_clustering_coeff,
+        # wave 17: Ripley's K point-pattern statistic — born past-cap,
+        # contract-pytest-oracled
+        "ripley_k": _q_ripley_k,
+        # wave 17: local Moran's I (LISA) — born past-cap,
+        # contract-pytest-oracled
+        "local_morans": _q_local_morans,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3222,6 +3251,8 @@ def oracle_sql() -> dict[str, str]:
         "douglas_peucker": oracle.douglas_peucker_sql(),
         "flow_accumulation": oracle.flow_accumulation_sql(DEPTH),
         "clustering_coeff": oracle.clustering_coeff_sql(k=5),
+        "ripley_k": oracle.ripley_k_sql(),
+        "local_morans": oracle.local_morans_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

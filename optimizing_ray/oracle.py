@@ -5172,3 +5172,79 @@ SELECT d.node AS vec_id, d.deg, COALESCE(tri.tri, 0) AS tri,
 FROM deg d LEFT JOIN tri ON tri.node = d.node
 ORDER BY vec_id
 """
+
+
+def ripley_k_sql(radii: tuple = (5_000.0, 10_000.0, 20_000.0),
+                 world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """dwithin.ripley_k twin: brute a<b self-join pair counts per
+    radius (fixed-IEEE d2 <= r*r), exact HUGEINT floor normalization
+    khat = 2*P*A // (n*(n-1)) with the integral world area."""
+    wx, wy, _ = world.size
+    area = int(round(wx)) * int(round(wy))
+    vals = ", ".join(f"({r!r})" for r in radii)
+    return f"""
+WITH {geo_cte(table, world)},
+rs AS (SELECT * FROM (VALUES {vals}) t(r)),
+cnt AS (SELECT rs.r, CAST(count(*) AS BIGINT) AS p
+        FROM rs, geo a JOIN geo b ON a.doc_id < b.doc_id
+        WHERE (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= rs.r * rs.r
+        GROUP BY rs.r),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM geo)
+SELECT rs.r, n.n AS n_points,
+       COALESCE(cnt.p, 0) AS n_pairs,
+       CAST(CASE WHEN n.n >= 2
+                 THEN (CAST(COALESCE(cnt.p, 0) AS HUGEINT) * {2 * area})
+                      // (n.n * (n.n - 1))
+                 ELSE 0 END AS BIGINT) AS khat
+FROM rs LEFT JOIN cnt ON cnt.r = rs.r, n
+ORDER BY rs.r
+"""
+
+
+def local_morans_sql(depth: int, world: World = DRIVER_WORLD,
+                     table: str = "documents") -> str:
+    """raster.local_morans twin: the morans_i CTEs kept per cell —
+    rook-lag sum via the precomputed-offset LEFT join, zl = z*lag in
+    HUGEINT, fixed three-op double ratio micro-rounded."""
+    wx, wy, _ = world.size
+    offs = "(1, 0), (-1, 0), (0, 1), (0, -1)"
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+        FROM cellidx GROUP BY ix, iy),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(COALESCE(sum(n), 0) AS BIGINT) AS tot FROM cnt),
+z AS (SELECT ix, iy, cnt.n, s.nc * cnt.n - s.tot AS z FROM cnt, s),
+ce AS (SELECT a.ix, a.iy, a.ix + o.dx AS jx, a.iy + o.dy AS jy
+       FROM z a, (VALUES {offs}) o(dx, dy)),
+lg AS (SELECT ce.ix, ce.iy,
+              CAST(COALESCE(SUM(b.z), 0) AS BIGINT) AS lag
+       FROM ce LEFT JOIN z b ON b.ix = ce.jx AND b.iy = ce.jy
+       GROUP BY ce.ix, ce.iy),
+dn AS (SELECT CAST(COALESCE(SUM(CAST(z AS HUGEINT) * z), 0)
+              AS BIGINT) AS den FROM z),
+pc AS (SELECT z.ix, z.iy, z.n, CAST(z.z AS BIGINT) AS z,
+              lg.lag,
+              CAST(z.z AS HUGEINT) * lg.lag AS zl
+       FROM z JOIN lg ON lg.ix = z.ix AND lg.iy = z.iy),
+fc AS (SELECT pc.ix, pc.iy, pc.n, pc.z, pc.lag,
+              CASE WHEN dn.den = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(((CAST(pc.zl AS DOUBLE)
+                                     / CAST(dn.den AS DOUBLE))
+                                    * CAST(s.nc AS DOUBLE))
+                                   * 1e6 + 0.5) AS BIGINT)
+              END AS lisa
+       FROM pc, dn, s),
+{morton_ctes('fc', depth, carry='n, z, lag, lisa')}
+SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs, z, lag,
+       lisa AS lisa_6
+FROM mz ORDER BY cell_key
+"""

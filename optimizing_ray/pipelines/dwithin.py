@@ -36,7 +36,7 @@ from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.pipelines import shard_join
 from optimizing_ray.pipelines.box_join import _ranges_to_rows
 
-__all__ = ["dwithin_join", "spatial_clusters"]
+__all__ = ["dwithin_join", "spatial_clusters", "ripley_k"]
 
 
 def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
@@ -208,3 +208,127 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
     return cluster_reps(docs, pairs, id_col=id_col, rep_col="cluster_id",
                         nrows=nrows, n_shards=n_shards,
                         broadcast_threshold=broadcast_threshold)
+
+
+def ripley_k(docs: rd.Dataset, radii: tuple[float, ...] = (5_000.0,
+             10_000.0, 20_000.0), *, world: World, id_col: str = "doc_id",
+             n_shards: int | None = None) -> pa.Table:
+    """Ripley's K point-pattern statistic (no edge correction) — the
+    classic spatial clustering-vs-CSR test: for each radius r, the
+    EXACT count of unordered point pairs within r and the normalized
+    K̂(r) = A * 2P / (n(n-1)) as an exact integer floor (area A = 1e10
+    is integral for the driver world, so no float enters the
+    normalization).  Under CSR K̂(r) ≈ pi*r^2; excess means clustering.
+    Output (r, n_points, n_pairs, khat), r order.
+
+    Plan (the dwithin ownership trick, COUNT-only — pair rows never
+    materialize): grid depth is derived so cell width >= max r (ring
+    1); each point emits its own-cell row (side 0) once and its
+    9-cell Chebyshev-disk rows (side 1); ONE hash(cell) exchange
+    co-locates candidates; in-shard a chunked (A-chunk x B) distance
+    kernel counts a<b pairs per radius — every pair counted exactly
+    once at the b side's unique own cell.  Per-shard output is
+    len(radii) ints; the driver sums.  SQL twin
+    ``oracle.ripley_k_sql`` (brute self-join)."""
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+    rmax = max(radii)
+    depth = max(1, int(np.floor(np.log2(min(wx, wy) / rmax))))
+    nn = 1 << depth
+    r2s = np.array([r * r for r in radii], dtype=np.float64)
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_side": pa.array([], pa.int8()),
+                          "_id": pa.array([], pa.int64()),
+                          "_x": pa.array([], pa.float64()),
+                          "_y": pa.array([], pa.float64()),
+                          "_cell": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return empty
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = cells.point_cell2(x, y, world, depth).astype(np.int64)
+        _, ix, iy = cells.decode2(key.astype(np.uint64))
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        sides = [np.zeros(len(ids), np.int8)]
+        outi, outx, outy, outc = [ids], [x], [y], [key]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                m = (jx >= 0) & (jx < nn) & (jy >= 0) & (jy < nn)
+                if not m.any():
+                    continue
+                k2 = cells.encode2(jx[m].astype(np.uint64),
+                                   jy[m].astype(np.uint64),
+                                   depth).astype(np.int64)
+                sides.append(np.ones(int(m.sum()), np.int8))
+                outi.append(ids[m])
+                outx.append(x[m])
+                outy.append(y[m])
+                outc.append(k2)
+        side = np.concatenate(sides)
+        cell = np.concatenate(outc)
+        return pa.table({"_side": pa.array(side),
+                         "_id": pa.array(np.concatenate(outi)),
+                         "_x": pa.array(np.concatenate(outx)),
+                         "_y": pa.array(np.concatenate(outy)),
+                         "_cell": pa.array(cell),
+                         "_shard": pa.array((cell % n_shards)
+                                            .astype(np.int64))})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ri": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "np_": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        counts = np.zeros(len(r2s), dtype=np.int64)
+        npts = int((g["_side"].to_numpy(np.int8) == 0).sum())
+        for _, cg in g.groupby("_cell", sort=False):
+            side = cg["_side"].to_numpy(np.int8)
+            b = cg[side == 0]
+            a = cg[side == 1]
+            if not len(b) or not len(a):
+                continue
+            bx = b["_x"].to_numpy(np.float64)
+            by = b["_y"].to_numpy(np.float64)
+            bi = b["_id"].to_numpy(np.int64)
+            ax = a["_x"].to_numpy(np.float64)
+            ay = a["_y"].to_numpy(np.float64)
+            ai = a["_id"].to_numpy(np.int64)
+            for s in range(0, len(ax), 512):
+                e = min(len(ax), s + 512)
+                dx = ax[s:e, None] - bx[None, :]
+                dy = ay[s:e, None] - by[None, :]
+                d2 = dx * dx + dy * dy
+                lt = ai[s:e, None] < bi[None, :]
+                for k, r2 in enumerate(r2s):
+                    counts[k] += int(((d2 <= r2) & lt).sum())
+        return pd.DataFrame({"ri": np.arange(len(r2s), dtype=np.int64),
+                             "c": counts,
+                             "np_": np.full(len(r2s), npts, np.int64)})
+
+    out = (docs.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("_shard").map_groups(count_pairs,
+                                         batch_format="pandas")
+           .to_pandas())
+    schema = pa.schema([("r", pa.float64()), ("n_points", pa.int64()),
+                        ("n_pairs", pa.int64()), ("khat", pa.int64())])
+    if len(out) == 0 or "ri" not in out.columns:
+        return schema.empty_table()
+    area = int(round(wx)) * int(round(wy))
+    n = int(out[out["ri"] == 0]["np_"].sum())
+    rows = []
+    for k, r in enumerate(radii):
+        p = int(out[out["ri"] == k]["c"].sum())
+        khat = (2 * p * area) // (n * (n - 1)) if n >= 2 else 0
+        rows.append((float(r), n, p, khat))
+    return pa.table({"r": pa.array([x[0] for x in rows]),
+                     "n_points": pa.array([x[1] for x in rows], pa.int64()),
+                     "n_pairs": pa.array([x[2] for x in rows], pa.int64()),
+                     "khat": pa.array([x[3] for x in rows], pa.int64())},
+                    schema=schema)

@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans"]
 
 
 class _NearestDoc:
@@ -697,3 +697,64 @@ def flow_accumulation(docs: rd.Dataset, *, depth: int, world: World,
         "acc": pa.array(acc[keep][order2]),
         "sink": pa.array((flow[keep][order2] < 0).astype(np.int64))},
         schema=schema)
+
+
+def local_morans(docs: rd.Dataset, *, depth: int, world: World,
+                 x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Local Moran's I (LISA, Anselin 1995) per occupied tile — the
+    hotspot/coldspot/outlier classifier that ``morans_i`` summarizes
+    globally: I_i = z_i * lag_i / den * N with lag_i = sum of rook-
+    neighbour deviations, z the morans_i integer scaling (z = N*n - S),
+    den = sum(z^2).  z_i*lag_i is exact int64 under the same magnitude
+    guard (object-int fallback); the ratio is the fixed three-op
+    double, micro-rounded.  Positive lisa = value like its neighbours
+    (hot-hot / cold-cold), negative = spatial outlier.  Output
+    (cell_key, n_docs, z, lag, lisa_6), key order.
+
+    Plan: identical to ``morans_i`` — one streaming count pass,
+    4^depth-bounded driver fold, searchsorted rook gather; per-cell
+    output instead of the global scalar.  SQL twin
+    ``oracle.local_morans_sql``."""
+    from optimizing_ray.cells import encode2
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("z", pa.int64()), ("lag", pa.int64()),
+                        ("lisa_6", pa.int64())])
+    nc = len(ix)
+    if nc == 0:
+        return schema.empty_table()
+    tot = int(cnt.sum())
+    wide = 4 * nc * (nc * tot) ** 2 >= (1 << 63)
+    z = (nc * cnt.astype(object) - tot) if wide else (nc * cnt - tot)
+    lin = ix * n + iy
+    order = np.argsort(lin)
+    lin_s, z_s = lin[order], z[order]
+    lag = np.zeros(nc, dtype=object if wide else np.int64)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        jx, jy = ix + dx, iy + dy
+        m = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+        tgt = jx[m] * n + jy[m]
+        pos = np.minimum(np.searchsorted(lin_s, tgt), len(lin_s) - 1)
+        hit = lin_s[pos] == tgt
+        idx = np.flatnonzero(m)[hit]
+        lag[idx] = lag[idx] + z_s[pos[hit]]
+    den = int(np.dot(z, z))
+    zl = z * lag
+    if den == 0:
+        lisa = np.zeros(nc, dtype=np.int64)
+    else:
+        r = (np.array([float(v) for v in zl]) / np.float64(den)
+             * np.float64(nc))
+        lisa = np.floor(r * 1e6 + 0.5).astype(np.int64)
+    key = encode2(ix.astype(np.uint64), iy.astype(np.uint64),
+                  depth).astype(np.int64)
+    o2 = np.argsort(key)
+    return pa.table({
+        "cell_key": pa.array(key[o2]),
+        "n_docs": pa.array(cnt[o2]),
+        "z": pa.array(np.array([int(v) for v in z], np.int64)[o2]),
+        "lag": pa.array(np.array([int(v) for v in lag], np.int64)[o2]),
+        "lisa_6": pa.array(lisa[o2])}, schema=schema)

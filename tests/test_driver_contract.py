@@ -346,6 +346,10 @@ SQL_NAMES = [
     "flow_accumulation",
     # round 4 wave 17: per-node local clustering coefficient
     "clustering_coeff",
+    # round 4 wave 17: Ripley's K point-pattern statistic
+    "ripley_k",
+    # round 4 wave 17: local Moran's I (LISA)
+    "local_morans",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -109,3 +109,41 @@ def test_spatial_clusters_plans_match(ray_session, cloud):
     got_map = dict(zip(got_b["doc_id"], got_b["cluster_id"]))
     assert got_map == want
     assert len(got_b) == len(ids)
+
+
+def test_ripley_k_matches_brute(ray_session):
+    """Count-only cell-ownership kernel vs the O(n^2) brute on clustered
+    synthetic points (two tight blobs + scatter); exact normalization;
+    layout invariance; blob clustering pushes khat far above CSR."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.dwithin import ripley_k
+
+    rng = np.random.default_rng(5)
+    blob1 = rng.normal((20_000, 20_000), 1_500, (150, 2))
+    blob2 = rng.normal((70_000, 60_000), 2_000, (120, 2))
+    scat = rng.uniform(0, 100_000, (130, 2))
+    pts = np.clip(np.vstack([blob1, blob2, scat]), 0.0, 99_999.0)
+    t = pa.table({"doc_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                  "x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1])})
+    radii = (5_000.0, 10_000.0, 20_000.0)
+    got = ripley_k(rd.from_arrow(t).repartition(4), radii,
+                   world=WORLD_2D).to_pandas()
+    again = ripley_k(rd.from_arrow(t), radii, world=WORLD_2D).to_pandas()
+    assert got.equals(again)
+
+    n = len(pts)
+    dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+    dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+    d2 = dx * dx + dy * dy
+    iu = np.triu_indices(n, 1)
+    for k, r in enumerate(radii):
+        p = int((d2[iu] <= r * r).sum())
+        assert got["n_pairs"].iloc[k] == p
+        assert got["n_points"].iloc[k] == n
+        assert got["khat"].iloc[k] == (2 * p * 10_000_000_000) // (n * (n - 1))
+    # the blobs make the pattern strongly clustered vs CSR at r=5000
+    assert got["khat"].iloc[0] > 5 * 3.14159 * 5_000 ** 2

@@ -386,3 +386,55 @@ def test_flow_accumulation_matches_walk_brute(ray_session):
     # mass conservation: every unit of rain lands in exactly one sink
     sinks = got[got["sink"] == 1]
     assert int(sinks["acc"].sum()) == int(rain.sum()) == 400
+
+
+def test_local_morans_matches_brute(ray_session):
+    """Per-cell z, rook lag and micro-rounded lisa vs a dense replay;
+    hot blob center is strongly positive, its cold ring negative;
+    identity sum(lisa numerators) == morans_i numerator."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    # hot 2x2 blob at (3..4, 3..4) on a count-1 background
+    reps = np.where((np.abs(gx - 3.5) <= 0.5) & (np.abs(gy - 3.5) <= 0.5),
+                    9, 1).ravel()
+    ix = np.repeat(gx.ravel(), reps)
+    iy = np.repeat(gy.ravel(), reps)
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.local_morans(rd.from_arrow(t).repartition(3),
+                              depth=depth, world=WORLD_2D).to_pandas()
+
+    nc = n * n
+    grid = reps.reshape(n, n)
+    tot = int(reps.sum())
+    z = nc * grid.astype(np.int64) - tot
+    den = int((z * z).sum())
+    _, cix, ciy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    lag_sum = 0
+    for row, cx, cy in zip(got.itertuples(index=False),
+                           cix.astype(np.int64).tolist(),
+                           ciy.astype(np.int64).tolist()):
+        lag = sum(int(z[cx + dx, cy + dy])
+                  for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                  if 0 <= cx + dx < n and 0 <= cy + dy < n)
+        assert row.z == z[cx, cy]
+        assert row.lag == lag
+        r = (float(row.z * lag) / float(den)) * float(nc)
+        assert row.lisa_6 == int(np.floor(r * 1e6 + 0.5))
+        lag_sum += row.z * lag
+    # blob interior: hot cell next to hot cells -> strongly positive
+    hot = got[(cix == 3) & (ciy == 3)]["lisa_6"].iloc[0]
+    assert hot > 1_000_000
+    # cells adjacent to the blob (cold next to hot) -> negative
+    ring = got[(cix == 2) & (ciy == 3)]["lisa_6"].iloc[0]
+    assert ring < 0
+    # sum of local numerators equals the global morans_i numerator
+    gi = raster.morans_i(rd.from_arrow(t), depth=depth,
+                         world=WORLD_2D).to_pandas()
+    assert lag_sum == gi["num"].iloc[0]
