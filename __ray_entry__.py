@@ -1447,6 +1447,17 @@ def _q_morans_i(sf_dir: str):
     return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_viewshed(sf_dir: str):
+    """Viewshed from the densest cell over 24-bit splitmix terrain:
+    exact integer sight-line sampling (round-half-up in floor division)
+    and strict int blocking test — one bounded count pass, ragged
+    vectorized line walk."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.viewshed(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
 def _q_local_morans(sf_dir: str):
     """Local Moran's I (LISA) per occupied tile: rook-lag deviation
     products under the morans_i integer scaling, fixed three-op double
@@ -3010,6 +3021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: local Moran's I (LISA) — born past-cap,
         # contract-pytest-oracled
         "local_morans": _q_local_morans,
+        # wave 17: viewshed analysis — born past-cap,
+        # contract-pytest-oracled
+        "viewshed": _q_viewshed,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3253,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": oracle.clustering_coeff_sql(k=5),
         "ripley_k": oracle.ripley_k_sql(),
         "local_morans": oracle.local_morans_sql(DEPTH),
+        "viewshed": oracle.viewshed_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -5248,3 +5248,68 @@ SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs, z, lag,
        lisa AS lisa_6
 FROM mz ORDER BY cell_key
 """
+
+
+def viewshed_sql(depth: int, world: World = DRIVER_WORLD,
+                 table: str = "documents") -> str:
+    """raster.viewshed twin: 24-bit splitmix elevation, observer by
+    (docs DESC, elev DESC, lin) LIMIT 1, per-target sample unnest with
+    the exact integer round-half-up (floor((2a + b) / (2b)) via the
+    ((a%b)+b)%b floor-division idiom), strict int blocking test."""
+    gamma = 0x9E3779B97F4A7C15
+    wx, wy, _ = world.size
+    n = 1 << depth
+
+    def fdiv(a: str, b: str) -> str:
+        return (f"CAST(({a} - ((({a}) % ({b})) + ({b})) % ({b}))"
+                f" / ({b}) AS BIGINT)")
+
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
+         FROM cellidx GROUP BY ix * {n} + iy),
+l0 AS (SELECT i AS lin,
+              ((CAST(i AS HUGEINT) + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
+       FROM generate_series(0, {n * n - 1}) t(i)),
+{_splitmix_chain('l', 'l0', 'lin')},
+cells AS (SELECT lin, CAST(h // {1 << 40} AS BIGINT) AS elev,
+                 lin // {n} AS ix, lin % {n} AS iy
+          FROM lf),
+vp AS (SELECT c.lin AS vlin, c.ix AS vx, c.iy AS vy, c.elev AS ve
+       FROM cells c LEFT JOIN rain r ON r.lin = c.lin
+       ORDER BY COALESCE(r.r, 0) DESC, c.elev DESC, c.lin
+       LIMIT 1),
+tg AS (SELECT c.lin, c.elev AS te,
+              c.ix - v.vx AS di, c.iy - v.vy AS dj,
+              greatest(abs(c.ix - v.vx), abs(c.iy - v.vy)) AS d,
+              v.vlin, v.vx, v.vy, v.ve
+       FROM cells c, vp v),
+ks AS (SELECT lin, te, di, dj, d, vlin, vx, vy, ve,
+              unnest(generate_series(1, d - 1)) AS k
+       FROM tg WHERE d >= 2),
+sm AS (SELECT lin, te, d, k, vlin, ve,
+              (vx + {fdiv('2 * k * di + d', '2 * d')}) * {n}
+              + (vy + {fdiv('2 * k * dj + d', '2 * d')}) AS slin
+       FROM ks),
+blk AS (SELECT sm.lin
+        FROM sm JOIN cells sc ON sc.lin = sm.slin
+        WHERE sc.lin <> sm.vlin AND sc.lin <> sm.lin
+          AND sc.elev * sm.d > sm.ve * (sm.d - sm.k) + sm.te * sm.k
+        GROUP BY sm.lin),
+outc AS (SELECT c.lin, COALESCE(r.r, 0) AS n_docs, c.elev,
+                CASE WHEN b.lin IS NULL THEN 1 ELSE 0 END AS visible,
+                c.ix, c.iy
+         FROM cells c
+         LEFT JOIN rain r ON r.lin = c.lin
+         LEFT JOIN blk b ON b.lin = c.lin),
+{morton_ctes('outc', depth, carry='n_docs, elev, visible')}
+SELECT mkey AS cell_key, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(elev AS BIGINT) AS elev, CAST(visible AS BIGINT) AS visible
+FROM mz ORDER BY cell_key
+"""

@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed"]
 
 
 class _NearestDoc:
@@ -758,3 +758,75 @@ def local_morans(docs: rd.Dataset, *, depth: int, world: World,
         "z": pa.array(np.array([int(v) for v in z], np.int64)[o2]),
         "lag": pa.array(np.array([int(v) for v in lag], np.int64)[o2]),
         "lisa_6": pa.array(lisa[o2])}, schema=schema)
+
+
+def viewshed(docs: rd.Dataset, *, depth: int, world: World,
+             x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Viewshed analysis over the tile grid — the classic terrain
+    visibility operator: from the OBSERVER cell (most documents; ties
+    -> higher elevation, then lowest linear index) a target cell is
+    visible iff no intermediate sample cell on the sight line rises
+    strictly above the line.  Elevation is the 24-bit splitmix field
+    e = splitmix64(lin) >> 40 (small enough that every blocking test
+    e_c * D > e_v*(D-k) + e_t*k is exact int64 — no float, no sqrt).
+
+    Sight-line discretization (identical on both engines): with
+    di = tx - vx, dj = ty - vy, D = max(|di|, |dj|), sample k = 1..D-1
+    at cell (vx + round_half_up(k*di/D), vy + round_half_up(k*dj/D))
+    where round_half_up(a/b) = floor((2a + b) / (2b)) in exact integer
+    floor division; samples landing on the observer or target cell
+    don't block.  Output ALL grid cells: (cell_key, n_docs, elev,
+    visible), key order.
+
+    Plan: ONE bounded count pass (the morans_i merge); the line walk
+    is a ragged vectorized gather over <= 4^depth * (n-1) samples
+    driver-side, bounded by construction.  SQL twin
+    ``oracle.viewshed_sql``."""
+    from optimizing_ray.cells import encode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("elev", pa.int64()), ("visible", pa.int64())])
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(40)).astype(np.int64)
+    rain = np.zeros(n * n, dtype=np.int64)
+    if len(ix):
+        rain[ix * n + iy] = cnt
+    # observer: max docs, then max elev, then lowest lin
+    order = np.lexsort((lin, -elev, -rain))
+    v = int(lin[order[0]])
+    vx, vy = divmod(v, n)
+    ve = int(elev[v])
+    tx, ty = lin // n, lin % n
+    di, dj = tx - vx, ty - vy
+    D = np.maximum(np.abs(di), np.abs(dj))
+    blocked = np.zeros(n * n, dtype=bool)
+    walk = D >= 2
+    if walk.any():
+        wl = lin[walk]
+        wD = D[walk]
+        cnt_k = wD - 1
+        cum = np.r_[0, np.cumsum(cnt_k)]
+        ti = np.repeat(np.arange(len(wl)), cnt_k)
+        k = np.arange(int(cum[-1]), dtype=np.int64) - cum[ti] + 1
+        Dt = wD[ti]
+        sx = vx + (2 * k * di[walk][ti] + Dt) // (2 * Dt)
+        sy = vy + (2 * k * dj[walk][ti] + Dt) // (2 * Dt)
+        slin = sx * n + sy
+        te = elev[wl]
+        blk = ((slin != v) & (slin != wl[ti])
+               & (elev[slin] * Dt > ve * (Dt - k) + te[ti] * k))
+        hits = np.zeros(len(wl), dtype=np.int64)
+        np.add.at(hits, ti, blk.astype(np.int64))
+        blocked[wl] = hits > 0
+    visible = (~blocked).astype(np.int64)
+    key = encode2((lin // n).astype(np.uint64),
+                  (lin % n).astype(np.uint64), depth).astype(np.int64)
+    o2 = np.argsort(key)
+    return pa.table({"cell_key": pa.array(key[o2]),
+                     "n_docs": pa.array(rain[o2]),
+                     "elev": pa.array(elev[o2]),
+                     "visible": pa.array(visible[o2])}, schema=schema)

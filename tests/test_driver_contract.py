@@ -350,6 +350,8 @@ SQL_NAMES = [
     "ripley_k",
     # round 4 wave 17: local Moran's I (LISA)
     "local_morans",
+    # round 4 wave 17: viewshed analysis over splitmix terrain
+    "viewshed",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

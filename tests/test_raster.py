@@ -438,3 +438,58 @@ def test_local_morans_matches_brute(ray_session):
     gi = raster.morans_i(rd.from_arrow(t), depth=depth,
                          world=WORLD_2D).to_pandas()
     assert lag_sum == gi["num"].iloc[0]
+
+
+def test_viewshed_matches_scalar_brute(ray_session):
+    """Vectorized ragged line walk vs a literal per-target scalar LOS
+    replay of the same spec (round-half-up sampling, strict blocking,
+    endpoint exclusion); observer tie-break; observer always visible."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    rng = np.random.default_rng(3)
+    ix = rng.integers(0, n, 300)
+    iy = rng.integers(0, n, 300)
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.viewshed(rd.from_arrow(t).repartition(4),
+                          depth=depth, world=WORLD_2D).to_pandas()
+    assert len(got) == n * n
+
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(40)).astype(np.int64)
+    rain = np.zeros(n * n, dtype=np.int64)
+    np.add.at(rain, ix * n + iy, 1)
+    v = min(range(n * n), key=lambda c: (-rain[c], -elev[c], c))
+    vx, vy = divmod(v, n)
+
+    def visible(c):
+        if c == v:
+            return 1
+        tx, ty = divmod(c, n)
+        di, dj = tx - vx, ty - vy
+        d = max(abs(di), abs(dj))
+        for k in range(1, d):
+            sx = vx + (2 * k * di + d) // (2 * d)
+            sy = vy + (2 * k * dj + d) // (2 * d)
+            s = sx * n + sy
+            if s in (v, c):
+                continue
+            if elev[s] * d > elev[v] * (d - k) + elev[c] * k:
+                return 0
+        return 1
+
+    _, gx, gy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    gl = gx.astype(np.int64) * n + gy.astype(np.int64)
+    want = np.array([visible(int(c)) for c in gl], np.int64)
+    assert (got["visible"].to_numpy() == want).all()
+    assert (got["n_docs"].to_numpy() == rain[gl]).all()
+    assert got["visible"].to_numpy()[gl == v][0] == 1
+    again = raster.viewshed(rd.from_arrow(t), depth=depth,
+                            world=WORLD_2D).to_pandas()
+    assert got.equals(again)
