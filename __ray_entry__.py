@@ -1447,6 +1447,17 @@ def _q_morans_i(sf_dir: str):
     return raster.morans_i(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_watershed_basins(sf_dir: str):
+    """Watershed basin labels: every cell carries its D8 terminal sink
+    and hop count — pointer doubling over the dense flow array (log
+    rounds, the CC halving trick on a raster)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.watershed_basins(_docs(sf_dir), depth=DEPTH,
+                                   world=WORLD_2D)
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3024,6 +3035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: viewshed analysis — born past-cap,
         # contract-pytest-oracled
         "viewshed": _q_viewshed,
+        # wave 18: watershed basin labels — born past-cap,
+        # contract-pytest-oracled
+        "watershed_basins": _q_watershed_basins,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3268,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": oracle.ripley_k_sql(),
         "local_morans": oracle.local_morans_sql(DEPTH),
         "viewshed": oracle.viewshed_sql(DEPTH),
+        "watershed_basins": oracle.watershed_basins_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -5083,29 +5083,16 @@ ORDER BY p.user_id, p.seq
 """
 
 
-def flow_accumulation_sql(depth: int, world: World = DRIVER_WORLD,
-                          table: str = "documents") -> str:
-    """raster.flow_accumulation twin: elevation = splitmix64(lin) >> 1
-    over the dense grid (HUGEINT chain, floor-halved into BIGINT), D8
-    target = row_number-1 over (nelev, nlin) when strictly lower, rain
-    from per-cell doc counts, recursive-CTE downstream closure from
-    rain cells, SUM(rain) per reached cell."""
+def _d8_flow_ctes(depth: int) -> str:
+    """Shared CTE text (``l0``..``fl``) for the D8 terrain: splitmix
+    elevation over the dense grid and per-cell flow target (twin of
+    ``raster._d8_flow``).  Final CTE ``fl`` = (lin, tgt; -1 = sink);
+    ``cells`` = (lin, elev, ix, iy)."""
     gamma = 0x9E3779B97F4A7C15
-    wx, wy, _ = world.size
     n = 1 << depth
     offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
                      for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
-    return f"""
-WITH RECURSIVE {geo_cte(table, world)},
-cellidx AS (
-  SELECT doc_id,
-         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
-         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
-  FROM geo
-),
-rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
-         FROM cellidx GROUP BY ix * {n} + iy),
-l0 AS (SELECT i AS lin,
+    return f"""l0 AS (SELECT i AS lin,
               ((CAST(i AS HUGEINT) + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
        FROM generate_series(0, {n * n - 1}) t(i)),
 {_splitmix_chain('l', 'l0', 'lin')},
@@ -5120,7 +5107,29 @@ rk AS (SELECT ce.lin, ce.elev, b.elev AS nelev, b.lin AS nlin,
        FROM ce JOIN cells b ON b.ix = ce.jx AND b.iy = ce.jy),
 fl AS (SELECT lin,
               CASE WHEN nelev < elev THEN nlin ELSE -1 END AS tgt
-       FROM rk WHERE rn = 1),
+       FROM rk WHERE rn = 1)"""
+
+
+def flow_accumulation_sql(depth: int, world: World = DRIVER_WORLD,
+                          table: str = "documents") -> str:
+    """raster.flow_accumulation twin: elevation = splitmix64(lin) >> 1
+    over the dense grid (HUGEINT chain, floor-halved into BIGINT), D8
+    target = row_number-1 over (nelev, nlin) when strictly lower, rain
+    from per-cell doc counts, recursive-CTE downstream closure from
+    rain cells, SUM(rain) per reached cell."""
+    wx, wy, _ = world.size
+    n = 1 << depth
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
+         FROM cellidx GROUP BY ix * {n} + iy),
+{_d8_flow_ctes(depth)},
 paths(src, cur) AS (
     SELECT lin, lin FROM rain
   UNION
@@ -5312,4 +5321,47 @@ outc AS (SELECT c.lin, COALESCE(r.r, 0) AS n_docs, c.elev,
 SELECT mkey AS cell_key, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(elev AS BIGINT) AS elev, CAST(visible AS BIGINT) AS visible
 FROM mz ORDER BY cell_key
+"""
+
+
+def watershed_basins_sql(depth: int, world: World = DRIVER_WORLD,
+                         table: str = "documents") -> str:
+    """raster.watershed_basins twin: recursive step walk per cell along
+    the shared D8 flow CTEs to the terminal sink, carrying hop count;
+    Morton keys joined for both the cell and its basin."""
+    wx, wy, _ = world.size
+    n = 1 << depth
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
+         FROM cellidx GROUP BY ix * {n} + iy),
+{_d8_flow_ctes(depth)},
+walk(strt, cur, steps) AS (
+    SELECT lin, lin, 0 FROM cells
+  UNION
+    SELECT w.strt, f.tgt, w.steps + 1
+    FROM walk w JOIN fl f ON f.lin = w.cur
+    WHERE f.tgt >= 0
+),
+term AS (SELECT w.strt, w.cur, w.steps
+         FROM walk w JOIN fl f ON f.lin = w.cur
+         WHERE f.tgt < 0),
+cells2 AS (SELECT lin, ix, iy FROM cells),
+{morton_ctes('cells2', depth, carry='lin')},
+keys AS (SELECT lin, mkey FROM mz)
+SELECT k1.mkey AS cell_key,
+       COALESCE(rain.r, 0) AS n_docs,
+       k2.mkey AS basin_key,
+       CAST(term.steps AS BIGINT) AS path_len
+FROM term
+JOIN keys k1 ON k1.lin = term.strt
+JOIN keys k2 ON k2.lin = term.cur
+LEFT JOIN rain ON rain.lin = term.strt
+ORDER BY cell_key
 """

@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed", "watershed_basins"]
 
 
 class _NearestDoc:
@@ -620,6 +620,40 @@ def grid_bfs(docs: rd.Dataset, *, depth: int, world: World,
                     schema=schema)
 
 
+def _d8_flow(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared D8 routing over the n x n splitmix terrain: elevation
+    e = splitmix64(lin) >> 1 and per-cell flow target = strictly-lower
+    minimum-elevation 8-neighbour (tie -> lowest neighbour linear
+    index; -1 = sink).  Offsets scan in (dx, dy) lex order, which IS
+    neighbour-linear-index order, so numpy first-min implements the
+    tiebreak.  Returns (elev flat int64, flow flat int64)."""
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(1)).astype(np.int64)
+    eg = elev.reshape(n, n)
+    big = np.iinfo(np.int64).max
+    best = np.full((n, n), big, dtype=np.int64)
+    tgt = np.full((n, n), -1, dtype=np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            sx = slice(max(0, -dx), n - max(0, dx))
+            tx = slice(max(0, dx), n + min(0, dx))
+            sy = slice(max(0, -dy), n - max(0, dy))
+            ty = slice(max(0, dy), n + min(0, dy))
+            ne = eg[tx, ty]
+            upd = ne < best[sx, sy]   # strict: first-min keeps lowest lin
+            b = best[sx, sy]
+            t = tgt[sx, sy]
+            b[upd] = ne[upd]
+            nlin = (lin.reshape(n, n))[tx, ty]
+            t[upd] = nlin[upd]
+    flow = np.where(best < eg, tgt, -1).ravel()
+    return elev, flow
+
+
 def flow_accumulation(docs: rd.Dataset, *, depth: int, world: World,
                       x_col: str = "x", y_col: str = "y") -> pa.Table:
     """D8 flow accumulation over the tile grid — the classic hydrology
@@ -655,31 +689,9 @@ def flow_accumulation(docs: rd.Dataset, *, depth: int, world: World,
     if len(ix) == 0:
         return schema.empty_table()
     lin = np.arange(n * n, dtype=np.int64)
-    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(1)).astype(np.int64)
-    eg = elev.reshape(n, n)
+    elev, flow = _d8_flow(n)
     rain = np.zeros((n, n), dtype=np.int64)
     rain[ix, iy] = cnt
-    big = np.iinfo(np.int64).max
-    best = np.full((n, n), big, dtype=np.int64)
-    tgt = np.full((n, n), -1, dtype=np.int64)
-    for dx in (-1, 0, 1):          # lex (dx, dy) == neighbour lin order
-        for dy in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            sx = slice(max(0, -dx), n - max(0, dx))
-            tx = slice(max(0, dx), n + min(0, dx))
-            sy = slice(max(0, -dy), n - max(0, dy))
-            ty = slice(max(0, dy), n + min(0, dy))
-            ne = eg[tx, ty]
-            upd = ne < best[sx, sy]   # strict: first-min keeps lowest lin
-            b = best[sx, sy]
-            t = tgt[sx, sy]
-            b[upd] = ne[upd]
-            nlin = (lin.reshape(n, n))[tx, ty]
-            t[upd] = nlin[upd]
-            best[sx, sy] = b
-            tgt[sx, sy] = t
-    flow = np.where(best < eg, tgt, -1).ravel()
     acc = rain.ravel().copy()
     order = np.argsort(-elev, kind="stable")
     fo = flow[order]
@@ -830,3 +842,50 @@ def viewshed(docs: rd.Dataset, *, depth: int, world: World,
                      "n_docs": pa.array(rain[o2]),
                      "elev": pa.array(elev[o2]),
                      "visible": pa.array(visible[o2])}, schema=schema)
+
+
+def watershed_basins(docs: rd.Dataset, *, depth: int, world: World,
+                     x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Watershed basin delineation — the companion of
+    ``flow_accumulation``: every grid cell labels itself with the SINK
+    its D8 flow path terminates in (basins partition the terrain), plus
+    the hop count to that sink.  Output ALL cells: (cell_key, n_docs,
+    basin_key, path_len), key order; basin_key is the sink's Morton
+    key, sinks have path_len 0 and basin_key = own key.
+
+    Plan: ONE bounded count pass for the doc column; the terminal walk
+    is POINTER DOUBLING over the dense flow array (f2 = f[f], lengths
+    add) — O(log path) rounds instead of per-cell chasing, the
+    distributed-CC halving trick applied to a raster.  SQL twin
+    ``oracle.watershed_basins_sql`` (recursive step walk)."""
+    from optimizing_ray.cells import encode2
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("basin_key", pa.int64()), ("path_len", pa.int64())])
+    lin = np.arange(n * n, dtype=np.int64)
+    _, flow = _d8_flow(n)
+    rain = np.zeros(n * n, dtype=np.int64)
+    if len(ix):
+        rain[ix * n + iy] = cnt
+    # pointer doubling: sinks self-loop during the chase
+    nxt = np.where(flow >= 0, flow, lin)
+    steps = (flow >= 0).astype(np.int64)
+    while True:
+        n2 = nxt[nxt]
+        if (n2 == nxt).all():
+            break
+        steps = steps + steps[nxt]
+        nxt = n2
+    def mkey(v: np.ndarray) -> np.ndarray:
+        return encode2((v // n).astype(np.uint64),
+                       (v % n).astype(np.uint64), depth).astype(np.int64)
+    key = mkey(lin)
+    basin = mkey(nxt)
+    o2 = np.argsort(key)
+    return pa.table({"cell_key": pa.array(key[o2]),
+                     "n_docs": pa.array(rain[o2]),
+                     "basin_key": pa.array(basin[o2]),
+                     "path_len": pa.array(steps[o2])}, schema=schema)

@@ -352,6 +352,8 @@ SQL_NAMES = [
     "local_morans",
     # round 4 wave 17: viewshed analysis over splitmix terrain
     "viewshed",
+    # round 4 wave 18: watershed basin labels (pointer doubling)
+    "watershed_basins",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -493,3 +493,41 @@ def test_viewshed_matches_scalar_brute(ray_session):
     again = raster.viewshed(rd.from_arrow(t), depth=depth,
                             world=WORLD_2D).to_pandas()
     assert got.equals(again)
+
+
+def test_watershed_basins_matches_walk(ray_session):
+    """Pointer-doubling terminals vs literal per-cell chasing; basins
+    are consistent with flow_accumulation sinks; basin of a sink is
+    itself with path_len 0."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+    from optimizing_ray.pipelines.raster import _d8_flow
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    rng = np.random.default_rng(13)
+    ix = rng.integers(0, n, 200)
+    iy = rng.integers(0, n, 200)
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.watershed_basins(rd.from_arrow(t).repartition(3),
+                                  depth=depth, world=WORLD_2D).to_pandas()
+    assert len(got) == n * n
+
+    _, flow = _d8_flow(n)
+    _, gx, gy = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    gl = gx.astype(np.int64) * n + gy.astype(np.int64)
+    _, bx, by = decode2(got["basin_key"].to_numpy().astype(np.uint64))
+    bl = bx.astype(np.int64) * n + by.astype(np.int64)
+    for c, b, pl in zip(gl.tolist(), bl.tolist(),
+                        got["path_len"].tolist()):
+        cur, steps = c, 0
+        while flow[cur] >= 0:
+            cur = int(flow[cur])
+            steps += 1
+        assert (b, pl) == (cur, steps)
+    sinks = got[got["path_len"] == 0]
+    assert (sinks["basin_key"] == sinks["cell_key"]).all()
+    assert (flow[gl[got["path_len"].to_numpy() == 0]] == -1).all()
