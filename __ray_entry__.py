@@ -1458,6 +1458,26 @@ def _q_watershed_basins(sf_dir: str):
                                    world=WORLD_2D)
 
 
+def _q_slope_aspect(sf_dir: str):
+    """Horn slope/aspect over the splitmix terrain: exact int64 3x3
+    gradient per interior cell + discrete D8 steepest-descent octant
+    (first-min tiebreak, matching the SQL ROW_NUMBER pick)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.slope_aspect(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
+def _q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hotspot score per occupied tile: integer rook+self
+    neighbourhood sums under the morans_i scaling, exact HUGEINT inner
+    term, fixed divide->sqrt->divide float tail micro-rounded."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import raster
+
+    return raster.getis_ord(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3038,6 +3058,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 18: watershed basin labels — born past-cap,
         # contract-pytest-oracled
         "watershed_basins": _q_watershed_basins,
+        # wave 19: Horn slope/aspect + Getis-Ord Gi* — born past-cap,
+        # contract-pytest-oracled
+        "slope_aspect": _q_slope_aspect,
+        "getis_ord": _q_getis_ord,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3283,6 +3307,8 @@ def oracle_sql() -> dict[str, str]:
         "local_morans": oracle.local_morans_sql(DEPTH),
         "viewshed": oracle.viewshed_sql(DEPTH),
         "watershed_basins": oracle.watershed_basins_sql(DEPTH),
+        "slope_aspect": oracle.slope_aspect_sql(DEPTH),
+        "getis_ord": oracle.getis_ord_sql(DEPTH),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -5365,3 +5365,110 @@ JOIN keys k2 ON k2.lin = term.cur
 LEFT JOIN rain ON rain.lin = term.strt
 ORDER BY cell_key
 """
+
+
+def slope_aspect_sql(depth: int, world: World = DRIVER_WORLD,
+                     table: str = "documents") -> str:
+    """raster.slope_aspect twin: 24-bit splitmix elevation, Horn
+    gradient via one weighted 8-neighbour join (weights hx = dx*(2-|dy|),
+    hy = dy*(2-|dx|)), discrete D8 aspect = ROW_NUMBER over (uphill dot
+    gx*dx + gy*dy, k) — first row = steepest-descent octant, ties to
+    the lowest lex offset index exactly like numpy first-min."""
+    gamma = 0x9E3779B97F4A7C15
+    wx, wy, _ = world.size
+    n = 1 << depth
+    offs = ", ".join(
+        f"({k}, {dx}, {dy}, {dx * (2 - abs(dy))}, {dy * (2 - abs(dx))})"
+        for k, (dx, dy) in enumerate(
+            (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)))
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+rain AS (SELECT ix * {n} + iy AS lin, CAST(count(*) AS BIGINT) AS r
+         FROM cellidx GROUP BY ix * {n} + iy),
+l0 AS (SELECT i AS lin,
+              ((CAST(i AS HUGEINT) + CAST('{gamma}' AS HUGEINT)) % {_M64}) AS h
+       FROM generate_series(0, {n * n - 1}) t(i)),
+{_splitmix_chain('l', 'l0', 'lin')},
+cells AS (SELECT lin, CAST(h // {1 << 40} AS BIGINT) AS elev,
+                 lin // {n} AS ix, lin % {n} AS iy
+          FROM lf),
+hn AS (SELECT c.lin, c.ix, c.iy,
+              CAST(SUM(b.elev * o.hx) AS BIGINT) AS gx,
+              CAST(SUM(b.elev * o.hy) AS BIGINT) AS gy
+       FROM cells c
+       CROSS JOIN (VALUES {offs}) o(k, dx, dy, hx, hy)
+       JOIN cells b ON b.ix = c.ix + o.dx AND b.iy = c.iy + o.dy
+       WHERE c.ix BETWEEN 1 AND {n - 2} AND c.iy BETWEEN 1 AND {n - 2}
+       GROUP BY c.lin, c.ix, c.iy),
+asp AS (SELECT hn.lin, hn.ix, hn.iy, hn.gx, hn.gy, o.k,
+               ROW_NUMBER() OVER (PARTITION BY hn.lin
+                                  ORDER BY hn.gx * o.dx + hn.gy * o.dy,
+                                           o.k) AS rn
+        FROM hn CROSS JOIN (VALUES {offs}) o(k, dx, dy, hx, hy)),
+fc AS (SELECT lin, ix, iy, gx, gy, gx * gx + gy * gy AS g2,
+              CAST(k AS BIGINT) AS aspect
+       FROM asp WHERE rn = 1),
+{morton_ctes('fc', depth, carry='lin, gx, gy, g2, aspect')}
+SELECT mkey AS cell_key, COALESCE(rain.r, 0) AS n_docs,
+       gx, gy, g2, aspect
+FROM mz LEFT JOIN rain ON rain.lin = mz.lin
+ORDER BY cell_key
+"""
+
+
+def getis_ord_sql(depth: int, world: World = DRIVER_WORLD,
+                  table: str = "documents") -> str:
+    """raster.getis_ord twin: binary rook+self weights over occupied
+    cells, integer numerator num = nc*si - tot*wi in HUGEINT, exact
+    HUGEINT inner term cc = (nc*sumsq - tot^2)*wi*(nc-wi), then the
+    fixed float chain CAST -> divide -> sqrt -> divide, micro-rounded
+    at 1e6 on both sides."""
+    wx, wy, _ = world.size
+    offs = "(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)"
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo
+),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+        FROM cellidx GROUP BY ix, iy),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(COALESCE(sum(n), 0) AS BIGINT) AS tot FROM cnt),
+sq AS (SELECT CAST(COALESCE(SUM(CAST(n AS HUGEINT) * n), 0) AS HUGEINT)
+              AS sumsq FROM cnt),
+b AS (SELECT CAST(s.nc AS HUGEINT) * sq.sumsq
+             - CAST(s.tot AS HUGEINT) * s.tot AS bb FROM s, sq),
+ce AS (SELECT a.ix, a.iy, a.ix + o.dx AS jx, a.iy + o.dy AS jy
+       FROM cnt a, (VALUES {offs}) o(dx, dy)),
+nb AS (SELECT ce.ix, ce.iy,
+              CAST(COUNT(bc.n) AS BIGINT) AS wi,
+              CAST(COALESCE(SUM(bc.n), 0) AS BIGINT) AS si
+       FROM ce LEFT JOIN cnt bc ON bc.ix = ce.jx AND bc.iy = ce.jy
+       GROUP BY ce.ix, ce.iy),
+pc AS (SELECT nb.ix, nb.iy, cnt.n, nb.wi, nb.si,
+              CAST(s.nc AS HUGEINT) * nb.si
+              - CAST(s.tot AS HUGEINT) * nb.wi AS num,
+              b.bb * nb.wi * (s.nc - nb.wi) AS cc, s.nc AS nc
+       FROM nb JOIN cnt ON cnt.ix = nb.ix AND cnt.iy = nb.iy, s, b),
+fc AS (SELECT ix, iy, n, wi, si, CAST(num AS BIGINT) AS num,
+              CASE WHEN cc = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor((CAST(num AS DOUBLE)
+                                    / sqrt(CAST(cc AS DOUBLE)
+                                           / CAST(nc - 1 AS DOUBLE)))
+                                   * 1e6 + 0.5) AS BIGINT)
+              END AS gi_6
+       FROM pc),
+{morton_ctes('fc', depth, carry='n, wi, si, num, gi_6')}
+SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs, wi, si, num, gi_6
+FROM mz ORDER BY cell_key
+"""

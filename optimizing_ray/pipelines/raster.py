@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed", "watershed_basins"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed", "watershed_basins", "slope_aspect", "getis_ord"]
 
 
 class _NearestDoc:
@@ -889,3 +889,131 @@ def watershed_basins(docs: rd.Dataset, *, depth: int, world: World,
                      "n_docs": pa.array(rain[o2]),
                      "basin_key": pa.array(basin[o2]),
                      "path_len": pa.array(steps[o2])}, schema=schema)
+
+
+def slope_aspect(docs: rd.Dataset, *, depth: int, world: World,
+                 x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Slope / aspect over the splitmix terrain (Horn 1981) — the
+    classic DEM derivative: per INTERIOR cell the 3x3 Horn gradient
+    gx = (E column weighted 1-2-1) - (W column), gy likewise N-S, the
+    squared magnitude g2 = gx^2 + gy^2 (all exact int64 over the
+    24-bit elevations e = splitmix64(lin) >> 40), and the discrete D8
+    ASPECT: the index k in lex (dx, dy) offset order of the neighbour
+    direction minimizing the uphill dot gx*dx + gy*dy (the steepest
+    DESCENT octant; ties -> lowest k, flat gradients land on k = 0).
+    Output interior cells only (Horn needs all 8 neighbours):
+    (cell_key, n_docs, gx, gy, g2, aspect), key order.
+
+    Plan: ONE bounded count pass (the morans_i merge) + a dense
+    4^depth driver stencil — same shape as ``viewshed``.  SQL twin
+    ``oracle.slope_aspect_sql`` (weighted 8-neighbour join +
+    ROW_NUMBER octant pick)."""
+    from optimizing_ray.cells import encode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("gx", pa.int64()), ("gy", pa.int64()),
+                        ("g2", pa.int64()), ("aspect", pa.int64())])
+    if n < 3:
+        return schema.empty_table()
+    lin = np.arange(n * n, dtype=np.int64)
+    elev = (splitmix64(lin.view(np.uint64)) >> np.uint64(40)).astype(np.int64)
+    eg = elev.reshape(n, n)
+    rain = np.zeros(n * n, dtype=np.int64)
+    if len(ix):
+        rain[ix * n + iy] = cnt
+    gx = ((eg[2:, :-2] + 2 * eg[2:, 1:-1] + eg[2:, 2:])
+          - (eg[:-2, :-2] + 2 * eg[:-2, 1:-1] + eg[:-2, 2:])).ravel()
+    gy = ((eg[:-2, 2:] + 2 * eg[1:-1, 2:] + eg[2:, 2:])
+          - (eg[:-2, :-2] + 2 * eg[1:-1, :-2] + eg[2:, :-2])).ravel()
+    g2 = gx * gx + gy * gy
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    dots = np.stack([gx * dx + gy * dy for dx, dy in offs])
+    aspect = np.argmin(dots, axis=0).astype(np.int64)  # first-min = low k
+    iix, iiy = np.meshgrid(np.arange(1, n - 1), np.arange(1, n - 1),
+                           indexing="ij")
+    ilin = (iix * n + iiy).ravel()
+    key = encode2(iix.ravel().astype(np.uint64),
+                  iiy.ravel().astype(np.uint64), depth).astype(np.int64)
+    o2 = np.argsort(key)
+    return pa.table({"cell_key": pa.array(key[o2]),
+                     "n_docs": pa.array(rain[ilin][o2]),
+                     "gx": pa.array(gx[o2]), "gy": pa.array(gy[o2]),
+                     "g2": pa.array(g2[o2]),
+                     "aspect": pa.array(aspect[o2])}, schema=schema)
+
+
+def getis_ord(docs: rd.Dataset, *, depth: int, world: World,
+              x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Getis-Ord Gi* hotspot statistic per OCCUPIED tile — the
+    companion of ``local_morans``: with binary rook+self weights over
+    the occupied-cell set, wi = neighbourhood size, si = neighbourhood
+    doc sum, and the nc-scaled numerator num = nc*si - tot*wi (exact
+    integer — it is sum of z over the neighbourhood under the morans_i
+    scaling z = nc*x - tot).  gi_6 = micro-rounded
+    num / sqrt(B*wi*(nc-wi) / (nc-1)) with B = nc*sumsq - tot^2
+    (exact Python-int products; the float tail is the fixed op chain
+    divide -> sqrt -> divide, identical in SQL).  Positive = hotspot
+    (high values cluster), negative = coldspot.  Output (cell_key,
+    n_docs, wi, si, num, gi_6), key order.
+
+    Plan: identical to ``morans_i`` — one streaming count pass,
+    4^depth-bounded driver fold, searchsorted rook gather.  SQL twin
+    ``oracle.getis_ord_sql``."""
+    import math
+
+    from optimizing_ray.cells import encode2
+
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("wi", pa.int64()), ("si", pa.int64()),
+                        ("num", pa.int64()), ("gi_6", pa.int64())])
+    nc = len(ix)
+    if nc == 0:
+        return schema.empty_table()
+    tot = int(cnt.sum())
+    lin = ix * n + iy
+    order = np.argsort(lin)
+    lin_s, cnt_s = lin[order], cnt[order]
+    si = cnt.astype(np.int64).copy()
+    wi = np.ones(nc, dtype=np.int64)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        jx, jy = ix + dx, iy + dy
+        m = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+        tgt = jx[m] * n + jy[m]
+        pos = np.minimum(np.searchsorted(lin_s, tgt), len(lin_s) - 1)
+        hit = lin_s[pos] == tgt
+        idx = np.flatnonzero(m)[hit]
+        si[idx] += cnt_s[pos[hit]]
+        wi[idx] += 1
+    # num = sum of z over the neighbourhood; wide guard as local_morans
+    wide = 6 * nc * tot >= (1 << 63)
+    if wide:
+        num = np.array([nc * int(s) - tot * int(w)
+                        for s, w in zip(si, wi)], dtype=object)
+    else:
+        num = nc * si - tot * wi
+    sumsq = int(np.dot(cnt.astype(object), cnt.astype(object)))
+    bb = nc * sumsq - tot * tot        # nc^2 * variance numerator, >= 0
+    gi = np.zeros(nc, dtype=np.int64)
+    for i in range(nc):
+        c = bb * int(wi[i]) * (nc - int(wi[i]))   # exact Python int
+        if c == 0:
+            continue
+        r = float(int(num[i])) / math.sqrt(float(c) / float(nc - 1))
+        gi[i] = int(math.floor(r * 1e6 + 0.5))
+    key = encode2(ix.astype(np.uint64), iy.astype(np.uint64),
+                  depth).astype(np.int64)
+    o2 = np.argsort(key)
+    return pa.table({
+        "cell_key": pa.array(key[o2]),
+        "n_docs": pa.array(cnt.astype(np.int64)[o2]),
+        "wi": pa.array(wi[o2]), "si": pa.array(si[o2]),
+        "num": pa.array(np.array([int(v) for v in num], np.int64)[o2]),
+        "gi_6": pa.array(gi[o2])}, schema=schema)

@@ -354,6 +354,9 @@ SQL_NAMES = [
     "viewshed",
     # round 4 wave 18: watershed basin labels (pointer doubling)
     "watershed_basins",
+    # round 4 wave 19: Horn slope/aspect + Getis-Ord Gi* hotspots
+    "slope_aspect",
+    "getis_ord",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

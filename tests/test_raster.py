@@ -531,3 +531,115 @@ def test_watershed_basins_matches_walk(ray_session):
     sinks = got[got["path_len"] == 0]
     assert (sinks["basin_key"] == sinks["cell_key"]).all()
     assert (flow[gl[got["path_len"].to_numpy() == 0]] == -1).all()
+
+
+def test_slope_aspect_matches_scalar_horn(ray_session):
+    """Horn gradient replayed per interior cell from the raw elevation
+    grid; aspect = brute argmin over the 8 lex-ordered offsets."""
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    rng = np.random.default_rng(7)
+    ix = rng.integers(0, n, 150)
+    iy = rng.integers(0, n, 150)
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.slope_aspect(rd.from_arrow(t).repartition(3),
+                              depth=depth, world=WORLD_2D).to_pandas()
+    assert len(got) == (n - 2) * (n - 2)
+
+    e = (splitmix64(np.arange(n * n, dtype=np.int64).view(np.uint64))
+         >> np.uint64(40)).astype(np.int64).reshape(n, n)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    _, gx_, gy_ = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    for cx, cy, gx, gy, g2, asp in zip(
+            gx_.tolist(), gy_.tolist(), got["gx"].tolist(),
+            got["gy"].tolist(), got["g2"].tolist(),
+            got["aspect"].tolist()):
+        wgx = ((e[cx + 1, cy - 1] + 2 * e[cx + 1, cy] + e[cx + 1, cy + 1])
+               - (e[cx - 1, cy - 1] + 2 * e[cx - 1, cy]
+                  + e[cx - 1, cy + 1]))
+        wgy = ((e[cx - 1, cy + 1] + 2 * e[cx, cy + 1] + e[cx + 1, cy + 1])
+               - (e[cx - 1, cy - 1] + 2 * e[cx, cy - 1]
+                  + e[cx + 1, cy - 1]))
+        assert (gx, gy, g2) == (wgx, wgy, wgx * wgx + wgy * wgy)
+        dots = [gx * dx + gy * dy for dx, dy in offs]
+        assert asp == dots.index(min(dots))
+
+    # doc counts land on the right interior cells
+    dense = np.zeros((n, n), dtype=np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    assert got["n_docs"].sum() == dense[1:-1, 1:-1].sum()
+    again = raster.slope_aspect(rd.from_arrow(t), depth=depth,
+                                world=WORLD_2D).to_pandas()
+    assert got.equals(again)
+
+
+def test_getis_ord_matches_scalar(ray_session):
+    """Gi* replayed per occupied cell: rook+self sums, exact integer
+    numerator, float tail; hot blob scores positive, far empty-ish
+    region negative."""
+    import math
+
+    import ray.data as rd
+
+    from optimizing_ray.cells import decode2
+
+    depth = 3
+    n = 1 << depth
+    cw = 100_000.0 / n
+    rng = np.random.default_rng(5)
+    # hot 2x2 blob at (1..2, 1..2) + light scatter everywhere
+    bx = rng.integers(1, 3, 400)
+    by = rng.integers(1, 3, 400)
+    sx = rng.integers(0, n, 120)
+    sy = rng.integers(0, n, 120)
+    ix = np.r_[bx, sx]
+    iy = np.r_[by, sy]
+    t = pa.table({"x": pa.array((ix + 0.5) * cw),
+                  "y": pa.array((iy + 0.5) * cw)})
+    got = raster.getis_ord(rd.from_arrow(t).repartition(3),
+                           depth=depth, world=WORLD_2D).to_pandas()
+
+    dense = np.zeros((n, n), dtype=np.int64)
+    np.add.at(dense, (ix, iy), 1)
+    occ = dense > 0
+    nc = int(occ.sum())
+    tot = int(dense.sum())
+    sumsq = int((dense[occ].astype(object) ** 2).sum())
+    bb = nc * sumsq - tot * tot
+    assert len(got) == nc
+    _, cx_, cy_ = decode2(got["cell_key"].to_numpy().astype(np.uint64))
+    for cx, cy, nd, wi, si, num, gi in zip(
+            cx_.tolist(), cy_.tolist(), got["n_docs"].tolist(),
+            got["wi"].tolist(), got["si"].tolist(), got["num"].tolist(),
+            got["gi_6"].tolist()):
+        assert nd == dense[cx, cy]
+        ws, ss = 1, int(dense[cx, cy])
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = cx + dx, cy + dy
+            if 0 <= jx < n and 0 <= jy < n and occ[jx, jy]:
+                ws += 1
+                ss += int(dense[jx, jy])
+        assert (wi, si) == (ws, ss)
+        assert num == nc * ss - tot * ws
+        c = bb * ws * (nc - ws)
+        want = 0 if c == 0 else int(math.floor(
+            float(num) / math.sqrt(float(c) / float(nc - 1)) * 1e6 + 0.5))
+        assert gi == want
+
+    df = got.set_index(["cell_key"])
+    from optimizing_ray.cells import encode2
+    hot = int(encode2(np.array([1], np.uint64), np.array([1], np.uint64),
+                      depth)[0])
+    assert df.loc[hot, "gi_6"] > 0
+    assert (got["gi_6"] < 0).any()
+    again = raster.getis_ord(rd.from_arrow(t), depth=depth,
+                             world=WORLD_2D).to_pandas()
+    assert got.equals(again)
