@@ -1478,6 +1478,18 @@ def _q_getis_ord(sf_dir: str):
     return raster.getis_ord(_docs(sf_dir), depth=DEPTH, world=WORLD_2D)
 
 
+def _q_convex_hull(sf_dir: str):
+    """Per-user convex hull over quantized visit locations: exact
+    integer lattice coords, strict monotone chain, CCW vertex ring +
+    doubled shoelace area — no float anywhere."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "event_id"])
+    return windows.convex_hull(ev)
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3062,6 +3074,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract-pytest-oracled
         "slope_aspect": _q_slope_aspect,
         "getis_ord": _q_getis_ord,
+        # wave 20: per-user convex hull — born past-cap,
+        # contract-pytest-oracled
+        "convex_hull": _q_convex_hull,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3309,6 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_basins": oracle.watershed_basins_sql(DEPTH),
         "slope_aspect": oracle.slope_aspect_sql(DEPTH),
         "getis_ord": oracle.getis_ord_sql(DEPTH),
+        "convex_hull": oracle.convex_hull_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

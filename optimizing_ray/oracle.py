@@ -5472,3 +5472,101 @@ fc AS (SELECT ix, iy, n, wi, si, CAST(num AS BIGINT) AS num,
 SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs, wi, si, num, gi_6
 FROM mz ORDER BY cell_key
 """
+
+
+def convex_hull_sql(shift: int = 16, table: str = "events") -> str:
+    """windows.convex_hull twin: distinct lattice points per user
+    (q = ((event_id * mult) % 2^32) // 2^shift — exact integers), hull
+    VERTICES via the supporting-line hull-EDGE test ((a, b) is a CCW
+    edge iff every other point is strictly left, or collinear and
+    within the segment's bounding box — collinear boundary points are
+    thereby not vertices, matching the strict monotone chain), CCW seq
+    from the lex-min point (lower half-plane of the L->R diagonal
+    (qx, qy) asc, upper half desc), doubled shoelace area over the
+    LEAD ring.  O(m^3) per user — oracle scale only."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS
+
+    mx, my = GEO_MULTS["x"], GEO_MULTS["y"]
+    mod, q = 1 << 32, 1 << shift
+    return f"""
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         CAST(((event_id * {mx}) % {mod}) // {q} AS BIGINT) AS qx,
+         CAST(((event_id * {my}) % {mod}) // {q} AS BIGINT) AS qy
+  FROM {table}
+),
+np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts
+       FROM pts GROUP BY user_id),
+edges AS (
+  SELECT DISTINCT a.user_id, a.qx, a.qy
+  FROM pts a JOIN pts b ON b.user_id = a.user_id
+       AND (b.qx != a.qx OR b.qy != a.qy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.user_id = a.user_id
+      AND (r.qx != a.qx OR r.qy != a.qy)
+      AND (r.qx != b.qx OR r.qy != b.qy)
+      AND NOT (
+        (b.qx - a.qx) * (r.qy - a.qy)
+          - (b.qy - a.qy) * (r.qx - a.qx) > 0
+        OR ((b.qx - a.qx) * (r.qy - a.qy)
+              - (b.qy - a.qy) * (r.qx - a.qx) = 0
+            AND r.qx BETWEEN least(a.qx, b.qx) AND greatest(a.qx, b.qx)
+            AND r.qy BETWEEN least(a.qy, b.qy) AND greatest(a.qy, b.qy))
+      )
+  )
+),
+verts AS (
+  SELECT user_id, qx, qy FROM edges
+  UNION
+  SELECT p.user_id, p.qx, p.qy FROM pts p
+  JOIN np ON np.user_id = p.user_id AND np.n_pts = 1
+),
+lr AS (
+  SELECT user_id,
+         FIRST_VALUE(qx) OVER w AS lx, FIRST_VALUE(qy) OVER w AS ly,
+         LAST_VALUE(qx) OVER w AS rx, LAST_VALUE(qy) OVER w AS ry,
+         qx, qy
+  FROM verts
+  WINDOW w AS (PARTITION BY user_id ORDER BY qx, qy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+vo AS (
+  SELECT user_id, qx, qy,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CASE WHEN (rx - lx) * (qy - ly)
+                             - (ry - ly) * (qx - lx) <= 0
+                         THEN 0 ELSE 1 END,
+                    CASE WHEN (rx - lx) * (qy - ly)
+                             - (ry - ly) * (qx - lx) <= 0
+                         THEN qx ELSE -qx END,
+                    CASE WHEN (rx - lx) * (qy - ly)
+                             - (ry - ly) * (qx - lx) <= 0
+                         THEN qy ELSE -qy END) - 1 AS seq
+  FROM lr
+),
+ring AS (
+  SELECT user_id, seq, qx, qy,
+         COALESCE(LEAD(qx) OVER u, FIRST_VALUE(qx) OVER uf) AS nqx,
+         COALESCE(LEAD(qy) OVER u, FIRST_VALUE(qy) OVER uf) AS nqy,
+         CAST(count(*) OVER uf AS BIGINT) AS n_vertices
+  FROM vo
+  WINDOW u AS (PARTITION BY user_id ORDER BY seq),
+         uf AS (PARTITION BY user_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+),
+ar AS (
+  SELECT user_id,
+         CASE WHEN max(n_vertices) >= 3
+              THEN CAST(SUM(qx * nqy - nqx * qy) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS area2
+  FROM ring GROUP BY user_id
+)
+SELECT r.user_id, r.seq, r.qx, r.qy, np.n_pts, r.n_vertices, ar.area2
+FROM ring r
+JOIN np ON np.user_id = r.user_id
+JOIN ar ON ar.user_id = r.user_id
+ORDER BY r.user_id, r.seq
+"""

@@ -26,7 +26,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
-           "stay_points", "douglas_peucker"]
+           "stay_points", "douglas_peucker", "convex_hull"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2142,6 +2142,124 @@ def douglas_peucker(events: rd.Dataset, *, eps: float = 20_000.0,
             e = np.concatenate([ks[ks - ls >= 2], le[le - ks >= 2]])
         return pd.DataFrame({"user_id": u[kept], "event_id": ids[kept],
                              "seq": seq[kept]})
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["user_id", "seq"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def convex_hull(events: rd.Dataset, *, key_col: str = "user_id",
+                id_col: str = "event_id", shift: int = 16,
+                n_shards: int | None = None) -> pa.Table:
+    """Per-key convex hull over quantized visit locations — the
+    classic territory/home-range operator.  Coordinates are EXACT
+    INTEGERS by construction: q = ((id * mult) % 2^32) >> shift (the
+    driver-table geometry fraction kept on the integer lattice), so
+    every orientation test is an exact int64 cross product — no float
+    anywhere.  Per key: distinct lattice points, Andrew monotone chain
+    with STRICT turns (collinear boundary points are not vertices),
+    vertices emitted in CCW order from the lex-min point (lower chain
+    (qx, qy) asc incl. both extremes, then upper-chain interior desc),
+    doubled shoelace area (exact int, positive).  Output one row per
+    hull vertex: (user_id, seq, qx, qy, n_pts, n_vertices, area2),
+    (user, seq) order; single-point keys are their own hull.
+
+    Plan: in-batch distinct on packed (key, qx, qy) int64, ONE
+    hash(key) exchange of slim lattice rows, per-shard chains
+    (documented partitioning assumption: bounded per-key trajectory
+    length, as stay_points).  SQL twin ``oracle.convex_hull_sql``
+    (supporting-line hull-EDGE test: (a, b) is a CCW hull edge iff
+    every other point is strictly left or collinear-within — O(m^3)
+    per key at oracle scale only)."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS
+
+    n_shards = resolve_shards(n_shards)
+    mx, my = GEO_MULTS["x"], GEO_MULTS["y"]
+    mod = np.int64(1 << 32)
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("seq", pa.int64()),
+        ("qx", pa.int64()), ("qy", pa.int64()),
+        ("n_pts", pa.int64()), ("n_vertices", pa.int64()),
+        ("area2", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "qx": pa.array([], pa.int64()),
+                             "qy": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = ((eid * np.int64(mx)) % mod) >> np.int64(shift)
+        qy = ((eid * np.int64(my)) % mod) >> np.int64(shift)
+        lat = 1 << (32 - shift)
+        packed = (u * lat + qx) * lat + qy       # in-batch distinct
+        _, keep = np.unique(packed, return_index=True)
+        return pa.table({"u": pa.array(u[keep]), "qx": pa.array(qx[keep]),
+                         "qy": pa.array(qy[keep]),
+                         "_shard": pa.array(_shard_of_keys(u[keep],
+                                                           n_shards))})
+
+    def _chain(px: np.ndarray, py: np.ndarray) -> list[int]:
+        """Indices of hull vertices in CCW order; input lex-sorted."""
+        m = len(px)
+        if m == 1:
+            return [0]
+
+        def cross(o: int, a: int, b: int) -> int:
+            return (int(px[a] - px[o]) * int(py[b] - py[o])
+                    - int(py[a] - py[o]) * int(px[b] - px[o]))
+
+        lower: list[int] = []
+        for i in range(m):
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
+                lower.pop()
+            lower.append(i)
+        upper: list[int] = []
+        for i in range(m - 1, -1, -1):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
+                upper.pop()
+            upper.append(i)
+        return lower[:-1] + upper[:-1]
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ["user_id", "seq", "qx", "qy",
+                                        "n_pts", "n_vertices", "area2"]})
+        if len(g) == 0:
+            return empty
+        u = g["u"].to_numpy(np.int64)
+        qx = g["qx"].to_numpy(np.int64)
+        qy = g["qy"].to_numpy(np.int64)
+        lat = 1 << (32 - shift)
+        packed = (u * lat + qx) * lat + qy       # cross-batch distinct
+        srt = np.unique(packed)
+        qy2 = srt % lat
+        qx2 = (srt // lat) % lat
+        u2 = srt // (lat * lat)                  # sorted (u, qx, qy)
+        starts = np.flatnonzero(np.r_[True, u2[1:] != u2[:-1]])
+        ends = np.r_[starts[1:], len(u2)]
+        rows: list[tuple[int, ...]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            px, py = qx2[s:e], qy2[s:e]
+            hull = _chain(px, py)
+            h = len(hull)
+            area2 = sum(
+                int(px[hull[i]]) * int(py[hull[(i + 1) % h]])
+                - int(px[hull[(i + 1) % h]]) * int(py[hull[i]])
+                for i in range(h)) if h >= 3 else 0
+            uu, npts = int(u2[s]), e - s
+            rows.extend((uu, seq, int(px[j]), int(py[j]), npts, h, area2)
+                        for seq, j in enumerate(hull))
+        return pd.DataFrame(rows, columns=["user_id", "seq", "qx", "qy",
+                                           "n_pts", "n_vertices",
+                                           "area2"]).astype(np.int64)
 
     out = (events.map_batches(slim, batch_format="pyarrow",
                               zero_copy_batch=True)

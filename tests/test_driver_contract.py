@@ -357,6 +357,8 @@ SQL_NAMES = [
     # round 4 wave 19: Horn slope/aspect + Getis-Ord Gi* hotspots
     "slope_aspect",
     "getis_ord",
+    # round 4 wave 20: per-user convex hull (exact integer lattice)
+    "convex_hull",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in
