@@ -1490,6 +1490,19 @@ def _q_convex_hull(sf_dir: str):
     return windows.convex_hull(ev)
 
 
+def _q_min_obb(sf_dir: str):
+    """Minimum-area oriented bounding box per user (rotating
+    calipers): exact rational argmin over hull-edge directions by
+    integer cross-multiplication; the only float is the final
+    micro-rounded a/l2."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "event_id"])
+    return windows.min_obb(ev)
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3077,6 +3090,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 20: per-user convex hull — born past-cap,
         # contract-pytest-oracled
         "convex_hull": _q_convex_hull,
+        # wave 21: rotating-calipers minimum OBB — born past-cap,
+        # contract-pytest-oracled
+        "min_obb": _q_min_obb,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3325,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "slope_aspect": oracle.slope_aspect_sql(DEPTH),
         "getis_ord": oracle.getis_ord_sql(DEPTH),
         "convex_hull": oracle.convex_hull_sql(),
+        "min_obb": oracle.min_obb_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

@@ -5474,22 +5474,17 @@ FROM mz ORDER BY cell_key
 """
 
 
-def convex_hull_sql(shift: int = 16, table: str = "events") -> str:
-    """windows.convex_hull twin: distinct lattice points per user
-    (q = ((event_id * mult) % 2^32) // 2^shift — exact integers), hull
-    VERTICES via the supporting-line hull-EDGE test ((a, b) is a CCW
-    edge iff every other point is strictly left, or collinear and
-    within the segment's bounding box — collinear boundary points are
-    thereby not vertices, matching the strict monotone chain), CCW seq
-    from the lex-min point (lower half-plane of the L->R diagonal
-    (qx, qy) asc, upper half desc), doubled shoelace area over the
-    LEAD ring.  O(m^3) per user — oracle scale only."""
+def _hull_vertex_ctes(shift: int, table: str) -> str:
+    """Shared CTE text (``pts`` .. ``vo``) for the lattice convex-hull
+    family: distinct integer lattice points per user, hull VERTICES via
+    the supporting-line hull-EDGE test, and ``vo`` = vertices with the
+    CCW ``seq`` from the lex-min point (twin of the strict monotone
+    chain emission order in ``windows._hull_chain``)."""
     from optimizing_ray.sources.driver_tables import GEO_MULTS
 
     mx, my = GEO_MULTS["x"], GEO_MULTS["y"]
     mod, q = 1 << 32, 1 << shift
-    return f"""
-WITH pts AS (
+    return f"""pts AS (
   SELECT DISTINCT user_id,
          CAST(((event_id * {mx}) % {mod}) // {q} AS BIGINT) AS qx,
          CAST(((event_id * {my}) % {mod}) // {q} AS BIGINT) AS qy
@@ -5545,7 +5540,21 @@ vo AS (
                              - (ry - ly) * (qx - lx) <= 0
                          THEN qy ELSE -qy END) - 1 AS seq
   FROM lr
-),
+)"""
+
+
+def convex_hull_sql(shift: int = 16, table: str = "events") -> str:
+    """windows.convex_hull twin: distinct lattice points per user
+    (q = ((event_id * mult) % 2^32) // 2^shift — exact integers), hull
+    VERTICES via the supporting-line hull-EDGE test ((a, b) is a CCW
+    edge iff every other point is strictly left, or collinear and
+    within the segment's bounding box — collinear boundary points are
+    thereby not vertices, matching the strict monotone chain), CCW seq
+    from the lex-min point (lower half-plane of the L->R diagonal
+    (qx, qy) asc, upper half desc), doubled shoelace area over the
+    LEAD ring.  O(m^3) per user — oracle scale only."""
+    return f"""
+WITH {_hull_vertex_ctes(shift, table)},
 ring AS (
   SELECT user_id, seq, qx, qy,
          COALESCE(LEAD(qx) OVER u, FIRST_VALUE(qx) OVER uf) AS nqx,
@@ -5569,4 +5578,58 @@ FROM ring r
 JOIN np ON np.user_id = r.user_id
 JOIN ar ON ar.user_id = r.user_id
 ORDER BY r.user_id, r.seq
+"""
+
+
+def min_obb_sql(shift: int = 16, table: str = "events") -> str:
+    """windows.min_obb twin: over the shared hull-vertex CTEs, per CCW
+    hull edge the HUGEINT candidate a = range(proj e) * range(proj
+    perp(e)) with l2 = |e|^2; the exact rational argmin a/l2 via the
+    pairwise cross-multiplied NOT EXISTS (ties -> lowest edge seq);
+    the only float is the final micro-rounded a/l2 division."""
+    return f"""
+WITH {_hull_vertex_ctes(shift, table)},
+he AS (
+  SELECT user_id, seq, qx AS ax, qy AS ay,
+         COALESCE(LEAD(qx) OVER u, FIRST_VALUE(qx) OVER uf) AS bx,
+         COALESCE(LEAD(qy) OVER u, FIRST_VALUE(qy) OVER uf) AS by_,
+         CAST(count(*) OVER uf AS BIGINT) AS h
+  FROM vo
+  WINDOW u AS (PARTITION BY user_id ORDER BY seq),
+         uf AS (PARTITION BY user_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+),
+pr AS (SELECT user_id, seq, bx - ax AS ex, by_ - ay AS ey
+       FROM he WHERE h >= 2),
+proj AS (
+  SELECT p.user_id, p.seq, p.ex * p.ex + p.ey * p.ey AS l2,
+         CAST(MAX(p.ex * v.qx + p.ey * v.qy)
+              - MIN(p.ex * v.qx + p.ey * v.qy) AS HUGEINT)
+         * (MAX(-p.ey * v.qx + p.ex * v.qy)
+            - MIN(-p.ey * v.qx + p.ex * v.qy)) AS a
+  FROM pr p JOIN vo v ON v.user_id = p.user_id
+  GROUP BY p.user_id, p.seq, p.ex, p.ey
+),
+best AS (
+  SELECT r.user_id, r.seq, r.l2, r.a FROM proj r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM proj s
+    WHERE s.user_id = r.user_id
+      AND (s.a * r.l2 < r.a * s.l2
+           OR (s.a * r.l2 = r.a * s.l2 AND s.seq < r.seq)))
+),
+nv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_vertices
+       FROM vo GROUP BY user_id)
+SELECT np.user_id, np.n_pts, nv.n_vertices,
+       CAST(COALESCE(best.seq, 0) AS BIGINT) AS edge_seq,
+       CAST(COALESCE(best.l2, 0) AS BIGINT) AS len2,
+       CASE WHEN best.a IS NULL OR best.a = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(best.a AS DOUBLE)
+                            / CAST(best.l2 AS DOUBLE) * 1e6 + 0.5)
+                      AS BIGINT) END AS obb_area_6
+FROM np
+JOIN nv ON nv.user_id = np.user_id
+LEFT JOIN best ON best.user_id = np.user_id
+ORDER BY np.user_id
 """

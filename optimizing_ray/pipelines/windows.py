@@ -26,7 +26,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
-           "stay_points", "douglas_peucker", "convex_hull"]
+           "stay_points", "douglas_peucker", "convex_hull", "min_obb"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2154,6 +2154,75 @@ def douglas_peucker(events: rd.Dataset, *, eps: float = 20_000.0,
                                 schema=out_schema)
 
 
+def _lattice_slim_fn(key_col: str, id_col: str, shift: int,
+                     n_shards: int, mx: int, my: int):
+    """Batch fn: distinct (key, qx, qy) lattice rows + shard tag, with
+    q = ((id * mult) % 2^32) >> shift — the shared hull-family slim."""
+    mod = np.int64(1 << 32)
+    lat = 1 << (32 - shift)
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "qx": pa.array([], pa.int64()),
+                             "qy": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = ((eid * np.int64(mx)) % mod) >> np.int64(shift)
+        qy = ((eid * np.int64(my)) % mod) >> np.int64(shift)
+        packed = (u * lat + qx) * lat + qy       # in-batch distinct
+        _, keep = np.unique(packed, return_index=True)
+        return pa.table({"u": pa.array(u[keep]), "qx": pa.array(qx[keep]),
+                         "qy": pa.array(qy[keep]),
+                         "_shard": pa.array(_shard_of_keys(u[keep],
+                                                           n_shards))})
+
+    return slim
+
+
+def _lattice_user_runs(g: "pd.DataFrame", shift: int):
+    """Cross-batch distinct + (u, qx, qy) lex sort via ONE packed-int64
+    unique; returns (u, qx, qy, starts, ends) run views per key."""
+    lat = 1 << (32 - shift)
+    u = g["u"].to_numpy(np.int64)
+    qx = g["qx"].to_numpy(np.int64)
+    qy = g["qy"].to_numpy(np.int64)
+    srt = np.unique((u * lat + qx) * lat + qy)
+    qy2 = srt % lat
+    qx2 = (srt // lat) % lat
+    u2 = srt // (lat * lat)
+    starts = np.flatnonzero(np.r_[True, u2[1:] != u2[:-1]])
+    ends = np.r_[starts[1:], len(u2)]
+    return u2, qx2, qy2, starts, ends
+
+
+def _hull_chain(px: np.ndarray, py: np.ndarray) -> list[int]:
+    """Indices of convex-hull vertices in CCW order from the lex-min
+    point (strict Andrew monotone chain — collinear boundary points
+    are not vertices); input must be lex-sorted by (x, y).  Exact
+    Python-int cross products — callers pass integer lattice coords."""
+    m = len(px)
+    if m == 1:
+        return [0]
+
+    def cross(o: int, a: int, b: int) -> int:
+        return (int(px[a] - px[o]) * int(py[b] - py[o])
+                - int(py[a] - py[o]) * int(px[b] - px[o]))
+
+    lower: list[int] = []
+    for i in range(m):
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
+            lower.pop()
+        lower.append(i)
+    upper: list[int] = []
+    for i in range(m - 1, -1, -1):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
+            upper.pop()
+        upper.append(i)
+    return lower[:-1] + upper[:-1]
+
+
 def convex_hull(events: rd.Dataset, *, key_col: str = "user_id",
                 id_col: str = "event_id", shift: int = 16,
                 n_shards: int | None = None) -> pa.Table:
@@ -2181,52 +2250,13 @@ def convex_hull(events: rd.Dataset, *, key_col: str = "user_id",
 
     n_shards = resolve_shards(n_shards)
     mx, my = GEO_MULTS["x"], GEO_MULTS["y"]
-    mod = np.int64(1 << 32)
     out_schema = pa.schema([
         ("user_id", pa.int64()), ("seq", pa.int64()),
         ("qx", pa.int64()), ("qy", pa.int64()),
         ("n_pts", pa.int64()), ("n_vertices", pa.int64()),
         ("area2", pa.int64())])
 
-    def slim(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key_col not in t.column_names:
-            return pa.table({"u": pa.array([], pa.int64()),
-                             "qx": pa.array([], pa.int64()),
-                             "qy": pa.array([], pa.int64()),
-                             "_shard": pa.array([], pa.int64())})
-        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        qx = ((eid * np.int64(mx)) % mod) >> np.int64(shift)
-        qy = ((eid * np.int64(my)) % mod) >> np.int64(shift)
-        lat = 1 << (32 - shift)
-        packed = (u * lat + qx) * lat + qy       # in-batch distinct
-        _, keep = np.unique(packed, return_index=True)
-        return pa.table({"u": pa.array(u[keep]), "qx": pa.array(qx[keep]),
-                         "qy": pa.array(qy[keep]),
-                         "_shard": pa.array(_shard_of_keys(u[keep],
-                                                           n_shards))})
-
-    def _chain(px: np.ndarray, py: np.ndarray) -> list[int]:
-        """Indices of hull vertices in CCW order; input lex-sorted."""
-        m = len(px)
-        if m == 1:
-            return [0]
-
-        def cross(o: int, a: int, b: int) -> int:
-            return (int(px[a] - px[o]) * int(py[b] - py[o])
-                    - int(py[a] - py[o]) * int(px[b] - px[o]))
-
-        lower: list[int] = []
-        for i in range(m):
-            while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
-                lower.pop()
-            lower.append(i)
-        upper: list[int] = []
-        for i in range(m - 1, -1, -1):
-            while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
-                upper.pop()
-            upper.append(i)
-        return lower[:-1] + upper[:-1]
+    slim = _lattice_slim_fn(key_col, id_col, shift, n_shards, mx, my)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -2234,21 +2264,11 @@ def convex_hull(events: rd.Dataset, *, key_col: str = "user_id",
                                         "n_pts", "n_vertices", "area2"]})
         if len(g) == 0:
             return empty
-        u = g["u"].to_numpy(np.int64)
-        qx = g["qx"].to_numpy(np.int64)
-        qy = g["qy"].to_numpy(np.int64)
-        lat = 1 << (32 - shift)
-        packed = (u * lat + qx) * lat + qy       # cross-batch distinct
-        srt = np.unique(packed)
-        qy2 = srt % lat
-        qx2 = (srt // lat) % lat
-        u2 = srt // (lat * lat)                  # sorted (u, qx, qy)
-        starts = np.flatnonzero(np.r_[True, u2[1:] != u2[:-1]])
-        ends = np.r_[starts[1:], len(u2)]
+        u2, qx2, qy2, starts, ends = _lattice_user_runs(g, shift)
         rows: list[tuple[int, ...]] = []
         for s, e in zip(starts.tolist(), ends.tolist()):
             px, py = qx2[s:e], qy2[s:e]
-            hull = _chain(px, py)
+            hull = _hull_chain(px, py)
             h = len(hull)
             area2 = sum(
                 int(px[hull[i]]) * int(py[hull[(i + 1) % h]])
@@ -2268,5 +2288,76 @@ def convex_hull(events: rd.Dataset, *, key_col: str = "user_id",
     if len(out) == 0 or "user_id" not in out.columns:
         return out_schema.empty_table()
     out = out.sort_values(["user_id", "seq"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)
+
+
+def min_obb(events: rd.Dataset, *, key_col: str = "user_id",
+            id_col: str = "event_id", shift: int = 16,
+            n_shards: int | None = None) -> pa.Table:
+    """Minimum-area oriented bounding box per key (rotating calipers):
+    over the same exact-integer lattice hull as ``convex_hull``, the
+    minimum-area rectangle is flush with some HULL EDGE (the classic
+    calipers theorem), so per edge e = v_next - v the candidate area is
+    the exact RATIONAL a / l2 with a = (range of proj e.p) * (range of
+    proj perp(e).p) and l2 = |e|^2 — the argmin is decided by exact
+    integer cross-multiplication a_i * l2_j < a_j * l2_i (ties -> the
+    lowest CCW edge seq).  Output one row per key: (user_id, n_pts,
+    n_vertices, edge_seq, len2, obb_area_6) with obb_area_6 the
+    micro-rounded double a/l2 (the only float, same fixed op chain in
+    SQL); single-point keys get (0, 1, 0).  (user) order.
+
+    Plan: the convex_hull exchange fused with the calipers fold in the
+    same shard pass — no extra exchange.  SQL twin
+    ``oracle.min_obb_sql`` (pairwise NOT EXISTS exact argmin)."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS
+
+    n_shards = resolve_shards(n_shards)
+    mx, my = GEO_MULTS["x"], GEO_MULTS["y"]
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_pts", pa.int64()),
+        ("n_vertices", pa.int64()), ("edge_seq", pa.int64()),
+        ("len2", pa.int64()), ("obb_area_6", pa.int64())])
+    slim = _lattice_slim_fn(key_col, id_col, shift, n_shards, mx, my)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_pts", "n_vertices", "edge_seq", "len2",
+                "obb_area_6"]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        u2, qx2, qy2, starts, ends = _lattice_user_runs(g, shift)
+        rows: list[tuple[int, ...]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            px, py = qx2[s:e], qy2[s:e]
+            hull = _hull_chain(px, py)
+            h = len(hull)
+            if h == 1:
+                rows.append((int(u2[s]), e - s, 1, 0, 0, 0))
+                continue
+            hx = [int(px[j]) for j in hull]
+            hy = [int(py[j]) for j in hull]
+            best = None                      # (a, l2, seq) exact argmin
+            for i in range(h):
+                ex = hx[(i + 1) % h] - hx[i]
+                ey = hy[(i + 1) % h] - hy[i]
+                l2 = ex * ex + ey * ey
+                us = [ex * x + ey * y for x, y in zip(hx, hy)]
+                ws = [-ey * x + ex * y for x, y in zip(hx, hy)]
+                a = (max(us) - min(us)) * (max(ws) - min(ws))
+                if best is None or a * best[1] < best[0] * l2:
+                    best = (a, l2, i)
+            a, l2, seq = best
+            area6 = int(np.floor(float(a) / float(l2) * 1e6 + 0.5))
+            rows.append((int(u2[s]), e - s, h, seq, l2, area6))
+        return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+    out = (events.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_id" not in out.columns:
+        return out_schema.empty_table()
+    out = out.sort_values(["user_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)

@@ -359,6 +359,8 @@ SQL_NAMES = [
     "getis_ord",
     # round 4 wave 20: per-user convex hull (exact integer lattice)
     "convex_hull",
+    # round 4 wave 21: rotating-calipers minimum OBB
+    "min_obb",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -1019,3 +1019,56 @@ def test_convex_hull_degenerate_cases(ray_session):
 
     g2 = got[got["user_id"] == 2]            # 4 random pts: hull 3 or 4
     assert 3 <= len(g2) <= 4 and g2["area2"].iloc[0] > 0
+
+
+def test_min_obb_matches_brute_over_hull(ray_session):
+    """OBB replayed from the convex_hull output: exact rational argmin
+    over every hull-edge direction (Fraction comparison), and the OBB
+    area never exceeds the axis-aligned bbox area."""
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.windows import convex_hull, min_obb
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    eid = rng.choice(150_000, n, replace=False).astype(np.int64)
+    uid = rng.integers(0, 20, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(uid), "event_id": pa.array(eid)})
+    hull = convex_hull(rd.from_arrow(t).repartition(4)).to_pandas()
+    got = min_obb(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert got["user_id"].tolist() == sorted(hull["user_id"].unique())
+
+    for u, grp in hull.groupby("user_id"):
+        row = got[got["user_id"] == u].iloc[0]
+        grp = grp.sort_values("seq")
+        hx = grp["qx"].tolist()
+        hy = grp["qy"].tolist()
+        h = len(hx)
+        assert (row["n_pts"], row["n_vertices"]) == \
+            (grp["n_pts"].iloc[0], h)
+        if h == 1:
+            assert (row["edge_seq"], row["len2"], row["obb_area_6"]) \
+                == (0, 0, 0)
+            continue
+        cands = []
+        for i in range(h):
+            ex = hx[(i + 1) % h] - hx[i]
+            ey = hy[(i + 1) % h] - hy[i]
+            us = [ex * x + ey * y for x, y in zip(hx, hy)]
+            ws = [-ey * x + ex * y for x, y in zip(hx, hy)]
+            a = (max(us) - min(us)) * (max(ws) - min(ws))
+            cands.append((Fraction(a, ex * ex + ey * ey), i, a,
+                          ex * ex + ey * ey))
+        frac, seq, a, l2 = min(cands)
+        assert (row["edge_seq"], row["len2"]) == (seq, l2)
+        assert row["obb_area_6"] == (
+            0 if a == 0 else int(np.floor(float(a) / float(l2)
+                                          * 1e6 + 0.5)))
+        # sanity: OBB <= AABB (compare the same micro-rounding)
+        aabb = (max(hx) - min(hx)) * (max(hy) - min(hy))
+        assert frac <= Fraction(aabb)
+
+    again = min_obb(rd.from_arrow(t)).to_pandas()
+    assert got.equals(again)
