@@ -1503,6 +1503,19 @@ def _q_min_obb(sf_dir: str):
     return windows.min_obb(ev)
 
 
+def _q_colocation(sf_dir: str):
+    """Spatiotemporal co-location (contact tracing): user pairs with
+    events within 20 km AND 6 h, aggregated per pair — the ripley_k
+    ownership exchange carried per-pair, pair rows never materialize."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "event_id", "ts"])
+    return dwithin.colocation(ev, world=WORLD_2D)
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3093,6 +3106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 21: rotating-calipers minimum OBB — born past-cap,
         # contract-pytest-oracled
         "min_obb": _q_min_obb,
+        # wave 22: spatiotemporal co-location join — born past-cap,
+        # contract-pytest-oracled
+        "colocation": _q_colocation,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3342,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         "getis_ord": oracle.getis_ord_sql(DEPTH),
         "convex_hull": oracle.convex_hull_sql(),
         "min_obb": oracle.min_obb_sql(),
+        "colocation": oracle.colocation_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

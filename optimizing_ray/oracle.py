@@ -5633,3 +5633,35 @@ JOIN nv ON nv.user_id = np.user_id
 LEFT JOIN best ON best.user_id = np.user_id
 ORDER BY np.user_id
 """
+
+
+def colocation_sql(radius: float = 20_000.0, tau_us: int = 21_600_000_000,
+                   world: World = DRIVER_WORLD,
+                   table: str = "events") -> str:
+    """dwithin.colocation twin: brute time-range self-join (DuckDB
+    IEJoin) on event pairs — fixed-IEEE spatial d2 <= r*r, integer
+    |ta - tb| <= tau, distinct users, each unordered event pair once
+    via event_id ordering; count per (least, greatest) user pair."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    r2 = radius * radius
+    tau = int(tau_us)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         {x} AS x, {y} AS y
+  FROM {table}),
+pr AS (
+  SELECT least(a.user_id, b.user_id) AS ua,
+         greatest(a.user_id, b.user_id) AS ub
+  FROM ev a JOIN ev b
+    ON b.event_id > a.event_id
+   AND b.user_id != a.user_id
+   AND b.tus BETWEEN a.tus - {tau} AND a.tus + {tau}
+  WHERE (a.x - b.x) * (a.x - b.x)
+        + (a.y - b.y) * (a.y - b.y) <= {r2!r})
+SELECT ua AS user_a, ub AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts
+FROM pr GROUP BY ua, ub ORDER BY ua, ub
+"""

@@ -36,7 +36,7 @@ from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.pipelines import shard_join
 from optimizing_ray.pipelines.box_join import _ranges_to_rows
 
-__all__ = ["dwithin_join", "spatial_clusters", "ripley_k"]
+__all__ = ["dwithin_join", "spatial_clusters", "ripley_k", "colocation"]
 
 
 def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
@@ -332,3 +332,147 @@ def ripley_k(docs: rd.Dataset, radii: tuple[float, ...] = (5_000.0,
                      "n_pairs": pa.array([x[2] for x in rows], pa.int64()),
                      "khat": pa.array([x[3] for x in rows], pa.int64())},
                     schema=schema)
+
+
+def colocation(events: rd.Dataset, *, radius: float = 20_000.0,
+               tau_us: int = 21_600_000_000, world: World,
+               key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               n_shards: int | None = None) -> pa.Table:
+    """Spatiotemporal co-location join (contact tracing) — pairs of
+    DISTINCT users with events within ``radius`` in space AND
+    ``tau_us`` microseconds in time, aggregated per user pair.
+    Positions derive from event ids by the shared driver-table
+    formula; the spatial test is the fixed three-op IEEE d2 <= r*r
+    (identical booleans in SQL), the temporal test integer
+    |ta - tb| <= tau.  Output (user_a, user_b, n_contacts) with
+    user_a < user_b, pair order; n_contacts counts qualifying EVENT
+    pairs (each unordered event pair once).
+
+    Plan: the ripley_k ownership trick carried per-pair — each event
+    emits its own-cell row (side 0) and its 9-cell Chebyshev-disk rows
+    (side 1) at a depth where cell width >= radius; ONE hash(cell)
+    exchange; in-shard a chunked (A x B) kernel tests space+time and
+    folds surviving (user_a, user_b) pairs into bounded per-shard
+    partials (pair rows never materialize); the driver sums per pair.
+    SQL twin ``oracle.colocation_sql`` (time-range self-join)."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+    depth = max(1, int(np.floor(np.log2(min(wx, wy) / radius))))
+    nn = 1 << depth
+    r2 = radius * radius
+    tau = int(tau_us)
+    out_schema = pa.schema([("user_a", pa.int64()), ("user_b", pa.int64()),
+                            ("n_contacts", pa.int64())])
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_side": pa.array([], pa.int8()),
+                          "_eid": pa.array([], pa.int64()),
+                          "_u": pa.array([], pa.int64()),
+                          "_ts": pa.array([], pa.int64()),
+                          "_x": pa.array([], pa.float64()),
+                          "_y": pa.array([], pa.float64()),
+                          "_cell": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        key = cells.point_cell2(x, y, world, depth).astype(np.int64)
+        _, ix, iy = cells.decode2(key.astype(np.uint64))
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        sides = [np.zeros(len(eid), np.int8)]
+        oute, outu, outt = [eid], [u], [ts]
+        outx, outy, outc = [x], [y], [key]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                m = (jx >= 0) & (jx < nn) & (jy >= 0) & (jy < nn)
+                if not m.any():
+                    continue
+                k2 = cells.encode2(jx[m].astype(np.uint64),
+                                   jy[m].astype(np.uint64),
+                                   depth).astype(np.int64)
+                sides.append(np.ones(int(m.sum()), np.int8))
+                oute.append(eid[m])
+                outu.append(u[m])
+                outt.append(ts[m])
+                outx.append(x[m])
+                outy.append(y[m])
+                outc.append(k2)
+        cell = np.concatenate(outc)
+        return pa.table({"_side": pa.array(np.concatenate(sides)),
+                         "_eid": pa.array(np.concatenate(oute)),
+                         "_u": pa.array(np.concatenate(outu)),
+                         "_ts": pa.array(np.concatenate(outt)),
+                         "_x": pa.array(np.concatenate(outx)),
+                         "_y": pa.array(np.concatenate(outy)),
+                         "_cell": pa.array(cell),
+                         "_shard": pa.array((cell % n_shards)
+                                            .astype(np.int64))})
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                              "user_b": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        pa_l, pb_l = [], []
+        for _, cg in g.groupby("_cell", sort=False):
+            side = cg["_side"].to_numpy(np.int8)
+            b = cg[side == 0]
+            a = cg[side == 1]
+            if not len(b) or not len(a):
+                continue
+            bx = b["_x"].to_numpy(np.float64)
+            by = b["_y"].to_numpy(np.float64)
+            bi = b["_eid"].to_numpy(np.int64)
+            bu = b["_u"].to_numpy(np.int64)
+            bt = b["_ts"].to_numpy(np.int64)
+            ax = a["_x"].to_numpy(np.float64)
+            ay = a["_y"].to_numpy(np.float64)
+            ai = a["_eid"].to_numpy(np.int64)
+            au = a["_u"].to_numpy(np.int64)
+            at = a["_ts"].to_numpy(np.int64)
+            for s in range(0, len(ax), 512):
+                e = min(len(ax), s + 512)
+                dx = ax[s:e, None] - bx[None, :]
+                dy = ay[s:e, None] - by[None, :]
+                hit = ((dx * dx + dy * dy <= r2)
+                       & (np.abs(at[s:e, None] - bt[None, :]) <= tau)
+                       & (au[s:e, None] != bu[None, :])
+                       & (ai[s:e, None] < bi[None, :]))
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    ua = au[s:e][ii]
+                    ub = bu[jj]
+                    pa_l.append(np.minimum(ua, ub))
+                    pb_l.append(np.maximum(ua, ub))
+        if not pa_l:
+            return empty
+        ua = np.concatenate(pa_l)
+        ub = np.concatenate(pb_l)
+        packed, cnt = np.unique(ua << np.int64(32) | ub,
+                                return_counts=True)
+        return pd.DataFrame({"user_a": packed >> np.int64(32),
+                             "user_b": packed & np.int64(0xFFFFFFFF),
+                             "n": cnt.astype(np.int64)})
+
+    out = (events.map_batches(emit, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(pair_partials,
+                                         batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "user_a" not in out.columns:
+        return out_schema.empty_table()
+    out = (out.groupby(["user_a", "user_b"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_contacts"})
+           .sort_values(["user_a", "user_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=out_schema)

@@ -361,6 +361,8 @@ SQL_NAMES = [
     "convex_hull",
     # round 4 wave 21: rotating-calipers minimum OBB
     "min_obb",
+    # round 4 wave 22: spatiotemporal co-location join
+    "colocation",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -147,3 +147,43 @@ def test_ripley_k_matches_brute(ray_session):
         assert got["khat"].iloc[k] == (2 * p * 10_000_000_000) // (n * (n - 1))
     # the blobs make the pattern strongly clustered vs CSR at r=5000
     assert got["khat"].iloc[0] > 5 * 3.14159 * 5_000 ** 2
+
+
+def test_colocation_matches_brute(ray_session):
+    """Contact pairs vs a literal per-event-pair brute force using the
+    same id-derived geometry; layout invariance; no same-user pairs."""
+    import ray.data as rd
+
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    rng = np.random.default_rng(17)
+    n = 1200
+    eid = rng.choice(80_000, n, replace=False).astype(np.int64)
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 50 * 3_600_000_000, n)
+    t = pa.table({"user_id": pa.array(uid), "event_id": pa.array(eid),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    radius, tau = 20_000.0, 21_600_000_000
+    got = dwithin.colocation(rd.from_arrow(t).repartition(4),
+                             radius=radius, tau_us=tau,
+                             world=WORLD_2D).to_pandas()
+
+    wx, wy, _ = WORLD_2D.size
+    x = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    from collections import Counter
+    want = Counter()
+    for i in range(n):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        ok = ((d2 <= radius * radius) & (np.abs(ts - ts[i]) <= tau)
+              & (uid != uid[i]) & (eid[i] < eid))
+        for j in np.flatnonzero(ok):
+            want[(min(uid[i], uid[j]), max(uid[i], uid[j]))] += 1
+    got_c = {(a, b): c for a, b, c in
+             zip(got["user_a"], got["user_b"], got["n_contacts"])}
+    assert got_c == dict(want)
+    assert (got["user_a"] < got["user_b"]).all()
+    again = dwithin.colocation(rd.from_arrow(t), radius=radius,
+                               tau_us=tau, world=WORLD_2D).to_pandas()
+    assert got.equals(again)
