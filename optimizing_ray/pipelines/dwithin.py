@@ -430,28 +430,38 @@ def colocation(events: rd.Dataset, *, radius: float = 20_000.0,
             a = cg[side == 1]
             if not len(b) or not len(a):
                 continue
-            bx = b["_x"].to_numpy(np.float64)
-            by = b["_y"].to_numpy(np.float64)
-            bi = b["_eid"].to_numpy(np.int64)
-            bu = b["_u"].to_numpy(np.int64)
-            bt = b["_ts"].to_numpy(np.int64)
+            # side-0 sorted by ts: the tau window prunes ~span/2tau of
+            # all candidates BEFORE any distance math (run-pair gather)
+            o = np.argsort(b["_ts"].to_numpy(np.int64), kind="stable")
+            bx = b["_x"].to_numpy(np.float64)[o]
+            by = b["_y"].to_numpy(np.float64)[o]
+            bi = b["_eid"].to_numpy(np.int64)[o]
+            bu = b["_u"].to_numpy(np.int64)[o]
+            bt = b["_ts"].to_numpy(np.int64)[o]
             ax = a["_x"].to_numpy(np.float64)
             ay = a["_y"].to_numpy(np.float64)
             ai = a["_eid"].to_numpy(np.int64)
             au = a["_u"].to_numpy(np.int64)
             at = a["_ts"].to_numpy(np.int64)
-            for s in range(0, len(ax), 512):
-                e = min(len(ax), s + 512)
-                dx = ax[s:e, None] - bx[None, :]
-                dy = ay[s:e, None] - by[None, :]
+            for s in range(0, len(ax), 4096):
+                e = min(len(ax), s + 4096)
+                lo = np.searchsorted(bt, at[s:e] - tau, side="left")
+                hi = np.searchsorted(bt, at[s:e] + tau, side="right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                li = np.repeat(np.arange(e - s), cnt)
+                cum = np.r_[0, np.cumsum(cnt)]
+                rj = np.arange(tot, dtype=np.int64) - cum[li] + lo[li]
+                dx = ax[s:e][li] - bx[rj]
+                dy = ay[s:e][li] - by[rj]
                 hit = ((dx * dx + dy * dy <= r2)
-                       & (np.abs(at[s:e, None] - bt[None, :]) <= tau)
-                       & (au[s:e, None] != bu[None, :])
-                       & (ai[s:e, None] < bi[None, :]))
-                ii, jj = np.nonzero(hit)
-                if len(ii):
-                    ua = au[s:e][ii]
-                    ub = bu[jj]
+                       & (au[s:e][li] != bu[rj])
+                       & (ai[s:e][li] < bi[rj]))
+                if hit.any():
+                    ua = au[s:e][li[hit]]
+                    ub = bu[rj[hit]]
                     pa_l.append(np.minimum(ua, ub))
                     pb_l.append(np.maximum(ua, ub))
         if not pa_l:
