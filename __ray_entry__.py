@@ -1516,6 +1516,18 @@ def _q_colocation(sf_dir: str):
     return dwithin.colocation(ev, world=WORLD_2D)
 
 
+def _q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbour index over the deterministic
+    doc sample: exact-integer milli nn distances from the SQL-green
+    knn_join, order-exact sum, fixed float chains for the ratio."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+
+    return dwithin.clark_evans(_docs(sf_dir), world=WORLD_2D,
+                               depth=DEPTH,
+                               nrows=_tbl_rows(sf_dir, "documents"))
+
+
 def _q_viewshed(sf_dir: str):
     """Viewshed from the densest cell over 24-bit splitmix terrain:
     exact integer sight-line sampling (round-half-up in floor division)
@@ -3109,6 +3121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 22: spatiotemporal co-location join — born past-cap,
         # contract-pytest-oracled
         "colocation": _q_colocation,
+        # wave 23: Clark-Evans nearest-neighbour index — born past-cap,
+        # contract-pytest-oracled
+        "clark_evans": _q_clark_evans,
 
         "embedding_knn_graph": _q_embedding_knn_graph,
         "user_tile_visits": _q_user_tile_visits,
@@ -3359,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": oracle.convex_hull_sql(),
         "min_obb": oracle.min_obb_sql(),
         "colocation": oracle.colocation_sql(),
+        "clark_evans": oracle.clark_evans_sql(),
         "image_dhash": oracle.image_dhash_sql(),
         "audio_fingerprint": oracle.audio_fingerprint_sql(),
         "trajectory_stats": oracle.trajectory_stats_sql(),

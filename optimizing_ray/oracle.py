@@ -5665,3 +5665,36 @@ SELECT ua AS user_a, ub AS user_b,
        CAST(count(*) AS BIGINT) AS n_contacts
 FROM pr GROUP BY ua, ub ORDER BY ua, ub
 """
+
+
+def clark_evans_sql(sample_mod: int = 8, world: World = DRIVER_WORLD,
+                    table: str = "documents") -> str:
+    """dwithin.clark_evans twin: brute per-point MIN d2 over the
+    deterministic sample self-join, integer milli nn distances
+    (IEEE sqrt is correctly rounded), one exact floor division for
+    r_obs_6, the same fixed float chains for r_exp_6 / ce_6."""
+    wx, wy, _ = world.size
+    area = int(round(wx)) * int(round(wy))
+    return f"""
+WITH {geo_cte(table, world)},
+samp AS (SELECT doc_id, x, y FROM geo WHERE doc_id % {sample_mod} = 0),
+nn AS (SELECT a.doc_id,
+              MIN((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)) AS d2
+       FROM samp a JOIN samp b ON b.doc_id != a.doc_id
+       GROUP BY a.doc_id),
+mil AS (SELECT CAST(floor(sqrt(d2) * 1000 + 0.5) AS BIGINT) AS m
+        FROM nn),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(COALESCE(SUM(m), 0) AS BIGINT) AS sm FROM mil),
+rr AS (SELECT n, sm, (sm * 1000) // n AS r_obs_6,
+              CAST(floor(0.5 * sqrt(CAST({area} AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                   AS BIGINT) AS r_exp_6
+       FROM ag WHERE n > 0)
+SELECT n AS n_points, sm AS sum_nn_milli,
+       CAST(r_obs_6 AS BIGINT) AS r_obs_6, r_exp_6,
+       CAST(floor(CAST(r_obs_6 AS DOUBLE) / CAST(r_exp_6 AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS ce_6
+FROM rr
+"""

@@ -36,7 +36,7 @@ from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.pipelines import shard_join
 from optimizing_ray.pipelines.box_join import _ranges_to_rows
 
-__all__ = ["dwithin_join", "spatial_clusters", "ripley_k", "colocation"]
+__all__ = ["dwithin_join", "spatial_clusters", "ripley_k", "colocation", "clark_evans"]
 
 
 def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
@@ -486,3 +486,83 @@ def colocation(events: rd.Dataset, *, radius: float = 20_000.0,
            .sort_values(["user_a", "user_b"]).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)
+
+
+def clark_evans(docs: rd.Dataset, *, world: World, depth: int,
+                sample_mod: int = 8, id_col: str = "doc_id",
+                nrows: int | None = None) -> pa.Table:
+    """Clark-Evans nearest-neighbour index — the other classic
+    clustering-vs-CSR test beside ``ripley_k``: R = r_obs / r_exp with
+    r_obs the mean nearest-neighbour distance and r_exp = 0.5*sqrt(A/n)
+    its CSR expectation; R < 1 means clustering.  Runs over the
+    deterministic sample ``id % sample_mod == 0`` (bounds the SQL
+    oracle's brute self-join; the statistic is of the sampled pattern).
+
+    Exactness: per-point nn distance comes from the SQL-green
+    ``knn.knn_join`` (k=1, exclude_self, exact ring-escalation
+    semantics); each is floored to integer MILLI-units (sqrt is
+    IEEE-correctly-rounded, so floor(dist*1e3 + 0.5) is deterministic),
+    making the sum ORDER-EXACT across parallel batches (the idw_grid
+    fixed-point pattern); r_obs_6 is ONE exact integer floor division,
+    r_exp_6 / ce_6 the fixed float chains.  Output ONE row
+    (n_points, sum_nn_milli, r_obs_6, r_exp_6, ce_6).
+
+    Plan: sample filter inside one map_batches (survivors rebundled),
+    the knn_join rounds, then bounded per-batch integer partials.
+    SQL twin ``oracle.clark_evans_sql`` (brute per-point min)."""
+    import math
+
+    from optimizing_ray.pipelines import knn
+
+    wx, wy, _ = world.size
+
+    def samp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % sample_mod == 0
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "x": pa.array(t["x"].to_numpy(
+                             zero_copy_only=False)[keep]),
+                         "y": pa.array(t["y"].to_numpy(
+                             zero_copy_only=False)[keep])})
+
+    side = (docs.map_batches(samp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(lambda t: t, batch_format="pyarrow",
+                         batch_size=65_536))   # rebundle survivors
+    hint = None if nrows is None else max(1, nrows // sample_mod)
+    nn = knn.knn_join(side, side, world=world, depth=depth, k=1,
+                      exclude_self=True, nrows=hint)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dist" not in t.column_names:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sm": pa.array([], pa.int64())})
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        m = np.floor(d * 1e3 + 0.5).astype(np.int64)
+        return pa.table({"n": pa.array([len(m)], pa.int64()),
+                         "sm": pa.array([int(m.sum())], pa.int64())})
+
+    agg = nn.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    schema = pa.schema([("n_points", pa.int64()),
+                        ("sum_nn_milli", pa.int64()),
+                        ("r_obs_6", pa.int64()), ("r_exp_6", pa.int64()),
+                        ("ce_6", pa.int64())])
+    n = int(agg["n"].sum()) if len(agg) else 0
+    if n == 0:
+        return schema.empty_table()
+    sm = int(agg["sm"].sum())
+    r_obs_6 = (sm * 1000) // n
+    area = int(round(wx)) * int(round(wy))
+    r_exp_6 = int(math.floor(
+        0.5 * math.sqrt(float(area) / float(n)) * 1e6 + 0.5))
+    ce_6 = int(math.floor(float(r_obs_6) / float(r_exp_6) * 1e6 + 0.5))
+    return pa.table({"n_points": pa.array([n], pa.int64()),
+                     "sum_nn_milli": pa.array([sm], pa.int64()),
+                     "r_obs_6": pa.array([r_obs_6], pa.int64()),
+                     "r_exp_6": pa.array([r_exp_6], pa.int64()),
+                     "ce_6": pa.array([ce_6], pa.int64())}, schema=schema)

@@ -363,6 +363,8 @@ SQL_NAMES = [
     "min_obb",
     # round 4 wave 22: spatiotemporal co-location join
     "colocation",
+    # round 4 wave 23: Clark-Evans nearest-neighbour index
+    "clark_evans",
 ]
 ROWS_ONLY_NAMES = [
     # trace_bounces: stochastic recursion, scalar-oracle-pinned in

@@ -187,3 +187,50 @@ def test_colocation_matches_brute(ray_session):
     again = dwithin.colocation(rd.from_arrow(t), radius=radius,
                                tau_us=tau, world=WORLD_2D).to_pandas()
     assert got.equals(again)
+
+
+def test_clark_evans_matches_brute(ray_session):
+    """CE replayed against a literal per-point nearest-neighbour brute
+    on a planted two-blob pattern (clustered => ce_6 well below 1e6);
+    layout invariance."""
+    import math
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    nb = 320
+    ids = np.arange(0, 8 * nb, 1, dtype=np.int64)
+    x = np.where(ids % 2 == 0,
+                 rng.normal(20_000, 800, len(ids)),
+                 rng.normal(80_000, 800, len(ids)))
+    y = np.where(ids % 2 == 0,
+                 rng.normal(30_000, 800, len(ids)),
+                 rng.normal(70_000, 800, len(ids)))
+    x = np.clip(x, 0, 99_999.0)
+    y = np.clip(y, 0, 99_999.0)
+    t = pa.table({"doc_id": pa.array(ids), "x": pa.array(x),
+                  "y": pa.array(y)})
+    got = dwithin.clark_evans(rd.from_arrow(t).repartition(3),
+                              world=WORLD_2D, depth=4,
+                              nrows=len(ids)).to_pandas()
+
+    keep = ids % 8 == 0
+    sx, sy = x[keep], y[keep]
+    n = int(keep.sum())
+    sm = 0
+    for i in range(n):
+        d2 = (sx - sx[i]) ** 2 + (sy - sy[i]) ** 2
+        d2[i] = np.inf
+        sm += int(math.floor(math.sqrt(float(d2.min())) * 1e3 + 0.5))
+    area = 100_000 * 100_000
+    r_obs_6 = (sm * 1000) // n
+    r_exp_6 = int(math.floor(0.5 * math.sqrt(float(area) / float(n))
+                             * 1e6 + 0.5))
+    ce_6 = int(math.floor(float(r_obs_6) / float(r_exp_6) * 1e6 + 0.5))
+    assert got.to_dict("records") == [{
+        "n_points": n, "sum_nn_milli": sm, "r_obs_6": r_obs_6,
+        "r_exp_6": r_exp_6, "ce_6": ce_6}]
+    assert ce_6 < 700_000          # planted clustering
+    again = dwithin.clark_evans(rd.from_arrow(t), world=WORLD_2D,
+                                depth=4, nrows=len(ids)).to_pandas()
+    assert got.equals(again)
