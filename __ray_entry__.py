@@ -1764,8 +1764,10 @@ def _q_ranked_search(sf_dir: str):
 
 def _q_bm25_search(sf_dir: str):
     """Full BM25 (k1=6/5, b=3/4 cleared to exact integers) over the
-    posting store: pruned part reads, broadcast doc-length table, ONE
-    hash(doc) exchange with per-shard top-k."""
+    posting store: pruned part reads, per-doc lengths read from the
+    store's dl doc-values column (written at build time — no corpus
+    pass, no broadcast at query time), ONE hash(doc) exchange with
+    per-shard top-k."""
     import re
     import shutil
 
@@ -1778,8 +1780,7 @@ def _q_bm25_search(sf_dir: str):
     docs = driver_tables.read(sf_dir, "documents",
                               columns=["doc_id", "text"])
     search.build_inverted_index(docs, store)
-    return search.bm25_search(store, RANKED_QUERIES, docs,
-                              n_docs=_tbl_rows(sf_dir, "documents"), k=10)
+    return search.bm25_search(store, RANKED_QUERIES, k=10)
 
 
 def _q_pagerank(sf_dir: str):

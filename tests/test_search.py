@@ -201,13 +201,30 @@ def test_bm25_matches_float_reference(ray_session, tmp_path):
         "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
         "text": pa.array([t for _, t in DOCS], pa.string()),
     })).repartition(3)
-    search.build_inverted_index(docs, d, n_parts=16)
+    info = search.build_inverted_index(docs, d, n_parts=16)
     queries = [["quick", "dog"], ["fox"]]
-    got = search.bm25_search(d, queries, docs, n_docs=len(DOCS), k=8,
-                             n_parts=16)
+    got = search.bm25_search(d, queries, k=8, n_parts=16)
     got = got.to_pandas()
 
     dl = {i: len(t.split(" ")) for i, t in DOCS}
+    # the store itself carries everything BM25 needs: corpus scalars in
+    # _meta.json and per-doc lengths denormalized onto the posting rows
+    # (no corpus pass / broadcast at query time — round-4 verdict fix)
+    assert info["n_docs"] == len(DOCS)
+    assert info["total_tokens"] == sum(dl.values())
+    assert info["dl_max"] == max(dl.values())
+    import json
+    import pyarrow.parquet as pq
+    meta = json.load(open(os.path.join(d, "_meta.json")))
+    assert (meta["n_docs"], meta["total_tokens"], meta["dl_max"]) == (
+        len(DOCS), sum(dl.values()), max(dl.values()))
+    for f in os.listdir(d):
+        if f.startswith("part=") and f.endswith(".parquet"):
+            part = pq.read_table(os.path.join(d, f))
+            assert "dl" in part.column_names
+            docs_np = part["doc"].to_numpy()
+            dls = part["dl"].to_numpy()
+            assert all(dls[j] == dl[docs_np[j]] for j in range(len(dls)))
     T = sum(dl.values())
     N = len(DOCS)
     tf = {i: collections.Counter(t.split(" ")) for i, t in DOCS}
