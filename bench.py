@@ -304,7 +304,11 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
     sf_queries = ({} if os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
-                  else entrymod.queries())
+                  else {**entrymod.queries(),
+                        # the 11 round-5-retired twins stay in the perf
+                        # sweep (library ops; keeps BENCH_r05 comparable
+                        # to BENCH_r04 query-for-query)
+                        **entrymod.retired_queries()})
     for name, q in sf_queries.items():
         def run_q(q=q):
             res = q(sf_dir)

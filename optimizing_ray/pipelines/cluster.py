@@ -58,6 +58,18 @@ def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
     return np.floor(_to_matrix(col) * float(scale)).astype(np.int64)
 
 
+def _packed_pair_keys(x: np.ndarray, y: np.ndarray, *, op: str) -> np.ndarray:
+    """64-bit pair key ``x << 32 | y``.  Guarded: ids outside
+    [0, 2^32) would silently collide / merge distinct pairs (round-4
+    ADVICE item) — raise instead of corrupting."""
+    for a in (x, y):
+        if len(a) and (int(a.min()) < 0 or int(a.max()) >> 32):
+            raise ValueError(
+                f"{op}: node ids must lie in [0, 2**32) for 64-bit "
+                "pair packing; remap ids (dense-rank) first")
+    return x << np.int64(32) | y
+
+
 def _assign_int(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(cluster, dist2) int64 per row: exact ||q||^2 - 2 qC^T + ||c||^2 in
     int64 matmul (d <= ~2^10 per element keeps every term far below 2^63).
@@ -516,10 +528,12 @@ def triangle_count(edges: rd.Dataset, *, src: str = "vec_id",
                                  "n_triangles": pd.Series([], dtype=np.int64)})
         e = g[g["_side"] == 0]
         w = g[g["_side"] == 1]
-        ekey = np.unique(e["_x"].to_numpy(np.int64) << np.int64(32)
-                         | e["_y"].to_numpy(np.int64))
-        wkey = (w["_x"].to_numpy(np.int64) << np.int64(32)
-                | w["_y"].to_numpy(np.int64))
+        ekey = np.unique(_packed_pair_keys(e["_x"].to_numpy(np.int64),
+                                           e["_y"].to_numpy(np.int64),
+                                           op="triangle_count"))
+        wkey = _packed_pair_keys(w["_x"].to_numpy(np.int64),
+                                 w["_y"].to_numpy(np.int64),
+                                 op="triangle_count")
         pos = np.searchsorted(ekey, wkey)
         hit = ((pos < len(ekey))
                & (ekey[np.minimum(pos, max(0, len(ekey) - 1))] == wkey)
@@ -1707,10 +1721,12 @@ def clustering_coeff(edges: rd.Dataset, *, src: str = "vec_id",
         deg = g[g["_side"] == 2]
         e = g[g["_side"] == 0]
         w = g[g["_side"] == 1]
-        ekey = np.unique(e["_x"].to_numpy(np.int64) << np.int64(32)
-                         | e["_y"].to_numpy(np.int64))
-        wkey = (w["_x"].to_numpy(np.int64) << np.int64(32)
-                | w["_y"].to_numpy(np.int64))
+        ekey = np.unique(_packed_pair_keys(e["_x"].to_numpy(np.int64),
+                                           e["_y"].to_numpy(np.int64),
+                                           op="clustering_coeff"))
+        wkey = _packed_pair_keys(w["_x"].to_numpy(np.int64),
+                                 w["_y"].to_numpy(np.int64),
+                                 op="clustering_coeff")
         if len(ekey) and len(wkey):
             pos = np.searchsorted(ekey, wkey)
             hit = ((pos < len(ekey))

@@ -233,7 +233,15 @@ def ripley_k(docs: rd.Dataset, radii: tuple[float, ...] = (5_000.0,
     n_shards = resolve_shards(n_shards)
     wx, wy, _ = world.size
     rmax = max(radii)
-    depth = max(1, int(np.floor(np.log2(min(wx, wy) / rmax))))
+    depth = int(np.floor(np.log2(min(wx, wy) / rmax)))
+    if depth < 1:
+        # the 9-cell Chebyshev disk only covers all pairs when cell
+        # width >= rmax at depth >= 1; clamping would silently
+        # undercount (round-4 ADVICE item)
+        raise ValueError(
+            f"ripley_k: max radius {rmax} too large for world "
+            f"{(wx, wy)} — the ring cover needs min(wx, wy) >= "
+            f"2 * rmax; shrink the radii or enlarge the world")
     nn = 1 << depth
     r2s = np.array([r * r for r in radii], dtype=np.float64)
 
@@ -360,7 +368,14 @@ def colocation(events: rd.Dataset, *, radius: float = 20_000.0,
 
     n_shards = resolve_shards(n_shards)
     wx, wy, _ = world.size
-    depth = max(1, int(np.floor(np.log2(min(wx, wy) / radius))))
+    depth = int(np.floor(np.log2(min(wx, wy) / radius)))
+    if depth < 1:
+        # same invariant as ripley_k: cell width >= radius or the
+        # 9-cell ring misses qualifying pairs (round-4 ADVICE item)
+        raise ValueError(
+            f"colocation: radius {radius} too large for world "
+            f"{(wx, wy)} — the ring cover needs min(wx, wy) >= "
+            f"2 * radius; shrink the radius or enlarge the world")
     nn = 1 << depth
     r2 = radius * radius
     tau = int(tau_us)
@@ -468,6 +483,13 @@ def colocation(events: rd.Dataset, *, radius: float = 20_000.0,
             return empty
         ua = np.concatenate(pa_l)
         ub = np.concatenate(pb_l)
+        # ua holds the pair minima and ub the maxima, so these two
+        # checks bound BOTH arrays; ids past u32 would silently merge
+        # distinct pairs (round-4 ADVICE item)
+        if int(ua.min()) < 0 or int(ub.max()) >> 32:
+            raise ValueError(
+                "colocation: user ids must lie in [0, 2**32) for "
+                "64-bit pair packing; remap ids (dense-rank) first")
         packed, cnt = np.unique(ua << np.int64(32) | ub,
                                 return_counts=True)
         return pd.DataFrame({"user_a": packed >> np.int64(32),

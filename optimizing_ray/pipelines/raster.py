@@ -510,7 +510,11 @@ def morans_i(docs: rd.Dataset, *, depth: int, world: World,
     HUGEINT).  The final ratio is THREE IEEE ops in a fixed order —
     (num/den) * N / W — micro-rounded to 1e-6, the idw_grid one-shared-
     division discipline.  Magnitude guard: |z| <= N * S, so depth 4-5
-    grids hold to corpus sizes ~2^31 / 4^depth; asserted below.
+    grids hold to corpus sizes ~2^31 / 4^depth; past the int64 fast
+    path the bounded driver arrays switch to exact Python-int dot
+    products, and if the exact num/den themselves exceed the int64
+    OUTPUT contract the call raises OverflowError with guidance
+    (rather than silently truncating).
 
     Plan: ONE streaming partial-count pass with a 4^depth-bounded
     driver merge (see ``_cell_partials``); the O(occupied) rook-pair
@@ -550,6 +554,12 @@ def morans_i(docs: rd.Dataset, *, depth: int, world: World,
         num += int(np.dot(z[m][hit], z_s[pos[hit]]))
         w_pairs += int(hit.sum())
     den = int(np.dot(z, z))
+    if abs(num) >= (1 << 63) or den >= (1 << 63):
+        raise OverflowError(
+            "morans_i: exact num/den exceed the int64 output contract "
+            f"at this corpus size (|num|={abs(num)}, den={den}); use a "
+            "shallower depth or pre-aggregate counts before the "
+            "statistic")
     if den == 0 or w_pairs == 0:
         mi6 = 0
     else:

@@ -479,9 +479,11 @@ def phrase_search(docs: rd.Dataset, phrases) -> pa.Table:
 
 def doc_lengths(docs: rd.Dataset, *, id_col: str = "doc_id",
                 text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
-    """(sorted doc ids, single-space token counts) for the corpus — the
-    BM25 length-normalization side table, one streaming pass; bounded
-    by corpus cardinality (the balance_deciles driver-collect class).
+    """(sorted doc ids, single-space token counts) for the corpus in
+    one streaming pass — a standalone library helper (NOTE: the driver
+    collect is corpus-cardinality-sized, so use it for eval-scale
+    corpora only).  ``bm25_search`` no longer calls this (round-5 fix):
+    doc lengths now ride the posting store's ``dl`` doc-values column.
     dl == len(string_split(text, ' ')), i.e. spaces + 1 (empty doc ->
     1), byte-lockstep with the store's tokenizer."""
     import pyarrow.compute as pc

@@ -370,13 +370,50 @@ def _dhash_batch(batch: pa.Table, fetch, gw: int = 9, gh: int = 8) -> pa.Table:
                                        .view(np.int64))})
 
 
-def image_dhash(docs: rd.Dataset, *, fetch=None,
-                gw: int = 9, gh: int = 8) -> rd.Dataset:
-    """Dataset wrapper for the per-span perceptual hash (fixture fetch
-    by default; a store client rides the ImageResizer actor seam)."""
-    f = fetch or fetch_fixture
-    return docs.map_batches(lambda t: _dhash_batch(t, f, gw, gh),
-                            batch_format="pyarrow", zero_copy_batch=True)
+class MediaDecodeActor:
+    """Shared actor seam for the decode-stage family (dhash / audio
+    fingerprint / audio resample) — the MediaFeaturizer discipline:
+    the store client is built ONCE per actor in ``__init__`` (pass a
+    zero-arg ``fetch_factory`` so every actor constructs its OWN
+    client — connections never serialize across processes), decode
+    runs per batch in ``__call__``.  ``op`` picks the batch kernel."""
+
+    _OPS = {"dhash": lambda fetch, args: (
+                lambda t: _dhash_batch(t, fetch, *args)),
+            "audio_fp": lambda fetch, args: (
+                lambda t: _audio_fp_batch(t, fetch)),
+            "audio_resample": lambda fetch, args: (
+                lambda t: _audio_resample_batch(t, fetch, *args))}
+
+    def __init__(self, op: str, fetch=None, fetch_factory=None, args=()):
+        f = fetch_factory() if fetch_factory is not None \
+            else (fetch or fetch_fixture)
+        self._fn = self._OPS[op](f, args)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._fn(batch)
+
+
+def image_dhash(docs: rd.Dataset, *, fetch=None, fetch_factory=None,
+                gw: int = 9, gh: int = 8, batch_size: int = 256,
+                concurrency: int | tuple[int, int] = (2, 8)) -> rd.Dataset:
+    """Per-span perceptual hash.  Fixture fetch (no per-worker state)
+    -> stateless tasks (the broadcast-stage discipline: autoscaling
+    pools never ramp inside sub-second stages).  A real store client
+    (``fetch`` callable or, better, zero-arg ``fetch_factory`` so each
+    actor builds its own connection) -> actor pool, client per actor
+    (round-5 verdict item)."""
+    if fetch is None and fetch_factory is None:
+        return docs.map_batches(lambda t: _dhash_batch(t, fetch_fixture,
+                                                       gw, gh),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(
+        MediaDecodeActor,
+        fn_constructor_kwargs=dict(op="dhash", fetch=fetch,
+                                   fetch_factory=fetch_factory,
+                                   args=(gw, gh)),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
 
 
 def _audio_fp_batch(batch: pa.Table, fetch) -> pa.Table:
@@ -422,11 +459,22 @@ def _audio_fp_batch(batch: pa.Table, fetch) -> pa.Table:
                                      .view(np.int64))})
 
 
-def audio_fingerprint(docs: rd.Dataset, *, fetch=None) -> rd.Dataset:
-    """Dataset wrapper for the per-span audio difference fingerprint."""
-    f = fetch or fetch_fixture
-    return docs.map_batches(lambda t: _audio_fp_batch(t, f),
-                            batch_format="pyarrow", zero_copy_batch=True)
+def audio_fingerprint(docs: rd.Dataset, *, fetch=None, fetch_factory=None,
+                      batch_size: int = 256,
+                      concurrency: int | tuple[int, int] = (2, 8)
+                      ) -> rd.Dataset:
+    """Per-span audio difference fingerprint — same plan split as
+    ``image_dhash``: stateless tasks on the fixture store, client-per-
+    actor pool when a real store client / factory is supplied."""
+    if fetch is None and fetch_factory is None:
+        return docs.map_batches(lambda t: _audio_fp_batch(t, fetch_fixture),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(
+        MediaDecodeActor,
+        fn_constructor_kwargs=dict(op="audio_fp", fetch=fetch,
+                                   fetch_factory=fetch_factory),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
 
 
 N_RESAMPLE = 48  # resample target length (64 -> 48, a 4:3 downsample)
@@ -488,8 +536,18 @@ def _audio_resample_batch(batch: pa.Table, fetch, m: int) -> pa.Table:
 
 
 def audio_resample(docs: rd.Dataset, *, m: int = N_RESAMPLE,
-                   fetch=None) -> rd.Dataset:
-    """Dataset wrapper for the per-span exact WAV resample."""
-    f = fetch or fetch_fixture
-    return docs.map_batches(lambda t: _audio_resample_batch(t, f, m),
-                            batch_format="pyarrow", zero_copy_batch=True)
+                   fetch=None, fetch_factory=None, batch_size: int = 256,
+                   concurrency: int | tuple[int, int] = (2, 8)) -> rd.Dataset:
+    """Per-span exact WAV resample — same plan split as ``image_dhash``:
+    stateless tasks on the fixture store, client-per-actor pool when a
+    real store client / factory is supplied."""
+    if fetch is None and fetch_factory is None:
+        return docs.map_batches(
+            lambda t: _audio_resample_batch(t, fetch_fixture, m),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(
+        MediaDecodeActor,
+        fn_constructor_kwargs=dict(op="audio_resample", fetch=fetch,
+                                   fetch_factory=fetch_factory, args=(m,)),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)

@@ -269,7 +269,8 @@ def test_embedding_knn_graph_ties_and_chunking(ray_session):
     vecs[61] = vecs[10]
     t = pa.table({"vec_id": pa.array(np.arange(90, dtype=np.int64)),
                   "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
-    out = (A.embedding_knn_graph(rd.from_arrow(t), k=4, corpus_chunk=17)
+    out = (A.embedding_knn_graph(rd.from_arrow(t), k=4, corpus_chunk=17,
+                                 nrows=90)
            .to_pandas().sort_values(["vec_id", "knn_rank"])
            .reset_index(drop=True))
     Q = np.floor(vecs.astype(np.float64) * 1024).astype(np.int64)
@@ -305,7 +306,7 @@ def test_embedding_knn_graph_ivf_full_probe_equals_brute(ray_session):
                   "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
     seeds = np.floor(vecs[:6].astype(np.float64) * 1024).astype(np.int64)
 
-    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=4)
+    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=4, nrows=150)
              .to_pandas().sort_values(["vec_id", "knn_rank"])
              .reset_index(drop=True))
     full = (A.embedding_knn_graph_ivf(rd.from_arrow(t), seeds, k=4,
@@ -327,6 +328,50 @@ def test_embedding_knn_graph_ivf_full_probe_equals_brute(ray_session):
     assert len(bset & oset) / len(bset) > 0.6
 
 
+def test_embedding_knn_graph_plan_gate(ray_session):
+    """The library entry nrows-gates its plan (round-5 verdict item):
+    a small nrows hint keeps the exact broadcast brute; above the
+    threshold — or with NO hint at all (conservative "large") — the
+    call falls into the IVF sharded plan, which at full probe equals
+    the brute graph bit-for-bit and at partial probe still finds the
+    planted duplicates (shared-cell certainty)."""
+    import ray.data as rd
+    from optimizing_ray.pipelines import ann as A
+
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(scale=0.4, size=(100, 8)).astype(np.float32)
+    vecs[80] = vecs[5]  # planted exact duplicate
+    t = pa.table({"vec_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+
+    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=4, nrows=100)
+             .to_pandas().sort_values(["vec_id", "knn_rank"])
+             .reset_index(drop=True))
+    # nrows above the threshold -> IVF plan; full probe (n_probe >=
+    # n_seeds, auto-drawn seeds) must equal the brute graph exactly
+    gated = (A.embedding_knn_graph(rd.from_arrow(t), k=4,
+                                   nrows=1_000_000,
+                                   broadcast_threshold=200_000,
+                                   n_seeds=6, n_probe=100)
+             .to_pandas().sort_values(["vec_id", "knn_rank"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(gated, brute)
+    # no hint at all -> conservative "large" -> IVF partial probe:
+    # approximate, but the planted duplicate pair is certain
+    nohint = A.embedding_knn_graph(rd.from_arrow(t), k=4,
+                                   n_seeds=6).to_pandas()
+    assert ((nohint.vec_id == 80) & (nohint.neighbor_id == 5)
+            & (nohint.knn_rank == 1)).any()
+    assert ((nohint.vec_id == 5) & (nohint.neighbor_id == 80)
+            & (nohint.knn_rank == 1)).any()
+    # explicit plan pin overrides the hint
+    pinned = (A.embedding_knn_graph(rd.from_arrow(t), k=4,
+                                    nrows=1_000_000, plan="broadcast")
+              .to_pandas().sort_values(["vec_id", "knn_rank"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(pinned, brute)
+
+
 def test_ivf_recall_histogram(ray_session):
     """The recall histogram equals the driver-side intersection of the
     two (independently brute-verified) graphs; full probe puts every
@@ -343,7 +388,7 @@ def test_ivf_recall_histogram(ray_session):
 
     got = A.ivf_recall(rd.from_arrow(t), seeds, k=k,
                        n_probe=2).to_pandas()
-    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=k)
+    brute = (A.embedding_knn_graph(rd.from_arrow(t), k=k, nrows=120)
              .to_pandas())
     appr = (A.embedding_knn_graph_ivf(rd.from_arrow(t), seeds, k=k,
                                       n_probe=2).to_pandas())
@@ -475,3 +520,55 @@ def test_audio_resample_exact(ray_session):
             i1 = min(i0 + 1, N - 1)
             want = int(x[i0]) + ((int(x[i1]) - int(x[i0])) * r) // den
             assert vals[j] == want, (d, o, j)
+
+
+def test_media_decode_actor_pool_one_client_per_actor(ray_session, tmp_path):
+    """Round-5 verdict item: the decode stages (dhash / audio fp /
+    audio resample) run behind client-per-actor pools when a store
+    client factory is supplied — each actor constructs exactly one
+    client, and results are unchanged vs the stateless fixture path."""
+    import ray.data as rd
+
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import media
+
+    class _CountingClientFactory:
+        """Fake store-client factory: records every construction in a
+        pid-tagged file so the test can prove ONE client per actor
+        process.  Defined in-function so cloudpickle ships it by VALUE
+        (workers cannot import the test module)."""
+
+        def __init__(self, log_dir):
+            self.log_dir = log_dir
+
+        def __call__(self):
+            import os
+
+            from optimizing_ray.stages.media import fetch_fixture
+            with open(os.path.join(self.log_dir,
+                                   f"{os.getpid()}.cnt"), "a") as f:
+                f.write("x")
+            return fetch_fixture
+
+    docs = (rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64))}))
+        .map_batches(driver_tables.derive_spans_batch,
+                     batch_format="pyarrow", zero_copy_batch=True))
+
+    for name, op in (("dhash", media.image_dhash),
+                     ("afp", media.audio_fingerprint),
+                     ("ares", media.audio_resample)):
+        log_dir = tmp_path / name
+        log_dir.mkdir()
+        base = op(docs).to_pandas()
+        pooled = op(docs, fetch_factory=_CountingClientFactory(str(log_dir)),
+                    concurrency=2, batch_size=16).to_pandas()
+        sort_cols = [c for c in ("doc_id", "ord", "out_i")
+                     if c in base.columns]
+        pd.testing.assert_frame_equal(
+            base.sort_values(sort_cols).reset_index(drop=True),
+            pooled.sort_values(sort_cols).reset_index(drop=True))
+        logs = list(log_dir.iterdir())
+        assert len(logs) >= 1            # the pool actually ran actors
+        for p in logs:                   # ONE construction per process
+            assert p.read_text() == "x", (name, p)

@@ -234,3 +234,39 @@ def test_clark_evans_matches_brute(ray_session):
     again = dwithin.clark_evans(rd.from_arrow(t), world=WORLD_2D,
                                 depth=4, nrows=len(ids)).to_pandas()
     assert got.equals(again)
+
+
+def test_ring_cover_invariant_raises_instead_of_undercounting(ray_session):
+    """Round-4 ADVICE items: (1) a radius too large for the world must
+    raise (a clamped depth silently misses qualifying pairs); (2) ids
+    past u32 must raise at the pair-pack sites rather than merging
+    distinct pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.cluster import _packed_pair_keys
+    from optimizing_ray.pipelines.dwithin import colocation, ripley_k
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "x": pa.array([1.0, 2.0]), "y": pa.array([1.0, 2.0])})
+    wmin = min(WORLD_2D.size[:2])
+    with pytest.raises(ValueError, match="too large for world"):
+        ripley_k(rd.from_arrow(t), (wmin * 0.75,), world=WORLD_2D)
+    ev = pa.table({"event_id": pa.array([0, 1], pa.int64()),
+                   "user_id": pa.array([0, 1], pa.int64()),
+                   "ts": pa.array([0, 1], pa.int64())})
+    with pytest.raises(ValueError, match="too large for world"):
+        colocation(rd.from_arrow(ev), radius=wmin * 0.75, world=WORLD_2D)
+
+    with pytest.raises(ValueError, match="pair packing"):
+        _packed_pair_keys(np.array([1, 1 << 33], np.int64),
+                          np.array([2, 3], np.int64), op="triangle_count")
+    with pytest.raises(ValueError, match="pair packing"):
+        _packed_pair_keys(np.array([-1], np.int64),
+                          np.array([2], np.int64), op="clustering_coeff")
+    ok = _packed_pair_keys(np.array([1], np.int64),
+                           np.array([2], np.int64), op="x")
+    assert ok.tolist() == [(1 << 32) | 2]
