@@ -2244,6 +2244,45 @@ def _q_spatial_clusters(sf_dir: str):
         nrows=_tbl_rows(sf_dir, "documents"))
 
 
+DBSCAN_R = 2000.0   # shared with DWITHIN_R band; ~150 pairs at sf0.01
+DBSCAN_MINPTS = 3   # 130 core / 44 border / 326 noise at sf0.01
+
+
+def _q_dbscan(sf_dir: str):
+    """DBSCAN proper (minPts >= 2; spatial_clusters is the minPts=1
+    degenerate case) with deterministic semantics: core = >= minPts-1
+    neighbors in the band, clusters = CC of the core-core graph
+    (cluster_id = min core id), border joins the MIN cluster over its
+    core neighbors, noise = -1.  nrows-gated: driver union-find +
+    broadcast label map vs the sharded degree/flag/CC/border exchanges."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+
+    return dwithin.dbscan(
+        _docs(sf_dir), world=WORLD_2D, depth=DEPTH, radius=DBSCAN_R,
+        min_pts=DBSCAN_MINPTS, nrows=_tbl_rows(sf_dir, "documents"))
+
+
+# decayed_counts reference instant: 2024-01-31T00:00:00Z (just past the
+# driver event span), one-day half-life, 30-day saturation cap
+DECAY_REF_US = 1706659200000000
+DECAY_CAP_DAYS = 30
+
+
+def _q_decayed_counts(sf_dir: str):
+    """Per-user half-life-decayed count + cents at a fixed reference
+    instant — exact int64 (powers-of-two weights over the 2^cap common
+    denominator); per-batch lexsort+reduceat partials, ONE hash(key)
+    exchange."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["user_id", "ts", "value"])
+    return windows.decayed_counts(ev, ref_us=DECAY_REF_US,
+                                  cap_days=DECAY_CAP_DAYS)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -2942,6 +2981,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "douglas_peucker": _q_douglas_peucker,      # w5 stay_points (trajectory family)
         "trajectory_diameter": _q_trajectory_diameter,  # r4 trajectory_stats + w5 convex_hull
         "geofence_transitions": _q_geofence_transitions,  # w5 od_matrix (sorted-run transitions)
+        # NEW round 5 (born past-cap like the r4 waves; first-check
+        # window was already committed to the 50 promotions above):
+        # minPts>=2 DBSCAN — kernels driver-exercised by r4-green
+        # spatial_clusters (pair gen + CC tail) and w5 colocation
+        # (band-pair kernel); DuckDB gate in the contract pytest
+        "dbscan": _q_dbscan,
+        # NEW round 5: half-life decayed engagement aggregate —
+        # kernels driver-exercised by r4-green running_total (cents
+        # discipline + hash(key) exchange) and events_window
+        "decayed_counts": _q_decayed_counts,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3054,6 +3103,9 @@ def oracle_sql() -> dict[str, str]:
         "hex_counts": oracle.hex_counts_sql(HEX_SIZE),
         "dwithin_join": oracle.dwithin_join_sql(DWITHIN_R),
         "spatial_clusters": oracle.spatial_clusters_sql(DWITHIN_R),
+        "dbscan": oracle.dbscan_sql(DBSCAN_R, DBSCAN_MINPTS),
+        "decayed_counts": oracle.decayed_counts_sql(
+            DECAY_REF_US, DECAY_CAP_DAYS),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

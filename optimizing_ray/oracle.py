@@ -5698,3 +5698,73 @@ SELECT n AS n_points, sm AS sum_nn_milli,
                   * 1e6 + 0.5) AS BIGINT) AS ce_6
 FROM rr
 """
+
+
+def dbscan_sql(radius: float, min_pts: int = 3,
+               world: World = DRIVER_WORLD,
+               table: str = "documents") -> str:
+    """``dwithin.dbscan`` twin — DBSCAN proper with the deterministic
+    semantics the engine pins: core = >= min_pts - 1 neighbors within
+    radius (classic count includes the point itself); clusters =
+    recursive-CTE closure of the CORE-CORE band graph, cluster_id = min
+    core id; border = non-core joining the MIN cluster over its core
+    neighbors; noise = -1.  role 2/1/0."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""
+WITH RECURSIVE {geo_cte(table, world)},
+p0 AS (
+  SELECT a.doc_id AS ea, b.doc_id AS eb
+  FROM geo a, geo b
+  WHERE a.doc_id < b.doc_id AND {d2} <= {radius * radius!r}),
+nbr AS (SELECT ea AS id, eb AS nb FROM p0
+        UNION ALL SELECT eb, ea FROM p0),
+core AS (SELECT id FROM nbr GROUP BY id
+         HAVING COUNT(*) >= {min_pts - 1}),
+cp AS (SELECT ea, eb FROM p0
+       WHERE ea IN (SELECT id FROM core)
+         AND eb IN (SELECT id FROM core)),
+cpairs AS (SELECT ea, eb FROM cp UNION ALL SELECT eb, ea FROM cp),
+reach(src, dst) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, p.eb FROM reach r JOIN cpairs p ON p.ea = r.dst
+),
+clab AS (SELECT src AS id, MIN(dst) AS cl FROM reach GROUP BY src),
+border AS (
+  SELECT n.id AS id, MIN(c.cl) AS cl
+  FROM nbr n JOIN clab c ON n.nb = c.id
+  WHERE n.id NOT IN (SELECT id FROM core)
+  GROUP BY n.id)
+SELECT g.doc_id,
+       CAST(CASE WHEN cl2.cl IS NOT NULL THEN 2
+                 WHEN bo.cl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS role,
+       CAST(COALESCE(cl2.cl, bo.cl, -1) AS BIGINT) AS cluster_id
+FROM geo g
+LEFT JOIN clab cl2 ON cl2.id = g.doc_id
+LEFT JOIN border bo ON bo.id = g.doc_id
+"""
+
+
+def decayed_counts_sql(ref_us: int, cap_days: int = 30,
+                       table: str = "events") -> str:
+    """``windows.decayed_counts`` twin: per-key half-life-decayed count
+    and cents at the fixed reference instant, exact int64 (weights are
+    powers of two over the 2^cap common denominator; DuckDB sums in
+    HUGEINT — CAST back)."""
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         LEAST((({ref_us} - epoch_us(ts)) // 86400000000),
+               {cap_days}) AS age,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM {table}
+  WHERE epoch_us(ts) <= {ref_us})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(1 AS BIGINT) << ({cap_days} - age)) AS BIGINT)
+         AS decayed_n,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << ({cap_days} - age)))
+            AS BIGINT) AS decayed_cents
+FROM e GROUP BY user_id
+"""

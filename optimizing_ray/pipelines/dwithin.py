@@ -210,6 +210,334 @@ def spatial_clusters(docs: rd.Dataset, *, world: World, depth: int,
                         broadcast_threshold=broadcast_threshold)
 
 
+def dbscan(docs: rd.Dataset, *, world: World, depth: int, radius: float,
+           min_pts: int = 3, id_col: str = "doc_id",
+           nrows: int | None = None, n_shards: int | None = None,
+           broadcast_threshold: int = 200_000) -> rd.Dataset:
+    """DBSCAN proper (Ester et al. 1996) — the minPts >= 2 companion of
+    ``spatial_clusters`` (which is the minPts=1 degenerate case), with
+    DETERMINISTIC semantics so both engines agree exactly:
+
+    * core: at least ``min_pts`` points within ``radius`` INCLUDING the
+      point itself (the classic counting convention), i.e. >= min_pts-1
+      neighbors;
+    * clusters: connected components of the core-core distance-band
+      graph; cluster_id = the component's minimum core id;
+    * border: non-core with >= 1 core neighbor — joins the MINIMUM
+      cluster_id over its core neighbors (the classic algorithm is
+      scan-order-dependent here; the min rule makes the result a pure
+      function of the data);
+    * noise: everything else, cluster_id = -1.
+
+    Output (id_col, role, cluster_id), role 2=core / 1=border / 0=noise.
+
+    Plan gate (the dedup discipline).  Below the threshold the pair set
+    is bounded BY PLAN CHOICE: pairs collect driver-side, degrees /
+    union-find / border-min run in numpy, and the (id -> role, cluster)
+    map ships once via ``ray.put`` — one labeling map leg, zero
+    shuffles.  At scale: ONE hash(endpoint) exchange counts degrees
+    into the core set, two ``hash_shard_join`` legs flag both pair
+    endpoints, ``cluster_reps`` labels the core graph (pointer-halving
+    CC), one hash(core) join attaches labels to one-core pairs, one
+    hash(noncore) exchange takes the border min, and one final side-tag
+    hash(id) exchange resolves roles — every exchange slim (ids +
+    labels), the corpus never collected.
+    SQL twin ``oracle.dbscan_sql`` (recursive-CTE closure over the
+    core graph)."""
+    from optimizing_ray.pipelines import shard_join
+    from optimizing_ray.pipelines.dedup import (cluster_reps,
+                                                connected_components)
+
+    n_shards = resolve_shards(n_shards)
+    pairs = dwithin_join(docs, docs, world=world, depth=depth,
+                         radius=radius, id_col=id_col, nrows=nrows,
+                         n_shards=n_shards,
+                         broadcast_threshold=broadcast_threshold)
+    out_schema = pa.schema([(id_col, pa.int64()), ("role", pa.int64()),
+                            ("cluster_id", pa.int64())])
+    need = min_pts - 1
+
+    if nrows is not None and 0 <= nrows <= broadcast_threshold:
+        from optimizing_ray.broadcast import cached
+
+        ptabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if ptabs:
+            pt = pa.concat_tables(ptabs)
+            pa_ = pt["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pb_ = pt["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            pa_ = pb_ = np.empty(0, np.int64)
+        ends = np.concatenate([pa_, pb_])
+        uid, deg = np.unique(ends, return_counts=True)
+        core_ids = uid[deg >= need]
+        a_core = np.isin(pa_, core_ids)
+        b_core = np.isin(pb_, core_ids)
+        cc_mask = a_core & b_core
+        rep = connected_components(
+            pd.DataFrame({"doc_a": pa_[cc_mask], "doc_b": pb_[cc_mask]}),
+            a="doc_a", b="doc_b")
+        core_sorted = np.sort(core_ids)
+        core_lab = np.array([rep.get(int(i), int(i)) for i in core_sorted],
+                            dtype=np.int64)
+        # border: one-core pairs contribute (noncore, core's label)
+        nb = np.concatenate([pb_[a_core & ~b_core], pa_[~a_core & b_core]])
+        ncore = np.concatenate([pa_[a_core & ~b_core],
+                                pb_[~a_core & b_core]])
+        if len(nb):
+            pos = np.searchsorted(core_sorted, ncore)
+            labs = core_lab[pos]
+            order = np.lexsort((labs, nb))
+            nb_s, lab_s = nb[order], labs[order]
+            starts = np.flatnonzero(np.r_[True, nb_s[1:] != nb_s[:-1]])
+            border_ids = nb_s[starts]
+            border_lab = lab_s[starts]  # min label = first in lexsort
+        else:
+            border_ids = np.empty(0, np.int64)
+            border_lab = np.empty(0, np.int64)
+        state_ref = ray.put((core_sorted, core_lab, border_ids, border_lab))
+
+        def label_batch(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or id_col not in t.column_names:
+                return out_schema.empty_table()
+            cs, cl, bi, bl = cached(("dbscan_lab", state_ref.hex()),
+                                    lambda: ray.get(state_ref))
+            did = (t[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            role = np.zeros(len(did), np.int64)
+            clu = np.full(len(did), -1, np.int64)
+            if len(cs):
+                pos = np.clip(np.searchsorted(cs, did), 0, len(cs) - 1)
+                hit = cs[pos] == did
+                role[hit] = 2
+                clu[hit] = cl[pos[hit]]
+            if len(bi):
+                pos = np.clip(np.searchsorted(bi, did), 0, len(bi) - 1)
+                hit = (bi[pos] == did) & (role == 0)
+                role[hit] = 1
+                clu[hit] = bl[pos[hit]]
+            return pa.table({id_col: pa.array(did),
+                             "role": pa.array(role),
+                             "cluster_id": pa.array(clu)})
+
+        return docs.map_batches(label_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # ---- sharded at-scale plan ----
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def _shard_of(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * gold) >> np.uint64(33)
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    def emit_ends(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return empty
+        ids = np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.table({"id": pa.array(ids),
+                         "_shard": pa.array(_shard_of(ids))})
+
+    def core_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype=np.int64),
+                                 "is_core": pd.Series([], dtype=np.int64)})
+        ids = g["id"].to_numpy(np.int64)
+        uid, deg = np.unique(ids, return_counts=True)
+        keep = deg >= need
+        return pd.DataFrame({"cid": uid[keep],
+                             "is_core": np.ones(int(keep.sum()), np.int64)})
+
+    pairs_m = pairs.materialize()
+    core = (pairs_m.map_batches(emit_ends, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_shard").map_groups(core_of_shard,
+                                          batch_format="pandas"))
+    core_m = core.materialize()
+    pschema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cschema = pa.schema([("cid", pa.int64()), ("is_core", pa.int64())])
+    slim_pairs = pairs_m.map_batches(
+        lambda t: (pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"]})
+                   if t.num_rows and "doc_a" in t.column_names
+                   else pschema.empty_table()),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # flag both endpoints (left joins; missing flag -> non-core)
+    fa = shard_join.hash_shard_join(
+        slim_pairs.map_batches(lambda t: t.rename_columns(
+            ["cid", "doc_b"]) if t.num_rows else pa.schema(
+            [("cid", pa.int64()), ("doc_b", pa.int64())]).empty_table(),
+            batch_format="pyarrow", zero_copy_batch=True),
+        core_m, on="cid", how="left", n_shards=n_shards,
+        lschema=pa.schema([("cid", pa.int64()), ("doc_b", pa.int64())]),
+        rschema=cschema)
+
+    def retag_a(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cid" not in df.columns:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "cid": pd.Series([], dtype=np.int64),
+                                 "a_core": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_a": df["cid"].to_numpy(np.int64),
+            "cid": df["doc_b"].to_numpy(np.int64),
+            "a_core": np.where(pd.isna(df["is_core"].to_numpy()), 0, 1)
+            .astype(np.int64)})
+
+    fb = shard_join.hash_shard_join(
+        fa.map_batches(retag_a, batch_format="pandas"),
+        core_m, on="cid", how="left", n_shards=n_shards,
+        lschema=pa.schema([("doc_a", pa.int64()), ("cid", pa.int64()),
+                           ("a_core", pa.int64())]),
+        rschema=cschema)
+
+    def flagged(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_a" not in df.columns:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "a_core": pd.Series([], dtype=np.int64),
+                                 "b_core": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].to_numpy(np.int64),
+            "doc_b": df["cid"].to_numpy(np.int64),
+            "a_core": df["a_core"].to_numpy(np.int64),
+            "b_core": np.where(pd.isna(df["is_core"].to_numpy()), 0, 1)
+            .astype(np.int64)})
+
+    fp = fb.map_batches(flagged, batch_format="pandas").materialize()
+    core_pairs = fp.map_batches(
+        lambda t: (t.filter(pa.compute.and_(
+            pa.compute.equal(t["a_core"], 1),
+            pa.compute.equal(t["b_core"], 1))).select(["doc_a", "doc_b"])
+            if t.num_rows and "doc_a" in t.column_names
+            else pschema.empty_table()),
+        batch_format="pyarrow", zero_copy_batch=True)
+    core_items = core_m.map_batches(
+        lambda t: (pa.table({id_col: t["cid"]})
+                   if t.num_rows and "cid" in t.column_names
+                   else pa.table({id_col: pa.array([], pa.int64())})),
+        batch_format="pyarrow", zero_copy_batch=True)
+    core_labels = cluster_reps(core_items, core_pairs, id_col=id_col,
+                               rep_col="cluster_id", nrows=None,
+                               n_shards=n_shards).materialize()
+
+    # border candidates: one-core pairs -> (noncore, core); attach the
+    # core's label (hash(core) join), then min per noncore
+    def one_core(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cid": pa.array([], pa.int64()),
+                          "ncid": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return empty
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ac = t["a_core"].to_numpy(zero_copy_only=False) == 1
+        bc = t["b_core"].to_numpy(zero_copy_only=False) == 1
+        core_side = np.concatenate([a[ac & ~bc], b[bc & ~ac]])
+        non_side = np.concatenate([b[ac & ~bc], a[bc & ~ac]])
+        return pa.table({"cid": pa.array(core_side.astype(np.int64)),
+                         "ncid": pa.array(non_side.astype(np.int64))})
+
+    lab_keyed = core_labels.map_batches(
+        lambda t: (pa.table({"cid": t[id_col],
+                             "cluster_id": t["cluster_id"]})
+                   if t.num_rows and id_col in t.column_names
+                   else pa.table({"cid": pa.array([], pa.int64()),
+                                  "cluster_id": pa.array([], pa.int64())})),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bj = shard_join.hash_shard_join(
+        fp.map_batches(one_core, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        lab_keyed, on="cid", how="inner", n_shards=n_shards,
+        lschema=pa.schema([("cid", pa.int64()), ("ncid", pa.int64())]),
+        rschema=pa.schema([("cid", pa.int64()),
+                           ("cluster_id", pa.int64())]))
+
+    def border_emit(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ncid" not in df.columns:
+            return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                 "lab": pd.Series([], dtype=np.int64),
+                                 "_shard": pd.Series([], dtype=np.int64)})
+        ids = df["ncid"].to_numpy(np.int64)
+        return pd.DataFrame({"id": ids,
+                             "lab": df["cluster_id"].to_numpy(np.int64),
+                             "_shard": _shard_of(ids)})
+
+    def border_min(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                 "lab": pd.Series([], dtype=np.int64)})
+        return (g.groupby("id", as_index=False)["lab"].min())
+
+    border = (bj.map_batches(border_emit, batch_format="pandas")
+              .groupby("_shard").map_groups(border_min,
+                                            batch_format="pandas"))
+
+    # final resolve: docs (side 0) + core labels (side 2) + border
+    # labels (side 1) on ONE hash(id) exchange
+    def tag(side: int, idc: str, labc: str | None):
+        def f(t: pa.Table) -> pa.Table:
+            empty = pa.table({"id": pa.array([], pa.int64()),
+                              "lab": pa.array([], pa.int64()),
+                              "side": pa.array([], pa.int64()),
+                              "_shard2": pa.array([], pa.int64())})
+            if t.num_rows == 0 or idc not in t.column_names:
+                return empty
+            ids = (t[idc].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            lab = (t[labc].to_numpy(zero_copy_only=False).astype(np.int64)
+                   if labc else np.full(len(ids), -1, np.int64))
+            return pa.table({"id": pa.array(ids), "lab": pa.array(lab),
+                             "side": pa.array(np.full(len(ids), side,
+                                                      np.int64)),
+                             "_shard2": pa.array(_shard_of(ids))})
+        return f
+
+    union = (docs.map_batches(tag(0, id_col, None), batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .union(border.map_batches(tag(1, "id", "lab"),
+                                       batch_format="pyarrow"))
+             .union(core_labels.map_batches(tag(2, id_col, "cluster_id"),
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # searchsorted lookups, not pandas left merges: a merge's NaN
+        # fill upcasts int64 labels to float64 and loses exactness past
+        # 2^53 — ids/labels here are arbitrary int64
+        if len(g) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "role": pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64)})
+        side = g["side"].to_numpy(np.int64)
+        gid = g["id"].to_numpy(np.int64)
+        lab = g["lab"].to_numpy(np.int64)
+        ids = np.unique(gid[side == 0])
+
+        def lookup(mask):
+            k, v = gid[mask], lab[mask]
+            order = np.argsort(k)
+            k, v = k[order], v[order]
+            if len(k) == 0:
+                return np.zeros(len(ids), bool), np.empty(len(ids),
+                                                          np.int64)
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            return k[pos] == ids, v[pos]
+
+        core_hit, core_lab = lookup(side == 2)
+        bord_hit, bord_lab = lookup(side == 1)
+        bord_hit &= ~core_hit
+        role = np.where(core_hit, 2, np.where(bord_hit, 1, 0))
+        clu = np.full(len(ids), -1, np.int64)
+        clu[core_hit] = core_lab[core_hit]
+        clu[bord_hit] = bord_lab[bord_hit]
+        return pd.DataFrame({id_col: ids, "role": role.astype(np.int64),
+                             "cluster_id": clu})
+
+    return union.groupby("_shard2").map_groups(resolve,
+                                               batch_format="pandas")
+
+
 def ripley_k(docs: rd.Dataset, radii: tuple[float, ...] = (5_000.0,
              10_000.0, 20_000.0), *, world: World, id_col: str = "doc_id",
              n_shards: int | None = None) -> pa.Table:

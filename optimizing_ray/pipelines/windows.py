@@ -26,7 +26,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "cohort_retention", "windowed_topk_types", "resample_interpolate",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
-           "stay_points", "douglas_peucker", "convex_hull", "min_obb"]
+           "stay_points", "douglas_peucker", "convex_hull", "min_obb",
+           "decayed_counts"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2361,3 +2362,86 @@ def min_obb(events: rd.Dataset, *, key_col: str = "user_id",
     out = out.sort_values(["user_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)
+
+
+def decayed_counts(events: rd.Dataset, *, ref_us: int, cap_days: int = 30,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value",
+                   n_shards: int | None = None) -> rd.Dataset:
+    """Per-key HALF-LIFE-DECAYED count and value at a fixed reference
+    instant — the freshness-weighted engagement / trending-score
+    aggregate (one-day half-life): an event aged ``d`` whole days at
+    ``ref_us`` weighs 2^-d.  EXACT in integers: with ``cap_days`` as
+    the common denominator exponent, weight_num = 2^(cap - min(d, cap))
+    (ages past the cap saturate at weight 2^-cap, i.e. num 1 — nothing
+    is dropped), so the outputs
+
+        decayed_n     = sum weight_num              (x 2^-cap)
+        decayed_cents = sum cents * weight_num      (x 2^-cap)
+
+    are plain int64 sums — order-exact across any parallelism and
+    bit-identical to the SQL twin ``oracle.decayed_counts_sql``.
+    Events after ``ref_us`` are excluded (they haven't happened yet at
+    the reference instant).  Values ride the repo's fixed-point cents.
+
+    Overflow guard: 2^cap * max_cents * rows_per_key must stay under
+    2^63 — raise ``cap_days`` granularity or pre-bucket for extreme
+    keys (asserted per shard).
+
+    Plan: per-batch lexsort+reduceat partials (one row per key per
+    batch), ONE hash(key) exchange sums — unbounded key cardinality,
+    zero driver materialization.  Output (key, n_events, decayed_n,
+    decayed_cents)."""
+    n_shards = resolve_shards(n_shards, floor=64)
+    us_day = 86_400_000_000
+    cap = int(cap_days)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "wn": pa.array([], pa.int64()),
+                          "wv": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        keep = ts <= ref_us
+        if not keep.any():
+            return empty
+        key, ts = key[keep], ts[keep]
+        cents = np.floor(t[value_col].to_numpy(
+            zero_copy_only=False)[keep] * 100.0 + 0.5).astype(np.int64)
+        age = np.minimum((ref_us - ts) // us_day, cap)
+        w = np.int64(1) << (cap - age)
+        assert int(w.max(initial=0)) * max(int(cents.max(initial=0)), 1) \
+            < (1 << 62) // max(len(key), 1), \
+            "decayed_counts: 2^cap * cents * rows overflows int64 — " \
+            "lower cap_days or pre-bucket"
+        order = np.argsort(key, kind="stable")
+        k, w, c = key[order], w[order], cents[order]
+        runs = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uk = k[runs]
+        return pa.table({
+            key_col: pa.array(uk),
+            "n": pa.array(np.diff(np.r_[runs, len(k)]).astype(np.int64)),
+            "wn": pa.array(np.add.reduceat(w, runs)),
+            "wv": pa.array(np.add.reduceat(w * c, runs)),
+            "_shard": pa.array(_shard_of_keys(uk, n_shards))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "decayed_n": pd.Series([], dtype=np.int64),
+                                 "decayed_cents": pd.Series([],
+                                                            dtype=np.int64)})
+        out = (g.groupby(key_col, as_index=False)
+               .agg(n_events=("n", "sum"), decayed_n=("wn", "sum"),
+                    decayed_cents=("wv", "sum")))
+        return out.astype(np.int64)
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(merge, batch_format="pandas"))

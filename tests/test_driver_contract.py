@@ -327,6 +327,13 @@ SQL_NAMES = [
     "cusum",
     # round 4 wave 17: AMS F2 tug-of-war sketch (exact-register twin)
     "ams_f2",
+    # round 5: DBSCAN proper (minPts>=2 core/border/noise; the
+    # spatial_clusters family completed) — born past-cap, DuckDB
+    # gate here every suite run
+    "dbscan",
+    # round 5: half-life decayed per-key aggregate (exact powers-of-
+    # two weights) — born past-cap, DuckDB gate here every suite run
+    "decayed_counts",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -270,3 +270,66 @@ def test_ring_cover_invariant_raises_instead_of_undercounting(ray_session):
     ok = _packed_pair_keys(np.array([1], np.int64),
                            np.array([2], np.int64), op="x")
     assert ok.tolist() == [(1 << 32) | 2]
+
+
+def test_dbscan_matches_brute_and_plans_agree(ray_session):
+    """DBSCAN proper vs a literal O(n^2) brute (degree count, core CC,
+    min-label border, noise), both plans bit-equal; the planted tight
+    blobs come out as two clusters with scatter noise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.dwithin import dbscan
+
+    rng = np.random.default_rng(7)
+    blob1 = rng.normal((20_000, 20_000), 800, (40, 2))
+    blob2 = rng.normal((70_000, 60_000), 900, (35, 2))
+    scat = rng.uniform(0, 100_000, (40, 2))
+    pts = np.clip(np.vstack([blob1, blob2, scat]), 0.0, 99_999.0)
+    n = len(pts)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1])})
+    r, min_pts = 3000.0, 4
+    kw = dict(world=WORLD_2D, depth=4, radius=r, min_pts=min_pts)
+
+    got = (dbscan(rd.from_arrow(t).repartition(3), nrows=n, **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    sharded = (dbscan(rd.from_arrow(t).repartition(3), nrows=None, **kw)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, sharded)
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    nbr = (d2 <= r * r) & ~np.eye(n, dtype=bool)
+    core = nbr.sum(1) >= min_pts - 1
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(*np.nonzero(nbr)):
+        if i < j and core[i] and core[j]:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    lab = {i: min(k for k in range(n) if core[k] and find(k) == find(i))
+           for i in range(n) if core[i]}
+    role = np.zeros(n, np.int64)
+    clu = np.full(n, -1, np.int64)
+    for i in range(n):
+        if core[i]:
+            role[i], clu[i] = 2, lab[i]
+        else:
+            cn = [lab[j] for j in np.nonzero(nbr[i])[0] if core[j]]
+            if cn:
+                role[i], clu[i] = 1, min(cn)
+    assert (got["role"].to_numpy() == role).all()
+    assert (got["cluster_id"].to_numpy() == clu).all()
+    # the planted structure: two clusters, real noise, all three roles
+    assert len(set(clu[clu >= 0])) == 2
+    assert (role == 0).sum() > 0 and (role == 2).sum() > 0

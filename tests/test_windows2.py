@@ -1072,3 +1072,57 @@ def test_min_obb_matches_brute_over_hull(ray_session):
 
     again = min_obb(rd.from_arrow(t)).to_pandas()
     assert got.equals(again)
+
+
+def test_decayed_counts_matches_brute(ray_session):
+    """Half-life decayed aggregate vs a per-row python brute: exact
+    integer weights, post-reference events excluded, cap saturation,
+    layout invariance."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import windows
+
+    ref = int(datetime.datetime(2024, 2, 1,
+                                tzinfo=datetime.timezone.utc).timestamp()
+              * 1_000_000)
+    us_day = 86_400_000_000
+    rng = np.random.default_rng(3)
+    n = 400
+    key = rng.integers(0, 7, n)
+    # ages straddling 0 days .. past the cap, plus post-ref rows
+    ts = ref - rng.integers(-2 * us_day, 40 * us_day, n)
+    val = np.round(rng.uniform(0, 50, n), 2)
+    t = pa.table({"user_id": pa.array(key.astype(np.int64)),
+                  "ts": pa.array(ts.astype("datetime64[us]")),
+                  "value": pa.array(val)})
+    cap = 10
+    got = (windows.decayed_counts(rd.from_arrow(t).repartition(5),
+                                  ref_us=ref, cap_days=cap)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    again = (windows.decayed_counts(rd.from_arrow(t), ref_us=ref,
+                                    cap_days=cap)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+    want = {}
+    for k, tus, v in zip(key, ts, val):
+        if tus > ref:
+            continue
+        age = min((ref - int(tus)) // us_day, cap)
+        w = 1 << (cap - age)
+        c = int(np.floor(v * 100.0 + 0.5))
+        e = want.setdefault(int(k), [0, 0, 0])
+        e[0] += 1
+        e[1] += w
+        e[2] += w * c
+    assert {int(r.user_id): [int(r.n_events), int(r.decayed_n),
+                             int(r.decayed_cents)]
+            for r in got.itertuples()} == want
+    assert any(tus > ref for tus in ts)          # exclusion exercised
+    assert any((ref - int(tus)) // us_day > cap
+               for tus in ts if tus <= ref)      # cap exercised
