@@ -2283,6 +2283,36 @@ def _q_decayed_counts(sf_dir: str):
                                   cap_days=DECAY_CAP_DAYS)
 
 
+CONTOUR_THRESHOLD = 3
+
+
+def _q_contour_cells(sf_dir: str):
+    """Marching-squares iso-density contour band over the tile-count
+    grid: 2x2 corner blocks straddling the threshold with the standard
+    integer case code; ONE bounded count pass + dense boolean shifts
+    (the morans_i plan shape)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.raster import contour_cells
+
+    return contour_cells(_docs(sf_dir), depth=DEPTH, world=WORLD_2D,
+                         threshold=CONTOUR_THRESHOLD)
+
+
+COSTD_ROUNDS = 12
+
+
+def _q_cost_distance(sf_dir: str):
+    """Weighted Bellman-Ford cost-distance over occupied tiles
+    (splitmix terrain costs, 12 synchronous relaxation rounds as part
+    of the contract — the grid_bfs cap discipline); ONE bounded count
+    pass + dense 4-shift min folds."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.raster import cost_distance
+
+    return cost_distance(_docs(sf_dir), depth=DEPTH, world=WORLD_2D,
+                         rounds=COSTD_ROUNDS)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -2991,6 +3021,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels driver-exercised by r4-green running_total (cents
         # discipline + hash(key) exchange) and events_window
         "decayed_counts": _q_decayed_counts,
+        # NEW round 5: marching-squares contour band — kernels
+        # driver-exercised by w5 morans_i/getis_ord (bounded count
+        # pass + dense stencil family)
+        "contour_cells": _q_contour_cells,
+        # NEW round 5: weighted Bellman-Ford cost-distance — kernels
+        # driver-exercised by w5 grid_bfs (bounded count pass +
+        # dense wave folds) and flow_accumulation (splitmix terrain)
+        "cost_distance": _q_cost_distance,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3106,6 +3144,10 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": oracle.dbscan_sql(DBSCAN_R, DBSCAN_MINPTS),
         "decayed_counts": oracle.decayed_counts_sql(
             DECAY_REF_US, DECAY_CAP_DAYS),
+        "contour_cells": oracle.contour_cells_sql(
+            DEPTH, CONTOUR_THRESHOLD),
+        "cost_distance": oracle.cost_distance_sql(
+            DEPTH, rounds=COSTD_ROUNDS),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -5768,3 +5768,105 @@ SELECT user_id,
             AS BIGINT) AS decayed_cents
 FROM e GROUP BY user_id
 """
+
+
+def contour_cells_sql(depth: int, threshold: int = 3,
+                      world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """``raster.contour_cells`` twin: per-cell counts + four offset
+    LEFT JOINs over the (n-1)^2 block lattice, integer case code,
+    uniform blocks filtered."""
+    wx, wy, _ = world.size
+    n = 1 << depth
+
+    def ins(alias):
+        return (f"(CASE WHEN COALESCE({alias}.n, 0) >= {threshold} "
+                f"THEN 1 ELSE 0 END)")
+    case = (f"({ins('c0')} + 2 * {ins('c1')} + 4 * {ins('c2')} "
+            f"+ 8 * {ins('c3')})")
+    return f"""
+WITH {geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo),
+cnt AS (SELECT ix, iy, COUNT(*) AS n FROM cellidx GROUP BY ix, iy),
+bxs AS (SELECT unnest(generate_series(0, {n - 2})) AS bx),
+bys AS (SELECT unnest(generate_series(0, {n - 2})) AS by),
+cases AS (
+  SELECT b.bx, b.by, {case} AS ms_case
+  FROM (SELECT bx, by FROM bxs CROSS JOIN bys) b
+  LEFT JOIN cnt c0 ON c0.ix = b.bx     AND c0.iy = b.by
+  LEFT JOIN cnt c1 ON c1.ix = b.bx + 1 AND c1.iy = b.by
+  LEFT JOIN cnt c2 ON c2.ix = b.bx + 1 AND c2.iy = b.by + 1
+  LEFT JOIN cnt c3 ON c3.ix = b.bx     AND c3.iy = b.by + 1)
+SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       CAST(ms_case AS BIGINT) AS ms_case
+FROM cases WHERE ms_case > 0 AND ms_case < 15
+ORDER BY bx, by
+"""
+
+
+def cost_distance_sql(depth: int, seed_mod: int = 101, rounds: int = 12,
+                      cost_mod: int = 8, world: World = DRIVER_WORLD,
+                      table: str = "documents") -> str:
+    """``raster.cost_distance`` twin: splitmix cell costs over the
+    dense lattice, then ``rounds`` UNROLLED synchronous Bellman-Ford
+    relaxations (the pagerank chained-CTE pattern — one stay/step
+    UNION + min-join per round, no recursion); unreached -> -1."""
+    gamma = 0x9E3779B97F4A7C15
+    wx, wy, _ = world.size
+    n = 1 << depth
+    offs = "(1, 0), (-1, 0), (0, 1), (0, -1)"
+    parts = [f"""{geo_cte(table, world)},
+cellidx AS (
+  SELECT doc_id,
+         {cell_idx_expr('x', world.min_x, wx, depth)} AS ix,
+         {cell_idx_expr('y', world.min_y, wy, depth)} AS iy
+  FROM geo),
+cnt AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN doc_id % {seed_mod} = 0 THEN 1 ELSE 0 END)
+                 AS seeded
+        FROM cellidx GROUP BY ix, iy),
+l0 AS (SELECT i AS lin,
+              ((CAST(i AS HUGEINT) + CAST('{gamma}' AS HUGEINT))
+               % {_M64}) AS h
+       FROM generate_series(0, {n * n - 1}) t(i)),
+{_splitmix_chain('l', 'l0', 'lin')},
+costs AS (SELECT lin, CAST(1 + (h % {cost_mod}) AS BIGINT) AS cost
+          FROM lf),
+occ AS MATERIALIZED (SELECT cnt.ix, cnt.iy, cnt.n, cnt.seeded,
+               costs.cost
+        FROM cnt JOIN costs ON costs.lin = cnt.ix * {n} + cnt.iy),
+d0 AS (SELECT ix, iy,
+              CASE WHEN seeded = 1 THEN CAST(0 AS BIGINT) END AS d
+       FROM occ)"""]
+    for k in range(1, rounds + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs, so a chained round
+        # tree would expand exponentially (measured: 12 rounds hang)
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT occ.ix, occ.iy,
+         MIN(CASE WHEN cand.moved = 1 THEN cand.val + occ.cost
+                  ELSE cand.val END) AS d
+  FROM occ LEFT JOIN (
+      SELECT ix, iy, d AS val, 0 AS moved FROM d{k - 1}
+      WHERE d IS NOT NULL
+    UNION ALL
+      SELECT ix + dx, iy + dy, d, 1
+      FROM d{k - 1}, (VALUES {offs}) o(dx, dy)
+      WHERE d IS NOT NULL
+  ) cand ON cand.ix = occ.ix AND cand.iy = occ.iy
+  GROUP BY occ.ix, occ.iy)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+j AS (SELECT occ.ix, occ.iy, occ.n, occ.cost,
+             COALESCE(d{rounds}.d, -1) AS dist
+      FROM occ LEFT JOIN d{rounds}
+        ON d{rounds}.ix = occ.ix AND d{rounds}.iy = occ.iy),
+{morton_ctes('j', depth, carry='n, cost, dist')}
+SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs,
+       CAST(cost AS BIGINT) AS cell_cost, CAST(dist AS BIGINT) AS dist
+FROM mz ORDER BY cell_key
+"""

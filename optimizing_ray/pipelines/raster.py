@@ -32,7 +32,7 @@ from optimizing_ray.config import World
 from optimizing_ray.functions import rays
 
 __all__ = ["nearest_doc_per_pixel", "covering_pixels", "raycast_scene",
-           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed", "watershed_basins", "slope_aspect", "getis_ord"]
+           "shade", "idw_grid", "focal_stats", "morans_i", "grid_bfs", "flow_accumulation", "local_morans", "viewshed", "watershed_basins", "slope_aspect", "getis_ord", "contour_cells", "cost_distance"]
 
 
 class _NearestDoc:
@@ -1027,3 +1027,104 @@ def getis_ord(docs: rd.Dataset, *, depth: int, world: World,
         "wi": pa.array(wi[o2]), "si": pa.array(si[o2]),
         "num": pa.array(np.array([int(v) for v in num], np.int64)[o2]),
         "gi_6": pa.array(gi[o2])}, schema=schema)
+
+
+def contour_cells(docs: rd.Dataset, *, depth: int, world: World,
+                  threshold: int = 3, x_col: str = "x", y_col: str = "y",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Marching-squares contour extraction over the occupied-tile count
+    grid — the iso-density band of the classic cartographic contour
+    algorithm: every 2x2 corner block whose corners STRADDLE the
+    density threshold (count >= threshold = inside), with the standard
+    marching-squares case code
+
+        ms_case = c0 + 2*c1 + 4*c2 + 8*c3
+        corners: c0=(bx,by) c1=(bx+1,by) c2=(bx+1,by+1) c3=(bx,by+1)
+
+    All-integer (counts vs an integer threshold — no interpolation
+    ambiguity, both engines agree bit-for-bit); uniform blocks (case 0
+    and 15) don't emit.  Output (bx, by, ms_case), (bx, by) order.
+
+    Plan: the morans_i shape — ONE streaming partial-count pass with a
+    4^depth-bounded driver merge, then the block classification is
+    four boolean shifts on the dense grid; no shuffle.  SQL twin
+    ``oracle.contour_cells_sql`` (4 offset LEFT JOINs over the block
+    lattice)."""
+    n = 1 << depth
+    ix, iy, cnt = _cell_partials(docs, depth=depth, world=world,
+                                 x_col=x_col, y_col=y_col)
+    grid = np.zeros((n, n), np.int64)
+    grid[ix, iy] = cnt
+    inside = grid >= threshold
+    case = (inside[:-1, :-1].astype(np.int64)
+            + 2 * inside[1:, :-1]
+            + 4 * inside[1:, 1:]
+            + 8 * inside[:-1, 1:])
+    bx, by = np.nonzero((case > 0) & (case < 15))
+    order = np.lexsort((by, bx))
+    return pa.table({"bx": pa.array(bx[order].astype(np.int64)),
+                     "by": pa.array(by[order].astype(np.int64)),
+                     "ms_case": pa.array(case[bx, by][order])})
+
+
+def cost_distance(docs: rd.Dataset, *, depth: int, world: World,
+                  seed_mod: int = 101, rounds: int = 12,
+                  cost_mod: int = 8, x_col: str = "x", y_col: str = "y",
+                  id_col: str = "doc_id") -> pa.Table:
+    """WEIGHTED cost-distance over the occupied-tile grid — the
+    Bellman-Ford companion of ``grid_bfs`` (whose uniform unit step
+    this generalizes): entering a cell costs its deterministic terrain
+    cost 1 + (splitmix64(lin) % cost_mod), paths are 4-connected
+    through OCCUPIED cells from the nearest SEED tile (doc_id %
+    seed_mod == 0; seeds cost 0 to stand on), and exactly ``rounds``
+    synchronous relaxation rounds run — the round count is PART OF THE
+    OPERATOR CONTRACT (the grid_bfs cap discipline) so the SQL twin is
+    the same fixed unrolled chain (the pagerank pattern: one min-join
+    CTE pair per round, no recursion).  Cells unreached in ``rounds``
+    relaxations report -1.  All-integer.
+
+    Plan: ONE streaming bounded count pass (the morans_i merge), then
+    the relaxation is `rounds` vectorized 4-shift min folds on dense
+    4^depth arrays driver-side; at depths past the dense-grid budget
+    the frontier exchange is the distributed-CC shape (documented, as
+    for grid_bfs).  Output (cell_key, n_docs, cell_cost, dist), Morton
+    order.  SQL twin ``oracle.cost_distance_sql``."""
+    from optimizing_ray.cells import encode2
+    from optimizing_ray.pipelines.sketches import splitmix64
+
+    n = 1 << depth
+    ix, iy, cnt, seeded = _cell_partials(docs, depth=depth, world=world,
+                                         x_col=x_col, y_col=y_col,
+                                         seed_mod=seed_mod, id_col=id_col)
+    schema = pa.schema([("cell_key", pa.int64()), ("n_docs", pa.int64()),
+                        ("cell_cost", pa.int64()), ("dist", pa.int64())])
+    if len(ix) == 0:
+        return schema.empty_table()
+    lin = np.arange(n * n, dtype=np.uint64)
+    cost_flat = (1 + (splitmix64(lin) % np.uint64(cost_mod))
+                 ).astype(np.int64)
+    cost = cost_flat.reshape(n, n)  # lin = ix * n + iy (row-major)
+    occ = np.zeros((n, n), dtype=bool)
+    occ[ix, iy] = True
+    INF = np.int64(1) << 60
+    dist = np.full((n, n), INF, dtype=np.int64)
+    dist[ix[seeded > 0], iy[seeded > 0]] = 0
+    for _ in range(rounds):
+        best = dist.copy()
+        best[1:, :] = np.minimum(best[1:, :], dist[:-1, :] + cost[1:, :])
+        best[:-1, :] = np.minimum(best[:-1, :], dist[1:, :] + cost[:-1, :])
+        best[:, 1:] = np.minimum(best[:, 1:], dist[:, :-1] + cost[:, 1:])
+        best[:, :-1] = np.minimum(best[:, :-1], dist[:, 1:] + cost[:, :-1])
+        best[~occ] = INF
+        if np.array_equal(best, dist):
+            break
+        dist = best
+    out = dist[ix, iy]
+    out = np.where(out >= INF, -1, out)
+    key = encode2(ix.astype(np.uint64), iy.astype(np.uint64),
+                  depth).astype(np.int64)
+    order = np.argsort(key)
+    return pa.table({"cell_key": pa.array(key[order]),
+                     "n_docs": pa.array(cnt[order]),
+                     "cell_cost": pa.array(cost[ix, iy][order]),
+                     "dist": pa.array(out[order])}, schema=schema)

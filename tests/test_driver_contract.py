@@ -334,6 +334,12 @@ SQL_NAMES = [
     # round 5: half-life decayed per-key aggregate (exact powers-of-
     # two weights) — born past-cap, DuckDB gate here every suite run
     "decayed_counts",
+    # round 5: marching-squares contour band over the tile grid —
+    # born past-cap, DuckDB gate here every suite run
+    "contour_cells",
+    # round 5: weighted Bellman-Ford cost-distance (unrolled
+    # materialized round CTEs) — born past-cap, gated here
+    "cost_distance",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -643,3 +643,118 @@ def test_getis_ord_matches_scalar(ray_session):
     again = raster.getis_ord(rd.from_arrow(t), depth=depth,
                              world=WORLD_2D).to_pandas()
     assert got.equals(again)
+
+
+def test_contour_cells_matches_dense_replay(ray_session):
+    """Marching-squares cases vs a literal dense-grid replay on planted
+    density (one hot blob over sparse scatter): only mixed blocks emit,
+    codes follow the fixed corner order, layout invariance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.raster import contour_cells
+
+    rng = np.random.default_rng(11)
+    wx, wy, _ = WORLD_2D.size
+    blob = rng.uniform(0.2, 0.3, (300, 2)) * np.array([wx, wy])
+    scat = rng.uniform(0, 1, (80, 2)) * np.array([wx, wy])
+    pts = np.vstack([blob, scat])
+    t = pa.table({"doc_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                  "x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1])})
+    depth, thr = 4, 3
+    got = contour_cells(rd.from_arrow(t).repartition(4), depth=depth,
+                        world=WORLD_2D, threshold=thr).to_pandas()
+    again = contour_cells(rd.from_arrow(t), depth=depth, world=WORLD_2D,
+                          threshold=thr).to_pandas()
+    assert got.equals(again)
+
+    n = 1 << depth
+    ix = np.clip(((pts[:, 0] - WORLD_2D.min_x) / (wx / n)).astype(int),
+                 0, n - 1)
+    iy = np.clip(((pts[:, 1] - WORLD_2D.min_y) / (wy / n)).astype(int),
+                 0, n - 1)
+    grid = np.zeros((n, n), int)
+    np.add.at(grid, (ix, iy), 1)
+    want = []
+    for bx in range(n - 1):
+        for by in range(n - 1):
+            c = (int(grid[bx, by] >= thr)
+                 + 2 * int(grid[bx + 1, by] >= thr)
+                 + 4 * int(grid[bx + 1, by + 1] >= thr)
+                 + 8 * int(grid[bx, by + 1] >= thr))
+            if 0 < c < 15:
+                want.append((bx, by, c))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(want) > 0
+
+
+def test_cost_distance_matches_dijkstra_replay(ray_session):
+    """Bellman-Ford rounds vs a literal Dijkstra over the same occupied
+    grid + splitmix costs: with enough rounds every reachable cell gets
+    its true shortest cost; a short round budget leaves far cells at -1
+    (the contract's bounded-rounds semantics); layout invariance."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.raster import cost_distance
+    from optimizing_ray.pipelines.sketches import splitmix64
+    from optimizing_ray.cells import decode2
+
+    rng = np.random.default_rng(5)
+    wx, wy, _ = WORLD_2D.size
+    pts = rng.uniform(0, 1, (500, 2)) * np.array([wx, wy])
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1])})
+    depth, seed_mod, cost_mod = 4, 101, 8
+    n = 1 << depth
+
+    got = cost_distance(rd.from_arrow(t).repartition(4), depth=depth,
+                        world=WORLD_2D, seed_mod=seed_mod, rounds=64,
+                        cost_mod=cost_mod).to_pandas()
+    again = cost_distance(rd.from_arrow(t), depth=depth, world=WORLD_2D,
+                          seed_mod=seed_mod, rounds=64,
+                          cost_mod=cost_mod).to_pandas()
+    assert got.equals(again)
+
+    ix = np.clip(((pts[:, 0] - WORLD_2D.min_x) / (wx / n)).astype(int),
+                 0, n - 1)
+    iy = np.clip(((pts[:, 1] - WORLD_2D.min_y) / (wy / n)).astype(int),
+                 0, n - 1)
+    occ = set(zip(ix, iy))
+    seeds = {(a, b) for a, b, i in zip(ix, iy, ids) if i % seed_mod == 0}
+    lin = np.arange(n * n, dtype=np.uint64)
+    cost = (1 + (splitmix64(lin) % np.uint64(cost_mod))).astype(int)
+
+    dist = {c: 0 for c in seeds}
+    pq = [(0, c) for c in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, (cx, cy) = heapq.heappop(pq)
+        if dist.get((cx, cy), 1 << 60) < d:
+            continue
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb not in occ:
+                continue
+            nd = d + int(cost[nb[0] * n + nb[1]])
+            if nd < dist.get(nb, 1 << 60):
+                dist[nb] = nd
+                heapq.heappush(pq, (nd, nb))
+    for r in got.itertuples():
+        _, cix, ciy = decode2(np.array([r.cell_key], dtype=np.uint64))
+        key = (int(cix[0]), int(ciy[0]))
+        assert r.dist == dist.get(key, -1), key
+        assert r.cell_cost == int(cost[key[0] * n + key[1]])
+
+    # a tiny round budget leaves genuinely reachable cells at -1
+    short = cost_distance(rd.from_arrow(t), depth=depth, world=WORLD_2D,
+                          seed_mod=seed_mod, rounds=1,
+                          cost_mod=cost_mod).to_pandas()
+    assert (short["dist"] < 0).sum() > (got["dist"] < 0).sum()
