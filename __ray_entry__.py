@@ -2313,6 +2313,27 @@ def _q_cost_distance(sf_dir: str):
                          rounds=COSTD_ROUNDS)
 
 
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+CONTAIN_PROBE_MOD, CONTAIN_PROBE_REM = 25, 7
+
+
+def _q_containment_join(sf_dir: str):
+    """Asymmetric containment-threshold join (|A∩B|/|A| >= 0.9) — the
+    quote/boilerplate-inclusion detector: a deterministic probe set
+    (doc_id % 25 == 7) scanned against the whole corpus as containers;
+    probe-prefix + length filters lossless vs the unfiltered SQL brute;
+    nrows-gated broadcast vs sharded P x I token-exchange plans."""
+    from optimizing_ray.pipelines import dedup
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+    return dedup.containment_join(
+        docs, theta_num=CONTAIN_NUM, theta_den=CONTAIN_DEN,
+        probe_mod=CONTAIN_PROBE_MOD, probe_rem=CONTAIN_PROBE_REM,
+        nrows=_tbl_rows(sf_dir, "documents"))
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3029,6 +3050,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-exercised by w5 grid_bfs (bounded count pass +
         # dense wave folds) and flow_accumulation (splitmix terrain)
         "cost_distance": _q_cost_distance,
+        # NEW round 5: asymmetric containment join — kernels
+        # driver-exercised by w5 set_similarity_join (prefix filter
+        # + verify legs) and winnow_fingerprints family
+        "containment_join": _q_containment_join,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3148,6 +3173,9 @@ def oracle_sql() -> dict[str, str]:
             DEPTH, CONTOUR_THRESHOLD),
         "cost_distance": oracle.cost_distance_sql(
             DEPTH, rounds=COSTD_ROUNDS),
+        "containment_join": oracle.containment_join_sql(
+            CONTAIN_NUM, CONTAIN_DEN, probe_mod=CONTAIN_PROBE_MOD,
+            probe_rem=CONTAIN_PROBE_REM),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -5870,3 +5870,47 @@ SELECT mkey AS cell_key, CAST(n AS BIGINT) AS n_docs,
        CAST(cost AS BIGINT) AS cell_cost, CAST(dist AS BIGINT) AS dist
 FROM mz ORDER BY cell_key
 """
+
+
+def containment_join_sql(theta_num: int = 4, theta_den: int = 5,
+                         max_token_len: int = 32,
+                         probe_mod: int | None = None, probe_rem: int = 0,
+                         table: str = "documents") -> str:
+    """``dedup.containment_join`` twin: UNFILTERED brute over the same
+    polynomial token-hash SETS, directional gate den*inter >= num*na —
+    a green row proves the probe-prefix + length filters lossless."""
+    base = 1000003
+    mod = 1 << 64
+    powers = ", ".join(f"({e}, {pow(base, e, mod)})"
+                       for e in range(max_token_len))
+    return f"""
+WITH powers(e, p) AS (VALUES {powers}),
+lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM {table}),
+toks AS (SELECT doc_id, i AS tpos, l[i] AS tok
+         FROM lists,
+              LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+chars AS (SELECT doc_id, tpos, length(tok) - ci AS e,
+                 ord(substring(tok, ci, 1)) AS byte
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, length(tok)))
+                        AS ci) h),
+th AS (SELECT doc_id, tpos,
+              CAST(sum(CAST(byte AS HUGEINT) * p) % {mod} AS HUGEINT) AS h
+       FROM chars JOIN powers USING (e) GROUP BY doc_id, tpos),
+uth AS (SELECT DISTINCT t.doc_id, coalesce(th.h, 0) AS h
+        FROM toks t LEFT JOIN th ON th.doc_id = t.doc_id
+                                AND th.tpos = t.tpos),
+sz AS (SELECT doc_id, count(*) AS n FROM uth GROUP BY doc_id),
+ipair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM uth a JOIN uth b ON a.h = b.h AND a.doc_id <> b.doc_id
+          {"WHERE a.doc_id % " + str(probe_mod) + " = " + str(probe_rem)
+           if probe_mod is not None else ""}
+          GROUP BY a.doc_id, b.doc_id),
+gated AS (SELECT doc_a, doc_b, i, sa.n AS na
+          FROM ipair JOIN sz sa ON sa.doc_id = doc_a
+          WHERE {theta_den} * i >= {theta_num} * sa.n)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter, CAST(na AS BIGINT) AS na,
+       CAST((i * 1000000 - ((i * 1000000) % na)) / na AS BIGINT)
+         AS containment6
+FROM gated ORDER BY doc_a, doc_b
+"""

@@ -41,7 +41,7 @@ __all__ = ["exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
            "near_dedup_keep", "build_fingerprint_store",
            "filter_new_against_store", "append_to_fingerprint_store",
            "set_similarity_join", "winnow_overlap_stats",
-           "exact_set_join_sets"]
+           "exact_set_join_sets", "containment_join"]
 
 
 def _plan_rows(nrows: int | None) -> int:
@@ -1743,3 +1743,258 @@ def winnow_overlap_stats(docs: rd.Dataset, *, text_col: str = "text",
                                             .to_numpy(np.int64)),
                      "max_shared": pa.array(out["max_shared"]
                                             .to_numpy(np.int64))})
+
+
+def containment_join(docs: rd.Dataset, *, text_col: str = "text",
+                     id_col: str = "doc_id", theta_num: int = 4,
+                     theta_den: int = 5, plan: str = "auto",
+                     probe_mod: int | None = None, probe_rem: int = 0,
+                     broadcast_threshold: int = 200_000,
+                     nrows: int | None = None,
+                     n_shards: int | None = None) -> rd.Dataset:
+    """EXACT containment-threshold join over single-space token SETS —
+    the ASYMMETRIC sibling of ``set_similarity_join`` (SSJoin family):
+    every ORDERED pair (a, b), a != b, with
+
+        C(a -> b) = |A ∩ B| / |A| >= theta    (A mostly inside B)
+
+    — the subset / quote / boilerplate-inclusion detector Jaccard
+    can't express (a tiny doc fully inside a huge one has J ~ 0 but
+    C = 1).  Output (doc_a, doc_b, inter, na, containment6) with
+    doc_a the CONTAINED side, containment6 = inter*1e6 // na; both
+    directions of a pair may qualify independently.
+
+    Prefix filter (containment variant): |∩| >= t = ceil(θ·|A|)
+    constrains only the PROBE side — A must share a token among its
+    first |A| - t + 1 sorted-unique hashes — while the container side
+    indexes ALL its tokens (no length upper bound exists: any
+    sufficiently large B can contain A).  The length filter
+    den*|B| >= num*|A| (|B| >= |∩| >= t) prunes candidates; the verify
+    gate is the division-free den*inter >= num*na.  Both filters are
+    lossless — the SQL twin ``oracle.containment_join_sql`` is the
+    UNFILTERED brute, so a green row proves it end-to-end.
+
+    ``probe_mod``/``probe_rem`` restrict the PROBE side to docs with
+    id % probe_mod == probe_rem (the quote-detection framing: a
+    deterministic probe set scanned against the whole corpus as
+    containers) — on corpora drawn from a small shared vocabulary full
+    containment is common, so an unrestricted self-join's output is
+    O(n^2)-ish; the container side is never filtered.
+
+    Plans (the set_similarity_join discipline): broadcast (nrows <=
+    threshold) collects per-doc sets once, probes a driver token index
+    and verifies against the broadcast set map — zero shuffles;
+    sharded (default, no hint) side-tags PROBE-prefix rows and
+    INDEX-all-token rows onto ONE hash(token) exchange (per-shard
+    pandas P x I merge), dedups on a hash(pair) exchange, re-attaches
+    texts via the bucket merge, and verifies per batch — the corpus is
+    never collected."""
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.functions.text import (inter_pairs_grouped,
+                                               unique_token_hashes_batch)
+
+    num, den = int(theta_num), int(theta_den)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "na": pa.array([], pa.int64()),
+                      "containment6": pa.array([], pa.int64())})
+
+    def _verify_table(ids_a, ids_b, sh) -> pa.Table:
+        inter = inter_pairs_grouped(ids_a, ids_b, sh)
+        na = np.fromiter((len(sh(x)) for x in ids_a), np.int64,
+                         count=len(ids_a))
+        keep = (den * inter >= num * na) & (na > 0)
+        ia, ib = ids_a[keep], ids_b[keep]
+        it, nn = inter[keep], na[keep]
+        return pa.table({"doc_a": pa.array(ia.astype(np.int64)),
+                         "doc_b": pa.array(ib.astype(np.int64)),
+                         "inter": pa.array(it),
+                         "na": pa.array(nn),
+                         "containment6": pa.array(it * 1_000_000 // nn)})
+
+    if plan == "auto":
+        plan = ("broadcast" if _plan_rows(nrows) <= broadcast_threshold
+                else "sharded")
+
+    if plan == "broadcast":
+        def doc_state(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "_sh": pa.array([], pa.list_(pa.int64()))})
+            flat, offs = unique_token_hashes_batch(t[text_col])
+            return pa.table({
+                id_col: t[id_col],
+                "_sh": pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32)),
+                    pa.array(flat.view(np.int64)))})
+
+        parts = [p for p in ray.get(
+            docs.select_columns([id_col, text_col])
+            .map_batches(doc_state, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=2048)
+            .to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        tab = pa.concat_tables(parts).combine_chunks()
+        ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_col = tab["_sh"].chunk(0)
+        flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(
+            np.uint64)
+        offs = np.asarray(sh_col.offsets, dtype=np.int64)
+        starts, ends = offs[:-1], offs[1:]
+        n_tok = ends - starts
+        # token index over ALL tokens (container side)
+        owner = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+        tsort = np.argsort(flat, kind="stable")
+        tok_s, own_s = flat[tsort], owner[tsort]
+        # probe prefix rows under the (df, hash) global order — ANY
+        # fixed order is lossless for the prefix filter; rarest-first
+        # (classic PPJoin frequency order, free here since the corpus
+        # is collected) keeps hot-token candidate volume minimal
+        uniq_tok, df_cnt = np.unique(flat, return_counts=True)
+        df_all = df_cnt[np.searchsorted(uniq_tok, flat)]
+        t_req = (num * n_tok + den - 1) // den
+        plen = np.maximum(n_tok - t_req + 1, 0)
+        if probe_mod is not None:
+            plen = np.where(ids % probe_mod == probe_rem, plen, 0)
+        probe = np.repeat(np.arange(len(ids), dtype=np.int64), plen)
+        by_rarity = np.lexsort((flat, df_all, owner))
+        tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
+                   + np.repeat(starts - np.r_[np.int64(0),
+                                              np.cumsum(plen)[:-1]], plen))
+        ph = flat[by_rarity][tok_idx]
+        lo = np.searchsorted(tok_s, ph, side="left")
+        hi = np.searchsorted(tok_s, ph, side="right")
+        cnt = hi - lo
+        pa_i = np.repeat(probe, cnt)
+        gather = (np.arange(int(cnt.sum()), dtype=np.int64)
+                  + np.repeat(lo - np.r_[np.int64(0),
+                                         np.cumsum(cnt)[:-1]], cnt))
+        pb_i = own_s[gather]
+        keep = (pa_i != pb_i) & (den * n_tok[pb_i] >= num * n_tok[pa_i])
+        pair = np.unique(pa_i[keep] * np.int64(len(ids)) + pb_i[keep])
+        cand_a, cand_b = pair // len(ids), pair % len(ids)
+        if len(cand_a) == 0:
+            return rd.from_arrow(empty)
+        sets = {int(ids[i]): flat[starts[i]:ends[i]]
+                for i in np.unique(np.r_[cand_a, cand_b])}
+        state_ref = ray.put((ids[cand_a], ids[cand_b], sets))
+        cand = rd.range(len(cand_a)).map_batches(
+            lambda t: _containment_verify_batch(t, state_ref, _verify_table),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=max(1, len(cand_a) // 32 + 1))
+        return cand
+
+    # ---- sharded plan ----
+    n_shards = resolve_shards(n_shards)
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        empty_r = pa.table({"bucket": pa.array([], pa.int64()),
+                            "doc": pa.array([], pa.int64()),
+                            "p": pa.array([], pa.int8()),
+                            "nt": pa.array([], pa.int64()),
+                            "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return empty_r
+        flat, offs = unique_token_hashes_batch(t[text_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        # index leg: every token
+        i_doc = np.repeat(ids, n_tok)
+        i_nt = np.repeat(n_tok, n_tok)
+        # probe leg: prefix tokens only
+        t_req = (num * n_tok + den - 1) // den
+        plen = np.maximum(n_tok - t_req + 1, 0)
+        if probe_mod is not None:
+            plen = np.where(ids % probe_mod == probe_rem, plen, 0)
+        p_doc = np.repeat(ids, plen)
+        p_nt = np.repeat(n_tok, plen)
+        tok_idx = (np.arange(int(plen.sum()), dtype=np.int64)
+                   + np.repeat(offs[:-1] - np.r_[np.int64(0),
+                                                 np.cumsum(plen)[:-1]],
+                               plen))
+        bucket = np.r_[flat.view(np.int64), flat[tok_idx].view(np.int64)]
+        doc = np.r_[i_doc, p_doc]
+        side = np.r_[np.zeros(len(i_doc), np.int8),
+                     np.ones(len(p_doc), np.int8)]
+        nt = np.r_[i_nt, p_nt]
+        with np.errstate(over="ignore"):
+            sh = ((bucket.view(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+        return pa.table({"bucket": pa.array(bucket), "doc": pa.array(doc),
+                         "p": pa.array(side), "nt": pa.array(nt),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "_pshard": pd.Series([], dtype=np.int64)})
+        pr = g[g["p"] == 1][["bucket", "doc", "nt"]]
+        ix = g[g["p"] == 0][["bucket", "doc", "nt"]]
+        m = pr.merge(ix, on="bucket", suffixes=("_a", "_b"))
+        m = m[(m["doc_a"] != m["doc_b"])
+              & (den * m["nt_b"] >= num * m["nt_a"])]
+        m = m[["doc_a", "doc_b"]].drop_duplicates()
+        a = m["doc_a"].to_numpy(np.int64)
+        b = m["doc_b"].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            h = (((a.astype(np.uint64) << np.uint64(32)) ^
+                  b.astype(np.uint64))
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pd.DataFrame({"doc_a": a, "doc_b": b,
+                             "_pshard": (h % np.uint64(n_shards))
+                             .astype(np.int64)})
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return g[["doc_a", "doc_b"]].drop_duplicates()
+
+    cand = (docs.map_batches(token_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("_shard").map_groups(pairs_of_shard,
+                                          batch_format="pandas")
+            .groupby("_pshard").map_groups(dedup_pairs,
+                                           batch_format="pandas"))
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_a",
+                           src_col=text_col, out_col="_text_a")
+    cand = _attach_payload(cand, docs, id_col=id_col, pair_col="doc_b",
+                           src_col=text_col, out_col="_text_b")
+
+    def check_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return empty
+        ids_a = t["doc_a"].to_numpy(zero_copy_only=False)
+        ids_b = t["doc_b"].to_numpy(zero_copy_only=False)
+        texts = dict(zip(ids_a, t["_text_a"].to_numpy(zero_copy_only=False)))
+        texts.update(zip(ids_b,
+                         t["_text_b"].to_numpy(zero_copy_only=False)))
+        uids = list(texts)
+        flat, offs = unique_token_hashes_batch(
+            [texts[u] or "" for u in uids])
+        shmap = {u: flat[offs[i]:offs[i + 1]] for i, u in enumerate(uids)}
+        _no = np.empty(0, dtype=np.uint64)
+        return _verify_table(ids_a, ids_b, lambda k: shmap.get(k, _no))
+
+    return cand.map_batches(check_joined, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _containment_verify_batch(t: pa.Table, state_ref, verify_fn) -> pa.Table:
+    """Broadcast-plan verify leg for ``containment_join``: the candidate
+    arrays + set map ride ray.put once; each worker verifies its index
+    slice (the per-worker cache keeps re-gets free)."""
+    from optimizing_ray.broadcast import cached
+    ia, ib, sets = cached(("containment_cand", state_ref.hex()),
+                          lambda: ray.get(state_ref))
+    if t.num_rows == 0:
+        return verify_fn(np.empty(0, np.int64), np.empty(0, np.int64),
+                         lambda k: np.empty(0, np.uint64))
+    idx = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _no = np.empty(0, dtype=np.uint64)
+    return verify_fn(ia[idx], ib[idx],
+                     lambda k: sets.get(int(k), _no))

@@ -482,3 +482,63 @@ def test_winnow_overlap_stats_detects_planted_copy(ray_session):
         have = {int(r.doc_id): (int(r.n_partners), int(r.max_shared))
                 for r in got.itertuples()}
         assert have == want
+
+
+def test_containment_join_matches_brute_and_plans_agree(ray_session):
+    """Asymmetric containment join vs a python set brute: planted
+    subset doc (C=1 one way, low the other), probe filter, both plans
+    bit-equal, df-ordered prefix lossless."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import dedup
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",        # 0: container
+        "alpha beta gamma",                           # 1: subset of 0
+        "alpha beta gamma delta",                     # 2: subset of 0
+        "omega psi chi",                              # 3: disjoint
+        "alpha beta gamma delta epsilon zeta",        # 4: dup of 0
+        "beta gamma unknown1 unknown2 unknown3",      # 5: partial
+        "",                                           # 6: empty token set
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)})).repartition(3)
+    num, den = 4, 5
+    got = (dedup.containment_join(docs, theta_num=num, theta_den=den,
+                                  nrows=len(texts))
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    sharded = (dedup.containment_join(docs, theta_num=num, theta_den=den,
+                                      plan="sharded")
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, sharded)
+
+    sets = [set(t.split(" ")) for t in texts]
+    want = []
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            na = len(sets[a])
+            if den * inter >= num * na and na > 0:
+                want.append((a, b, inter, na, inter * 10**6 // na))
+    assert list(map(tuple, got.to_numpy())) == sorted(want)
+    # asymmetry: 1 -> 0 qualifies at C=1, 0 -> 1 does not
+    assert (1, 0, 3, 3, 10**6) in want
+    assert not any(r[0] == 0 and r[1] == 1 for r in want)
+
+    # probe filter restricts the CONTAINED side only
+    probed = (dedup.containment_join(docs, theta_num=num, theta_den=den,
+                                     probe_mod=2, probe_rem=1,
+                                     nrows=len(texts))
+              .to_pandas())
+    assert set(probed["doc_a"]) <= {1, 3, 5}
+    assert list(map(tuple, probed.sort_values(["doc_a", "doc_b"])
+                    .to_numpy())) == [r for r in sorted(want)
+                                      if r[0] % 2 == 1]

@@ -340,6 +340,9 @@ SQL_NAMES = [
     # round 5: weighted Bellman-Ford cost-distance (unrolled
     # materialized round CTEs) — born past-cap, gated here
     "cost_distance",
+    # round 5: asymmetric containment join (probe prefix + length
+    # filters vs the unfiltered brute) — born past-cap, gated here
+    "containment_join",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification
