@@ -2334,6 +2334,45 @@ def _q_containment_join(sf_dir: str):
         nrows=_tbl_rows(sf_dir, "documents"))
 
 
+EHS_T0_US = 1704067200000000   # 2024-01-01T00:00:00Z (event span start)
+EHS_DAYS = 30
+EHS_S_THRESHOLD = 60
+
+
+def _q_emerging_hotspots(sf_dir: str):
+    """Emerging-hot-spot analysis: Mann-Kendall trend of each occupied
+    tile's daily event counts over the fixed 30-day space-time cube
+    (dense zero-filled days), classified +1/-1/0; bounded (tile, day)
+    partials + one driver pairwise sign fold."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events", columns=["event_id", "ts"])
+    return windows.emerging_hotspots(
+        ev, depth=DEPTH, world=WORLD_2D, t0_us=EHS_T0_US,
+        n_days=EHS_DAYS, s_threshold=EHS_S_THRESHOLD)
+
+
+LPA_ROUNDS = 3
+
+
+def _q_label_propagation(sf_dir: str):
+    """Synchronous min-tie label-propagation communities over the
+    mutual kNN graph (3 rounds, part of the contract); nrows-gated
+    driver lexsort rounds vs the 2-exchange vertex-centric plan."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    n = _tbl_rows(sf_dir, "embeddings")
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    g = ann.embedding_knn_graph(emb, k=5, nrows=n)
+    pairs = cluster.mutual_knn_pairs(g)
+    return cluster.label_propagation(pairs, emb, rounds=LPA_ROUNDS,
+                                     nrows=n)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3054,6 +3093,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-exercised by w5 set_similarity_join (prefix filter
         # + verify legs) and winnow_fingerprints family
         "containment_join": _q_containment_join,
+        # NEW round 5: Mann-Kendall emerging hotspots — kernels
+        # driver-exercised by w5 getis_ord (hotspot stats family)
+        # and r4-green events_window (time bucketing)
+        "emerging_hotspots": _q_emerging_hotspots,
+        # NEW round 5: LPA communities — kernels driver-exercised
+        # by w5 pagerank (vertex-centric rounds) + kcore (peel
+        # rounds over the same mutual graph)
+        "label_propagation": _q_label_propagation,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3176,6 +3223,10 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": oracle.containment_join_sql(
             CONTAIN_NUM, CONTAIN_DEN, probe_mod=CONTAIN_PROBE_MOD,
             probe_rem=CONTAIN_PROBE_REM),
+        "emerging_hotspots": oracle.emerging_hotspots_sql(
+            DEPTH, EHS_T0_US, EHS_DAYS, EHS_S_THRESHOLD),
+        "label_propagation": oracle.label_propagation_sql(
+            5, LPA_ROUNDS),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

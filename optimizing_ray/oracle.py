@@ -5914,3 +5914,87 @@ SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter, CAST(na AS BIGINT) AS na,
          AS containment6
 FROM gated ORDER BY doc_a, doc_b
 """
+
+
+def emerging_hotspots_sql(depth: int, t0_us: int, n_days: int = 30,
+                          s_threshold: int = 60,
+                          world: World = DRIVER_WORLD,
+                          table: str = "events") -> str:
+    """``windows.emerging_hotspots`` twin: dense (tile, day) cube via
+    occupied-tile x day-grid LEFT JOIN, pairwise day self-join per tile
+    for the Mann-Kendall sign sum."""
+    wx, wy, _ = world.size
+    us_day = 86_400_000_000
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT event_id,
+                    (epoch_us(ts) - {t0_us}) // {us_day} AS day,
+                    {x} AS px, {y} AS py
+             FROM {table}
+             WHERE epoch_us(ts) >= {t0_us}
+               AND epoch_us(ts) < {t0_us + n_days * us_day}),
+cix AS (SELECT event_id, day,
+               {cell_idx_expr('px', world.min_x, wx, depth)} AS ix,
+               {cell_idx_expr('py', world.min_y, wy, depth)} AS iy
+        FROM pts),
+{morton_ctes('cix', depth, carry='event_id, day')},
+cnt AS (SELECT mkey AS tile, day, CAST(count(*) AS BIGINT) AS n
+        FROM mz GROUP BY mkey, day),
+occ AS (SELECT DISTINCT tile FROM cnt),
+days AS (SELECT unnest(generate_series(0, {n_days - 1})) AS day),
+cube AS (SELECT occ.tile, days.day, COALESCE(cnt.n, 0) AS n
+         FROM occ CROSS JOIN days
+         LEFT JOIN cnt ON cnt.tile = occ.tile AND cnt.day = days.day),
+mk AS (SELECT a.tile,
+              CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                            WHEN b.n < a.n THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s
+       FROM cube a JOIN cube b ON b.tile = a.tile AND b.day > a.day
+       GROUP BY a.tile),
+tot AS (SELECT tile, CAST(SUM(n) AS BIGINT) AS n_events
+        FROM cube GROUP BY tile)
+SELECT tot.tile, tot.n_events, mk.s AS mk_s,
+       CAST(CASE WHEN mk.s >= {s_threshold} THEN 1
+                 WHEN mk.s <= -{s_threshold} THEN -1
+                 ELSE 0 END AS BIGINT) AS trend
+FROM tot JOIN mk ON mk.tile = tot.tile
+ORDER BY tot.tile
+"""
+
+
+def label_propagation_sql(k: int = 5, rounds: int = 3, scale: int = 1024,
+                          table: str = "embeddings") -> str:
+    """``cluster.label_propagation`` twin over the mutual-kNN graph:
+    symmetrized reciprocal edges, then ``rounds`` unrolled synchronous
+    vote rounds (count DESC, label ASC winner via ROW_NUMBER; isolated
+    nodes keep their label through the LEFT JOIN).  MATERIALIZED round
+    CTEs — the cost_distance inlining lesson."""
+    parts = [f"""g AS ({embedding_knn_graph_sql(k=k, scale=scale,
+                                                table=table)}),
+dd AS (SELECT DISTINCT vec_id AS a, neighbor_id AS b
+       FROM g WHERE vec_id <> neighbor_id),
+mu AS (SELECT d1.a, d1.b FROM dd d1
+       JOIN dd d2 ON d2.a = d1.b AND d2.b = d1.a
+       WHERE d1.a < d1.b),
+e AS MATERIALIZED (SELECT a, b FROM mu UNION ALL SELECT b, a FROM mu),
+l0 AS (SELECT vec_id AS node, vec_id AS lab FROM {table})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""c{r} AS MATERIALIZED (
+  SELECT e.b AS node, l.lab, COUNT(*) AS c
+  FROM e JOIN l{r - 1} l ON l.node = e.a
+  GROUP BY e.b, l.lab),
+w{r} AS (SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+    FROM c{r}) WHERE rn = 1),
+l{r} AS MATERIALIZED (
+  SELECT p.node, COALESCE(w{r}.lab, p.lab) AS lab
+  FROM l{r - 1} p LEFT JOIN w{r} ON w{r}.node = p.node)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(lab AS BIGINT) AS community
+FROM l{rounds} ORDER BY vec_id
+"""

@@ -47,7 +47,8 @@ __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "semantic_dedup", "tile_embedding_centroid",
            "cluster_top_terms", "triangle_count", "pagerank",
            "mutual_knn_pairs", "random_walks", "kcore",
-           "link_prediction", "clustering_coeff"]
+           "link_prediction", "clustering_coeff",
+           "label_propagation"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -1778,3 +1779,190 @@ def clustering_coeff(edges: rd.Dataset, *, src: str = "vec_id",
     out = out.sort_values("vec_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False,
                                 schema=out_schema)
+
+
+def label_propagation(pairs: "rd.Dataset | pa.Table", nodes: rd.Dataset, *,
+                      a: str = "vec_a", b: str = "vec_b",
+                      node_col: str = "vec_id", rounds: int = 3,
+                      nrows: int | None = None,
+                      n_shards: int | None = None) -> "pa.Table | rd.Dataset":
+    """SYNCHRONOUS label-propagation communities (Raghavan et al. 2007,
+    made deterministic) over an UNDIRECTED pair list (e.g. the mutual
+    kNN graph): labels start as node ids; each round EVERY node
+    simultaneously takes the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label (classic LPA is random-order
+    and random-tie — the synchronous min-tie variant is a pure function
+    of the graph, so both engines agree bit-for-bit); isolated nodes
+    keep their own label.  Fixed ``rounds`` keeps the SQL twin a finite
+    unrolled CTE chain (``oracle.label_propagation_sql``).  Output
+    (node_col, community), node order.
+
+    Plans (the pagerank discipline):
+    * driver (nrows <= 2_000_000): slim symmetrized edges + node ids
+      collect once; each round is one lexsort over (node, neighbor
+      label) runs + a (label, -count, node) ordering whose first row
+      per node IS the argmax.  Zero shuffles.
+    * distributed: labels live as a Dataset co-sharded with edges on
+      hash(node); per round ONE hash(src) side-tag exchange joins
+      labels to edges and emits (dst, src label) votes plus per-node
+      presence rows, then ONE hash(dst) exchange counts votes and
+      takes the (count DESC, label ASC) winner — 2 exchanges/round,
+      materialized per round."""
+    from optimizing_ray.config import resolve_shards
+
+    assert rounds >= 1
+    gate = nrows if nrows is not None else (1 << 62)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+
+    def _slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or a not in t.column_names:
+            return pa.table({"_a": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        return pa.table({"_a": t[a].cast(pa.int64()),
+                         "_b": t[b].cast(pa.int64())})
+
+    if gate <= 2_000_000:
+        ed = pairs.map_batches(_slim, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        nd = nodes.select_columns([node_col]).to_pandas()
+        ids = np.unique(nd[node_col].to_numpy(np.int64))
+        ea = (ed["_a"].to_numpy(np.int64) if "_a" in ed.columns
+              else np.empty(0, np.int64))
+        eb = (ed["_b"].to_numpy(np.int64) if "_b" in ed.columns
+              else np.empty(0, np.int64))
+        # symmetrize + index into the node table
+        s = np.searchsorted(ids, np.concatenate([ea, eb]))
+        d = np.searchsorted(ids, np.concatenate([eb, ea]))
+        order = np.argsort(d, kind="stable")
+        s, d = s[order], d[order]
+        lab = ids.copy()
+        for _ in range(rounds):
+            if len(s) == 0:
+                break
+            vote = lab[s]
+            o2 = np.lexsort((vote, d))
+            d2, v2 = d[o2], vote[o2]
+            runs = np.flatnonzero(np.r_[True, (d2[1:] != d2[:-1])
+                                        | (v2[1:] != v2[:-1])])
+            cnt = np.diff(np.r_[runs, len(d2)]).astype(np.int64)
+            nodes_r, labs_r = d2[runs], v2[runs]
+            w = np.lexsort((labs_r, -cnt, nodes_r))
+            nr, lr = nodes_r[w], labs_r[w]
+            first = np.flatnonzero(np.r_[True, nr[1:] != nr[:-1]])
+            new = lab.copy()
+            new[nr[first]] = lr[first]
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pa.table({node_col: pa.array(ids),
+                         "community": pa.array(lab)})
+
+    # ---- distributed plan (2 exchanges per round) ----
+    n_shards = resolve_shards(n_shards)
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = x.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or a not in t.column_names:
+            return empty
+        ea = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.concatenate([ea, eb])
+        d = np.concatenate([eb, ea])
+        return pa.table({"key": pa.array(s), "val": pa.array(d),
+                         "kind": pa.array(np.ones(len(s), np.int8)),
+                         "_shard": pa.array(_shard(s))})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return empty
+        v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(v),
+                         "val": t["lab"].cast(pa.int64()),
+                         "kind": pa.array(np.zeros(len(v), np.int8)),
+                         "_shard": pa.array(_shard(v))})
+
+    edge_tagged = pairs.map_batches(edge_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    labels = nodes.map_batches(
+        lambda t: (pa.table({"node": t[node_col].cast(pa.int64()),
+                             "lab": t[node_col].cast(pa.int64())})
+                   if t.num_rows and node_col in t.column_names
+                   else pa.table({"node": pa.array([], pa.int64()),
+                                  "lab": pa.array([], pa.int64())})),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def votes(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["kind"] == 0]
+        eg = g[g["kind"] == 1]
+        nid = lb["key"].to_numpy(np.int64)
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        lab_s = lb["val"].to_numpy(np.int64)[order]
+        esrc = eg["key"].to_numpy(np.int64)
+        edst = eg["val"].to_numpy(np.int64)
+        pos = np.searchsorted(nid_s, esrc)
+        vlab = lab_s[pos] if len(esrc) else np.empty(0, np.int64)
+        out_n = np.concatenate([edst, nid_s])
+        out_l = np.concatenate([vlab, lab_s])
+        out_k = np.concatenate([np.ones(len(edst), np.int8),
+                                np.zeros(len(nid_s), np.int8)])
+        return pd.DataFrame({"node": out_n, "lab": out_l, "k": out_k,
+                             "_shard2": _shard(out_n)})
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(np.int64)
+        labv = g["lab"].to_numpy(np.int64)
+        kind = g["k"].to_numpy(np.int8)
+        own_n = node[kind == 0]
+        own_l = labv[kind == 0]
+        vn, vl = node[kind == 1], labv[kind == 1]
+        oo = np.argsort(own_n, kind="stable")
+        own_n, own_l = own_n[oo], own_l[oo]
+        if len(vn) == 0:
+            return pd.DataFrame({"node": own_n, "lab": own_l})
+        o2 = np.lexsort((vl, vn))
+        n2, l2 = vn[o2], vl[o2]
+        runs = np.flatnonzero(np.r_[True, (n2[1:] != n2[:-1])
+                                    | (l2[1:] != l2[:-1])])
+        cnt = np.diff(np.r_[runs, len(n2)]).astype(np.int64)
+        nr, lr = n2[runs], l2[runs]
+        w = np.lexsort((lr, -cnt, nr))
+        nr, lr = nr[w], lr[w]
+        first = np.flatnonzero(np.r_[True, nr[1:] != nr[:-1]])
+        win_n, win_l = nr[first], lr[first]
+        pos = np.searchsorted(own_n, win_n)
+        out = own_l.copy()
+        out[pos] = win_l
+        return pd.DataFrame({"node": own_n, "lab": out})
+
+    for _ in range(rounds):
+        labels = (labels.map_batches(node_rows, batch_format="pyarrow")
+                  .union(edge_tagged)
+                  .groupby("_shard").map_groups(votes,
+                                                batch_format="pandas")
+                  .groupby("_shard2").map_groups(winner,
+                                                 batch_format="pandas")
+                  .materialize())
+
+    def out_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({node_col: pa.array([], pa.int64()),
+                             "community": pa.array([], pa.int64())})
+        return pa.table({node_col: t["node"].cast(pa.int64()),
+                         "community": t["lab"].cast(pa.int64())})
+
+    return labels.map_batches(out_batch, batch_format="pyarrow")

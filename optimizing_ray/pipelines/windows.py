@@ -27,7 +27,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
-           "decayed_counts"]
+           "decayed_counts", "emerging_hotspots"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2445,3 +2445,86 @@ def decayed_counts(events: rd.Dataset, *, ref_us: int, cap_days: int = 30,
     return (events.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(merge, batch_format="pandas"))
+
+
+def emerging_hotspots(events: rd.Dataset, *, depth: int, world,
+                      t0_us: int, n_days: int = 30, s_threshold: int = 60,
+                      id_col: str = "event_id", ts_col: str = "ts",
+                      x_col: str | None = None) -> pa.Table:
+    """Emerging-hot-spot analysis (the space-time-cube + Mann-Kendall
+    pairing of classic GIS suites): per occupied Morton tile, the
+    Mann-Kendall trend statistic of its DAILY event counts over the
+    fixed window [t0_us, t0_us + n_days days)
+
+        S = sum over day pairs i < j of sign(c_j - c_i)
+
+    (missing days count 0 — the dense space-time cube), classified
+    intensifying (+1, S >= s_threshold), diminishing (-1,
+    S <= -s_threshold) or stable (0).  All-integer, order-exact.
+    Events outside the window are excluded by contract (the fixed
+    window is what makes the day grid — and so S — deterministic).
+    Output (tile, n_events, mk_s, trend), tile order.
+
+    Plan: per-batch (tile, day) count partials (one lexsort+reduceat),
+    bounded driver merge (<= 4^depth * n_days rows — the morans_i
+    class), then the pairwise sign fold is one (cells, days, days)
+    broadcasted difference driver-side.  At depths past the dense
+    budget the same partials feed a hash(tile) exchange with the
+    per-tile fold in-shard (documented).  SQL twin
+    ``oracle.emerging_hotspots_sql``."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    us_day = 86_400_000_000
+    wx, wy, _ = world.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts - t0_us) // us_day
+        keep = (day >= 0) & (day < n_days)
+        if not keep.any():
+            return empty
+        eid, day = eid[keep], day[keep]
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        tile = point_cell2(x, y, world, depth).astype(np.int64)
+        order = np.lexsort((day, tile))
+        t2, d2 = tile[order], day[order]
+        starts = np.flatnonzero(
+            np.r_[True, (t2[1:] != t2[:-1]) | (d2[1:] != d2[:-1])])
+        return pa.table({
+            "tile": pa.array(t2[starts]),
+            "day": pa.array(d2[starts]),
+            "n": pa.array(np.diff(np.r_[starts, len(t2)])
+                          .astype(np.int64))})
+
+    parts = [p for p in ray.get(
+        events.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if p.num_rows]
+    schema = pa.schema([("tile", pa.int64()), ("n_events", pa.int64()),
+                        ("mk_s", pa.int64()), ("trend", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    tab = pa.concat_tables(parts)
+    tile = tab["tile"].to_numpy(zero_copy_only=False)
+    day = tab["day"].to_numpy(zero_copy_only=False)
+    n = tab["n"].to_numpy(zero_copy_only=False)
+    utile, tinv = np.unique(tile, return_inverse=True)
+    C = np.zeros((len(utile), n_days), np.int64)
+    np.add.at(C, (tinv, day), n)
+    diff = np.sign(C[:, None, :] - C[:, :, None])  # (cells, i, j)
+    iu = np.triu_indices(n_days, 1)
+    S = diff[:, iu[0], iu[1]].sum(axis=1).astype(np.int64)
+    trend = np.where(S >= s_threshold, 1,
+                     np.where(S <= -s_threshold, -1, 0)).astype(np.int64)
+    return pa.table({"tile": pa.array(utile),
+                     "n_events": pa.array(C.sum(axis=1)),
+                     "mk_s": pa.array(S),
+                     "trend": pa.array(trend)}, schema=schema)

@@ -774,3 +774,60 @@ def test_clustering_coeff_matches_brute(ray_session):
     assert 5 not in got.index                   # self-loop-only node drops
     again = clustering_coeff(ds.repartition(5)).to_pandas()
     assert got.reset_index().equals(again)
+
+
+def test_label_propagation_matches_brute_and_plans_agree(ray_session):
+    """Synchronous min-tie LPA vs a literal python replay on a planted
+    two-clique graph with a bridge + isolated node; both plans
+    bit-equal; cliques collapse to their min id."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.cluster import label_propagation
+
+    # cliques {0,1,2,3} and {10,11,12,13}, bridge 3-10, isolated 20
+    edges = ([(i, j) for i in range(4) for j in range(i + 1, 4)]
+             + [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+             + [(3, 10)])
+    nodes_arr = np.array(sorted({x for e in edges for x in e} | {20}),
+                         dtype=np.int64)
+    pt = pa.table({"vec_a": pa.array([e[0] for e in edges], pa.int64()),
+                   "vec_b": pa.array([e[1] for e in edges], pa.int64())})
+    nt = rd.from_arrow(pa.table({"vec_id": pa.array(nodes_arr)}))
+    rounds = 4
+
+    got = (label_propagation(pt, nt, rounds=rounds, nrows=len(nodes_arr))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    dist = (label_propagation(rd.from_arrow(pt).repartition(2), nt,
+                              rounds=rounds, nrows=None)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, dist)
+
+    # literal synchronous replay
+    adj = {int(v): [] for v in nodes_arr}
+    for x, y in edges:
+        adj[x].append(y)
+        adj[y].append(x)
+    lab = {int(v): int(v) for v in nodes_arr}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            if not adj[v]:
+                new[v] = lab[v]
+                continue
+            cnt = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        if new == lab:
+            break
+        lab = new
+    assert {int(r.vec_id): int(r.community)
+            for r in got.itertuples()} == lab
+    comm = dict(zip(got["vec_id"], got["community"]))
+    assert comm[20] == 20                      # isolated keeps itself
+    assert len({comm[i] for i in range(4)}) == 1      # clique collapses
+    assert len({comm[i] for i in range(10, 14)}) == 1

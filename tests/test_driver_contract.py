@@ -343,6 +343,12 @@ SQL_NAMES = [
     # round 5: asymmetric containment join (probe prefix + length
     # filters vs the unfiltered brute) — born past-cap, gated here
     "containment_join",
+    # round 5: Mann-Kendall emerging hotspots over the space-time
+    # cube — born past-cap, gated here
+    "emerging_hotspots",
+    # round 5: synchronous label-propagation communities — born
+    # past-cap, gated here
+    "label_propagation",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

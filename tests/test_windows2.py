@@ -1126,3 +1126,64 @@ def test_decayed_counts_matches_brute(ray_session):
     assert any(tus > ref for tus in ts)          # exclusion exercised
     assert any((ref - int(tus)) // us_day > cap
                for tus in ts if tus <= ref)      # cap exercised
+
+
+def test_emerging_hotspots_matches_brute(ray_session):
+    """Mann-Kendall S vs a literal pairwise replay over planted daily
+    series: a strictly-intensifying tile hits S = +C(n,2), a dying one
+    -C(n,2), a flat one 0; out-of-window events excluded; dense
+    zero-days counted; layout invariance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+    from optimizing_ray.cells import point_cell2
+
+    t0 = 1704067200000000
+    us_day = 86_400_000_000
+    n_days = 6
+    # find event ids landing in three distinct tiles
+    wx, wy, _ = WORLD_2D.size
+    ids = np.arange(5000, dtype=np.int64)
+    x = WORLD_2D.min_x + _frac(ids, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(ids, GEO_MULTS["y"]) * wy
+    tiles = point_cell2(x, y, WORLD_2D, 4).astype(np.int64)
+    ut = np.unique(tiles)
+    grow, die, flat = ut[0], ut[1], ut[2]
+    pick = {t: ids[tiles == t] for t in (grow, die, flat)}
+    rows_id, rows_ts = [], []
+    for d in range(n_days):
+        # grow: d+1 events on day d; die: n_days-d; flat: 2 (but day 5
+        # only 2 - spread deterministic)
+        for k in range(d + 1):
+            rows_id.append(int(pick[grow][k]))
+            rows_ts.append(t0 + d * us_day + k)
+        for k in range(n_days - d):
+            rows_id.append(int(pick[die][k]))
+            rows_ts.append(t0 + d * us_day + 10_000 + k)
+        for k in range(2):
+            rows_id.append(int(pick[flat][k]))
+            rows_ts.append(t0 + d * us_day + 20_000 + k)
+    # out-of-window noise (before t0 and after the window)
+    rows_id += [int(pick[grow][0]), int(pick[die][0])]
+    rows_ts += [t0 - 5, t0 + n_days * us_day + 5]
+    t = pa.table({"event_id": pa.array(np.array(rows_id, np.int64)),
+                  "ts": pa.array(np.array(rows_ts, np.int64)
+                                 .astype("datetime64[us]"))})
+    got = windows.emerging_hotspots(
+        rd.from_arrow(t).repartition(4), depth=4, world=WORLD_2D,
+        t0_us=t0, n_days=n_days, s_threshold=10).to_pandas()
+    again = windows.emerging_hotspots(
+        rd.from_arrow(t), depth=4, world=WORLD_2D, t0_us=t0,
+        n_days=n_days, s_threshold=10).to_pandas()
+    assert got.equals(again)
+
+    m = {int(r.tile): (int(r.n_events), int(r.mk_s), int(r.trend))
+         for r in got.itertuples()}
+    pairs = n_days * (n_days - 1) // 2
+    assert m[int(grow)] == (pairs + n_days, pairs, 1)   # counts 1..6
+    assert m[int(die)] == (pairs + n_days, -pairs, -1)
+    assert m[int(flat)] == (2 * n_days, 0, 0)
