@@ -2373,6 +2373,30 @@ def _q_label_propagation(sf_dir: str):
                                      nrows=n)
 
 
+REACH_R = 5000.0
+REACH_TAU_US = 3_600_000_000
+REACH_SEED_MOD = 50
+REACH_ROUNDS = 3
+
+
+def _q_contact_reach(sf_dir: str):
+    """Time-respecting contact reachability (epidemic spread over the
+    colocation graph): seeds infected at 0, a contact transmits iff its
+    time >= the source's infection time, 3 synchronous rounds (contract
+    budget); ownership-cell contact kernel + nrows-gated driver rounds
+    vs the 2-exchange vertex-centric plan."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import dwithin
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts"])
+    return dwithin.contact_reach(
+        ev, world=WORLD_2D, radius=REACH_R, tau_us=REACH_TAU_US,
+        seed_mod=REACH_SEED_MOD, rounds=REACH_ROUNDS,
+        nrows=_tbl_rows(sf_dir, "events"))
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3101,6 +3125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by w5 pagerank (vertex-centric rounds) + kcore (peel
         # rounds over the same mutual graph)
         "label_propagation": _q_label_propagation,
+        # NEW round 5: time-respecting contact reachability —
+        # kernels driver-exercised by w5 colocation (ownership
+        # contact kernel) + pagerank (vertex-centric rounds)
+        "contact_reach": _q_contact_reach,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3227,6 +3255,8 @@ def oracle_sql() -> dict[str, str]:
             DEPTH, EHS_T0_US, EHS_DAYS, EHS_S_THRESHOLD),
         "label_propagation": oracle.label_propagation_sql(
             5, LPA_ROUNDS),
+        "contact_reach": oracle.contact_reach_sql(
+            REACH_R, REACH_TAU_US, REACH_SEED_MOD, REACH_ROUNDS),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

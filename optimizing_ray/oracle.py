@@ -5998,3 +5998,58 @@ WITH {ctes}
 SELECT CAST(node AS BIGINT) AS vec_id, CAST(lab AS BIGINT) AS community
 FROM l{rounds} ORDER BY vec_id
 """
+
+
+def contact_reach_sql(radius: float = 20_000.0,
+                      tau_us: int = 21_600_000_000, seed_mod: int = 50,
+                      rounds: int = 4, world: World = DRIVER_WORLD,
+                      table: str = "events") -> str:
+    """``dwithin.contact_reach`` twin: IEJoin contact edges (both
+    directions, t = greatest of the two event times), then ``rounds``
+    unrolled MATERIALIZED min-join relaxations from the seed users;
+    INF sentinel 2^62, unreached -> -1."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    r2 = radius * radius
+    tau = int(tau_us)
+    inf = 1 << 62
+    parts = [f"""ev AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         {x} AS x, {y} AS y
+  FROM {table}),
+ed0 AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         greatest(a.tus, b.tus) AS t
+  FROM ev a JOIN ev b
+    ON b.event_id > a.event_id
+   AND b.user_id != a.user_id
+   AND b.tus BETWEEN a.tus - {tau} AND a.tus + {tau}
+  WHERE (a.x - b.x) * (a.x - b.x)
+        + (a.y - b.y) * (a.y - b.y) <= {r2!r}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT ua AS src, ub AS dst, t FROM ed0
+  UNION
+  SELECT DISTINCT ub AS src, ua AS dst, t FROM ed0),
+i0 AS (SELECT DISTINCT user_id AS u,
+              CASE WHEN user_id % {seed_mod} = 0
+                   THEN CAST(0 AS BIGINT)
+                   ELSE CAST({inf} AS BIGINT) END AS t
+       FROM ev)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS u, MIN(e.t) AS t
+  FROM edges e JOIN i{k - 1} p ON p.u = e.src
+  WHERE p.t < {inf} AND e.t >= p.t
+  GROUP BY e.dst),
+i{k} AS MATERIALIZED (
+  SELECT p.u, LEAST(p.t, COALESCE(c{k}.t, {inf})) AS t
+  FROM i{k - 1} p LEFT JOIN c{k} ON c{k}.u = p.u)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(u AS BIGINT) AS user_id,
+       CAST(CASE WHEN t >= {inf} THEN -1 ELSE t END AS BIGINT)
+         AS infected_at
+FROM i{rounds} ORDER BY user_id
+"""

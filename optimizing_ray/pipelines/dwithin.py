@@ -36,7 +36,7 @@ from optimizing_ray.config import World, resolve_shards
 from optimizing_ray.pipelines import shard_join
 from optimizing_ray.pipelines.box_join import _ranges_to_rows
 
-__all__ = ["dwithin_join", "spatial_clusters", "ripley_k", "colocation", "clark_evans"]
+__all__ = ["dwithin_join", "spatial_clusters", "ripley_k", "colocation", "clark_evans", "dbscan", "contact_reach"]
 
 
 def _keyed(t: pa.Table, world: World, depth: int, id_col: str,
@@ -916,3 +916,309 @@ def clark_evans(docs: rd.Dataset, *, world: World, depth: int,
                      "r_obs_6": pa.array([r_obs_6], pa.int64()),
                      "r_exp_6": pa.array([r_exp_6], pa.int64()),
                      "ce_6": pa.array([ce_6], pa.int64())}, schema=schema)
+
+
+REACH_INF = np.int64(1) << np.int64(62)
+
+
+def contact_reach(events: rd.Dataset, *, world: World, radius: float,
+                  tau_us: int, seed_mod: int = 50, rounds: int = 4,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", nrows: int | None = None,
+                  broadcast_threshold: int = 200_000,
+                  n_shards: int | None = None) -> "pa.Table | rd.Dataset":
+    """Time-respecting CONTACT REACHABILITY (epidemic / information
+    spread over the colocation graph): seed users (user_id % seed_mod
+    == 0) are "infected" at time 0; a contact — two users' events
+    within ``radius`` AND ``tau_us``, contact time t = max of the two
+    event times — transmits iff t >= the source's infection time, and
+    the target's infection time becomes the minimum such t.  Exactly
+    ``rounds`` synchronous relaxation rounds run (part of the operator
+    contract, the cost_distance discipline: both engines unroll the
+    same chain).  Output (user_id, infected_at) for EVERY user,
+    -1 = not reached within the round budget.  All-integer.
+
+    Plan: contact edges ride the colocation ownership kernel (pair
+    rows fold in-shard to per-shard DISTINCT (src, dst, t) — never the
+    raw cross product); then an nrows-gated tail: driver rounds (one
+    masked minimum.reduceat per round over dst-sorted edges) below the
+    threshold, else the label_propagation 2-exchange vertex-centric
+    rounds (infection times co-sharded with edges on hash(user)).
+    SQL twin ``oracle.contact_reach_sql`` (IEJoin edges + unrolled
+    MATERIALIZED min-join rounds)."""
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+    depth = int(np.floor(np.log2(min(wx, wy) / radius)))
+    if depth < 1:
+        raise ValueError(
+            f"contact_reach: radius {radius} too large for world "
+            f"{(wx, wy)} — the ring cover needs min(wx, wy) >= "
+            f"2 * radius")
+    nn = 1 << depth
+    r2 = radius * radius
+    tau = int(tau_us)
+    INF = int(REACH_INF)
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"_side": pa.array([], pa.int8()),
+                          "_eid": pa.array([], pa.int64()),
+                          "_u": pa.array([], pa.int64()),
+                          "_ts": pa.array([], pa.int64()),
+                          "_x": pa.array([], pa.float64()),
+                          "_y": pa.array([], pa.float64()),
+                          "_cell": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        key = cells.point_cell2(x, y, world, depth).astype(np.int64)
+        _, ix, iy = cells.decode2(key.astype(np.uint64))
+        ix, iy = ix.astype(np.int64), iy.astype(np.int64)
+        sides = [np.zeros(len(eid), np.int8)]
+        oute, outu, outt = [eid], [u], [ts]
+        outx, outy, outc = [x], [y], [key]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                m = (jx >= 0) & (jx < nn) & (jy >= 0) & (jy < nn)
+                if not m.any():
+                    continue
+                k2 = cells.encode2(jx[m].astype(np.uint64),
+                                   jy[m].astype(np.uint64),
+                                   depth).astype(np.int64)
+                sides.append(np.ones(int(m.sum()), np.int8))
+                oute.append(eid[m])
+                outu.append(u[m])
+                outt.append(ts[m])
+                outx.append(x[m])
+                outy.append(y[m])
+                outc.append(k2)
+        cell = np.concatenate(outc)
+        return pa.table({"_side": pa.array(np.concatenate(sides)),
+                         "_eid": pa.array(np.concatenate(oute)),
+                         "_u": pa.array(np.concatenate(outu)),
+                         "_ts": pa.array(np.concatenate(outt)),
+                         "_x": pa.array(np.concatenate(outx)),
+                         "_y": pa.array(np.concatenate(outy)),
+                         "_cell": pa.array(cell),
+                         "_shard": pa.array((cell % n_shards)
+                                            .astype(np.int64))})
+
+    def edge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                              "dst": pd.Series([], dtype=np.int64),
+                              "t": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        src_l, dst_l, t_l = [], [], []
+        for _, cg in g.groupby("_cell", sort=False):
+            side = cg["_side"].to_numpy(np.int8)
+            bsd = cg[side == 0]
+            asd = cg[side == 1]
+            if not len(bsd) or not len(asd):
+                continue
+            o = np.argsort(bsd["_ts"].to_numpy(np.int64), kind="stable")
+            bx = bsd["_x"].to_numpy(np.float64)[o]
+            by = bsd["_y"].to_numpy(np.float64)[o]
+            bi = bsd["_eid"].to_numpy(np.int64)[o]
+            bu = bsd["_u"].to_numpy(np.int64)[o]
+            bt = bsd["_ts"].to_numpy(np.int64)[o]
+            ax = asd["_x"].to_numpy(np.float64)
+            ay = asd["_y"].to_numpy(np.float64)
+            ai = asd["_eid"].to_numpy(np.int64)
+            au = asd["_u"].to_numpy(np.int64)
+            at = asd["_ts"].to_numpy(np.int64)
+            for s in range(0, len(ax), 4096):
+                e = min(len(ax), s + 4096)
+                lo = np.searchsorted(bt, at[s:e] - tau, side="left")
+                hi = np.searchsorted(bt, at[s:e] + tau, side="right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                li = np.repeat(np.arange(e - s), cnt)
+                cum = np.r_[0, np.cumsum(cnt)]
+                rj = np.arange(tot, dtype=np.int64) - cum[li] + lo[li]
+                dx = ax[s:e][li] - bx[rj]
+                dy = ay[s:e][li] - by[rj]
+                hit = ((dx * dx + dy * dy <= r2)
+                       & (au[s:e][li] != bu[rj])
+                       & (ai[s:e][li] < bi[rj]))
+                if hit.any():
+                    ua = au[s:e][li[hit]]
+                    ub = bu[rj[hit]]
+                    tm = np.maximum(at[s:e][li[hit]], bt[rj[hit]])
+                    src_l += [ua, ub]
+                    dst_l += [ub, ua]
+                    t_l += [tm, tm]
+        if not src_l:
+            return empty
+        out = pd.DataFrame({"src": np.concatenate(src_l),
+                            "dst": np.concatenate(dst_l),
+                            "t": np.concatenate(t_l)})
+        return out.drop_duplicates()
+
+    edges = (events.map_batches(emit, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("_shard").map_groups(edge_partials,
+                                           batch_format="pandas"))
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64())})
+        return pa.table({"u": pa.array(np.unique(
+            t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)))})
+
+    users_ds = events.map_batches(user_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("infected_at", pa.int64())])
+    gate = nrows if nrows is not None else (1 << 62)
+
+    if gate <= broadcast_threshold:
+        ed = edges.to_pandas()
+        ud = users_ds.to_pandas()
+        users = (np.unique(ud["u"].to_numpy(np.int64))
+                 if "u" in ud.columns else np.empty(0, np.int64))
+        if len(users) == 0:
+            return schema.empty_table()
+        inf = np.where(users % seed_mod == 0, 0, INF).astype(np.int64)
+        if "src" in ed.columns and len(ed):
+            es = np.searchsorted(users, ed["src"].to_numpy(np.int64))
+            edt = np.searchsorted(users, ed["dst"].to_numpy(np.int64))
+            et = ed["t"].to_numpy(np.int64)
+            order = np.argsort(edt, kind="stable")
+            es, edt, et = es[order], edt[order], et[order]
+            runs = np.flatnonzero(np.r_[True, edt[1:] != edt[:-1]])
+            run_dst = edt[runs]
+            for _ in range(rounds):
+                cand = np.where((inf[es] < INF) & (et >= inf[es]),
+                                et, INF)
+                best = np.full(len(users), INF, np.int64)
+                if len(cand):
+                    best[run_dst] = np.minimum.reduceat(cand, runs)
+                new = np.minimum(inf, best)
+                if np.array_equal(new, inf):
+                    break
+                inf = new
+        return pa.table({"user_id": pa.array(users),
+                         "infected_at": pa.array(
+                             np.where(inf >= INF, -1, inf))},
+                        schema=schema)
+
+    # ---- distributed rounds (the label_propagation 2-exchange shape) ----
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = x.astype(np.uint64) * gold
+        return ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64()),
+                          "val2": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return empty
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s),
+                         "val": t["dst"].cast(pa.int64()),
+                         "val2": t["t"].cast(pa.int64()),
+                         "kind": pa.array(np.ones(len(s), np.int8)),
+                         "_shard": pa.array(_shard(s))})
+
+    edge_tagged = edges.map_batches(edge_rows,
+                                    batch_format="pyarrow").materialize()
+
+    def init_states(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "inf": pd.Series([], dtype=np.int64)})
+        u = np.unique(g["u"].to_numpy(np.int64))
+        return pd.DataFrame({"u": u, "inf": np.where(
+            u % seed_mod == 0, 0, INF).astype(np.int64)})
+
+    def u_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        return t.append_column("_shard", pa.array(_shard(u)))
+
+    states = (users_ds.map_batches(u_shard, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .groupby("_shard").map_groups(init_states,
+                                            batch_format="pandas")
+              .materialize())
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "val2": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "_shard": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(u),
+                         "val": t["inf"].cast(pa.int64()),
+                         "val2": pa.array(np.zeros(len(u), np.int64)),
+                         "kind": pa.array(np.zeros(len(u), np.int8)),
+                         "_shard": pa.array(_shard(u))})
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 0]
+        eg = g[g["kind"] == 1]
+        u = st["key"].to_numpy(np.int64)
+        order = np.argsort(u, kind="stable")
+        u_s = u[order]
+        inf_s = st["val"].to_numpy(np.int64)[order]
+        esrc = eg["key"].to_numpy(np.int64)
+        edst = eg["val"].to_numpy(np.int64)
+        et = eg["val2"].to_numpy(np.int64)
+        pos = np.searchsorted(u_s, esrc)
+        ok = (inf_s[pos] < INF) & (et >= inf_s[pos]) if len(esrc) \
+            else np.zeros(0, bool)
+        out_u = np.concatenate([edst[ok], u_s])
+        out_t = np.concatenate([et[ok], inf_s])
+        out_k = np.concatenate([np.ones(int(ok.sum()), np.int8),
+                                np.zeros(len(u_s), np.int8)])
+        return pd.DataFrame({"u": out_u, "tt": out_t, "k": out_k,
+                             "_shard2": _shard(out_u)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        tt = g["tt"].to_numpy(np.int64)
+        own = g["k"].to_numpy(np.int8) == 0
+        uid = np.unique(u[own])
+        idx = np.searchsorted(uid, u)
+        best = np.full(len(uid), INF, np.int64)
+        np.minimum.at(best, idx, tt)
+        return pd.DataFrame({"u": uid, "inf": best})
+
+    for _ in range(rounds):
+        states = (states.map_batches(state_rows, batch_format="pyarrow")
+                  .union(edge_tagged)
+                  .groupby("_shard").map_groups(spread,
+                                                batch_format="pandas")
+                  .groupby("_shard2").map_groups(fold,
+                                                 batch_format="pandas")
+                  .materialize())
+
+    def out_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return schema.empty_table()
+        inf = t["inf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": t["u"].cast(pa.int64()),
+                         "infected_at": pa.array(
+                             np.where(inf >= INF, -1, inf))},
+                        schema=schema)
+
+    return states.map_batches(out_batch, batch_format="pyarrow")

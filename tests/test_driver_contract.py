@@ -349,6 +349,9 @@ SQL_NAMES = [
     # round 5: synchronous label-propagation communities — born
     # past-cap, gated here
     "label_propagation",
+    # round 5: time-respecting contact reachability — born
+    # past-cap, gated here
+    "contact_reach",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -333,3 +333,73 @@ def test_dbscan_matches_brute_and_plans_agree(ray_session):
     # the planted structure: two clusters, real noise, all three roles
     assert len(set(clu[clu >= 0])) == 2
     assert (role == 0).sum() > 0 and (role == 2).sum() > 0
+
+
+def test_contact_reach_time_respecting_semantics(ray_session):
+    """Reachability spreads only FORWARD in time: a planted chain
+    seed -> u1 -> u2 with the u1-u2 contact BEFORE the seed-u1 contact
+    must NOT infect u2; with the order fixed it must.  Both plans
+    bit-equal; round budget limits hops."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines.dwithin import contact_reach
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    wx, wy, _ = WORLD_2D.size
+    # find event ids mapping to nearby points (same cell family): scan
+    # for ids whose derived points are pairwise within 2000
+    ids = np.arange(200_000, dtype=np.int64)
+    x = WORLD_2D.min_x + _frac(ids, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(ids, GEO_MULTS["y"]) * wy
+    # find a dense 500-unit bucket (>= 4 derived points co-located)
+    bx = (x // 500).astype(np.int64) * 1_000_000 + (y // 500).astype(
+        np.int64)
+    ub, binv, bcnt = np.unique(bx, return_inverse=True,
+                               return_counts=True)
+    dense = np.flatnonzero(bcnt >= 4)[0]
+    near = ids[binv == dense]
+    assert len(near) >= 4
+    e_s, e_u1a, e_u1b, e_u2 = (int(near[0]), int(near[1]),
+                               int(near[2]), int(near[3]))
+    hour = 3_600_000_000
+    seed_mod = 1000  # user 0 is the only seed
+
+    def run(ts_map, rounds):
+        t = pa.table({
+            "event_id": pa.array(np.array(list(ts_map.keys()), np.int64)),
+            "user_id": pa.array(np.array(
+                [v[0] for v in ts_map.values()], np.int64)),
+            "ts": pa.array(np.array([v[1] for v in ts_map.values()],
+                                    np.int64).astype("datetime64[us]"))})
+        ds = rd.from_arrow(t)
+        a = contact_reach(ds, world=WORLD_2D, radius=2000.0,
+                          tau_us=hour // 2, seed_mod=seed_mod,
+                          rounds=rounds, nrows=len(ts_map)).to_pandas()
+        b = contact_reach(rd.from_arrow(t).repartition(2), world=WORLD_2D,
+                          radius=2000.0, tau_us=hour // 2,
+                          seed_mod=seed_mod, rounds=rounds,
+                          nrows=None).to_pandas()
+        a = a.sort_values("user_id").reset_index(drop=True)
+        b = b.sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        return dict(zip(a["user_id"], a["infected_at"]))
+
+    # forward chain: seed(u0) meets u1 at hour 1; u1 meets u2 at hour 3
+    fwd = {e_s: (0, 1 * hour), e_u1a: (1, 1 * hour),
+           e_u1b: (1, 3 * hour), e_u2: (2, 3 * hour)}
+    m = run(fwd, rounds=3)
+    assert m[0] == 0 and m[1] == 1 * hour and m[2] == 3 * hour
+
+    # only one round: u2 not reached yet
+    m1 = run(fwd, rounds=1)
+    assert m1[1] == 1 * hour and m1[2] == -1
+
+    # reversed: u1-u2 contact happens BEFORE u1 is infected
+    back = {e_s: (0, 3 * hour), e_u1a: (1, 3 * hour),
+            e_u1b: (1, 1 * hour), e_u2: (2, 1 * hour)}
+    m2 = run(back, rounds=3)
+    assert m2[1] == 3 * hour and m2[2] == -1
