@@ -2397,6 +2397,27 @@ def _q_contact_reach(sf_dir: str):
         nrows=_tbl_rows(sf_dir, "events"))
 
 
+def _q_source_drift(sf_dir: str):
+    """Per-source distribution drift vs the corpus: exact-integer 1-D
+    EMD over fixed doc-length bins (numerator over the n_s*N common
+    denominator); bounded (source, bin) partials, zero shuffles."""
+    from optimizing_ray.pipelines import textops
+    from optimizing_ray.sources import driver_tables
+
+    docs = driver_tables.read(sf_dir, "documents",
+                              columns=["source", "n_chars"])
+    return textops.source_drift(docs)
+
+
+def _q_revenue_gini(sf_dir: str):
+    """Per-nation Gini of order totals as an exact integer rational
+    (tie-order-invariant rank-weighted sums); broadcast cust->nation
+    map + ONE hash(nation) exchange."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.revenue_gini(sf_dir)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3129,6 +3150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels driver-exercised by w5 colocation (ownership
         # contact kernel) + pagerank (vertex-centric rounds)
         "contact_reach": _q_contact_reach,
+        # NEW round 5: exact-integer distribution statistics —
+        # kernels driver-exercised by w5 robust/quantile family
+        # twins (bounded partial folds) and pricing_summary (cents)
+        "source_drift": _q_source_drift,
+        "revenue_gini": _q_revenue_gini,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3257,6 +3283,8 @@ def oracle_sql() -> dict[str, str]:
             5, LPA_ROUNDS),
         "contact_reach": oracle.contact_reach_sql(
             REACH_R, REACH_TAU_US, REACH_SEED_MOD, REACH_ROUNDS),
+        "source_drift": oracle.source_drift_sql(),
+        "revenue_gini": oracle.revenue_gini_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

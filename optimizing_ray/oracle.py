@@ -6053,3 +6053,71 @@ SELECT CAST(u AS BIGINT) AS user_id,
          AS infected_at
 FROM i{rounds} ORDER BY user_id
 """
+
+
+def source_drift_sql(bin_width: int = 64, n_bins: int = 16,
+                     table: str = "documents") -> str:
+    """``textops.source_drift`` twin: fixed-bin histograms, dense
+    source x bin grid for the cumulative fold, integer EMD numerator
+    over the n_s * N common denominator (HUGEINT sums, divisible-
+    subtraction floor for emd6)."""
+    top = n_bins - 1
+    return f"""
+WITH h AS (SELECT source, LEAST(n_chars // {bin_width}, {top}) AS b,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM {table} GROUP BY source, b),
+s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM h GROUP BY source),
+g AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ngb FROM h GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ng FROM h),
+grid AS (SELECT s.source, d.b
+         FROM s CROSS JOIN (SELECT unnest(generate_series(0, {top}))
+                            AS b) d),
+df AS (SELECT grid.source, grid.b,
+              CAST(COALESCE(h.n, 0) AS HUGEINT) * tot.ng
+              - CAST(COALESCE(g.ngb, 0) AS HUGEINT) * s.ns AS diff
+       FROM grid
+       LEFT JOIN h ON h.source = grid.source AND h.b = grid.b
+       JOIN s ON s.source = grid.source
+       LEFT JOIN g ON g.b = grid.b
+       CROSS JOIN tot),
+c AS (SELECT source, b,
+             SUM(diff) OVER (PARTITION BY source ORDER BY b) AS cum
+      FROM df),
+e AS (SELECT source, SUM(ABS(cum)) AS num FROM c GROUP BY source)
+SELECT e.source, s.ns AS n_docs,
+       CAST(e.num AS BIGINT) AS emd_num,
+       CAST(s.ns * tot.ng AS BIGINT) AS emd_den,
+       CAST((e.num * 1000000 - ((e.num * 1000000) % (s.ns * tot.ng)))
+            / (s.ns * tot.ng) AS BIGINT) AS emd6
+FROM e JOIN s ON s.source = e.source CROSS JOIN tot
+ORDER BY e.source
+"""
+
+
+def revenue_gini_sql(table_orders: str = "orders",
+                     table_customer: str = "customer") -> str:
+    """``relational.revenue_gini`` twin: per-nation ascending
+    row_number over order cents, exact rational Gini via HUGEINT sums,
+    divisible-subtraction floor for gini6."""
+    return f"""
+WITH oc AS (SELECT c.c_nationkey AS nat,
+                   CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS cents
+            FROM {table_orders} o
+            JOIN {table_customer} c ON c.c_custkey = o.o_custkey),
+rk AS (SELECT nat, cents,
+              ROW_NUMBER() OVER (PARTITION BY nat
+                                 ORDER BY cents) AS i
+       FROM oc),
+ag AS (SELECT nat, CAST(count(*) AS HUGEINT) AS n,
+              CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+              CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+       FROM rk GROUP BY nat),
+fin AS (SELECT nat, n, 2 * six - (n + 1) * sx AS num, n * sx AS den
+        FROM ag)
+SELECT CAST(nat AS BIGINT) AS nationkey, CAST(n AS BIGINT) AS n_orders,
+       CAST(num AS BIGINT) AS gini_num, CAST(den AS BIGINT) AS gini_den,
+       CAST((num * 1000000 - ((num * 1000000) % den)) / den AS BIGINT)
+         AS gini6
+FROM fin ORDER BY nationkey
+"""

@@ -22,7 +22,8 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "small_qty_revenue", "returned_top_customers", "nation_volume",
            "product_profit", "market_share", "dominant_suppliers",
            "balance_deciles", "slow_suppliers", "forecast_revenue",
-           "revenue_trend", "theil_sen", "copurchase_pairs"]
+           "revenue_trend", "theil_sen", "copurchase_pairs",
+           "revenue_gini"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2648,3 +2649,99 @@ def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
                      "pair_support": pa.array(
                          pairs["c"].to_numpy(np.int64)),
                      "support_a": pa.array(sa), "support_b": pa.array(sb)})
+
+
+def revenue_gini(sf_dir: str, *, n_shards: int | None = None) -> pa.Table:
+    """Per-nation GINI COEFFICIENT of order totals — the revenue-
+    concentration / inequality statistic (who depends on a few whale
+    orders): with a nation's order cents sorted ascending x_1..x_n,
+
+        gini = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    kept as the exact integer rational (num, den) — rank-weighted sums
+    are tie-order invariant (tied values swap equal ranks), so both
+    engines agree exactly; gini6 = floor(num * 1e6 / den) in arbitrary
+    precision (bounded per-nation rows).  Output (nationkey, n_orders,
+    gini_num, gini_den, gini6), nation order.
+
+    Plan: customer key→nation map rides ray.put once (the
+    regional_sales small-side rule); orders slim to (nation, cents)
+    in-batch; ONE hash(nation) exchange sorts + folds in-shard (a
+    nation's orders co-locate), one row per nation to the driver.
+    SQL twin ``oracle.revenue_gini_sql`` (row_number + HUGEINT sums).
+    """
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    t = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"])
+    ck = t["c_custkey"].to_numpy().astype(np.int64)
+    cn = t["c_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ck)
+    cust_ref = ray.put((ck[o], cn[o]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        k, v = cached(("gini_cust", cust_ref.hex()),
+                      lambda: ray.get(cust_ref))
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, cust), 0, len(k) - 1)
+        nat = v[pos]
+        cents = np.floor(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"nat": pa.array(nat), "cents": pa.array(cents),
+                         "_shard": pa.array((nat % n_shards)
+                                            .astype(np.int64))})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({
+                "nationkey": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "gini_num": pd.Series([], dtype=np.int64),
+                "gini_den": pd.Series([], dtype=np.int64),
+                "gini6": pd.Series([], dtype=np.int64)})
+        nat = g["nat"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((cents, nat))
+        nat, cents = nat[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        rows = []
+        for s, e in zip(starts, ends):
+            x = cents[s:e]
+            n = e - s
+            i = np.arange(1, n + 1, dtype=np.int64)
+            sx = int(x.sum())
+            six = int((i * x).sum())
+            num = 2 * six - (n + 1) * sx
+            den = n * sx
+            g6 = (num * 1_000_000 // den) if den else 0
+            rows.append((int(nat[s]), n, num, den, g6))
+        return pd.DataFrame(rows, columns=["nationkey", "n_orders",
+                                           "gini_num", "gini_den",
+                                           "gini6"]).astype(np.int64)
+
+    out = (orders.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "nationkey" not in out.columns:
+        return pa.schema([("nationkey", pa.int64()),
+                          ("n_orders", pa.int64()),
+                          ("gini_num", pa.int64()),
+                          ("gini_den", pa.int64()),
+                          ("gini6", pa.int64())]).empty_table()
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

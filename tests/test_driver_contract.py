@@ -352,6 +352,9 @@ SQL_NAMES = [
     # round 5: time-respecting contact reachability — born
     # past-cap, gated here
     "contact_reach",
+    # round 5: exact-integer distribution statistics (EMD drift,
+    # Gini concentration) — born past-cap, gated here
+    "source_drift", "revenue_gini",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -1135,3 +1135,71 @@ def test_copurchase_pairs_matches_brute(ray_session):
     want3 = {(a, b) for (a, b), c in pair_cnt.items() if c >= 3}
     assert set(map(tuple, got3[["part_a", "part_b"]].to_numpy())) == want3
     assert (got3["pair_support"] >= 3).all()
+
+
+def test_source_drift_and_gini_match_brute(ray_session):
+    """EMD drift vs a literal normalized-CDF brute on planted skewed
+    sources (a shifted source scores high, a proportional one scores
+    0); Gini vs the textbook formula incl. the all-equal -> 0 and
+    one-whale extremes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import textops
+
+    # sources: 'lo' all tiny docs, 'hi' all huge docs, 'mix' mirrors
+    # the global distribution of lo+hi combined exactly? build simple:
+    vals = ([("lo", 10)] * 30 + [("hi", 900)] * 30
+            + [("mix", 10)] * 15 + [("mix", 900)] * 15)
+    t = pa.table({"source": pa.array([s for s, _ in vals]),
+                  "n_chars": pa.array([v for _, v in vals], pa.int64()),
+                  "doc_id": pa.array(np.arange(len(vals), dtype=np.int64))})
+    got = textops.source_drift(rd.from_arrow(t).repartition(3)).to_pandas()
+    m = {r.source: r for r in got.itertuples()}
+
+    # brute EMD per source
+    import collections
+    n_bins, bw = 16, 64
+    hist = collections.defaultdict(lambda: np.zeros(n_bins, np.int64))
+    for s, v in vals:
+        hist[s][min(v // bw, n_bins - 1)] += 1
+    G = sum(hist.values())
+    N = G.sum()
+    for s, H in hist.items():
+        ns = H.sum()
+        diff = H * N - G * ns
+        num = int(np.abs(np.cumsum(diff)).sum())
+        assert m[s].emd_num == num and m[s].emd_den == ns * N, s
+        assert m[s].emd6 == num * 10**6 // (ns * N)
+    # mix mirrors the global 50/50 shape less than lo/hi deviate
+    assert m["mix"].emd6 < m["lo"].emd6 and m["mix"].emd6 < m["hi"].emd6
+    assert m["lo"].emd6 > 0
+
+    # Gini brute on the library kernel via a tiny synthetic orders dir
+    import os
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.pipelines import relational
+    d = "/tmp/graft_gini_fixture"
+    os.makedirs(d, exist_ok=True)
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64()),
+                     "c_nationkey": pa.array([0, 0, 1], pa.int32())})
+    # nation 0: equal orders -> gini 0; nation 1: one whale dominates
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2, 1, 2, 3, 3, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 10.0,
+                                  0.01, 0.01, 99.99])})
+    pq.write_table(cust, f"{d}/customer.parquet")
+    pq.write_table(orders, f"{d}/orders.parquet")
+    g = relational.revenue_gini(d).to_pandas()
+    r0 = g[g.nationkey == 0].iloc[0]
+    assert r0.gini_num == 0 and r0.gini6 == 0
+    r1 = g[g.nationkey == 1].iloc[0]
+    x = sorted([1, 1, 9999])
+    n, sx = 3, sum(x)
+    six = sum((i + 1) * v for i, v in enumerate(x))
+    assert r1.gini_num == 2 * six - (n + 1) * sx
+    assert r1.gini_den == n * sx
+    assert r1.gini6 == r1.gini_num * 10**6 // r1.gini_den
+    assert r1.gini6 > 600000  # heavily concentrated
