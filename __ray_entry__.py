@@ -2418,6 +2418,19 @@ def _q_revenue_gini(sf_dir: str):
     return relational.revenue_gini(sf_dir)
 
 
+def _q_benford_audit(sf_dir: str):
+    """Benford first-digit audit per event type: exact-integer scaled
+    absolute deviation vs the fixed rational Benford constants;
+    string-free vectorized first digit, bounded (key, digit) partials,
+    zero shuffles."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_type", "value"])
+    return windows.benford_audit(ev)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3155,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twins (bounded partial folds) and pricing_summary (cents)
         "source_drift": _q_source_drift,
         "revenue_gini": _q_revenue_gini,
+        "benford_audit": _q_benford_audit,  # same stats family
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3285,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
             REACH_R, REACH_TAU_US, REACH_SEED_MOD, REACH_ROUNDS),
         "source_drift": oracle.source_drift_sql(),
         "revenue_gini": oracle.revenue_gini_sql(),
+        "benford_audit": oracle.benford_audit_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -6121,3 +6121,44 @@ SELECT CAST(nat AS BIGINT) AS nationkey, CAST(n AS BIGINT) AS n_orders,
          AS gini6
 FROM fin ORDER BY nationkey
 """
+
+
+def benford_audit_sql(table: str = "events") -> str:
+    """``windows.benford_audit`` twin: string first digit of positive
+    cents, per-key digit counts via a dense key x digit grid, the same
+    fixed P6 constants, HUGEINT sums cast back."""
+    p6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+          51152, 45757)
+    pvals = ", ".join(f"({d}, {p})" for d, p in enumerate(p6, 1))
+    dcols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN g.d = {i} THEN g.n ELSE 0 END) AS BIGINT)"
+        f" AS d{i}" for i in range(1, 10))
+    return f"""
+WITH c AS (SELECT event_type AS k,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM {table}),
+fd AS (SELECT k,
+              CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                AS d
+       FROM c WHERE cents > 0),
+cnt AS (SELECT k, d, CAST(count(*) AS BIGINT) AS n
+        FROM fd GROUP BY k, d),
+keys AS (SELECT DISTINCT k FROM cnt),
+p(d, p6) AS (VALUES {pvals}),
+g AS (SELECT keys.k, p.d, p.p6, COALESCE(cnt.n, 0) AS n
+      FROM keys CROSS JOIN p
+      LEFT JOIN cnt ON cnt.k = keys.k AND cnt.d = p.d),
+tot AS (SELECT k, CAST(SUM(n) AS BIGINT) AS nv FROM g GROUP BY k),
+sad AS (SELECT g.k,
+               CAST(SUM(ABS(CAST(1000000 AS HUGEINT) * g.n
+                            - CAST(g.p6 AS HUGEINT) * tot.nv))
+                    AS BIGINT) AS sad_num
+        FROM g JOIN tot ON tot.k = g.k GROUP BY g.k)
+SELECT g.k AS key, tot.nv AS n_values, sad.sad_num,
+       CAST((sad.sad_num - (sad.sad_num % GREATEST(tot.nv, 1)))
+            / GREATEST(tot.nv, 1) AS BIGINT) AS sad6,
+       {dcols}
+FROM g JOIN tot ON tot.k = g.k JOIN sad ON sad.k = g.k
+GROUP BY g.k, tot.nv, sad.sad_num
+ORDER BY g.k
+"""

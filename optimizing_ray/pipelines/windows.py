@@ -27,7 +27,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
-           "decayed_counts", "emerging_hotspots"]
+           "decayed_counts", "emerging_hotspots", "benford_audit"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2528,3 +2528,82 @@ def emerging_hotspots(events: rd.Dataset, *, depth: int, world,
                      "n_events": pa.array(C.sum(axis=1)),
                      "mk_s": pa.array(S),
                      "trend": pa.array(trend)}, schema=schema)
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed rational Benford
+# probabilities, part of the operator contract (hardcoded identically
+# in oracle.benford_audit_sql) so the deviation statistic is exact
+BENFORD_P6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+              51152, 45757)
+
+
+def benford_audit(events: rd.Dataset, *, key_col: str = "event_type",
+                  value_col: str = "value") -> pa.Table:
+    """Benford first-digit audit per key — the classic fraud /
+    data-fabrication screen: distribution of the first significant
+    digit of the value (in cents; zero/negative cents excluded) vs the
+    Benford expectation, with the scaled sum of absolute deviations
+
+        sad_num = sum_d | 1e6 * n_d - P6[d] * n |     (x 1e-6 counts)
+        sad6    = sad_num // n                        (per-value x 1e-6)
+
+    exact int64 end to end (P6 are fixed integer constants shared with
+    the SQL twin).  Output (key, n_values, sad_num, sad6) plus the
+    nine digit counts d1..d9, key order.
+
+    Plan: per-batch (key, digit) count partials — the first digit
+    falls out of 18 vectorized halving-free integer divisions (no
+    float log10: 10^k boundaries are exactly where floats bite) —
+    bounded driver merge (keys x 9, the tile_counts class), zero
+    shuffles."""
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "d": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(t[value_col].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        keep = cents > 0
+        if not keep.any():
+            return empty
+        key, d = key[keep], cents[keep]
+        for _ in range(18):  # 10^18 < 2^63: fixed trip count
+            m = d >= 10
+            if not m.any():
+                break
+            d[m] //= 10
+        uk, kinv = np.unique(key, return_inverse=True)
+        comb = kinv * 9 + (d - 1)
+        uc, cnt = np.unique(comb, return_counts=True)
+        return pa.table({"k": pa.array(uk[uc // 9]),
+                         "d": pa.array((uc % 9 + 1).astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = [p for p in ray.get(
+        events.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if p.num_rows]
+    cols = ([("key", pa.string()), ("n_values", pa.int64()),
+             ("sad_num", pa.int64()), ("sad6", pa.int64())]
+            + [(f"d{i}", pa.int64()) for i in range(1, 10)])
+    schema = pa.schema(cols)
+    if not parts:
+        return schema.empty_table()
+    tab = pa.concat_tables(parts)
+    k = tab["k"].to_numpy(zero_copy_only=False)
+    d = tab["d"].to_numpy(zero_copy_only=False)
+    n = tab["n"].to_numpy(zero_copy_only=False)
+    uk, kinv = np.unique(k, return_inverse=True)
+    H = np.zeros((len(uk), 9), np.int64)
+    np.add.at(H, (kinv, d - 1), n)
+    tot = H.sum(axis=1)
+    P = np.array(BENFORD_P6, np.int64)
+    sad = np.abs(1_000_000 * H - P[None, :] * tot[:, None]).sum(axis=1)
+    out = {"key": pa.array(uk), "n_values": pa.array(tot),
+           "sad_num": pa.array(sad),
+           "sad6": pa.array(sad // np.maximum(tot, 1))}
+    for i in range(9):
+        out[f"d{i + 1}"] = pa.array(H[:, i])
+    return pa.table(out, schema=schema)

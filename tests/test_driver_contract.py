@@ -354,7 +354,7 @@ SQL_NAMES = [
     "contact_reach",
     # round 5: exact-integer distribution statistics (EMD drift,
     # Gini concentration) — born past-cap, gated here
-    "source_drift", "revenue_gini",
+    "source_drift", "revenue_gini", "benford_audit",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -1187,3 +1187,51 @@ def test_emerging_hotspots_matches_brute(ray_session):
     assert m[int(grow)] == (pairs + n_days, pairs, 1)   # counts 1..6
     assert m[int(die)] == (pairs + n_days, -pairs, -1)
     assert m[int(flat)] == (2 * n_days, 0, 0)
+
+
+def test_benford_audit_matches_brute(ray_session):
+    """First-digit extraction + deviation vs a literal brute; planted
+    Benford-ish vs uniform-digit keys rank correctly; zero/negative
+    values excluded; 10^k boundary values take the right digit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.pipelines.windows import BENFORD_P6
+
+    vals = []
+    # 'ben': roughly Benford-shaped cents; 'uni': every digit equally
+    ben = [1, 1, 1, 10, 12, 15, 19, 2, 2, 25, 3, 35, 4, 5, 6, 7, 8, 9]
+    for c in ben:
+        vals.append(("ben", c / 100.0))
+    for d in range(1, 10):
+        for rep in range(3):
+            vals.append(("uni", (d * 100 + rep) / 100.0))
+    # excluded rows + exact 10^k boundaries
+    vals += [("ben", 0.0), ("ben", -5.0), ("uni", 10.0), ("uni", 100.0)]
+    t = pa.table({"event_type": pa.array([k for k, _ in vals]),
+                  "value": pa.array([v for _, v in vals])})
+    got = windows.benford_audit(rd.from_arrow(t).repartition(3)).to_pandas()
+    again = windows.benford_audit(rd.from_arrow(t)).to_pandas()
+    assert got.equals(again)
+
+    import collections
+    cnt = collections.defaultdict(lambda: np.zeros(9, np.int64))
+    for k, v in vals:
+        c = int(np.floor(v * 100.0 + 0.5))
+        if c <= 0:
+            continue
+        while c >= 10:
+            c //= 10
+        cnt[k][c - 1] += 1
+    m = {r.key: r for r in got.itertuples()}
+    P = np.array(BENFORD_P6, np.int64)
+    for k, H in cnt.items():
+        n = int(H.sum())
+        sad = int(np.abs(1_000_000 * H - P * n).sum())
+        assert m[k].n_values == n
+        assert m[k].sad_num == sad and m[k].sad6 == sad // n
+        for i in range(9):
+            assert getattr(m[k], f"d{i + 1}") == H[i]
+    assert m["ben"].sad6 < m["uni"].sad6  # Benford-ish scores lower
