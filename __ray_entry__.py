@@ -2431,6 +2431,43 @@ def _q_benford_audit(sf_dir: str):
     return windows.benford_audit(ev)
 
 
+ROLL_WINDOW = 5
+
+
+def _q_rolling_stats(sf_dir: str):
+    """Per-key trailing 5-row rolling sum/min/max over the (ts, id)
+    total order (the ROWS BETWEEN frame) in exact integer cents; ONE
+    hash(key) exchange, in-shard cumsum-diff + sliding-view kernels."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+    return windows.rolling_stats(ev, window=ROLL_WINDOW)
+
+
+def _q_cluster_exemplars(sf_dir: str):
+    """Per-cluster exemplar (nearest member to the refined centroid
+    under the exact (dist2, vec_id) order) — the SemDeDup-style
+    canonical-representative keeper; bounded k-row partials, zero
+    shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from optimizing_ray.pipelines import cluster
+    from optimizing_ray.sources import driver_tables
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    seeds = cluster.quantize_embeddings(qt["embedding"].take(pa.array(order)))
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    return cluster.cluster_exemplars(emb, seeds)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3169,6 +3206,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift": _q_source_drift,
         "revenue_gini": _q_revenue_gini,
         "benford_audit": _q_benford_audit,  # same stats family
+        # NEW round 5: ROWS BETWEEN rolling frame — kernels
+        # driver-exercised by r4-green running_total (cents prefix
+        # scans) + events_window
+        "rolling_stats": _q_rolling_stats,
+        # NEW round 5: kmeans exemplar keeper — kernels driver-
+        # exercised by r4-green kmeans_clusters + semantic_dedup
+        "cluster_exemplars": _q_cluster_exemplars,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3300,6 +3344,8 @@ def oracle_sql() -> dict[str, str]:
         "source_drift": oracle.source_drift_sql(),
         "revenue_gini": oracle.revenue_gini_sql(),
         "benford_audit": oracle.benford_audit_sql(),
+        "rolling_stats": oracle.rolling_stats_sql(ROLL_WINDOW),
+        "cluster_exemplars": oracle.cluster_exemplars_sql(KMEANS_K),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -6162,3 +6162,43 @@ FROM g JOIN tot ON tot.k = g.k JOIN sad ON sad.k = g.k
 GROUP BY g.k, tot.nv, sad.sad_num
 ORDER BY g.k
 """
+
+
+def rolling_stats_sql(window: int = 5, table: str = "events") -> str:
+    """``windows.rolling_stats`` twin: the literal ROWS BETWEEN frame
+    over integer cents."""
+    p = window - 1
+    return f"""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM {table})
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+       CAST(MIN(cents) OVER w AS BIGINT) AS roll_min_cents,
+       CAST(MAX(cents) OVER w AS BIGINT) AS roll_max_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN {p} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def cluster_exemplars_sql(k: int = 8, scale: int = 1024,
+                          table: str = "embeddings") -> str:
+    """``cluster.cluster_exemplars`` twin: the kmeans_sql CTEs plus a
+    per-cluster (dist2, vec_id) row_number pick and member counts."""
+    return f"""
+WITH asg AS ({kmeans_sql(k=k, scale=scale, table=table)}),
+pick AS (SELECT cluster, vec_id, dist2,
+                row_number() OVER (PARTITION BY cluster
+                                   ORDER BY dist2, vec_id) AS rn
+         FROM asg),
+cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        FROM asg GROUP BY cluster)
+SELECT CAST(p.cluster AS BIGINT) AS cluster,
+       CAST(p.vec_id AS BIGINT) AS exemplar_id,
+       CAST(p.dist2 AS BIGINT) AS dist2, cnt.n_members
+FROM pick p JOIN cnt ON cnt.cluster = p.cluster
+WHERE p.rn = 1 ORDER BY p.cluster
+"""

@@ -48,7 +48,7 @@ __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "cluster_top_terms", "triangle_count", "pagerank",
            "mutual_knn_pairs", "random_walks", "kcore",
            "link_prediction", "clustering_coeff",
-           "label_propagation"]
+           "label_propagation", "cluster_exemplars"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -1966,3 +1966,67 @@ def label_propagation(pairs: "rd.Dataset | pa.Table", nodes: rd.Dataset, *,
                          "community": t["lab"].cast(pa.int64())})
 
     return labels.map_batches(out_batch, batch_format="pyarrow")
+
+
+def cluster_exemplars(emb: rd.Dataset, seeds: np.ndarray, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: int = 1024) -> pa.Table:
+    """Per-cluster EXEMPLAR selection — the member closest to its
+    refined centroid under the exact integer (dist2, vec_id) order
+    (the representative-keeper of SemDeDup-style curation: keep one
+    canonical doc per semantic cluster): one Lloyd step
+    (``kmeans_step``), a final assignment pass, and a per-batch
+    per-cluster partial argmin (bounded k rows per batch — the
+    tile_counts class), driver merge.  Zero shuffles, two streaming
+    passes.  Output (cluster, exemplar_id, dist2, n_members), cluster
+    order.  SQL twin ``oracle.cluster_exemplars_sql``."""
+    import ray
+
+    cent, live = kmeans_step(emb, seeds, vec_col=vec_col, scale=scale)
+    assigned = kmeans_assign(emb, cent, live, id_col=id_col,
+                             vec_col=vec_col, scale=scale)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster": pa.array([], pa.int64()),
+                          "vid": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return empty
+        c = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = t["dist2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, d2, c))
+        c, v, d2 = c[order], v[order], d2[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return pa.table({"cluster": pa.array(c[starts]),
+                         "vid": pa.array(v[starts]),
+                         "d2": pa.array(d2[starts]),
+                         "n": pa.array(np.diff(np.r_[starts, len(c)])
+                                       .astype(np.int64))})
+
+    parts = [p for p in ray.get(
+        assigned.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs())
+        if p.num_rows]
+    schema = pa.schema([("cluster", pa.int64()),
+                        ("exemplar_id", pa.int64()),
+                        ("dist2", pa.int64()), ("n_members", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    tab = pa.concat_tables(parts)
+    c = tab["cluster"].to_numpy(zero_copy_only=False)
+    v = tab["vid"].to_numpy(zero_copy_only=False)
+    d2 = tab["d2"].to_numpy(zero_copy_only=False)
+    n = tab["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, d2, c))
+    c, v, d2 = c[order], v[order], d2[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    uc, cinv = np.unique(tab["cluster"].to_numpy(zero_copy_only=False),
+                         return_inverse=True)
+    tot = np.zeros(len(uc), np.int64)
+    np.add.at(tot, cinv, n)
+    return pa.table({"cluster": pa.array(c[starts]),
+                     "exemplar_id": pa.array(v[starts]),
+                     "dist2": pa.array(d2[starts]),
+                     "n_members": pa.array(tot)}, schema=schema)

@@ -27,7 +27,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trajectory_similarity", "mad_outliers", "activity_streaks",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
-           "decayed_counts", "emerging_hotspots", "benford_audit"]
+           "decayed_counts", "emerging_hotspots", "benford_audit",
+           "rolling_stats"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2607,3 +2608,94 @@ def benford_audit(events: rd.Dataset, *, key_col: str = "event_type",
     for i in range(9):
         out[f"d{i + 1}"] = pa.array(H[:, i])
     return pa.table(out, schema=schema)
+
+
+def rolling_stats(events: rd.Dataset, *, window: int = 5,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value", id_col: str = "event_id",
+                  n_shards: int | None = None) -> rd.Dataset:
+    """Per-key ROLLING-WINDOW statistics over the (ts, id) total order
+    — the ROWS BETWEEN streaming primitive (trailing ``window``-row
+    sum / min / max per event, partial windows at each key's head, the
+    SQL `ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW` frame): values
+    ride as fixed-point cents so the int64 window sums are order-exact
+    and bit-identical to the window-function twin
+    ``oracle.rolling_stats_sql``.  Output (event_id, key, ts_us,
+    roll_sum_cents, roll_min_cents, roll_max_cents).
+
+    Plan: ONE hash(key) exchange; in-shard ONE lexsort over
+    (key, ts, id), window sums by cumsum difference (boundary-masked
+    at key starts), min/max by a (n, window) sliding view over a
+    sentinel-padded array — no per-row Python, no pandas rolling
+    (whose int64 rolling returns float64 and loses exactness)."""
+    n_shards = resolve_shards(n_shards, floor=64)
+    k = int(window)
+    assert k >= 1
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             "_cents": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(t[value_col].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            key_col: t[key_col],
+            "_ts": t[ts_col].cast(pa.int64()),
+            "_cents": pa.array(cents),
+            "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    INF = np.int64(1) << np.int64(62)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                key_col: pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "roll_sum_cents": pd.Series([], dtype=np.int64),
+                "roll_min_cents": pd.Series([], dtype=np.int64),
+                "roll_max_cents": pd.Series([], dtype=np.int64)})
+        key = g[key_col].to_numpy(np.int64)
+        ts = g["_ts"].to_numpy(np.int64)
+        eid = g[id_col].to_numpy(np.int64)
+        cents = g["_cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, key))
+        key, ts, eid, cents = key[order], ts[order], eid[order], \
+            cents[order]
+        n = len(key)
+        # position within the key segment
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        seg = np.repeat(starts, np.diff(np.r_[starts, n]))
+        pos = np.arange(n, dtype=np.int64) - seg
+        # trailing-k sum: prefix diff, window clipped to the segment
+        csum = np.cumsum(cents)
+        wlen = np.minimum(pos + 1, k)
+        lo = np.arange(n, dtype=np.int64) - wlen  # exclusive lower
+        base = np.where(lo >= 0, csum[np.maximum(lo, 0)], 0)
+        rsum = csum - base
+        # min/max via a sentinel-padded (n, k) sliding view; out-of-
+        # segment slots carry +/-INF sentinels
+        padded_min = np.concatenate([np.full(k - 1, INF), cents])
+        padded_max = np.concatenate([np.full(k - 1, -INF), cents])
+        sw_min = np.lib.stride_tricks.sliding_window_view(padded_min, k)
+        sw_max = np.lib.stride_tricks.sliding_window_view(padded_max, k)
+        # mask slots before the segment start: slot j of row i holds
+        # element i - (k - 1) + j; valid iff >= seg[i]
+        offs = np.arange(k) - (k - 1)
+        idx = np.arange(n)[:, None] + offs[None, :]
+        valid = idx >= seg[:, None]
+        rmin = np.where(valid, sw_min, INF).min(axis=1)
+        rmax = np.where(valid, sw_max, -INF).max(axis=1)
+        return pd.DataFrame({id_col: eid, key_col: key, "ts_us": ts,
+                             "roll_sum_cents": rsum,
+                             "roll_min_cents": rmin,
+                             "roll_max_cents": rmax})
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(roll, batch_format="pandas"))

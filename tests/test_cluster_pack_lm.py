@@ -831,3 +831,61 @@ def test_label_propagation_matches_brute_and_plans_agree(ray_session):
     assert comm[20] == 20                      # isolated keeps itself
     assert len({comm[i] for i in range(4)}) == 1      # clique collapses
     assert len({comm[i] for i in range(10, 14)}) == 1
+
+
+def test_cluster_exemplars_picks_nearest_member(ray_session):
+    """Exemplar = argmin (dist2, vec_id) to the REFINED centroid — on
+    planted geometry where the refined centroid moves AWAY from the
+    seed, the exemplar is a non-seed member; counts partition the
+    corpus; layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import cluster
+
+    # cluster A: seed at origin, mass at ~ (10, 0...) so the refined
+    # centroid lands near (8, 0) — nearest member is vec 3 (at 8.0),
+    # not the seed.  cluster B: tight blob far away.
+    dim = 4
+    V = np.zeros((8, dim), np.float32)
+    V[0] = 0.0                      # seed A (vec 0)
+    V[1] = [100.0, 100.0, 0, 0]     # seed B (vec 1)
+    V[2] = [10.0, 0, 0, 0]
+    V[3] = [8.0, 0, 0, 0]
+    V[4] = [12.0, 0, 0, 0]
+    V[5] = [101.0, 100.0, 0, 0]
+    V[6] = [99.0, 100.0, 0, 0]
+    V[7] = [100.0, 101.0, 0, 0]
+    t = pa.table({"vec_id": pa.array(np.arange(8, dtype=np.int64)),
+                  "embedding": pa.array(list(V), pa.list_(pa.float32()))})
+    seeds = cluster.quantize_embeddings(
+        pa.array(list(V[:2]), pa.list_(pa.float32())))
+    got = cluster.cluster_exemplars(
+        rd.from_arrow(t).repartition(3), seeds).to_pandas()
+    again = cluster.cluster_exemplars(rd.from_arrow(t), seeds).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+    # brute replay of step + assign + argmin
+    Q = np.floor(V.astype(np.float64) * 1024).astype(np.int64)
+    S = np.floor(V[:2].astype(np.float64) * 1024).astype(np.int64)
+    a0 = np.array([np.lexsort((np.arange(2),
+                               ((Q[i] - S) ** 2).sum(1)))[0]
+                   for i in range(8)])
+    cent = np.stack([
+        np.floor_divide(Q[a0 == c].sum(0), (a0 == c).sum())
+        for c in range(2)])
+    d1 = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    a1 = np.array([np.lexsort((np.arange(2), d1[i]))[0]
+                   for i in range(8)])
+    m = {int(r.cluster): r for r in got.itertuples()}
+    for c in range(2):
+        members = np.flatnonzero(a1 == c)
+        d = d1[members, c]
+        w = members[np.lexsort((members, d))[0]]
+        assert m[c].exemplar_id == w
+        assert m[c].dist2 == d1[w, c]
+        assert m[c].n_members == len(members)
+    assert m[0].exemplar_id != 0       # refined centroid left the seed
+    assert got["n_members"].sum() == 8

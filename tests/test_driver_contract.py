@@ -355,6 +355,11 @@ SQL_NAMES = [
     # round 5: exact-integer distribution statistics (EMD drift,
     # Gini concentration) — born past-cap, gated here
     "source_drift", "revenue_gini", "benford_audit",
+    # round 5: ROWS BETWEEN rolling frame (exact integer window
+    # sum/min/max) — born past-cap, gated here
+    "rolling_stats",
+    # round 5: kmeans cluster exemplars — born past-cap, gated here
+    "cluster_exemplars",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

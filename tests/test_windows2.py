@@ -1235,3 +1235,47 @@ def test_benford_audit_matches_brute(ray_session):
         for i in range(9):
             assert getattr(m[k], f"d{i + 1}") == H[i]
     assert m["ben"].sad6 < m["uni"].sad6  # Benford-ish scores lower
+
+
+def test_rolling_stats_matches_brute(ray_session):
+    """Trailing-k window sum/min/max vs a literal per-row brute:
+    partial head windows, key boundaries never leak, (ts, id) tie
+    order, layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines import windows
+
+    rng = np.random.default_rng(7)
+    n = 300
+    key = rng.integers(0, 5, n).astype(np.int64)
+    ts = rng.integers(0, 40, n).astype(np.int64)  # many ts ties
+    val = np.round(rng.uniform(-20, 50, n), 2)
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "user_id": pa.array(key),
+                  "ts": pa.array(ts.astype("datetime64[us]")),
+                  "value": pa.array(val)})
+    k = 4
+    got = (windows.rolling_stats(rd.from_arrow(t).repartition(5),
+                                 window=k)
+           .to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+           .reset_index(drop=True))
+    again = (windows.rolling_stats(rd.from_arrow(t), window=k)
+             .to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+    rows = sorted(zip(key, ts, np.arange(n), cents))
+    by_key = {}
+    want = {}
+    for kk, tt, ee, cc in rows:
+        h = by_key.setdefault(kk, [])
+        h.append(cc)
+        w = h[-k:]
+        want[ee] = (sum(w), min(w), max(w))
+    for r in got.itertuples():
+        assert (r.roll_sum_cents, r.roll_min_cents,
+                r.roll_max_cents) == want[r.event_id], r.event_id
