@@ -163,15 +163,19 @@ def build_inverted_index(docs: rd.Dataset, store_dir: str, *,
 
 
 def boolean_search(store_dir: str, terms, *, n_parts: int = 64,
-                   n_shards: int | None = None,
+                   n_shards: int | None = None, limit: int | None = None,
                    stats: dict | None = None) -> pa.Table:
     """AND-retrieval: docs containing EVERY term in ``terms`` (duplicate
     query terms collapse), with tf_total = total occurrences of the
     query terms, ordered (tf_total DESC, doc_id).  Reads only the parts
     the term hashes name; the doc-side exchange moves only the query
     terms' postings.  The ranked result materializes driver-side —
-    bounded by the conjunctive match count; for stop-word-only queries
-    at open-web scale, cap with a per-shard top-k before the merge."""
+    bounded by the conjunctive match count; ``limit`` caps it with a
+    per-shard top-``limit`` cut under the SAME (tf_total DESC, doc_id)
+    order BEFORE the merge (shards hold disjoint docs, so per-shard
+    cuts are globally safe — the ranked_search discipline), bounding
+    the driver collect at shards x limit even for stop-word-only
+    queries at open-web scale."""
     from optimizing_ray.config import resolve_shards
 
     shift = _part_shift(n_parts)
@@ -226,8 +230,12 @@ def boolean_search(store_dir: str, terms, *, n_parts: int = 64,
         nt = np.diff(np.r_[runs, len(d)])
         keep = nt == m
         tf = np.add.reduceat(g["tf"].to_numpy(np.int64)[order], runs)
-        return pd.DataFrame({"doc_id": d[runs[keep]],
-                             "tf_total": tf[keep].astype(np.int64)})
+        dk = d[runs[keep]]
+        tk = tf[keep].astype(np.int64)
+        if limit is not None and len(dk) > limit:
+            cut = np.lexsort((dk, -tk))[:limit]
+            dk, tk = dk[cut], tk[cut]
+        return pd.DataFrame({"doc_id": dk, "tf_total": tk})
 
     hits = (rd.read_parquet(paths, columns=["h", "doc", "tf"])
             .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
@@ -238,6 +246,8 @@ def boolean_search(store_dir: str, terms, *, n_parts: int = 64,
     doc = hits["doc_id"].to_numpy(np.int64)
     tf = hits["tf_total"].to_numpy(np.int64)
     order = np.lexsort((doc, -tf))
+    if limit is not None:
+        order = order[:limit]
     return pa.table({"doc_id": pa.array(doc[order]),
                      "tf_total": pa.array(tf[order])})
 

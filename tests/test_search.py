@@ -256,3 +256,15 @@ def test_bm25_matches_float_reference(ray_session, tmp_path):
             return s
         frank = sorted(want, key=lambda i: (-fscore(i), i))
         assert list(rows.sort_values("ret_rank")["doc_id"]) == frank
+
+
+def test_boolean_search_limit_cap(store):
+    """limit caps the driver collect with globally-safe per-shard cuts:
+    the capped result equals the head of the uncapped ranking."""
+    full = search.boolean_search(store, ["dog"], n_parts=16).to_pandas()
+    assert len(full) >= 3
+    for lim in (1, 2, len(full), len(full) + 5):
+        capped = search.boolean_search(store, ["dog"], n_parts=16,
+                                       limit=lim).to_pandas()
+        assert capped.equals(full.head(min(lim, len(full)))
+                             .reset_index(drop=True))
