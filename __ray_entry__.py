@@ -2468,6 +2468,20 @@ def _q_cluster_exemplars(sf_dir: str):
     return cluster.cluster_exemplars(emb, seeds)
 
 
+def _q_media_dup_groups(sf_dir: str):
+    """End-to-end image dedup: decode + dHash every image span, group
+    by perceptual hash, report duplicate sets (>= 2 spans) with the
+    (doc, ord)-minimal representative; decode seam + ONE hash(dhash)
+    exchange."""
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import media
+
+    docs = (driver_tables.read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(driver_tables.derive_spans_batch,
+                         batch_format="pyarrow", zero_copy_batch=True))
+    return media.media_dup_groups(docs, min_spans=2)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3213,6 +3227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW round 5: kmeans exemplar keeper — kernels driver-
         # exercised by r4-green kmeans_clusters + semantic_dedup
         "cluster_exemplars": _q_cluster_exemplars,
+        # NEW round 5: end-to-end image dedup — kernels driver-
+        # exercised by w5 image_dhash (decode+hash) + dedup_exact
+        # family (min-winner grouping)
+        "media_dup_groups": _q_media_dup_groups,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3346,6 +3364,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": oracle.benford_audit_sql(),
         "rolling_stats": oracle.rolling_stats_sql(ROLL_WINDOW),
         "cluster_exemplars": oracle.cluster_exemplars_sql(KMEANS_K),
+        "media_dup_groups": oracle.media_dup_groups_sql(2),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

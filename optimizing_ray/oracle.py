@@ -6202,3 +6202,26 @@ SELECT CAST(p.cluster AS BIGINT) AS cluster,
 FROM pick p JOIN cnt ON cnt.cluster = p.cluster
 WHERE p.rn = 1 ORDER BY p.cluster
 """
+
+
+def media_dup_groups_sql(min_spans: int = 2, gw: int = 9, gh: int = 8,
+                         table: str = "documents") -> str:
+    """``media.media_dup_groups`` twin: the image_dhash CTE output
+    grouped by hash; representative = the (doc_id, ord)-minimal span
+    (row_number), groups under ``min_spans`` dropped."""
+    return f"""
+WITH dh AS ({image_dhash_sql(gw=gw, gh=gh, table=table)}),
+pick AS (SELECT dhash, doc_id, ord,
+                row_number() OVER (PARTITION BY dhash
+                                   ORDER BY doc_id, ord) AS rn
+         FROM dh),
+grp AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM dh GROUP BY dhash)
+SELECT g.dhash, g.n_spans, g.n_docs,
+       CAST(p.doc_id AS BIGINT) AS keep_doc,
+       CAST(p.ord AS BIGINT) AS keep_ord
+FROM grp g JOIN pick p ON p.dhash = g.dhash AND p.rn = 1
+WHERE g.n_spans >= {min_spans}
+ORDER BY g.dhash
+"""

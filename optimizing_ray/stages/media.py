@@ -36,7 +36,7 @@ from optimizing_ray.stages.codecs import (IMG_H, IMG_W, N_SAMPLES, _PNG_MAGIC,
 
 __all__ = ["MediaFeaturizer", "extract_media_features", "sample_frames",
            "N_FEATURES", "ImageResizer", "resize_images",
-           "audio_resample", "N_RESAMPLE"]
+           "audio_resample", "N_RESAMPLE", "media_dup_groups"]
 
 N_FEATURES = 8
 
@@ -551,3 +551,92 @@ def audio_resample(docs: rd.Dataset, *, m: int = N_RESAMPLE,
                                    fetch_factory=fetch_factory, args=(m,)),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
+
+
+def media_dup_groups(docs: rd.Dataset, *, min_spans: int = 2,
+                     fetch=None, fetch_factory=None,
+                     n_shards: int | None = None) -> rd.Dataset:
+    """End-to-end IMAGE DEDUP over the interleaved media column: decode
+    every image span, dHash it (``image_dhash``), and group spans by
+    the perceptual hash — groups with >= ``min_spans`` members are the
+    duplicate sets an asset pipeline collapses (true duplicate images
+    share a dhash exactly; the fixture's mod-PIX_MOD collisions plant
+    such sets deterministically).  Output (dhash, n_spans, n_docs,
+    keep_doc, keep_ord) — the representative is the (doc, ord)-minimal
+    span, the exact-dedup min-winner rule.
+
+    Plan: the decode stage is the ``image_dhash`` task/actor-pool seam
+    (client-per-actor with ``fetch_factory``); per-batch (dhash, count,
+    distinct-doc partial, min (doc, ord)) folds, ONE hash(dhash)
+    exchange merges — distinct-doc counts stay exact because a batch's
+    per-(dhash, doc) fold emits at most one doc row per batch and the
+    exchange counts distinct doc values in-shard."""
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    hashes = image_dhash(docs, fetch=fetch, fetch_factory=fetch_factory)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dh": pa.array([], pa.int64()),
+                          "doc": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "mdoc": pa.array([], pa.int64()),
+                          "mord": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "dhash" not in t.column_names:
+            return empty
+        dh = t["dhash"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        o = t["ord"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, doc, dh))
+        dh, doc, o = dh[order], doc[order], o[order]
+        runs = np.flatnonzero(np.r_[True, (dh[1:] != dh[:-1])
+                                    | (doc[1:] != doc[:-1])])
+        # one row per (dhash, doc) per batch; first row of the dhash
+        # run holds the (doc, ord) minimum
+        n = np.diff(np.r_[runs, len(dh)]).astype(np.int64)
+        with np.errstate(over="ignore"):
+            sh = ((dh[runs].astype(np.uint64) * gold) >> np.uint64(33))
+        return pa.table({"dh": pa.array(dh[runs]),
+                         "doc": pa.array(doc[runs]),
+                         "n": pa.array(n),
+                         "mdoc": pa.array(doc[runs]),
+                         "mord": pa.array(o[runs]),
+                         "_shard": pa.array((sh % np.uint64(n_shards))
+                                            .astype(np.int64))})
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({
+                "dhash": pd.Series([], dtype=np.int64),
+                "n_spans": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "keep_doc": pd.Series([], dtype=np.int64),
+                "keep_ord": pd.Series([], dtype=np.int64)})
+        dh = g["dh"].to_numpy(np.int64)
+        doc = g["doc"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        mdoc = g["mdoc"].to_numpy(np.int64)
+        mord = g["mord"].to_numpy(np.int64)
+        order = np.lexsort((mord, mdoc, dh))
+        dh, doc, n = dh[order], doc[order], n[order]
+        mdoc, mord = mdoc[order], mord[order]
+        runs = np.flatnonzero(np.r_[True, dh[1:] != dh[:-1]])
+        tot = np.add.reduceat(n, runs)
+        # distinct docs: (dhash, doc) rows may repeat across batches
+        dd = np.flatnonzero(np.r_[True, (dh[1:] != dh[:-1])
+                                  | (doc[1:] != doc[:-1])])
+        seg = np.searchsorted(runs, dd, side="right") - 1
+        ndocs = np.bincount(seg, minlength=len(runs)).astype(np.int64)
+        keep = (tot >= min_spans)
+        return pd.DataFrame({"dhash": dh[runs][keep],
+                             "n_spans": tot[keep],
+                             "n_docs": ndocs[keep],
+                             "keep_doc": mdoc[runs][keep],
+                             "keep_ord": mord[runs][keep]})
+
+    return (hashes.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(merge, batch_format="pandas"))

@@ -572,3 +572,46 @@ def test_media_decode_actor_pool_one_client_per_actor(ray_session, tmp_path):
         assert len(logs) >= 1            # the pool actually ran actors
         for p in logs:                   # ONE construction per process
             assert p.read_text() == "x", (name, p)
+
+
+def test_media_dup_groups_matches_brute(ray_session):
+    """Duplicate grouping vs a python replay over the per-span hashes:
+    counts, distinct docs, (doc, ord)-minimal representative, the
+    min_spans gate, and layout invariance."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.sources import driver_tables
+    from optimizing_ray.stages import media
+
+    docs = (rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64))}))
+        .map_batches(driver_tables.derive_spans_batch,
+                     batch_format="pyarrow", zero_copy_batch=True))
+    spans = media.image_dhash(docs).to_pandas()
+    got = (media.media_dup_groups(docs, min_spans=2).to_pandas()
+           .sort_values("dhash").reset_index(drop=True))
+    again = (media.media_dup_groups(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(80, dtype=np.int64))}))
+        .map_batches(driver_tables.derive_spans_batch,
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(5), min_spans=2).to_pandas()
+        .sort_values("dhash").reset_index(drop=True))
+    assert got.equals(again)
+
+    groups = collections.defaultdict(list)
+    for r in spans.itertuples():
+        groups[int(r.dhash)].append((int(r.doc_id), int(r.ord)))
+    want = []
+    for h, members in groups.items():
+        if len(members) >= 2:
+            kd, ko = min(members)
+            want.append((h, len(members), len({d for d, _ in members}),
+                         kd, ko))
+    want.sort()
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(want) > 0                      # fixture plants dup sets

@@ -360,6 +360,8 @@ SQL_NAMES = [
     "rolling_stats",
     # round 5: kmeans cluster exemplars — born past-cap, gated here
     "cluster_exemplars",
+    # round 5: end-to-end image dedup groups — born past-cap, gated
+    "media_dup_groups",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification
