@@ -2482,6 +2482,22 @@ def _q_media_dup_groups(sf_dir: str):
     return media.media_dup_groups(docs, min_spans=2)
 
 
+def _q_zone_dwell(sf_dir: str):
+    """Per-(user, zone) dwell accounting (PIP x session fusion):
+    consecutive same-user event pairs with both endpoints inside a
+    convex zone sum their time deltas; zones fold to a per-event
+    bitmask in one half-plane pass, ONE hash(user) exchange."""
+    from optimizing_ray import synth
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    polys = synth.polygons_table(8, world=WORLD_2D)
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id", "ts"])
+    return windows.zone_dwell(ev, polys, world=WORLD_2D)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3231,6 +3247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exercised by w5 image_dhash (decode+hash) + dedup_exact
         # family (min-winner grouping)
         "media_dup_groups": _q_media_dup_groups,
+        # NEW round 5: PIP x session dwell accounting — kernels
+        # driver-exercised by w5 pip_join family + od_matrix
+        # (per-user ordered pairs)
+        "zone_dwell": _q_zone_dwell,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3365,6 +3385,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": oracle.rolling_stats_sql(ROLL_WINDOW),
         "cluster_exemplars": oracle.cluster_exemplars_sql(KMEANS_K),
         "media_dup_groups": oracle.media_dup_groups_sql(2),
+        "zone_dwell": oracle.zone_dwell_sql(
+            synth.polygons_table(8, world=WORLD_2D)),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -6225,3 +6225,51 @@ FROM grp g JOIN pick p ON p.dhash = g.dhash AND p.rn = 1
 WHERE g.n_spans >= {min_spans}
 ORDER BY g.dhash
 """
+
+
+def zone_dwell_sql(polygons, world: World = DRIVER_WORLD,
+                   table: str = "events") -> str:
+    """``windows.zone_dwell`` twin: event points via the shared
+    geometry, per-(event, poly) containment by the HAVING min-cross
+    test (the pip_join oracle shape), lag window per user, consecutive
+    pairs both inside the zone sum their deltas."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    values = []
+    for row in polygons.to_pylist():
+        ring = row["ring"]
+        for i in range(len(ring)):
+            v1, v2 = ring[i], ring[(i + 1) % len(ring)]
+            values.append(f"('{row['poly_id']}', {v1['x']!r}, {v1['y']!r}, "
+                          f"{v2['x']!r}, {v2['y']!r})")
+    edges = ",\n  ".join(values)
+    return f"""
+WITH pts AS (SELECT event_id, user_id,
+                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                    {x} AS px, {y} AS py
+             FROM {table}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {edges}),
+ein AS (
+  SELECT e.poly_id, p.event_id, p.user_id, p.ts_us
+  FROM pts p CROSS JOIN edges e
+  GROUP BY e.poly_id, p.event_id, p.user_id, p.ts_us
+  HAVING min((e.x2 - e.x1) * (p.py - e.y1)
+             - (e.y2 - e.y1) * (p.px - e.x1)) >= 0),
+seq AS (SELECT event_id, user_id, ts_us,
+               lag(event_id) OVER w AS prev_id,
+               lag(ts_us) OVER w AS prev_ts
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+pairs AS (
+  SELECT a.poly_id, s.user_id, s.ts_us - s.prev_ts AS dt
+  FROM seq s
+  JOIN ein a ON a.event_id = s.event_id
+  JOIN ein b ON b.event_id = s.prev_id AND b.poly_id = a.poly_id
+  WHERE s.prev_id IS NOT NULL)
+SELECT user_id, poly_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt) AS BIGINT) AS dwell_us
+FROM pairs GROUP BY user_id, poly_id
+ORDER BY user_id, poly_id
+"""

@@ -28,7 +28,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
            "decayed_counts", "emerging_hotspots", "benford_audit",
-           "rolling_stats"]
+           "rolling_stats", "zone_dwell"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2699,3 +2699,98 @@ def rolling_stats(events: rd.Dataset, *, window: int = 5,
     return (events.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(roll, batch_format="pandas"))
+
+
+def zone_dwell(events: rd.Dataset, polygons: pa.Table, *, world,
+               key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               n_shards: int | None = None) -> rd.Dataset:
+    """Per-(user, zone) DWELL TIME — the geofence-accounting fusion of
+    the PIP join and the session family: for each convex zone
+    INDEPENDENTLY (zones may overlap), every consecutive event pair in
+    the user's (ts, id) order whose endpoints BOTH lie inside the zone
+    contributes its time delta.  Integer microseconds; the
+    boundary-inclusive half-plane test is the ``pip.pip_convex``
+    fixed-IEEE kernel, so both engines agree exactly.  Output
+    (user_id, poly_id, n_segments, dwell_us), (user, poly) order.
+
+    Plan: per batch ONE vectorized half-plane pass folds all zones
+    into a per-event BITMASK (zones are a bounded fixture set — the
+    broadcast-side rule), so the exchange rows stay slim
+    (user, ts, id, mask); ONE hash(user) exchange, in-shard lexsort +
+    neighbor AND of masks, per-zone bit-test fold.  SQL twin
+    ``oracle.zone_dwell_sql`` (edge VALUES + lag window)."""
+    from optimizing_ray.pipelines.pip import pip_convex
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+    rings = [(r["poly_id"],
+              np.array([v["x"] for v in r["ring"]]),
+              np.array([v["y"] for v in r["ring"]]))
+             for r in polygons.to_pylist()]
+    assert len(rings) <= 63, "zone bitmask packs into int64"
+    poly_ids = [pid for pid, _, _ in rings]
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "_ts": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "_mask": pa.array([], pa.int64()),
+                             "_shard": pa.array([], pa.int64())})
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        mask = np.zeros(len(eid), np.int64)
+        for z, (_, vx, vy) in enumerate(rings):
+            mask |= pip_convex(x, y, vx, vy).astype(np.int64) << z
+        return pa.table({key_col: pa.array(key),
+                         "_ts": t[ts_col].cast(pa.int64()),
+                         id_col: t[id_col],
+                         "_mask": pa.array(mask),
+                         "_shard": pa.array(_shard_of_keys(key, n_shards))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                "poly_id": pd.Series([], dtype=str),
+                "n_segments": pd.Series([], dtype=np.int64),
+                "dwell_us": pd.Series([], dtype=np.int64)})
+        key = g[key_col].to_numpy(np.int64)
+        ts = g["_ts"].to_numpy(np.int64)
+        eid = g[id_col].to_numpy(np.int64)
+        mask = g["_mask"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, key))
+        key, ts, mask = key[order], ts[order], mask[order]
+        same = key[1:] == key[:-1]
+        both = (mask[1:] & mask[:-1])[same]
+        dt = (ts[1:] - ts[:-1])[same]
+        pk = key[1:][same]
+        rows = []
+        for z, pid in enumerate(poly_ids):
+            inz = (both >> z) & 1 == 1
+            if not inz.any():
+                continue
+            uk, kin = np.unique(pk[inz], return_inverse=True)
+            nseg = np.bincount(kin).astype(np.int64)
+            dsum = np.zeros(len(uk), np.int64)
+            np.add.at(dsum, kin, dt[inz])
+            for i in range(len(uk)):
+                rows.append((int(uk[i]), pid, int(nseg[i]),
+                             int(dsum[i])))
+        if not rows:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                "poly_id": pd.Series([], dtype=str),
+                "n_segments": pd.Series([], dtype=np.int64),
+                "dwell_us": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame(rows, columns=[key_col, "poly_id",
+                                          "n_segments", "dwell_us"])
+        return out.sort_values([key_col, "poly_id"]).reset_index(drop=True)
+
+    return (events.map_batches(slim, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(fold, batch_format="pandas"))

@@ -362,6 +362,8 @@ SQL_NAMES = [
     "cluster_exemplars",
     # round 5: end-to-end image dedup groups — born past-cap, gated
     "media_dup_groups",
+    # round 5: per-(user, zone) dwell accounting — born past-cap
+    "zone_dwell",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

@@ -1279,3 +1279,73 @@ def test_rolling_stats_matches_brute(ray_session):
     for r in got.itertuples():
         assert (r.roll_sum_cents, r.roll_min_cents,
                 r.roll_max_cents) == want[r.event_id], r.event_id
+
+
+def test_zone_dwell_matches_brute(ray_session):
+    """Dwell accounting vs a literal per-pair replay: overlapping
+    zones count independently, boundary events included, gaps where
+    one endpoint leaves the zone contribute nothing; layout
+    invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.pipelines.pip import pip_convex
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    # two overlapping axis-aligned square zones (CCW rings)
+    def ring(x0, y0, x1, y1):
+        return [{"x": x0, "y": y0}, {"x": x1, "y": y0},
+                {"x": x1, "y": y1}, {"x": x0, "y": y1}]
+    polys = pa.table({
+        "poly_id": pa.array(["za", "zb"]),
+        "ring": pa.array([ring(0.0, 0.0, 60_000.0, 60_000.0),
+                          ring(30_000.0, 0.0, 99_000.0, 99_000.0)],
+                         pa.list_(pa.struct([("x", pa.float64()),
+                                             ("y", pa.float64())])))})
+    rng = np.random.default_rng(3)
+    n = 600
+    eid = rng.permutation(np.arange(50_000, dtype=np.int64))[:n]
+    uid = rng.integers(0, 6, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    t = pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid),
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    got = (windows.zone_dwell(rd.from_arrow(t).repartition(4), polys,
+                              world=WORLD_2D)
+           .to_pandas().sort_values(["user_id", "poly_id"])
+           .reset_index(drop=True))
+    again = (windows.zone_dwell(rd.from_arrow(t), polys, world=WORLD_2D)
+             .to_pandas().sort_values(["user_id", "poly_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+    wx, wy, _ = WORLD_2D.size
+    x = WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+    y = WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+    inz = {}
+    for r in polys.to_pylist():
+        vx = np.array([v["x"] for v in r["ring"]])
+        vy = np.array([v["y"] for v in r["ring"]])
+        inz[r["poly_id"]] = pip_convex(x, y, vx, vy)
+    want = {}
+    order = np.lexsort((eid, ts, uid))
+    for i, j in zip(order[:-1], order[1:]):
+        if uid[i] != uid[j]:
+            continue
+        for pid, m in inz.items():
+            if m[i] and m[j]:
+                k = (int(uid[j]), pid)
+                s = want.setdefault(k, [0, 0])
+                s[0] += 1
+                s[1] += int(ts[j] - ts[i])
+    assert {(int(r.user_id), r.poly_id): [int(r.n_segments),
+                                          int(r.dwell_us)]
+            for r in got.itertuples()} == want
+    # the overlap region produces users dwelling in BOTH zones
+    pids_per_user = {}
+    for (u, p) in want:
+        pids_per_user.setdefault(u, set()).add(p)
+    assert any(len(v) == 2 for v in pids_per_user.values())
