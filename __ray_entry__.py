@@ -2498,6 +2498,28 @@ def _q_zone_dwell(sf_dir: str):
     return windows.zone_dwell(ev, polys, world=WORLD_2D)
 
 
+def _q_radius_of_gyration(sf_dir: str):
+    """Per-user radius of gyration (the classic mobility RMS-from-
+    centroid statistic): exact integer moment partials over quantized
+    points, num = n*ss - sx^2 - sy^2 exact, one fixed sqrt/divide
+    chain micro-rounded; ONE hash(user) exchange."""
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id"])
+    return windows.radius_of_gyration(ev)
+
+
+def _q_pareto_coverage(sf_dir: str):
+    """Per-nation Pareto coverage depth: smallest top-order prefix
+    covering 80% of revenue under the exact integer predicate
+    (tie-order invariant); revenue_gini plan shape."""
+    from optimizing_ray.pipelines import relational
+
+    return relational.pareto_coverage(sf_dir)
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3251,6 +3273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-exercised by w5 pip_join family + od_matrix
         # (per-user ordered pairs)
         "zone_dwell": _q_zone_dwell,
+        # NEW round 5: mobility + concentration statistics —
+        # family kernels as source_drift/revenue_gini above
+        "radius_of_gyration": _q_radius_of_gyration,
+        "pareto_coverage": _q_pareto_coverage,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3387,6 +3413,8 @@ def oracle_sql() -> dict[str, str]:
         "media_dup_groups": oracle.media_dup_groups_sql(2),
         "zone_dwell": oracle.zone_dwell_sql(
             synth.polygons_table(8, world=WORLD_2D)),
+        "radius_of_gyration": oracle.radius_of_gyration_sql(),
+        "pareto_coverage": oracle.pareto_coverage_sql(),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

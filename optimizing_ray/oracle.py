@@ -6273,3 +6273,71 @@ SELECT user_id, poly_id, CAST(count(*) AS BIGINT) AS n_segments,
 FROM pairs GROUP BY user_id, poly_id
 ORDER BY user_id, poly_id
 """
+
+
+def radius_of_gyration_sql(world: World = DRIVER_WORLD,
+                           table: str = "events") -> str:
+    """``windows.radius_of_gyration`` twin: floor-quantized integer
+    coordinates, HUGEINT moment sums, num = n*ss - sx^2 - sy^2 cast
+    BIGINT, rog6 by the identical sqrt -> divide -> scale -> floor
+    chain."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT user_id,
+                    CAST(floor({x}) AS BIGINT) AS qx,
+                    CAST(floor({y}) AS BIGINT) AS qy
+             FROM {table}),
+a AS (SELECT user_id,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(qx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(qy AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(qx AS HUGEINT) * qx
+                      + CAST(qy AS HUGEINT) * qy) AS HUGEINT) AS ss
+      FROM pts GROUP BY user_id),
+f AS (SELECT user_id, n, n * ss - sx * sx - sy * sy AS num FROM a)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(num AS BIGINT) AS rog_num,
+       CAST(floor(sqrt(CAST(CAST(num AS BIGINT) AS DOUBLE))
+                  / CAST(n AS BIGINT) * 1000000 + 0.5) AS BIGINT)
+         AS rog6
+FROM f ORDER BY user_id
+"""
+
+
+def pareto_coverage_sql(pct_num: int = 80, pct_den: int = 100,
+                        table_orders: str = "orders",
+                        table_customer: str = "customer") -> str:
+    """``relational.pareto_coverage`` twin: DESC row_number + window
+    cumsum (tie order irrelevant — equal values yield the same cumsum
+    sequence), smallest prefix satisfying the exact integer predicate."""
+    return f"""
+WITH oc AS (SELECT c.c_nationkey AS nat,
+                   CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS cents
+            FROM {table_orders} o
+            JOIN {table_customer} c ON c.c_custkey = o.o_custkey),
+rk AS (SELECT nat, cents,
+              ROW_NUMBER() OVER w AS i,
+              CAST(SUM(CAST(cents AS HUGEINT)) OVER (
+                   PARTITION BY nat ORDER BY cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS cum
+       FROM oc
+       WINDOW w AS (PARTITION BY nat ORDER BY cents DESC)),
+tot AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT)
+                 AS total_cents
+        FROM oc GROUP BY nat),
+k AS (SELECT rk.nat, MIN(rk.i) AS k_top
+      FROM rk JOIN tot ON tot.nat = rk.nat
+      WHERE {pct_den} * rk.cum >= {pct_num} * CAST(tot.total_cents
+                                                   AS HUGEINT)
+      GROUP BY rk.nat)
+SELECT CAST(tot.nat AS BIGINT) AS nationkey, tot.n_orders,
+       tot.total_cents, CAST(k.k_top AS BIGINT) AS k_top
+FROM tot JOIN k ON k.nat = tot.nat
+ORDER BY nationkey
+"""

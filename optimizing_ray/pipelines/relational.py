@@ -23,7 +23,7 @@ __all__ = ["broadcast_lookup", "sales_by_nation", "bloom_semi_join",
            "product_profit", "market_share", "dominant_suppliers",
            "balance_deciles", "slow_suppliers", "forecast_revenue",
            "revenue_trend", "theil_sen", "copurchase_pairs",
-           "revenue_gini"]
+           "revenue_gini", "pareto_coverage"]
 
 
 def broadcast_lookup(facts: rd.Dataset, dim: pa.Table, *, fact_key: str,
@@ -2743,5 +2743,93 @@ def revenue_gini(sf_dir: str, *, n_shards: int | None = None) -> pa.Table:
                           ("gini_num", pa.int64()),
                           ("gini_den", pa.int64()),
                           ("gini6", pa.int64())]).empty_table()
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pareto_coverage(sf_dir: str, *, pct_num: int = 80, pct_den: int = 100,
+                    n_shards: int | None = None) -> pa.Table:
+    """Per-nation PARETO COVERAGE DEPTH — how many top orders cover
+    ``pct`` of the nation's revenue (the 80/20 concentration probe
+    next to ``revenue_gini``'s full-curve statistic): with order cents
+    sorted DESC, k = the smallest prefix with
+
+        pct_den * cum_k >= pct_num * total      (exact integers)
+
+    — tie order among equal cents cannot change k (the cumsum sequence
+    over sorted VALUES is tie-order invariant).  Output (nationkey,
+    n_orders, total_cents, k_top), nation order.
+
+    Plan: the revenue_gini shape — broadcast cust->nation map, slim
+    (nation, cents) rows, ONE hash(nation) exchange, in-shard sort +
+    searchsorted on the cumsum.  SQL twin
+    ``oracle.pareto_coverage_sql``."""
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.broadcast import cached
+    from optimizing_ray.config import resolve_shards
+
+    n_shards = resolve_shards(n_shards)
+    t = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"])
+    ck = t["c_custkey"].to_numpy().astype(np.int64)
+    cn = t["c_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ck)
+    cust_ref = ray.put((ck[o], cn[o]))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        k, v = cached(("pareto_cust", cust_ref.hex()),
+                      lambda: ray.get(cust_ref))
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, cust), 0, len(k) - 1)
+        nat = v[pos]
+        cents = np.floor(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"nat": pa.array(nat), "cents": pa.array(cents),
+                         "_shard": pa.array((nat % n_shards)
+                                            .astype(np.int64))})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        if len(g) == 0:
+            return pd.DataFrame({
+                "nationkey": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "total_cents": pd.Series([], dtype=np.int64),
+                "k_top": pd.Series([], dtype=np.int64)})
+        nat = g["nat"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((-cents, nat))
+        nat, cents = nat[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        rows = []
+        for s, e in zip(starts, ends):
+            x = cents[s:e]
+            cum = np.cumsum(x)
+            tot = int(cum[-1])
+            k = int(np.searchsorted(pct_den * cum, pct_num * tot,
+                                    side="left")) + 1
+            rows.append((int(nat[s]), e - s, tot, k))
+        return pd.DataFrame(rows, columns=["nationkey", "n_orders",
+                                           "total_cents", "k_top"]
+                            ).astype(np.int64)
+
+    out = (orders.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_shard").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "nationkey" not in out.columns:
+        return pa.schema([("nationkey", pa.int64()),
+                          ("n_orders", pa.int64()),
+                          ("total_cents", pa.int64()),
+                          ("k_top", pa.int64())]).empty_table()
     out = out.sort_values("nationkey").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -28,7 +28,7 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
            "decayed_counts", "emerging_hotspots", "benford_audit",
-           "rolling_stats", "zone_dwell"]
+           "rolling_stats", "zone_dwell", "radius_of_gyration"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2794,3 +2794,86 @@ def zone_dwell(events: rd.Dataset, polygons: pa.Table, *, world,
     return (events.map_batches(slim, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(fold, batch_format="pandas"))
+
+
+def radius_of_gyration(events: rd.Dataset, *, key_col: str = "user_id",
+                       id_col: str = "event_id",
+                       n_shards: int | None = None) -> rd.Dataset:
+    """Per-user RADIUS OF GYRATION — the classic human-mobility
+    statistic (Gonzalez/Hidalgo/Barabasi 2008): RMS distance of a
+    user's visit points from their centroid.  EXACT except one final
+    sqrt: coordinates quantize to integer world units (floor, the
+    kmeans discipline), so per-user (n, sum_x, sum_y, sum_sq) are
+    exact int64 partials and
+
+        num = n * sum_sq - sum_x^2 - sum_y^2        (= n^2 * RoG^2)
+
+    is an exact integer; rog6 = round6(sqrt(num) / n) is a fixed
+    2-IEEE-op chain (sqrt correctly rounded — the getis_ord
+    discipline), bit-identical across engines.  Output (user_id,
+    n_points, rog_num, rog6), user order.  Overflow guard:
+    n * sum_sq < 2^63 (holds past 10^8 points/user at this world
+    size; asserted in-shard).
+
+    Plan: per-batch per-user partial fold (lexsort+reduceat), ONE
+    hash(user) exchange sums exactly.  SQL twin
+    ``oracle.radius_of_gyration_sql``."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = WORLD_2D.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.int64()),
+                          "sy": pa.array([], pa.int64()),
+                          "ss": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = np.floor(WORLD_2D.min_x
+                      + _frac(eid, GEO_MULTS["x"]) * wx).astype(np.int64)
+        qy = np.floor(WORLD_2D.min_y
+                      + _frac(eid, GEO_MULTS["y"]) * wy).astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k2 = key[order]
+        qx, qy = qx[order], qy[order]
+        runs = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+        return pa.table({
+            key_col: pa.array(k2[runs]),
+            "n": pa.array(np.diff(np.r_[runs, len(k2)]).astype(np.int64)),
+            "sx": pa.array(np.add.reduceat(qx, runs)),
+            "sy": pa.array(np.add.reduceat(qy, runs)),
+            "ss": pa.array(np.add.reduceat(qx * qx + qy * qy, runs)),
+            "_shard": pa.array(_shard_of_keys(k2[runs], n_shards))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                "n_points": pd.Series([], dtype=np.int64),
+                "rog_num": pd.Series([], dtype=np.int64),
+                "rog6": pd.Series([], dtype=np.int64)})
+        a = (g.groupby(key_col, as_index=False)
+             .agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+                  ss=("ss", "sum")))
+        n = a["n"].to_numpy(np.int64)
+        sx = a["sx"].to_numpy(np.int64)
+        sy = a["sy"].to_numpy(np.int64)
+        ss = a["ss"].to_numpy(np.int64)
+        assert int(n.max(initial=0)) * int(ss.max(initial=1)) < (1 << 63), \
+            "radius_of_gyration: n * sum_sq overflows int64"
+        num = n * ss - sx * sx - sy * sy
+        rog = np.sqrt(num.astype(np.float64)) / n
+        return pd.DataFrame({key_col: a[key_col].to_numpy(np.int64),
+                             "n_points": n, "rog_num": num,
+                             "rog6": np.floor(rog * 1e6 + 0.5)
+                             .astype(np.int64)})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(merge, batch_format="pandas"))

@@ -364,6 +364,8 @@ SQL_NAMES = [
     "media_dup_groups",
     # round 5: per-(user, zone) dwell accounting — born past-cap
     "zone_dwell",
+    # round 5: mobility + concentration statistics — born past-cap
+    "radius_of_gyration", "pareto_coverage",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification

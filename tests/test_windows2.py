@@ -1349,3 +1349,67 @@ def test_zone_dwell_matches_brute(ray_session):
     for (u, p) in want:
         pids_per_user.setdefault(u, set()).add(p)
     assert any(len(v) == 2 for v in pids_per_user.values())
+
+
+def test_radius_of_gyration_and_pareto_match_brute(ray_session):
+    """RoG vs the textbook float formula on quantized points (exact
+    integer numerator, planted tight-vs-spread users rank correctly);
+    Pareto k vs a literal prefix scan incl. the all-equal case."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    rng = np.random.default_rng(5)
+    eid = rng.permutation(np.arange(30_000, dtype=np.int64))[:900]
+    uid = (eid % 9).astype(np.int64)  # deterministic user split
+    t = pa.table({"event_id": pa.array(eid), "user_id": pa.array(uid)})
+    got = (windows.radius_of_gyration(rd.from_arrow(t).repartition(4))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    again = (windows.radius_of_gyration(rd.from_arrow(t))
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got.equals(again)
+
+    wx, wy, _ = WORLD_2D.size
+    qx = np.floor(WORLD_2D.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+                  ).astype(np.int64)
+    qy = np.floor(WORLD_2D.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+                  ).astype(np.int64)
+    for r in got.itertuples():
+        m = uid == r.user_id
+        n = int(m.sum())
+        sx, sy = int(qx[m].sum()), int(qy[m].sum())
+        ss = int((qx[m] ** 2 + qy[m] ** 2).sum())
+        num = n * ss - sx * sx - sy * sy
+        assert r.n_points == n and r.rog_num == num
+        assert r.rog6 == int(np.floor(np.sqrt(np.float64(num)) / n
+                                      * 1e6 + 0.5))
+        # textbook float check within rounding slack
+        cx, cy = qx[m].mean(), qy[m].mean()
+        ref = np.sqrt(((qx[m] - cx) ** 2 + (qy[m] - cy) ** 2).mean())
+        assert abs(r.rog6 / 1e6 - ref) < 1e-3
+
+    # pareto: literal brute on a tiny synthetic dir
+    import os
+
+    import pyarrow.parquet as pq
+
+    from optimizing_ray.pipelines import relational
+    d = "/tmp/graft_pareto_fixture"
+    os.makedirs(d, exist_ok=True)
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_nationkey": pa.array([0, 1], pa.int32())})
+    # nation 0: one whale + dust -> k=1; nation 1: all equal -> k=4
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 1, 2, 2, 2, 2, 2], pa.int64()),
+        "o_totalprice": pa.array([97.0, 1.0, 1.0, 1.0,
+                                  10.0, 10.0, 10.0, 10.0, 10.0])})
+    pq.write_table(cust, f"{d}/customer.parquet")
+    pq.write_table(orders, f"{d}/orders.parquet")
+    g = relational.pareto_coverage(d).to_pandas()
+    m = {int(r.nationkey): int(r.k_top) for r in g.itertuples()}
+    assert m[0] == 1        # 97 of 100 cents in one order
+    assert m[1] == 4        # 4 of 5 equal orders reach 80%
