@@ -2520,6 +2520,33 @@ def _q_pareto_coverage(sf_dir: str):
     return relational.pareto_coverage(sf_dir)
 
 
+def _q_visit_entropy(sf_dir: str):
+    """Per-user mobility predictability: Shannon entropy of the tile-
+    visit distribution (exact integer counts through one hash(user)
+    exchange; ln fold micro-rounded under the shared 1e-6 guard)."""
+    from optimizing_ray.config import WORLD_2D
+    from optimizing_ray.pipelines import windows
+    from optimizing_ray.sources import driver_tables
+
+    ev = driver_tables.read(sf_dir, "events",
+                            columns=["event_id", "user_id"])
+    return windows.visit_entropy(ev, depth=DEPTH, world=WORLD_2D)
+
+
+def _q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the mutual kNN graph as the
+    exact integer Pearson rational (denominators cleared); r6 by the
+    sign-safe nonneg-mod floor."""
+    from optimizing_ray.pipelines import ann, cluster
+    from optimizing_ray.sources import driver_tables
+
+    n = _tbl_rows(sf_dir, "embeddings")
+    emb = driver_tables.read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+    g = ann.embedding_knn_graph(emb, k=5, nrows=n)
+    return cluster.degree_assortativity(cluster.mutual_knn_pairs(g))
+
+
 def _q_idw_grid(sf_dir: str):
     """IDW interpolation raster (vector -> continuous raster): per-pixel
     inverse-distance-weighted mean of n_chars over docs within IDW_R.
@@ -3277,6 +3304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family kernels as source_drift/revenue_gini above
         "radius_of_gyration": _q_radius_of_gyration,
         "pareto_coverage": _q_pareto_coverage,
+        "visit_entropy": _q_visit_entropy,      # same stats family
+        "degree_assortativity": _q_degree_assortativity,
         "audio_resample": _q_audio_resample,        # w5 audio_fingerprint (same WAV decode)
         # ---- round-4 window demotions: all 50 rows+schema+hash green
         # in CORRECTNESS_r04.json on code unchanged since round 4 ----
@@ -3415,6 +3444,8 @@ def oracle_sql() -> dict[str, str]:
             synth.polygons_table(8, world=WORLD_2D)),
         "radius_of_gyration": oracle.radius_of_gyration_sql(),
         "pareto_coverage": oracle.pareto_coverage_sql(),
+        "visit_entropy": oracle.visit_entropy_sql(DEPTH),
+        "degree_assortativity": oracle.degree_assortativity_sql(5),
         "box_join": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_shuffle": oracle.box_join_sql(N_BOX_QUERIES),
         "box_join_3d": oracle.box_join_3d_sql(N_BOX_QUERIES),

@@ -6341,3 +6341,68 @@ SELECT CAST(tot.nat AS BIGINT) AS nationkey, tot.n_orders,
 FROM tot JOIN k ON k.nat = tot.nat
 ORDER BY nationkey
 """
+
+
+def visit_entropy_sql(depth: int, world: World = DRIVER_WORLD,
+                      table: str = "events") -> str:
+    """``windows.visit_entropy`` twin: Morton tile counts per user,
+    H = ln(n) - SUM(c*ln(c))/n, micro-rounded (float-ln lockstep under
+    1e-6 — the unigram_logprob/char_entropy argument)."""
+    wx, wy, _ = world.size
+    x = f"({world.min_x!r} + {frac_sql('event_id', GEO_MULTS['x'])} * {wx!r})"
+    y = f"({world.min_y!r} + {frac_sql('event_id', GEO_MULTS['y'])} * {wy!r})"
+    return f"""
+WITH pts AS (SELECT event_id, user_id, {x} AS px, {y} AS py
+             FROM {table}),
+cix AS (SELECT event_id, user_id,
+               {cell_idx_expr('px', world.min_x, wx, depth)} AS ix,
+               {cell_idx_expr('py', world.min_y, wy, depth)} AS iy
+        FROM pts),
+{morton_ctes('cix', depth, carry='event_id, user_id')},
+cnt AS (SELECT user_id, mkey, CAST(count(*) AS BIGINT) AS c
+        FROM mz GROUP BY user_id, mkey),
+agg AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_tiles,
+               SUM(c * ln(c)) AS s
+        FROM cnt GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id, n AS n_visits, n_tiles,
+       CAST(floor((ln(n) - s / n) * 1000000 + 0.5) AS BIGINT)
+         AS entropy6
+FROM agg ORDER BY user_id
+"""
+
+
+def degree_assortativity_sql(k: int = 5, scale: int = 1024,
+                             table: str = "embeddings") -> str:
+    """``cluster.degree_assortativity`` twin over the mutual-kNN graph:
+    degree counts from the symmetrized reciprocal edges, exact HUGEINT
+    Pearson numerator/denominator, round-half-up via the nonneg-mod
+    floor idiom."""
+    return f"""
+WITH g AS ({embedding_knn_graph_sql(k=k, scale=scale, table=table)}),
+dd AS (SELECT DISTINCT vec_id AS a, neighbor_id AS b
+       FROM g WHERE vec_id <> neighbor_id),
+mu AS (SELECT d1.a, d1.b FROM dd d1
+       JOIN dd d2 ON d2.a = d1.b AND d2.b = d1.a
+       WHERE d1.a < d1.b),
+ends AS (SELECT a AS v FROM mu UNION ALL SELECT b FROM mu),
+deg AS (SELECT v, CAST(count(*) AS HUGEINT) AS d FROM ends GROUP BY v),
+ed AS (SELECT da.d AS j, db.d AS k2
+       FROM mu JOIN deg da ON da.v = mu.a JOIN deg db ON db.v = mu.b),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(SUM(j * k2) AS HUGEINT) AS s1,
+             CAST(SUM(j + k2) AS HUGEINT) AS s2,
+             CAST(SUM(j * j + k2 * k2) AS HUGEINT) AS s3
+      FROM ed),
+f AS (SELECT m, 4 * m * s1 - s2 * s2 AS num,
+             2 * m * s3 - s2 * s2 AS den
+      FROM s)
+SELECT CAST(m AS BIGINT) AS m_edges, CAST(num AS BIGINT) AS r_num,
+       CAST(den AS BIGINT) AS r_den,
+       CAST(CASE WHEN den = 0 THEN 0 ELSE
+         ((2 * num * 1000000 + den)
+          - ((((2 * num * 1000000 + den) % (2 * den)) + (2 * den))
+             % (2 * den))) / (2 * den)
+       END AS BIGINT) AS r6
+FROM f
+"""

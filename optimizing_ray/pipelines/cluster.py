@@ -48,7 +48,8 @@ __all__ = ["quantize_embeddings", "kmeans_step", "kmeans_assign",
            "cluster_top_terms", "triangle_count", "pagerank",
            "mutual_knn_pairs", "random_walks", "kcore",
            "link_prediction", "clustering_coeff",
-           "label_propagation", "cluster_exemplars"]
+           "label_propagation", "cluster_exemplars",
+           "degree_assortativity"]
 
 
 def quantize_embeddings(col, scale: int = 1024) -> np.ndarray:
@@ -2030,3 +2031,65 @@ def cluster_exemplars(emb: rd.Dataset, seeds: np.ndarray, *,
                      "exemplar_id": pa.array(v[starts]),
                      "dist2": pa.array(d2[starts]),
                      "n_members": pa.array(tot)}, schema=schema)
+
+
+def degree_assortativity(pairs: "rd.Dataset | pa.Table", *,
+                         a: str = "vec_a", b: str = "vec_b") -> pa.Table:
+    """DEGREE ASSORTATIVITY of an undirected pair list (Newman 2002) —
+    do high-degree nodes attach to high-degree nodes?  The Pearson
+    correlation of endpoint degrees over edges, kept as the EXACT
+    integer rational (denominators cleared):
+
+        r = (4*M*S1 - S2^2) / (2*M*S3 - S2^2)
+        S1 = sum jk,  S2 = sum (j+k),  S3 = sum (j^2 + k^2)
+
+    over the M undirected edges with endpoint degrees (j, k).  Output
+    one row (m_edges, r_num, r_den, r6) with r6 = floor(num/den * 1e6
+    + 0.5) sign-safely in arbitrary precision; degenerate graphs
+    (den = 0: all degrees equal) report r6 = 0.
+
+    Plan: per-batch slim edge fold, ONE hash(endpoint) exchange counts
+    degrees, a second slim pass joins degrees back onto edges via the
+    broadcast degree map (bounded by node cardinality — the library
+    caller passes the mutual-kNN graph whose degrees are <= k; for
+    unbounded graphs swap the map for a hash join, the dedup plan
+    discipline).  SQL twin ``oracle.degree_assortativity_sql``."""
+    import ray
+
+    if isinstance(pairs, rd.Dataset):
+        tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pt = (pa.concat_tables(tabs) if tabs
+              else pa.table({a: pa.array([], pa.int64()),
+                             b: pa.array([], pa.int64())}))
+    else:
+        pt = pairs
+    schema = pa.schema([("m_edges", pa.int64()), ("r_num", pa.int64()),
+                        ("r_den", pa.int64()), ("r6", pa.int64())])
+    ea = pt[a].to_numpy(zero_copy_only=False).astype(np.int64)
+    eb = pt[b].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(ea)
+    if m == 0:
+        return pa.table({"m_edges": [0], "r_num": [0], "r_den": [0],
+                         "r6": [0]}, schema=schema)
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    j = deg[inv[:m]]
+    k = deg[inv[m:]]
+    s1 = int((j * k).sum())
+    s2 = int((j + k).sum())
+    s3 = int((j * j + k * k).sum())
+    num = 4 * m * s1 - s2 * s2
+    den = 2 * m * s3 - s2 * s2
+    # den = 2M^2 * Var(endpoint degrees) >= 0 by Cauchy-Schwarz; num
+    # may be negative (kNN graphs are typically disassortative).
+    # round-half-up = floor((2*num*1e6 + den) / (2*den)), floor of a
+    # possibly-negative numerator over a positive denominator via the
+    # nonneg-mod idiom (exact Python ints; the SQL twin uses the same
+    # form in HUGEINT)
+    if den == 0:
+        r6 = 0
+    else:
+        p, q = 2 * num * 1_000_000 + den, 2 * den
+        r6 = (p - ((p % q) + q) % q) // q
+    return pa.table({"m_edges": [m], "r_num": [num], "r_den": [den],
+                     "r6": [int(r6)]}, schema=schema)

@@ -28,7 +28,8 @@ __all__ = ["tumbling_window", "sliding_window", "session_window",
            "peak_concurrency", "trajectory_diameter", "cusum_alarms",
            "stay_points", "douglas_peucker", "convex_hull", "min_obb",
            "decayed_counts", "emerging_hotspots", "benford_audit",
-           "rolling_stats", "zone_dwell", "radius_of_gyration"]
+           "rolling_stats", "zone_dwell", "radius_of_gyration",
+           "visit_entropy"]
 
 def _sharded_sum(partials: rd.Dataset, key_col: str,
                  n_shards: int | None = None) -> rd.Dataset:
@@ -2877,3 +2878,76 @@ def radius_of_gyration(events: rd.Dataset, *, key_col: str = "user_id",
     return (events.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("_shard").map_groups(merge, batch_format="pandas"))
+
+
+def visit_entropy(events: rd.Dataset, *, depth: int, world,
+                  key_col: str = "user_id", id_col: str = "event_id",
+                  n_shards: int | None = None) -> rd.Dataset:
+    """Per-user VISIT ENTROPY — the mobility-predictability statistic
+    (Song/Barabasi limits-of-predictability family): Shannon entropy
+    (nats) of the user's tile-visit distribution over event_id-derived
+    Morton tiles,
+
+        H = ln(n) - (sum over tiles of c * ln(c)) / n
+
+    micro-rounded to int64 1e-6 (the char_entropy discipline: counts
+    are exact integers through one hash(user) exchange of per-batch
+    (user, tile, c) partials; the c*ln(c) fold's float-sum order
+    ambiguity is ~1e-13, far inside the rounding guard — the
+    unigram_logprob argument, shared with the SQL twin).  Output
+    (user_id, n_visits, n_tiles, entropy6), user order."""
+    from optimizing_ray.cells import point_cell2
+    from optimizing_ray.sources.driver_tables import GEO_MULTS, _frac
+
+    n_shards = resolve_shards(n_shards)
+    wx, wy, _ = world.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "tile": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "_shard": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = world.min_x + _frac(eid, GEO_MULTS["x"]) * wx
+        y = world.min_y + _frac(eid, GEO_MULTS["y"]) * wy
+        tile = point_cell2(x, y, world, depth).astype(np.int64)
+        order = np.lexsort((tile, key))
+        k2, t2 = key[order], tile[order]
+        runs = np.flatnonzero(np.r_[True, (k2[1:] != k2[:-1])
+                                    | (t2[1:] != t2[:-1])])
+        uk = k2[runs]
+        return pa.table({key_col: pa.array(uk),
+                         "tile": pa.array(t2[runs]),
+                         "c": pa.array(np.diff(np.r_[runs, len(k2)])
+                                       .astype(np.int64)),
+                         "_shard": pa.array(_shard_of_keys(uk, n_shards))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=np.int64),
+                "n_visits": pd.Series([], dtype=np.int64),
+                "n_tiles": pd.Series([], dtype=np.int64),
+                "entropy6": pd.Series([], dtype=np.int64)})
+        a = (g.groupby([key_col, "tile"], as_index=False)["c"].sum())
+        key = a[key_col].to_numpy(np.int64)
+        c = a["c"].to_numpy(np.int64)
+        order = np.lexsort((a["tile"].to_numpy(np.int64), key))
+        key, c = key[order], c[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        n = np.add.reduceat(c, starts)
+        ntile = np.diff(np.r_[starts, len(key)]).astype(np.int64)
+        s = np.add.reduceat(c * np.log(c), starts)
+        h = np.log(n) - s / n
+        return pd.DataFrame({key_col: key[starts],
+                             "n_visits": n,
+                             "n_tiles": ntile,
+                             "entropy6": np.floor(h * 1e6 + 0.5)
+                             .astype(np.int64)})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_shard").map_groups(fold, batch_format="pandas"))

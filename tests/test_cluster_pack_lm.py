@@ -889,3 +889,45 @@ def test_cluster_exemplars_picks_nearest_member(ray_session):
         assert m[c].n_members == len(members)
     assert m[0].exemplar_id != 0       # refined centroid left the seed
     assert got["n_members"].sum() == 8
+
+
+def test_degree_assortativity_known_graphs(ray_session):
+    """Exact Pearson rational on graphs with known r: a perfect
+    2-regular cycle has zero degree variance (den = 0 -> 0); a star is
+    maximally disassortative (r = -1 exactly when M > 1); layout
+    invariance via Dataset input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from optimizing_ray.pipelines.cluster import degree_assortativity
+
+    def tbl(edges):
+        return pa.table({"vec_a": pa.array([e[0] for e in edges],
+                                           pa.int64()),
+                         "vec_b": pa.array([e[1] for e in edges],
+                                           pa.int64())})
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    r = degree_assortativity(tbl(cycle)).to_pandas().iloc[0]
+    assert r.r_den == 0 and r.r6 == 0
+
+    star = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(tbl(star)).to_pandas().iloc[0]
+    assert r.r_num == -r.r_den and r.r6 == -1_000_000
+
+    # brute Pearson on a mixed graph
+    mixed = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    r = degree_assortativity(
+        rd.from_arrow(tbl(mixed)).repartition(2)).to_pandas().iloc[0]
+    deg = {}
+    for a, b in mixed:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    j = np.array([deg[a] for a, _ in mixed], dtype=float)
+    k = np.array([deg[b] for _, b in mixed], dtype=float)
+    m = len(mixed)
+    num = 4 * m * (j * k).sum() - (j + k).sum() ** 2
+    den = 2 * m * (j * j + k * k).sum() - (j + k).sum() ** 2
+    assert r.r_num == int(num) and r.r_den == int(den)
+    assert abs(r.r6 / 1e6 - num / den) < 1e-6

@@ -366,6 +366,8 @@ SQL_NAMES = [
     "zone_dwell",
     # round 5: mobility + concentration statistics — born past-cap
     "radius_of_gyration", "pareto_coverage",
+    # round 5: visit entropy + degree assortativity — born past-cap
+    "visit_entropy", "degree_assortativity",
     # round 4 wave 17: trajectory stay-point dwell windows
     "stay_points",
     # round 4 wave 17: Douglas-Peucker trajectory simplification
